@@ -1,0 +1,41 @@
+"""Error hierarchy for the exprgrad-tpu compiler.
+
+Parity: reference error hierarchy in exprgrad/ir.nim:20-29 (CompilerError and
+subclasses). Names are adjusted to avoid shadowing Python builtins.
+"""
+
+
+class ExprgradError(Exception):
+    """Base class for all compiler / runtime errors."""
+
+
+class ParserError(ExprgradError):
+    """Raised while building the kernel graph from the DSL."""
+
+
+class KernelTypeError(ExprgradError):
+    """Type error inside a kernel expression (reference: TypeError)."""
+
+
+class GradientError(ExprgradError):
+    """Raised when a kernel cannot be differentiated."""
+
+
+class GeneratorError(ExprgradError):
+    """Raised while expanding generator kernels (backwards/gradient/reshape)."""
+
+
+class StageError(ExprgradError):
+    """A compiler pass ran before its required stages were available."""
+
+
+class ShapeError(ExprgradError):
+    """Tensor shape inference failure or shape mismatch."""
+
+
+class ValidationError(ExprgradError):
+    """IR validation failure (use-before-def and friends)."""
+
+
+class ModelRuntimeError(ExprgradError):
+    """Runtime usage error (unknown target/input, ...). Reference: RuntimeError."""

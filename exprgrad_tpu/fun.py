@@ -1,0 +1,746 @@
+"""Computation-graph front-end: ``Fun`` nodes, kernel building, lowering.
+
+This is the graph/builder half of the reference parser (exprgrad/parser.nim):
+``Fun`` graph node kinds (parser.nim:67-97), kernel building via a build
+context (parser.nim:128-259), and graph -> Program lowering ``to_program``
+(parser.nim:261-417).  The Nim ``++=`` macro surface becomes Python item
+assignment:
+
+    y, x, it = iters("y", "x", "it")
+    c = Fun("c")
+    c[y, x] = a[y, it] * b[it, x]      # accumulate (+=) semantics
+
+``fun[i, j]`` reads with per-dimension indices; ``fun.raw[i]`` is flat data
+access (the reference ``{}`` operator).  ``Fun.__setitem__`` always has
+*accumulate* semantics, exactly like ``++=``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import enum
+import functools
+from typing import Callable, Optional, Sequence
+
+from . import ir
+from .errors import ParserError
+from .expr import (
+    ExprNode,
+    Index,
+    NodeKind,
+    Scalar,
+    as_index,
+    as_scalar,
+    iters,
+)
+from .ir import LinearIndex, Op
+
+
+class FunKind(enum.Enum):
+    INPUT = "input"
+    PARAM = "param"
+    RESULT = "result"
+    CACHE = "cache"
+    RANDOM = "random"
+    BACKWARDS = "backwards"
+    GRADIENT = "gradient"
+    EFFECT = "effect"
+    MULTIPLE = "multiple"
+    RESHAPE = "reshape"
+    TARGET = "target"
+    COND = "cond"
+    GRADIENT_ARG = "gradient_arg"
+
+
+class _ShapeConstrBuilder:
+    """User shape annotation: with_shape / copy_shape (parser.nim:683-695)."""
+
+    def __init__(self, kind: str, dims=None, copy: "Fun" = None) -> None:
+        self.kind = kind  # "dims" | "copy"
+        self.dims: list[ExprNode] = dims or []
+        self.copy = copy
+
+
+class ScheduleSpec:
+    """Per-kernel schedule hints (reference schedule DSL, parser.nim:519-564).
+
+    ``tile``: {iter_name: tile_size}; ``parallel``: iter names;
+    ``cache``: tensors to stage through VMEM; consumed by the Pallas emitter.
+    """
+
+    def __init__(
+        self,
+        tile: Optional[dict[str, int]] = None,
+        parallel: Sequence[str] = (),
+        cache: Sequence["Fun"] = (),
+        share_cache: Sequence[str] = (),
+    ) -> None:
+        self.tile = dict(tile or {})
+        self.parallel = list(parallel)
+        self.cache = list(cache)
+        self.share_cache = list(share_cache)
+
+
+class KernelBuilder:
+    def __init__(
+        self,
+        target: "Fun",
+        dims: list[ExprNode],
+        is_raw: bool,
+        value: ExprNode,
+    ) -> None:
+        self.target = target
+        self.dims = dims
+        self.is_raw = is_raw
+        self.value = value
+        self.custom_grads: list[KernelBuilder] = []
+        self.schedule: Optional[ScheduleSpec] = None
+
+    def build(self, grads: Optional[dict[int, int]] = None) -> ir.Kernel:
+        ctx = _BuildCtx(self.schedule, grads)
+        kernel = ctx.build_kernel(self)
+        if self.custom_grads:
+            cg = ir.CustomGrad()
+            shared_grads: dict[int, int] = {}
+            for sub in self.custom_grads:
+                sub_ctx = _BuildCtx(sub.schedule, shared_grads)
+                cg.kernels.append(sub_ctx.build_kernel(sub))
+            cg.grad_placeholders = shared_grads
+            kernel.custom_grad = cg
+        return kernel
+
+
+_BUILD_GEN = [0]
+
+
+class _BuildCtx:
+    """Builds one ir.Kernel from a KernelBuilder (reference BuildContext)."""
+
+    def __init__(
+        self, schedule: Optional[ScheduleSpec], grads: Optional[dict[int, int]]
+    ) -> None:
+        self.kernel = ir.Kernel()
+        self.iters: dict[str, int] = {}
+        self.grads: dict[int, int] = grads if grads is not None else {}
+        self.blocks = 0
+        self.schedule = schedule or ScheduleSpec()
+        _BUILD_GEN[0] += 1
+        self.gen = _BUILD_GEN[0]
+        # iter reg -> name, for applying loop schedules
+        self.iter_names: dict[int, str] = {}
+
+    def alloc_block(self) -> int:
+        self.blocks += 1
+        return self.blocks - 1
+
+    def lookup_tensor(self, fun: "Fun") -> int:
+        if fun.kind == FunKind.GRADIENT_ARG:
+            real = self.lookup_tensor(fun.children[0])
+            if real not in self.grads:
+                self.grads[real] = -(len(self.grads) + 1)
+            return self.grads[real]
+        if fun.tensor is None:
+            raise ParserError(
+                f"tensor for {fun.kind.value} node {fun.name!r} is not allocated; "
+                "is it reachable from the compiled graph?"
+            )
+        return fun.tensor
+
+    def build_linear(self, node: ExprNode) -> LinearIndex:
+        setup: list[ir.Instr] = []
+        reg = self.build(node, setup, self.alloc_block())
+        return LinearIndex(setup=setup, factors={reg: 1})
+
+    def build(self, node: ExprNode, instrs: list[ir.Instr], block: int) -> int:
+        cached = node._res.get((self.gen, block))
+        if cached is not None:
+            return cached
+        if len(node._res) > 64:  # drop stale entries from earlier builds
+            node._res = {k: v for k, v in node._res.items() if k[0] == self.gen}
+
+        if node.kind == NodeKind.READ:
+            dims = [self.build_linear(d) for d in node.children]
+            sched = ir.TensorSchedule(cache=node.tensor in self.schedule.cache)
+            res = self.kernel.alloc_reg()
+            self.kernel.reads.append(
+                ir.TensorOp(
+                    tensor=self.lookup_tensor(node.tensor),
+                    dims=dims,
+                    data=res,
+                    is_raw=node.is_raw,
+                    schedule=sched,
+                )
+            )
+        elif node.kind == NodeKind.ITER:
+            name = node.iter_name
+            if name not in self.iters:
+                reg = self.kernel.alloc_reg(name)
+                self.iters[name] = reg
+                self.iter_names[reg] = name
+                loop = ir.Loop(iter_reg=reg)
+                if name in self.schedule.tile:
+                    loop.schedule.tile = True
+                    loop.schedule.tile_size = self.schedule.tile[name]
+                if name in self.schedule.parallel:
+                    loop.schedule.parallel = True
+                if name in self.schedule.share_cache:
+                    loop.schedule.share_cache = True
+                if node.children:
+                    loop.has_bounds = True
+                    loop.start = self.build_linear(node.children[0])
+                    loop.stop = self.build_linear(node.children[1])
+                    loop.step = 1
+                self.kernel.loops.append(loop)
+            res = self.iters[name]
+            node._res[(self.gen, block)] = res
+            return res
+        else:  # INSTR
+            assert node.op is not None
+            args = [self.build(c, instrs, block) for c in node.children]
+            instr = ir.Instr(
+                op=node.op,
+                args=args,
+                index_lit=node.index_lit,
+                scalar_lit=node.scalar_lit,
+                bool_lit=node.bool_lit,
+                dim=node.dim,
+            )
+            if node.tensor is not None:
+                instr.tensor = self.lookup_tensor(node.tensor)
+            instr.res = self.kernel.alloc_reg()
+            instrs.append(instr)
+            res = instr.res
+
+        node._res[(self.gen, block)] = res
+        return res
+
+    def build_kernel(self, builder: KernelBuilder) -> ir.Kernel:
+        kernel = self.kernel
+        block = self.alloc_block()
+        instrs: list[ir.Instr] = []
+        res = self.build(builder.value, instrs, block)
+        kernel.expr = ir.Expr(instrs=instrs, res=res)
+        kernel.write = ir.TensorOp(
+            tensor=self.lookup_tensor(builder.target),
+            is_raw=builder.is_raw,
+            data=res,
+            dims=[self.build_linear(d) for d in builder.dims],
+        )
+        return kernel
+
+
+# ---------------------------------------------------------------------------
+# custom-grad capture
+# ---------------------------------------------------------------------------
+
+_CUSTOM_GRAD_STACK: list[list[KernelBuilder]] = []
+
+
+# ---------------------------------------------------------------------------
+# Fun graph nodes
+# ---------------------------------------------------------------------------
+
+class _RawAccessor:
+    """``fun.raw[i]`` — flat data access, the reference ``{}`` operator."""
+
+    __slots__ = ("fun",)
+
+    def __init__(self, fun: "Fun") -> None:
+        self.fun = fun
+
+    def __getitem__(self, index) -> Scalar:
+        node = ExprNode(
+            NodeKind.READ,
+            tensor=self.fun,
+            is_raw=True,
+            children=[as_index(index).node],
+        )
+        return Scalar(node)
+
+    def __setitem__(self, index, value) -> None:
+        self.fun._add_kernel([as_index(index).node], True, value)
+
+
+class Fun:
+    """A node of the computation graph (reference parser.nim:72-97)."""
+
+    def __init__(self, name: str = "", kind: FunKind = FunKind.RESULT) -> None:
+        self.kind = kind
+        self.name = name
+        self.tensor: Optional[int] = None
+        self.children: list[Fun] = []
+        self.locked = False
+        # per-kind payloads
+        self.input_shape: list[int] = []
+        self.param_shape: list[int] = []
+        self.init_range: tuple[float, float] = (-0.1, 0.1)
+        self.random_range: tuple[float, float] = (0.0, 1.0)
+        self.cache_of: Optional[Fun] = None
+        self.kernels: list[KernelBuilder] = []
+        self.shape_constr: Optional[_ShapeConstrBuilder] = None
+        self.effect: Optional[Fun] = None
+        self.reshape_dims: list[int] = []
+        self.cond_branches: dict[str, Fun] = {}
+        self.cond_else: Optional[Fun] = None
+        # set of target names this node has been flattened into
+        self._visited: set[str] = set()
+
+    # --- reading ------------------------------------------------------
+    def __getitem__(self, indices) -> Scalar:
+        if not isinstance(indices, tuple):
+            indices = (indices,)
+        node = ExprNode(
+            NodeKind.READ,
+            tensor=self,
+            children=[as_index(i).node for i in indices],
+        )
+        return Scalar(node)
+
+    @property
+    def raw(self) -> _RawAccessor:
+        return _RawAccessor(self)
+
+    # --- tensor queries ----------------------------------------------
+    @property
+    def shape(self) -> "_ShapeProxy":
+        return _ShapeProxy(self)
+
+    @property
+    def size(self) -> Index:
+        """Total element count (reference ``tensor.len``, dsl.nim:132)."""
+        return Index(ExprNode(NodeKind.INSTR, op=Op.LEN, tensor=self))
+
+    # --- writing (kernel creation) -----------------------------------
+    def __setitem__(self, indices, value) -> None:
+        if not isinstance(indices, tuple):
+            indices = (indices,)
+        self._add_kernel([as_index(i).node for i in indices], False, value)
+
+    def _add_kernel(self, dims: list[ExprNode], is_raw: bool, value) -> None:
+        if _CUSTOM_GRAD_STACK:
+            builder = KernelBuilder(self, dims, is_raw, as_scalar(value).node)
+            _CUSTOM_GRAD_STACK[-1].append(builder)
+            return
+        if self.kind not in (FunKind.RESULT, FunKind.EFFECT):
+            raise ParserError(f"cannot add a kernel to a {self.kind.value} node")
+        builder = KernelBuilder(self, dims, is_raw, as_scalar(value).node)
+        self.kernels.append(builder)
+        _collect_children(builder.value, self)
+        for d in dims:
+            _collect_children(d, self)
+
+    def schedule(
+        self,
+        tile: Optional[dict[str, int]] = None,
+        parallel: Sequence[str] = (),
+        cache: Sequence["Fun"] = (),
+        share_cache: Sequence[str] = (),
+    ) -> "Fun":
+        """Attach schedule hints to the most recently added kernel."""
+        if not self.kernels:
+            raise ParserError("schedule() requires a kernel to attach to")
+        self.kernels[-1].schedule = ScheduleSpec(tile, parallel, cache, share_cache)
+        return self
+
+    @contextlib.contextmanager
+    def custom_grad(self):
+        """Attach custom gradient kernels to the last kernel (README.md:196-205).
+
+        Inside the block, ``grad(t)`` refers to the gradient of tensor ``t``::
+
+            with y.custom_grad():
+                grad(x).raw[i] = x.raw[i] * 2.0 * grad(y).raw[i]
+        """
+        if not self.kernels:
+            raise ParserError("custom_grad() requires a kernel to attach to")
+        collector: list[KernelBuilder] = []
+        _CUSTOM_GRAD_STACK.append(collector)
+        try:
+            yield
+        finally:
+            _CUSTOM_GRAD_STACK.pop()
+        self.kernels[-1].custom_grads.extend(collector)
+
+    # --- shape annotations -------------------------------------------
+    def with_shape(self, dims: Sequence) -> "Fun":
+        if self.kind != FunKind.RESULT:
+            raise ParserError(f"cannot set shape of {self.kind.value} node")
+        nodes = [as_index(d).node for d in dims]
+        self.shape_constr = _ShapeConstrBuilder("dims", dims=nodes)
+        for node in nodes:
+            _collect_children(node, self)
+        return self
+
+    def copy_shape(self, src: "Fun") -> "Fun":
+        if self.kind != FunKind.RESULT:
+            raise ParserError(f"cannot set shape of {self.kind.value} node")
+        self.shape_constr = _ShapeConstrBuilder("copy", copy=src)
+        if src not in self.children:
+            self.children.append(src)
+        return self
+
+    def lock(self) -> "Fun":
+        self.locked = True
+        return self
+
+    # --- graph combinators -------------------------------------------
+    def target(self, name: str, compile_target: str = "tpu") -> "Fun":
+        out = Fun(name, FunKind.TARGET)
+        out.children = [self]
+        return out
+
+    def backwards(self) -> "Fun":
+        out = Fun("backwards", FunKind.BACKWARDS)
+        out.children = [self]
+        return out
+
+    def grad(self, fun: "Fun") -> "Fun":
+        """Gradient of ``fun`` w.r.t. the loss this backwards node derives."""
+        out = Fun("grad", FunKind.GRADIENT)
+        out.children = [self, fun]
+        return out
+
+    def params(self, stop: Sequence[str] = ()) -> list["Fun"]:
+        """All parameters of the graph (reference parser.nim:741-755)."""
+        stop_set = set(stop)
+        seen: set[int] = set()
+        out: list[Fun] = []
+
+        def walk(fun: Fun) -> None:
+            if id(fun) in seen:
+                return
+            seen.add(id(fun))
+            if fun.kind == FunKind.TARGET and fun.name in stop_set:
+                return
+            for child in fun.children:
+                walk(child)
+            if fun.effect is not None:
+                walk(fun.effect)
+            if fun.kind == FunKind.PARAM:
+                out.append(fun)
+            elif fun.kind == FunKind.COND:
+                for branch in fun.cond_branches.values():
+                    walk(branch)
+                if fun.cond_else is not None:
+                    walk(fun.cond_else)
+
+        walk(self)
+        return out
+
+    def optimize(
+        self,
+        optim: Callable[["Fun", "Fun"], None],
+        params: Optional[Sequence["Fun"]] = None,
+    ) -> "Fun":
+        """Apply ``optim(param_effect, grad)`` per parameter (parser.nim:757-775)."""
+        if self.kind != FunKind.BACKWARDS:
+            raise ParserError("optimize() must be applied to a backwards() node")
+        if params is None:
+            params = self.params()
+        out = Fun("optimize", FunKind.MULTIPLE)
+        for p in params:
+            effect = Fun(p.name, FunKind.EFFECT)
+            effect.effect = p
+            g = self.grad(p)
+            optim(effect, g)
+            out.children.append(effect)
+        return out
+
+    def backprop(self, optim: Callable[["Fun", "Fun"], None]) -> "Fun":
+        return self.backwards().optimize(optim)
+
+    def reshape(self, shape: Sequence[int]) -> "Fun":
+        out = Fun("reshape", FunKind.RESHAPE)
+        out.children = [self]
+        out.reshape_dims = list(shape)
+        return out
+
+    def __repr__(self) -> str:
+        return f"<Fun {self.kind.value} {self.name!r}>"
+
+    __hash__ = object.__hash__
+
+
+class _ShapeProxy:
+    __slots__ = ("fun",)
+
+    def __init__(self, fun: Fun) -> None:
+        self.fun = fun
+
+    def __getitem__(self, dim: int) -> Index:
+        return Index(
+            ExprNode(NodeKind.INSTR, op=Op.SHAPE, tensor=self.fun, dim=dim)
+        )
+
+    @property
+    def rank(self) -> Index:
+        return Index(ExprNode(NodeKind.INSTR, op=Op.SHAPE_LEN, tensor=self.fun))
+
+
+def _collect_children(node: ExprNode, fun: Fun) -> None:
+    """Record tensors referenced by a kernel as graph children (parser.nim:429-434)."""
+    for child in node.children:
+        _collect_children(child, fun)
+    if node.tensor is not None and node.tensor is not fun:
+        if node.tensor not in fun.children:
+            fun.children.append(node.tensor)
+
+
+# ---------------------------------------------------------------------------
+# graph constructors (reference parser.nim:713-832)
+# ---------------------------------------------------------------------------
+
+def input(name: str, shape: Sequence[int] = ()) -> Fun:  # noqa: A001
+    """Model input; unknown dims are -1 (e.g. ``input("x", [-1, 28, 28, 1])``)."""
+    fun = Fun(name, FunKind.INPUT)
+    fun.input_shape = list(shape)
+    return fun
+
+
+input_ = input
+
+
+def param(
+    shape: Sequence[int],
+    init_range: tuple[float, float] = (-0.1, 0.1),
+    name: str = "",
+) -> Fun:
+    """Trainable parameter, uniformly initialized in ``init_range``."""
+    fun = Fun(name, FunKind.PARAM)
+    fun.param_shape = list(shape)
+    fun.init_range = init_range
+    return fun
+
+
+def rand(fun: Fun, random_range: tuple[float, float]) -> Fun:
+    """Tensor of fresh uniform random values with the same shape as ``fun``."""
+    out = Fun("rand", FunKind.RANDOM)
+    out.children = [fun]
+    out.random_range = random_range
+    return out
+
+
+def cache(of: Fun, name: str = "") -> Fun:
+    """Persistent state tensor shaped like ``of`` (optimizer state)."""
+    inner = Fun(name, FunKind.CACHE)
+    inner.cache_of = of
+    out = Fun(name, FunKind.EFFECT)
+    out.effect = inner
+    return out
+
+
+def grad(fun: Fun) -> Fun:
+    """Inside custom_grad blocks: the gradient tensor of ``fun``."""
+    out = Fun("grad_arg", FunKind.GRADIENT_ARG)
+    out.children = [fun]
+    return out
+
+
+def cond(branches: dict[str, Fun], otherwise: Optional[Fun] = None) -> Fun:
+    """Select an input per target; used for GAN-style architectures."""
+    out = Fun("cond", FunKind.COND)
+    out.cond_branches = dict(branches)
+    out.cond_else = otherwise
+    return out
+
+
+def make_opt(optim: Callable, *args, **kwargs) -> Callable[[Fun, Fun], None]:
+    """Bind optimizer hyper-parameters (reference makeOpt, parser.nim:819)."""
+    return functools.partial(optim, *args, **kwargs)
+
+
+def layer(fn: Callable) -> Callable:
+    """Decorator: name the returned Fun after the layer function."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        if isinstance(out, Fun) and not out.name:
+            out.name = fn.__name__
+        return out
+
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# graph -> Program lowering (reference parser.nim:261-417)
+# ---------------------------------------------------------------------------
+
+def _alloc_tensors(fun: Fun, program: ir.Program) -> None:
+    if fun.tensor is not None:
+        return
+    kind = fun.kind
+    if kind == FunKind.INPUT:
+        if fun.name not in program.inputs:
+            program.inputs[fun.name] = program.alloc_tensor(
+                ir.TensorDef(ir.TensorKind.INPUT, shape=list(fun.input_shape), name=fun.name)
+            )
+        fun.tensor = program.inputs[fun.name]
+        if program.tensors[fun.tensor].shape != list(fun.input_shape):
+            raise ParserError(
+                f"declared shapes for input {fun.name!r} do not match"
+            )
+    elif kind == FunKind.PARAM:
+        fun.tensor = program.alloc_tensor(
+            ir.TensorDef(
+                ir.TensorKind.PARAM,
+                shape=list(fun.param_shape),
+                name=fun.name,
+                init_range=fun.init_range,
+            )
+        )
+    elif kind == FunKind.RANDOM:
+        fun.tensor = program.alloc_tensor(
+            ir.TensorDef(
+                ir.TensorKind.RANDOM, name=fun.name, random_range=fun.random_range
+            )
+        )
+    elif kind in (FunKind.RESULT, FunKind.GRADIENT, FunKind.RESHAPE):
+        fun.tensor = program.alloc_tensor(
+            ir.TensorDef(ir.TensorKind.RESULT, name=fun.name)
+        )
+    elif kind == FunKind.EFFECT:
+        assert fun.effect is not None
+        _alloc_tensors(fun.effect, program)
+        fun.tensor = fun.effect.tensor
+    elif kind == FunKind.CACHE:
+        assert fun.cache_of is not None
+        _alloc_tensors(fun.cache_of, program)
+        fun.tensor = program.alloc_tensor(
+            ir.TensorDef(
+                ir.TensorKind.CACHE, name=fun.name, cache_of=fun.cache_of.tensor
+            )
+        )
+    elif kind == FunKind.COND:
+        for branch in fun.cond_branches.values():
+            _alloc_tensors(branch, program)
+        if fun.cond_else is not None:
+            _alloc_tensors(fun.cond_else, program)
+
+    for child in fun.children:
+        _alloc_tensors(child, program)
+
+    if kind == FunKind.TARGET:
+        fun.tensor = fun.children[0].tensor
+
+
+def _collect_targets(fun: Fun, targets: dict[str, Fun], seen: set[int]) -> None:
+    if id(fun) in seen:
+        return
+    seen.add(id(fun))
+    if fun.kind == FunKind.TARGET:
+        if fun.name in targets and targets[fun.name] is not fun:
+            raise ParserError(
+                f"there are multiple targets named {fun.name!r}; "
+                "target names must be unique within a model"
+            )
+        targets[fun.name] = fun
+    elif fun.kind == FunKind.COND:
+        for branch in fun.cond_branches.values():
+            _collect_targets(branch, targets, seen)
+        if fun.cond_else is not None:
+            _collect_targets(fun.cond_else, targets, seen)
+    for child in fun.children:
+        _collect_targets(child, targets, seen)
+    if fun.effect is not None:
+        _collect_targets(fun.effect, targets, seen)
+
+
+def _flatten(fun: Fun, target: ir.Target) -> None:
+    if target.name in fun._visited:
+        return
+    for child in fun.children:
+        _flatten(child, target)
+    if fun.kind == FunKind.EFFECT and fun.effect is not None:
+        _flatten(fun.effect, target)
+
+    fun._visited.add(target.name)
+    kind = fun.kind
+    if kind in (FunKind.RESULT, FunKind.EFFECT):
+        for builder in fun.kernels:
+            target.kernels.append(builder.build())
+        constr = fun.shape_constr
+        if constr is not None:
+            assert fun.tensor is not None
+            if constr.kind == "copy":
+                assert constr.copy is not None and constr.copy.tensor is not None
+                target.shapes.append(
+                    ir.ShapeConstraint(
+                        ir.ShapeConstrKind.COPY,
+                        dest=fun.tensor,
+                        priority=ir.ShapeConstrPriority.USER,
+                        src=constr.copy.tensor,
+                    )
+                )
+            else:
+                sc = ir.ShapeConstraint(
+                    ir.ShapeConstrKind.DIMS,
+                    dest=fun.tensor,
+                    priority=ir.ShapeConstrPriority.USER,
+                )
+                for dim in constr.dims:
+                    ctx = _BuildCtx(None, None)
+                    sc.dims.append(ctx.build_linear(dim))
+                target.shapes.append(sc)
+    elif kind == FunKind.BACKWARDS:
+        assert fun.children[0].tensor is not None
+        target.kernels.append(
+            ir.Kernel(
+                generator=ir.Generator(ir.GenKind.BACKWARDS, fun.children[0].tensor)
+            )
+        )
+    elif kind == FunKind.GRADIENT:
+        assert fun.children[1].tensor is not None and fun.tensor is not None
+        target.kernels.append(
+            ir.Kernel(
+                generator=ir.Generator(ir.GenKind.GRADIENT, fun.children[1].tensor),
+                write=ir.TensorOp(tensor=fun.tensor),
+            )
+        )
+    elif kind == FunKind.RESHAPE:
+        assert fun.children[0].tensor is not None and fun.tensor is not None
+        target.kernels.append(
+            ir.Kernel(
+                generator=ir.Generator(
+                    ir.GenKind.RESHAPE,
+                    fun.children[0].tensor,
+                    reshape=list(fun.reshape_dims),
+                ),
+                write=ir.TensorOp(tensor=fun.tensor),
+            )
+        )
+    elif kind == FunKind.COND:
+        child = fun.cond_branches.get(target.name, fun.cond_else)
+        if child is None:
+            raise ParserError(
+                f"conditional node has no branch for target {target.name!r}"
+            )
+        _flatten(child, target)
+        fun.tensor = child.tensor
+    elif kind == FunKind.RANDOM:
+        assert fun.tensor is not None and fun.children[0].tensor is not None
+        target.shapes.append(
+            ir.ShapeConstraint(
+                ir.ShapeConstrKind.COPY,
+                dest=fun.tensor,
+                priority=ir.ShapeConstrPriority.USER,
+                src=fun.children[0].tensor,
+            )
+        )
+
+
+def to_program(graphs: Sequence[Fun] | Fun) -> ir.Program:
+    """Lower computation graphs to an IR program (reference parser.nim:404-417)."""
+    if isinstance(graphs, Fun):
+        graphs = [graphs]
+    program = ir.Program()
+    targets: dict[str, Fun] = {}
+    seen: set[int] = set()
+    for fun in graphs:
+        _alloc_tensors(fun, program)
+        _collect_targets(fun, targets, seen)
+    for name, fun in targets.items():
+        target = ir.Target(name=name, output=fun.tensor)
+        _flatten(fun, target)
+        program.targets[name] = target
+    return program

@@ -1,0 +1,210 @@
+"""Model runtime: compile graphs, run named targets, train in batches.
+
+Parity: reference model.nim — ``compile`` (model.nim:270-273), ``call``
+(model.nim:392-406), ``apply`` (model.nim:408), ``fit`` with zero-copy batch
+views and epoch tracking (model.nim:413-454), ``emit_ir`` (model.nim:262).
+
+Architecture: a target is compiled per input-shape signature into an
+executor.  The default executor traces the whole target (all kernels:
+forward, derived backward, optimizer updates) into ONE jitted XLA program —
+the analog of the reference's single straight-line JIT function per target
+(llvmgen.nim:529-563) — so parameters live on device and XLA fuses across
+kernels.  The numpy interpreter backend serves as the reference oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import ir
+from .errors import ModelRuntimeError
+from .fun import Fun, to_program
+from .interp import run_target
+from .irprint import fmt_program
+from .passes import compile_program, infer_shapes
+
+
+class _InterpExecutor:
+    """Oracle backend: run the target with the numpy interpreter."""
+
+    def __init__(self, program: ir.Program, target: str) -> None:
+        self.program = program
+        self.target = target
+
+    def run(
+        self,
+        tensors: dict[int, np.ndarray],
+        shapes: dict[int, list[int]],
+        epoch: int,
+        seed: int,
+    ) -> dict[int, np.ndarray]:
+        rng = np.random.default_rng(seed)
+        return run_target(
+            self.program, self.target, shapes, dict(tensors), epoch, rng
+        )
+
+
+class Model:
+    """A compiled model: named target entry points over shared state."""
+
+    def __init__(
+        self,
+        source: ir.Program,
+        backend: str = "jax",
+        seed: Optional[int] = None,
+    ) -> None:
+        self.source = source
+        self.program = source.copy()
+        compile_program(self.program)
+        self.backend = backend
+        self.epoch = 0
+        self._rng = np.random.default_rng(seed)
+        self._executors: dict = {}
+        self._call_count = 0
+
+        dtype = np.dtype(self.program.scalar_type.value)
+        self.params: dict[int, np.ndarray] = {}
+        self.caches: dict[int, np.ndarray] = {}
+        for tid in self.program.params:
+            tdef = self.program.tensors[tid]
+            lo, hi = tdef.init_range
+            self.params[tid] = self._rng.uniform(lo, hi, size=tdef.shape).astype(
+                dtype
+            )
+        for tid in self.program.caches:
+            tdef = self.program.tensors[tid]
+            self.caches[tid] = np.zeros(tdef.shape, dtype=dtype)
+
+    # --- introspection ------------------------------------------------
+    def emit_ir(self) -> str:
+        return fmt_program(self.program)
+
+    # --- execution ----------------------------------------------------
+    def _executor(self, target: str, shapes: dict[int, list[int]]):
+        key = (target, tuple(sorted((t, tuple(s)) for t, s in shapes.items())))
+        if key not in self._executors:
+            if self.backend == "interp":
+                self._executors[key] = _InterpExecutor(self.program, target)
+            else:
+                from .backend.executor import JaxExecutor
+
+                self._executors[key] = JaxExecutor(self.program, target, shapes)
+        return self._executors[key]
+
+    def _input_shapes(
+        self, target: str, args: dict[str, np.ndarray]
+    ) -> list[tuple[int, list[int]]]:
+        out = []
+        for name, value in args.items():
+            if name not in self.program.inputs:
+                raise ModelRuntimeError(f"{name!r} is not an input to the model")
+            out.append((self.program.inputs[name], list(np.shape(value))))
+        return out
+
+    def _run(
+        self, target_name: str, args: dict[str, np.ndarray], shapes
+    ) -> Optional[np.ndarray]:
+        target = self.program.targets[target_name]
+        dtype = np.dtype(self.program.scalar_type.value)
+        tensors: dict[int, np.ndarray] = {}
+        for name, value in args.items():
+            tid = self.program.inputs[name]
+            tensors[tid] = np.ascontiguousarray(value, dtype=dtype)
+        tensors.update(self.params)
+        tensors.update(self.caches)
+
+        self._call_count += 1
+        seed = int(self._rng.integers(0, 2**31 - 1))
+        executor = self._executor(target_name, shapes)
+        result = executor.run(tensors, shapes, self.epoch, seed)
+
+        for tid in self.params:
+            if tid in result:
+                self.params[tid] = result[tid]
+        for tid in self.caches:
+            if tid in result:
+                self.caches[tid] = result[tid]
+        if target.output is not None:
+            return np.asarray(result[target.output])
+        return None
+
+    def call(
+        self, target_name: str, args: Optional[dict[str, np.ndarray]] = None
+    ) -> np.ndarray:
+        """Compute the value of a target for the given inputs."""
+        args = args or {}
+        if target_name not in self.program.targets:
+            raise ModelRuntimeError(
+                f"{target_name!r} is not a target of the model"
+            )
+        shapes = infer_shapes(
+            self.program, target_name, self._input_shapes(target_name, args)
+        )
+        return self._run(target_name, args, shapes)
+
+    def apply(
+        self, target_name: str, args: Optional[dict[str, np.ndarray]] = None
+    ) -> None:
+        """Compute a target for its side effects, discarding the value."""
+        self.call(target_name, args)
+
+    def fit(
+        self,
+        target_name: str,
+        args: dict[str, np.ndarray],
+        batch_size: int = 32,
+        log_status: bool = True,
+    ) -> None:
+        """Run a target over all batches of the inputs; increments epoch.
+
+        Like the reference (model.nim:425, README.md:367), samples beyond the
+        last full batch are dropped.
+        """
+        if not args:
+            raise ModelRuntimeError(
+                "Model.fit requires at least one input tensor; "
+                "use Model.apply for targets without inputs"
+            )
+        if target_name not in self.program.targets:
+            raise ModelRuntimeError(
+                f"{target_name!r} is not a target of the model"
+            )
+        first = next(iter(args.values()))
+        batch_count = first.shape[0] // batch_size
+
+        input_shapes = []
+        for name, value in args.items():
+            if name not in self.program.inputs:
+                raise ModelRuntimeError(f"{name!r} is not an input to the model")
+            input_shapes.append(
+                (self.program.inputs[name], [batch_size] + list(value.shape[1:]))
+            )
+        shapes = infer_shapes(self.program, target_name, input_shapes)
+
+        self.epoch += 1
+        for batch in range(batch_count):
+            if log_status:
+                print(f"\r{batch}/{batch_count}", end="", flush=True)
+            offset = batch * batch_size
+            batch_args = {
+                name: value[offset : offset + batch_size]
+                for name, value in args.items()
+            }
+            self._run(target_name, batch_args, shapes)
+        if log_status:
+            print(f"\r{batch_count}/{batch_count}")
+
+
+def compile(  # noqa: A001
+    graphs: Sequence[Fun] | Fun,
+    dtype: str = "float32",
+    backend: str = "jax",
+    seed: Optional[int] = None,
+) -> Model:
+    """Compile computation graphs into a model (reference model.nim:270)."""
+    source = to_program(graphs)
+    source.scalar_type = ir.ScalarType(np.dtype(dtype).name)
+    return Model(source, backend=backend, seed=seed)

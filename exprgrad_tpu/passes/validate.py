@@ -1,0 +1,54 @@
+"""IR validation: def-before-use checking (reference passes.nim:2678-2730)."""
+
+from __future__ import annotations
+
+from .. import ir
+from ..errors import ValidationError
+from ..ir import ALL_STAGES, Instr, Kernel, LinearIndex, Program
+
+
+def _check_instrs(instrs: list[Instr], defined: set[int]) -> None:
+    for instr in instrs:
+        for arg in instr.args:
+            if arg not in defined:
+                raise ValidationError(f"register r{arg} is used before definition")
+        if instr.res is not None:
+            defined.add(instr.res)
+
+
+def _check_linear(index: LinearIndex, defined: set[int]) -> None:
+    _check_instrs(index.setup, defined)
+    for reg in index.factors:
+        if reg not in defined:
+            raise ValidationError(f"register r{reg} is used before definition")
+
+
+def _validate_kernel(kernel: Kernel) -> None:
+    if kernel.generator.kind != ir.GenKind.NONE:
+        return
+    defined: set[int] = set()
+    _check_instrs(kernel.setup, defined)
+    for loop in kernel.loops:
+        _check_linear(loop.start, defined)
+        _check_linear(loop.stop, defined)
+        defined.add(loop.iter_reg)
+    for read in kernel.reads:
+        for dim in read.dims:
+            _check_linear(dim, defined)
+        assert read.data is not None
+        defined.add(read.data)
+    _check_instrs(kernel.expr.instrs, defined)
+    if kernel.write is not None:
+        for dim in kernel.write.dims:
+            _check_linear(dim, defined)
+        if kernel.write.data is not None and kernel.write.data not in defined:
+            raise ValidationError(
+                f"write data register r{kernel.write.data} is not defined"
+            )
+
+
+def validate(program: Program) -> None:
+    program.assert_pass("validate", preserves=ALL_STAGES)
+    for target in program.targets.values():
+        for kernel in target.kernels:
+            _validate_kernel(kernel)
