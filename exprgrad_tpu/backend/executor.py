@@ -1,0 +1,103 @@
+"""Target executor: one jitted XLA program per (target, shape signature).
+
+The reference JIT-compiles each target into a single LLVM function executing
+all kernels back to back (llvmgen.nim:529-563, model.nim:385-390).  Here the
+whole target — forward kernels, derived gradient kernels, optimizer updates
+— traces into one ``jax.jit`` program: parameters stay device-resident,
+XLA fuses elementwise chains across kernels, and contractions hit the MXU.
+
+State is functional: the executor returns updated parameter/cache tensors
+and the model runtime swaps them in (the analog of the reference's in-place
+parameter writes, made XLA-friendly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ir
+from ..ir import Program
+from .jaxeval import KernelLowering
+
+
+class JaxExecutor:
+    def __init__(
+        self,
+        program: Program,
+        target_name: str,
+        shapes: dict[int, list[int]],
+        precision: str = "highest",
+    ) -> None:
+        self.program = program
+        self.target = program.targets[target_name]
+        self.shapes = shapes
+        self.dtype = jnp.dtype(program.scalar_type.value).type
+        self.precision = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[precision]
+
+        self.input_tids = sorted(
+            tid
+            for tid in self.target.tensors
+            if program.tensors[tid].kind
+            in (ir.TensorKind.INPUT, ir.TensorKind.PARAM, ir.TensorKind.CACHE)
+        )
+        written = {
+            k.write.tensor
+            for k in self.target.kernels
+            if k.write is not None
+        }
+        self.output_tids = sorted(
+            written
+            | {
+                tid
+                for tid in self.target.tensors
+                if program.tensors[tid].kind == ir.TensorKind.RESULT
+            }
+            | ({self.target.output} if self.target.output is not None else set())
+        )
+        self.random_tids = sorted(
+            tid
+            for tid in self.target.tensors
+            if program.tensors[tid].kind == ir.TensorKind.RANDOM
+        )
+
+        def run_fn(inputs: dict, epoch, seed):
+            tensors = dict(inputs)
+            dt = jnp.dtype(program.scalar_type.value)
+            for tid in sorted(self.target.tensors):
+                tdef = program.tensors[tid]
+                if tdef.kind == ir.TensorKind.RESULT:
+                    tensors[tid] = jnp.zeros(tuple(self.shapes[tid]), dtype=dt)
+            if self.random_tids:
+                key = jax.random.PRNGKey(seed)
+                for tid in self.random_tids:
+                    lo, hi = program.tensors[tid].random_range
+                    tensors[tid] = jax.random.uniform(
+                        jax.random.fold_in(key, tid),
+                        tuple(self.shapes[tid]),
+                        dtype=dt,
+                        minval=lo,
+                        maxval=hi,
+                    )
+            for kernel in self.target.kernels:
+                KernelLowering(
+                    program, kernel, self.shapes, self.dtype, self.precision
+                ).run(tensors, epoch)
+            return {tid: tensors[tid] for tid in self.output_tids}
+
+        self._fn = jax.jit(run_fn)
+
+    def run(
+        self,
+        tensors: dict[int, np.ndarray],
+        shapes: dict[int, list[int]],
+        epoch: int,
+        seed: int,
+    ) -> dict:
+        inputs = {tid: tensors[tid] for tid in self.input_tids}
+        return self._fn(inputs, epoch, seed)

@@ -1,0 +1,486 @@
+"""Lowering of structured kernels to JAX/XLA operations.
+
+This replaces the reference's LLVM code generator (llvmgen.nim) and OpenCL
+generator (clgen.nim).  Design: a kernel is a loop nest with an expression
+accumulated into a write location.  Instead of emitting scalar loops, each
+kernel is lowered to whole-array XLA operations chosen by pattern:
+
+* **contraction** — the expression is a product of tensor reads and every
+  access index is a plain loop iterator: lowered to ``jnp.einsum`` with
+  ``preferred_element_type``, which XLA tiles onto the MXU.  This covers
+  matmul/dense forward AND the autodiff-derived backward kernels (which are
+  themselves einsums).
+* **direct reads/writes** — accesses whose indices are distinct full-range
+  iterators become transposes/reshapes (no gather); the expression runs as
+  fused VPU elementwise code; reduction axes become ``sum``.
+* **general** — arbitrary affine/computed indices (convolution windows,
+  ``x div 2`` upsampling, scatter-add gradients) use gather +
+  ``.at[].add()`` scatter over the broadcasted loop grid.
+
+All kernels of a target execute inside ONE ``jax.jit`` so XLA fuses across
+kernel boundaries — the analog of the reference's single straight-line
+function per target (llvmgen.nim:529-563), but with the compiler doing the
+scheduling.
+"""
+
+from __future__ import annotations
+
+import string
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ir
+from ..errors import ModelRuntimeError
+from ..ir import Kernel, LinearIndex, Op, Program
+from ..passes.shapes import eval_linear
+
+
+def _trunc_div(a, b):
+    q = jnp.floor_divide(a, b)
+    r = a - q * b
+    adjust = (r != 0) & ((r < 0) != (jnp.asarray(b) < 0))
+    return q + adjust.astype(q.dtype)
+
+
+def _trunc_mod(a, b):
+    return a - _trunc_div(a, b) * b
+
+
+class _ArrayVal:
+    __slots__ = ("data", "array_ndim")
+
+    def __init__(self, data, array_ndim: int) -> None:
+        self.data = data
+        self.array_ndim = array_ndim
+
+
+class KernelLowering:
+    """Lower one kernel given concrete shapes; called inside jit tracing."""
+
+    def __init__(
+        self,
+        program: Program,
+        kernel: Kernel,
+        shapes: dict[int, list[int]],
+        dtype,
+        precision=None,
+    ) -> None:
+        self.program = program
+        self.kernel = kernel
+        self.shapes = shapes
+        self.dtype = dtype
+        self.precision = precision
+        self.nloops = len(kernel.loops)
+        self.starts: list[int] = []
+        self.sizes: list[int] = []
+        self.axis_of_reg: dict[int, int] = {}
+        self.env: dict[int, object] = {}
+        self._bounds_ok = self._eval_bounds()
+
+    # ------------------------------------------------------------------
+    def _eval_bounds(self) -> bool:
+        for axis, loop in enumerate(self.kernel.loops):
+            if not loop.has_bounds:
+                raise ModelRuntimeError(
+                    "loop range could not be inferred; use a bounded iterator"
+                )
+            start = eval_linear(loop.start, self.shapes)
+            stop = eval_linear(loop.stop, self.shapes)
+            if start is None or stop is None:
+                raise ModelRuntimeError("unable to evaluate loop bounds")
+            self.starts.append(start)
+            self.sizes.append(max(0, stop - start))
+            self.axis_of_reg[loop.iter_reg] = axis
+        return all(s > 0 for s in self.sizes)
+
+    def _pure_iter(self, index: LinearIndex) -> Optional[int]:
+        """Loop axis when index == one plain iterator."""
+        reg = index.only_register()
+        if reg is not None and reg in self.axis_of_reg and not index.setup:
+            return self.axis_of_reg[reg]
+        return None
+
+    def _full_axis(self, axis: int, size: int) -> bool:
+        return self.starts[axis] == 0 and self.sizes[axis] == size
+
+    # ------------------------------------------------------------------
+    # fast path: contraction -> einsum (MXU)
+    # ------------------------------------------------------------------
+    def _try_contraction(self, tensors: dict):
+        kernel = self.kernel
+        write = kernel.write
+        assert write is not None
+        if write.is_raw or kernel.setup:
+            return None
+        # write dims: distinct pure full-range iters
+        out_shape = self.shapes[write.tensor]
+        out_axes: list[int] = []
+        for dim, index in enumerate(write.dims):
+            axis = self._pure_iter(index)
+            if axis is None or not self._full_axis(axis, out_shape[dim]):
+                return None
+            out_axes.append(axis)
+        if len(set(out_axes)) != len(out_axes):
+            return None
+        # reads: non-raw, pure full-range iters (repeats allowed -> diagonal,
+        # bail out for simplicity)
+        reads_by_reg = {}
+        for read in kernel.reads:
+            if read.is_raw:
+                return None
+            shape = self.shapes[read.tensor]
+            axes = []
+            for dim, index in enumerate(read.dims):
+                axis = self._pure_iter(index)
+                if axis is None or not self._full_axis(axis, shape[dim]):
+                    return None
+                axes.append(axis)
+            if len(set(axes)) != len(axes):
+                return None
+            reads_by_reg[read.data] = (read.tensor, axes)
+
+        # expression must be a product of reads and scalar literals
+        defs = {i.res: i for i in kernel.expr.instrs}
+
+        def walk(reg):
+            if reg in reads_by_reg:
+                return [reg], 1.0
+            instr = defs.get(reg)
+            if instr is None:
+                return None
+            if instr.op == Op.MUL:
+                left = walk(instr.args[0])
+                right = walk(instr.args[1])
+                if left and right:
+                    return left[0] + right[0], left[1] * right[1]
+            elif instr.op == Op.SCALAR:
+                return [], instr.scalar_lit
+            elif instr.op == Op.NEG:
+                inner = walk(instr.args[0])
+                if inner:
+                    return inner[0], -inner[1]
+            elif instr.op == Op.DIV:
+                left = walk(instr.args[0])
+                right = walk(instr.args[1])
+                if left and right and not right[0]:
+                    return left[0], left[1] / right[1]
+            return None
+
+        assert kernel.expr.res is not None
+        parsed = walk(kernel.expr.res)
+        if parsed is None or not parsed[0]:
+            return None
+        factor_regs, const = parsed
+
+        letters = string.ascii_letters
+        covered: set[int] = set()
+        in_specs = []
+        operands = []
+        for reg in factor_regs:
+            tensor, axes = reads_by_reg[reg]
+            in_specs.append("".join(letters[a] for a in axes))
+            operands.append(tensors[tensor])
+            covered.update(axes)
+        out_spec = "".join(letters[a] for a in out_axes if a in covered)
+        spec = ",".join(in_specs) + "->" + out_spec
+
+        value = jnp.einsum(
+            spec,
+            *operands,
+            preferred_element_type=self.dtype,
+            precision=self.precision,
+        )
+        if const != 1.0:
+            value = value * self.dtype(const)
+        # phantom axes: in neither reads nor write -> multiply by trip count
+        for axis in range(self.nloops):
+            if axis not in covered and axis not in out_axes:
+                value = value * self.dtype(self.sizes[axis])
+        # broadcast axes: in write but not in any read
+        missing = [a for a in out_axes if a not in covered]
+        if missing:
+            kept = [a for a in out_axes if a in covered]
+            shape = [
+                self.sizes[a] if a in covered else 1 for a in out_axes
+            ]
+            perm = [kept.index(a) for a in sorted(kept, key=out_axes.index)]
+            # value currently ordered by out_spec order == write-dim order of
+            # covered axes, so only expand dims:
+            value = value.reshape(shape)
+            value = jnp.broadcast_to(value, [self.sizes[a] for a in out_axes])
+        return tensors[write.tensor] + value.astype(self.dtype)
+
+    # ------------------------------------------------------------------
+    # general vectorized path
+    # ------------------------------------------------------------------
+    def _grid_slot(self, axis: int):
+        shape = [1] * self.nloops
+        shape[axis] = self.sizes[axis]
+        return jnp.arange(
+            self.starts[axis], self.starts[axis] + self.sizes[axis]
+        ).reshape(shape)
+
+    def eval_instrs(self, instrs, tensors) -> None:
+        env = self.env
+        dtype = self.dtype
+        for instr in instrs:
+            op = instr.op
+            a = [env[x] for x in instr.args]
+            if op == Op.IDX:
+                value = instr.index_lit
+            elif op == Op.SCALAR:
+                value = dtype(instr.scalar_lit)
+            elif op == Op.BOOL:
+                value = instr.bool_lit
+            elif op == Op.ADD:
+                value = a[0] + a[1]
+            elif op == Op.SUB:
+                value = a[0] - a[1]
+            elif op == Op.MUL:
+                value = a[0] * a[1]
+            elif op == Op.DIV:
+                value = a[0] / a[1]
+            elif op == Op.IDX_DIV:
+                if isinstance(a[0], int) and isinstance(a[1], int):
+                    q = abs(a[0]) // abs(a[1])
+                    value = -q if (a[0] < 0) != (a[1] < 0) else q
+                else:
+                    value = _trunc_div(a[0], a[1])
+            elif op == Op.MOD:
+                if isinstance(a[0], int) and isinstance(a[1], int):
+                    q = abs(a[0]) // abs(a[1])
+                    q = -q if (a[0] < 0) != (a[1] < 0) else q
+                    value = a[0] - q * a[1]
+                else:
+                    value = _trunc_mod(a[0], a[1])
+            elif op == Op.WRAP:
+                value = jnp.mod(a[0], a[1])
+            elif op == Op.NEG:
+                value = -a[0]
+            elif op == Op.SIN:
+                value = jnp.sin(a[0])
+            elif op == Op.COS:
+                value = jnp.cos(a[0])
+            elif op == Op.EXP:
+                value = jnp.exp(a[0])
+            elif op == Op.POW:
+                value = jnp.power(a[0], a[1])
+            elif op == Op.SQRT:
+                value = jnp.sqrt(a[0])
+            elif op == Op.LN:
+                value = jnp.log(a[0])
+            elif op == Op.LOG:
+                value = jnp.log(a[0]) / jnp.log(a[1])
+            elif op == Op.LOG2:
+                value = jnp.log2(a[0])
+            elif op == Op.LOG10:
+                value = jnp.log10(a[0])
+            elif op == Op.EQ:
+                value = a[0] == a[1]
+            elif op == Op.LT:
+                value = a[0] < a[1]
+            elif op == Op.LE:
+                value = a[0] <= a[1]
+            elif op == Op.AND:
+                value = jnp.logical_and(a[0], a[1])
+            elif op == Op.OR:
+                value = jnp.logical_or(a[0], a[1])
+            elif op == Op.SELECT:
+                value = jnp.where(a[0], a[1], a[2])
+            elif op == Op.TO_SCALAR:
+                value = jnp.asarray(a[0]).astype(dtype)
+            elif op == Op.TO_INDEX:
+                value = jnp.trunc(jnp.asarray(a[0])).astype(jnp.int32)
+            elif op == Op.SHAPE:
+                value = self.shapes[instr.tensor][instr.dim]
+            elif op == Op.LEN:
+                value = int(np.prod(self.shapes[instr.tensor], dtype=np.int64))
+            elif op == Op.SHAPE_LEN:
+                value = len(self.shapes[instr.tensor])
+            elif op == Op.EPOCH:
+                value = self.epoch
+            elif op == Op.ARRAY:
+                value = self._make_array(a)
+            elif op == Op.ARRAY_LEN:
+                av = a[0]
+                value = av.data.shape[av.data.ndim - av.array_ndim]
+            elif op == Op.ARRAY_READ:
+                value = self._array_read(a[0], a[1])
+            else:
+                raise ModelRuntimeError(f"cannot lower {op.value}")
+            if instr.res is not None:
+                env[instr.res] = value
+
+    def _make_array(self, items):
+        if items and isinstance(items[0], _ArrayVal):
+            inner = items[0].array_ndim
+            data = jnp.stack([it.data for it in items], axis=-inner - 1)
+            return _ArrayVal(data, inner + 1)
+        data = jnp.stack([jnp.asarray(v, self.dtype) for v in items], axis=-1)
+        return _ArrayVal(data, 1)
+
+    def _array_read(self, av, idx):
+        axis = av.data.ndim - av.array_ndim
+        if isinstance(idx, (int, np.integer)):
+            data = jnp.take(av.data, int(idx), axis=axis)
+            if av.array_ndim == 1:
+                return data
+            return _ArrayVal(data, av.array_ndim - 1)
+        idx = jnp.asarray(idx)
+        grid_shape = np.broadcast_shapes(av.data.shape[:axis], idx.shape)
+        data = jnp.broadcast_to(av.data, grid_shape + av.data.shape[axis:])
+        axis = data.ndim - av.array_ndim
+        idx_e = jnp.broadcast_to(
+            idx.reshape(idx.shape + (1,) * av.array_ndim),
+            grid_shape + (1,) + data.shape[axis + 1 :],
+        )
+        taken = jnp.take_along_axis(data, idx_e, axis=axis)
+        taken = jnp.squeeze(taken, axis=axis)
+        if av.array_ndim == 1:
+            return taken
+        return _ArrayVal(taken, av.array_ndim - 1)
+
+    def _eval_linear_vec(self, index: LinearIndex, tensors):
+        self.eval_instrs(index.setup, tensors)
+        value = index.constant
+        for reg, factor in index.factors.items():
+            value = value + self.env[reg] * factor
+        return value
+
+    def _read_value(self, read: ir.TensorOp, tensors):
+        """Read as transpose/reshape when indices are plain full iterators,
+        else gather."""
+        tensor = tensors[read.tensor]
+        shape = self.shapes[read.tensor]
+        if not read.is_raw:
+            axes = [self._pure_iter(d) for d in read.dims]
+            if (
+                all(a is not None for a in axes)
+                and len(set(axes)) == len(axes)
+                and all(
+                    self._full_axis(a, shape[d])  # type: ignore[arg-type]
+                    for d, a in enumerate(axes)
+                )
+            ):
+                # place tensor dims onto their loop axes
+                perm = sorted(range(len(axes)), key=lambda d: axes[d])
+                out_shape = [1] * self.nloops
+                for d, a in enumerate(axes):
+                    out_shape[a] = shape[d]
+                return jnp.transpose(tensor, perm).reshape(out_shape)
+        else:
+            axis = self._pure_iter(read.dims[0])
+            total = int(np.prod(shape, dtype=np.int64))
+            if axis is not None and self._full_axis(axis, total):
+                out_shape = [1] * self.nloops
+                out_shape[axis] = total
+                return tensor.reshape(out_shape)
+        flat = self._flat_index(read, tensors)
+        return tensor.reshape(-1)[flat]
+
+    def _flat_index(self, op: ir.TensorOp, tensors):
+        shape = self.shapes[op.tensor]
+        if op.is_raw:
+            return self._eval_linear_vec(op.dims[0], tensors)
+        flat = 0
+        stride = 1
+        for dim in range(len(op.dims) - 1, -1, -1):
+            flat = flat + self._eval_linear_vec(op.dims[dim], tensors) * stride
+            stride *= shape[dim]
+        return flat
+
+    def _general(self, tensors, epoch):
+        kernel = self.kernel
+        for axis, loop in enumerate(kernel.loops):
+            self.env[loop.iter_reg] = self._grid_slot(axis)
+        self.eval_instrs(kernel.setup, tensors)
+        for read in kernel.reads:
+            self.env[read.data] = self._read_value(read, tensors)
+        self.eval_instrs(kernel.expr.instrs, tensors)
+
+        write = kernel.write
+        assert write is not None and write.data is not None
+        vals = jnp.asarray(self.env[write.data], self.dtype)
+        if vals.ndim == 0:
+            vals = vals.reshape((1,) * self.nloops)
+        elif vals.ndim != self.nloops:
+            vals = vals.reshape((1,) * (self.nloops - vals.ndim) + vals.shape)
+
+        out = tensors[write.tensor]
+        out_shape = self.shapes[write.tensor]
+
+        # detect direct (non-scatter) writes
+        if not write.is_raw:
+            axes = [self._pure_iter(d) for d in write.dims]
+            direct = (
+                all(a is not None for a in axes)
+                and len(set(axes)) == len(axes)
+                and all(
+                    self._full_axis(a, out_shape[d])  # type: ignore[arg-type]
+                    for d, a in enumerate(axes)
+                )
+            )
+        else:
+            axis = self._pure_iter(write.dims[0])
+            total = int(np.prod(out_shape, dtype=np.int64))
+            direct = axis is not None and self._full_axis(axis, total)
+            axes = [axis]
+
+        if direct:
+            # reduce axes not written
+            written = set(axes)  # type: ignore[arg-type]
+            for ax in range(self.nloops):
+                if ax not in written and self.sizes[ax] > 1:
+                    if vals.shape[ax] > 1:
+                        vals = vals.sum(axis=ax, keepdims=True)
+                    else:
+                        vals = vals * self.dtype(self.sizes[ax])
+            vals = jnp.squeeze(
+                vals, axis=tuple(ax for ax in range(self.nloops) if ax not in written)
+            )
+            # vals axes are ordered by loop axis; transpose into write-dim order
+            order = sorted(range(len(axes)), key=lambda d: axes[d])  # type: ignore[arg-type]
+            inv = [0] * len(axes)
+            for pos, d in enumerate(order):
+                inv[d] = pos
+            vals = jnp.transpose(vals, inv)
+            if write.is_raw:
+                target_shape: tuple = (int(np.prod(out_shape, dtype=np.int64)),)
+                new = out.reshape(-1) + jnp.broadcast_to(vals, target_shape)
+                return new.reshape(out.shape)
+            vals = jnp.broadcast_to(vals, tuple(out_shape))
+            return out + vals
+
+        widx = self._flat_index(write, tensors)
+        widx = jnp.asarray(widx)
+        if widx.ndim == 0:
+            widx = widx.reshape((1,) * self.nloops)
+        elif widx.ndim != self.nloops:
+            widx = widx.reshape((1,) * (self.nloops - widx.ndim) + widx.shape)
+        for ax in range(self.nloops):
+            if widx.shape[ax] == 1 and self.sizes[ax] > 1:
+                if vals.shape[ax] > 1:
+                    vals = vals.sum(axis=ax, keepdims=True)
+                else:
+                    vals = vals * self.dtype(self.sizes[ax])
+        bshape = np.broadcast_shapes(widx.shape, vals.shape)
+        widx_b = jnp.broadcast_to(widx, bshape).reshape(-1)
+        vals_b = jnp.broadcast_to(vals, bshape).reshape(-1)
+        flat = out.reshape(-1).at[widx_b].add(vals_b)
+        return flat.reshape(out.shape)
+
+    # ------------------------------------------------------------------
+    def run(self, tensors: dict, epoch) -> None:
+        """Execute the kernel, updating ``tensors[write.tensor]``."""
+        if not self._bounds_ok:
+            return
+        self.epoch = epoch
+        assert self.kernel.write is not None
+        result = self._try_contraction(tensors)
+        if result is None:
+            result = self._general(tensors, epoch)
+        tensors[self.kernel.write.tensor] = result

@@ -455,6 +455,10 @@ class Fun:
         out.reshape_dims = list(shape)
         return out
 
+    def pipe(self, fn: Callable, *args, **kwargs) -> "Fun":
+        """Method-chaining helper: ``x.pipe(dense, 2, 4).pipe(relu)``."""
+        return fn(self, *args, **kwargs)
+
     def __repr__(self) -> str:
         return f"<Fun {self.kind.value} {self.name!r}>"
 

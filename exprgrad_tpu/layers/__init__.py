@@ -1,0 +1,44 @@
+"""Layer/optimizer/loss library, written in the DSL itself.
+
+Like the reference (exprgrad/layers/), every layer is an ordinary DSL
+kernel — the compiler derives its gradients, so user-defined layers are
+first-class citizens.
+"""
+
+from .base import (
+    add,
+    adam,
+    binary_cross_entropy,
+    cross_entropy,
+    div_scalar,
+    gradient_descent,
+    matmul,
+    maximum_elems,
+    minimum_elems,
+    mse,
+    mul_scalar,
+    sub,
+    transpose,
+)
+from .dnn import (
+    avgpool2,
+    conv2,
+    dense,
+    dropout,
+    leaky_relu,
+    maxpool2,
+    relu,
+    sigmoid,
+    sin_layer,
+    softmax,
+    tanh,
+    upsample2,
+)
+
+__all__ = [
+    "adam", "add", "avgpool2", "binary_cross_entropy", "conv2",
+    "cross_entropy", "dense", "div_scalar", "dropout", "gradient_descent",
+    "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
+    "mse", "mul_scalar", "relu", "sigmoid", "sin_layer", "softmax", "sub",
+    "tanh", "transpose", "upsample2",
+]

@@ -1,0 +1,176 @@
+"""Elementwise ops, matmul, optimizers and losses.
+
+Parity: reference exprgrad/layers/base.nim.  Also wires Python operators
+onto ``Fun`` (+, -, * for matmul/scalar-scale, / for scalar division).
+"""
+
+from __future__ import annotations
+
+from ..expr import epoch, exp, iters, ln, maximum, minimum, pow_, sq, sqrt, to_scalar
+from ..fun import Fun, cache, layer
+
+
+@layer
+def add(a: Fun, b: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = a.raw[it] + b.raw[it]
+    return out
+
+
+@layer
+def sub(a: Fun, b: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = a.raw[it] - b.raw[it]
+    return out
+
+
+@layer
+def minimum_elems(a: Fun, b: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = minimum(a.raw[it], b.raw[it])
+    return out
+
+
+@layer
+def maximum_elems(a: Fun, b: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = maximum(a.raw[it], b.raw[it])
+    return out
+
+
+@layer
+def mul_scalar(a: Fun, factor: float) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = a.raw[it] * factor
+    return out
+
+
+@layer
+def div_scalar(a: Fun, factor: float) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = a.raw[it] / factor
+    return out
+
+
+@layer
+def matmul(a: Fun, b: Fun) -> Fun:
+    y, x, it = iters("y", "x", "it")
+    out = Fun()
+    out[y, x] = a[y, it] * b[it, x]
+    return out
+
+
+@layer
+def transpose(mat: Fun) -> Fun:
+    y, x = iters("y", "x")
+    out = Fun()
+    out[y, x] = mat[x, y]
+    return out
+
+
+# --- optimizers -----------------------------------------------------------
+
+def gradient_descent(param: Fun, grad: Fun, rate: float = 0.01) -> None:
+    it = iters("it")
+    param.raw[it] = -grad.raw[it] * rate
+
+
+def adam(
+    param: Fun,
+    grad: Fun,
+    eta: float = 0.01,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+) -> None:
+    """Kingma & Ba, "Adam: A Method for Stochastic Optimization", 2014.
+
+    Optimizer state lives in cache tensors; bias correction uses the
+    ``epoch()`` instruction (reference layers/base.nim:40-53).
+    """
+    m = cache(param, "adam.m")
+    v = cache(param, "adam.v")
+    it = iters("it")
+    m.raw[it] = m.raw[it] * (beta1 - 1.0) + (1.0 - beta1) * grad.raw[it]
+    it = iters("it")
+    v.raw[it] = v.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * sq(grad.raw[it])
+    it = iters("it")
+    m_hat = m.raw[it] / (1.0 - pow_(beta1, to_scalar(epoch())))
+    v_hat = v.raw[it] / (1.0 - pow_(beta2, to_scalar(epoch())))
+    param.raw[it] = -eta * m_hat / (sqrt(v_hat) + eps)
+
+
+# --- losses ---------------------------------------------------------------
+
+@layer
+def mse(a: Fun, b: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out[0] = sq(a.raw[it] - b.raw[it]) / to_scalar(a.shape[0])
+    return out
+
+
+@layer
+def binary_cross_entropy(pred: Fun, labels: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out[0] = -(
+        labels.raw[it] * ln(pred.raw[it])
+        + (1.0 - labels.raw[it]) * ln(1.0 - pred.raw[it])
+    ) / to_scalar(pred.shape[0])
+    return out
+
+
+@layer
+def cross_entropy(pred: Fun, labels: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out[0] = -(labels.raw[it] * ln(pred.raw[it])) / to_scalar(pred.shape[0])
+    return out
+
+
+# --- Fun operator sugar ---------------------------------------------------
+
+def _fun_add(self: Fun, other):
+    if isinstance(other, Fun):
+        return add(self, other)
+    return NotImplemented
+
+
+def _fun_sub(self: Fun, other):
+    if isinstance(other, Fun):
+        return sub(self, other)
+    return NotImplemented
+
+
+def _fun_mul(self: Fun, other):
+    if isinstance(other, Fun):
+        return matmul(self, other)
+    if isinstance(other, (int, float)):
+        return mul_scalar(self, float(other))
+    return NotImplemented
+
+
+def _fun_rmul(self: Fun, other):
+    if isinstance(other, (int, float)):
+        return mul_scalar(self, float(other))
+    return NotImplemented
+
+
+def _fun_div(self: Fun, other):
+    if isinstance(other, (int, float)):
+        return div_scalar(self, float(other))
+    return NotImplemented
+
+
+Fun.__add__ = _fun_add  # type: ignore[assignment]
+Fun.__sub__ = _fun_sub  # type: ignore[assignment]
+Fun.__mul__ = _fun_mul  # type: ignore[assignment]
+Fun.__rmul__ = _fun_rmul  # type: ignore[assignment]
+Fun.__truediv__ = _fun_div  # type: ignore[assignment]

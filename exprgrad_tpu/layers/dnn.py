@@ -1,0 +1,163 @@
+"""Neural-network layers (parity: reference exprgrad/layers/dnn.nim)."""
+
+from __future__ import annotations
+
+from ..expr import exp, iters, maximum, select
+from ..fun import Fun, grad, layer, param, rand
+
+
+@layer
+def dense(values: Fun, inp: int, outp: int, has_bias: bool = True) -> Fun:
+    weights = param([inp, outp], name="weights")
+    y, x, it = iters("y", "x", "it")
+    out = Fun()
+    out[y, x] = values[y, it] * weights[it, x]
+    if has_bias:
+        bias = param([outp], name="bias")
+        y, x = iters("y", "x")
+        out[y, x] = bias[x]
+    return out
+
+
+@layer
+def relu(inp: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = select(inp.raw[it] >= 0.0, inp.raw[it], 0.0)
+    return out
+
+
+@layer
+def leaky_relu(inp: Fun, leak: float = 0.01) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = select(inp.raw[it] >= 0.0, 1.0, leak) * inp.raw[it]
+    return out
+
+
+@layer
+def sigmoid(inp: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = 1.0 / (1.0 + exp(-inp.raw[it]))
+    return out
+
+
+@layer
+def tanh(inp: Fun) -> Fun:
+    it = iters("it")
+    out = Fun()
+    a = exp(inp.raw[it])
+    b = exp(-inp.raw[it])
+    out.raw[it] = (a - b) / (a + b)
+    return out
+
+
+@layer
+def sin_layer(inp: Fun) -> Fun:
+    from ..expr import sin
+
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = sin(inp.raw[it])
+    return out
+
+
+@layer
+def conv2(images: Fun, filters_or_chans, w: int = 0, h: int = 0,
+          filters: int = 0) -> Fun:
+    """2D convolution, NHWC images and [filter, dy, dx, chan] filters.
+
+    Two forms, like the reference (dnn.nim:45-53):
+    ``conv2(images, filters_fun)`` or ``conv2(images, chans, w, h, filters)``.
+    """
+    if isinstance(filters_or_chans, Fun):
+        flt = filters_or_chans
+    else:
+        chans = int(filters_or_chans)
+        flt = param([filters, h, w, chans], name="filters")
+    image, y, x, f, dx, dy, chan = iters(
+        "image", "y", "x", "filter", "dx", "dy", "chan"
+    )
+    out = Fun()
+    out[image, y, x, f] = (
+        images[image, y + dy, x + dx, chan] * flt[f, dy, dx, chan]
+    )
+    return out
+
+
+def _max4(a, b, c, d):
+    return maximum(maximum(a, b), maximum(c, d))
+
+
+@layer
+def maxpool2(images: Fun) -> Fun:
+    """2x2 max pooling with a custom gradient (reference dnn.nim:58-71)."""
+    image, y, x, chan = iters("image", "y", "x", "chan")
+    out = Fun()
+    out[image, y, x, chan] = _max4(
+        images[image, y * 2, x * 2, chan],
+        images[image, y * 2 + 1, x * 2, chan],
+        images[image, y * 2, x * 2 + 1, chan],
+        images[image, y * 2 + 1, x * 2 + 1, chan],
+    )
+    with out.custom_grad():
+        image, y, x, chan = iters("image", "y", "x", "chan")
+        grad(images)[image, y, x, chan] = select(
+            images[image, y, x, chan] == out[image, y // 2, x // 2, chan],
+            grad(out)[image, y // 2, x // 2, chan],
+            0.0,
+        )
+    out.lock()
+    return out
+
+
+@layer
+def avgpool2(images: Fun) -> Fun:
+    image, y, x, chan = iters("image", "y", "x", "chan")
+    out = Fun()
+    out[image, y, x, chan] = (
+        images[image, y * 2, x * 2, chan]
+        + images[image, y * 2 + 1, x * 2, chan]
+        + images[image, y * 2, x * 2 + 1, chan]
+        + images[image, y * 2 + 1, x * 2 + 1, chan]
+    ) / 4.0
+    return out
+
+
+@layer
+def upsample2(images: Fun) -> Fun:
+    image, y, x, chan = iters("image", "y", "x", "chan")
+    out = Fun()
+    out[image, y, x, chan] = images[image, y // 2, x // 2, chan]
+    out.with_shape([
+        images.shape[0],
+        images.shape[1] * 2,
+        images.shape[2] * 2,
+        images.shape[3],
+    ])
+    return out
+
+
+@layer
+def softmax(inp: Fun) -> Fun:
+    y, x = iters("y", "x")
+    sums = Fun("softmax.sums")
+    sums[y] = exp(inp[y, x])
+    y, x = iters("y", "x")
+    out = Fun()
+    out[y, x] = exp(inp[y, x]) / sums[y]
+    return out
+
+
+@layer
+def dropout(inp: Fun, prob: float) -> Fun:
+    noise = rand(inp, (0.0, 1.0))
+    noise.name = "dropout.rand"
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = select(
+        prob <= noise.raw[it], inp.raw[it] / (1.0 - prob), 0.0
+    )
+    out.copy_shape(inp)
+    return out

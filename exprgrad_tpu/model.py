@@ -55,8 +55,10 @@ class Model:
         source: ir.Program,
         backend: str = "jax",
         seed: Optional[int] = None,
+        precision: str = "highest",
     ) -> None:
         self.source = source
+        self.precision = precision
         self.program = source.copy()
         compile_program(self.program)
         self.backend = backend
@@ -91,7 +93,9 @@ class Model:
             else:
                 from .backend.executor import JaxExecutor
 
-                self._executors[key] = JaxExecutor(self.program, target, shapes)
+                self._executors[key] = JaxExecutor(
+                    self.program, target, shapes, precision=self.precision
+                )
         return self._executors[key]
 
     def _input_shapes(
@@ -203,8 +207,14 @@ def compile(  # noqa: A001
     dtype: str = "float32",
     backend: str = "jax",
     seed: Optional[int] = None,
+    precision: str = "highest",
 ) -> Model:
-    """Compile computation graphs into a model (reference model.nim:270)."""
+    """Compile computation graphs into a model (reference model.nim:270).
+
+    ``precision`` controls MXU matmul precision for float32 models:
+    "highest" (default) matches the CPU oracle to ~1e-6; "default" uses
+    fast bfloat16-pass matmuls on TPU.
+    """
     source = to_program(graphs)
     source.scalar_type = ir.ScalarType(np.dtype(dtype).name)
-    return Model(source, backend=backend, seed=seed)
+    return Model(source, backend=backend, seed=seed, precision=precision)

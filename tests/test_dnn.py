@@ -1,0 +1,220 @@
+"""Layer-API tests (ported from reference tests/test_dnn.nim) plus oracle
+cross-checks of every dnn layer's forward AND derived backward kernels."""
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu import Fun, Tensor, compile, input, make_opt
+from exprgrad_tpu.layers import (
+    adam,
+    avgpool2,
+    conv2,
+    dense,
+    dropout,
+    gradient_descent,
+    leaky_relu,
+    maxpool2,
+    mse,
+    relu,
+    sigmoid,
+    softmax,
+    tanh,
+    upsample2,
+)
+
+
+def _xor_net():
+    return (
+        input("x")
+        .pipe(dense, 2, 4)
+        .pipe(leaky_relu)
+        .pipe(dense, 4, 1)
+        .pipe(sigmoid)
+        .target("predict")
+        .pipe(mse, input("y"))
+        .target("loss")
+        .backprop(make_opt(gradient_descent, rate=0.2))
+        .target("train")
+    )
+
+
+TRAIN_X = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+TRAIN_Y = Tensor.new([4, 1], [0, 1, 1, 0])
+
+
+@pytest.mark.parametrize("backend", ["jax", "interp"])
+def test_xor(backend):
+    model = compile(_xor_net(), backend=backend, seed=10)
+    iterations = 2000
+    for _ in range(iterations):
+        model.apply("train", {"x": TRAIN_X, "y": TRAIN_Y})
+    internal_loss = float(model.call("loss", {"x": TRAIN_X, "y": TRAIN_Y}).sum())
+    pred = model.call("predict", {"x": TRAIN_X})
+    loss = float(((pred - TRAIN_Y) ** 2).sum())
+    assert internal_loss < 0.1
+    assert loss < 0.1
+    assert abs(loss / TRAIN_Y.size - internal_loss) < 1e-4
+
+
+def test_xor_fit():
+    model = compile(_xor_net(), backend="jax", seed=10)
+    for _ in range(2000):
+        model.fit(
+            "train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4, log_status=False
+        )
+    pred = model.call("predict", {"x": TRAIN_X})
+    assert float(((pred - TRAIN_Y) ** 2).sum()) < 0.1
+
+
+def test_xor_adam():
+    net = (
+        input("x")
+        .pipe(dense, 2, 4)
+        .pipe(leaky_relu)
+        .pipe(dense, 4, 1)
+        .pipe(sigmoid)
+        .target("predict")
+        .pipe(mse, input("y"))
+        .target("loss")
+        .backprop(make_opt(adam, eta=0.05))
+        .target("train")
+    )
+    model = compile(net, backend="jax", seed=10)
+    for _ in range(300):
+        model.fit(
+            "train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4, log_status=False
+        )
+    pred = model.call("predict", {"x": TRAIN_X})
+    assert float(((pred - TRAIN_Y) ** 2).sum()) < 0.1
+
+
+# --- forward/backward oracle cross-checks --------------------------------
+
+def _both(graph_fn, args, targets):
+    """Run the same graph on jax + interp backends with identical params."""
+    m_jax = compile(graph_fn(), backend="jax", seed=7)
+    m_np = compile(graph_fn(), backend="interp", seed=7)
+    for tid in m_np.params:
+        m_np.params[tid] = np.array(m_jax.params[tid])
+    outs = []
+    for t in targets:
+        a = m_jax.call(t, args)
+        b = m_np.call(t, args)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+        outs.append(a)
+    return outs
+
+
+def _grad_graph(layer_out, x):
+    """loss = sum(layer(x)); return targets for output and d/dx."""
+    from exprgrad_tpu import iters, sq
+
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(layer_out.raw[it])
+    bw = loss.target("loss").backwards()
+    return [layer_out.target("out"), bw.grad(x).target("dx")]
+
+
+@pytest.mark.parametrize(
+    "layer,shape",
+    [
+        (relu, [2, 6]),
+        (leaky_relu, [2, 6]),
+        (sigmoid, [2, 6]),
+        (tanh, [2, 6]),
+    ],
+)
+def test_activation_fwd_bwd_oracle(layer, shape):
+    rng = np.random.default_rng(0)
+    x_val = rng.normal(size=shape).astype(np.float32)
+
+    def graph():
+        x = input("x")
+        return _grad_graph(layer(x), x)
+
+    _both(graph, {"x": x_val}, ["out", "dx"])
+
+
+def test_conv2_fwd_bwd_oracle():
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 6, 7, 3)).astype(np.float32)
+    filters = rng.normal(size=(4, 3, 3, 3)).astype(np.float32)
+
+    def graph():
+        x = input("images")
+        f = input("filters")
+        return _grad_graph(conv2(x, f), x)
+
+    _both(graph, {"images": images, "filters": filters}, ["out", "dx"])
+
+
+def test_conv2_filter_grad_oracle():
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, 6, 7, 3)).astype(np.float32)
+    filters = rng.normal(size=(4, 3, 3, 3)).astype(np.float32)
+
+    def graph():
+        from exprgrad_tpu import iters, sq
+
+        x = input("images")
+        f = input("filters")
+        out = conv2(x, f)
+        it = iters("it")
+        loss = Fun()
+        loss[0] = sq(out.raw[it])
+        bw = loss.target("loss").backwards()
+        return [bw.grad(f).target("df")]
+
+    _both(graph, {"images": images, "filters": filters}, ["df"])
+
+
+def test_pool_layers_oracle():
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(2, 6, 4, 3)).astype(np.float32)
+
+    for layer in (maxpool2, avgpool2, upsample2):
+        def graph(layer=layer):
+            x = input("images")
+            return _grad_graph(layer(x), x)
+
+        _both(graph, {"images": images}, ["out", "dx"])
+
+
+def test_softmax_oracle():
+    rng = np.random.default_rng(3)
+    x_val = rng.normal(size=(5, 7)).astype(np.float32)
+
+    def graph():
+        x = input("x")
+        return _grad_graph(softmax(x), x)
+
+    (out, _) = _both(graph, {"x": x_val}, ["out", "dx"])
+    np.testing.assert_allclose(out.sum(axis=1), np.ones(5), rtol=1e-5)
+
+
+def test_dense_matches_numpy():
+    rng = np.random.default_rng(4)
+    x_val = rng.normal(size=(3, 5)).astype(np.float32)
+    model = compile(
+        input("x").pipe(dense, 5, 2).target("y"), backend="jax", seed=0
+    )
+    out = model.call("y", {"x": x_val})
+    w = np.array(list(model.params.values())[0])
+    b = np.array(list(model.params.values())[1])
+    np.testing.assert_allclose(out, x_val @ w + b, rtol=1e-5)
+
+
+def test_dropout_statistics():
+    x_val = np.ones((100, 100), dtype=np.float32)
+    model = compile(
+        input("x").pipe(dropout, 0.5).target("y"), backend="jax", seed=0
+    )
+    out = model.call("y", {"x": x_val})
+    kept = (out != 0).mean()
+    assert 0.4 < kept < 0.6
+    # kept values are scaled by 1/(1-p)
+    np.testing.assert_allclose(out[out != 0], 2.0, rtol=1e-6)
+    # fresh randomness per call
+    out2 = model.call("y", {"x": x_val})
+    assert (out != out2).any()

@@ -1,0 +1,142 @@
+"""Error-path tests (ported from reference tests/test_errors.nim)."""
+
+import pytest
+
+from exprgrad_tpu import (
+    Fun,
+    ModelRuntimeError,
+    ShapeError,
+    Tensor,
+    compile,
+    input,
+    iters,
+)
+
+
+def test_invalid_target():
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = input("x").raw[it]
+    model = compile(out.target("y"), backend="interp")
+    with pytest.raises(ModelRuntimeError):
+        model.call("my_target")
+
+
+def test_invalid_input():
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = input("x").raw[it]
+    model = compile(out.target("y"), backend="interp")
+    with pytest.raises(ModelRuntimeError):
+        model.call(
+            "y",
+            {"x": Tensor.new([2, 3], 0.0), "abc": Tensor.new([2, 3], 0.0)},
+        )
+
+
+def test_static_shape_mismatch():
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = input("x", [2, 3]).raw[it]
+    model = compile(out.target("y"), backend="interp")
+    with pytest.raises(ShapeError):
+        model.call("y", {"x": Tensor.new([10, 10], 0.0)})
+
+
+def test_underconstrained_shapes():
+    # raw write, no reads
+    it = iters("it")
+    res = Fun()
+    res.raw[it] = 1.0
+    with pytest.raises(ShapeError):
+        compile(res.target("y"), backend="interp")
+
+    # indexed write with unconstrained iterator
+    x = iters("x")
+    res = Fun()
+    res[x] = 1.0
+    with pytest.raises(ShapeError):
+        compile(res.target("y"), backend="interp")
+
+    # write iterator not tied to any read
+    x, y = iters("x", "y")
+    res = Fun()
+    res[x] = input("inp")[y]
+    with pytest.raises(ShapeError):
+        compile(res.target("y"), backend="interp")
+
+    # raw write of two reads: no copy constraint possible
+    it = iters("it")
+    c = Fun()
+    c.raw[it] = input("a").raw[it] + input("b").raw[it]
+    with pytest.raises(ShapeError):
+        compile(c.target("c"), backend="interp")
+
+
+def test_read_dimension_conflict():
+    # a written rank-1 via shape [x], read rank-2
+    inp = input("x")
+    x = iters("x")
+    a = Fun()
+    a[0] = inp[x]
+    b = Fun()
+    x = iters("x")
+    b[0] = a[0, x]
+    with pytest.raises(ShapeError):
+        compile(b.target("y"), backend="interp")
+
+    # static rank 2 input read with rank 1
+    inp = input("x", [2, 3])
+    x = iters("x")
+    res = Fun()
+    res[0] = inp[x]
+    with pytest.raises(ShapeError):
+        compile(res.target("y"), backend="interp")
+
+
+def test_write_dimension_conflict():
+    res = Fun()
+    res[0] = 1.0
+    res[0, 0] = 1.0
+    with pytest.raises(ShapeError):
+        compile(res.target("y"), backend="interp")
+
+    res = Fun()
+    res[0] = 1.0
+    res.with_shape([2, 3])
+    with pytest.raises(ShapeError):
+        compile(res.target("y"), backend="interp")
+
+
+def test_runtime_shape_mismatch():
+    y, x, it = iters("y", "x", "it")
+    c = Fun()
+    c[y, x] = input("a")[y, it] * input("b")[it, x]
+    model = compile(c.target("c"), backend="interp")
+    with pytest.raises(ShapeError):
+        model.call(
+            "c",
+            {"a": Tensor.new([2, 3], 0.0), "b": Tensor.new([4, 2], 0.0)},
+        )
+
+
+def test_missing_input():
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = input("x").raw[it]
+    model = compile(out.target("y"), backend="interp")
+    with pytest.raises(ShapeError):
+        model.call("y")
+
+
+def test_duplicate_target_names():
+    from exprgrad_tpu import ParserError
+
+    it = iters("it")
+    a = Fun()
+    a.raw[it] = input("x").raw[it]
+    it = iters("it")
+    b = Fun()
+    b.raw[it] = input("x").raw[it] * 2.0
+    with pytest.raises(ParserError):
+        compile([a.target("y"), b.target("y")], backend="interp")
