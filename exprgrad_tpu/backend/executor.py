@@ -87,9 +87,10 @@ class JaxExecutor:
             for kernel in self.target.kernels:
                 KernelLowering(
                     program, kernel, self.shapes, self.dtype, self.precision
-                ).run(tensors, epoch)
+                ).run(tensors, epoch, self.stats)
             return {tid: tensors[tid] for tid in self.output_tids}
 
+        self.stats: dict[str, int] = {}  # lowering-path counts, set at trace
         self._fn = jax.jit(run_fn)
 
     def run(

@@ -351,9 +351,41 @@ class KernelLowering:
             value = value + self.env[reg] * factor
         return value
 
+    def _linear_deps(self, index: LinearIndex) -> set[int]:
+        """Loop axes a linear index expression depends on."""
+        regs = set(index.factors)
+        for instr in index.setup:
+            regs.update(instr.args)
+        return {self.axis_of_reg[r] for r in regs if r in self.axis_of_reg}
+
+    def _dim_index_1d(self, index: LinearIndex, axis: Optional[int]):
+        """Evaluate one dim's index with its loop iterator as a 1-D vector.
+
+        Returns (python int) for loop-independent dims, else an int vector of
+        the loop's length.  Constant-foldable affine forms come back as
+        (offset, stride, length) for lowering to strided slices.
+        """
+        saved_env = self.env
+        self.env = {}
+        try:
+            if axis is not None:
+                self.env[self.kernel.loops[axis].iter_reg] = (
+                    jnp.arange(self.starts[axis], self.starts[axis] + self.sizes[axis])
+                )
+            value = self._eval_linear_vec(index, None)
+        finally:
+            self.env = saved_env
+        return value
+
     def _read_value(self, read: ir.TensorOp, tensors):
-        """Read as transpose/reshape when indices are plain full iterators,
-        else gather."""
+        """Lower a tensor read.  Strategies, fastest first:
+
+        1. plain full-range iterators -> transpose/reshape (zero-cost view)
+        2. separable indices (each dim depends on <=1 distinct loop axis) ->
+           per-axis strided slice / 1-D take; covers pooling (y*2+k),
+           upsampling (y div 2), shifted windows (x+1)
+        3. general flat gather over the broadcasted loop grid
+        """
         tensor = tensors[read.tensor]
         shape = self.shapes[read.tensor]
         if not read.is_raw:
@@ -366,12 +398,15 @@ class KernelLowering:
                     for d, a in enumerate(axes)
                 )
             ):
-                # place tensor dims onto their loop axes
                 perm = sorted(range(len(axes)), key=lambda d: axes[d])
                 out_shape = [1] * self.nloops
                 for d, a in enumerate(axes):
                     out_shape[a] = shape[d]
                 return jnp.transpose(tensor, perm).reshape(out_shape)
+
+            sep = self._try_separable_read(read, tensor, shape)
+            if sep is not None:
+                return sep
         else:
             axis = self._pure_iter(read.dims[0])
             total = int(np.prod(shape, dtype=np.int64))
@@ -381,6 +416,64 @@ class KernelLowering:
                 return tensor.reshape(out_shape)
         flat = self._flat_index(read, tensors)
         return tensor.reshape(-1)[flat]
+
+    def _try_separable_read(self, read: ir.TensorOp, tensor, shape):
+        deps = [self._linear_deps(d) for d in read.dims]
+        if any(len(d) > 1 for d in deps):
+            return None
+        dep_axes = [next(iter(d)) if d else None for d in deps]
+        non_none = [a for a in dep_axes if a is not None]
+        if len(set(non_none)) != len(non_none):
+            return None
+
+        value = tensor
+        for d, (index, axis) in enumerate(zip(read.dims, dep_axes)):
+            if axis is None:
+                idx = self._dim_index_1d(index, None)
+                if not isinstance(idx, (int, np.integer)):
+                    return None  # depends on a traced value (e.g. epoch)
+                value = jax.lax.slice_in_dim(value, int(idx), int(idx) + 1, axis=d)
+                continue
+            # affine in the iterator? -> strided slice
+            if not index.setup:
+                stride = index.factors.get(
+                    self.kernel.loops[axis].iter_reg, 0
+                )
+                offset = index.constant + stride * self.starts[axis]
+                length = self.sizes[axis]
+                if stride >= 1 and 0 <= offset and (
+                    offset + stride * (length - 1) < shape[d]
+                ):
+                    value = jax.lax.slice_in_dim(
+                        value,
+                        offset,
+                        offset + stride * (length - 1) + 1,
+                        stride=stride,
+                        axis=d,
+                    )
+                    continue
+            idx = self._dim_index_1d(index, axis)
+            if isinstance(idx, (int, np.integer)):
+                idx = jnp.full((self.sizes[axis],), idx)
+            value = jnp.take(value, idx, axis=d)
+
+        # value dims follow tensor-dim order; sizes: L_axis or 1.
+        # transpose so varying dims ascend by loop axis, then pad with 1s.
+        order = sorted(
+            range(len(read.dims)),
+            key=lambda d: (dep_axes[d] is None, dep_axes[d] or 0),
+        )
+        # put no-dep (size-1) dims first, then by ascending axis
+        order = [d for d in range(len(read.dims)) if dep_axes[d] is None] + sorted(
+            (d for d in range(len(read.dims)) if dep_axes[d] is not None),
+            key=lambda d: dep_axes[d],
+        )
+        value = jnp.transpose(value, order)
+        out_shape = [1] * self.nloops
+        for d, axis in enumerate(dep_axes):
+            if axis is not None:
+                out_shape[axis] = self.sizes[axis]
+        return value.reshape(out_shape)
 
     def _flat_index(self, op: ir.TensorOp, tensors):
         shape = self.shapes[op.tensor]
@@ -474,13 +567,24 @@ class KernelLowering:
         return flat.reshape(out.shape)
 
     # ------------------------------------------------------------------
-    def run(self, tensors: dict, epoch) -> None:
+    def run(self, tensors: dict, epoch, stats: Optional[dict] = None) -> None:
         """Execute the kernel, updating ``tensors[write.tensor]``."""
         if not self._bounds_ok:
             return
         self.epoch = epoch
         assert self.kernel.write is not None
         result = self._try_contraction(tensors)
+        path = "einsum"
         if result is None:
+            from .convmatch import ConvMatch
+
+            match = ConvMatch(self, self.kernel)
+            if match.ok:
+                path = "conv"
+                result = tensors[self.kernel.write.tensor] + match.lower(tensors)
+        if result is None:
+            path = "general"
             result = self._general(tensors, epoch)
+        if stats is not None:
+            stats[path] = stats.get(path, 0) + 1
         tensors[self.kernel.write.tensor] = result
