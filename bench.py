@@ -1,0 +1,182 @@
+"""TPU benchmark driver.
+
+Headline (printed as ONE json line): GFLOP/s of the compiler-generated
+8192^3 f32 matmul kernel — the reference's headline benchmark
+(benchmarks/matmul/matmul_gpu.nim) rebuilt through the DSL -> IR -> XLA/MXU
+pipeline.  ``vs_baseline`` is throughput relative to the BASELINE.md target
+of 60% of the v5e MXU roofline (197 TFLOP/s bf16-multiply/f32-accumulate,
+which is what f32 uses at DEFAULT matmul precision).
+
+Measurement notes: the TPU here sits behind a network tunnel with ~25ms
+round-trip latency and unreliable block_until_ready, so kernels are timed
+by chaining D data-dependent dispatches and fencing on one device->host
+scalar fetch.  The persistent compilation cache must stay OFF (it hangs
+this platform).  Details for all benchmarks go to BENCH_DETAILS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _fetch(x) -> float:
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def bench_matmul(n: int = 8192, dtype: str = "float32",
+                 precision: str = "default", chain: int = 30):
+    """Time the DSL-compiled matmul kernel on device."""
+    import jax
+
+    from exprgrad_tpu import Fun, compile, input, iters as dsl_iters
+    from exprgrad_tpu.backend.executor import JaxExecutor
+    from exprgrad_tpu.passes import infer_shapes
+
+    y, x, it = dsl_iters("y", "x", "it")
+    c = Fun("c")
+    c[y, x] = input("a")[y, it] * input("b")[it, x]
+    model = compile(c.target("c"), dtype=dtype, precision=precision)
+    program = model.program
+    a_id, b_id = program.inputs["a"], program.inputs["b"]
+    out_id = program.targets["c"].output
+    shapes = infer_shapes(program, "c", [(a_id, [n, n]), (b_id, [n, n])])
+    executor = JaxExecutor(program, "c", shapes, precision=precision)
+
+    rng = np.random.default_rng(0)
+    scale = 1.0 / np.sqrt(n)
+    a = jax.device_put((rng.normal(size=(n, n)) * scale).astype(dtype))
+    b = jax.device_put((rng.normal(size=(n, n)) * scale).astype(dtype))
+
+    def step(lhs):
+        return executor._fn({a_id: lhs, b_id: b}, 0, 0)[out_id]
+
+    _fetch(step(a))  # compile + warmup
+    t = time.perf_counter()
+    cur = a
+    for _ in range(chain):
+        cur = step(cur)  # data-dependent chain, no host sync
+    _fetch(cur)
+    elapsed = (time.perf_counter() - t) / chain
+    return 2 * n**3 / elapsed / 1e9, elapsed
+
+
+def bench_conv2(batch=64, size=128, cin=32, cout=64, k=3,
+                dtype="float32", chain: int = 30):
+    import jax
+
+    from exprgrad_tpu import compile, input
+    from exprgrad_tpu.backend.executor import JaxExecutor
+    from exprgrad_tpu.layers import conv2
+    from exprgrad_tpu.passes import infer_shapes
+
+    net = conv2(input("images"), input("filters")).target("out")
+    model = compile(net, dtype=dtype, precision="default")
+    program = model.program
+    img_id = program.inputs["images"]
+    flt_id = program.inputs["filters"]
+    out_id = program.targets["out"].output
+    shapes = infer_shapes(
+        program,
+        "out",
+        [(img_id, [batch, size, size, cin]), (flt_id, [cout, k, k, cin])],
+    )
+    executor = JaxExecutor(program, "out", shapes, precision="default")
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.normal(size=(batch, size, size, cin)).astype(dtype) * 0.1
+    )
+    filters = jax.device_put(
+        rng.normal(size=(cout, k, k, cin)).astype(dtype) * 0.1
+    )
+    inputs = {img_id: images, flt_id: filters}
+
+    _fetch(executor._fn(inputs, 0, 0)[out_id])
+    t = time.perf_counter()
+    last = None
+    for _ in range(chain):
+        last = executor._fn(inputs, 0, 0)[out_id]  # in-order device queue
+    _fetch(last)
+    elapsed = (time.perf_counter() - t) / chain
+    out_hw = size - k + 1
+    flops = 2 * batch * out_hw * out_hw * cout * k * k * cin
+    return flops / elapsed / 1e9, elapsed
+
+
+def bench_mnist_epoch(n_samples=8192, batch=256):
+    """End-to-end fashion-MNIST training epoch (fwd + derived bwd + adam)."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu import compile, one_hot
+    from exprgrad_tpu.models import fashion_mnist_cnn
+
+    model = compile(fashion_mnist_cnn(), seed=0, precision="default")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n_samples, 28, 28)).astype(np.float32)
+    y = one_hot(rng.integers(0, 10, n_samples), 10)
+
+    def fence():
+        return float(
+            sum(jnp.sum(jnp.asarray(p)) for p in model.params.values())
+        )
+
+    model.fit("fit", {"x": x, "y": y}, batch_size=batch, log_status=False)
+    fence()
+    t = time.perf_counter()
+    model.fit("fit", {"x": x, "y": y}, batch_size=batch, log_status=False)
+    fence()
+    epoch_time = time.perf_counter() - t
+    return epoch_time, n_samples / epoch_time
+
+
+def main() -> None:
+    details = {}
+
+    mm_gflops, mm_t = bench_matmul()
+    details["matmul8192_f32_default"] = {
+        "gflops": round(mm_gflops, 1), "seconds_per_matmul": mm_t
+    }
+
+    try:
+        conv_gflops, conv_t = bench_conv2()
+        details["conv2_b64_128x128x32_k3x64"] = {
+            "gflops": round(conv_gflops, 1), "seconds": conv_t
+        }
+    except Exception as err:  # keep the headline robust
+        details["conv2_error"] = str(err)
+
+    try:
+        epoch_time, samples_per_s = bench_mnist_epoch()
+        details["fashion_mnist_epoch_8192"] = {
+            "seconds": round(epoch_time, 3),
+            "samples_per_s": round(samples_per_s, 1),
+        }
+    except Exception as err:
+        details["mnist_error"] = str(err)
+
+    roofline = 197e12  # v5e MXU, bf16 multiply / f32 accumulate
+    target_gflops = 0.6 * roofline / 1e9  # BASELINE.md north star
+    details["roofline_gflops"] = roofline / 1e9
+    details["mxu_utilization"] = round(mm_gflops * 1e9 / roofline, 4)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "matmul8192_f32_gflops",
+                "value": round(mm_gflops, 1),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(mm_gflops / target_gflops, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,7 @@ class JaxExecutor:
             return {tid: tensors[tid] for tid in self.output_tids}
 
         self.stats: dict[str, int] = {}  # lowering-path counts, set at trace
+        self.run_fn = run_fn  # unjitted; parallel/mesh.py re-jits with shardings
         self._fn = jax.jit(run_fn)
 
     def run(

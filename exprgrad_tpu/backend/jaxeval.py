@@ -573,8 +573,20 @@ class KernelLowering:
             return
         self.epoch = epoch
         assert self.kernel.write is not None
-        result = self._try_contraction(tensors)
+        result = None
         path = "einsum"
+        if any(
+            loop.schedule.tile or loop.schedule.parallel
+            for loop in self.kernel.loops
+        ) or any(r.schedule.cache for r in self.kernel.reads):
+            from .pallasgen import PallasMatmul
+
+            pm = PallasMatmul(self, self.kernel)
+            if pm.ok:
+                path = "pallas"
+                result = pm.lower(tensors)
+        if result is None:
+            result = self._try_contraction(tensors)
         if result is None:
             from .convmatch import ConvMatch
 

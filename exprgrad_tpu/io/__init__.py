@@ -1,0 +1,16 @@
+"""IO: model checkpoints and dataset formats (IDX, PPM, CSV)."""
+
+from .serialize import load_model, load_program, save_model, save_program
+from .idx import load_idx, save_idx
+from .ppm import load_ppm, save_ppm
+
+__all__ = [
+    "load_idx",
+    "load_model",
+    "load_ppm",
+    "load_program",
+    "save_idx",
+    "save_model",
+    "save_ppm",
+    "save_program",
+]

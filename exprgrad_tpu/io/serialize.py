@@ -1,0 +1,429 @@
+"""Binary model/IR serialization (checkpoint + resume).
+
+Parity: reference exprgrad/io/serialize.nim — a model checkpoint is the
+*source IR program* plus parameter and optimizer-cache tensors; the program
+is recompiled on load (serialize.nim:344-379).  Differences here:
+
+* the training ``epoch`` IS saved (the reference forgets it,
+  serialize.nim:344-349, which breaks adam bias-correction on resume);
+* the model-load path actually works (the reference's load calls a
+  ``newModel`` overload that does not exist, serialize.nim:364);
+* tensor payloads are written as raw little-endian blocks so the (optional)
+  native C++ codec in native/ can mmap them.
+
+Like the reference (README.md:385), loading a model executes its compiled
+program — do not load models from untrusted sources.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import struct
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from .. import ir
+from ..errors import ModelRuntimeError
+
+MAGIC = b"EGTPU\x01\n"
+
+
+class Writer:
+    def __init__(self, stream: BinaryIO) -> None:
+        self.stream = stream
+
+    def u8(self, v: int) -> None:
+        self.stream.write(struct.pack("<B", v))
+
+    def i64(self, v: int) -> None:
+        self.stream.write(struct.pack("<q", v))
+
+    def f64(self, v: float) -> None:
+        self.stream.write(struct.pack("<d", v))
+
+    def boolean(self, v: bool) -> None:
+        self.u8(1 if v else 0)
+
+    def string(self, v: str) -> None:
+        data = v.encode("utf-8")
+        self.i64(len(data))
+        self.stream.write(data)
+
+    def opt_int(self, v: Optional[int]) -> None:
+        if v is None:
+            self.boolean(False)
+        else:
+            self.boolean(True)
+            self.i64(v)
+
+    def int_list(self, vs) -> None:
+        self.i64(len(vs))
+        for v in vs:
+            self.i64(v)
+
+    def tensor(self, arr: np.ndarray) -> None:
+        arr = np.ascontiguousarray(arr)
+        self.string(arr.dtype.str)
+        self.int_list(arr.shape)
+        data = arr.tobytes()
+        self.i64(len(data))
+        self.stream.write(data)
+
+
+class Reader:
+    def __init__(self, stream: BinaryIO) -> None:
+        self.stream = stream
+
+    def _read(self, n: int) -> bytes:
+        data = self.stream.read(n)
+        if len(data) != n:
+            raise ModelRuntimeError("truncated model file")
+        return data
+
+    def u8(self) -> int:
+        return struct.unpack("<B", self._read(1))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("<q", self._read(8))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self._read(8))[0]
+
+    def boolean(self) -> bool:
+        return self.u8() != 0
+
+    def string(self) -> str:
+        return self._read(self.i64()).decode("utf-8")
+
+    def opt_int(self) -> Optional[int]:
+        return self.i64() if self.boolean() else None
+
+    def int_list(self) -> list[int]:
+        return [self.i64() for _ in range(self.i64())]
+
+    def tensor(self) -> np.ndarray:
+        dtype = np.dtype(self.string())
+        shape = self.int_list()
+        data = self._read(self.i64())
+        return np.frombuffer(data, dtype=dtype).reshape(shape).copy()
+
+
+# --- IR serialization ------------------------------------------------------
+
+_OPS = list(ir.Op)
+_OP_IDX = {op: i for i, op in enumerate(_OPS)}
+
+
+def _w_instr(w: Writer, instr: ir.Instr) -> None:
+    w.u8(_OP_IDX[instr.op])
+    w.int_list(instr.args)
+    w.opt_int(instr.res)
+    w.opt_int(instr.tensor)
+    w.i64(instr.index_lit)
+    w.f64(instr.scalar_lit)
+    w.boolean(instr.bool_lit)
+    w.i64(instr.dim)
+
+
+def _r_instr(r: Reader) -> ir.Instr:
+    return ir.Instr(
+        op=_OPS[r.u8()],
+        args=r.int_list(),
+        res=r.opt_int(),
+        tensor=r.opt_int(),
+        index_lit=r.i64(),
+        scalar_lit=r.f64(),
+        bool_lit=r.boolean(),
+        dim=r.i64(),
+    )
+
+
+def _w_linear(w: Writer, index: ir.LinearIndex) -> None:
+    w.i64(len(index.setup))
+    for instr in index.setup:
+        _w_instr(w, instr)
+    w.i64(len(index.factors))
+    for reg in sorted(index.factors):
+        w.i64(reg)
+        w.i64(index.factors[reg])
+    w.i64(index.constant)
+
+
+def _r_linear(r: Reader) -> ir.LinearIndex:
+    setup = [_r_instr(r) for _ in range(r.i64())]
+    factors = {}
+    for _ in range(r.i64()):
+        reg = r.i64()
+        factors[reg] = r.i64()
+    return ir.LinearIndex(setup=setup, factors=factors, constant=r.i64())
+
+
+def _w_loop(w: Writer, loop: ir.Loop) -> None:
+    w.i64(loop.iter_reg)
+    w.u8(int(loop.mode))
+    w.boolean(loop.has_bounds)
+    _w_linear(w, loop.start)
+    _w_linear(w, loop.stop)
+    w.i64(loop.step)
+    w.i64(loop.schedule.tile_size)
+    w.boolean(loop.schedule.tile)
+    w.boolean(loop.schedule.parallel)
+    w.boolean(loop.schedule.share_cache)
+
+
+def _r_loop(r: Reader) -> ir.Loop:
+    loop = ir.Loop(iter_reg=r.i64())
+    loop.mode = ir.LoopMode(r.u8())
+    loop.has_bounds = r.boolean()
+    loop.start = _r_linear(r)
+    loop.stop = _r_linear(r)
+    loop.step = r.i64()
+    loop.schedule.tile_size = r.i64()
+    loop.schedule.tile = r.boolean()
+    loop.schedule.parallel = r.boolean()
+    loop.schedule.share_cache = r.boolean()
+    return loop
+
+
+def _w_tensor_op(w: Writer, op: Optional[ir.TensorOp]) -> None:
+    w.boolean(op is not None)
+    if op is None:
+        return
+    w.i64(op.tensor)
+    w.i64(len(op.dims))
+    for dim in op.dims:
+        _w_linear(w, dim)
+    w.opt_int(op.data)
+    w.boolean(op.is_raw)
+    w.boolean(op.schedule.cache)
+
+
+def _r_tensor_op(r: Reader) -> Optional[ir.TensorOp]:
+    if not r.boolean():
+        return None
+    op = ir.TensorOp(tensor=r.i64())
+    op.dims = [_r_linear(r) for _ in range(r.i64())]
+    op.data = r.opt_int()
+    op.is_raw = r.boolean()
+    op.schedule.cache = r.boolean()
+    return op
+
+
+def _w_kernel(w: Writer, kernel: ir.Kernel) -> None:
+    gen = kernel.generator
+    w.string(gen.kind.value)
+    w.opt_int(gen.tensor)
+    w.int_list(gen.reshape)
+    w.i64(len(kernel.regs))
+    for reg in kernel.regs:
+        w.string(reg.name)
+    w.i64(len(kernel.setup))
+    for instr in kernel.setup:
+        _w_instr(w, instr)
+    w.i64(len(kernel.loops))
+    for loop in kernel.loops:
+        _w_loop(w, loop)
+    w.i64(len(kernel.reads))
+    for read in kernel.reads:
+        _w_tensor_op(w, read)
+    w.i64(len(kernel.expr.instrs))
+    for instr in kernel.expr.instrs:
+        _w_instr(w, instr)
+    w.opt_int(kernel.expr.res)
+    _w_tensor_op(w, kernel.write)
+    w.boolean(kernel.custom_grad is not None)
+    if kernel.custom_grad is not None:
+        cg = kernel.custom_grad
+        w.i64(len(cg.kernels))
+        for sub in cg.kernels:
+            _w_kernel(w, sub)
+        w.i64(len(cg.grad_placeholders))
+        for tid in sorted(cg.grad_placeholders):
+            w.i64(tid)
+            w.i64(cg.grad_placeholders[tid])
+        w.i64(len(cg.subs))
+        for tid in sorted(cg.subs):
+            w.i64(tid)
+            w.i64(cg.subs[tid])
+
+
+def _r_kernel(r: Reader) -> ir.Kernel:
+    kernel = ir.Kernel()
+    kernel.generator = ir.Generator(
+        kind=ir.GenKind(r.string()), tensor=r.opt_int(), reshape=r.int_list()
+    )
+    kernel.regs = [ir.Register(name=r.string()) for _ in range(r.i64())]
+    kernel.setup = [_r_instr(r) for _ in range(r.i64())]
+    kernel.loops = [_r_loop(r) for _ in range(r.i64())]
+    kernel.reads = [_r_tensor_op(r) for _ in range(r.i64())]
+    kernel.expr.instrs = [_r_instr(r) for _ in range(r.i64())]
+    kernel.expr.res = r.opt_int()
+    kernel.write = _r_tensor_op(r)
+    if r.boolean():
+        cg = ir.CustomGrad()
+        cg.kernels = [_r_kernel(r) for _ in range(r.i64())]
+        for _ in range(r.i64()):
+            tid = r.i64()
+            cg.grad_placeholders[tid] = r.i64()
+        for _ in range(r.i64()):
+            tid = r.i64()
+            cg.subs[tid] = r.i64()
+        kernel.custom_grad = cg
+    return kernel
+
+
+def _w_shape_constraint(w: Writer, constr: ir.ShapeConstraint) -> None:
+    w.string(constr.kind.value)
+    w.i64(constr.dest)
+    w.u8(int(constr.priority))
+    w.i64(constr.rank)
+    w.i64(len(constr.dims))
+    for dim in constr.dims:
+        _w_linear(w, dim)
+    w.i64(len(constr.reads))
+    for tid in sorted(constr.reads):
+        w.i64(tid)
+        per_dim = constr.reads[tid]
+        w.i64(len(per_dim))
+        for indices in per_dim:
+            w.i64(len(indices))
+            for index in indices:
+                _w_linear(w, index)
+    w.i64(len(constr.write))
+    for index in constr.write:
+        _w_linear(w, index)
+    w.opt_int(constr.src)
+
+
+def _r_shape_constraint(r: Reader) -> ir.ShapeConstraint:
+    constr = ir.ShapeConstraint(
+        kind=ir.ShapeConstrKind(r.string()), dest=r.i64()
+    )
+    constr.priority = ir.ShapeConstrPriority(r.u8())
+    constr.rank = r.i64()
+    constr.dims = [_r_linear(r) for _ in range(r.i64())]
+    for _ in range(r.i64()):
+        tid = r.i64()
+        constr.reads[tid] = [
+            [_r_linear(r) for _ in range(r.i64())] for _ in range(r.i64())
+        ]
+    constr.write = [_r_linear(r) for _ in range(r.i64())]
+    constr.src = r.opt_int()
+    return constr
+
+
+def write_program(w: Writer, program: ir.Program) -> None:
+    w.i64(len(program.tensors))
+    for tensor in program.tensors:
+        w.string(tensor.kind.value)
+        w.int_list(tensor.shape)
+        w.string(tensor.name)
+        w.f64(tensor.init_range[0])
+        w.f64(tensor.init_range[1])
+        w.f64(tensor.random_range[0])
+        w.f64(tensor.random_range[1])
+        w.opt_int(tensor.cache_of)
+    w.i64(len(program.inputs))
+    for name in sorted(program.inputs):
+        w.string(name)
+        w.i64(program.inputs[name])
+    w.int_list(program.params)
+    w.int_list(program.caches)
+    w.string(program.scalar_type.value)
+    w.i64(len(program.targets))
+    for name in sorted(program.targets):
+        target = program.targets[name]
+        w.string(name)
+        w.opt_int(target.output)
+        w.int_list(sorted(target.tensors))
+        w.i64(len(target.shapes))
+        for constr in target.shapes:
+            _w_shape_constraint(w, constr)
+        w.i64(len(target.kernels))
+        for kernel in target.kernels:
+            _w_kernel(w, kernel)
+
+
+def read_program(r: Reader) -> ir.Program:
+    program = ir.Program()
+    for _ in range(r.i64()):
+        tensor = ir.TensorDef(kind=ir.TensorKind(r.string()))
+        tensor.shape = r.int_list()
+        tensor.name = r.string()
+        tensor.init_range = (r.f64(), r.f64())
+        tensor.random_range = (r.f64(), r.f64())
+        tensor.cache_of = r.opt_int()
+        program.tensors.append(tensor)
+    for _ in range(r.i64()):
+        name = r.string()
+        program.inputs[name] = r.i64()
+    program.params = r.int_list()
+    program.caches = r.int_list()
+    program.scalar_type = ir.ScalarType(r.string())
+    for _ in range(r.i64()):
+        name = r.string()
+        target = ir.Target(name=name)
+        target.output = r.opt_int()
+        target.tensors = set(r.int_list())
+        target.shapes = [_r_shape_constraint(r) for _ in range(r.i64())]
+        target.kernels = [_r_kernel(r) for _ in range(r.i64())]
+        program.targets[name] = target
+    return program
+
+
+# --- public API ------------------------------------------------------------
+
+def save_program(program: ir.Program, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        write_program(Writer(f), program)
+
+
+def load_program(path: str) -> ir.Program:
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ModelRuntimeError(f"{path} is not an exprgrad-tpu file")
+        return read_program(Reader(f))
+
+
+def save_model(model, path: str) -> None:
+    """Checkpoint = source program + params + caches + epoch."""
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        w = Writer(f)
+        write_program(w, model.source)
+        w.i64(model.epoch)
+        for table in (model.params, model.caches):
+            w.i64(len(table))
+            for tid in sorted(table):
+                w.i64(tid)
+                w.tensor(np.asarray(table[tid]))
+
+
+def load_model(path: str, backend: str = "jax"):
+    """Reload a checkpoint; the program is recompiled
+    (reference loadModel, serialize.nim:376-379)."""
+    from ..model import Model
+
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ModelRuntimeError(f"{path} is not an exprgrad-tpu file")
+        r = Reader(f)
+        source = read_program(r)
+        epoch = r.i64()
+        tables = []
+        for _ in range(2):
+            table = {}
+            for _ in range(r.i64()):
+                tid = r.i64()
+                table[tid] = r.tensor()
+            tables.append(table)
+
+    model = Model(source, backend=backend)
+    model.epoch = epoch
+    for tid, arr in tables[0].items():
+        model.params[tid] = arr
+    for tid, arr in tables[1].items():
+        model.caches[tid] = arr
+    return model

@@ -1,0 +1,7 @@
+"""Model zoo: reference network architectures built on the DSL."""
+
+from .xor import xor_mlp, xor_from_scratch
+from .mnist import fashion_mnist_cnn
+from .gan import mnist_gan
+
+__all__ = ["fashion_mnist_cnn", "mnist_gan", "xor_from_scratch", "xor_mlp"]

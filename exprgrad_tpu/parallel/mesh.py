@@ -1,0 +1,172 @@
+"""Sharded target execution: data parallelism + tensor parallelism.
+
+Strategy (the standard TPU recipe — pick a mesh, annotate shardings, let
+XLA insert collectives):
+
+* inputs: batch (leading) dimension sharded over the ``data`` axis;
+* parameters: replicated by default; matrices whose last dim divides the
+  ``model`` axis are sharded over it (tensor parallelism for dense layers);
+* optimizer caches follow their parameter's sharding;
+* result tensors: the compiler chooses (XLA propagates shardings through
+  the program); gradient psums and TP all-gathers ride the ICI.
+
+Because the whole target (forward + derived backward + optimizer update) is
+one functional XLA program, data-parallel gradient reduction falls out of
+SPMD partitioning without any hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import ir
+from ..backend.executor import JaxExecutor
+from ..errors import ModelRuntimeError
+from ..model import Model
+from ..passes import infer_shapes
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ModelRuntimeError(
+            f"mesh {data}x{model} does not match {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+class ShardedExecutor:
+    """A target jitted over a mesh with dp (+ optional tp) shardings."""
+
+    def __init__(
+        self,
+        model: Model,
+        target_name: str,
+        input_shapes: dict[str, list[int]],
+        mesh: Mesh,
+        batch_inputs: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.model = model
+        program = model.program
+        self.program = program
+        self.target_name = target_name
+        pairs = [
+            (program.inputs[name], list(shape))
+            for name, shape in input_shapes.items()
+        ]
+        self.shapes = infer_shapes(program, target_name, pairs)
+        self.executor = JaxExecutor(
+            program, target_name, self.shapes, precision=model.precision
+        )
+        self.mesh = mesh
+        model_axis = mesh.shape.get("model", 1)
+
+        if batch_inputs is None:
+            batch_inputs = list(input_shapes)
+        batch_tids = {program.inputs[name] for name in batch_inputs}
+
+        def sharding_for(tid: int) -> NamedSharding:
+            tdef = program.tensors[tid]
+            shape = self.shapes[tid]
+            if tdef.kind == ir.TensorKind.INPUT and tid in batch_tids:
+                return NamedSharding(
+                    mesh, P("data", *([None] * (len(shape) - 1)))
+                )
+            if tdef.kind in (ir.TensorKind.PARAM, ir.TensorKind.CACHE):
+                base = tid
+                if tdef.kind == ir.TensorKind.CACHE:
+                    base = tdef.cache_of  # caches follow their parameter
+                    tdef_p = program.tensors[base]
+                else:
+                    tdef_p = tdef
+                if (
+                    model_axis > 1
+                    and len(tdef_p.shape) >= 2
+                    and tdef_p.shape[-1] % model_axis == 0
+                ):
+                    spec = [None] * len(shape)
+                    spec[-1] = "model"
+                    return NamedSharding(mesh, P(*spec))
+                return NamedSharding(mesh, P())
+            return NamedSharding(mesh, P())
+
+        self.in_shardings = {
+            tid: sharding_for(tid) for tid in self.executor.input_tids
+        }
+        self._fn = jax.jit(
+            self.executor.run_fn, in_shardings=(self.in_shardings, None, None)
+        )
+
+    def run(self, args: dict[str, np.ndarray], epoch: int = 0, seed: int = 0):
+        """Execute one step; returns the executor's output tensor dict and
+        updates the model's params/caches in place."""
+        program = self.program
+        dtype = np.dtype(program.scalar_type.value)
+        tensors = {}
+        for name, value in args.items():
+            tensors[program.inputs[name]] = np.ascontiguousarray(value, dtype)
+        tensors.update(self.model.params)
+        tensors.update(self.model.caches)
+        inputs = {
+            tid: (
+                tensors[tid]
+                if hasattr(tensors[tid], "sharding")
+                else jax.device_put(tensors[tid], self.in_shardings[tid])
+            )
+            for tid in self.executor.input_tids
+        }
+        result = self._fn(inputs, epoch, seed)
+        for tid in self.model.params:
+            if tid in result:
+                self.model.params[tid] = result[tid]
+        for tid in self.model.caches:
+            if tid in result:
+                self.model.caches[tid] = result[tid]
+        return result
+
+
+def sharded_fit(
+    model: Model,
+    target_name: str,
+    args: dict[str, np.ndarray],
+    mesh: Mesh,
+    batch_size: int = 32,
+    log_status: bool = False,
+) -> None:
+    """Data-parallel Model.fit: every batch is sharded over the mesh."""
+    first = next(iter(args.values()))
+    batch_count = first.shape[0] // batch_size
+    input_shapes = {
+        name: [batch_size] + list(value.shape[1:])
+        for name, value in args.items()
+    }
+    executor = ShardedExecutor(model, target_name, input_shapes, mesh)
+    model.epoch += 1
+    for batch in range(batch_count):
+        if log_status:
+            print(f"\r{batch}/{batch_count}", end="", flush=True)
+        offset = batch * batch_size
+        batch_args = {
+            name: value[offset : offset + batch_size]
+            for name, value in args.items()
+        }
+        executor.run(batch_args, model.epoch, batch)
+    if log_status:
+        print(f"\r{batch_count}/{batch_count}")

@@ -1,0 +1,89 @@
+"""Dataset IO round-trips (IDX, PPM, CSV) + DOT export."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu.errors import ModelRuntimeError
+from exprgrad_tpu.io import load_idx, load_ppm, save_idx, save_ppm
+from exprgrad_tpu.io.csvfmt import csv_column, iter_csv, load_csv_columns
+
+
+def test_idx_roundtrip(tmp_path):
+    for dtype in (np.uint8, np.int32, np.float32, np.float64):
+        arr = (np.arange(24).reshape(2, 3, 4) % 7).astype(dtype)
+        path = str(tmp_path / f"t_{np.dtype(dtype).name}.idx")
+        save_idx(arr, path)
+        out = load_idx(path)
+        assert out.dtype == arr.dtype
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_idx_gzip(tmp_path):
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    path = str(tmp_path / "t.idx.gz")
+    save_idx(arr, path)
+    np.testing.assert_array_equal(load_idx(path), arr)
+
+
+def test_idx_invalid(tmp_path):
+    path = tmp_path / "bad.idx"
+    path.write_bytes(b"nope")
+    with pytest.raises(ModelRuntimeError):
+        load_idx(str(path))
+
+
+def test_ppm_roundtrip(tmp_path):
+    rgb = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+    path = str(tmp_path / "img.ppm")
+    save_ppm(rgb, path)
+    np.testing.assert_array_equal(load_ppm(path), rgb)
+
+    gray = (np.arange(6) * 40).astype(np.uint8).reshape(2, 3)
+    path = str(tmp_path / "img.pgm")
+    save_ppm(gray, path)
+    np.testing.assert_array_equal(load_ppm(path), gray)
+
+
+def test_ppm_ascii(tmp_path):
+    path = tmp_path / "img.ppm"
+    path.write_text("P2\n# comment\n3 2\n255\n0 50 100\n150 200 250\n")
+    out = load_ppm(str(path))
+    np.testing.assert_array_equal(out, [[0, 50, 100], [150, 200, 250]])
+
+
+def test_csv_typed_rows(tmp_path):
+    path = tmp_path / "data.csv"
+    path.write_text("Name,Age,alive\nada,36,true\ngrace,85,false\n")
+
+    @dataclasses.dataclass
+    class Person:
+        alive: bool
+        name: str = csv_column("Name", default="")
+        age: float = csv_column("Age", default=0.0)
+
+    rows = list(iter_csv(str(path), Person))
+    assert rows == [
+        Person(alive=True, name="ada", age=36.0),
+        Person(alive=False, name="grace", age=85.0),
+    ]
+
+
+def test_csv_columns(tmp_path):
+    path = tmp_path / "data.csv"
+    path.write_text("a,b\n1,2.5\n3,4.5\n")
+    cols = load_csv_columns(str(path), {"a": int, "b": float})
+    assert cols == {"a": [1, 3], "b": [2.5, 4.5]}
+
+
+def test_dot_graph():
+    from exprgrad_tpu import compile
+    from exprgrad_tpu.graphics import to_dot_graph
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(), backend="interp")
+    dot = to_dot_graph(model.program, "train")
+    assert dot.startswith('digraph "train"')
+    assert "parallelogram" in dot  # params are drawn
+    assert "->" in dot

@@ -1,0 +1,83 @@
+"""Checkpoint/resume tests.
+
+The reference only round-trips primitives/tensors/instrs
+(tests/test_serialize.nim:31-56) because its model-load path is bitrotted
+(serialize.nim:364); here the full model checkpoint round-trips: a trained
+model saved + reloaded must produce identical predictions and continue
+training (epoch preserved for adam bias correction).
+"""
+
+import numpy as np
+
+from exprgrad_tpu import Tensor, compile
+from exprgrad_tpu.io import load_model, load_program, save_model, save_program
+from exprgrad_tpu.models import xor_mlp
+from exprgrad_tpu.fun import to_program
+from exprgrad_tpu.irprint import fmt_program
+
+TRAIN_X = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+TRAIN_Y = Tensor.new([4, 1], [0, 1, 1, 0])
+
+
+def test_program_roundtrip(tmp_path):
+    program = to_program(xor_mlp())
+    path = tmp_path / "prog.bin"
+    save_program(program, str(path))
+    loaded = load_program(str(path))
+    assert fmt_program(loaded) == fmt_program(program)
+
+
+def test_model_roundtrip(tmp_path):
+    model = compile(xor_mlp(rate=0.5), backend="jax", seed=10)
+    for _ in range(50):
+        model.fit("train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4,
+                  log_status=False)
+    pred_before = model.call("predict", {"x": TRAIN_X})
+
+    path = tmp_path / "model.bin"
+    save_model(model, str(path))
+    loaded = load_model(str(path), backend="jax")
+
+    assert loaded.epoch == model.epoch
+    pred_after = loaded.call("predict", {"x": TRAIN_X})
+    np.testing.assert_allclose(pred_after, pred_before, rtol=1e-6)
+
+    # training continues from the checkpoint
+    loaded.fit("train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4,
+               log_status=False)
+    assert loaded.epoch == model.epoch + 1
+
+
+def test_adam_state_roundtrip(tmp_path):
+    from exprgrad_tpu import input, make_opt
+    from exprgrad_tpu.layers import adam, dense, mse, sigmoid
+
+    net = (
+        input("x").pipe(dense, 2, 1).pipe(sigmoid).target("predict")
+        .pipe(mse, input("y")).target("loss")
+        .backprop(make_opt(adam, eta=0.1)).target("train")
+    )
+    model = compile(net, backend="jax", seed=3)
+    for _ in range(5):
+        model.fit("train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4,
+                  log_status=False)
+    path = tmp_path / "model.bin"
+    save_model(model, str(path))
+    loaded = load_model(str(path))
+    # optimizer caches (m, v) must round-trip
+    assert set(loaded.caches) == set(model.caches)
+    for tid in model.caches:
+        np.testing.assert_allclose(
+            np.asarray(loaded.caches[tid]), np.asarray(model.caches[tid])
+        )
+    # one more step on each must agree exactly
+    model.fit("train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4,
+              log_status=False)
+    loaded.fit("train", {"x": TRAIN_X, "y": TRAIN_Y}, batch_size=4,
+               log_status=False)
+    for tid in model.params:
+        np.testing.assert_allclose(
+            np.asarray(loaded.params[tid]),
+            np.asarray(model.params[tid]),
+            rtol=1e-6,
+        )
