@@ -84,6 +84,82 @@ class Model:
     def emit_ir(self) -> str:
         return fmt_program(self.program)
 
+    def executable(
+        self, target_name: str, input_shapes: dict[str, Sequence[int]]
+    ):
+        """Ahead-of-time compiled callable for serving.
+
+        Returns a function ``fn(args: dict[str, array]) -> array`` bound to
+        fixed input shapes; inputs may live on device already.  Parameters
+        are captured at call time from the model (device-resident).
+        """
+        pairs = [
+            (self.program.inputs[name], list(shape))
+            for name, shape in input_shapes.items()
+        ]
+        shapes = infer_shapes(self.program, target_name, pairs)
+        executor = self._executor(target_name, shapes)
+        output = self.program.targets[target_name].output
+
+        def fn(args: dict[str, np.ndarray]):
+            tensors = {
+                self.program.inputs[name]: value for name, value in args.items()
+            }
+            tensors.update(self.params)
+            tensors.update(self.caches)
+            seed = int(self._rng.integers(0, 2**31 - 1))
+            result = executor.run(tensors, shapes, self.epoch, seed)
+            return result[output] if output is not None else None
+
+        return fn
+
+    def save_hlo(
+        self,
+        path: str,
+        target_name: str,
+        input_shapes: dict[str, Sequence[int]],
+        optimized: bool = True,
+    ) -> None:
+        """Dump the target's (optimized) HLO text — the introspection analog
+        of the reference's LLVM bitcode dump (saveLlvm, model.nim:266-268)."""
+        import jax
+
+        pairs = [
+            (self.program.inputs[name], list(shape))
+            for name, shape in input_shapes.items()
+        ]
+        shapes = infer_shapes(self.program, target_name, pairs)
+        executor = self._executor(target_name, shapes)
+        dtype = np.dtype(self.program.scalar_type.value)
+        inputs = {}
+        for tid in executor.input_tids:
+            tdef = self.program.tensors[tid]
+            inputs[tid] = jax.ShapeDtypeStruct(tuple(shapes[tid]), dtype)
+        lowered = jax.jit(executor.run_fn).lower(inputs, 0, 0)
+        if optimized:
+            text = lowered.compile().as_text()
+        else:
+            text = lowered.as_text()
+        with open(path, "w") as f:
+            f.write(text)
+
+    def lowering_stats(self, target_name: str) -> dict[str, int]:
+        """How each kernel of already-compiled executors was lowered
+        (einsum / conv / pallas / general)."""
+        out: dict[str, int] = {}
+        for (name, _), executor in self._executors.items():
+            if name == target_name:
+                for key, count in getattr(executor, "stats", {}).items():
+                    out[key] = out.get(key, 0) + count
+        return out
+
+    def profile(self, target_name: str, args: dict, logdir: str) -> None:
+        """Run one call under the JAX profiler; view with tensorboard."""
+        import jax
+
+        with jax.profiler.trace(logdir):
+            self.call(target_name, args)
+
     # --- execution ----------------------------------------------------
     def _executor(self, target: str, shapes: dict[int, list[int]]):
         key = (target, tuple(sorted((t, tuple(s)) for t, s in shapes.items())))

@@ -1,0 +1,57 @@
+"""Introspection/serving API tests: emit_ir, save_hlo, executable, stats."""
+
+import numpy as np
+
+from exprgrad_tpu import Fun, Tensor, compile, input, iters
+from exprgrad_tpu.models import xor_mlp
+
+
+def _matmul_model():
+    y, x, it = iters("y", "x", "it")
+    c = Fun("c")
+    c[y, x] = input("a")[y, it] * input("b")[it, x]
+    return compile(c.target("c"), backend="jax")
+
+
+def test_emit_ir():
+    model = _matmul_model()
+    text = model.emit_ir()
+    assert "target 'c'" in text
+    assert "write:" in text
+
+
+def test_save_hlo(tmp_path):
+    model = _matmul_model()
+    path = tmp_path / "c.hlo"
+    model.save_hlo(str(path), "c", {"a": [4, 8], "b": [8, 16]})
+    text = path.read_text()
+    assert "HloModule" in text or "hlo" in text.lower()
+    assert "dot" in text  # the matmul hit the MXU contraction op
+
+
+def test_executable():
+    model = _matmul_model()
+    fn = model.executable("c", {"a": [2, 3], "b": [3, 2]})
+    a = Tensor.new([2, 3], [1, 2, 3, 4, 5, 6])
+    b = Tensor.new([3, 2], [1, 2, 3, 4, 5, 6])
+    out = np.asarray(fn({"a": a, "b": b}))
+    np.testing.assert_allclose(out, a @ b)
+
+
+def test_lowering_stats():
+    model = _matmul_model()
+    a = Tensor.new([2, 3], [1, 2, 3, 4, 5, 6])
+    b = Tensor.new([3, 2], [1, 2, 3, 4, 5, 6])
+    model.call("c", {"a": a, "b": b})
+    stats = model.lowering_stats("c")
+    assert stats.get("einsum") == 1
+
+
+def test_xor_train_stats():
+    model = compile(xor_mlp(), backend="jax", seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0, 1, 1, 0])
+    model.apply("train", {"x": x, "y": y})
+    stats = model.lowering_stats("train")
+    # the dense fwd+bwd kernels all become MXU contractions
+    assert stats.get("einsum", 0) >= 6
