@@ -22,11 +22,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..ir import Kernel, Op
 
@@ -138,48 +134,19 @@ class PallasMatmul:
         return True
 
     def lower(self, tensors: dict):
+        from ..ops.matmul import pallas_matmul
+
         low = self.low
         a = tensors[self.a_read.tensor]
         b = tensors[self.b_read.tensor]
-        bm, bn, bk = self.bm, self.bn, self.bk
-        m, n, k = self.m, self.n, self.k
-        out_dtype = low.dtype
-        acc_dtype = jnp.float32
-
-        def mm_kernel(a_ref, b_ref, o_ref, acc_ref):
-            @pl.when(pl.program_id(2) == 0)
-            def _zero():
-                acc_ref[...] = jnp.zeros_like(acc_ref)
-
-            acc_ref[...] += jnp.dot(
-                a_ref[...], b_ref[...], preferred_element_type=acc_dtype
-            )
-
-            @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
-            def _flush():
-                o_ref[...] = acc_ref[...].astype(o_ref.dtype)
-
-        grid = (m // bm, n // bn, k // bk)
-        value = pl.pallas_call(
-            mm_kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, bk), lambda i, j, l: (i, l)),
-                pl.BlockSpec((bk, bn), lambda i, j, l: (l, j)),
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, l: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-            scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * m * n * k,
-                bytes_accessed=(m * k + k * n + m * n) * np.dtype(out_dtype).itemsize,
-                transcendentals=0,
-            ),
-            interpret=jax.default_backend() not in ("tpu", "axon"),
-        )(a, b)
+        value = pallas_matmul(
+            a,
+            b,
+            block_m=self.bm,
+            block_n=self.bn,
+            block_k=self.bk,
+            out_dtype=np.dtype(low.dtype),
+        )
 
         write = self.kernel.write
         assert write is not None

@@ -237,11 +237,13 @@ class Model:
         args: dict[str, np.ndarray],
         batch_size: int = 32,
         log_status: bool = True,
+        shuffle: bool = False,
     ) -> None:
         """Run a target over all batches of the inputs; increments epoch.
 
         Like the reference (model.nim:425, README.md:367), samples beyond the
-        last full batch are dropped.
+        last full batch are dropped.  ``shuffle=True`` visits samples in a
+        fresh random order each epoch (native Fisher-Yates + row gather).
         """
         if not args:
             raise ModelRuntimeError(
@@ -264,15 +266,30 @@ class Model:
             )
         shapes = infer_shapes(self.program, target_name, input_shapes)
 
+        order = None
+        if shuffle:
+            from .utils.native import gather_rows, shuffle_indices
+
+            order = shuffle_indices(
+                first.shape[0], int(self._rng.integers(0, 2**31 - 1))
+            )
+
         self.epoch += 1
         for batch in range(batch_count):
             if log_status:
                 print(f"\r{batch}/{batch_count}", end="", flush=True)
             offset = batch * batch_size
-            batch_args = {
-                name: value[offset : offset + batch_size]
-                for name, value in args.items()
-            }
+            if order is None:
+                batch_args = {
+                    name: value[offset : offset + batch_size]
+                    for name, value in args.items()
+                }
+            else:
+                idx = order[offset : offset + batch_size]
+                batch_args = {
+                    name: gather_rows(np.asarray(value), idx)
+                    for name, value in args.items()
+                }
             self._run(target_name, batch_args, shapes)
         if log_status:
             print(f"\r{batch_count}/{batch_count}")

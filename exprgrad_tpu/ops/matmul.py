@@ -1,0 +1,81 @@
+"""Tiled Pallas matmul for the MXU.
+
+The classic 3-loop blocked matmul: a (m/bm, n/bn, k/bk) grid with the
+reduction as the innermost ("arbitrary") grid dimension and a VMEM f32
+accumulator; operand blocks are pipelined HBM->VMEM by the Pallas runtime
+(double-buffered).  Block defaults favour the 128x128 MXU and the ~16MB
+VMEM budget.  This is the direct-use analog of the reference's tiled16
+OpenCL kernel (benchmarks/matmul/matmul_gpu.nim:48-66) rebuilt for TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_matmul(
+    a: jax.Array,
+    b: jax.Array,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[m, n] = a[m, k] @ b[k, n] with explicit block scheduling.
+
+    Requires block sizes to divide the problem; use the XLA dot for ragged
+    shapes.
+    """
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2, f"contraction mismatch: {a.shape} @ {b.shape}"
+    out_dtype = out_dtype or a.dtype
+    block_m, block_n, block_k = (
+        min(block_m, m), min(block_n, n), min(block_k, k)
+    )
+    if m % block_m or n % block_n or k % block_k:
+        raise ValueError(
+            f"block sizes ({block_m},{block_n},{block_k}) must divide "
+            f"problem ({m},{n},{k})"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jnp.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.float32
+        )
+
+        @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+        def _flush():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(m // block_m, n // block_n, k // block_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(m * k + k * n + m * n) * np.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b)
