@@ -75,7 +75,14 @@ class ConvMatch:
         defs = {i.res: i for i in kernel.expr.instrs}
         read_regs = {r.data for r in kernel.reads}
 
+        memo: dict = {}
+
         def walk(reg):
+            if reg not in memo:
+                memo[reg] = _walk(reg)
+            return memo[reg]
+
+        def _walk(reg):
             if reg in read_regs:
                 return [reg], 1.0
             instr = defs.get(reg)

@@ -146,7 +146,14 @@ class KernelLowering:
         # expression must be a product of reads and scalar literals
         defs = {i.res: i for i in kernel.expr.instrs}
 
+        memo: dict = {}
+
         def walk(reg):
+            if reg not in memo:
+                memo[reg] = _walk(reg)
+            return memo[reg]
+
+        def _walk(reg):
             if reg in reads_by_reg:
                 return [reg], 1.0
             instr = defs.get(reg)
