@@ -17,6 +17,7 @@ this platform).  Details for all benchmarks go to BENCH_DETAILS.json.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -133,14 +134,21 @@ def bench_mnist_epoch(n_samples=8192, batch=256):
     return epoch_time, n_samples / epoch_time
 
 
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main() -> None:
     details = {}
+    _log("bench: matmul 8192^3 f32 ...")
 
     mm_gflops, mm_t = bench_matmul()
+    _log(f"bench: matmul {mm_gflops:.0f} GFLOP/s")
     details["matmul8192_f32_default"] = {
         "gflops": round(mm_gflops, 1), "seconds_per_matmul": mm_t
     }
 
+    _log("bench: conv2 ...")
     try:
         conv_gflops, conv_t = bench_conv2()
         details["conv2_b64_128x128x32_k3x64"] = {
@@ -149,6 +157,7 @@ def main() -> None:
     except Exception as err:  # keep the headline robust
         details["conv2_error"] = str(err)
 
+    _log("bench: mnist epoch ...")
     try:
         epoch_time, samples_per_s = bench_mnist_epoch()
         details["fashion_mnist_epoch_8192"] = {

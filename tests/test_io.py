@@ -87,3 +87,20 @@ def test_dot_graph():
     assert dot.startswith('digraph "train"')
     assert "parallelogram" in dot  # params are drawn
     assert "->" in dot
+
+
+def test_json_tensor_roundtrip(tmp_path):
+    from exprgrad_tpu.io.jsonformat import load_json, save_json
+
+    value = {
+        "name": "ckpt",
+        "weights": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "count": np.int64(7),
+    }
+    path = str(tmp_path / "v.json")
+    save_json(value, path)
+    out = load_json(path)
+    assert out["name"] == "ckpt"
+    assert out["count"] == 7
+    np.testing.assert_array_equal(out["weights"], value["weights"])
+    assert out["weights"].dtype == np.float32
