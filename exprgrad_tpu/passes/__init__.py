@@ -27,6 +27,7 @@ from .shapes import (
     infer_static_shapes,
     sort_shape_constraints,
 )
+from .simplify import propagate_constants
 from .typecheck import infer_types
 from .validate import validate
 
@@ -59,4 +60,6 @@ def compile_program(program: Program) -> None:
     infer_static_shapes(program)
     infer_types(program)
     reorder_loops(program)
+    propagate_constants(program)
+    dead_code_elim(program)
     validate(program)
