@@ -96,14 +96,18 @@ class KernelBuilder:
         self.custom_grads: list[KernelBuilder] = []
         self.schedule: Optional[ScheduleSpec] = None
 
-    def build(self, grads: Optional[dict[int, int]] = None) -> ir.Kernel:
-        ctx = _BuildCtx(self.schedule, grads)
+    def build(
+        self,
+        tensor_of: dict[int, int],
+        grads: Optional[dict[int, int]] = None,
+    ) -> ir.Kernel:
+        ctx = _BuildCtx(self.schedule, grads, tensor_of)
         kernel = ctx.build_kernel(self)
         if self.custom_grads:
             cg = ir.CustomGrad()
             shared_grads: dict[int, int] = {}
             for sub in self.custom_grads:
-                sub_ctx = _BuildCtx(sub.schedule, shared_grads)
+                sub_ctx = _BuildCtx(sub.schedule, shared_grads, tensor_of)
                 cg.kernels.append(sub_ctx.build_kernel(sub))
             cg.grad_placeholders = shared_grads
             kernel.custom_grad = cg
@@ -117,8 +121,12 @@ class _BuildCtx:
     """Builds one ir.Kernel from a KernelBuilder (reference BuildContext)."""
 
     def __init__(
-        self, schedule: Optional[ScheduleSpec], grads: Optional[dict[int, int]]
+        self,
+        schedule: Optional[ScheduleSpec],
+        grads: Optional[dict[int, int]],
+        tensor_of: Optional[dict[int, int]] = None,
     ) -> None:
+        self.tensor_of = tensor_of if tensor_of is not None else {}
         self.kernel = ir.Kernel()
         self.iters: dict[str, int] = {}
         self.grads: dict[int, int] = grads if grads is not None else {}
@@ -139,12 +147,13 @@ class _BuildCtx:
             if real not in self.grads:
                 self.grads[real] = -(len(self.grads) + 1)
             return self.grads[real]
-        if fun.tensor is None:
+        tid = self.tensor_of.get(id(fun))
+        if tid is None:
             raise ParserError(
                 f"tensor for {fun.kind.value} node {fun.name!r} is not allocated; "
                 "is it reachable from the compiled graph?"
             )
-        return fun.tensor
+        return tid
 
     def build_linear(self, node: ExprNode) -> LinearIndex:
         setup: list[ir.Instr] = []
@@ -267,7 +276,6 @@ class Fun:
     def __init__(self, name: str = "", kind: FunKind = FunKind.RESULT) -> None:
         self.kind = kind
         self.name = name
-        self.tensor: Optional[int] = None
         self.children: list[Fun] = []
         self.locked = False
         # per-kind payloads
@@ -282,8 +290,6 @@ class Fun:
         self.reshape_dims: list[int] = []
         self.cond_branches: dict[str, Fun] = {}
         self.cond_else: Optional[Fun] = None
-        # set of target names this node has been flattened into
-        self._visited: set[str] = set()
 
     # --- reading ------------------------------------------------------
     def __getitem__(self, indices) -> Scalar:
@@ -570,62 +576,172 @@ def layer(fn: Callable) -> Callable:
 # graph -> Program lowering (reference parser.nim:261-417)
 # ---------------------------------------------------------------------------
 
-def _alloc_tensors(fun: Fun, program: ir.Program) -> None:
-    if fun.tensor is not None:
-        return
-    kind = fun.kind
-    if kind == FunKind.INPUT:
-        if fun.name not in program.inputs:
-            program.inputs[fun.name] = program.alloc_tensor(
-                ir.TensorDef(ir.TensorKind.INPUT, shape=list(fun.input_shape), name=fun.name)
-            )
-        fun.tensor = program.inputs[fun.name]
-        if program.tensors[fun.tensor].shape != list(fun.input_shape):
-            raise ParserError(
-                f"declared shapes for input {fun.name!r} do not match"
-            )
-    elif kind == FunKind.PARAM:
-        fun.tensor = program.alloc_tensor(
-            ir.TensorDef(
-                ir.TensorKind.PARAM,
-                shape=list(fun.param_shape),
-                name=fun.name,
-                init_range=fun.init_range,
-            )
-        )
-    elif kind == FunKind.RANDOM:
-        fun.tensor = program.alloc_tensor(
-            ir.TensorDef(
-                ir.TensorKind.RANDOM, name=fun.name, random_range=fun.random_range
-            )
-        )
-    elif kind in (FunKind.RESULT, FunKind.GRADIENT, FunKind.RESHAPE):
-        fun.tensor = program.alloc_tensor(
-            ir.TensorDef(ir.TensorKind.RESULT, name=fun.name)
-        )
-    elif kind == FunKind.EFFECT:
-        assert fun.effect is not None
-        _alloc_tensors(fun.effect, program)
-        fun.tensor = fun.effect.tensor
-    elif kind == FunKind.CACHE:
-        assert fun.cache_of is not None
-        _alloc_tensors(fun.cache_of, program)
-        fun.tensor = program.alloc_tensor(
-            ir.TensorDef(
-                ir.TensorKind.CACHE, name=fun.name, cache_of=fun.cache_of.tensor
-            )
-        )
-    elif kind == FunKind.COND:
-        for branch in fun.cond_branches.values():
-            _alloc_tensors(branch, program)
-        if fun.cond_else is not None:
-            _alloc_tensors(fun.cond_else, program)
+class _GraphLowering:
+    """Per-build lowering state: Fun nodes are never mutated, so the same
+    graph can be compiled any number of times (unlike the reference, whose
+    ``fun.tensor`` assignment makes toProgram single-shot)."""
 
-    for child in fun.children:
-        _alloc_tensors(child, program)
+    def __init__(self) -> None:
+        self.program = ir.Program()
+        self.tensor_of: dict[int, int] = {}
+        self._alloc_seen: set[int] = set()
+        self._flat_seen: dict[int, set[str]] = {}
 
-    if kind == FunKind.TARGET:
-        fun.tensor = fun.children[0].tensor
+    # --- tensor allocation -------------------------------------------
+    def alloc(self, fun: Fun) -> None:
+        if id(fun) in self._alloc_seen:
+            return
+        self._alloc_seen.add(id(fun))
+        program = self.program
+        kind = fun.kind
+        if kind == FunKind.INPUT:
+            if fun.name not in program.inputs:
+                program.inputs[fun.name] = program.alloc_tensor(
+                    ir.TensorDef(
+                        ir.TensorKind.INPUT,
+                        shape=list(fun.input_shape),
+                        name=fun.name,
+                    )
+                )
+            tid = program.inputs[fun.name]
+            self.tensor_of[id(fun)] = tid
+            if program.tensors[tid].shape != list(fun.input_shape):
+                raise ParserError(
+                    f"declared shapes for input {fun.name!r} do not match"
+                )
+        elif kind == FunKind.PARAM:
+            self.tensor_of[id(fun)] = program.alloc_tensor(
+                ir.TensorDef(
+                    ir.TensorKind.PARAM,
+                    shape=list(fun.param_shape),
+                    name=fun.name,
+                    init_range=fun.init_range,
+                )
+            )
+        elif kind == FunKind.RANDOM:
+            self.tensor_of[id(fun)] = program.alloc_tensor(
+                ir.TensorDef(
+                    ir.TensorKind.RANDOM,
+                    name=fun.name,
+                    random_range=fun.random_range,
+                )
+            )
+        elif kind in (FunKind.RESULT, FunKind.GRADIENT, FunKind.RESHAPE):
+            self.tensor_of[id(fun)] = program.alloc_tensor(
+                ir.TensorDef(ir.TensorKind.RESULT, name=fun.name)
+            )
+        elif kind == FunKind.EFFECT:
+            assert fun.effect is not None
+            self.alloc(fun.effect)
+            self.tensor_of[id(fun)] = self.tensor_of[id(fun.effect)]
+        elif kind == FunKind.CACHE:
+            assert fun.cache_of is not None
+            self.alloc(fun.cache_of)
+            self.tensor_of[id(fun)] = program.alloc_tensor(
+                ir.TensorDef(
+                    ir.TensorKind.CACHE,
+                    name=fun.name,
+                    cache_of=self.tensor_of[id(fun.cache_of)],
+                )
+            )
+        elif kind == FunKind.COND:
+            for branch in fun.cond_branches.values():
+                self.alloc(branch)
+            if fun.cond_else is not None:
+                self.alloc(fun.cond_else)
+
+        for child in fun.children:
+            self.alloc(child)
+
+        if kind == FunKind.TARGET:
+            child_tid = self.tensor_of.get(id(fun.children[0]))
+            if child_tid is not None:
+                self.tensor_of[id(fun)] = child_tid
+
+    # --- flattening ---------------------------------------------------
+    def flatten(self, fun: Fun, target: ir.Target) -> None:
+        seen = self._flat_seen.setdefault(id(fun), set())
+        if target.name in seen:
+            return
+        for child in fun.children:
+            self.flatten(child, target)
+        if fun.kind == FunKind.EFFECT and fun.effect is not None:
+            self.flatten(fun.effect, target)
+
+        seen.add(target.name)
+        tensor_of = self.tensor_of
+        kind = fun.kind
+        if kind in (FunKind.RESULT, FunKind.EFFECT):
+            for builder in fun.kernels:
+                target.kernels.append(builder.build(tensor_of))
+            constr = fun.shape_constr
+            if constr is not None:
+                tid = tensor_of[id(fun)]
+                if constr.kind == "copy":
+                    assert constr.copy is not None
+                    target.shapes.append(
+                        ir.ShapeConstraint(
+                            ir.ShapeConstrKind.COPY,
+                            dest=tid,
+                            priority=ir.ShapeConstrPriority.USER,
+                            src=tensor_of[id(constr.copy)],
+                        )
+                    )
+                else:
+                    sc = ir.ShapeConstraint(
+                        ir.ShapeConstrKind.DIMS,
+                        dest=tid,
+                        priority=ir.ShapeConstrPriority.USER,
+                    )
+                    for dim in constr.dims:
+                        ctx = _BuildCtx(None, None, tensor_of)
+                        sc.dims.append(ctx.build_linear(dim))
+                    target.shapes.append(sc)
+        elif kind == FunKind.BACKWARDS:
+            target.kernels.append(
+                ir.Kernel(
+                    generator=ir.Generator(
+                        ir.GenKind.BACKWARDS, tensor_of[id(fun.children[0])]
+                    )
+                )
+            )
+        elif kind == FunKind.GRADIENT:
+            target.kernels.append(
+                ir.Kernel(
+                    generator=ir.Generator(
+                        ir.GenKind.GRADIENT, tensor_of[id(fun.children[1])]
+                    ),
+                    write=ir.TensorOp(tensor=tensor_of[id(fun)]),
+                )
+            )
+        elif kind == FunKind.RESHAPE:
+            target.kernels.append(
+                ir.Kernel(
+                    generator=ir.Generator(
+                        ir.GenKind.RESHAPE,
+                        tensor_of[id(fun.children[0])],
+                        reshape=list(fun.reshape_dims),
+                    ),
+                    write=ir.TensorOp(tensor=tensor_of[id(fun)]),
+                )
+            )
+        elif kind == FunKind.COND:
+            child = fun.cond_branches.get(target.name, fun.cond_else)
+            if child is None:
+                raise ParserError(
+                    f"conditional node has no branch for target {target.name!r}"
+                )
+            self.flatten(child, target)
+            tensor_of[id(fun)] = tensor_of[id(child)]
+        elif kind == FunKind.RANDOM:
+            target.shapes.append(
+                ir.ShapeConstraint(
+                    ir.ShapeConstrKind.COPY,
+                    dest=tensor_of[id(fun)],
+                    priority=ir.ShapeConstrPriority.USER,
+                    src=tensor_of[id(fun.children[0])],
+                )
+            )
 
 
 def _collect_targets(fun: Fun, targets: dict[str, Fun], seen: set[int]) -> None:
@@ -650,101 +766,24 @@ def _collect_targets(fun: Fun, targets: dict[str, Fun], seen: set[int]) -> None:
         _collect_targets(fun.effect, targets, seen)
 
 
-def _flatten(fun: Fun, target: ir.Target) -> None:
-    if target.name in fun._visited:
-        return
-    for child in fun.children:
-        _flatten(child, target)
-    if fun.kind == FunKind.EFFECT and fun.effect is not None:
-        _flatten(fun.effect, target)
-
-    fun._visited.add(target.name)
-    kind = fun.kind
-    if kind in (FunKind.RESULT, FunKind.EFFECT):
-        for builder in fun.kernels:
-            target.kernels.append(builder.build())
-        constr = fun.shape_constr
-        if constr is not None:
-            assert fun.tensor is not None
-            if constr.kind == "copy":
-                assert constr.copy is not None and constr.copy.tensor is not None
-                target.shapes.append(
-                    ir.ShapeConstraint(
-                        ir.ShapeConstrKind.COPY,
-                        dest=fun.tensor,
-                        priority=ir.ShapeConstrPriority.USER,
-                        src=constr.copy.tensor,
-                    )
-                )
-            else:
-                sc = ir.ShapeConstraint(
-                    ir.ShapeConstrKind.DIMS,
-                    dest=fun.tensor,
-                    priority=ir.ShapeConstrPriority.USER,
-                )
-                for dim in constr.dims:
-                    ctx = _BuildCtx(None, None)
-                    sc.dims.append(ctx.build_linear(dim))
-                target.shapes.append(sc)
-    elif kind == FunKind.BACKWARDS:
-        assert fun.children[0].tensor is not None
-        target.kernels.append(
-            ir.Kernel(
-                generator=ir.Generator(ir.GenKind.BACKWARDS, fun.children[0].tensor)
-            )
-        )
-    elif kind == FunKind.GRADIENT:
-        assert fun.children[1].tensor is not None and fun.tensor is not None
-        target.kernels.append(
-            ir.Kernel(
-                generator=ir.Generator(ir.GenKind.GRADIENT, fun.children[1].tensor),
-                write=ir.TensorOp(tensor=fun.tensor),
-            )
-        )
-    elif kind == FunKind.RESHAPE:
-        assert fun.children[0].tensor is not None and fun.tensor is not None
-        target.kernels.append(
-            ir.Kernel(
-                generator=ir.Generator(
-                    ir.GenKind.RESHAPE,
-                    fun.children[0].tensor,
-                    reshape=list(fun.reshape_dims),
-                ),
-                write=ir.TensorOp(tensor=fun.tensor),
-            )
-        )
-    elif kind == FunKind.COND:
-        child = fun.cond_branches.get(target.name, fun.cond_else)
-        if child is None:
-            raise ParserError(
-                f"conditional node has no branch for target {target.name!r}"
-            )
-        _flatten(child, target)
-        fun.tensor = child.tensor
-    elif kind == FunKind.RANDOM:
-        assert fun.tensor is not None and fun.children[0].tensor is not None
-        target.shapes.append(
-            ir.ShapeConstraint(
-                ir.ShapeConstrKind.COPY,
-                dest=fun.tensor,
-                priority=ir.ShapeConstrPriority.USER,
-                src=fun.children[0].tensor,
-            )
-        )
-
-
 def to_program(graphs: Sequence[Fun] | Fun) -> ir.Program:
-    """Lower computation graphs to an IR program (reference parser.nim:404-417)."""
+    """Lower computation graphs to an IR program (reference parser.nim:404-417).
+
+    Re-entrant: graphs may be compiled multiple times; all lowering state
+    lives in the per-call _GraphLowering, not on the Fun nodes.
+    """
     if isinstance(graphs, Fun):
         graphs = [graphs]
-    program = ir.Program()
+    lowering = _GraphLowering()
     targets: dict[str, Fun] = {}
     seen: set[int] = set()
     for fun in graphs:
-        _alloc_tensors(fun, program)
+        lowering.alloc(fun)
         _collect_targets(fun, targets, seen)
     for name, fun in targets.items():
-        target = ir.Target(name=name, output=fun.tensor)
-        _flatten(fun, target)
-        program.targets[name] = target
-    return program
+        target = ir.Target(
+            name=name, output=lowering.tensor_of.get(id(fun))
+        )
+        lowering.flatten(fun, target)
+        lowering.program.targets[name] = target
+    return lowering.program
