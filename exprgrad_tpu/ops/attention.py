@@ -1,0 +1,199 @@
+"""Flash attention for TPU (Pallas forward kernel + custom VJP).
+
+Beyond-reference op (the reference tops out at conv/dense, SURVEY.md §5.7):
+a fused attention kernel in the style of jax's official Pallas TPU kernels.
+The (seq, seq) score matrix is never materialized: the KV sequence is the
+innermost ("arbitrary") grid dimension and the kernel maintains the online
+softmax running statistics (m: row max, l: row sum, acc: output) in VMEM
+scratch across KV tiles, rescaling previous contributions as new tiles
+arrive.  Q/batch/head grid dimensions are "parallel" (megacore-friendly).
+
+The backward pass is registered via ``jax.custom_vjp`` and recomputes
+attention weights blockwise with plain XLA ops — correct and
+memory-reasonable; a Pallas backward kernel is a natural follow-up.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    num_kv_blocks: int,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(1)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    # causal: KV tiles entirely above the diagonal contribute nothing
+    should_run = True
+    if causal:
+        should_run = q_idx * block_q + block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]  # [block_q, d]
+        k = k_ref[0]  # [block_k, d]
+        v = v_ref[0]  # [block_k, d]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = (q_idx * block_q + rows) >= (kv_idx * block_k + cols)
+            s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_scratch[...]          # [block_q, 128]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)          # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)                # broadcast
+        alpha = jnp.exp(m_prev - m_next)                    # [block_q, 128]
+        p = jnp.exp(s - m_next[:, :1])                      # [block_q, block_k]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1]
+        acc_scratch[...] += jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """softmax(q @ k^T * sm_scale) @ v, fused.
+
+    Shapes: q [b, h, sq, d], k/v [b, h, skv, d] -> [b, h, sq, d].
+    Sequence lengths must divide the block sizes (pad upstream otherwise).
+    """
+    return _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
+
+
+def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(d))
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    if sq % block_q or skv % block_k:
+        raise ValueError(
+            f"sequence lengths ({sq},{skv}) must be divisible by block "
+            f"sizes ({block_q},{block_k})"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    num_kv = skv // block_k
+    grid = (b * h, sq // block_q, num_kv)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sm_scale=float(sm_scale),
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=num_kv,
+    )
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, skv, d)
+    vf = v.reshape(b * h, skv, d)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * d,
+            bytes_accessed=(2 * b * h * sq * d + 2 * b * h * skv * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d)
+
+
+def _reference_weights(q, k, sm_scale, causal):
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * sm_scale
+    if causal:
+        sq, skv = s.shape[-2], s.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        s = jnp.where(rows >= cols, s, _NEG_INF)
+    return jax.nn.softmax(s, axis=-1)
+
+
+def _fwd_rule(q, k, v, sm_scale, causal, block_q, block_k, interpret):
+    out = _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _bwd_rule(sm_scale, causal, block_q, block_k, interpret, residuals, g):
+    q, k, v = residuals
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    p = _reference_weights(q, k, sm_scale, causal)           # [b,h,sq,skv] f32
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row) * sm_scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -1,0 +1,71 @@
+"""Flash attention tests (interpret mode on CPU) vs a naive reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exprgrad_tpu.ops.attention import flash_attention
+
+
+def naive_attention(q, k, v, sm_scale, causal):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    if causal:
+        sq, skv = s.shape[-2], s.shape[-1]
+        mask = np.tril(np.ones((sq, skv), bool))
+        s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _rand_qkv(b=2, h=3, sq=256, skv=256, d=64, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s: jnp.asarray(rng.normal(size=s).astype(np.float32), dtype)
+    return mk((b, h, sq, d)), mk((b, h, skv, d)), mk((b, h, skv, d))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_naive(causal):
+    q, k, v = _rand_qkv()
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    ref = naive_attention(q, k, v, scale, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_flash_rectangular_and_small_blocks():
+    q, k, v = _rand_qkv(sq=128, skv=384, d=32, seed=1)
+    out = flash_attention(q, k, v, block_q=64, block_k=128)
+    ref = naive_attention(q, k, v, 1.0 / np.sqrt(32), False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_flash_gradients():
+    q, k, v = _rand_qkv(b=1, h=2, sq=128, skv=128, d=32, seed=2)
+    scale = 1.0 / np.sqrt(32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive_attention(q, k, v, scale, False) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_naive):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_flash_bf16():
+    q, k, v = _rand_qkv(dtype=jnp.bfloat16, seed=3)
+    out = flash_attention(q, k, v)
+    ref = naive_attention(q, k, v, 1.0 / np.sqrt(64), False)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
