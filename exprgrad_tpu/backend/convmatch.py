@@ -177,15 +177,15 @@ class ConvMatch:
                         and counts[o_ax] == 2
                         and alone.get(k_ax) == {"B"}
                         and counts[k_ax] == 2
-                        and k_c == 1
                     ):
-                        cand = (o_ax, o_c, k_ax)
+                        cand = (o_ax, o_c, k_ax, k_c)
                         break
                 if cand is None:
                     return False
-                o_ax, stride, k_ax = cand
+                o_ax, stride, k_ax, dilation = cand
                 self.spatial.append(
-                    {"out": o_ax, "ker": k_ax, "stride": stride}
+                    {"out": o_ax, "ker": k_ax, "stride": stride,
+                     "dilation": dilation}
                 )
                 used_axes.update((o_ax, k_ax))
         else:
@@ -208,7 +208,9 @@ class ConvMatch:
                 if cand is None:
                     return False
                 p_ax, q_ax = cand
-                self.spatial.append({"out": p_ax, "ker": q_ax, "stride": 1})
+                self.spatial.append(
+                    {"out": p_ax, "ker": q_ax, "stride": 1, "dilation": 1}
+                )
                 used_axes.update((p_ax, q_ax))
 
         # classify remaining single axes
@@ -294,12 +296,14 @@ class ConvMatch:
             b_spatial_pos = [b_pos[s["ker"]] for s in spatial]
             pad = [(0, 0)] * len(spatial)
             strides = [s["stride"] for s in spatial]
+            dilations = [s["dilation"] for s in spatial]
             flip = False
         else:
             a_spatial_pos = [a_pos[s["out"]] for s in spatial]
             b_spatial_pos = [b_pos[s["ker"]] for s in spatial]
             pad = [(sizes[s["ker"]] - 1,) * 2 for s in spatial]
             strides = [1] * len(spatial)
+            dilations = [1] * len(spatial)
             flip = True
 
         # lhs: (N..., S..., C...) -> merge N and C
@@ -338,6 +342,7 @@ class ConvMatch:
             rhs,
             window_strides=tuple(strides),
             padding=pad,
+            rhs_dilation=tuple(dilations),
             dimension_numbers=dn,
             preferred_element_type=low.dtype,
             precision=low.precision,

@@ -143,3 +143,22 @@ def test_wrap_index():
 
     mj, out = _oracle_check(graph, {"a": a}, "roll")
     np.testing.assert_allclose(out, np.roll(a, -2))
+
+
+def test_dilated_conv_hits_conv_path():
+    """images[n, y+2*dy, c] * flt[f,dy,c] -> dilated convolution."""
+    rng = np.random.default_rng(5)
+    images = rng.normal(size=(2, 11, 3)).astype(np.float32)
+    filters = rng.normal(size=(4, 3, 3)).astype(np.float32)
+
+    def graph():
+        n, y, f, dy, c = iters("n", "y", "f", "dy", "c")
+        out = Fun()
+        out[n, y, f] = (
+            input("images")[n, y + 2 * dy, c] * input("filters")[f, dy, c]
+        )
+        return out.target("out")
+
+    mj, out = _oracle_check(graph, {"images": images, "filters": filters}, "out")
+    assert out.shape == (2, 7, 4)
+    assert _stats(mj, "out").get("conv") == 1

@@ -139,3 +139,14 @@ def test_dead_kernel_elim():
     compile_program(program)
     # target y must only contain the kernel writing y's output
     assert len(program.targets["y"].kernels) == 1
+
+
+def test_golden_cnn_train():
+    """Pin the full fashion-MNIST train target: conv/pool/reshape forward,
+    every derived gradient kernel (conv grads, maxpool custom grad, softmax
+    grads) and the adam update kernels."""
+    from exprgrad_tpu.models import fashion_mnist_cnn
+
+    program = to_program(fashion_mnist_cnn())
+    compile_program(program)
+    check_golden("cnn_train", fmt_program(program))
