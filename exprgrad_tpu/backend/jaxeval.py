@@ -493,6 +493,84 @@ class KernelLowering:
             stride *= shape[dim]
         return flat
 
+    def _try_grouped_direct(self, write: ir.TensorOp, out_shape, vals):
+        """Scatter-free lowering of window-sum writes.
+
+        When a write dim's index is a monotone grouping of one loop axis —
+        canonical form ``i // k`` from pooling/upsample *gradients* — the
+        accumulation over each group is a reshape+sum over the window axis,
+        not a scatter-add.  Returns the value to add into the output, or
+        None when the pattern does not apply.
+        """
+        if write.is_raw:
+            return None
+        n = self.nloops
+        plan: list[tuple[int, int]] = []  # (loop axis, group size k)
+        seen_axes: set[int] = set()
+        for d, index in enumerate(write.dims):
+            axis = self._pure_iter(index)
+            if axis is not None:
+                if not self._full_axis(axis, out_shape[d]):
+                    return None
+                plan.append((axis, 1))
+                seen_axes.add(axis)
+                continue
+            deps = self._linear_deps(index)
+            if len(deps) != 1:
+                return None
+            axis = next(iter(deps))
+            length = self.sizes[axis]
+            j = out_shape[d]
+            if j <= 0 or length % j != 0:
+                return None
+            k = length // j
+            if k == 1:
+                return None  # shifted/permuted variants stay on scatter
+            vec = self._dim_index_1d(index, axis)
+            try:
+                vec_np = np.asarray(vec)
+            except Exception:
+                return None  # traced (e.g. epoch-dependent)
+            if vec_np.shape != (length,) or not np.array_equal(
+                vec_np, np.repeat(np.arange(j), k)
+            ):
+                return None
+            plan.append((axis, k))
+            seen_axes.add(axis)
+        if len(seen_axes) != len(plan):
+            return None  # repeated axes
+
+        # reduce/scale loop axes the write does not touch
+        for ax in range(n):
+            if ax not in seen_axes and self.sizes[ax] > 1:
+                if vals.shape[ax] > 1:
+                    vals = vals.sum(axis=ax, keepdims=True)
+                else:
+                    vals = vals * self.dtype(self.sizes[ax])
+
+        # group-sum the windowed axes
+        for axis, k in plan:
+            if k == 1:
+                continue
+            if vals.shape[axis] == 1:
+                vals = vals * self.dtype(k)
+            else:
+                j = self.sizes[axis] // k
+                shape = list(vals.shape)
+                shape[axis : axis + 1] = [j, k]
+                vals = vals.reshape(shape).sum(axis=axis + 1)
+
+        vals = jnp.squeeze(
+            vals, axis=tuple(ax for ax in range(n) if ax not in seen_axes)
+        )
+        axes = [axis for axis, _ in plan]
+        order = sorted(range(len(axes)), key=lambda d: axes[d])
+        inv = [0] * len(axes)
+        for pos, d in enumerate(order):
+            inv[d] = pos
+        vals = jnp.transpose(vals, inv)
+        return jnp.broadcast_to(vals, tuple(out_shape)).astype(self.dtype)
+
     def _general(self, tensors, epoch):
         kernel = self.kernel
         for axis, loop in enumerate(kernel.loops):
@@ -512,6 +590,10 @@ class KernelLowering:
 
         out = tensors[write.tensor]
         out_shape = self.shapes[write.tensor]
+
+        grouped = self._try_grouped_direct(write, out_shape, vals)
+        if grouped is not None:
+            return out + grouped
 
         # detect direct (non-scatter) writes
         if not write.is_raw:
