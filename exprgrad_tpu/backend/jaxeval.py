@@ -380,6 +380,10 @@ class KernelLowering:
                     jnp.arange(self.starts[axis], self.starts[axis] + self.sizes[axis])
                 )
             value = self._eval_linear_vec(index, None)
+        except KeyError:
+            # index depends on non-loop state (e.g. a data-dependent read
+            # register) -> caller must use the general gather path
+            return None
         finally:
             self.env = saved_env
         return value
@@ -460,6 +464,8 @@ class KernelLowering:
                     )
                     continue
             idx = self._dim_index_1d(index, axis)
+            if idx is None:
+                return None
             if isinstance(idx, (int, np.integer)):
                 idx = jnp.full((self.sizes[axis],), idx)
             value = jnp.take(value, idx, axis=d)
@@ -527,6 +533,8 @@ class KernelLowering:
             if k == 1:
                 return None  # shifted/permuted variants stay on scatter
             vec = self._dim_index_1d(index, axis)
+            if vec is None:
+                return None
             try:
                 vec_np = np.asarray(vec)
             except Exception:

@@ -1,0 +1,132 @@
+"""A tiny causal transformer written entirely in the kernel DSL.
+
+Beyond the reference's model families (MLP/CNN/GAN/raytracer): demonstrates
+that the language + symbolic autodiff cover modern architectures —
+embedding lookups are data-dependent tensor reads (with scatter-add
+gradients into the table), causal masking is an index comparison inside
+``select``, attention score/value contractions lower to MXU einsums, and
+the whole forward + derived backward + adam update still compiles into one
+XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..expr import exp, iters, select, sq, to_index, to_scalar
+from ..fun import Fun, input, make_opt, param
+from ..layers import adam
+
+
+def _softmax_last(logits: Fun, rank3: bool = True) -> Fun:
+    """Numerically plain softmax over the last of 3 dims."""
+    n, t, v = iters("n", "t", "v")
+    sums = Fun("softmax.sums")
+    sums[n, t] = exp(logits[n, t, v])
+    n, t, v = iters("n", "t", "v")
+    out = Fun("softmax")
+    out[n, t, v] = exp(logits[n, t, v]) / sums[n, t]
+    return out
+
+
+def tiny_transformer(
+    vocab: int = 8,
+    dim: int = 16,
+    hidden: int = 32,
+    eta: float = 0.005,
+    init: float = 0.2,
+) -> Fun:
+    """Single-block causal LM.  Inputs: "tokens" [batch, seq] (float ids),
+    "labels" [batch, seq, vocab] one-hot next tokens.  Targets: "predict"
+    (next-token distributions) and "train"."""
+    rng = (-init, init)
+    tokens = input("tokens")
+
+    # embeddings: token table + learned positions
+    n, t, d = iters("n", "t", "d")
+    x = Fun("x")
+    emb = param([vocab, dim], init_range=rng, name="embed")
+    x[n, t, d] = emb[to_index(tokens[n, t]), d]
+    # positions: the table covers max_seq=64 rows but only seq are used, so
+    # the iterator needs explicit bounds (like the reference's bounded
+    # ``(x in a..<b)`` iterators) and x's shape must be declared
+    from ..expr import irange
+
+    n, d = iters("n", "d")
+    t = irange("t", 0, tokens.shape[1])
+    pos = param([64, dim], init_range=rng, name="pos")  # max seq 64
+    x[n, t, d] = pos[t, d]
+    x.with_shape([tokens.shape[0], tokens.shape[1], dim])
+
+    # single-head self attention
+    def proj(name: str) -> Fun:
+        w = param([dim, dim], init_range=rng, name=name)
+        n, t, d, k = iters("n", "t", "d", "k")
+        out = Fun(name + ".out")
+        out[n, t, d] = x[n, t, k] * w[k, d]
+        return out
+
+    q, k_, v_ = proj("wq"), proj("wk"), proj("wv")
+
+    n, a, b, d = iters("n", "a", "b", "d")
+    scores = Fun("scores")
+    scores[n, a, b] = q[n, a, d] * k_[n, b, d] * (1.0 / math.sqrt(dim))
+
+    # causal masked softmax over b
+    n, a, b = iters("n", "a", "b")
+    masked = Fun("masked")
+    masked[n, a, b] = select(b <= a, exp(scores[n, a, b]), 0.0)
+    n, a, b = iters("n", "a", "b")
+    denom = Fun("denom")
+    denom[n, a] = masked[n, a, b]
+    n, a, b = iters("n", "a", "b")
+    probs = Fun("attn")
+    probs[n, a, b] = masked[n, a, b] / denom[n, a]
+
+    n, a, b, d = iters("n", "a", "b", "d")
+    attended = Fun("attended")
+    attended[n, a, d] = probs[n, a, b] * v_[n, b, d]
+
+    # residual + 2-layer MLP with relu
+    n, t, d = iters("n", "t", "d")
+    h = Fun("h")
+    h[n, t, d] = attended[n, t, d] + x[n, t, d]
+
+    w1 = param([dim, hidden], init_range=rng, name="w1")
+    n, t, j, d = iters("n", "t", "j", "d")
+    ff1 = Fun("ff1")
+    ff1[n, t, j] = h[n, t, d] * w1[d, j]
+    it = iters("it")
+    ff1r = Fun("ff1r")
+    ff1r.raw[it] = select(ff1.raw[it] >= 0.0, ff1.raw[it], 0.0)
+
+    w2 = param([hidden, dim], init_range=rng, name="w2")
+    n, t, j, d = iters("n", "t", "j", "d")
+    ff2 = Fun("ff2")
+    ff2[n, t, d] = ff1r[n, t, j] * w2[j, d]
+    n, t, d = iters("n", "t", "d")
+    res2 = Fun("res2")
+    res2[n, t, d] = ff2[n, t, d] + h[n, t, d]
+
+    # output head + softmax
+    wout = param([dim, vocab], init_range=rng, name="wout")
+    n, t, d, c = iters("n", "t", "d", "c")
+    logits = Fun("logits")
+    logits[n, t, c] = res2[n, t, d] * wout[d, c]
+    predict = _softmax_last(logits).target("predict")
+
+    # cross entropy against one-hot labels
+    labels = input("labels")
+    from ..expr import ln
+
+    it = iters("it")
+    loss = Fun("loss")
+    loss[0] = -(labels.raw[it] * ln(predict.raw[it] + 1e-9)) / to_scalar(
+        labels.shape[0] * labels.shape[1]
+    )
+    return (
+        loss.target("loss")
+        .backwards()
+        .optimize(make_opt(adam, eta=eta))
+        .target("train")
+    )

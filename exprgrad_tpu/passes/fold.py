@@ -116,10 +116,18 @@ def dce_kernel(kernel: Kernel) -> None:
         for dim in kernel.write.dims:
             _dce_linear(dim, used)
     kernel.expr.instrs = _dce_instrs(kernel.expr.instrs, used)
-    kernel.reads = [r for r in kernel.reads if r.data in used]
-    for read in kernel.reads:
-        for dim in read.dims:
-            _dce_linear(dim, used)
+    # reads may be used by later reads' index expressions (data-dependent
+    # indexing), so decide liveness in reverse build order
+    kept_rev: list[bool] = []
+    for read in reversed(kernel.reads):
+        live = read.data in used
+        if live:
+            for dim in read.dims:
+                _dce_linear(dim, used)
+        kept_rev.append(live)
+    kernel.reads = [
+        r for r, live in zip(kernel.reads, reversed(kept_rev)) if live
+    ]
     for loop in reversed(kernel.loops):
         _dce_linear(loop.start, used)
         _dce_linear(loop.stop, used)
@@ -193,6 +201,9 @@ def _dedup_kernel(kernel: Kernel) -> None:
         ir.substitute_regs_instrs(kernel.expr.instrs, subs)
         if kernel.expr.res is not None:
             kernel.expr.res = subs.get(kernel.expr.res, kernel.expr.res)
+        for read in kernel.reads:  # data-dependent index expressions
+            for dim in read.dims:
+                ir.substitute_regs_linear(dim, subs)
         if kernel.write is not None:
             for dim in kernel.write.dims:
                 ir.substitute_regs_linear(dim, subs)

@@ -162,3 +162,49 @@ def test_dilated_conv_hits_conv_path():
     mj, out = _oracle_check(graph, {"images": images, "filters": filters}, "out")
     assert out.shape == (2, 7, 4)
     assert _stats(mj, "out").get("conv") == 1
+
+
+def test_embedding_lookup():
+    """Data-dependent indexing: emb[to_index(tokens[i]), d]."""
+    from exprgrad_tpu import to_index
+
+    tokens = np.array([2.0, 0.0, 1.0, 2.0], dtype=np.float32)
+    emb = np.arange(12, dtype=np.float32).reshape(3, 4)
+
+    def graph():
+        i, d = iters("i", "d")
+        tok = input("tokens")
+        table = input("emb")
+        out = Fun()
+        out[i, d] = table[to_index(tok[i]), d]
+        out.with_shape([tok.shape[0], table.shape[1]])
+        return out.target("embed")
+
+    mj, out = _oracle_check(graph, {"tokens": tokens, "emb": emb}, "embed")
+    np.testing.assert_allclose(out, emb[tokens.astype(int)])
+
+
+def test_embedding_gradient_scatter():
+    """d(emb lookup)/d(emb): scatter-add into the embedding rows."""
+    from exprgrad_tpu import to_index
+
+    tokens = np.array([2.0, 0.0, 2.0], dtype=np.float32)
+    emb = np.arange(8, dtype=np.float32).reshape(4, 2)
+
+    def graph():
+        i, d = iters("i", "d")
+        tok = input("tokens")
+        table = input("emb")
+        out = Fun()
+        out[i, d] = table[to_index(tok[i]), d]
+        out.with_shape([tok.shape[0], table.shape[1]])
+        it = iters("it")
+        loss = Fun()
+        loss[0] = sq(out.raw[it])
+        return loss.target("loss").backwards().grad(table).target("demb")
+
+    mj, got = _oracle_check(graph, {"tokens": tokens, "emb": emb}, "demb")
+    expected = np.zeros_like(emb)
+    for i, t in enumerate(tokens.astype(int)):
+        expected[t] += 2 * emb[t]
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
