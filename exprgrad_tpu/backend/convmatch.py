@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ir import Kernel, LinearIndex, Op, TensorOp
+from ..ir import Kernel, Op, TensorOp
 
 _SPATIAL_LETTERS = "HWXYZ"
 

@@ -26,7 +26,6 @@ scheduling.
 from __future__ import annotations
 
 import string
-from functools import partial
 from typing import Optional
 
 import jax

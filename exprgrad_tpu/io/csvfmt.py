@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import csv as _csv
 import dataclasses
-from typing import Iterator, Optional, TypeVar
+from typing import Iterator, TypeVar
 
 from ..errors import ModelRuntimeError
 

@@ -17,7 +17,6 @@ program — do not load models from untrusted sources.
 
 from __future__ import annotations
 
-import io as _io
 import struct
 from typing import BinaryIO, Optional
 

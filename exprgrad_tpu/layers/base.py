@@ -6,7 +6,7 @@ onto ``Fun`` (+, -, * for matmul/scalar-scale, / for scalar division).
 
 from __future__ import annotations
 
-from ..expr import epoch, exp, iters, ln, maximum, minimum, pow_, sq, sqrt, to_scalar
+from ..expr import epoch, iters, ln, maximum, minimum, pow_, sq, sqrt, to_scalar
 from ..fun import Fun, cache, layer
 
 

@@ -14,7 +14,6 @@ kernels.  The numpy interpreter backend serves as the reference oracle.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import numpy as np

@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from ..expr import Boolean, Scalar, as_scalar, iters, maximum, select, sqrt, to_scalar
+from ..expr import Scalar, as_scalar, iters, maximum, select, sqrt, to_scalar
 from ..fun import Fun, input
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 
-from ..expr import exp, iters, select, sq, to_index, to_scalar
+from ..expr import exp, iters, select, to_index, to_scalar
 from ..fun import Fun, input, make_opt, param
 from ..layers import adam
 

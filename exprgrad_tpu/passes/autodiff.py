@@ -26,7 +26,6 @@ from .. import ir
 from ..errors import GradientError
 from ..ir import (
     GenKind,
-    Generator,
     Instr,
     Kernel,
     LinearIndex,
