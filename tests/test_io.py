@@ -104,3 +104,32 @@ def test_json_tensor_roundtrip(tmp_path):
     assert out["count"] == 7
     np.testing.assert_array_equal(out["weights"], value["weights"])
     assert out["weights"].dtype == np.float32
+
+
+def test_canvas_svg(tmp_path):
+    from exprgrad_tpu.graphics import Canvas, GridLayout
+
+    c = Canvas(100, 80, background="white")
+    c.line(0, 0, 100, 80)
+    c.rect(10, 10, 30, 20, fill="#eee")
+    c.circle(50, 40, 5)
+    c.text(5, 70, "hello")
+    c.plot([1.0, 3.0, 2.0, 5.0], label="loss")
+    svg = c.to_svg()
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    for tag in ("<line", "<rect", "<circle", "<text", "<polyline"):
+        assert tag in svg
+    path = tmp_path / "fig.svg"
+    c.save(str(path))
+    assert path.read_text() == svg
+
+    grid = GridLayout(columns=2, cell_width=50, cell_height=40)
+    for _ in range(3):
+        cell = grid.add()
+        cell.circle(25, 20, 10)
+    combined = grid.render()
+    assert combined.to_svg().count("<circle") == 3
+
+    img = Canvas(60, 60)
+    img.image(0, 0, 60, 60, np.arange(64, dtype=np.uint8).reshape(8, 8))
+    assert "data:image/x-portable-pixmap" in img.to_svg()
