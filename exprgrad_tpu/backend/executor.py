@@ -66,6 +66,19 @@ class JaxExecutor:
             if program.tensors[tid].kind == ir.TensorKind.RANDOM
         )
 
+        # parameters/caches the target updates are donated: XLA reuses their
+        # device buffers for the new values (in-place updates, the analog of
+        # the reference's mutable parameter tensors)
+        self.donated_tids = sorted(
+            tid
+            for tid in self.input_tids
+            if program.tensors[tid].kind
+            in (ir.TensorKind.PARAM, ir.TensorKind.CACHE)
+            and tid in written
+        )
+        donated_set = set(self.donated_tids)
+        self.kept_tids = [t for t in self.input_tids if t not in donated_set]
+
         def run_fn(inputs: dict, epoch, seed):
             tensors = dict(inputs)
             dt = jnp.dtype(program.scalar_type.value)
@@ -92,6 +105,11 @@ class JaxExecutor:
 
         self.stats: dict[str, int] = {}  # lowering-path counts, set at trace
         self.run_fn = run_fn  # unjitted; parallel/mesh.py re-jits with shardings
+
+        def split_fn(donated: dict, kept: dict, epoch, seed):
+            return run_fn({**donated, **kept}, epoch, seed)
+
+        self._fn_split = jax.jit(split_fn, donate_argnums=(0,))
         self._fn = jax.jit(run_fn)
 
     def run(
@@ -101,5 +119,6 @@ class JaxExecutor:
         epoch: int,
         seed: int,
     ) -> dict:
-        inputs = {tid: tensors[tid] for tid in self.input_tids}
-        return self._fn(inputs, epoch, seed)
+        donated = {tid: tensors[tid] for tid in self.donated_tids}
+        kept = {tid: tensors[tid] for tid in self.kept_tids}
+        return self._fn_split(donated, kept, epoch, seed)
