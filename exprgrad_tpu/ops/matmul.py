@@ -10,6 +10,8 @@ OpenCL kernel (benchmarks/matmul/matmul_gpu.nim:48-66) rebuilt for TPU.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,7 +19,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pallas_matmul(
+def _matmul_impl(
     a: jax.Array,
     b: jax.Array,
     block_m: int = 512,
@@ -26,11 +28,6 @@ def pallas_matmul(
     out_dtype=None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """out[m, n] = a[m, k] @ b[k, n] with explicit block scheduling.
-
-    Requires block sizes to divide the problem; use the XLA dot for ragged
-    shapes.
-    """
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, f"contraction mismatch: {a.shape} @ {b.shape}"
@@ -79,3 +76,36 @@ def pallas_matmul(
         ),
         interpret=interpret,
     )(a, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pallas_matmul(
+    a: jax.Array,
+    b: jax.Array,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[m, n] = a[m, k] @ b[k, n] with explicit block scheduling.
+
+    Requires block sizes to divide the problem; use the XLA dot for ragged
+    shapes.  Differentiable: the backward matmuls run on the XLA dot (MXU).
+    """
+    return _matmul_impl(a, b, block_m, block_n, block_k, out_dtype, interpret)
+
+
+def _mm_fwd(a, b, block_m, block_n, block_k, out_dtype, interpret):
+    out = _matmul_impl(a, b, block_m, block_n, block_k, out_dtype, interpret)
+    return out, (a, b)
+
+
+def _mm_bwd(block_m, block_n, block_k, out_dtype, interpret, residuals, g):
+    a, b = residuals
+    da = jnp.dot(g, b.T, preferred_element_type=jnp.float32).astype(a.dtype)
+    db = jnp.dot(a.T, g, preferred_element_type=jnp.float32).astype(b.dtype)
+    return da, db
+
+
+pallas_matmul.defvjp(_mm_fwd, _mm_bwd)

@@ -69,3 +69,27 @@ def test_schedule_survives_cache_tensor_hint():
     np.testing.assert_allclose(out, av @ bv, rtol=1e-4)
     ex = next(iter(model._executors.values()))
     assert ex.stats.get("pallas") == 1
+
+
+def test_ops_pallas_matmul_grad():
+    import jax
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops import pallas_matmul
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(128, 256)).astype(np.float32))
+
+    out = pallas_matmul(a, b, block_m=64, block_n=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a @ b), rtol=1e-4)
+
+    def loss(a, b):
+        return jnp.sum(
+            pallas_matmul(a, b, block_m=64, block_n=128, block_k=128) ** 2
+        )
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(a, b)
+    c = a @ b
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(2 * c @ b.T), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(2 * a.T @ c), rtol=1e-3)
