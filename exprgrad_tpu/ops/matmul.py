@@ -35,6 +35,28 @@ def _matmul_impl(
     block_m, block_n, block_k = (
         min(block_m, m), min(block_n, n), min(block_k, k)
     )
+
+    # VMEM budget: in-blocks are double-buffered by the pipeline, plus the
+    # f32 accumulator and the output block; keep under ~14MB of the 16MB.
+    item = np.dtype(a.dtype).itemsize
+
+    def vmem_bytes(bm, bn, bk):
+        return (
+            2 * (bm * bk + bk * bn) * item  # pipelined operand blocks
+            + bm * bn * 4                   # accumulator
+            + bm * bn * np.dtype(out_dtype).itemsize
+        )
+
+    while vmem_bytes(block_m, block_n, block_k) > 14 * 2**20:
+        if block_k > 512 and k % (block_k // 2) == 0:
+            block_k //= 2
+        elif block_n > 128 and n % (block_n // 2) == 0:
+            block_n //= 2
+        elif block_m > 128 and m % (block_m // 2) == 0:
+            block_m //= 2
+        else:
+            break
+
     if m % block_m or n % block_n or k % block_k:
         raise ValueError(
             f"block sizes ({block_m},{block_n},{block_k}) must divide "
