@@ -498,28 +498,46 @@ class KernelLowering:
             stride *= shape[dim]
         return flat
 
-    def _try_grouped_direct(self, write: ir.TensorOp, out_shape, vals):
-        """Scatter-free lowering of window-sum writes.
+    def _try_structured_write(self, write: ir.TensorOp, out, out_shape, vals):
+        """Scatter-free lowering of structured writes.
 
-        When a write dim's index is a monotone grouping of one loop axis —
-        canonical form ``i // k`` from pooling/upsample *gradients* — the
-        accumulation over each group is a reshape+sum over the window axis,
-        not a scatter-add.  Returns the value to add into the output, or
-        None when the pattern does not apply.
+        Handles, per write dim (one distinct loop axis each):
+        * plain full-range iterators            -> direct add
+        * ``i + c`` shifted full iterators      -> static-slice add
+          (stencil writes like res[x+1], reference blurOffset)
+        * ``i // k`` monotone groupings         -> reshape+sum over the
+          window axis (pooling/upsample gradients)
+        Returns the UPDATED output array, or None when scatter is needed.
         """
         if write.is_raw:
             return None
         n = self.nloops
-        plan: list[tuple[int, int]] = []  # (loop axis, group size k)
+        plan: list[tuple[int, int, int]] = []  # (loop axis, group k, offset)
         seen_axes: set[int] = set()
         for d, index in enumerate(write.dims):
             axis = self._pure_iter(index)
             if axis is not None:
                 if not self._full_axis(axis, out_shape[d]):
                     return None
-                plan.append((axis, 1))
+                plan.append((axis, 1, 0))
                 seen_axes.add(axis)
                 continue
+            # shifted iterator: i + c over the loop's full range
+            if not index.setup and len(index.factors) == 1:
+                (reg, coeff), = index.factors.items()
+                if (
+                    coeff == 1
+                    and reg in self.axis_of_reg
+                    and index.constant != 0
+                ):
+                    axis = self.axis_of_reg[reg]
+                    offset = index.constant + self.starts[axis]
+                    length = self.sizes[axis]
+                    if 0 <= offset and offset + length <= out_shape[d]:
+                        plan.append((axis, 1, offset))
+                        seen_axes.add(axis)
+                        continue
+                return None
             deps = self._linear_deps(index)
             if len(deps) != 1:
                 return None
@@ -530,7 +548,7 @@ class KernelLowering:
                 return None
             k = length // j
             if k == 1:
-                return None  # shifted/permuted variants stay on scatter
+                return None  # permuted variants stay on scatter
             vec = self._dim_index_1d(index, axis)
             if vec is None:
                 return None
@@ -542,7 +560,7 @@ class KernelLowering:
                 vec_np, np.repeat(np.arange(j), k)
             ):
                 return None
-            plan.append((axis, k))
+            plan.append((axis, k, 0))
             seen_axes.add(axis)
         if len(seen_axes) != len(plan):
             return None  # repeated axes
@@ -556,7 +574,7 @@ class KernelLowering:
                     vals = vals * self.dtype(self.sizes[ax])
 
         # group-sum the windowed axes
-        for axis, k in plan:
+        for axis, k, _off in plan:
             if k == 1:
                 continue
             if vals.shape[axis] == 1:
@@ -570,13 +588,27 @@ class KernelLowering:
         vals = jnp.squeeze(
             vals, axis=tuple(ax for ax in range(n) if ax not in seen_axes)
         )
-        axes = [axis for axis, _ in plan]
+        axes = [axis for axis, _k, _o in plan]
         order = sorted(range(len(axes)), key=lambda d: axes[d])
         inv = [0] * len(axes)
         for pos, d in enumerate(order):
             inv[d] = pos
         vals = jnp.transpose(vals, inv)
-        return jnp.broadcast_to(vals, tuple(out_shape)).astype(self.dtype)
+
+        region = tuple(
+            slice(off, off + out_shape[d] - 0)
+            if off == 0
+            else slice(off, off + self.sizes[plan[d][0]])
+            for d, (_ax, _k, off) in enumerate(plan)
+        )
+        region_shape = tuple(
+            out_shape[d] if off == 0 else self.sizes[plan[d][0]]
+            for d, (_ax, _k, off) in enumerate(plan)
+        )
+        vals = jnp.broadcast_to(vals, region_shape).astype(self.dtype)
+        if all(off == 0 for _ax, _k, off in plan):
+            return out + vals
+        return out.at[region].add(vals)
 
     def _general(self, tensors, epoch):
         kernel = self.kernel
@@ -598,9 +630,9 @@ class KernelLowering:
         out = tensors[write.tensor]
         out_shape = self.shapes[write.tensor]
 
-        grouped = self._try_grouped_direct(write, out_shape, vals)
-        if grouped is not None:
-            return out + grouped
+        structured = self._try_structured_write(write, out, out_shape, vals)
+        if structured is not None:
+            return structured
 
         # detect direct (non-scatter) writes
         if not write.is_raw:
