@@ -109,7 +109,10 @@ def bench_conv2(batch=64, size=128, cin=32, cout=64, k=3,
 
 
 def bench_mnist_epoch(n_samples=8192, batch=256):
-    """End-to-end fashion-MNIST training epoch (fwd + derived bwd + adam)."""
+    """End-to-end fashion-MNIST training epoch (fwd + derived bwd + adam).
+
+    Uses compiled-epoch mode: the whole epoch is one lax.scan XLA program.
+    """
     import jax.numpy as jnp
 
     from exprgrad_tpu import compile, one_hot
@@ -125,10 +128,12 @@ def bench_mnist_epoch(n_samples=8192, batch=256):
             sum(jnp.sum(jnp.asarray(p)) for p in model.params.values())
         )
 
-    model.fit("fit", {"x": x, "y": y}, batch_size=batch, log_status=False)
+    model.fit("fit", {"x": x, "y": y}, batch_size=batch, log_status=False,
+              scan_batches=True)
     fence()
     t = time.perf_counter()
-    model.fit("fit", {"x": x, "y": y}, batch_size=batch, log_status=False)
+    model.fit("fit", {"x": x, "y": y}, batch_size=batch, log_status=False,
+              scan_batches=True)
     fence()
     epoch_time = time.perf_counter() - t
     return epoch_time, n_samples / epoch_time

@@ -112,6 +112,40 @@ class JaxExecutor:
         self._fn_split = jax.jit(split_fn, donate_argnums=(0,))
         self._fn = jax.jit(run_fn)
 
+        # whole-epoch program: scan over stacked batches with the updated
+        # params/caches as the carry — one device dispatch per epoch instead
+        # of one per batch (the reference's fit loop, compiled)
+        def epoch_fn(state: dict, const_inputs: dict, stacked: dict,
+                     epoch, seeds):
+            def body(carry, xs):
+                batch_inputs, seed = xs
+                result = run_fn(
+                    {**const_inputs, **carry, **batch_inputs}, epoch, seed
+                )
+                return {tid: result[tid] for tid in carry}, None
+
+            final, _ = jax.lax.scan(body, state, (stacked, seeds))
+            return final
+
+        self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0,))
+
+    def run_epoch(
+        self,
+        tensors: dict,
+        batches: dict,
+        epoch: int,
+        seeds,
+    ) -> dict:
+        """Run one full epoch; ``batches`` maps input tid -> stacked array
+        of shape [n_batches, batch, ...].  Returns updated state tensors."""
+        state = {tid: tensors[tid] for tid in self.donated_tids}
+        const_inputs = {
+            tid: tensors[tid]
+            for tid in self.kept_tids
+            if tid not in batches
+        }
+        return self._epoch_fn(state, const_inputs, batches, epoch, seeds)
+
     def run(
         self,
         tensors: dict[int, np.ndarray],

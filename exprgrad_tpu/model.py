@@ -237,12 +237,16 @@ class Model:
         batch_size: int = 32,
         log_status: bool = True,
         shuffle: bool = False,
+        scan_batches: bool = False,
     ) -> None:
         """Run a target over all batches of the inputs; increments epoch.
 
         Like the reference (model.nim:425, README.md:367), samples beyond the
         last full batch are dropped.  ``shuffle=True`` visits samples in a
         fresh random order each epoch (native Fisher-Yates + row gather).
+        ``scan_batches=True`` compiles the whole epoch into ONE XLA program
+        (lax.scan over batches, parameters as the loop carry) — removes
+        per-batch dispatch overhead entirely (jax backend only).
         """
         if not args:
             raise ModelRuntimeError(
@@ -273,6 +277,12 @@ class Model:
                 first.shape[0], int(self._rng.integers(0, 2**31 - 1))
             )
 
+        if scan_batches and self.backend != "interp":
+            self.epoch += 1
+            self._fit_scan(target_name, args, shapes, batch_size,
+                           batch_count, order)
+            return
+
         self.epoch += 1
         for batch in range(batch_count):
             if log_status:
@@ -292,6 +302,39 @@ class Model:
             self._run(target_name, batch_args, shapes)
         if log_status:
             print(f"\r{batch_count}/{batch_count}")
+
+
+    def _fit_scan(
+        self, target_name, args, shapes, batch_size, batch_count, order
+    ) -> None:
+        import numpy as _np
+
+        from .utils.native import gather_rows
+
+        dtype = np.dtype(self.program.scalar_type.value)
+        executor = self._executor(target_name, shapes)
+        batches: dict[int, np.ndarray] = {}
+        for name, value in args.items():
+            tid = self.program.inputs[name]
+            value = np.ascontiguousarray(value, dtype=dtype)
+            if order is not None:
+                value = gather_rows(value, order)
+            usable = batch_count * batch_size
+            batches[tid] = value[:usable].reshape(
+                (batch_count, batch_size) + value.shape[1:]
+            )
+        tensors = dict(self.params)
+        tensors.update(self.caches)
+        seeds = _np.asarray(
+            self._rng.integers(0, 2**31 - 1, size=batch_count), _np.int64
+        )
+        result = executor.run_epoch(tensors, batches, self.epoch, seeds)
+        for tid in self.params:
+            if tid in result:
+                self.params[tid] = result[tid]
+        for tid in self.caches:
+            if tid in result:
+                self.caches[tid] = result[tid]
 
 
 def compile(  # noqa: A001

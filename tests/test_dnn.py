@@ -218,3 +218,23 @@ def test_dropout_statistics():
     # fresh randomness per call
     out2 = model.call("y", {"x": x_val})
     assert (out != out2).any()
+
+
+def test_xor_fit_scan_batches():
+    """Compiled-epoch training (lax.scan over batches) matches per-batch fit."""
+    m_loop = compile(_xor_net(), backend="jax", seed=10)
+    m_scan = compile(_xor_net(), backend="jax", seed=10)
+    data = {
+        "x": np.tile(TRAIN_X, (4, 1)),
+        "y": np.tile(TRAIN_Y, (4, 1)),
+    }
+    for _ in range(20):
+        m_loop.fit("train", data, batch_size=4, log_status=False)
+        m_scan.fit("train", data, batch_size=4, log_status=False,
+                   scan_batches=True)
+    for tid in m_loop.params:
+        np.testing.assert_allclose(
+            np.asarray(m_loop.params[tid]),
+            np.asarray(m_scan.params[tid]),
+            rtol=1e-5, atol=1e-7,
+        )
