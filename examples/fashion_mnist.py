@@ -67,7 +67,8 @@ def main() -> None:
         print(f"epoch {epoch}  test loss {float(test_loss[0]):.4f} "
               f"(eval {loss_time:.2f}s)")
         t = time.monotonic()
-        model.fit("fit", {"x": train_x, "y": train_y}, batch_size=32)
+        model.fit("fit", {"x": train_x, "y": train_y}, batch_size=32,
+                  shuffle=True, scan_batches=True, log_status=False)
         print(f"fit: {time.monotonic() - t:.2f}s")
         save_model(model, "model.bin")
 

@@ -7,6 +7,8 @@ model saved + reloaded must produce identical predictions and continue
 training (epoch preserved for adam bias correction).
 """
 
+import pathlib
+
 import numpy as np
 
 from exprgrad_tpu import Tensor, compile
@@ -81,3 +83,34 @@ def test_adam_state_roundtrip(tmp_path):
             np.asarray(model.params[tid]),
             rtol=1e-6,
         )
+
+
+def test_random_program_roundtrips():
+    """Serialization must round-trip arbitrary compiled programs exactly
+    (structure pinned via the deterministic pretty-printer)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_fuzz import _random_kernel
+
+    from exprgrad_tpu.io.serialize import (
+        MAGIC,
+        Reader,
+        Writer,
+        read_program,
+        write_program,
+    )
+    import io
+
+    for seed in range(10):
+        rng = np.random.default_rng(7000 + seed)
+        graph, _arrays = _random_kernel(rng, smooth=False)
+        program = to_program(graph.target("out"))
+        from exprgrad_tpu.passes import compile_program
+
+        compile_program(program)
+        buf = io.BytesIO()
+        write_program(Writer(buf), program)
+        buf.seek(0)
+        loaded = read_program(Reader(buf))
+        assert fmt_program(loaded) == fmt_program(program)
