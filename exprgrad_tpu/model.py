@@ -67,6 +67,18 @@ class Model:
         self._call_count = 0
 
         dtype = np.dtype(self.program.scalar_type.value)
+        if dtype == np.float64 and backend == "jax":
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                import warnings
+
+                warnings.warn(
+                    "float64 model on a jax backend without x64 enabled: "
+                    "computation will silently run in float32; call "
+                    'jax.config.update("jax_enable_x64", True) first',
+                    stacklevel=3,
+                )
         self.params: dict[int, np.ndarray] = {}
         self.caches: dict[int, np.ndarray] = {}
         for tid in self.program.params:
