@@ -632,6 +632,7 @@ class KernelLowering:
 
         structured = self._try_structured_write(write, out, out_shape, vals)
         if structured is not None:
+            self.sub_path = "structured"
             return structured
 
         # detect direct (non-scatter) writes
@@ -669,6 +670,7 @@ class KernelLowering:
             for pos, d in enumerate(order):
                 inv[d] = pos
             vals = jnp.transpose(vals, inv)
+            self.sub_path = "direct"
             if write.is_raw:
                 target_shape: tuple = (int(np.prod(out_shape, dtype=np.int64)),)
                 new = out.reshape(-1) + jnp.broadcast_to(vals, target_shape)
@@ -691,6 +693,7 @@ class KernelLowering:
         bshape = np.broadcast_shapes(widx.shape, vals.shape)
         widx_b = jnp.broadcast_to(widx, bshape).reshape(-1)
         vals_b = jnp.broadcast_to(vals, bshape).reshape(-1)
+        self.sub_path = "scatter"
         flat = out.reshape(-1).at[widx_b].add(vals_b)
         return flat.reshape(out.shape)
 
@@ -723,8 +726,9 @@ class KernelLowering:
                 path = "conv"
                 result = tensors[self.kernel.write.tensor] + match.lower(tensors)
         if result is None:
-            path = "general"
+            self.sub_path = "unknown"
             result = self._general(tensors, epoch)
+            path = f"general-{self.sub_path}"
         if stats is not None:
             stats[path] = stats.get(path, 0) + 1
         tensors[self.kernel.write.tensor] = result

@@ -73,3 +73,21 @@ def test_cnn_training_matches_oracle():
     lj = mj.call("loss", {"x": x, "y": y})
     li = mi.call("loss", {"x": x, "y": y})
     np.testing.assert_allclose(lj, li, rtol=1e-9)
+
+
+def test_cnn_training_is_scatter_free():
+    """Every kernel of the CNN training program must lower without
+    scatter-adds: convs and their gradients hit the conv matcher, dense hits
+    einsum, pooling gradients hit direct/grouped writes."""
+    from exprgrad_tpu.models import fashion_mnist_cnn
+
+    model = compile(fashion_mnist_cnn(), backend="jax", seed=0)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 28, 28)).astype(np.float32)
+    y = one_hot(rng.integers(0, 10, 16), 10)
+    model.epoch += 1
+    model.apply("fit", {"x": x, "y": y})
+    stats = model.lowering_stats("fit")
+    assert stats, stats
+    assert "general-scatter" not in stats, stats
+    assert stats.get("conv", 0) >= 5, stats
