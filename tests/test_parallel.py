@@ -73,3 +73,33 @@ def test_graft_dryrun():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_transformer_sharded_train_step():
+    """dp x tp sharding of the full transformer training step (embedding
+    gathers, attention einsums, adam) compiles and updates all params."""
+    from exprgrad_tpu import one_hot
+    from exprgrad_tpu.models import tiny_transformer
+
+    model = compile(tiny_transformer(vocab=6, dim=16), backend="jax", seed=0)
+    mesh = make_mesh(8, model=2)
+    batch = 16
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 6, (batch, 8)).astype(np.float32)
+    labels = one_hot(rng.integers(0, 6, (batch, 8)), 6).reshape(batch, 8, 6)
+
+    ex = ShardedExecutor(
+        model, "train",
+        {"tokens": [batch, 8], "labels": [batch, 8, 6]},
+        mesh, batch_inputs=["tokens", "labels"],
+    )
+    before = {k: np.asarray(v).copy() for k, v in model.params.items()}
+    result = ex.run({"tokens": toks, "labels": labels}, epoch=1)
+    jax.block_until_ready(result)
+    moved = sum(
+        not np.allclose(np.asarray(model.params[k]), before[k])
+        for k in before
+    )
+    assert moved == len(before)
+    for v in result.values():
+        assert np.isfinite(np.asarray(v)).all()
