@@ -478,3 +478,46 @@ def test_epoch(backend):
     np.testing.assert_allclose(model.call("y"), [0.0])
     model.epoch = 42
     np.testing.assert_allclose(model.call("y"), [42.0])
+
+
+def test_weight_tying(backend):
+    """The same param used in two kernels: gradients accumulate."""
+    w = param([3, 3], name="tied")
+    x = input("x")
+    y_, x_, it = iters("y", "x", "it")
+    h = Fun()
+    h[y_, x_] = x[y_, it] * w[it, x_]
+    y_, x_, it = iters("y", "x", "it")
+    out = Fun()
+    out[y_, x_] = h[y_, it] * w[it, x_]
+    it = iters("it")
+    loss = Fun()
+    loss[0] = out.raw[it]
+    graph = loss.target("loss").backwards().grad(w).target("dw")
+    model = compile(graph, dtype="float64", backend=backend, seed=0)
+
+    rng = np.random.default_rng(0)
+    xv = rng.normal(size=(2, 3))
+    wv = np.asarray(model.params[next(iter(model.params))])
+    got = model.call("dw", {"x": xv})
+    # loss = sum(x @ w @ w); d/dw = x^T 1 1^T w^T + w^T x^T 1 1^T
+    ones = np.ones((2, 3))
+    expected = (xv.T @ ones) @ wv.T + wv.T @ (xv.T @ ones)
+    np.testing.assert_allclose(got, expected, rtol=1e-9)
+
+
+def test_reshape_param_and_grad(backend):
+    """Reshape of a parameter, with gradients flowing through the reshape."""
+    w = param([2, 3], name="w")
+    flat = w.reshape([6])
+    i = iters("i")
+    out = Fun()
+    out[i] = flat[i] * flat[i]
+    graph = out.target("out").backwards().grad(w).target("dw")
+    model = compile(graph, dtype="float64", backend=backend, seed=1)
+    wv = np.asarray(model.params[next(iter(model.params))])
+    np.testing.assert_allclose(
+        model.call("out"), (wv.reshape(-1) ** 2), rtol=1e-12
+    )
+    got = model.call("dw")
+    np.testing.assert_allclose(got, 2 * wv, rtol=1e-12)
