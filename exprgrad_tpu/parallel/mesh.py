@@ -62,7 +62,12 @@ class ShardedExecutor:
         input_shapes: dict[str, list[int]],
         mesh: Mesh,
         batch_inputs: Optional[Sequence[str]] = None,
+        input_specs: Optional[dict[str, P]] = None,
     ) -> None:
+        """``input_specs`` overrides the default batch-dim sharding per input
+        name with an explicit PartitionSpec — e.g. sequence parallelism:
+        ``{"tokens": P("data", "model")}`` shards the sequence dimension
+        over the model axis and XLA inserts the attention collectives."""
         self.model = model
         program = model.program
         self.program = program
@@ -81,10 +86,16 @@ class ShardedExecutor:
         if batch_inputs is None:
             batch_inputs = list(input_shapes)
         batch_tids = {program.inputs[name] for name in batch_inputs}
+        spec_of_tid = {
+            program.inputs[name]: spec
+            for name, spec in (input_specs or {}).items()
+        }
 
         def sharding_for(tid: int) -> NamedSharding:
             tdef = program.tensors[tid]
             shape = self.shapes[tid]
+            if tid in spec_of_tid:
+                return NamedSharding(mesh, spec_of_tid[tid])
             if tdef.kind == ir.TensorKind.INPUT and tid in batch_tids:
                 return NamedSharding(
                     mesh, P("data", *([None] * (len(shape) - 1)))
