@@ -171,12 +171,42 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_RESULT: dict = {}
+
+
+def _watchdog(seconds: int = 2700) -> None:
+    """The TPU tunnel can wedge indefinitely (see CLAUDE.md); make sure the
+    driver always gets a result line or a clean failure."""
+    import json as _json
+    import os
+    import signal
+
+    def on_alarm(_sig, _frame):
+        if _RESULT:
+            print(_json.dumps(_RESULT), flush=True)
+            os._exit(0)
+        print("bench: watchdog timeout before any measurement",
+              file=sys.stderr, flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main() -> None:
+    _watchdog()
     details = {}
     _log("bench: matmul 8192^3 f32 ...")
 
     mm_gflops, mm_t = bench_matmul()
     _log(f"bench: matmul {mm_gflops:.0f} GFLOP/s")
+    roofline0 = 197e12
+    _RESULT.update(
+        metric="matmul8192_f32_gflops",
+        value=round(mm_gflops, 1),
+        unit="GFLOP/s",
+        vs_baseline=round(mm_gflops / (0.6 * roofline0 / 1e9), 3),
+    )
     details["matmul8192_f32_default"] = {
         "gflops": round(mm_gflops, 1), "seconds_per_matmul": mm_t
     }
