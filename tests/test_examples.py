@@ -1,0 +1,113 @@
+"""Smoke tests: every example script must run end to end (reduced sizes)."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
+sys.path.insert(0, str(EXAMPLES))
+
+
+def test_derivative_example(capsys):
+    import derivative
+
+    derivative.main()
+    out = capsys.readouterr().out
+    assert "grad_x" in out
+
+
+def test_matmul_example(capsys):
+    import matmul as matmul_example
+
+    matmul_example.main()
+    assert "max err" in capsys.readouterr().out
+
+
+def test_xor_example(monkeypatch, capsys):
+    import xor
+
+    real_range = range
+    monkeypatch.setattr(
+        xor, "range", lambda n: real_range(min(n, 400)), raising=False
+    )
+    xor.main()
+    assert "[" in capsys.readouterr().out
+
+
+def test_xor_from_scratch_example(monkeypatch, capsys):
+    import xor_from_scratch
+
+    real_range = range
+    monkeypatch.setattr(
+        xor_from_scratch, "range", lambda n: real_range(min(n, 400)),
+        raising=False,
+    )
+    xor_from_scratch.main()
+    assert "[" in capsys.readouterr().out
+
+
+def test_gan_example(tmp_path, monkeypatch, capsys):
+    import gan
+
+    monkeypatch.chdir(tmp_path)
+    gan.main(steps=3)
+    out = capsys.readouterr().out
+    assert "discr" in out
+
+
+def test_fashion_mnist_example(tmp_path, monkeypatch, capsys):
+    import fashion_mnist
+
+    def tiny_dataset(path="data"):
+        rng = np.random.default_rng(0)
+
+        def synth(n):
+            labels = rng.integers(0, 10, n)
+            x = rng.normal(0, 0.1, (n, 28, 28)).astype(np.float32)
+            for i, label in enumerate(labels):
+                x[i, label : label + 10, label : label + 10] += 1.0
+            from exprgrad_tpu import one_hot
+
+            return x, one_hot(labels, 10)
+
+        a, b = synth(256)
+        c, d = synth(64)
+        return a, b, c, d
+
+    monkeypatch.setattr(fashion_mnist, "load_dataset", tiny_dataset)
+    real_range = range
+    monkeypatch.setattr(
+        fashion_mnist, "range", lambda n: real_range(min(n, 2)), raising=False
+    )
+    monkeypatch.chdir(tmp_path)
+    fashion_mnist.main()
+    out = capsys.readouterr().out
+    assert "test accuracy" in out
+
+
+def test_transformer_example(monkeypatch, capsys):
+    import transformer as transformer_example
+
+    real_range = range
+    monkeypatch.setattr(
+        transformer_example, "range", lambda n: real_range(min(n, 50)),
+        raising=False,
+    )
+    transformer_example.main()
+    assert "accuracy" in capsys.readouterr().out
+
+
+def test_inverse_rendering_example(tmp_path, monkeypatch, capsys):
+    import inverse_rendering
+
+    monkeypatch.setattr(inverse_rendering, "SIZE", 24)
+    real_range = range
+    monkeypatch.setattr(
+        inverse_rendering, "range", lambda n: real_range(min(n, 12)),
+        raising=False,
+    )
+    monkeypatch.chdir(tmp_path)
+    inverse_rendering.main()
+    assert "learned colors" in capsys.readouterr().out
