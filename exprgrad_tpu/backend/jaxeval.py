@@ -387,6 +387,65 @@ class KernelLowering:
             self.env = saved_env
         return value
 
+    def _static_dim_vector(self, index: LinearIndex, axis: int):
+        """Statically evaluate one dim's index as a numpy int vector over its
+        loop axis.  Returns None when the index depends on runtime values
+        (jnp ops inside a trace return tracers, so this evaluator runs the
+        Index instruction subset directly in numpy)."""
+        env: dict[int, np.ndarray | int] = {
+            self.kernel.loops[axis].iter_reg: np.arange(
+                self.starts[axis], self.starts[axis] + self.sizes[axis]
+            )
+        }
+        from ..passes.shapes import trunc_div as _tdiv
+
+        for instr in index.setup:
+            if any(a not in env for a in instr.args):
+                return None
+            a = [env[x] for x in instr.args]
+            op = instr.op
+            if op == Op.IDX:
+                value = instr.index_lit
+            elif op == Op.ADD:
+                value = a[0] + a[1]
+            elif op == Op.SUB:
+                value = a[0] - a[1]
+            elif op == Op.MUL:
+                value = a[0] * a[1]
+            elif op == Op.IDX_DIV:
+                q = np.floor_divide(a[0], a[1])
+                r = a[0] - q * a[1]
+                value = q + ((r != 0) & ((r < 0) != (np.asarray(a[1]) < 0)))
+            elif op == Op.MOD:
+                q = np.floor_divide(a[0], a[1])
+                r = a[0] - q * a[1]
+                q = q + ((r != 0) & ((r < 0) != (np.asarray(a[1]) < 0)))
+                value = a[0] - q * a[1]
+            elif op == Op.WRAP:
+                value = np.mod(a[0], a[1])
+            elif op == Op.NEG:
+                value = -a[0]
+            elif op == Op.SHAPE:
+                value = self.shapes[instr.tensor][instr.dim]
+            elif op == Op.LEN:
+                value = int(np.prod(self.shapes[instr.tensor], dtype=np.int64))
+            elif op == Op.SHAPE_LEN:
+                value = len(self.shapes[instr.tensor])
+            else:
+                return None  # epoch / reads / non-index ops: not static
+            if instr.res is not None:
+                env[instr.res] = value
+        try:
+            value = index.constant
+            for reg, factor in index.factors.items():
+                value = value + env[reg] * factor
+        except KeyError:
+            return None
+        value = np.asarray(value)
+        if value.ndim == 0:
+            value = np.broadcast_to(value, (self.sizes[axis],))
+        return value.astype(np.int64)
+
     def _read_value(self, read: ir.TensorOp, tensors):
         """Lower a tensor read.  Strategies, fastest first:
 
@@ -549,13 +608,9 @@ class KernelLowering:
             k = length // j
             if k == 1:
                 return None  # permuted variants stay on scatter
-            vec = self._dim_index_1d(index, axis)
-            if vec is None:
+            vec_np = self._static_dim_vector(index, axis)
+            if vec_np is None:
                 return None
-            try:
-                vec_np = np.asarray(vec)
-            except Exception:
-                return None  # traced (e.g. epoch-dependent)
             if vec_np.shape != (length,) or not np.array_equal(
                 vec_np, np.repeat(np.arange(j), k)
             ):

@@ -3,6 +3,7 @@
 from .xor import xor_mlp, xor_from_scratch
 from .mnist import fashion_mnist_cnn
 from .gan import mnist_gan
+from .autoencoder import conv_autoencoder
 from .transformer import tiny_transformer
 
-__all__ = ["fashion_mnist_cnn", "mnist_gan", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["conv_autoencoder", "fashion_mnist_cnn", "mnist_gan", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
