@@ -88,13 +88,29 @@ def _random_kernel(rng: np.random.Generator, smooth: bool):
     for r in reads:
         value = value + 0.001 * r
 
-    # write: random subset of loops (at least the empty set -> full reduce)
+    # write: random subset of loops with random index forms per dim
+    # (pure iterator, shifted i+c, or grouped i//2 — exercising the
+    # direct / slice-add / window-sum write lowerings)
     write_count = int(rng.integers(0, n_loops + 1))
     write_axes = list(rng.permutation(n_loops)[:write_count])
     out = Fun()
     if write_axes:
-        out[tuple(loop_vars[k] for k in write_axes)] = value
-        out.with_shape([sizes[k] for k in write_axes])
+        dims = []
+        dim_sizes = []
+        for k in write_axes:
+            form = rng.integers(0, 3)
+            if form == 0:
+                dims.append(loop_vars[k])
+                dim_sizes.append(sizes[k])
+            elif form == 1:
+                off = int(rng.integers(1, 3))
+                dims.append(loop_vars[k] + off)
+                dim_sizes.append(sizes[k] + off + int(rng.integers(0, 2)))
+            else:
+                dims.append(loop_vars[k] // 2)
+                dim_sizes.append((sizes[k] - 1) // 2 + 1)
+        out[tuple(dims)] = value
+        out.with_shape(dim_sizes)
     else:
         out[0] = value
         out.with_shape([1])
