@@ -141,12 +141,25 @@ def upsample2(images: Fun) -> Fun:
 
 @layer
 def softmax(inp: Fun) -> Fun:
+    """Row softmax, mean-shifted for numerical range.
+
+    softmax is shift-invariant, so subtracting the row mean (expressible in
+    the sum-only accumulation language, unlike the row max) leaves the
+    result mathematically identical while keeping exp() arguments centered.
+    The reference softmax (dnn.nim:90) is unshifted and overflows once a
+    trained model becomes confident.
+    """
+    from ..expr import to_scalar
+
+    y, x = iters("y", "x")
+    mean = Fun("softmax.mean")
+    mean[y] = inp[y, x] / to_scalar(inp.shape[1])
     y, x = iters("y", "x")
     sums = Fun("softmax.sums")
-    sums[y] = exp(inp[y, x])
+    sums[y] = exp(inp[y, x] - mean[y])
     y, x = iters("y", "x")
     out = Fun()
-    out[y, x] = exp(inp[y, x]) / sums[y]
+    out[y, x] = exp(inp[y, x] - mean[y]) / sums[y]
     return out
 
 

@@ -18,14 +18,17 @@ from ..fun import Fun, input, make_opt, param
 from ..layers import adam
 
 
-def _softmax_last(logits: Fun, rank3: bool = True) -> Fun:
-    """Numerically plain softmax over the last of 3 dims."""
+def _softmax_last(logits: Fun, vocab: int = 0) -> Fun:
+    """Mean-shifted softmax over the last of 3 dims (shift-invariant)."""
+    n, t, v = iters("n", "t", "v")
+    mean = Fun("softmax.mean")
+    mean[n, t] = logits[n, t, v] / to_scalar(logits.shape[2])
     n, t, v = iters("n", "t", "v")
     sums = Fun("softmax.sums")
-    sums[n, t] = exp(logits[n, t, v])
+    sums[n, t] = exp(logits[n, t, v] - mean[n, t])
     n, t, v = iters("n", "t", "v")
     out = Fun("softmax")
-    out[n, t, v] = exp(logits[n, t, v]) / sums[n, t]
+    out[n, t, v] = exp(logits[n, t, v] - mean[n, t]) / sums[n, t]
     return out
 
 
