@@ -118,20 +118,28 @@ def mse(a: Fun, b: Fun) -> Fun:
 
 @layer
 def binary_cross_entropy(pred: Fun, labels: Fun) -> Fun:
+    """BCE with probabilities clamped away from 0 (the reference's
+    unclamped ln, base.nim:60-64, produces NaN once a confident model
+    underflows a probability to exactly zero)."""
     it = iters("it")
     out = Fun()
+    p = maximum(pred.raw[it], 1e-12)
+    q = maximum(1.0 - pred.raw[it], 1e-12)
     out[0] = -(
-        labels.raw[it] * ln(pred.raw[it])
-        + (1.0 - labels.raw[it]) * ln(1.0 - pred.raw[it])
+        labels.raw[it] * ln(p) + (1.0 - labels.raw[it]) * ln(q)
     ) / to_scalar(pred.shape[0])
     return out
 
 
 @layer
 def cross_entropy(pred: Fun, labels: Fun) -> Fun:
+    """Cross entropy with clamped ln (see binary_cross_entropy note;
+    reference base.nim:66-67 NaNs at ~zero predicted probabilities)."""
     it = iters("it")
     out = Fun()
-    out[0] = -(labels.raw[it] * ln(pred.raw[it])) / to_scalar(pred.shape[0])
+    out[0] = -(
+        labels.raw[it] * ln(maximum(pred.raw[it], 1e-12))
+    ) / to_scalar(pred.shape[0])
     return out
 
 

@@ -146,20 +146,24 @@ def softmax(inp: Fun) -> Fun:
     softmax is shift-invariant, so subtracting the row mean (expressible in
     the sum-only accumulation language, unlike the row max) leaves the
     result mathematically identical while keeping exp() arguments centered.
-    The reference softmax (dnn.nim:90) is unshifted and overflows once a
-    trained model becomes confident.
+    Shifted logits are additionally clamped at +30: the *derived gradient*
+    of exp contains exp(u)^2, which overflows float32 once the logit spread
+    passes ~44 even though the forward pass still looks fine -- the clamp
+    saturates runaway logits with zero gradient, stopping their growth.
+    (The reference softmax, dnn.nim:90, is unshifted and its training
+    diverges to NaN once a model becomes confident.)
     """
-    from ..expr import to_scalar
+    from ..expr import minimum, to_scalar
 
     y, x = iters("y", "x")
     mean = Fun("softmax.mean")
     mean[y] = inp[y, x] / to_scalar(inp.shape[1])
     y, x = iters("y", "x")
     sums = Fun("softmax.sums")
-    sums[y] = exp(inp[y, x] - mean[y])
+    sums[y] = exp(minimum(inp[y, x] - mean[y], 30.0))
     y, x = iters("y", "x")
     out = Fun()
-    out[y, x] = exp(inp[y, x] - mean[y]) / sums[y]
+    out[y, x] = exp(minimum(inp[y, x] - mean[y], 30.0)) / sums[y]
     return out
 
 

@@ -19,16 +19,19 @@ from ..layers import adam
 
 
 def _softmax_last(logits: Fun, vocab: int = 0) -> Fun:
-    """Mean-shifted softmax over the last of 3 dims (shift-invariant)."""
+    """Mean-shifted, +30-clamped softmax over the last of 3 dims
+    (see layers.dnn.softmax for the overflow analysis)."""
+    from ..expr import minimum
+
     n, t, v = iters("n", "t", "v")
     mean = Fun("softmax.mean")
     mean[n, t] = logits[n, t, v] / to_scalar(logits.shape[2])
     n, t, v = iters("n", "t", "v")
     sums = Fun("softmax.sums")
-    sums[n, t] = exp(logits[n, t, v] - mean[n, t])
+    sums[n, t] = exp(minimum(logits[n, t, v] - mean[n, t], 30.0))
     n, t, v = iters("n", "t", "v")
     out = Fun("softmax")
-    out[n, t, v] = exp(logits[n, t, v] - mean[n, t]) / sums[n, t]
+    out[n, t, v] = exp(minimum(logits[n, t, v] - mean[n, t], 30.0)) / sums[n, t]
     return out
 
 
