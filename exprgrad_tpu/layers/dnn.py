@@ -37,18 +37,26 @@ def leaky_relu(inp: Fun, leak: float = 0.01) -> Fun:
 
 @layer
 def sigmoid(inp: Fun) -> Fun:
+    """Logistic sigmoid; the exponent is clamped so the derived gradient
+    (which multiplies exp terms) cannot overflow at large |x|."""
+    from ..expr import minimum
+
     it = iters("it")
     out = Fun()
-    out.raw[it] = 1.0 / (1.0 + exp(-inp.raw[it]))
+    out.raw[it] = 1.0 / (1.0 + exp(minimum(-inp.raw[it], 30.0)))
     return out
 
 
 @layer
 def tanh(inp: Fun) -> Fun:
+    """tanh via clamped exponentials: the reference form (dnn.nim:36-40)
+    evaluates exp(x) directly and returns NaN (inf/inf) for |x| > ~88."""
+    from ..expr import minimum
+
     it = iters("it")
     out = Fun()
-    a = exp(inp.raw[it])
-    b = exp(-inp.raw[it])
+    a = exp(minimum(inp.raw[it], 30.0))
+    b = exp(minimum(-inp.raw[it], 30.0))
     out.raw[it] = (a - b) / (a + b)
     return out
 

@@ -238,3 +238,30 @@ def test_xor_fit_scan_batches():
             np.asarray(m_scan.params[tid]),
             rtol=1e-5, atol=1e-7,
         )
+
+
+def test_activations_extreme_inputs():
+    """tanh/sigmoid/softmax must stay finite (fwd and derived bwd) at
+    magnitudes where naive exp formulations overflow float32."""
+    from exprgrad_tpu import Fun, iters, sq
+
+    x_val = np.array([[-200.0, -50.0, 0.0, 50.0, 200.0]], dtype=np.float32)
+    for layer in (tanh, sigmoid, softmax):
+        def graph(layer=layer):
+            x = input("x")
+            out = layer(x)
+            it = iters("it")
+            loss = Fun()
+            loss[0] = sq(out.raw[it])
+            bw = loss.target("loss").backwards()
+            return [out.target("out"), bw.grad(x).target("dx")]
+
+        model = compile(graph(), backend="jax")
+        out = model.call("out", {"x": x_val})
+        dx = model.call("dx", {"x": x_val})
+        assert np.isfinite(out).all(), (layer.__name__, out)
+        assert np.isfinite(dx).all(), (layer.__name__, dx)
+    t = compile(
+        [input("x").pipe(tanh).target("t")], backend="jax"
+    ).call("t", {"x": x_val})
+    np.testing.assert_allclose(t, np.tanh(x_val), atol=1e-6)
