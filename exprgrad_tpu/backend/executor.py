@@ -79,13 +79,24 @@ class JaxExecutor:
         donated_set = set(self.donated_tids)
         self.kept_tids = [t for t in self.input_tids if t not in donated_set]
 
+        from ..interp import max_accumulated_results
+
+        max_only = max_accumulated_results(self.target)
+
         def run_fn(inputs: dict, epoch, seed):
             tensors = dict(inputs)
             dt = jnp.dtype(program.scalar_type.value)
             for tid in sorted(self.target.tensors):
                 tdef = program.tensors[tid]
                 if tdef.kind == ir.TensorKind.RESULT:
-                    tensors[tid] = jnp.zeros(tuple(self.shapes[tid]), dtype=dt)
+                    if tid in max_only:
+                        tensors[tid] = jnp.full(
+                            tuple(self.shapes[tid]), -jnp.inf, dtype=dt
+                        )
+                    else:
+                        tensors[tid] = jnp.zeros(
+                            tuple(self.shapes[tid]), dtype=dt
+                        )
             if self.random_tids:
                 key = jax.random.PRNGKey(seed)
                 for tid in self.random_tids:

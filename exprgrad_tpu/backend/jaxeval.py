@@ -620,25 +620,36 @@ class KernelLowering:
         if len(seen_axes) != len(plan):
             return None  # repeated axes
 
+        is_max = write.accumulate == "max"
         # reduce/scale loop axes the write does not touch
         for ax in range(n):
             if ax not in seen_axes and self.sizes[ax] > 1:
                 if vals.shape[ax] > 1:
-                    vals = vals.sum(axis=ax, keepdims=True)
-                else:
+                    vals = (
+                        vals.max(axis=ax, keepdims=True)
+                        if is_max
+                        else vals.sum(axis=ax, keepdims=True)
+                    )
+                elif not is_max:
                     vals = vals * self.dtype(self.sizes[ax])
 
-        # group-sum the windowed axes
+        # group-reduce the windowed axes
         for axis, k, _off in plan:
             if k == 1:
                 continue
             if vals.shape[axis] == 1:
-                vals = vals * self.dtype(k)
+                if not is_max:
+                    vals = vals * self.dtype(k)
             else:
                 j = self.sizes[axis] // k
                 shape = list(vals.shape)
                 shape[axis : axis + 1] = [j, k]
-                vals = vals.reshape(shape).sum(axis=axis + 1)
+                grouped = vals.reshape(shape)
+                vals = (
+                    grouped.max(axis=axis + 1)
+                    if is_max
+                    else grouped.sum(axis=axis + 1)
+                )
 
         vals = jnp.squeeze(
             vals, axis=tuple(ax for ax in range(n) if ax not in seen_axes)
@@ -662,7 +673,9 @@ class KernelLowering:
         )
         vals = jnp.broadcast_to(vals, region_shape).astype(self.dtype)
         if all(off == 0 for _ax, _k, off in plan):
-            return out + vals
+            return jnp.maximum(out, vals) if is_max else out + vals
+        if is_max:
+            return out.at[region].max(vals)
         return out.at[region].add(vals)
 
     def _general(self, tensors, epoch):
@@ -708,13 +721,18 @@ class KernelLowering:
             axes = [axis]
 
         if direct:
+            is_max = write.accumulate == "max"
             # reduce axes not written
             written = set(axes)  # type: ignore[arg-type]
             for ax in range(self.nloops):
                 if ax not in written and self.sizes[ax] > 1:
                     if vals.shape[ax] > 1:
-                        vals = vals.sum(axis=ax, keepdims=True)
-                    else:
+                        vals = (
+                            vals.max(axis=ax, keepdims=True)
+                            if is_max
+                            else vals.sum(axis=ax, keepdims=True)
+                        )
+                    elif not is_max:
                         vals = vals * self.dtype(self.sizes[ax])
             vals = jnp.squeeze(
                 vals, axis=tuple(ax for ax in range(self.nloops) if ax not in written)
@@ -728,9 +746,15 @@ class KernelLowering:
             self.sub_path = "direct"
             if write.is_raw:
                 target_shape: tuple = (int(np.prod(out_shape, dtype=np.int64)),)
-                new = out.reshape(-1) + jnp.broadcast_to(vals, target_shape)
+                flat_vals = jnp.broadcast_to(vals, target_shape)
+                if is_max:
+                    new = jnp.maximum(out.reshape(-1), flat_vals)
+                else:
+                    new = out.reshape(-1) + flat_vals
                 return new.reshape(out.shape)
             vals = jnp.broadcast_to(vals, tuple(out_shape))
+            if is_max:
+                return jnp.maximum(out, vals)
             return out + vals
 
         widx = self._flat_index(write, tensors)
@@ -739,17 +763,25 @@ class KernelLowering:
             widx = widx.reshape((1,) * self.nloops)
         elif widx.ndim != self.nloops:
             widx = widx.reshape((1,) * (self.nloops - widx.ndim) + widx.shape)
+        is_max = write.accumulate == "max"
         for ax in range(self.nloops):
             if widx.shape[ax] == 1 and self.sizes[ax] > 1:
                 if vals.shape[ax] > 1:
-                    vals = vals.sum(axis=ax, keepdims=True)
-                else:
+                    vals = (
+                        vals.max(axis=ax, keepdims=True)
+                        if is_max
+                        else vals.sum(axis=ax, keepdims=True)
+                    )
+                elif not is_max:
                     vals = vals * self.dtype(self.sizes[ax])
         bshape = np.broadcast_shapes(widx.shape, vals.shape)
         widx_b = jnp.broadcast_to(widx, bshape).reshape(-1)
         vals_b = jnp.broadcast_to(vals, bshape).reshape(-1)
         self.sub_path = "scatter"
-        flat = out.reshape(-1).at[widx_b].add(vals_b)
+        if is_max:
+            flat = out.reshape(-1).at[widx_b].max(vals_b)
+        else:
+            flat = out.reshape(-1).at[widx_b].add(vals_b)
         return flat.reshape(out.shape)
 
     # ------------------------------------------------------------------
@@ -761,7 +793,8 @@ class KernelLowering:
         assert self.kernel.write is not None
         result = None
         path = "einsum"
-        if any(
+        is_max = self.kernel.write.accumulate == "max"
+        if not is_max and any(
             loop.schedule.tile or loop.schedule.parallel
             for loop in self.kernel.loops
         ) or any(r.schedule.cache for r in self.kernel.reads):
@@ -771,9 +804,9 @@ class KernelLowering:
             if pm.ok:
                 path = "pallas"
                 result = pm.lower(tensors)
-        if result is None:
+        if result is None and not is_max:
             result = self._try_contraction(tensors)
-        if result is None:
+        if result is None and not is_max:
             from .convmatch import ConvMatch
 
             match = ConvMatch(self, self.kernel)

@@ -88,11 +88,13 @@ class KernelBuilder:
         dims: list[ExprNode],
         is_raw: bool,
         value: ExprNode,
+        accumulate: str = "add",
     ) -> None:
         self.target = target
         self.dims = dims
         self.is_raw = is_raw
         self.value = value
+        self.accumulate = accumulate
         self.custom_grads: list[KernelBuilder] = []
         self.schedule: Optional[ScheduleSpec] = None
 
@@ -234,6 +236,7 @@ class _BuildCtx:
             is_raw=builder.is_raw,
             data=res,
             dims=[self.build_linear(d) for d in builder.dims],
+            accumulate=builder.accumulate,
         )
         return kernel
 
@@ -268,6 +271,38 @@ class _RawAccessor:
 
     def __setitem__(self, index, value) -> None:
         self.fun._add_kernel([as_index(index).node], True, value)
+
+
+class _MaxAccessor:
+    """``fun.maximize[dims] = expr`` — max-accumulation kernel writes."""
+
+    __slots__ = ("fun",)
+
+    def __init__(self, fun: "Fun") -> None:
+        self.fun = fun
+
+    def __setitem__(self, indices, value) -> None:
+        if not isinstance(indices, tuple):
+            indices = (indices,)
+        self.fun._add_kernel(
+            [as_index(i).node for i in indices], False, value, accumulate="max"
+        )
+
+    @property
+    def raw(self) -> "_MaxRawAccessor":
+        return _MaxRawAccessor(self.fun)
+
+
+class _MaxRawAccessor:
+    __slots__ = ("fun",)
+
+    def __init__(self, fun: "Fun") -> None:
+        self.fun = fun
+
+    def __setitem__(self, index, value) -> None:
+        self.fun._add_kernel(
+            [as_index(index).node], True, value, accumulate="max"
+        )
 
 
 class Fun:
@@ -306,6 +341,15 @@ class Fun:
     def raw(self) -> _RawAccessor:
         return _RawAccessor(self)
 
+    @property
+    def maximize(self) -> "_MaxAccessor":
+        """Max-accumulation writes (language extension, no reference analog):
+        ``out.maximize[y] = inp[y, x]`` computes out[y] = max over x.
+
+        Gradients flow to the elements attaining the maximum (subgradient,
+        like the reference maxpool's custom gradient, dnn.nim:64-70)."""
+        return _MaxAccessor(self)
+
     # --- tensor queries ----------------------------------------------
     @property
     def shape(self) -> "_ShapeProxy":
@@ -322,14 +366,19 @@ class Fun:
             indices = (indices,)
         self._add_kernel([as_index(i).node for i in indices], False, value)
 
-    def _add_kernel(self, dims: list[ExprNode], is_raw: bool, value) -> None:
+    def _add_kernel(self, dims: list[ExprNode], is_raw: bool, value,
+                    accumulate: str = "add") -> None:
         if _CUSTOM_GRAD_STACK:
-            builder = KernelBuilder(self, dims, is_raw, as_scalar(value).node)
+            builder = KernelBuilder(
+                self, dims, is_raw, as_scalar(value).node, accumulate
+            )
             _CUSTOM_GRAD_STACK[-1].append(builder)
             return
         if self.kind not in (FunKind.RESULT, FunKind.EFFECT):
             raise ParserError(f"cannot add a kernel to a {self.kind.value} node")
-        builder = KernelBuilder(self, dims, is_raw, as_scalar(value).node)
+        builder = KernelBuilder(
+            self, dims, is_raw, as_scalar(value).node, accumulate
+        )
         self.kernels.append(builder)
         _collect_children(builder.value, self)
         for d in dims:

@@ -26,6 +26,18 @@ from .ir import Kernel, LinearIndex, Op, Program
 from .passes.shapes import eval_linear
 
 
+def max_accumulated_results(target) -> set:
+    """Result tensors written exclusively by max-accumulation kernels;
+    these initialize to -inf instead of zero."""
+    modes: dict[int, set[str]] = {}
+    for kernel in target.kernels:
+        if kernel.write is not None:
+            modes.setdefault(kernel.write.tensor, set()).add(
+                kernel.write.accumulate
+            )
+    return {tid for tid, m in modes.items() if m == {"max"}}
+
+
 class _ArrayVal:
     """A (possibly grid-varying) fixed-size array value.
 
@@ -272,12 +284,17 @@ class _KernelEval:
         if vals.ndim == 0:
             vals = vals.reshape((1,) * n)
 
-        # sum/scale over loop axes the write index does not vary over
+        is_max = write.accumulate == "max"
+        # reduce over loop axes the write index does not vary over
         for axis in range(n):
             if widx.shape[axis] == 1 and full[axis] > 1:
                 if vals.shape[axis] > 1:
-                    vals = vals.sum(axis=axis, keepdims=True)
-                else:
+                    vals = (
+                        vals.max(axis=axis, keepdims=True)
+                        if is_max
+                        else vals.sum(axis=axis, keepdims=True)
+                    )
+                elif not is_max:
                     vals = vals * self.dtype.type(full[axis])
 
         out = self.tensors[write.tensor]
@@ -286,7 +303,10 @@ class _KernelEval:
         widx_b = np.broadcast_to(widx, bshape).reshape(-1)
         vals_b = np.broadcast_to(vals, bshape).reshape(-1)
         acc = flat.astype(self.dtype, copy=True)
-        np.add.at(acc, widx_b, vals_b)
+        if is_max:
+            np.maximum.at(acc, widx_b, vals_b)
+        else:
+            np.add.at(acc, widx_b, vals_b)
         self.tensors[write.tensor] = acc.reshape(out.shape)
 
 
@@ -301,10 +321,14 @@ def run_target(
     """Execute one target; mutates and returns ``tensors`` (id -> array)."""
     target = program.targets[target_name]
     dtype = np.dtype(program.scalar_type.value)
+    max_only = max_accumulated_results(target)
     for tid in sorted(target.tensors):
         tdef = program.tensors[tid]
         if tdef.kind == ir.TensorKind.RESULT:
-            tensors[tid] = np.zeros(shapes[tid], dtype=dtype)
+            if tid in max_only:
+                tensors[tid] = np.full(shapes[tid], -np.inf, dtype=dtype)
+            else:
+                tensors[tid] = np.zeros(shapes[tid], dtype=dtype)
         elif tdef.kind == ir.TensorKind.RANDOM:
             if rng is None:
                 rng = np.random.default_rng(0)

@@ -25,7 +25,7 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x01\n"
+MAGIC = b"EGTPU\x02\n"
 
 
 class Writer:
@@ -195,6 +195,7 @@ def _w_tensor_op(w: Writer, op: Optional[ir.TensorOp]) -> None:
         _w_linear(w, dim)
     w.opt_int(op.data)
     w.boolean(op.is_raw)
+    w.string(op.accumulate)
     w.boolean(op.schedule.cache)
 
 
@@ -205,6 +206,7 @@ def _r_tensor_op(r: Reader) -> Optional[ir.TensorOp]:
     op.dims = [_r_linear(r) for _ in range(r.i64())]
     op.data = r.opt_int()
     op.is_raw = r.boolean()
+    op.accumulate = r.string()
     op.schedule.cache = r.boolean()
     return op
 

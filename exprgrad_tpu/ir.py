@@ -281,12 +281,19 @@ class Loop:
 
 @dataclass
 class TensorOp:
-    """A read from or write to a tensor at affine indices."""
+    """A read from or write to a tensor at affine indices.
+
+    ``accumulate`` (writes only) selects the reduction the implicit loops
+    perform: "add" (the reference's ``++=``) or "max" — a language extension
+    enabling true max-reductions (exact stable softmax, global pooling) with
+    subgradient autodiff.
+    """
 
     tensor: int
     dims: list[LinearIndex] = field(default_factory=list)
     data: Optional[int] = None  # register holding the read/written scalar
     is_raw: bool = False        # flat `{i}` access instead of per-dim `[i,j]`
+    accumulate: str = "add"     # "add" | "max" (writes only)
     schedule: TensorSchedule = field(default_factory=TensorSchedule)
 
     def copy(self) -> "TensorOp":
@@ -295,6 +302,7 @@ class TensorOp:
             dims=[d.copy() for d in self.dims],
             data=self.data,
             is_raw=self.is_raw,
+            accumulate=self.accumulate,
             schedule=replace(self.schedule),
         )
 

@@ -125,8 +125,10 @@ def fmt_kernel(kernel: Kernel, indent: str = "") -> str:
         lines.append(f"{indent}expr:")
         _emit_expr(lines, kernel.expr, indent + "  ")
     if kernel.write is not None:
+        op = "max=" if kernel.write.accumulate == "max" else "+="
         lines.append(
-            f"{indent}write: {fmt_tensor_op(kernel.write)} += {fmt_reg(kernel.write.data)}"
+            f"{indent}write: {fmt_tensor_op(kernel.write)} {op} "
+            f"{fmt_reg(kernel.write.data)}"
         )
     if kernel.custom_grad is not None:
         lines.append(f"{indent}custom_grad:")

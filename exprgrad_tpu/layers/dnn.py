@@ -149,29 +149,23 @@ def upsample2(images: Fun) -> Fun:
 
 @layer
 def softmax(inp: Fun) -> Fun:
-    """Row softmax, mean-shifted for numerical range.
+    """Numerically exact row softmax using a true max-reduction.
 
-    softmax is shift-invariant, so subtracting the row mean (expressible in
-    the sum-only accumulation language, unlike the row max) leaves the
-    result mathematically identical while keeping exp() arguments centered.
-    Shifted logits are additionally clamped at +30: the *derived gradient*
-    of exp contains exp(u)^2, which overflows float32 once the logit spread
-    passes ~44 even though the forward pass still looks fine -- the clamp
-    saturates runaway logits with zero gradient, stopping their growth.
-    (The reference softmax, dnn.nim:90, is unshifted and its training
-    diverges to NaN once a model becomes confident.)
+    The row max is computed with a max-accumulation kernel (``maximize``, a
+    language extension; the reference's sum-only language cannot express it
+    and its unshifted softmax, dnn.nim:90, NaNs during training: the derived
+    gradient of exp(u) contains exp(u)^2, overflowing f32 at logit spread
+    ~44 while the forward pass still looks fine).
     """
-    from ..expr import minimum, to_scalar
-
     y, x = iters("y", "x")
-    mean = Fun("softmax.mean")
-    mean[y] = inp[y, x] / to_scalar(inp.shape[1])
+    row_max = Fun("softmax.max")
+    row_max.maximize[y] = inp[y, x]
     y, x = iters("y", "x")
     sums = Fun("softmax.sums")
-    sums[y] = exp(minimum(inp[y, x] - mean[y], 30.0))
+    sums[y] = exp(inp[y, x] - row_max[y])
     y, x = iters("y", "x")
     out = Fun()
-    out[y, x] = exp(minimum(inp[y, x] - mean[y], 30.0)) / sums[y]
+    out[y, x] = exp(inp[y, x] - row_max[y]) / sums[y]
     return out
 
 

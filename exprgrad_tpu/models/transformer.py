@@ -19,19 +19,17 @@ from ..layers import adam
 
 
 def _softmax_last(logits: Fun, vocab: int = 0) -> Fun:
-    """Mean-shifted, +30-clamped softmax over the last of 3 dims
-    (see layers.dnn.softmax for the overflow analysis)."""
-    from ..expr import minimum
-
+    """Exact max-shifted softmax over the last of 3 dims (true
+    max-reduction via the maximize accumulation extension)."""
     n, t, v = iters("n", "t", "v")
-    mean = Fun("softmax.mean")
-    mean[n, t] = logits[n, t, v] / to_scalar(logits.shape[2])
+    row_max = Fun("softmax.max")
+    row_max.maximize[n, t] = logits[n, t, v]
     n, t, v = iters("n", "t", "v")
     sums = Fun("softmax.sums")
-    sums[n, t] = exp(minimum(logits[n, t, v] - mean[n, t], 30.0))
+    sums[n, t] = exp(logits[n, t, v] - row_max[n, t])
     n, t, v = iters("n", "t", "v")
     out = Fun("softmax")
-    out[n, t, v] = exp(minimum(logits[n, t, v] - mean[n, t], 30.0)) / sums[n, t]
+    out[n, t, v] = exp(logits[n, t, v] - row_max[n, t]) / sums[n, t]
     return out
 
 
@@ -78,10 +76,15 @@ def tiny_transformer(
     scores = Fun("scores")
     scores[n, a, b] = q[n, a, d] * k_[n, b, d] * (1.0 / math.sqrt(dim))
 
-    # causal masked softmax over b
+    # causal masked softmax over b, max-shifted for stability
+    n, a, b = iters("n", "a", "b")
+    score_max = Fun("scores.max")
+    score_max.maximize[n, a] = select(b <= a, scores[n, a, b], -1e30)
     n, a, b = iters("n", "a", "b")
     masked = Fun("masked")
-    masked[n, a, b] = select(b <= a, exp(scores[n, a, b]), 0.0)
+    masked[n, a, b] = select(
+        b <= a, exp(scores[n, a, b] - score_max[n, a]), 0.0
+    )
     n, a, b = iters("n", "a", "b")
     denom = Fun("denom")
     denom[n, a] = masked[n, a, b]

@@ -158,7 +158,12 @@ def _derive_instrs(
 
 
 def derive_kernel(kernel: Kernel, grad_tensors: dict[int, int]) -> list[Kernel]:
-    """Derive one gradient kernel per forward read (passes.nim:519-549)."""
+    """Derive one gradient kernel per forward read (passes.nim:519-549).
+
+    Max-accumulation kernels get the subgradient: the incoming gradient is
+    gated to the iterations whose value attained the maximum (the same rule
+    the reference's maxpool custom gradient encodes by hand, dnn.nim:64-70).
+    """
     assert kernel.write is not None
     base = kernel.copy()
     base.custom_grad = None
@@ -174,7 +179,28 @@ def derive_kernel(kernel: Kernel, grad_tensors: dict[int, int]) -> list[Kernel]:
         )
     )
     assert kernel.write.data is not None
-    grad_regs[kernel.write.data] = write_grad
+    if kernel.write.accumulate == "max":
+        # read the forward maximum and gate the gradient to the argmax
+        out_val = base.alloc_reg()
+        base.reads.append(
+            TensorOp(
+                tensor=kernel.write.tensor,
+                dims=[d.copy() for d in kernel.write.dims],
+                data=out_val,
+                is_raw=kernel.write.is_raw,
+            )
+        )
+        is_arg = base.alloc_reg()
+        zero = base.alloc_reg()
+        gated = base.alloc_reg()
+        base.expr.instrs.extend([
+            Instr(op=Op.EQ, args=[kernel.write.data, out_val], res=is_arg),
+            Instr(op=Op.SCALAR, scalar_lit=0.0, res=zero),
+            Instr(op=Op.SELECT, args=[is_arg, write_grad, zero], res=gated),
+        ])
+        grad_regs[kernel.write.data] = gated
+    else:
+        grad_regs[kernel.write.data] = write_grad
 
     base.expr.instrs = base.expr.instrs + _derive_instrs(
         kernel.expr.instrs, base, grad_regs

@@ -50,5 +50,16 @@ def _validate_kernel(kernel: Kernel) -> None:
 def validate(program: Program) -> None:
     program.assert_pass("validate", preserves=ALL_STAGES)
     for target in program.targets.values():
+        modes: dict[int, set[str]] = {}
         for kernel in target.kernels:
             _validate_kernel(kernel)
+            if kernel.write is not None:
+                modes.setdefault(kernel.write.tensor, set()).add(
+                    kernel.write.accumulate
+                )
+        for tid, tensor_modes in modes.items():
+            if len(tensor_modes) > 1:
+                raise ValidationError(
+                    f"tensor t{tid} is written with mixed accumulation modes "
+                    f"{sorted(tensor_modes)} in target {target.name!r}"
+                )
