@@ -33,9 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import ir
-from ..errors import ModelRuntimeError
+from ..errors import ModelRuntimeError, ShapeError
 from ..ir import Kernel, LinearIndex, Op, Program
-from ..passes.shapes import eval_linear
+from ..passes.shapes import resolve_loop_bounds
 
 
 def _trunc_div(a, b):
@@ -78,21 +78,23 @@ class KernelLowering:
         self.sizes: list[int] = []
         self.axis_of_reg: dict[int, int] = {}
         self.env: dict[int, object] = {}
+        self.dynamic_axes: list[int] = []
         self._bounds_ok = self._eval_bounds()
 
     # ------------------------------------------------------------------
     def _eval_bounds(self) -> bool:
-        for axis, loop in enumerate(self.kernel.loops):
+        for loop in self.kernel.loops:
             if not loop.has_bounds:
                 raise ModelRuntimeError(
                     "loop range could not be inferred; use a bounded iterator"
                 )
-            start = eval_linear(loop.start, self.shapes)
-            stop = eval_linear(loop.stop, self.shapes)
-            if start is None or stop is None:
-                raise ModelRuntimeError("unable to evaluate loop bounds")
-            self.starts.append(start)
-            self.sizes.append(max(0, stop - start))
+        try:
+            self.starts, self.sizes, self.dynamic_axes = resolve_loop_bounds(
+                self.kernel.loops, self.shapes
+            )
+        except ShapeError as err:
+            raise ModelRuntimeError(str(err)) from err
+        for axis, loop in enumerate(self.kernel.loops):
             self.axis_of_reg[loop.iter_reg] = axis
         return all(s > 0 for s in self.sizes)
 
@@ -484,6 +486,11 @@ class KernelLowering:
                 out_shape[axis] = total
                 return tensor.reshape(out_shape)
         flat = self._flat_index(read, tensors)
+        if self.dynamic_axes:
+            # hull points outside the true bounds may index out of range;
+            # clamp (their contribution is masked to the identity)
+            total = int(np.prod(shape, dtype=np.int64))
+            flat = jnp.clip(flat, 0, total - 1)
         return tensor.reshape(-1)[flat]
 
     def _try_separable_read(self, read: ir.TensorOp, tensor, shape):
@@ -678,11 +685,30 @@ class KernelLowering:
             return out.at[region].max(vals)
         return out.at[region].add(vals)
 
+    def _bounds_mask(self, tensors):
+        """Grid mask for dynamic (iterator-dependent) loop bounds, or None.
+
+        Dynamic loops iterate their static interval hull; this mask is True
+        where the point satisfies every dynamic loop's true per-point
+        ``[start, stop)`` — contributions outside are replaced with the
+        accumulation identity (the XLA-idiomatic masked-compute form of a
+        triangular loop, e.g. causal attention)."""
+        mask = None
+        for axis in self.dynamic_axes:
+            loop = self.kernel.loops[axis]
+            it = self.env[loop.iter_reg]
+            lo = self._eval_linear_vec(loop.start, tensors)
+            hi = self._eval_linear_vec(loop.stop, tensors)
+            m = (it >= lo) & (it < hi)
+            mask = m if mask is None else (mask & m)
+        return mask
+
     def _general(self, tensors, epoch):
         kernel = self.kernel
         for axis, loop in enumerate(kernel.loops):
             self.env[loop.iter_reg] = self._grid_slot(axis)
         self.eval_instrs(kernel.setup, tensors)
+        mask = self._bounds_mask(tensors)
         for read in kernel.reads:
             self.env[read.data] = self._read_value(read, tensors)
         self.eval_instrs(kernel.expr.instrs, tensors)
@@ -690,6 +716,9 @@ class KernelLowering:
         write = kernel.write
         assert write is not None and write.data is not None
         vals = jnp.asarray(self.env[write.data], self.dtype)
+        if mask is not None:
+            identity = -jnp.inf if write.accumulate == "max" else 0.0
+            vals = jnp.where(mask, vals, self.dtype(identity))
         if vals.ndim == 0:
             vals = vals.reshape((1,) * self.nloops)
         elif vals.ndim != self.nloops:
@@ -793,20 +822,27 @@ class KernelLowering:
         assert self.kernel.write is not None
         result = None
         path = "einsum"
-        is_max = self.kernel.write.accumulate == "max"
-        if not is_max and any(
-            loop.schedule.tile or loop.schedule.parallel
-            for loop in self.kernel.loops
-        ) or any(r.schedule.cache for r in self.kernel.reads):
+        # max-accumulation and dynamic (iterator-dependent) bounds are
+        # handled only by the general path (the latter needs a hull mask)
+        general_only = (
+            self.kernel.write.accumulate == "max" or bool(self.dynamic_axes)
+        )
+        if not general_only and (
+            any(
+                loop.schedule.tile or loop.schedule.parallel
+                for loop in self.kernel.loops
+            )
+            or any(r.schedule.cache for r in self.kernel.reads)
+        ):
             from .pallasgen import PallasMatmul
 
             pm = PallasMatmul(self, self.kernel)
             if pm.ok:
                 path = "pallas"
                 result = pm.lower(tensors)
-        if result is None and not is_max:
+        if result is None and not general_only:
             result = self._try_contraction(tensors)
-        if result is None and not is_max:
+        if result is None and not general_only:
             from .convmatch import ConvMatch
 
             match = ConvMatch(self, self.kernel)

@@ -21,9 +21,9 @@ from typing import Optional
 import numpy as np
 
 from . import ir
-from .errors import ModelRuntimeError
+from .errors import ModelRuntimeError, ShapeError
 from .ir import Kernel, LinearIndex, Op, Program
-from .passes.shapes import eval_linear
+from .passes.shapes import resolve_loop_bounds
 
 
 def max_accumulated_results(target) -> set:
@@ -83,24 +83,29 @@ class _KernelEval:
         self.env: dict[int, object] = {}
         self.nloops = len(kernel.loops)
         self.sizes: list[int] = []
+        self.dynamic_axes: list[int] = []
 
     # --- loop bounds --------------------------------------------------
     def eval_bounds(self) -> bool:
-        """Returns False when the iteration space is empty."""
-        self.starts = []
+        """Returns False when the iteration space is empty.
+
+        Loops whose bounds reference other iterators (triangular loops)
+        resolve to their static interval hull; ``self.dynamic_axes`` marks
+        them and ``run`` masks grid points outside the true bounds.
+        """
         for loop in self.kernel.loops:
             if not loop.has_bounds:
                 raise ModelRuntimeError(
                     "loop range could not be inferred; use a bounded iterator "
                     "like irange(name, start, stop)"
                 )
-            start = eval_linear(loop.start, self.shapes, self.epoch)
-            stop = eval_linear(loop.stop, self.shapes, self.epoch)
-            if start is None or stop is None:
-                raise ModelRuntimeError("unable to evaluate loop bounds")
             assert loop.step == 1
-            self.starts.append(start)
-            self.sizes.append(max(0, stop - start))
+        try:
+            self.starts, self.sizes, self.dynamic_axes = resolve_loop_bounds(
+                self.kernel.loops, self.shapes, self.epoch
+            )
+        except ShapeError as err:
+            raise ModelRuntimeError(str(err)) from err
         if any(s == 0 for s in self.sizes):
             return False
         for axis, loop in enumerate(self.kernel.loops):
@@ -258,22 +263,50 @@ class _KernelEval:
             value = value + self.env[reg] * factor
         return value
 
+    def _bounds_mask(self):
+        """Grid mask for dynamic (iterator-dependent) loop bounds, or None.
+
+        The grid iterates each dynamic loop's static hull; points outside
+        the true per-point ``[start, stop)`` contribute the accumulation
+        identity instead.
+        """
+        mask = None
+        for axis in self.dynamic_axes:
+            loop = self.kernel.loops[axis]
+            it = self.env[loop.iter_reg]
+            lo = self._eval_linear_vec(loop.start)
+            hi = self._eval_linear_vec(loop.stop)
+            m = (it >= lo) & (it < hi)
+            mask = m if mask is None else (mask & m)
+        return mask
+
     # --- kernel execution --------------------------------------------
     def run(self) -> None:
         kernel = self.kernel
         if not self.eval_bounds():
             return
         self.eval_instrs(kernel.setup)
+        mask = self._bounds_mask()
         for read in kernel.reads:
             flat = self._flat_index(read)
             data = self.tensors[read.tensor].reshape(-1)
+            if mask is not None:
+                # hull points outside the true bounds may index out of
+                # range; clamp (their contribution is masked to identity)
+                flat = np.clip(flat, 0, data.shape[0] - 1)
             self.env[read.data] = data[flat]
         self.eval_instrs(kernel.expr.instrs)
 
         write = kernel.write
         assert write is not None and write.data is not None
         vals = self.env[write.data]
+        if mask is not None:
+            identity = -np.inf if write.accumulate == "max" else 0.0
+            vals = np.where(mask, vals, self.dtype.type(identity))
         widx = self._flat_index(write)
+        if mask is not None:
+            size = int(np.prod(self.shapes[write.tensor], dtype=np.int64))
+            widx = np.clip(widx, 0, size - 1)
 
         full = tuple(self.sizes)
         n = self.nloops

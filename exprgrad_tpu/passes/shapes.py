@@ -130,6 +130,161 @@ def eval_linear(
 
 
 # ---------------------------------------------------------------------------
+# interval evaluation (for iterator-dependent loop bounds)
+# ---------------------------------------------------------------------------
+
+def eval_linear_interval(
+    index: LinearIndex,
+    shapes: dict[int, list[int]],
+    reg_intervals: dict[int, ir.Interval],
+    epoch: Optional[int] = None,
+) -> Optional[ir.Interval]:
+    """Interval hull of a linear index whose registers span known ranges.
+
+    Used to bound loops whose start/stop reference other iterators
+    (triangular loops, the reference's arbitrary ``(x in a..<b)`` bound
+    expressions, parser.nim:615-633): the backends iterate the static hull
+    and mask out-of-bound points.  Returns None when an instruction cannot
+    be bounded.
+    """
+    env: dict[int, ir.Interval] = dict(reg_intervals)
+
+    def _mul(x: ir.Interval, y: ir.Interval) -> ir.Interval:
+        corners = [x.min * y.min, x.min * y.max, x.max * y.min, x.max * y.max]
+        return ir.Interval(min(corners), max(corners))
+
+    for instr in index.setup:
+        if any(a not in env for a in instr.args):
+            return None
+        a = [env[x] for x in instr.args]
+        op = instr.op
+        if op == Op.IDX:
+            value = ir.Interval(instr.index_lit, instr.index_lit)
+        elif op == Op.ADD:
+            value = a[0] + a[1]
+        elif op == Op.SUB:
+            value = a[0] + a[1].scaled(-1)
+        elif op == Op.MUL:
+            value = _mul(a[0], a[1])
+        elif op == Op.NEG:
+            value = a[0].scaled(-1)
+        elif op == Op.IDX_DIV:
+            if a[1].min <= 0:
+                return None  # divisor may be zero/negative: give up
+            corners = [
+                trunc_div(a[0].min, a[1].min),
+                trunc_div(a[0].min, a[1].max),
+                trunc_div(a[0].max, a[1].min),
+                trunc_div(a[0].max, a[1].max),
+            ]
+            value = ir.Interval(min(corners), max(corners))
+        elif op == Op.MOD:
+            if a[1].min <= 0:
+                return None
+            value = ir.Interval(min(0, a[0].min), a[1].max - 1)
+        elif op == Op.WRAP:
+            if a[1].min <= 0:
+                return None
+            value = ir.Interval(0, a[1].max - 1)
+        elif op == Op.SHAPE:
+            if instr.tensor not in shapes or not shapes[instr.tensor]:
+                return None
+            size = shapes[instr.tensor][instr.dim]
+            if size < 0:
+                return None
+            value = ir.Interval(size, size)
+        elif op == Op.LEN:
+            shape = shapes.get(instr.tensor)
+            if not shape or any(s < 0 for s in shape):
+                return None
+            total = 1
+            for s in shape:
+                total *= s
+            value = ir.Interval(total, total)
+        elif op == Op.SHAPE_LEN:
+            if instr.tensor not in shapes:
+                return None
+            rank = len(shapes[instr.tensor])
+            value = ir.Interval(rank, rank)
+        elif op == Op.EPOCH:
+            if epoch is None:
+                return None
+            value = ir.Interval(epoch, epoch)
+        else:
+            return None
+        if instr.res is not None:
+            env[instr.res] = value
+
+    result = ir.Interval(index.constant, index.constant)
+    for reg, factor in index.factors.items():
+        if reg not in env:
+            return None
+        result = result + env[reg].scaled(factor)
+    return result
+
+
+def resolve_loop_bounds(
+    loops,
+    shapes: dict[int, list[int]],
+    epoch: Optional[int] = None,
+) -> tuple[list[int], list[int], list[int]]:
+    """Resolve per-loop (start, size) with dynamic-bound support.
+
+    Static bounds evaluate exactly.  Bounds referencing other iterators
+    resolve to their interval hull over the referenced loops' ranges, and
+    the loop's axis is reported as *dynamic*: the backend must iterate the
+    hull and mask points outside ``[start_expr, stop_expr)``.
+
+    Returns (starts, sizes, dynamic_axes); raises ShapeError when a bound
+    cannot be resolved at all.
+    """
+    n = len(loops)
+    starts: list[Optional[int]] = [None] * n
+    sizes: list[Optional[int]] = [None] * n
+    dynamic: list[int] = []
+    intervals: dict[int, ir.Interval] = {}
+
+    unresolved = []
+    for axis, loop in enumerate(loops):
+        start = eval_linear(loop.start, shapes, epoch)
+        stop = eval_linear(loop.stop, shapes, epoch)
+        if start is not None and stop is not None:
+            starts[axis] = start
+            sizes[axis] = max(0, stop - start)
+            intervals[loop.iter_reg] = ir.Interval(start, max(start, stop - 1))
+        else:
+            unresolved.append(axis)
+
+    # iterate: a dynamic bound may reference another dynamic loop's hull
+    progress = True
+    while unresolved and progress:
+        progress = False
+        still = []
+        for axis in unresolved:
+            loop = loops[axis]
+            lo = eval_linear_interval(loop.start, shapes, intervals, epoch)
+            hi = eval_linear_interval(loop.stop, shapes, intervals, epoch)
+            if lo is None or hi is None:
+                still.append(axis)
+                continue
+            starts[axis] = lo.min
+            sizes[axis] = max(0, hi.max - lo.min)
+            intervals[loop.iter_reg] = ir.Interval(
+                lo.min, max(lo.min, hi.max - 1)
+            )
+            dynamic.append(axis)
+            progress = True
+        unresolved = still
+
+    if unresolved:
+        raise ShapeError(
+            "unable to evaluate loop bounds (unresolvable dynamic bound)"
+        )
+    dynamic.sort()
+    return starts, sizes, dynamic  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
 # linear solver
 # ---------------------------------------------------------------------------
 

@@ -155,10 +155,12 @@ def infer_types_kernel(kernel: Kernel) -> None:
     if kernel.generator.kind != ir.GenKind.NONE:
         return
     _infer_instrs(kernel.setup, kernel)
+    # type iterator registers first: bounds may reference other iterators
+    for loop in kernel.loops:
+        kernel.regs[loop.iter_reg].typ = INDEX_T
     for loop in kernel.loops:
         _infer_instrs(loop.start.setup, kernel)
         _infer_instrs(loop.stop.setup, kernel)
-        kernel.regs[loop.iter_reg].typ = INDEX_T
     for read in kernel.reads:
         for dim in read.dims:
             _infer_instrs(dim.setup, kernel)

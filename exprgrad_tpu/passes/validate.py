@@ -28,10 +28,13 @@ def _validate_kernel(kernel: Kernel) -> None:
         return
     defined: set[int] = set()
     _check_instrs(kernel.setup, defined)
+    # iterator registers are in scope for the whole nest: loop bounds may
+    # reference other iterators (triangular loops), regardless of order
+    for loop in kernel.loops:
+        defined.add(loop.iter_reg)
     for loop in kernel.loops:
         _check_linear(loop.start, defined)
         _check_linear(loop.stop, defined)
-        defined.add(loop.iter_reg)
     for read in kernel.reads:
         for dim in read.dims:
             _check_linear(dim, defined)
