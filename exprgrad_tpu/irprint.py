@@ -172,13 +172,23 @@ def fmt_target(target: Target, indent: str = "") -> str:
     return "\n".join(lines)
 
 
-def fmt_program(program: Program) -> str:
+def fmt_program(program: Program, target: str | None = None) -> str:
+    """Format the program IR; ``target`` restricts output to one target
+    and the tensors it references (reference ``$`` on Program, ir.nim)."""
+    names = sorted(program.targets) if target is None else [target]
+    shown = (
+        None
+        if target is None
+        else program.targets[target].tensors
+    )
     lines = ["program:"]
     lines.append("  tensors:")
     for it, tensor in enumerate(program.tensors):
+        if shown is not None and it not in shown:
+            continue
         name = f" {tensor.name!r}" if tensor.name else ""
         shape = f" shape={tensor.shape}" if tensor.shape else ""
         lines.append(f"    t{it} = {tensor.kind.value}{name}{shape}")
-    for name in sorted(program.targets):
+    for name in names:
         lines.append(fmt_target(program.targets[name], "  "))
     return "\n".join(lines)

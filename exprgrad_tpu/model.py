@@ -92,8 +92,12 @@ class Model:
             self.caches[tid] = np.zeros(tdef.shape, dtype=dtype)
 
     # --- introspection ------------------------------------------------
-    def emit_ir(self) -> str:
-        return fmt_program(self.program)
+    def emit_ir(self, target: Optional[str] = None) -> str:
+        """IR dump for inspection; ``target`` restricts to one target and
+        the tensors it references."""
+        if target is not None and target not in self.program.targets:
+            raise ModelRuntimeError(f"unknown target {target!r}")
+        return fmt_program(self.program, target)
 
     def executable(
         self, target_name: str, input_shapes: dict[str, Sequence[int]]

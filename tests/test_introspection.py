@@ -20,6 +20,21 @@ def test_emit_ir():
     assert "write:" in text
 
 
+def test_emit_ir_per_target():
+    model = compile(xor_mlp(), backend="jax")
+    full = model.emit_ir()
+    only_predict = model.emit_ir("predict")
+    assert "target 'predict'" in only_predict
+    assert "target 'train'" not in only_predict
+    assert "target 'train'" in full
+    assert len(only_predict) < len(full)
+    import pytest
+    from exprgrad_tpu.errors import ModelRuntimeError
+
+    with pytest.raises(ModelRuntimeError):
+        model.emit_ir("nope")
+
+
 def test_save_hlo(tmp_path):
     model = _matmul_model()
     path = tmp_path / "c.hlo"
