@@ -51,14 +51,30 @@ class JaxExecutor:
             for k in self.target.kernels
             if k.write is not None
         }
+
+        # matmul+epilogue fusion plan: scheduled matmuls whose sole
+        # elementwise consumer folds into the Pallas flush step
+        from .pallasgen import plan_epilogue_fusions
+
+        self.fused, self._skip_kernels, fused_away = plan_epilogue_fusions(
+            program, self.target, shapes, self.dtype, self.precision
+        )
+
         self.output_tids = sorted(
-            written
-            | {
-                tid
-                for tid in self.target.tensors
-                if program.tensors[tid].kind == ir.TensorKind.RESULT
-            }
-            | ({self.target.output} if self.target.output is not None else set())
+            (
+                written
+                | {
+                    tid
+                    for tid in self.target.tensors
+                    if program.tensors[tid].kind == ir.TensorKind.RESULT
+                }
+                | (
+                    {self.target.output}
+                    if self.target.output is not None
+                    else set()
+                )
+            )
+            - fused_away
         )
         self.random_tids = sorted(
             tid
@@ -108,7 +124,18 @@ class JaxExecutor:
                         minval=lo,
                         maxval=hi,
                     )
-            for kernel in self.target.kernels:
+            for i, kernel in enumerate(self.target.kernels):
+                if i in self._skip_kernels:
+                    continue  # folded into the previous matmul's epilogue
+                if i in self.fused:
+                    pm, epi = self.fused[i]
+                    value = pm.lower_fused(tensors, epi)
+                    t2 = epi.kernel.write.tensor
+                    tensors[t2] = tensors[t2] + value
+                    self.stats["pallas-fused"] = (
+                        self.stats.get("pallas-fused", 0) + 1
+                    )
+                    continue
                 KernelLowering(
                     program, kernel, self.shapes, self.dtype, self.precision
                 ).run(tensors, epoch, self.stats)

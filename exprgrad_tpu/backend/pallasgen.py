@@ -24,6 +24,7 @@ from typing import Optional
 
 import numpy as np
 
+from .. import ir
 from ..ir import Kernel, Op
 
 # minimal sublane alignment per dtype (lane dim is always 128)
@@ -48,6 +49,9 @@ class PallasMatmul:
         write = kernel.write
         if write is None or write.is_raw or kernel.setup:
             return False
+        if np.dtype(low.dtype) == np.float64:
+            return False  # MXU/VMEM accumulate in f32; f64 models (CPU
+            # debugging) keep the exact einsum path
         if len(kernel.reads) != 2 or any(r.is_raw for r in kernel.reads):
             return False
         if any(r.dims and len(r.dims) != 2 for r in kernel.reads):
@@ -154,3 +158,263 @@ class PallasMatmul:
         if [low._pure_iter(d) for d in write.dims] == [self.x_axis, self.y_axis]:
             value = value.T
         return tensors[write.tensor] + value
+
+    def lower_fused(self, tensors: dict, epilogue: "PallasEpilogue"):
+        """Lower matmul + the consumer's elementwise epilogue as ONE Pallas
+        kernel: the epilogue runs on the f32 accumulator block in VMEM at
+        the last reduction step, so the product matrix never touches HBM."""
+        from ..ops.matmul import _matmul_impl
+
+        low = self.low
+        a = tensors[self.a_read.tensor]
+        b = tensors[self.b_read.tensor]
+        extra = [
+            (epilogue.prepare(tensors[tid], pat), pat)
+            for tid, pat in epilogue.extra
+        ]
+        return _matmul_impl(
+            a,
+            b,
+            block_m=self.bm,
+            block_n=self.bn,
+            block_k=self.bk,
+            out_dtype=np.dtype(low.dtype),
+            epilogue=epilogue.fn,
+            extra=tuple(extra),
+        )
+
+
+def plan_epilogue_fusions(program, target, shapes, dtype, precision):
+    """Plan matmul+epilogue fusions for one target.
+
+    Returns ``(fused, skipped)``: ``fused[i]`` is the (PallasMatmul,
+    PallasEpilogue) pair for the scheduled matmul at kernel index ``i``
+    whose consumer at ``i+1`` is folded into its flush step; ``skipped``
+    is the set of consumer kernel indices and intermediate tensor ids to
+    drop.  A fusion is only legal when the intermediate is a RESULT tensor
+    written once, read only by the consumer, and not the target output.
+    """
+    from .jaxeval import KernelLowering
+
+    kernels = target.kernels
+    reads_of: dict[int, list[int]] = {}
+    writes_of: dict[int, list[int]] = {}
+    for idx, kernel in enumerate(kernels):
+        for read in kernel.reads:
+            reads_of.setdefault(read.tensor, []).append(idx)
+        if kernel.write is not None:
+            writes_of.setdefault(kernel.write.tensor, []).append(idx)
+
+    fused: dict[int, tuple] = {}
+    skipped_kernels: set[int] = set()
+    skipped_tensors: set[int] = set()
+    for idx in range(len(kernels) - 1):
+        kernel = kernels[idx]
+        if kernel.write is None or kernel.write.accumulate != "add":
+            continue
+        scheduled = any(
+            loop.schedule.tile or loop.schedule.parallel
+            for loop in kernel.loops
+        ) or any(r.schedule.cache for r in kernel.reads)
+        if not scheduled:
+            continue
+        t1 = kernel.write.tensor
+        if program.tensors[t1].kind != ir.TensorKind.RESULT:
+            continue
+        if t1 == target.output:
+            continue
+        if writes_of.get(t1) != [idx] or reads_of.get(t1) != [idx + 1]:
+            continue
+        try:
+            low1 = KernelLowering(program, kernel, shapes, dtype, precision)
+        except Exception:
+            continue
+        if not low1._bounds_ok or low1.dynamic_axes:
+            continue
+        pm = PallasMatmul(low1, kernel)
+        if not pm.ok:
+            continue
+        # matmul must write [y, x] directly (no transposed store)
+        if [low1._pure_iter(d) for d in kernel.write.dims] != [
+            pm.y_axis, pm.x_axis
+        ]:
+            continue
+        consumer = kernels[idx + 1]
+        if consumer.write is None or consumer.write.tensor == t1:
+            continue
+        try:
+            low2 = KernelLowering(program, consumer, shapes, dtype, precision)
+        except Exception:
+            continue
+        epi = PallasEpilogue(low2, consumer, t1, pm.m, pm.n)
+        if not epi.ok:
+            continue
+        fused[idx] = (pm, epi)
+        skipped_kernels.add(idx + 1)
+        skipped_tensors.add(t1)
+    return fused, skipped_kernels, skipped_tensors
+
+
+# elementwise ops an epilogue may contain (everything index-typed, tensor
+# -shaped-query or array-valued stays on the general path)
+_EPILOGUE_OPS = {
+    Op.SCALAR, Op.BOOL, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.NEG,
+    Op.SIN, Op.COS, Op.EXP, Op.POW, Op.SQRT,
+    Op.LOG, Op.LOG10, Op.LOG2, Op.LN,
+    Op.EQ, Op.LT, Op.LE, Op.AND, Op.OR, Op.SELECT,
+}
+
+
+class PallasEpilogue:
+    """Classify a consumer kernel as a fusable elementwise epilogue.
+
+    Pattern (the reference's motivating case is dense+bias+activation,
+    dnn.nim:20-35, where the GPU backend relies on kernel fusion): the
+    kernel after a scheduled matmul writing ``t``:
+
+        out[y, x] = f(t[y, x], row[x], col[y], full[y, x], consts...)
+
+    — a pure scalar expression over the matmul result read pointwise plus
+    rank-1 broadcasts and same-shape tensors.  The expression is evaluated
+    on VMEM blocks inside the matmul kernel at flush time.
+    """
+
+    def __init__(self, low, kernel: Kernel, produced: int, m: int, n: int):
+        self.low = low          # KernelLowering for the CONSUMER kernel
+        self.kernel = kernel
+        self.produced = produced  # tensor id written by the matmul
+        self.m, self.n = m, n
+        self.extra: list[tuple[int, str]] = []  # (tensor id, pattern)
+        self._read_pattern: dict[int, str] = {}  # read data reg -> pattern
+        self.ok = self._classify()
+
+    def _classify(self) -> bool:
+        low = self.low
+        kernel = self.kernel
+        write = kernel.write
+        if (
+            write is None
+            or write.is_raw
+            or kernel.setup
+            or write.accumulate != "add"
+            or kernel.generator.kind != ir.GenKind.NONE
+            or kernel.custom_grad is not None
+        ):
+            return False
+        if not low._bounds_ok or low.dynamic_axes:
+            return False
+        if len(kernel.loops) != 2 or low.sizes != [self.m, self.n]:
+            return False
+        if len(write.dims) != 2:
+            return False
+        w_axes = [low._pure_iter(d) for d in write.dims]
+        if w_axes != [0, 1] or low.starts != [0, 0]:
+            return False
+        out_shape = low.shapes[write.tensor]
+        if out_shape != [self.m, self.n]:
+            return False
+
+        saw_produced = False
+        for read in kernel.reads:
+            if read.is_raw:
+                return False
+            axes = [low._pure_iter(d) for d in read.dims]
+            if any(a is None for a in axes):
+                return False
+            shape = low.shapes[read.tensor]
+            if read.tensor == self.produced:
+                if axes != [0, 1]:
+                    return False
+                saw_produced = True
+                self._read_pattern[read.data] = "acc"
+                continue
+            if axes == [0, 1] and shape == [self.m, self.n]:
+                pat = "full"
+            elif axes == [1] and shape == [self.n]:
+                pat = "row"
+            elif axes == [0] and shape == [self.m]:
+                pat = "col"
+            else:
+                return False
+            self._read_pattern[read.data] = pat
+            self.extra.append((read.tensor, pat))
+
+        if not saw_produced:
+            return False
+        for instr in kernel.expr.instrs:
+            if instr.op not in _EPILOGUE_OPS:
+                return False
+        return True
+
+    @staticmethod
+    def prepare(arr, pattern: str):
+        """Reshape rank-1 operands to 2-D so TPU blocks stay 2-D."""
+        if pattern == "row":
+            return arr.reshape(1, -1)
+        if pattern == "col":
+            return arr.reshape(-1, 1)
+        return arr
+
+    def fn(self, acc, *blocks):
+        """Evaluate the consumer's expression on VMEM blocks (f32)."""
+        import jax.numpy as jnp
+
+        env: dict[int, object] = {}
+        it = iter(blocks)
+        for read in self.kernel.reads:
+            pat = self._read_pattern[read.data]
+            if pat == "acc":
+                env[read.data] = acc
+            else:
+                env[read.data] = next(it).astype(jnp.float32)
+        dtype = jnp.float32
+        for instr in self.kernel.expr.instrs:
+            op = instr.op
+            a = [env[x] for x in instr.args]
+            if op == Op.SCALAR:
+                value = dtype(instr.scalar_lit)
+            elif op == Op.BOOL:
+                value = instr.bool_lit
+            elif op == Op.ADD:
+                value = a[0] + a[1]
+            elif op == Op.SUB:
+                value = a[0] - a[1]
+            elif op == Op.MUL:
+                value = a[0] * a[1]
+            elif op == Op.DIV:
+                value = a[0] / a[1]
+            elif op == Op.NEG:
+                value = -a[0]
+            elif op == Op.SIN:
+                value = jnp.sin(a[0])
+            elif op == Op.COS:
+                value = jnp.cos(a[0])
+            elif op == Op.EXP:
+                value = jnp.exp(a[0])
+            elif op == Op.POW:
+                value = jnp.power(a[0], a[1])
+            elif op == Op.SQRT:
+                value = jnp.sqrt(a[0])
+            elif op == Op.LN:
+                value = jnp.log(a[0])
+            elif op == Op.LOG:
+                value = jnp.log(a[0]) / jnp.log(a[1])
+            elif op == Op.LOG2:
+                value = jnp.log2(a[0])
+            elif op == Op.LOG10:
+                value = jnp.log10(a[0])
+            elif op == Op.EQ:
+                value = a[0] == a[1]
+            elif op == Op.LT:
+                value = a[0] < a[1]
+            elif op == Op.LE:
+                value = a[0] <= a[1]
+            elif op == Op.AND:
+                value = jnp.logical_and(a[0], a[1])
+            elif op == Op.OR:
+                value = jnp.logical_or(a[0], a[1])
+            else:  # SELECT (classification guarantees the op set)
+                value = jnp.where(a[0], a[1], a[2])
+            if instr.res is not None:
+                env[instr.res] = value
+        return env[self.kernel.expr.res]

@@ -1,16 +1,23 @@
-"""Flash attention for TPU (Pallas forward kernel + custom VJP).
+"""Flash attention for TPU (Pallas forward + Pallas backward kernels).
 
 Beyond-reference op (the reference tops out at conv/dense, SURVEY.md §5.7):
-a fused attention kernel in the style of jax's official Pallas TPU kernels.
-The (seq, seq) score matrix is never materialized: the KV sequence is the
-innermost ("arbitrary") grid dimension and the kernel maintains the online
-softmax running statistics (m: row max, l: row sum, acc: output) in VMEM
-scratch across KV tiles, rescaling previous contributions as new tiles
-arrive.  Q/batch/head grid dimensions are "parallel" (megacore-friendly).
+fused attention kernels in the style of jax's official Pallas TPU kernels.
+The (seq, seq) score matrix is never materialized in HBM, forward or
+backward:
 
-The backward pass is registered via ``jax.custom_vjp`` and recomputes
-attention weights blockwise with plain XLA ops — correct and
-memory-reasonable; a Pallas backward kernel is a natural follow-up.
+* **forward**: the KV sequence is the innermost ("arbitrary") grid
+  dimension; the kernel maintains the online-softmax running statistics
+  (m: row max, l: row sum, acc: output) in VMEM scratch across KV tiles,
+  rescaling previous contributions as new tiles arrive, and emits the
+  per-row logsumexp for the backward pass.
+* **backward**: two kernels recompute attention weights blockwise from the
+  saved logsumexp (no m/l re-reduction needed).  The dq kernel iterates KV
+  tiles innermost with a VMEM dq accumulator; the dk/dv kernel iterates Q
+  tiles innermost with VMEM dk/dv accumulators.  ``delta = rowsum(dO * O)``
+  is a cheap fused XLA elementwise pass.
+
+Q/batch/head grid dimensions are "parallel" (megacore-friendly); causal
+masks skip tiles entirely on the wrong side of the diagonal.
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ _NEG_INF = -1e30
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     num_kv_blocks: int,
 ):
@@ -84,6 +91,125 @@ def _fwd_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        m = m_scratch[...][:, 0]
+        lsum = l_scratch[...][:, 0]
+        lse_ref[0, :] = m + jnp.log(jnp.where(lsum == 0.0, 1.0, lsum))
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
+    *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    num_kv_blocks: int,
+):
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
+
+    should_run = True
+    if causal:
+        should_run = q_idx * block_q + block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]                     # [block_q, d]
+        k = k_ref[0]                     # [block_k, d]
+        v = v_ref[0]                     # [block_k, d]
+        do = do_ref[0]                   # [block_q, d]
+        lse = lse_ref[0, :]              # [block_q]
+        delta = delta_ref[0, :]          # [block_q]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = (q_idx * block_q + rows) >= (kv_idx * block_k + cols)
+            s = jnp.where(mask, s, _NEG_INF)
+
+        p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                # [block_q, block_k]
+        ds = p * (dp - delta[:, None])
+        if sm_scale != 1.0:
+            ds = ds * sm_scale
+        dq_scratch[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    num_q_blocks: int,
+):
+    kv_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    should_run = True
+    if causal:
+        should_run = q_idx * block_q + block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]                     # [block_q, d]
+        k = k_ref[0]                     # [block_k, d]
+        v = v_ref[0]                     # [block_k, d]
+        do = do_ref[0]                   # [block_q, d]
+        lse = lse_ref[0, :]              # [block_q]
+        delta = delta_ref[0, :]          # [block_q]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if sm_scale != 1.0:
+            s = s * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = (q_idx * block_q + rows) >= (kv_idx * block_k + cols)
+            s = jnp.where(mask, s, _NEG_INF)
+
+        p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
+        # dv += p^T @ do
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta[:, None])
+        if sm_scale != 1.0:
+            ds = ds * sm_scale
+        # dk += ds^T @ q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -104,10 +230,11 @@ def flash_attention(
     Shapes: q [b, h, sq, d], k/v [b, h, skv, d] -> [b, h, sq, d].
     Sequence lengths must divide the block sizes (pad upstream otherwise).
     """
-    return _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
+    out, _ = _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
+    return out
 
 
-def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
+def _resolve(q, k, v, sm_scale, block_q, block_k, interpret):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if sm_scale is None:
@@ -121,12 +248,21 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
         )
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    return float(sm_scale), block_q, block_k, bool(interpret)
+
+
+def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sm_scale, block_q, block_k, interpret = _resolve(
+        q, k, v, sm_scale, block_q, block_k, interpret
+    )
     num_kv = skv // block_k
     grid = (b * h, sq // block_q, num_kv)
 
     kernel = functools.partial(
         _fwd_kernel,
-        sm_scale=float(sm_scale),
+        sm_scale=sm_scale,
         causal=causal,
         block_q=block_q,
         block_k=block_k,
@@ -135,7 +271,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -143,8 +279,14 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -161,7 +303,113 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out.reshape(b, h, sq, d)
+    return out.reshape(b, h, sq, d), lse
+
+
+def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
+              interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sm_scale, block_q, block_k, interpret = _resolve(
+        q, k, v, sm_scale, block_q, block_k, interpret
+    )
+    num_q = sq // block_q
+    num_kv = skv // block_k
+
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, skv, d)
+    vf = v.reshape(b * h, skv, d)
+    dof = g.reshape(b * h, sq, d)
+    # delta[r] = sum_d dO[r,d] * O[r,d]  (one fused elementwise+reduce pass)
+    delta = jnp.sum(
+        dof.astype(jnp.float32) * out.reshape(b * h, sq, d).astype(jnp.float32),
+        axis=-1,
+    )  # [b*h, sq]
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))
+    row_spec = pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=block_q,
+            block_k=block_k,
+            num_kv_blocks=num_kv,
+        ),
+        grid=(b * h, num_q, num_kv),
+        in_specs=[
+            q_spec,
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            q_spec,
+            row_spec,
+            row_spec,
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * sq * skv * d,
+            bytes_accessed=(2 * b * h * sq * d + 2 * b * h * skv * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    # dk/dv: one pass per KV tile with Q innermost
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0))
+    qrow_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0))
+    row_spec2 = pl.BlockSpec((1, block_q), lambda bh, j, i: (bh, i))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel,
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=block_q,
+            block_k=block_k,
+            num_q_blocks=num_q,
+        ),
+        grid=(b * h, num_kv, num_q),
+        in_specs=[
+            qrow_spec,
+            kv_spec,
+            kv_spec,
+            qrow_spec,
+            row_spec2,
+            row_spec2,
+        ],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, skv, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * sq * skv * d,
+            bytes_accessed=(2 * b * h * sq * d + 3 * b * h * skv * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    return (
+        dq.reshape(q.shape),
+        dk.reshape(k.shape),
+        dv.reshape(v.shape),
+    )
 
 
 def _reference_weights(q, k, sm_scale, causal):
@@ -177,12 +425,22 @@ def _reference_weights(q, k, sm_scale, causal):
 
 
 def _fwd_rule(q, k, v, sm_scale, causal, block_q, block_k, interpret):
-    out = _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
-    return out, (q, k, v)
+    out, lse = _forward(q, k, v, sm_scale, causal, block_q, block_k,
+                        interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd_rule(sm_scale, causal, block_q, block_k, interpret, residuals, g):
-    q, k, v = residuals
+    q, k, v, out, lse = residuals
+    return _backward(q, k, v, out, lse, g, sm_scale, causal, block_q,
+                     block_k, interpret)
+
+
+def xla_attention_vjp(q, k, v, g, sm_scale=None, causal=False):
+    """Plain-XLA attention backward (materializes the weight matrix).
+
+    Kept as an independent oracle for testing the Pallas backward kernels.
+    """
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
     p = _reference_weights(q, k, sm_scale, causal)           # [b,h,sq,skv] f32

@@ -27,7 +27,15 @@ def _matmul_impl(
     block_k: int = 512,
     out_dtype=None,
     interpret: bool | None = None,
+    epilogue=None,
+    extra: tuple = (),
 ) -> jax.Array:
+    """Blocked matmul; ``epilogue(acc_f32, *extra_blocks) -> block`` is
+    applied to each output block at the final reduction step (fused in
+    VMEM — the product matrix never round-trips HBM).  ``extra`` entries
+    are ``(array, block_pattern)`` with pattern "row" (shape [1, n], block
+    [1, bn]), "col" (shape [m, 1], block [bm, 1]) or "full" ([m, n],
+    block [bm, bn])."""
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, f"contraction mismatch: {a.shape} @ {b.shape}"
@@ -41,10 +49,16 @@ def _matmul_impl(
     item = np.dtype(a.dtype).itemsize
 
     def vmem_bytes(bm, bn, bk):
+        extra_bytes = sum(
+            (bn if pat == "row" else bm if pat == "col" else bm * bn)
+            * np.dtype(arr.dtype).itemsize * 2
+            for arr, pat in extra
+        )
         return (
             2 * (bm * bk + bk * bn) * item  # pipelined operand blocks
             + bm * bn * 4                   # accumulator
             + bm * bn * np.dtype(out_dtype).itemsize
+            + extra_bytes
         )
 
     while vmem_bytes(block_m, block_n, block_k) > 14 * 2**20:
@@ -65,7 +79,11 @@ def _matmul_impl(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
-    def kernel(a_ref, b_ref, o_ref, acc_ref):
+    def kernel(a_ref, b_ref, *rest):
+        extra_refs = rest[: len(extra)]
+        o_ref = rest[len(extra)]
+        acc_ref = rest[len(extra) + 1]
+
         @pl.when(pl.program_id(2) == 0)
         def _zero():
             acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -76,7 +94,27 @@ def _matmul_impl(
 
         @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
         def _flush():
-            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+            value = acc_ref[...]
+            if epilogue is not None:
+                value = epilogue(value, *[r[...] for r in extra_refs])
+            o_ref[...] = value.astype(o_ref.dtype)
+
+    extra_specs = []
+    extra_arrays = []
+    for arr, pat in extra:
+        if pat == "row":
+            extra_specs.append(
+                pl.BlockSpec((1, block_n), lambda i, j, l: (0, j))
+            )
+        elif pat == "col":
+            extra_specs.append(
+                pl.BlockSpec((block_m, 1), lambda i, j, l: (i, 0))
+            )
+        else:
+            extra_specs.append(
+                pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j))
+            )
+        extra_arrays.append(arr)
 
     return pl.pallas_call(
         kernel,
@@ -84,6 +122,7 @@ def _matmul_impl(
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l)),
             pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -97,7 +136,7 @@ def _matmul_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, b)
+    )(a, b, *extra_arrays)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

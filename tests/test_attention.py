@@ -69,3 +69,63 @@ def test_flash_bf16():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients_vs_naive(causal):
+    """Pallas backward kernels vs autodiff through the naive attention."""
+    q, k, v = _rand_qkv(b=1, h=2, sq=256, skv=256, d=32, seed=4)
+    scale = 1.0 / np.sqrt(32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive_attention(q, k, v, scale, causal) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_naive):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_flash_gradients_rectangular():
+    """Backward with sq != skv and uneven block sizes."""
+    q, k, v = _rand_qkv(b=1, h=1, sq=128, skv=384, d=64, seed=5)
+    scale = 1.0 / np.sqrt(64)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, block_q=64, block_k=128) ** 2
+        )
+
+    def loss_naive(q, k, v):
+        return jnp.sum(naive_attention(q, k, v, scale, False) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_naive):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_vs_xla_vjp(causal):
+    """Pallas backward kernels vs the independent plain-XLA VJP oracle,
+    with a non-trivial upstream gradient."""
+    from exprgrad_tpu.ops.attention import xla_attention_vjp
+
+    q, k, v = _rand_qkv(b=2, h=2, sq=128, skv=128, d=32, seed=6)
+    rng = np.random.default_rng(7)
+    g = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    def fwd(q, k, v):
+        return flash_attention(q, k, v, causal=causal)
+
+    _, vjp_fn = jax.vjp(fwd, q, k, v)
+    got = vjp_fn(g)
+    want = xla_attention_vjp(q, k, v, g, causal=causal)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
