@@ -65,7 +65,7 @@ from .fun import (
     rand,
     to_program,
 )
-from .model import Model, compile
+from .model import Model, compile, load_compiled
 from .tensor import (
     Tensor,
     concat_first,
@@ -83,7 +83,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Boolean", "Index", "Scalar", "Fun", "Model", "Tensor",
     "array", "cache", "compile", "cond", "cos", "epoch", "exp", "grad",
-    "input", "input_", "irange", "iters", "layer", "ln", "log", "log10",
+    "input", "input_", "irange", "iters", "layer", "ln", "load_compiled",
+    "log", "log10",
     "log2", "make_opt", "maximum", "minimum", "one_hot", "param", "pow_",
     "rand", "remap", "select", "sin", "sq", "sqrt", "to_index", "to_program",
     "to_scalar", "wrap",

@@ -128,6 +128,63 @@ class Model:
 
         return fn
 
+    def export_compiled(
+        self,
+        target_name: str,
+        input_shapes: dict[str, Sequence[int]],
+        path: Optional[str] = None,
+        seed: int = 0,
+    ) -> bytes:
+        """Serialize an ahead-of-time compiled serving artifact.
+
+        The target is traced with the current parameters/caches **embedded
+        as constants** and exported via ``jax.export`` (StableHLO): the
+        result is a self-contained model+weights artifact that loads with
+        ``exprgrad_tpu.load_compiled`` — no graph, compiler, or parameter
+        files needed at serving time, and no recompilation (this doubles
+        as a manual compile cache).  Bound to fixed input shapes and the
+        exporting platform.  ``rand()`` tensors are fixed to ``seed``.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        pairs = [
+            (self.program.inputs[name], list(shape))
+            for name, shape in input_shapes.items()
+        ]
+        shapes = infer_shapes(self.program, target_name, pairs)
+        executor = self._executor(target_name, shapes)
+        output = self.program.targets[target_name].output
+        if output is None:
+            raise ModelRuntimeError(
+                f"target {target_name!r} has no output to export"
+            )
+        state = {
+            tid: jnp.asarray(value)
+            for tid, value in {**self.params, **self.caches}.items()
+        }
+        epoch = self.epoch
+        names = sorted(input_shapes)
+
+        def serve(args: dict):
+            tensors = {self.program.inputs[n]: args[n] for n in names}
+            tensors.update(state)  # closed over -> exported as constants
+            result = executor.run_fn(tensors, epoch, seed)
+            return result[output]
+
+        dtype = jnp.dtype(self.program.scalar_type.value)
+        spec = {
+            n: jax.ShapeDtypeStruct(tuple(input_shapes[n]), dtype)
+            for n in names
+        }
+        from jax import export as jax_export
+
+        data = jax_export.export(jax.jit(serve))(spec).serialize()
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+        return data
+
     def save_hlo(
         self,
         path: str,
@@ -351,6 +408,26 @@ class Model:
         for tid in self.caches:
             if tid in result:
                 self.caches[tid] = result[tid]
+
+
+def load_compiled(data: bytes | str):
+    """Load a serving artifact written by ``Model.export_compiled``.
+
+    Accepts the serialized bytes or a file path; returns
+    ``fn(args: dict[str, array]) -> array``.  The artifact embeds the
+    compiled program AND the parameters — nothing else is needed.
+    """
+    from jax import export as jax_export
+
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    exported = jax_export.deserialize(bytearray(data))
+
+    def fn(args: dict):
+        return exported.call(args)
+
+    return fn
 
 
 def compile(  # noqa: A001

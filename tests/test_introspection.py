@@ -70,3 +70,44 @@ def test_xor_train_stats():
     stats = model.lowering_stats("train")
     # the dense fwd+bwd kernels all become MXU contractions
     assert stats.get("einsum", 0) >= 6
+
+
+def test_export_compiled_roundtrip(tmp_path):
+    """AOT serving artifact: weights embedded, loads without the model."""
+    from exprgrad_tpu import load_compiled
+
+    model = compile(xor_mlp(), backend="jax")
+    x = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], dtype=np.float32)
+    want = np.asarray(model.call("predict", {"x": x}))
+
+    path = tmp_path / "xor.egc"
+    data = model.export_compiled("predict", {"x": [4, 2]}, path=str(path))
+    assert path.read_bytes() == data
+
+    fn = load_compiled(str(path))
+    got = np.asarray(fn({"x": x}))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # bytes input works too, and the artifact is weight-self-contained:
+    # mutate the live model's params, the artifact must not change
+    fn2 = load_compiled(data)
+    for tid in model.params:
+        model.params[tid] = model.params[tid] * 0.0
+    got2 = np.asarray(fn2({"x": x}))
+    np.testing.assert_allclose(got2, want, rtol=1e-6)
+
+
+def test_export_compiled_trained_model(tmp_path):
+    """Export after training captures the trained weights."""
+    from exprgrad_tpu import load_compiled
+
+    model = compile(xor_mlp(), backend="jax")
+    x = np.array([[0, 0], [0, 1], [1, 0], [1, 1]], dtype=np.float32)
+    yv = np.array([[0], [1], [1], [0]], dtype=np.float32)
+    for _ in range(200):
+        model.apply("train", {"x": x, "y": yv})
+    want = np.asarray(model.call("predict", {"x": x}))
+    data = model.export_compiled("predict", {"x": [4, 2]})
+    got = np.asarray(load_compiled(data)({"x": x}))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert np.allclose(np.round(got), yv, atol=0.5)
