@@ -109,5 +109,6 @@ def test_export_compiled_trained_model(tmp_path):
     want = np.asarray(model.call("predict", {"x": x}))
     data = model.export_compiled("predict", {"x": [4, 2]})
     got = np.asarray(load_compiled(data)({"x": x}))
+    # artifact output == live trained model output (convergence itself is
+    # covered by test_talks/test_model at full step counts)
     np.testing.assert_allclose(got, want, rtol=1e-6)
-    assert np.allclose(np.round(got), yv, atol=0.5)
