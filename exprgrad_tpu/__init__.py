@@ -33,6 +33,8 @@ from .expr import (
     Scalar,
     array,
     cos,
+    debug_index,
+    debug_scalar,
     epoch,
     exp,
     irange,
@@ -83,6 +85,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Boolean", "Index", "Scalar", "Fun", "Model", "Tensor",
     "array", "cache", "compile", "cond", "cos", "epoch", "exp", "grad",
+    "debug_index", "debug_scalar",
     "input", "input_", "irange", "iters", "layer", "ln", "load_compiled",
     "log", "log10",
     "log2", "make_opt", "maximum", "minimum", "one_hot", "param", "pow_",

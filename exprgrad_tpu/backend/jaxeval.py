@@ -311,6 +311,9 @@ class KernelLowering:
                 value = len(self.shapes[instr.tensor])
             elif op == Op.EPOCH:
                 value = self.epoch
+            elif op in (Op.DEBUG_SCALAR, Op.DEBUG_INDEX):
+                jax.debug.print(instr.label + ": {}", a[0])
+                value = a[0]
             elif op == Op.ARRAY:
                 value = self._make_array(a)
             elif op == Op.ARRAY_LEN:

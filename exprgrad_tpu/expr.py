@@ -43,6 +43,7 @@ class ExprNode:
         "dim",
         "iter_name",
         "is_raw",
+        "label",
         "_res",
     )
 
@@ -58,6 +59,7 @@ class ExprNode:
         dim: int = 0,
         iter_name: str = "",
         is_raw: bool = False,
+        label: str = "",
     ) -> None:
         self.kind = kind
         self.op = op
@@ -69,6 +71,7 @@ class ExprNode:
         self.dim = dim
         self.iter_name = iter_name
         self.is_raw = is_raw
+        self.label = label
         # per-build register cache: (build_gen, block_id) -> reg
         self._res: dict[tuple[int, int], int] = {}
 
@@ -325,6 +328,18 @@ sqrt = _unary(Op.SQRT)
 ln = _unary(Op.LN)
 log2 = _unary(Op.LOG2)
 log10 = _unary(Op.LOG10)
+
+
+def debug_scalar(x, label: str = "debug") -> Scalar:
+    """Identity that prints its value when the kernel runs (the reference's
+    ``debugScalar`` builtin, model.nim:96-100).  In the vectorized TPU
+    lowering the whole grid of values prints once per kernel execution."""
+    return Scalar(_instr(Op.DEBUG_SCALAR, as_scalar(x).node, label=label))
+
+
+def debug_index(i, label: str = "debug") -> Index:
+    """Identity printing an Index value (reference ``debugIndex``)."""
+    return Index(_instr(Op.DEBUG_INDEX, as_index(i).node, label=label))
 
 
 def pow_(a, b) -> Scalar:

@@ -215,6 +215,7 @@ class _BuildCtx:
                 scalar_lit=node.scalar_lit,
                 bool_lit=node.bool_lit,
                 dim=node.dim,
+                label=node.label,
             )
             if node.tensor is not None:
                 instr.tensor = self.lookup_tensor(node.tensor)

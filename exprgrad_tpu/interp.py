@@ -194,6 +194,9 @@ class _KernelEval:
                 value = len(self.shapes[instr.tensor])
             elif op == Op.EPOCH:
                 value = self.epoch
+            elif op in (Op.DEBUG_SCALAR, Op.DEBUG_INDEX):
+                print(f"{instr.label}: {np.asarray(a[0])}", flush=True)
+                value = a[0]
             elif op == Op.ARRAY:
                 value = self._make_array(a)
             elif op == Op.ARRAY_LEN:

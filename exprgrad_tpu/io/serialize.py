@@ -25,7 +25,7 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x02\n"
+MAGIC = b"EGTPU\x03\n"
 
 
 class Writer:
@@ -123,6 +123,7 @@ def _w_instr(w: Writer, instr: ir.Instr) -> None:
     w.f64(instr.scalar_lit)
     w.boolean(instr.bool_lit)
     w.i64(instr.dim)
+    w.string(instr.label)
 
 
 def _r_instr(r: Reader) -> ir.Instr:
@@ -135,6 +136,7 @@ def _r_instr(r: Reader) -> ir.Instr:
         scalar_lit=r.f64(),
         bool_lit=r.boolean(),
         dim=r.i64(),
+        label=r.string(),
     )
 
 

@@ -80,6 +80,10 @@ class Op(enum.Enum):
     ARRAY_READ = "array_read"
     # misc
     EPOCH = "epoch"
+    # debug builtins (reference debugScalar/debugIndex, model.nim:96-100):
+    # identity ops that print their argument when the kernel executes
+    DEBUG_SCALAR = "debug_scalar"
+    DEBUG_INDEX = "debug_index"
 
 
 class TypeKind(enum.Enum):
@@ -120,6 +124,7 @@ class Instr:
     scalar_lit: float = 0.0
     bool_lit: bool = False
     dim: int = 0  # for Op.SHAPE (may be negative, python-style)
+    label: str = ""  # for Op.DEBUG_* print tags
 
     def copy(self) -> "Instr":
         return replace(self, args=list(self.args))

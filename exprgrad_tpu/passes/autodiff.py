@@ -137,7 +137,9 @@ def _derive_instrs(
             ga = emit(Op.SELECT, [a[0], g, zero])
             gb = emit(Op.SELECT, [a[0], zero, g])
             grad_args = [None, ga, gb]
-        elif op in (Op.TO_SCALAR, Op.TO_INDEX):
+        elif op == Op.DEBUG_SCALAR:
+            grad_args = [g]  # identity
+        elif op in (Op.TO_SCALAR, Op.TO_INDEX, Op.DEBUG_INDEX):
             grad_args = [None]
         elif not instr.args:
             continue  # literals and nullary queries carry no gradient

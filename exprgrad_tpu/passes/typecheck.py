@@ -145,6 +145,16 @@ def _infer_instrs(instrs: list[Instr], kernel: Kernel) -> None:
             ret = arr.item
         elif op == Op.EPOCH:
             ret = INDEX_T
+        elif op == Op.DEBUG_SCALAR:
+            if arg_type(instr, 0).kind != TypeKind.SCALAR:
+                raise KernelTypeError(
+                    "argument of debug_scalar must be a Scalar"
+                )
+            ret = SCALAR_T
+        elif op == Op.DEBUG_INDEX:
+            if arg_type(instr, 0).kind != TypeKind.INDEX:
+                raise KernelTypeError("argument of debug_index must be an Index")
+            ret = INDEX_T
         else:
             raise KernelTypeError(f"cannot type instruction {op.value}")
         if instr.res is not None:

@@ -60,3 +60,14 @@ def test_crc32_matches_zlib():
     data = bytes(range(256)) * 17
     assert crc32(data) == zlib.crc32(data)
     assert crc32(data, 123) == zlib.crc32(data, 123)
+
+
+def test_measure_time(capsys):
+    from exprgrad_tpu.utils import measure_time
+
+    fenced = []
+    with measure_time("work", fence=lambda: fenced.append(1)):
+        pass
+    out = capsys.readouterr().out
+    assert "work:" in out and out.strip().endswith("s")
+    assert fenced == [1]
