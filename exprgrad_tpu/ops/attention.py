@@ -37,7 +37,7 @@ _NEG_INF = -1e30
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_kv_blocks: int,
+    num_kv_blocks: int, offs_ref=None,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(1)
@@ -48,10 +48,17 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    # causal: KV tiles entirely above the diagonal contribute nothing
+    # causal: KV tiles entirely above the diagonal contribute nothing.
+    # With runtime offsets (sharded sequences) the tile skip becomes a
+    # traced predicate — pl.when handles both.
     should_run = True
     if causal:
-        should_run = q_idx * block_q + block_q - 1 >= kv_idx * block_k
+        q_end = q_idx * block_q + block_q - 1
+        k_start = kv_idx * block_k
+        if offs_ref is not None:
+            q_end = q_end + offs_ref[0]
+            k_start = k_start + offs_ref[1]
+        should_run = q_end >= k_start
 
     @pl.when(should_run)
     def _run():
@@ -67,8 +74,12 @@ def _fwd_kernel(
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = (q_idx * block_q + rows) >= (kv_idx * block_k + cols)
-            s = jnp.where(mask, s, _NEG_INF)
+            rows = q_idx * block_q + rows
+            cols = kv_idx * block_k + cols
+            if offs_ref is not None:
+                rows = rows + offs_ref[0]
+                cols = cols + offs_ref[1]
+            s = jnp.where(rows >= cols, s, _NEG_INF)
 
         m_prev = m_scratch[...]          # [block_q, 128]
         l_prev = l_scratch[...]
@@ -251,7 +262,15 @@ def _resolve(q, k, v, sm_scale, block_q, block_k, interpret):
     return float(sm_scale), block_q, block_k, bool(interpret)
 
 
-def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
+def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
+             offsets=None):
+    """Returns (out [b,h,sq,d], lse [b*h, sq]).
+
+    ``offsets`` (optional int32 array [q_offset, k_offset]) gives the
+    global sequence positions of the local q/k chunks — the causal mask
+    is computed in global coordinates, which is what sequence-parallel
+    shards need (offsets are runtime values: scalar-prefetch operands).
+    """
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sm_scale, block_q, block_k, interpret = _resolve(
@@ -260,8 +279,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
     num_kv = skv // block_k
     grid = (b * h, sq // block_q, num_kv)
 
-    kernel = functools.partial(
-        _fwd_kernel,
+    static = dict(
         sm_scale=sm_scale,
         causal=causal,
         block_q=block_q,
@@ -271,27 +289,27 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+    # *_ swallows the scalar-prefetch ref passed to index maps when the
+    # offsets path uses PrefetchScalarGridSpec
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
+        pl.BlockSpec((1, block_q), lambda bh, i, j, *_: (bh, i)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    params = dict(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -302,8 +320,47 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret):
             transcendentals=b * h * sq * skv,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )
+    if offsets is None:
+        kernel = functools.partial(_fwd_kernel, **static)
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            **params,
+        )(qf, kf, vf)
+    else:
+        def kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                   m_s, l_s, acc_s):
+            _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        m_s, l_s, acc_s, offs_ref=offs_ref, **static)
+
+        out, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            **params,
+        )(jnp.asarray(offsets, jnp.int32), qf, kf, vf)
     return out.reshape(b, h, sq, d), lse
+
+
+def flash_attention_forward(q, k, v, sm_scale=None, causal=False,
+                            block_q=128, block_k=128, interpret=None,
+                            offsets=None):
+    """Forward-only entry returning ``(out, lse)`` with optional global
+    sequence offsets — the building block for sequence-parallel attention
+    (exprgrad_tpu.parallel.attention)."""
+    return _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
+                    offsets)
 
 
 def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,

@@ -8,6 +8,12 @@ collectives (psum for gradient reduction under data parallelism,
 all-gather/reduce-scatter around sharded matmuls under tensor parallelism).
 """
 
+from .attention import sequence_parallel_attention
 from .mesh import ShardedExecutor, make_mesh, sharded_fit
 
-__all__ = ["ShardedExecutor", "make_mesh", "sharded_fit"]
+__all__ = [
+    "ShardedExecutor",
+    "make_mesh",
+    "sequence_parallel_attention",
+    "sharded_fit",
+]

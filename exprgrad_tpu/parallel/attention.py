@@ -1,0 +1,145 @@
+"""Sequence-parallel flash attention over a device mesh.
+
+Long-context attention where the sequence dimension is sharded across
+devices (the reference has nothing distributed, SURVEY.md §5.7/§5.8; this
+is the TPU-native long-context answer).  Two implementations, both built
+on the offset-aware Pallas flash kernel (ops.attention), which computes
+causal masks in *global* sequence coordinates:
+
+* ``impl="gather"`` — all-gather K/V over ICI, one kernel call per device
+  against the full KV.  Simplest; KV memory O(S) per device.
+* ``impl="ring"`` — ring attention: KV chunks rotate around the mesh axis
+  via ``ppermute`` while each device folds one chunk per step into its
+  online-softmax running state (merging locally-normalized outputs via
+  their logsumexps).  KV memory O(S/P) per device and the permute
+  overlaps with compute on real ICI.
+
+Forward/inference path; training-time sequence parallelism for DSL models
+runs through ``input_specs`` sharding in parallel.mesh instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.attention import flash_attention_forward
+
+
+def _merge(state, out_i, lse_i):
+    """Fold one chunk's locally-normalized attention into the running
+    (max, unnormalized sum, weight) online-softmax state."""
+    m_run, u_run, w_run = state
+    m_new = jnp.maximum(m_run, lse_i)
+    # guard exp(-inf - -inf): fully-masked rows contribute nothing
+    def scale(x, m):
+        return jnp.where(jnp.isneginf(x), 0.0, jnp.exp(x - m))
+
+    alpha = scale(m_run, m_new)                       # rescale old state
+    beta = scale(lse_i, m_new)                        # weight of new chunk
+    u_new = u_run * alpha[..., None] + out_i.astype(jnp.float32) * beta[..., None]
+    w_new = w_run * alpha + beta
+    return m_new, u_new, w_new
+
+
+def _finish(state, dtype):
+    _, u, w = state
+    w = jnp.where(w == 0.0, 1.0, w)
+    return (u / w[..., None]).astype(dtype)
+
+
+def _lse3(lse, b, h, cq):
+    return lse.reshape(b, h, cq)
+
+
+def _gather_impl(q, k, v, *, axis_name, sm_scale, causal, block_q, block_k,
+                 interpret):
+    rank = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    chunk_q = q.shape[2]
+    kf = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+    vf = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    offs = jnp.stack([rank * jnp.int32(chunk_q), jnp.int32(0)])
+    out, _ = flash_attention_forward(
+        q, kf, vf, sm_scale, causal, block_q, block_k, interpret,
+        offsets=offs,
+    )
+    return out
+
+
+def _ring_impl(q, k, v, *, axis_name, sm_scale, causal, block_q, block_k,
+               interpret):
+    rank = jax.lax.axis_index(axis_name)
+    size = jax.lax.axis_size(axis_name)
+    b, h, cq, d = q.shape
+    ck = k.shape[2]
+    perm = [(i, (i + 1) % size) for i in range(size)]
+
+    state = (
+        jnp.full((b, h, cq), -jnp.inf, jnp.float32),
+        jnp.zeros((b, h, cq, d), jnp.float32),
+        jnp.zeros((b, h, cq), jnp.float32),
+    )
+    rank32 = rank.astype(jnp.int32)
+    for t in range(size):
+        # chunk held at step t (int32 regardless of the x64 flag)
+        src = jax.lax.rem(rank32 - jnp.int32(t) + jnp.int32(size),
+                          jnp.int32(size))
+        offs = jnp.stack(
+            [rank32 * jnp.int32(cq), src * jnp.int32(ck)]
+        ).astype(jnp.int32)
+        out_i, lse_i = flash_attention_forward(
+            q, k, v, sm_scale, causal, block_q, block_k, interpret,
+            offsets=offs,
+        )
+        state = _merge(state, out_i, _lse3(lse_i, b, h, cq))
+        if t != size - 1:
+            k = jax.lax.ppermute(k, axis_name, perm)
+            v = jax.lax.ppermute(v, axis_name, perm)
+    return _finish(state, q.dtype)
+
+
+def sequence_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    sm_scale: Optional[float] = None,
+    causal: bool = False,
+    impl: str = "ring",
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """softmax(q k^T) v with the sequence dim sharded over ``mesh[axis]``.
+
+    Shapes: q/k/v [b, h, S, d] (S divisible by the axis size).  Returns
+    [b, h, S, d] with the same sharding.  ``impl``: "ring" (KV rotates via
+    ppermute, O(S/P) memory) or "gather" (all-gather KV).
+    """
+    if impl not in ("ring", "gather"):
+        raise ValueError(f"unknown impl {impl!r}")
+    fn = _ring_impl if impl == "ring" else _gather_impl
+    body = partial(
+        fn,
+        axis_name=axis,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+    spec = P(None, None, axis, None)
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return mapped(q, k, v)
