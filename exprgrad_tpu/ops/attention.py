@@ -110,7 +110,7 @@ def _fwd_kernel(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_kv_blocks: int,
+    num_kv_blocks: int, offs_ref=None,
 ):
     q_idx = pl.program_id(1)
     kv_idx = pl.program_id(2)
@@ -121,7 +121,12 @@ def _bwd_dq_kernel(
 
     should_run = True
     if causal:
-        should_run = q_idx * block_q + block_q - 1 >= kv_idx * block_k
+        q_end = q_idx * block_q + block_q - 1
+        k_start = kv_idx * block_k
+        if offs_ref is not None:
+            q_end = q_end + offs_ref[0]
+            k_start = k_start + offs_ref[1]
+        should_run = q_end >= k_start
 
     @pl.when(should_run)
     def _run():
@@ -140,8 +145,12 @@ def _bwd_dq_kernel(
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = (q_idx * block_q + rows) >= (kv_idx * block_k + cols)
-            s = jnp.where(mask, s, _NEG_INF)
+            rows = q_idx * block_q + rows
+            cols = kv_idx * block_k + cols
+            if offs_ref is not None:
+                rows = rows + offs_ref[0]
+                cols = cols + offs_ref[1]
+            s = jnp.where(rows >= cols, s, _NEG_INF)
 
         p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
         dp = jax.lax.dot_general(
@@ -164,7 +173,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_q_blocks: int,
+    num_q_blocks: int, offs_ref=None,
 ):
     kv_idx = pl.program_id(1)
     q_idx = pl.program_id(2)
@@ -176,7 +185,12 @@ def _bwd_dkv_kernel(
 
     should_run = True
     if causal:
-        should_run = q_idx * block_q + block_q - 1 >= kv_idx * block_k
+        q_end = q_idx * block_q + block_q - 1
+        k_start = kv_idx * block_k
+        if offs_ref is not None:
+            q_end = q_end + offs_ref[0]
+            k_start = k_start + offs_ref[1]
+        should_run = q_end >= k_start
 
     @pl.when(should_run)
     def _run():
@@ -195,8 +209,12 @@ def _bwd_dkv_kernel(
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = (q_idx * block_q + rows) >= (kv_idx * block_k + cols)
-            s = jnp.where(mask, s, _NEG_INF)
+            rows = q_idx * block_q + rows
+            cols = kv_idx * block_k + cols
+            if offs_ref is not None:
+                rows = rows + offs_ref[0]
+                cols = cols + offs_ref[1]
+            s = jnp.where(rows >= cols, s, _NEG_INF)
 
         p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
         # dv += p^T @ do
@@ -364,7 +382,10 @@ def flash_attention_forward(q, k, v, sm_scale=None, causal=False,
 
 
 def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
-              interpret):
+              interpret, offsets=None):
+    """dq/dk/dv from saved (out, lse).  With ``offsets`` the causal mask
+    uses global coordinates, making this the per-(q chunk, kv chunk)
+    partial-gradient building block for ring attention."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sm_scale, block_q, block_k, interpret = _resolve(
@@ -383,57 +404,90 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         axis=-1,
     )  # [b*h, sq]
 
-    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0))
-    row_spec = pl.BlockSpec((1, block_q), lambda bh, i, j: (bh, i))
+    def call(kernel_fn, static, grid, in_specs, out_specs, out_shape,
+             scratch_shapes, cost, operands):
+        params = dict(
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+        if offsets is None:
+            return pl.pallas_call(
+                functools.partial(kernel_fn, **static),
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                scratch_shapes=scratch_shapes,
+                **params,
+            )(*operands)
 
-    dq = pl.pallas_call(
-        functools.partial(
-            _bwd_dq_kernel,
+        def wrapped(offs_ref, *refs):
+            kernel_fn(*refs, offs_ref=offs_ref, **static)
+
+        return pl.pallas_call(
+            wrapped,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            **params,
+        )(jnp.asarray(offsets, jnp.int32), *operands)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0))
+    row_spec = pl.BlockSpec((1, block_q), lambda bh, i, j, *_: (bh, i))
+
+    dq = call(
+        _bwd_dq_kernel,
+        dict(
             sm_scale=sm_scale,
             causal=causal,
             block_q=block_q,
             block_k=block_k,
             num_kv_blocks=num_kv,
         ),
-        grid=(b * h, num_q, num_kv),
-        in_specs=[
+        (b * h, num_q, num_kv),
+        [
             q_spec,
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
             q_spec,
             row_spec,
             row_spec,
         ],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
+        q_spec,
+        jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        [pltpu.VMEM((block_q, d), jnp.float32)],
+        pl.CostEstimate(
             flops=5 * b * h * sq * skv * d,
             bytes_accessed=(2 * b * h * sq * d + 2 * b * h * skv * d)
             * q.dtype.itemsize,
             transcendentals=b * h * sq * skv,
         ),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lse, delta)
+        (qf, kf, vf, dof, lse, delta),
+    )
 
     # dk/dv: one pass per KV tile with Q innermost
-    kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0))
-    qrow_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0))
-    row_spec2 = pl.BlockSpec((1, block_q), lambda bh, j, i: (bh, i))
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _bwd_dkv_kernel,
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i, *_: (bh, j, 0))
+    qrow_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i, *_: (bh, i, 0))
+    row_spec2 = pl.BlockSpec((1, block_q), lambda bh, j, i, *_: (bh, i))
+    dk, dv = call(
+        _bwd_dkv_kernel,
+        dict(
             sm_scale=sm_scale,
             causal=causal,
             block_q=block_q,
             block_k=block_k,
             num_q_blocks=num_q,
         ),
-        grid=(b * h, num_kv, num_q),
-        in_specs=[
+        (b * h, num_kv, num_q),
+        [
             qrow_spec,
             kv_spec,
             kv_spec,
@@ -441,32 +495,38 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
             row_spec2,
             row_spec2,
         ],
-        out_specs=[kv_spec, kv_spec],
-        out_shape=[
+        [kv_spec, kv_spec],
+        [
             jax.ShapeDtypeStruct((b * h, skv, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, skv, d), v.dtype),
         ],
-        scratch_shapes=[
+        [
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
+        pl.CostEstimate(
             flops=5 * b * h * sq * skv * d,
             bytes_accessed=(2 * b * h * sq * d + 3 * b * h * skv * d)
             * q.dtype.itemsize,
             transcendentals=b * h * sq * skv,
         ),
-        interpret=interpret,
-    )(qf, kf, vf, dof, lse, delta)
+        (qf, kf, vf, dof, lse, delta),
+    )
 
     return (
         dq.reshape(q.shape),
         dk.reshape(k.shape),
         dv.reshape(v.shape),
     )
+
+
+def flash_attention_backward(q, k, v, out, lse, g, sm_scale=None,
+                             causal=False, block_q=128, block_k=128,
+                             interpret=None, offsets=None):
+    """Public backward entry: gradients from saved ``(out, lse)`` with
+    optional global offsets (the ring-attention partial building block)."""
+    return _backward(q, k, v, out, lse, g, sm_scale, causal, block_q,
+                     block_k, interpret, offsets)
 
 
 def _reference_weights(q, k, sm_scale, causal):

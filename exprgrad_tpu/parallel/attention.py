@@ -14,13 +14,15 @@ causal masks in *global* sequence coordinates:
   their logsumexps).  KV memory O(S/P) per device and the permute
   overlaps with compute on real ICI.
 
-Forward/inference path; training-time sequence parallelism for DSL models
-runs through ``input_specs`` sharding in parallel.mesh instead.
+Both implementations are differentiable (``jax.custom_vjp``): the ring
+backward re-rotates KV chunks with their gradient accumulators traveling
+along (one final permute delivers each chunk's dk/dv to its owner); the
+gather backward re-gathers KV, computes full-width partials with the
+offset-aware Pallas backward kernels, and reduce-scatters dk/dv.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -28,7 +30,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.attention import flash_attention_forward
+from ..ops.attention import (
+    flash_attention_backward,
+    flash_attention_forward,
+)
 
 
 def _merge(state, out_i, lse_i):
@@ -57,22 +62,66 @@ def _lse3(lse, b, h, cq):
     return lse.reshape(b, h, cq)
 
 
-def _gather_impl(q, k, v, *, axis_name, sm_scale, causal, block_q, block_k,
-                 interpret):
+def _global_lse(state):
+    """Global logsumexp per row from the merged (max, sum, weight) state,
+    in the flat [b*h, cq] layout the backward kernels consume."""
+    m, _, w = state
+    lse = jnp.where(w == 0.0, -jnp.inf, m + jnp.log(jnp.maximum(w, 1e-38)))
+    b, h, cq = lse.shape
+    return lse.reshape(b * h, cq)
+
+
+def _gather_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
+                    block_k, interpret):
     rank = jax.lax.axis_index(axis_name).astype(jnp.int32)
     chunk_q = q.shape[2]
     kf = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     vf = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
     offs = jnp.stack([rank * jnp.int32(chunk_q), jnp.int32(0)])
-    out, _ = flash_attention_forward(
+    out, lse = flash_attention_forward(
         q, kf, vf, sm_scale, causal, block_q, block_k, interpret,
         offsets=offs,
     )
-    return out
+    return out, lse, kf, vf, offs
 
 
-def _ring_impl(q, k, v, *, axis_name, sm_scale, causal, block_q, block_k,
-               interpret):
+def _make_gather(axis_name, sm_scale, causal, block_q, block_k, interpret):
+    kw = dict(axis_name=axis_name, sm_scale=sm_scale, causal=causal,
+              block_q=block_q, block_k=block_k, interpret=interpret)
+
+    @jax.custom_vjp
+    def gather(q, k, v):
+        return _gather_forward(q, k, v, **kw)[0]
+
+    def fwd(q, k, v):
+        out, lse, _, _, _ = _gather_forward(q, k, v, **kw)
+        return out, (q, k, v, out, lse)
+
+    def bwd(res, g):
+        q, k, v, out, lse = res
+        # re-gather KV (cheaper than saving the gathered copies as
+        # residuals: recompute-over-memory, the flash trade)
+        _, _, kf, vf, offs = _gather_forward(q, k, v, **kw)
+        dq, dk_full, dv_full = flash_attention_backward(
+            q, kf, vf, out, lse, g, sm_scale, causal, block_q, block_k,
+            interpret, offsets=offs,
+        )
+        # each device holds the full-KV partials from its q chunk;
+        # sum across devices and keep the local chunk: reduce-scatter
+        dk = jax.lax.psum_scatter(
+            dk_full, axis_name, scatter_dimension=2, tiled=True
+        )
+        dv = jax.lax.psum_scatter(
+            dv_full, axis_name, scatter_dimension=2, tiled=True
+        )
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def _ring_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
+                  block_k, interpret):
     rank = jax.lax.axis_index(axis_name)
     size = jax.lax.axis_size(axis_name)
     b, h, cq, d = q.shape
@@ -100,7 +149,58 @@ def _ring_impl(q, k, v, *, axis_name, sm_scale, causal, block_q, block_k,
         if t != size - 1:
             k = jax.lax.ppermute(k, axis_name, perm)
             v = jax.lax.ppermute(v, axis_name, perm)
-    return _finish(state, q.dtype)
+    return _finish(state, q.dtype), _global_lse(state)
+
+
+def _make_ring(axis_name, sm_scale, causal, block_q, block_k, interpret):
+    kw = dict(axis_name=axis_name, sm_scale=sm_scale, causal=causal,
+              block_q=block_q, block_k=block_k, interpret=interpret)
+
+    @jax.custom_vjp
+    def ring(q, k, v):
+        return _ring_forward(q, k, v, **kw)[0]
+
+    def fwd(q, k, v):
+        out, lse = _ring_forward(q, k, v, **kw)
+        return out, (q, k, v, out, lse)
+
+    def bwd(res, g):
+        q, k, v, out, lse = res
+        rank = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        size = jax.lax.axis_size(axis_name)
+        cq, ck = q.shape[2], k.shape[2]
+        perm = [(i, (i + 1) % size) for i in range(size)]
+
+        dq = jnp.zeros(q.shape, jnp.float32)
+        # dk/dv accumulators travel around the ring WITH their kv chunk
+        dk = jnp.zeros(k.shape, jnp.float32)
+        dv = jnp.zeros(v.shape, jnp.float32)
+        for t in range(size):
+            src = jax.lax.rem(rank - jnp.int32(t) + jnp.int32(size),
+                              jnp.int32(size))
+            offs = jnp.stack(
+                [rank * jnp.int32(cq), src * jnp.int32(ck)]
+            ).astype(jnp.int32)
+            dq_p, dk_p, dv_p = flash_attention_backward(
+                q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
+                interpret, offsets=offs,
+            )
+            dq = dq + dq_p.astype(jnp.float32)
+            dk = dk + dk_p.astype(jnp.float32)
+            dv = dv + dv_p.astype(jnp.float32)
+            if t != size - 1:
+                k = jax.lax.ppermute(k, axis_name, perm)
+                v = jax.lax.ppermute(v, axis_name, perm)
+                dk = jax.lax.ppermute(dk, axis_name, perm)
+                dv = jax.lax.ppermute(dv, axis_name, perm)
+        # chunk c sits on device (c - 1) mod P after the last step; one
+        # final rotation delivers each gradient chunk to its owner
+        dk = jax.lax.ppermute(dk, axis_name, perm)
+        dv = jax.lax.ppermute(dv, axis_name, perm)
+        return dq.astype(q.dtype), dk.astype(q.dtype), dv.astype(q.dtype)
+
+    ring.defvjp(fwd, bwd)
+    return ring
 
 
 def sequence_parallel_attention(
@@ -124,16 +224,8 @@ def sequence_parallel_attention(
     """
     if impl not in ("ring", "gather"):
         raise ValueError(f"unknown impl {impl!r}")
-    fn = _ring_impl if impl == "ring" else _gather_impl
-    body = partial(
-        fn,
-        axis_name=axis,
-        sm_scale=sm_scale,
-        causal=causal,
-        block_q=block_q,
-        block_k=block_k,
-        interpret=interpret,
-    )
+    make = _make_ring if impl == "ring" else _make_gather
+    body = make(axis, sm_scale, causal, block_q, block_k, interpret)
     spec = P(None, None, axis, None)
     mapped = shard_map(
         body,

@@ -57,3 +57,29 @@ def test_sp_attention_rejects_unknown_impl():
     q, k, v = _qkv(S=64)
     with pytest.raises(ValueError):
         sequence_parallel_attention(q, k, v, mesh, impl="nope")
+
+
+@pytest.mark.parametrize("impl", ["gather", "ring"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_sp_attention_gradients(impl, causal):
+    """Ring backward (rotating gradient accumulators) and gather backward
+    (reduce-scattered dk/dv) vs autodiff through the single-device kernel."""
+    mesh = _mesh()
+    q, k, v = _qkv(seed=2)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) * g)
+
+    def loss_sp(q, k, v):
+        return jnp.sum(
+            sequence_parallel_attention(q, k, v, mesh, causal=causal,
+                                        impl=impl) * g
+        )
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
