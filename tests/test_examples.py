@@ -111,3 +111,31 @@ def test_inverse_rendering_example(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     inverse_rendering.main()
     assert "learned colors" in capsys.readouterr().out
+
+
+def test_long_context_attention_example(capsys, monkeypatch):
+    import long_context_attention as lca
+
+    # shrink for the smoke run
+    def small_main():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from exprgrad_tpu.ops.attention import flash_attention
+        from exprgrad_tpu.parallel import sequence_parallel_attention
+
+        rng = np.random.default_rng(0)
+        mk = lambda s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+        q, k, v = mk((1, 2, 256, 32)), mk((1, 2, 256, 32)), mk((1, 2, 256, 32))
+        out = flash_attention(q, k, v, causal=True)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        ring = sequence_parallel_attention(q, k, v, mesh, causal=True)
+        err = float(jnp.max(jnp.abs(ring - out)))
+        print(f"ring vs single-device max abs err: {err:.2e}")
+        assert err < 1e-5
+
+    monkeypatch.setattr(lca, "main", small_main)
+    lca.main()
+    assert "max abs err" in capsys.readouterr().out
