@@ -256,11 +256,25 @@ def flash_attention(
 ) -> jax.Array:
     """softmax(q @ k^T * sm_scale) @ v, fused.
 
-    Shapes: q [b, h, sq, d], k/v [b, h, skv, d] -> [b, h, sq, d].
-    Sequence lengths must divide the block sizes (pad upstream otherwise).
+    Shapes: q [b, h, sq, d], k/v [b, hkv, skv, d] -> [b, h, sq, d] where
+    hkv divides h (grouped-query / multi-query attention: each KV head
+    serves h/hkv consecutive query heads).  Sequence lengths must divide
+    the block sizes (pad upstream otherwise).
     """
     out, _ = _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
     return out
+
+
+def _kv_group(q, k, v) -> int:
+    """Query heads per KV head (grouped-query attention; 1 = standard)."""
+    h, hkv = q.shape[1], k.shape[1]
+    if v.shape[1] != hkv:
+        raise ValueError(f"k has {hkv} heads but v has {v.shape[1]}")
+    if h % hkv:
+        raise ValueError(
+            f"query heads ({h}) must be a multiple of kv heads ({hkv})"
+        )
+    return h // hkv
 
 
 def _resolve(q, k, v, sm_scale, block_q, block_k, interpret):
@@ -291,6 +305,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    group = _kv_group(q, k, v)
     sm_scale, block_q, block_k, interpret = _resolve(
         q, k, v, sm_scale, block_q, block_k, interpret
     )
@@ -305,14 +320,17 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
         num_kv_blocks=num_kv,
     )
     qf = q.reshape(b * h, sq, d)
-    kf = k.reshape(b * h, skv, d)
-    vf = v.reshape(b * h, skv, d)
+    kf = k.reshape(b * (h // group), skv, d)
+    vf = v.reshape(b * (h // group), skv, d)
     # *_ swallows the scalar-prefetch ref passed to index maps when the
-    # offsets path uses PrefetchScalarGridSpec
+    # offsets path uses PrefetchScalarGridSpec.  KV blocks broadcast over
+    # each group of `group` consecutive query heads (GQA/MQA).
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
-        pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, i, j, *_: (bh // group, j, 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda bh, i, j, *_: (bh // group, j, 0)),
     ]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
@@ -388,6 +406,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     partial-gradient building block for ring attention."""
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    group = _kv_group(q, k, v)
     sm_scale, block_q, block_k, interpret = _resolve(
         q, k, v, sm_scale, block_q, block_k, interpret
     )
@@ -395,8 +414,8 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     num_kv = skv // block_k
 
     qf = q.reshape(b * h, sq, d)
-    kf = k.reshape(b * h, skv, d)
-    vf = v.reshape(b * h, skv, d)
+    kf = k.reshape(b * (h // group), skv, d)
+    vf = v.reshape(b * (h // group), skv, d)
     dof = g.reshape(b * h, sq, d)
     # delta[r] = sum_d dO[r,d] * O[r,d]  (one fused elementwise+reduce pass)
     delta = jnp.sum(
@@ -455,8 +474,10 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         (b * h, num_q, num_kv),
         [
             q_spec,
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j, *_: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, i, j, *_: (bh // group, j, 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, i, j, *_: (bh // group, j, 0)),
             q_spec,
             row_spec,
             row_spec,
@@ -473,7 +494,13 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         (qf, kf, vf, dof, lse, delta),
     )
 
-    # dk/dv: one pass per KV tile with Q innermost
+    # dk/dv: one pass per KV tile with Q innermost.  Under GQA the kernel
+    # reads the shared KV block (bh // group) but writes PER-QUERY-HEAD
+    # partials (each grid bh owns its own output block — no write races);
+    # the group reduction happens in XLA afterwards.
+    kv_read_spec = pl.BlockSpec(
+        (1, block_k, d), lambda bh, j, i, *_: (bh // group, j, 0)
+    )
     kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i, *_: (bh, j, 0))
     qrow_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i, *_: (bh, i, 0))
     row_spec2 = pl.BlockSpec((1, block_q), lambda bh, j, i, *_: (bh, i))
@@ -489,8 +516,8 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         (b * h, num_kv, num_q),
         [
             qrow_spec,
-            kv_spec,
-            kv_spec,
+            kv_read_spec,
+            kv_read_spec,
             qrow_spec,
             row_spec2,
             row_spec2,
@@ -513,10 +540,13 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         (qf, kf, vf, dof, lse, delta),
     )
 
+    if group > 1:
+        dk = dk.reshape(b, h // group, group, skv, d).sum(axis=2)
+        dv = dv.reshape(b, h // group, group, skv, d).sum(axis=2)
     return (
         dq.reshape(q.shape),
-        dk.reshape(k.shape),
-        dv.reshape(v.shape),
+        dk.reshape(k.shape).astype(k.dtype),
+        dv.reshape(v.shape).astype(v.dtype),
     )
 
 

@@ -129,3 +129,43 @@ def test_flash_backward_vs_xla_vjp(causal):
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("hkv", [1, 2])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gqa(hkv, causal):
+    """Grouped-query / multi-query attention: KV heads broadcast over
+    query-head groups; gradients reduce over the group."""
+    h = 4
+    q, _, _ = _rand_qkv(b=2, h=h, sq=128, skv=128, d=32, seed=8)
+    _, k, v = _rand_qkv(b=2, h=hkv, sq=128, skv=128, d=32, seed=9)
+    group = h // hkv
+    k_rep = jnp.repeat(k, group, axis=1)
+    v_rep = jnp.repeat(v, group, axis=1)
+    scale = 1.0 / np.sqrt(32)
+
+    out = flash_attention(q, k, v, causal=causal)
+    ref = naive_attention(q, k_rep, v_rep, scale, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss_gqa(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+    def loss_rep(q, k, v):
+        return jnp.sum(naive_attention(
+            q, jnp.repeat(k, group, axis=1), jnp.repeat(v, group, axis=1),
+            scale, causal) ** 2)
+
+    got = jax.grad(loss_gqa, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_rep, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
+
+
+def test_flash_mismatched_heads_rejected():
+    q, k, v = _rand_qkv(b=1, h=3, sq=128, skv=128, d=32, seed=10)
+    with pytest.raises(ValueError):
+        flash_attention(q, k[:, :2], v[:, :2])
