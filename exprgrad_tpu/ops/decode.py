@@ -1,0 +1,95 @@
+"""KV-cache incremental decoding (serving path).
+
+Autoregressive generation attends a few fresh query tokens against a long
+cached KV prefix.  That step is HBM-bandwidth-bound (the whole cache is
+read once per step, the matmuls are thin), so the right TPU shape is:
+static-size cache + masked compute — `lax.dynamic_update_slice` appends,
+one fused einsum chain per step, no dynamic shapes anywhere, everything
+jittable inside a `lax.scan` generation loop.
+
+The cache is a functional value (append returns a new cache), matching
+the framework's executor discipline: donate the buffers and XLA updates
+them in place.  GQA/MQA layouts (fewer KV heads) are supported, matching
+ops.attention.flash_attention.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = -1e30
+
+
+class KVCache(NamedTuple):
+    """Static-capacity key/value cache.  ``length`` is the number of valid
+    positions (traced int32 scalar)."""
+
+    k: jax.Array        # [b, hkv, capacity, d]
+    v: jax.Array        # [b, hkv, capacity, d]
+    length: jax.Array   # int32 scalar
+
+
+def init_cache(batch: int, kv_heads: int, capacity: int, head_dim: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (batch, kv_heads, capacity, head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.int32(0),
+    )
+
+
+def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
+    """Write ``t`` new positions at ``cache.length``; returns the new cache.
+    The caller must not exceed capacity (static check impossible: length is
+    traced; excess positions would wrap via clamping)."""
+    zero = jnp.zeros((), cache.length.dtype)  # match index dtypes under x64
+    start = (zero, zero, cache.length, zero)
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype),
+                                       start),
+        v=jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype),
+                                       start),
+        length=cache.length + jnp.int32(k_new.shape[2]),
+    )
+
+
+def decode_attention(q: jax.Array, cache: KVCache,
+                     sm_scale: Optional[float] = None) -> jax.Array:
+    """Attend ``q`` [b, h, t, d] (the t newest tokens, already appended to
+    the cache) against the cache.  Causal within the fresh tokens: query i
+    sits at global position ``length - t + i`` and sees positions
+    ``<= that``.  Returns [b, h, t, d] in q's dtype."""
+    b, h, t, d = q.shape
+    hkv = cache.k.shape[1]
+    capacity = cache.k.shape[2]
+    group = h // hkv
+    if h % hkv:
+        raise ValueError(f"query heads ({h}) not a multiple of kv ({hkv})")
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(d))
+
+    qg = q.reshape(b, hkv, group * t, d).astype(jnp.float32)
+    kf = cache.k.astype(jnp.float32)
+    vf = cache.v.astype(jnp.float32)
+    s = jnp.einsum("bgqd,bgsd->bgqs", qg, kf,
+                   preferred_element_type=jnp.float32) * sm_scale
+    s = s.reshape(b, h, t, capacity)
+
+    pos = cache.length - t + jnp.arange(t, dtype=jnp.int32)   # [t]
+    key_pos = jnp.arange(capacity, dtype=jnp.int32)           # [capacity]
+    mask = key_pos[None, :] <= pos[:, None]                   # [t, capacity]
+    s = jnp.where(mask[None, None], s, _NEG_INF)
+
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "bgqs,bgsd->bgqd",
+        p.reshape(b, hkv, group * t, capacity),
+        vf,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, h, t, d).astype(q.dtype)
