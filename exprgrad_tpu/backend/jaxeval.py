@@ -402,8 +402,6 @@ class KernelLowering:
                 self.starts[axis], self.starts[axis] + self.sizes[axis]
             )
         }
-        from ..passes.shapes import trunc_div as _tdiv
-
         for instr in index.setup:
             if any(a not in env for a in instr.args):
                 return None

@@ -139,3 +139,12 @@ def test_long_context_attention_example(capsys, monkeypatch):
     monkeypatch.setattr(lca, "main", small_main)
     lca.main()
     assert "max abs err" in capsys.readouterr().out
+
+
+def test_text_generation_example(monkeypatch, capsys):
+    import text_generation
+
+    monkeypatch.setattr(text_generation, "STEPS", 150)
+    text_generation.main()
+    out = capsys.readouterr().out
+    assert "generated:" in out and "serving artifact max dev: 0.0" in out
