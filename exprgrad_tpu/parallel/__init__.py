@@ -10,10 +10,15 @@ all-gather/reduce-scatter around sharded matmuls under tensor parallelism).
 
 from .attention import sequence_parallel_attention
 from .mesh import ShardedExecutor, make_mesh, sharded_fit
+from .moe import MoEParams, init_moe, moe_layer, shard_moe_params
 
 __all__ = [
+    "MoEParams",
     "ShardedExecutor",
+    "init_moe",
     "make_mesh",
+    "moe_layer",
     "sequence_parallel_attention",
+    "shard_moe_params",
     "sharded_fit",
 ]
