@@ -11,6 +11,7 @@ all-gather/reduce-scatter around sharded matmuls under tensor parallelism).
 from .attention import sequence_parallel_attention
 from .mesh import ShardedExecutor, make_mesh, sharded_fit
 from .moe import MoEParams, init_moe, moe_layer, shard_moe_params
+from .pipeline import pipeline_apply, shard_pipeline_params
 
 __all__ = [
     "MoEParams",
@@ -18,7 +19,9 @@ __all__ = [
     "init_moe",
     "make_mesh",
     "moe_layer",
+    "pipeline_apply",
     "sequence_parallel_attention",
     "shard_moe_params",
+    "shard_pipeline_params",
     "sharded_fit",
 ]
