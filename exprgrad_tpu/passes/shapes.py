@@ -545,10 +545,17 @@ def static_shape_table(program: Program) -> dict[int, list[int]]:
     }
 
 
+def _tname(names: Optional[dict[int, str]], tid: int) -> str:
+    """``t3 ('weights')`` when the tensor has a user-visible name."""
+    name = (names or {}).get(tid)
+    return f"t{tid}" + (f" ({name!r})" if name else "")
+
+
 def _apply_constraint(
     constr: ShapeConstraint,
     shapes: dict[int, list[int]],
     static: bool,
+    names: Optional[dict[int, str]] = None,
 ) -> Optional[list[int]]:
     """Compute the shape for constr.dest given currently known shapes.
 
@@ -566,7 +573,7 @@ def _apply_constraint(
         if static:
             return None
         raise ShapeError(
-            f"shape of tensor t{constr.src} is unknown; "
+            f"shape of tensor {_tname(names, constr.src)} is unknown; "
             "maybe you forgot to pass a required input tensor?"
         )
     if kind == ShapeConstrKind.DIMS:
@@ -590,8 +597,9 @@ def _apply_constraint(
             if static:
                 continue
             raise ShapeError(
-                f"shape of tensor t{tensor} is unknown, but required to infer "
-                f"the shape of t{constr.dest}; maybe you forgot to pass a "
+                f"shape of tensor {_tname(names, tensor)} is unknown, but "
+                f"required to infer the shape of "
+                f"{_tname(names, constr.dest)}; maybe you forgot to pass a "
                 "required input tensor?"
             )
         shape = shapes[tensor]
@@ -599,8 +607,8 @@ def _apply_constraint(
             if static:
                 continue
             raise ShapeError(
-                f"tensor t{tensor} has rank {len(shape)}, but is accessed "
-                f"with {len(per_dim)} indices"
+                f"tensor {_tname(names, tensor)} has rank {len(shape)}, but "
+                f"is accessed with {len(per_dim)} indices"
             )
         for dim, indices in enumerate(per_dim):
             size = shape[dim]
@@ -618,7 +626,10 @@ def _apply_constraint(
                 sizes.append(-1)
                 continue
             raise ShapeError(
-                f"shape of tensor t{constr.dest} is underconstrained"
+                f"shape of tensor {_tname(names, constr.dest)} is "
+                "underconstrained: the loop ranges of its kernel cannot all "
+                "be solved from the read tensors' shapes; bound the "
+                "iterators (irange) or declare the shape (with_shape)"
             )
         sizes.append(index.eval(max_values) + 1)
     return sizes
@@ -632,9 +643,10 @@ def infer_static_shapes(program: Program) -> None:
         preserves=ALL_STAGES,
     )
     shapes = static_shape_table(program)
+    names = {t: d.name for t, d in enumerate(program.tensors) if d.name}
     for target in program.targets.values():
         for constr in target.shapes:
-            dims = _apply_constraint(constr, shapes, static=True)
+            dims = _apply_constraint(constr, shapes, static=True, names=names)
             if dims is None or not dims:
                 continue
             if constr.dest in shapes:
@@ -684,6 +696,7 @@ def infer_shapes(
     """Infer shapes of all target tensors from input shapes
     (reference inferShapes, passes.nim:1386-1436)."""
     shapes: dict[int, list[int]] = {}
+    names = {t: d.name for t, d in enumerate(program.tensors) if d.name}
     for tid, shape in inputs:
         static = program.tensors[tid].shape
         if static and (
@@ -691,8 +704,8 @@ def infer_shapes(
             or any(s >= 0 and s != d for s, d in zip(static, shape))
         ):
             raise ShapeError(
-                f"given shape for tensor t{tid} is {list(shape)}, but its "
-                f"static shape is {static}"
+                f"given shape for tensor {_tname(names, tid)} is "
+                f"{list(shape)}, but its static shape is {static}"
             )
         shapes[tid] = list(shape)
     for tid in program.params:
@@ -707,7 +720,7 @@ def infer_shapes(
                     f"missing shape for tensor{name} (t{dep}); "
                     "maybe you forgot to pass an input to the model?"
                 )
-        dims = _apply_constraint(constr, shapes, static=False)
+        dims = _apply_constraint(constr, shapes, static=False, names=names)
         if dims is not None:
             shapes[constr.dest] = dims
     return shapes

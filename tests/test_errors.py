@@ -140,3 +140,28 @@ def test_duplicate_target_names():
     b.raw[it] = input("x").raw[it] * 2.0
     with pytest.raises(ParserError):
         compile([a.target("y"), b.target("y")], backend="interp")
+
+
+def test_shape_errors_name_the_tensor():
+    """Diagnostics carry the user-visible tensor name, not just an id."""
+    import pytest
+
+    from exprgrad_tpu import Fun, compile, input, iters
+    from exprgrad_tpu.errors import ShapeError
+
+    y, x = iters("y", "x")
+    out = Fun()
+    out[y] = input("data")[y, x]
+    model = compile(out.target("o"), backend="interp")
+    with pytest.raises(ShapeError, match="data"):
+        model.call("o", {})
+
+    a = input("a")
+    dx = iters("dx")
+    pooled = Fun("pooled")
+    pooled[y] = a[2 * y + dx]
+    model2 = compile(pooled.target("o"), backend="interp")
+    with pytest.raises(ShapeError, match="pooled.*underconstrained"):
+        import numpy as np
+
+        model2.call("o", {"a": np.zeros(8, np.float32)})
