@@ -11,6 +11,7 @@ from .base import (
     binary_cross_entropy,
     cross_entropy,
     div_scalar,
+    decayed_gradient_descent,
     gradient_descent,
     matmul,
     maximum_elems,
@@ -37,7 +38,8 @@ from .dnn import (
 
 __all__ = [
     "adam", "add", "avgpool2", "binary_cross_entropy", "conv2",
-    "cross_entropy", "dense", "div_scalar", "dropout", "gradient_descent",
+    "cross_entropy", "decayed_gradient_descent", "dense", "div_scalar",
+    "dropout", "gradient_descent",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "mse", "mul_scalar", "relu", "sigmoid", "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",

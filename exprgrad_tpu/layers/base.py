@@ -81,6 +81,23 @@ def gradient_descent(param: Fun, grad: Fun, rate: float = 0.01) -> None:
     param.raw[it] = -grad.raw[it] * rate
 
 
+def decayed_gradient_descent(
+    param: Fun,
+    grad: Fun,
+    rate: float = 0.01,
+    decay: float = 0.5,
+    every: int = 10,
+) -> None:
+    """SGD with step decay WRITTEN IN THE LANGUAGE: the learning rate is a
+    kernel expression of ``epoch()`` (``rate * decay^(epoch // every)``),
+    so the schedule compiles into the training program itself — no host
+    callback per step.  Any schedule expressible with scalar ops works the
+    same way (cosine via ``cos``, warmup via ``select``)."""
+    it = iters("it")
+    lr = rate * pow_(decay, to_scalar(epoch() // every))
+    param.raw[it] = -grad.raw[it] * lr
+
+
 def adam(
     param: Fun,
     grad: Fun,

@@ -521,3 +521,38 @@ def test_reshape_param_and_grad(backend):
     )
     got = model.call("dw")
     np.testing.assert_allclose(got, 2 * wv, rtol=1e-12)
+
+
+def test_lr_schedule_in_the_language():
+    """decayed_gradient_descent: the schedule is a kernel expression of
+    epoch(), compiled into the training program; stepping epoch shrinks the
+    actual update magnitude by the decay factor."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters, make_opt, param, sq
+    from exprgrad_tpu.layers import decayed_gradient_descent
+
+    x = input("x")
+    it = iters("it")
+    w = param([4], init_range=(0.5, 0.6), name="w")
+    loss = Fun()
+    loss[0] = sq(w.raw[it] - x.raw[it])
+    net = loss.target("loss").backprop(
+        make_opt(decayed_gradient_descent, rate=0.1, decay=0.5, every=1)
+    ).target("train")
+    model = compile(net, dtype="float64", backend="jax")
+    xv = np.zeros(4)
+
+    def update_norm(epoch):
+        model.epoch = epoch
+        before = np.asarray(model.params[next(iter(model.params))]).copy()
+        model.apply("train", {"x": xv})
+        after = np.asarray(model.params[next(iter(model.params))])
+        return np.abs(after - before).sum(), before
+
+    n1, w1 = update_norm(0)   # lr = 0.1 * 0.5^0
+    # reset weights for a fair comparison
+    for tid in model.params:
+        model.params[tid] = w1
+    n2, _ = update_norm(2)    # lr = 0.1 * 0.5^2
+    assert n2 < n1 * 0.3 and n2 > 0
