@@ -150,3 +150,23 @@ def test_golden_cnn_train():
     program = to_program(fashion_mnist_cnn())
     compile_program(program)
     check_golden("cnn_train", fmt_program(program))
+
+
+def test_golden_triangular_max():
+    """Locks the IR for the two language extensions: a max-accumulation
+    kernel over a triangular (iterator-dependent) loop nest, plus its
+    derived argmax-gated gradient."""
+    from exprgrad_tpu import irange, sq
+
+    a = input("a")
+    y = iters("y")
+    x = irange("x", 0, y + 1)
+    m = Fun("runmax")
+    m.maximize[y] = a[y, x]
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(m.raw[it])
+    graph = loss.target("loss").backwards().grad(a).target("da")
+    program = to_program(graph)
+    compile_program(program)
+    check_golden("triangular_max_grad", fmt_program(program))
