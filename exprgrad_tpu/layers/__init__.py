@@ -26,6 +26,7 @@ from .dnn import (
     conv2,
     dense,
     dropout,
+    layer_norm,
     leaky_relu,
     maxpool2,
     relu,
@@ -41,6 +42,7 @@ __all__ = [
     "cross_entropy", "decayed_gradient_descent", "dense", "div_scalar",
     "dropout", "gradient_descent",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
+    "layer_norm",
     "mse", "mul_scalar", "relu", "sigmoid", "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",
 ]

@@ -170,6 +170,36 @@ def softmax(inp: Fun) -> Fun:
 
 
 @layer
+def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
+               init: float = 0.1) -> Fun:
+    """Layer normalization of ``[rows, dim]`` inputs (Ba et al. 2016) with
+    learned scale/shift — beyond the reference's layer set (dnn.nim tops
+    out at softmax).  Reshape higher-rank tensors to rank 2 around it.
+    The mean/variance reductions and the normalization are plain kernels;
+    the compiler derives the (nontrivial) gradient through both
+    reductions symbolically."""
+    from ..expr import sq, sqrt
+
+    inv_d = 1.0 / dim
+    n = Fun("ln.mean")
+    y, x = iters("y", "x")
+    n[y] = inp[y, x] * inv_d
+
+    v = Fun("ln.var")
+    y, x = iters("y", "x")
+    v[y] = sq(inp[y, x] - n[y]) * inv_d
+
+    gamma = param([dim], init_range=(1.0 - init, 1.0 + init), name="ln.g")
+    beta = param([dim], init_range=(-init, init), name="ln.b")
+    y, x = iters("y", "x")
+    out = Fun("ln.out")
+    out[y, x] = (
+        (inp[y, x] - n[y]) / sqrt(v[y] + eps) * gamma[x] + beta[x]
+    )
+    return out
+
+
+@layer
 def dropout(inp: Fun, prob: float) -> Fun:
     noise = rand(inp, (0.0, 1.0))
     noise.name = "dropout.rand"

@@ -265,3 +265,56 @@ def test_activations_extreme_inputs():
         [input("x").pipe(tanh).target("t")], backend="jax"
     ).call("t", {"x": x_val})
     np.testing.assert_allclose(t, np.tanh(x_val), atol=1e-6)
+
+
+def test_layer_norm_forward_and_gradient():
+    """layer_norm vs a numpy reference; the derived gradient through both
+    reductions vs finite differences."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters, sq
+    from exprgrad_tpu.layers import layer_norm
+
+    dim = 8
+    x_in = input("x")
+    net = layer_norm(x_in, dim)
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(net.raw[it])
+    graph = [
+        net.target("out"),
+        loss.target("loss").backwards().grad(x_in).target("dx"),
+    ]
+    model = compile(graph, dtype="float64", backend="jax", seed=0)
+    model_i = compile(graph, dtype="float64", backend="interp", seed=0)
+    model_i.params = {k: np.asarray(v) for k, v in model.params.items()}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, dim)) * 3 + 1
+    got = model.call("out", {"x": x})
+
+    params = {t: np.asarray(v) for t, v in model.params.items()}
+    gamma, beta = (params[t] for t in sorted(params))
+    mean = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    want = (x - mean) / np.sqrt(var + 1e-5) * gamma + beta
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # oracle agreement + finite differences for d loss/d x
+    gj = model.call("dx", {"x": x})
+    gi = model_i.call("dx", {"x": x})
+    np.testing.assert_allclose(gj, gi, rtol=1e-9)
+
+    def loss_at(xv):
+        return float(model_i.call("loss", {"x": xv})[0])
+
+    h = 1e-6
+    fd = np.zeros_like(x)
+    for i in range(x.size):
+        xp, xm = x.copy().reshape(-1), x.copy().reshape(-1)
+        xp[i] += h
+        xm[i] -= h
+        fd.reshape(-1)[i] = (
+            loss_at(xp.reshape(x.shape)) - loss_at(xm.reshape(x.shape))
+        ) / (2 * h)
+    np.testing.assert_allclose(gj, fd, rtol=5e-4, atol=1e-7)
