@@ -30,6 +30,7 @@ from .dnn import (
     leaky_relu,
     maxpool2,
     relu,
+    rms_norm,
     sigmoid,
     sin_layer,
     softmax,
@@ -43,6 +44,6 @@ __all__ = [
     "dropout", "gradient_descent",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",
-    "mse", "mul_scalar", "relu", "sigmoid", "sin_layer", "softmax", "sub",
+    "mse", "mul_scalar", "relu", "rms_norm", "sigmoid", "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",
 ]

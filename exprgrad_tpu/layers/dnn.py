@@ -200,6 +200,24 @@ def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
 
 
 @layer
+def rms_norm(inp: Fun, dim: int, eps: float = 1e-5,
+             init: float = 0.1) -> Fun:
+    """RMS normalization of ``[rows, dim]`` inputs (Zhang & Sennrich 2019):
+    x / rms(x) * gamma, no mean subtraction — the norm used by modern LMs."""
+    from ..expr import sq, sqrt
+
+    ms = Fun("rms.ms")
+    y, x = iters("y", "x")
+    ms[y] = sq(inp[y, x]) * (1.0 / dim)
+
+    gamma = param([dim], init_range=(1.0 - init, 1.0 + init), name="rms.g")
+    y, x = iters("y", "x")
+    out = Fun("rms.out")
+    out[y, x] = inp[y, x] / sqrt(ms[y] + eps) * gamma[x]
+    return out
+
+
+@layer
 def dropout(inp: Fun, prob: float) -> Fun:
     noise = rand(inp, (0.0, 1.0))
     noise.name = "dropout.rand"

@@ -318,3 +318,33 @@ def test_layer_norm_forward_and_gradient():
             loss_at(xp.reshape(x.shape)) - loss_at(xm.reshape(x.shape))
         ) / (2 * h)
     np.testing.assert_allclose(gj, fd, rtol=5e-4, atol=1e-7)
+
+
+def test_rms_norm():
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters, sq
+    from exprgrad_tpu.layers import rms_norm
+
+    dim = 8
+    x_in = input("x")
+    net = rms_norm(x_in, dim)
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(net.raw[it])
+    graph = [
+        net.target("out"),
+        loss.target("loss").backwards().grad(x_in).target("dx"),
+    ]
+    mj = compile(graph, dtype="float64", backend="jax", seed=0)
+    mi = compile(graph, dtype="float64", backend="interp", seed=0)
+    mi.params = {k: np.asarray(v) for k, v in mj.params.items()}
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(5, dim)) * 2
+    (gamma,) = (np.asarray(v) for v in mj.params.values())
+    want = x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5) * gamma
+    np.testing.assert_allclose(mj.call("out", {"x": x}), want, rtol=1e-9)
+    np.testing.assert_allclose(
+        mj.call("dx", {"x": x}), mi.call("dx", {"x": x}), rtol=1e-9
+    )
