@@ -202,4 +202,16 @@ def infer_types(program: Program) -> None:
     )
     for target in program.targets.values():
         for kernel in target.kernels:
-            infer_types_kernel(kernel)
+            try:
+                infer_types_kernel(kernel)
+            except KernelTypeError as err:
+                # attach provenance: which tensor's kernel failed
+                if kernel.write is not None:
+                    tid = kernel.write.tensor
+                    name = program.tensors[tid].name
+                    where = f"t{tid}" + (f" ({name!r})" if name else "")
+                    raise KernelTypeError(
+                        f"in a kernel writing {where} "
+                        f"(target {target.name!r}): {err}"
+                    ) from None
+                raise

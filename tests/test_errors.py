@@ -165,3 +165,40 @@ def test_shape_errors_name_the_tensor():
         import numpy as np
 
         model2.call("o", {"a": np.zeros(8, np.float32)})
+
+
+def test_type_errors_carry_kernel_provenance():
+    """IR-level type errors (the backstop behind the typed front end) say
+    which tensor's kernel failed."""
+    import pytest
+
+    from exprgrad_tpu import ir
+    from exprgrad_tpu.errors import KernelTypeError
+    from exprgrad_tpu.passes.typecheck import infer_types
+
+    program = ir.Program()
+    tid = program.alloc_tensor(ir.TensorDef(ir.TensorKind.RESULT, name="bad"))
+    src = program.alloc_tensor(
+        ir.TensorDef(ir.TensorKind.INPUT, name="src")
+    )
+    kernel = ir.Kernel()
+    data = kernel.alloc_reg()
+    i = kernel.alloc_reg()
+    kernel.loops.append(ir.Loop(iter_reg=i, has_bounds=True,
+                                start=ir.LinearIndex.of_const(0),
+                                stop=ir.LinearIndex.of_const(4), step=1))
+    # raw access with TWO indices: ill-formed at the IR level
+    kernel.reads.append(ir.TensorOp(
+        tensor=src, is_raw=True, data=data,
+        dims=[ir.LinearIndex.of_reg(i), ir.LinearIndex.of_reg(i)],
+    ))
+    kernel.expr = ir.Expr(res=data)
+    kernel.write = ir.TensorOp(
+        tensor=tid, is_raw=True, data=data, dims=[ir.LinearIndex.of_reg(i)]
+    )
+    target = ir.Target(name="t")
+    target.kernels.append(kernel)
+    program.targets["t"] = target
+    program.stages = set(ir.ALL_STAGES)
+    with pytest.raises(KernelTypeError, match="bad.*target 't'"):
+        infer_types(program)
