@@ -95,9 +95,9 @@ class JaxExecutor:
         donated_set = set(self.donated_tids)
         self.kept_tids = [t for t in self.input_tids if t not in donated_set]
 
-        from ..interp import max_accumulated_results
+        from ..interp import accumulation_identity, extreme_accumulated_results
 
-        max_only = max_accumulated_results(self.target)
+        extreme = extreme_accumulated_results(self.target)
 
         def run_fn(inputs: dict, epoch, seed):
             tensors = dict(inputs)
@@ -105,9 +105,11 @@ class JaxExecutor:
             for tid in sorted(self.target.tensors):
                 tdef = program.tensors[tid]
                 if tdef.kind == ir.TensorKind.RESULT:
-                    if tid in max_only:
+                    if tid in extreme:
                         tensors[tid] = jnp.full(
-                            tuple(self.shapes[tid]), -jnp.inf, dtype=dt
+                            tuple(self.shapes[tid]),
+                            accumulation_identity(extreme[tid]),
+                            dtype=dt,
                         )
                     else:
                         tensors[tid] = jnp.zeros(

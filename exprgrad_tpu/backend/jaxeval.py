@@ -57,6 +57,23 @@ class _ArrayVal:
         self.array_ndim = array_ndim
 
 
+
+def _acc_reduce(vals, axis: int, mode: str, keepdims: bool = True):
+    if mode == "add":
+        return vals.sum(axis=axis, keepdims=keepdims)
+    if mode == "max":
+        return vals.max(axis=axis, keepdims=keepdims)
+    return vals.min(axis=axis, keepdims=keepdims)
+
+
+def _acc_combine(out, vals, mode: str):
+    if mode == "add":
+        return out + vals
+    if mode == "max":
+        return jnp.maximum(out, vals)
+    return jnp.minimum(out, vals)
+
+
 class KernelLowering:
     """Lower one kernel given concrete shapes; called inside jit tracing."""
 
@@ -628,17 +645,13 @@ class KernelLowering:
         if len(seen_axes) != len(plan):
             return None  # repeated axes
 
-        is_max = write.accumulate == "max"
+        mode = write.accumulate
         # reduce/scale loop axes the write does not touch
         for ax in range(n):
             if ax not in seen_axes and self.sizes[ax] > 1:
                 if vals.shape[ax] > 1:
-                    vals = (
-                        vals.max(axis=ax, keepdims=True)
-                        if is_max
-                        else vals.sum(axis=ax, keepdims=True)
-                    )
-                elif not is_max:
+                    vals = _acc_reduce(vals, ax, mode)
+                elif mode == "add":
                     vals = vals * self.dtype(self.sizes[ax])
 
         # group-reduce the windowed axes
@@ -646,18 +659,14 @@ class KernelLowering:
             if k == 1:
                 continue
             if vals.shape[axis] == 1:
-                if not is_max:
+                if mode == "add":
                     vals = vals * self.dtype(k)
             else:
                 j = self.sizes[axis] // k
                 shape = list(vals.shape)
                 shape[axis : axis + 1] = [j, k]
                 grouped = vals.reshape(shape)
-                vals = (
-                    grouped.max(axis=axis + 1)
-                    if is_max
-                    else grouped.sum(axis=axis + 1)
-                )
+                vals = _acc_reduce(grouped, axis + 1, mode, keepdims=False)
 
         vals = jnp.squeeze(
             vals, axis=tuple(ax for ax in range(n) if ax not in seen_axes)
@@ -681,10 +690,12 @@ class KernelLowering:
         )
         vals = jnp.broadcast_to(vals, region_shape).astype(self.dtype)
         if all(off == 0 for _ax, _k, off in plan):
-            return jnp.maximum(out, vals) if is_max else out + vals
-        if is_max:
+            return _acc_combine(out, vals, mode)
+        if mode == "add":
+            return out.at[region].add(vals)
+        if mode == "max":
             return out.at[region].max(vals)
-        return out.at[region].add(vals)
+        return out.at[region].min(vals)
 
     def _bounds_mask(self, tensors):
         """Grid mask for dynamic (iterator-dependent) loop bounds, or None.
@@ -718,7 +729,9 @@ class KernelLowering:
         assert write is not None and write.data is not None
         vals = jnp.asarray(self.env[write.data], self.dtype)
         if mask is not None:
-            identity = -jnp.inf if write.accumulate == "max" else 0.0
+            from ..interp import accumulation_identity
+
+            identity = accumulation_identity(write.accumulate)
             vals = jnp.where(mask, vals, self.dtype(identity))
         if vals.ndim == 0:
             vals = vals.reshape((1,) * self.nloops)
@@ -751,18 +764,14 @@ class KernelLowering:
             axes = [axis]
 
         if direct:
-            is_max = write.accumulate == "max"
+            mode = write.accumulate
             # reduce axes not written
             written = set(axes)  # type: ignore[arg-type]
             for ax in range(self.nloops):
                 if ax not in written and self.sizes[ax] > 1:
                     if vals.shape[ax] > 1:
-                        vals = (
-                            vals.max(axis=ax, keepdims=True)
-                            if is_max
-                            else vals.sum(axis=ax, keepdims=True)
-                        )
-                    elif not is_max:
+                        vals = _acc_reduce(vals, ax, mode)
+                    elif mode == "add":
                         vals = vals * self.dtype(self.sizes[ax])
             vals = jnp.squeeze(
                 vals, axis=tuple(ax for ax in range(self.nloops) if ax not in written)
@@ -777,15 +786,10 @@ class KernelLowering:
             if write.is_raw:
                 target_shape: tuple = (int(np.prod(out_shape, dtype=np.int64)),)
                 flat_vals = jnp.broadcast_to(vals, target_shape)
-                if is_max:
-                    new = jnp.maximum(out.reshape(-1), flat_vals)
-                else:
-                    new = out.reshape(-1) + flat_vals
+                new = _acc_combine(out.reshape(-1), flat_vals, mode)
                 return new.reshape(out.shape)
             vals = jnp.broadcast_to(vals, tuple(out_shape))
-            if is_max:
-                return jnp.maximum(out, vals)
-            return out + vals
+            return _acc_combine(out, vals, mode)
 
         widx = self._flat_index(write, tensors)
         widx = jnp.asarray(widx)
@@ -793,25 +797,24 @@ class KernelLowering:
             widx = widx.reshape((1,) * self.nloops)
         elif widx.ndim != self.nloops:
             widx = widx.reshape((1,) * (self.nloops - widx.ndim) + widx.shape)
-        is_max = write.accumulate == "max"
+        mode = write.accumulate
         for ax in range(self.nloops):
             if widx.shape[ax] == 1 and self.sizes[ax] > 1:
                 if vals.shape[ax] > 1:
-                    vals = (
-                        vals.max(axis=ax, keepdims=True)
-                        if is_max
-                        else vals.sum(axis=ax, keepdims=True)
-                    )
-                elif not is_max:
+                    vals = _acc_reduce(vals, ax, mode)
+                elif mode == "add":
                     vals = vals * self.dtype(self.sizes[ax])
         bshape = np.broadcast_shapes(widx.shape, vals.shape)
         widx_b = jnp.broadcast_to(widx, bshape).reshape(-1)
         vals_b = jnp.broadcast_to(vals, bshape).reshape(-1)
         self.sub_path = "scatter"
-        if is_max:
-            flat = out.reshape(-1).at[widx_b].max(vals_b)
+        flat = out.reshape(-1)
+        if mode == "add":
+            flat = flat.at[widx_b].add(vals_b)
+        elif mode == "max":
+            flat = flat.at[widx_b].max(vals_b)
         else:
-            flat = out.reshape(-1).at[widx_b].add(vals_b)
+            flat = flat.at[widx_b].min(vals_b)
         return flat.reshape(out.shape)
 
     # ------------------------------------------------------------------
@@ -826,7 +829,7 @@ class KernelLowering:
         # max-accumulation and dynamic (iterator-dependent) bounds are
         # handled only by the general path (the latter needs a hull mask)
         general_only = (
-            self.kernel.write.accumulate == "max" or bool(self.dynamic_axes)
+            self.kernel.write.accumulate != "add" or bool(self.dynamic_axes)
         )
         if not general_only and (
             any(

@@ -274,35 +274,39 @@ class _RawAccessor:
         self.fun._add_kernel([as_index(index).node], True, value)
 
 
-class _MaxAccessor:
-    """``fun.maximize[dims] = expr`` — max-accumulation kernel writes."""
+class _ExtremeAccessor:
+    """``fun.maximize[dims] = expr`` / ``fun.minimize[...]`` — max/min
+    accumulation kernel writes."""
 
-    __slots__ = ("fun",)
+    __slots__ = ("fun", "mode")
 
-    def __init__(self, fun: "Fun") -> None:
+    def __init__(self, fun: "Fun", mode: str) -> None:
         self.fun = fun
+        self.mode = mode
 
     def __setitem__(self, indices, value) -> None:
         if not isinstance(indices, tuple):
             indices = (indices,)
         self.fun._add_kernel(
-            [as_index(i).node for i in indices], False, value, accumulate="max"
+            [as_index(i).node for i in indices], False, value,
+            accumulate=self.mode,
         )
 
     @property
-    def raw(self) -> "_MaxRawAccessor":
-        return _MaxRawAccessor(self.fun)
+    def raw(self) -> "_ExtremeRawAccessor":
+        return _ExtremeRawAccessor(self.fun, self.mode)
 
 
-class _MaxRawAccessor:
-    __slots__ = ("fun",)
+class _ExtremeRawAccessor:
+    __slots__ = ("fun", "mode")
 
-    def __init__(self, fun: "Fun") -> None:
+    def __init__(self, fun: "Fun", mode: str) -> None:
         self.fun = fun
+        self.mode = mode
 
     def __setitem__(self, index, value) -> None:
         self.fun._add_kernel(
-            [as_index(index).node], True, value, accumulate="max"
+            [as_index(index).node], True, value, accumulate=self.mode
         )
 
 
@@ -343,13 +347,20 @@ class Fun:
         return _RawAccessor(self)
 
     @property
-    def maximize(self) -> "_MaxAccessor":
+    def maximize(self) -> "_ExtremeAccessor":
         """Max-accumulation writes (language extension, no reference analog):
         ``out.maximize[y] = inp[y, x]`` computes out[y] = max over x.
 
         Gradients flow to the elements attaining the maximum (subgradient,
         like the reference maxpool's custom gradient, dnn.nim:64-70)."""
-        return _MaxAccessor(self)
+        return _ExtremeAccessor(self, "max")
+
+    @property
+    def minimize(self) -> "_ExtremeAccessor":
+        """Min-accumulation writes: ``out.minimize[y] = inp[y, x]`` computes
+        out[y] = min over x; untouched elements are +inf.  Gradients gate to
+        the argmin."""
+        return _ExtremeAccessor(self, "min")
 
     # --- tensor queries ----------------------------------------------
     @property

@@ -26,16 +26,24 @@ from .ir import Kernel, LinearIndex, Op, Program
 from .passes.shapes import resolve_loop_bounds
 
 
-def max_accumulated_results(target) -> set:
-    """Result tensors written exclusively by max-accumulation kernels;
-    these initialize to -inf instead of zero."""
+def extreme_accumulated_results(target) -> dict:
+    """tid -> "max" | "min" for result tensors written exclusively with one
+    extreme accumulation mode; these initialize to -inf / +inf."""
     modes: dict[int, set[str]] = {}
     for kernel in target.kernels:
         if kernel.write is not None:
             modes.setdefault(kernel.write.tensor, set()).add(
                 kernel.write.accumulate
             )
-    return {tid for tid, m in modes.items() if m == {"max"}}
+    return {
+        tid: next(iter(m))
+        for tid, m in modes.items()
+        if m == {"max"} or m == {"min"}
+    }
+
+
+def accumulation_identity(mode: str) -> float:
+    return {"add": 0.0, "max": -np.inf, "min": np.inf}[mode]
 
 
 class _ArrayVal:
@@ -304,7 +312,7 @@ class _KernelEval:
         assert write is not None and write.data is not None
         vals = self.env[write.data]
         if mask is not None:
-            identity = -np.inf if write.accumulate == "max" else 0.0
+            identity = accumulation_identity(write.accumulate)
             vals = np.where(mask, vals, self.dtype.type(identity))
         widx = self._flat_index(write)
         if mask is not None:
@@ -320,17 +328,18 @@ class _KernelEval:
         if vals.ndim == 0:
             vals = vals.reshape((1,) * n)
 
-        is_max = write.accumulate == "max"
+        mode = write.accumulate
         # reduce over loop axes the write index does not vary over
         for axis in range(n):
             if widx.shape[axis] == 1 and full[axis] > 1:
                 if vals.shape[axis] > 1:
-                    vals = (
-                        vals.max(axis=axis, keepdims=True)
-                        if is_max
-                        else vals.sum(axis=axis, keepdims=True)
-                    )
-                elif not is_max:
+                    if mode == "add":
+                        vals = vals.sum(axis=axis, keepdims=True)
+                    elif mode == "max":
+                        vals = vals.max(axis=axis, keepdims=True)
+                    else:
+                        vals = vals.min(axis=axis, keepdims=True)
+                elif mode == "add":
                     vals = vals * self.dtype.type(full[axis])
 
         out = self.tensors[write.tensor]
@@ -339,10 +348,8 @@ class _KernelEval:
         widx_b = np.broadcast_to(widx, bshape).reshape(-1)
         vals_b = np.broadcast_to(vals, bshape).reshape(-1)
         acc = flat.astype(self.dtype, copy=True)
-        if is_max:
-            np.maximum.at(acc, widx_b, vals_b)
-        else:
-            np.add.at(acc, widx_b, vals_b)
+        ufunc = {"add": np.add, "max": np.maximum, "min": np.minimum}[mode]
+        ufunc.at(acc, widx_b, vals_b)
         self.tensors[write.tensor] = acc.reshape(out.shape)
 
 
@@ -357,12 +364,16 @@ def run_target(
     """Execute one target; mutates and returns ``tensors`` (id -> array)."""
     target = program.targets[target_name]
     dtype = np.dtype(program.scalar_type.value)
-    max_only = max_accumulated_results(target)
+    extreme = extreme_accumulated_results(target)
     for tid in sorted(target.tensors):
         tdef = program.tensors[tid]
         if tdef.kind == ir.TensorKind.RESULT:
-            if tid in max_only:
-                tensors[tid] = np.full(shapes[tid], -np.inf, dtype=dtype)
+            if tid in extreme:
+                tensors[tid] = np.full(
+                    shapes[tid],
+                    accumulation_identity(extreme[tid]),
+                    dtype=dtype,
+                )
             else:
                 tensors[tid] = np.zeros(shapes[tid], dtype=dtype)
         elif tdef.kind == ir.TensorKind.RANDOM:

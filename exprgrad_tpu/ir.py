@@ -289,7 +289,7 @@ class TensorOp:
     """A read from or write to a tensor at affine indices.
 
     ``accumulate`` (writes only) selects the reduction the implicit loops
-    perform: "add" (the reference's ``++=``) or "max" — a language extension
+    perform: "add" (the reference's ``++=``), "max" or "min" — extensions
     enabling true max-reductions (exact stable softmax, global pooling) with
     subgradient autodiff.
     """
@@ -298,7 +298,7 @@ class TensorOp:
     dims: list[LinearIndex] = field(default_factory=list)
     data: Optional[int] = None  # register holding the read/written scalar
     is_raw: bool = False        # flat `{i}` access instead of per-dim `[i,j]`
-    accumulate: str = "add"     # "add" | "max" (writes only)
+    accumulate: str = "add"     # "add" | "max" | "min" (writes only)
     schedule: TensorSchedule = field(default_factory=TensorSchedule)
 
     def copy(self) -> "TensorOp":

@@ -125,7 +125,9 @@ def fmt_kernel(kernel: Kernel, indent: str = "") -> str:
         lines.append(f"{indent}expr:")
         _emit_expr(lines, kernel.expr, indent + "  ")
     if kernel.write is not None:
-        op = "max=" if kernel.write.accumulate == "max" else "+="
+        op = {"add": "+=", "max": "max=", "min": "min="}[
+            kernel.write.accumulate
+        ]
         lines.append(
             f"{indent}write: {fmt_tensor_op(kernel.write)} {op} "
             f"{fmt_reg(kernel.write.data)}"

@@ -181,8 +181,8 @@ def derive_kernel(kernel: Kernel, grad_tensors: dict[int, int]) -> list[Kernel]:
         )
     )
     assert kernel.write.data is not None
-    if kernel.write.accumulate == "max":
-        # read the forward maximum and gate the gradient to the argmax
+    if kernel.write.accumulate in ("max", "min"):
+        # read the forward extremum and gate the gradient to the arg-max/min
         out_val = base.alloc_reg()
         base.reads.append(
             TensorOp(

@@ -127,3 +127,78 @@ def test_mixed_accumulation_rejected(backend):
     m[y] = input("a")[y, x]  # add-write to the same tensor
     with pytest.raises(ValidationError):
         compile(m.target("m"), backend=backend)
+
+
+def test_row_min(backend):
+    y, x = iters("y", "x")
+    m = Fun()
+    m.minimize[y] = input("a")[y, x]
+    model = compile(m.target("m"), backend=backend)
+    rng = np.random.default_rng(10)
+    a = rng.normal(size=(5, 7)).astype(np.float32)
+    np.testing.assert_allclose(model.call("m", {"a": a}), a.min(axis=1))
+
+
+def test_min_gradient(backend):
+    """d(sum of sq(rowmin))/da: 2*min flows to argmin positions only."""
+    a_in = input("a")
+    y, x = iters("y", "x")
+    m = Fun()
+    m.minimize[y] = a_in[y, x]
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(m.raw[it])
+    graph = loss.target("loss").backwards().grad(a_in).target("da")
+    model = compile(graph, dtype="float64", backend=backend)
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(4, 6))
+    got = model.call("da", {"a": a})
+    expected = np.zeros_like(a)
+    rows = np.arange(4)
+    cols = a.argmin(axis=1)
+    expected[rows, cols] = 2 * a[rows, cols]
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_minpool_scatter_path(backend):
+    """min scatter path: grouped write via i // 2."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    x = iters("x")
+    pool = Fun()
+    pool.minimize[x // 2] = a[x]
+    pool.with_shape([a.shape[0] // 2])
+    model = compile(pool.target("p"), dtype="float64", backend=backend)
+    v = np.array([4.0, 1.0, 7.0, 3.0, -2.0, 9.0])
+    np.testing.assert_allclose(
+        model.call("p", {"a": v}), v.reshape(3, 2).min(-1)
+    )
+
+
+def test_min_max_mixed_rejected(backend):
+    y, x = iters("y", "x")
+    m = Fun()
+    m.maximize[y] = input("a")[y, x]
+    y, x = iters("y", "x")
+    m.minimize[y] = input("a")[y, x]
+    with pytest.raises(ValidationError):
+        compile(m.target("m"), backend=backend)
+
+
+def test_triangular_running_min(backend):
+    """min accumulation composes with dynamic bounds (+inf identity mask)."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    y = iters("y")
+    x = irange("x", 0, y + 1)
+    m = Fun()
+    m.minimize[y] = a[y, x]
+    model = compile(m.target("m"), dtype="float64", backend=backend)
+    rng = np.random.default_rng(12)
+    av = rng.normal(size=(6, 6))
+    masked = np.where(
+        np.arange(6)[None, :] <= np.arange(6)[:, None], av, np.inf
+    )
+    np.testing.assert_allclose(model.call("m", {"a": av}), masked.min(axis=1))
