@@ -388,6 +388,12 @@ class Fun:
             return
         if self.kind not in (FunKind.RESULT, FunKind.EFFECT):
             raise ParserError(f"cannot add a kernel to a {self.kind.value} node")
+        if self.locked:
+            raise ParserError(
+                f"tensor {self.name!r} is locked: no further kernels may "
+                "write it (layers lock their output after attaching a "
+                "custom gradient, which later writes would invalidate)"
+            )
         builder = KernelBuilder(
             self, dims, is_raw, as_scalar(value).node, accumulate
         )
@@ -447,6 +453,13 @@ class Fun:
         return self
 
     def lock(self) -> "Fun":
+        """Forbid further kernel writes to this tensor.
+
+        (The reference declares ``locked`` but never reads it,
+        parser.nim:77,710-711 — a vestigial API.  The evident intent, from
+        its use right after ``customGrad`` in maxpool2, dnn.nim:71, is to
+        prevent later accumulating writes from invalidating the attached
+        custom gradient; implemented here.)"""
         self.locked = True
         return self
 

@@ -202,3 +202,18 @@ def test_type_errors_carry_kernel_provenance():
     program.stages = set(ir.ALL_STAGES)
     with pytest.raises(KernelTypeError, match="bad.*target 't'"):
         infer_types(program)
+
+
+def test_locked_tensor_rejects_further_writes():
+    """lock() guards a custom-gradient tensor against later accumulation
+    (the reference declares but never enforces this; we do)."""
+    import pytest
+
+    from exprgrad_tpu import Fun, input, iters
+    from exprgrad_tpu.errors import ParserError
+    from exprgrad_tpu.layers import maxpool2
+
+    pooled = maxpool2(input("images"))
+    y = iters("y")
+    with pytest.raises(ParserError, match="locked"):
+        pooled.raw[y] = 1.0
