@@ -41,9 +41,9 @@ def _random_expr(rng, reads, smooth_depth=0):
     return value
 
 
-def _random_max_kernel(rng):
-    """Random kernel writing with max accumulation (full write coverage so
-    no output element is left at the -inf identity)."""
+def _random_max_kernel(rng, mode="max"):
+    """Random kernel writing with max/min accumulation (full write coverage
+    so no output element is left at the identity)."""
     n_loops = int(rng.integers(1, 4))
     sizes = [int(rng.integers(2, 6)) for _ in range(n_loops)]
     loop_vars = [irange(f"i{k}", 0, sizes[k]) for k in range(n_loops)]
@@ -76,11 +76,12 @@ def _random_max_kernel(rng):
     write_count = int(rng.integers(0, n_loops + 1))
     write_axes = list(rng.permutation(n_loops)[:write_count])
     out = Fun()
+    acc = out.maximize if mode == "max" else out.minimize
     if write_axes:
-        out.maximize[tuple(loop_vars[k] for k in write_axes)] = value
+        acc[tuple(loop_vars[k] for k in write_axes)] = value
         out.with_shape([sizes[k] for k in write_axes])
     else:
-        out.maximize[0] = value
+        acc[0] = value
         out.with_shape([1])
     return out, arrays
 
@@ -162,10 +163,11 @@ def _fd_check(graph, arrays, rtol_fd=3e-4):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["max", "min"])
 @pytest.mark.parametrize("seed", range(15))
-def test_fuzz_max_forward(seed):
+def test_fuzz_max_forward(seed, mode):
     rng = np.random.default_rng(2000 + seed)
-    graph, arrays = _random_max_kernel(rng)
+    graph, arrays = _random_max_kernel(rng, mode)
     target = graph.target("out")
     a = compile(target, dtype="float64", backend="jax").call("out", arrays)
     b = compile(target, dtype="float64", backend="interp").call("out", arrays)
@@ -173,10 +175,11 @@ def test_fuzz_max_forward(seed):
     assert np.isfinite(a).all()
 
 
+@pytest.mark.parametrize("mode", ["max", "min"])
 @pytest.mark.parametrize("seed", range(8))
-def test_fuzz_max_gradients(seed):
+def test_fuzz_max_gradients(seed, mode):
     rng = np.random.default_rng(3000 + seed)
-    graph, arrays = _random_max_kernel(rng)
+    graph, arrays = _random_max_kernel(rng, mode)
     _fd_check(graph, arrays)
 
 
