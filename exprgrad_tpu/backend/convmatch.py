@@ -213,10 +213,12 @@ class ConvMatch:
                 )
                 used_axes.update((p_ax, q_ax))
 
-        # classify remaining single axes
+        # classify remaining single axes; an axis alone in ALL THREE ops is
+        # a GROUP axis (depthwise/grouped convolution -> feature groups)
         self.n_axes: list[int] = []
         self.f_axes: list[int] = []
         self.c_axes: list[int] = []
+        self.g_axes: list[int] = []
         for axis in range(low.nloops):
             if axis in used_axes:
                 continue
@@ -229,6 +231,8 @@ class ConvMatch:
                 self.f_axes.append(axis)
             elif where == {"A", "B"}:
                 self.c_axes.append(axis)
+            elif where == {"A", "B", "W"}:
+                self.g_axes.append(axis)
             else:
                 return False
 
@@ -285,6 +289,8 @@ class ConvMatch:
         a_pos, b_pos, w_pos = positions(a), positions(b), positions(w)
         spatial = self.spatial
         n_axes, f_axes, c_axes = self.n_axes, self.f_axes, self.c_axes
+        g_axes = self.g_axes
+        g_total = int(np.prod([sizes[ax] for ax in g_axes], dtype=np.int64))
 
         a_arr = tensors[a.op.tensor]
         b_arr = tensors[b.op.tensor]
@@ -306,30 +312,32 @@ class ConvMatch:
             dilations = [1] * len(spatial)
             flip = True
 
-        # lhs: (N..., S..., C...) -> merge N and C
+        # lhs: (N..., S..., G..., C...) -> merge N; merge channels g-major
+        # (group g of the conv output reads lhs channels [g*C, (g+1)*C))
         lhs_perm = (
             [a_pos[ax] for ax in n_axes]
             + a_spatial_pos
+            + [a_pos[ax] for ax in g_axes]
             + [a_pos[ax] for ax in c_axes]
         )
         lhs = jnp.transpose(a_arr, lhs_perm)
         n_total = int(np.prod([sizes[ax] for ax in n_axes], dtype=np.int64))
-        c_sizes = [lhs.shape[len(n_axes) + len(spatial) + i]
-                   for i in range(len(c_axes))]
-        c_total = int(np.prod(c_sizes, dtype=np.int64))
+        c_total = int(np.prod([sizes[ax] for ax in c_axes], dtype=np.int64))
         s_lhs = lhs.shape[len(n_axes): len(n_axes) + len(spatial)]
-        lhs = lhs.reshape((n_total, *s_lhs, c_total))
+        lhs = lhs.reshape((n_total, *s_lhs, g_total * c_total))
 
-        # rhs: (S..., C..., F...) -> merge C and F
+        # rhs: (S..., C..., G..., F...) -> (S..., C, G*F): the output-channel
+        # dim is g-major so output channel g*F+f belongs to feature group g
         rhs_perm = (
             b_spatial_pos
             + [b_pos[ax] for ax in c_axes]
+            + [b_pos[ax] for ax in g_axes]
             + [b_pos[ax] for ax in f_axes]
         )
         rhs = jnp.transpose(b_arr, rhs_perm)
         f_total = int(np.prod([sizes[ax] for ax in f_axes], dtype=np.int64))
         s_rhs = rhs.shape[: len(spatial)]
-        rhs = rhs.reshape((*s_rhs, c_total, f_total))
+        rhs = rhs.reshape((*s_rhs, c_total, g_total * f_total))
         if flip:
             for i in range(len(spatial)):
                 rhs = jnp.flip(rhs, axis=i)
@@ -344,21 +352,23 @@ class ConvMatch:
             padding=pad,
             rhs_dilation=tuple(dilations),
             dimension_numbers=dn,
+            feature_group_count=g_total,
             preferred_element_type=low.dtype,
             precision=low.precision,
         )
         if self.const != 1.0:
             out = out * low.dtype(self.const)
 
-        # out: (n_total, S_out..., f_total) -> unmerge -> write-dim order
+        # out: (n_total, S_out..., g_total*f_total) -> unmerge -> write order
         s_out = out.shape[1:-1]
         out = out.reshape(
             tuple(sizes[ax] for ax in n_axes)
             + s_out
+            + tuple(sizes[ax] for ax in g_axes)
             + tuple(sizes[ax] for ax in f_axes)
         )
-        # current dim order: n_axes..., spatial out..., f_axes...
-        cur_axis_order = n_axes + [s["out"] for s in spatial] + f_axes
+        # current dim order: n_axes..., spatial out..., g_axes..., f_axes...
+        cur_axis_order = n_axes + [s["out"] for s in spatial] + g_axes + f_axes
         # map each write dim to its position in cur_axis_order
         perm = []
         for d in w.dims:

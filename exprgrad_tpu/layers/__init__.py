@@ -25,6 +25,7 @@ from .dnn import (
     avgpool2,
     conv2,
     dense,
+    depthwise_conv2,
     dropout,
     layer_norm,
     leaky_relu,
@@ -40,7 +41,8 @@ from .dnn import (
 
 __all__ = [
     "adam", "add", "avgpool2", "binary_cross_entropy", "conv2",
-    "cross_entropy", "decayed_gradient_descent", "dense", "div_scalar",
+    "cross_entropy", "decayed_gradient_descent", "dense", "depthwise_conv2",
+    "div_scalar",
     "dropout", "gradient_descent",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",

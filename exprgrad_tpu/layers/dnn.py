@@ -94,6 +94,27 @@ def conv2(images: Fun, filters_or_chans, w: int = 0, h: int = 0,
     return out
 
 
+@layer
+def depthwise_conv2(images: Fun, filters_or_chans, w: int = 0,
+                    h: int = 0) -> Fun:
+    """Depthwise 2D convolution: one [dy, dx] filter per channel (MobileNet
+    -style; beyond the reference's layer set).  The conv matcher recognizes
+    the shared channel axis as a feature group and lowers the forward AND
+    derived gradient kernels to grouped ``lax.conv_general_dilated`` calls.
+    """
+    if isinstance(filters_or_chans, Fun):
+        flt = filters_or_chans
+    else:
+        chans = int(filters_or_chans)
+        flt = param([h, w, chans], name="dw_filters")
+    image, y, x, dx, dy, chan = iters("image", "y", "x", "dx", "dy", "chan")
+    out = Fun()
+    out[image, y, x, chan] = (
+        images[image, y + dy, x + dx, chan] * flt[dy, dx, chan]
+    )
+    return out
+
+
 def _max4(a, b, c, d):
     return maximum(maximum(a, b), maximum(c, d))
 

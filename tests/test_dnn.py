@@ -348,3 +348,67 @@ def test_rms_norm():
     np.testing.assert_allclose(
         mj.call("dx", {"x": x}), mi.call("dx", {"x": x}), rtol=1e-9
     )
+
+
+def test_depthwise_conv2_forward_and_gradients():
+    """Depthwise conv: forward + BOTH derived gradient kernels must lower
+    as grouped convolutions (no gathers) and match the oracle + FD."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters, sq
+    from exprgrad_tpu.layers import depthwise_conv2
+
+    images = input("images")
+    flt = input("flt")
+    net = depthwise_conv2(images, flt)
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(net.raw[it])
+    graph = [
+        net.target("out"),
+        loss.target("loss").backwards().grad(images).target("dimg"),
+        loss.target("loss2").backwards().grad(flt).target("dflt"),
+    ]
+    mj = compile(graph, dtype="float64", backend="jax")
+    mi = compile(graph, dtype="float64", backend="interp")
+
+    rng = np.random.default_rng(0)
+    args = {
+        "images": rng.normal(size=(2, 8, 8, 3)),
+        "flt": rng.normal(size=(3, 3, 3)),
+    }
+    got = np.asarray(mj.call("out", args))
+    want = np.zeros((2, 6, 6, 3))
+    for a in range(3):
+        for b in range(3):
+            want += args["images"][:, a:a + 6, b:b + 6, :] * args["flt"][a, b]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    for target in ("dimg", "dflt"):
+        np.testing.assert_allclose(
+            mj.call(target, args), mi.call(target, args), rtol=1e-10
+        )
+    # all three programs stay on the conv path (grouped convs, no gather)
+    for target in ("out", "dimg", "dflt"):
+        stats = mj.lowering_stats(target)
+        assert stats.get("general-scatter") is None, (target, stats)
+        assert stats.get("conv", 0) >= 1, (target, stats)
+
+    # finite differences on the filter
+    def loss_at(fv):
+        a = dict(args)
+        a["flt"] = fv
+        return float(mi.call("loss2", a)[0])
+
+    g = np.asarray(mj.call("dflt", args))
+    fd = np.zeros_like(args["flt"])
+    h = 1e-6
+    base = args["flt"]
+    for i in range(base.size):
+        xp, xm = base.copy().reshape(-1), base.copy().reshape(-1)
+        xp[i] += h
+        xm[i] -= h
+        fd.reshape(-1)[i] = (
+            loss_at(xp.reshape(base.shape)) - loss_at(xm.reshape(base.shape))
+        ) / (2 * h)
+    np.testing.assert_allclose(g, fd, rtol=1e-5, atol=1e-8)
