@@ -412,3 +412,46 @@ def test_depthwise_conv2_forward_and_gradients():
             loss_at(xp.reshape(base.shape)) - loss_at(xm.reshape(base.shape))
         ) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=1e-5, atol=1e-8)
+
+
+def test_strided_depthwise_and_general_grouped_conv():
+    """Strided depthwise and the general grouped form
+    out[n,y,x,g,f] += img[n,y+dy,x+dx,g,c] * flt[g,dy,dx,c,f]."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters
+
+    # strided depthwise
+    img, flt = input("img"), input("flt")
+    n, y, x, c, dy, dx = iters("n", "y", "x", "c", "dy", "dx")
+    out = Fun()
+    out[n, y, x, c] = img[n, 2 * y + dy, 2 * x + dx, c] * flt[dy, dx, c]
+    m = compile(out.target("o"), dtype="float64", backend="jax")
+    rng = np.random.default_rng(1)
+    iv = rng.normal(size=(2, 9, 9, 3))
+    fv = rng.normal(size=(3, 3, 3))
+    got = np.asarray(m.call("o", {"img": iv, "flt": fv}))
+    want = np.zeros((2, 4, 4, 3))
+    for a in range(3):
+        for b in range(3):
+            want += iv[:, a:a + 8:2, b:b + 8:2, :][:, :4, :4] * fv[a, b]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert m.lowering_stats("o").get("conv") == 1
+
+    # general grouped conv (groups x in/out channels per group)
+    img2, flt2 = input("img2"), input("flt2")
+    n, y, x, g, cc, f, dy, dx = iters("n", "y", "x", "g", "c", "f", "dy", "dx")
+    out2 = Fun()
+    out2[n, y, x, g, f] = (
+        img2[n, y + dy, x + dx, g, cc] * flt2[g, dy, dx, cc, f]
+    )
+    m2 = compile(out2.target("o"), dtype="float64", backend="jax")
+    mi2 = compile(out2.target("o"), dtype="float64", backend="interp")
+    iv2 = rng.normal(size=(2, 6, 6, 2, 3))   # G=2 groups, C=3 per group
+    fv2 = rng.normal(size=(2, 3, 3, 3, 4))   # F=4 outputs per group
+    args = {"img2": iv2, "flt2": fv2}
+    np.testing.assert_allclose(
+        np.asarray(m2.call("o", args)), np.asarray(mi2.call("o", args)),
+        rtol=1e-10,
+    )
+    assert m2.lowering_stats("o").get("conv") == 1
