@@ -586,9 +586,10 @@ class KernelLowering:
         """Scatter-free lowering of structured writes.
 
         Handles, per write dim (one distinct loop axis each):
-        * plain full-range iterators            -> direct add
-        * ``i + c`` shifted full iterators      -> static-slice add
-          (stencil writes like res[x+1], reference blurOffset)
+        * ``s*i + c`` affine iterators          -> (strided) static-slice
+          add; covers plain full iterators, shifted stencils (res[x+1]),
+          bounded custom-gradient loops writing a prefix of a larger
+          tensor, and strided pooling-gradient writes (res[2y+1])
         * ``i // k`` monotone groupings         -> reshape+sum over the
           window axis (pooling/upsample gradients)
         Returns the UPDATED output array, or None when scatter is needed.
@@ -596,29 +597,20 @@ class KernelLowering:
         if write.is_raw:
             return None
         n = self.nloops
-        plan: list[tuple[int, int, int]] = []  # (loop axis, group k, offset)
+        # per write dim: (loop axis, group k, offset, stride)
+        plan: list[tuple[int, int, int, int]] = []
         seen_axes: set[int] = set()
         for d, index in enumerate(write.dims):
-            axis = self._pure_iter(index)
-            if axis is not None:
-                if not self._full_axis(axis, out_shape[d]):
-                    return None
-                plan.append((axis, 1, 0))
-                seen_axes.add(axis)
-                continue
-            # shifted iterator: i + c over the loop's full range
+            # affine iterator s*i + c -> (strided) slice write
             if not index.setup and len(index.factors) == 1:
-                (reg, coeff), = index.factors.items()
-                if (
-                    coeff == 1
-                    and reg in self.axis_of_reg
-                    and index.constant != 0
-                ):
+                (reg, stride), = index.factors.items()
+                if stride >= 1 and reg in self.axis_of_reg:
                     axis = self.axis_of_reg[reg]
-                    offset = index.constant + self.starts[axis]
+                    offset = index.constant + stride * self.starts[axis]
                     length = self.sizes[axis]
-                    if 0 <= offset and offset + length <= out_shape[d]:
-                        plan.append((axis, 1, offset))
+                    last = offset + stride * (length - 1)
+                    if 0 <= offset and last < out_shape[d]:
+                        plan.append((axis, 1, offset, stride))
                         seen_axes.add(axis)
                         continue
                 return None
@@ -640,7 +632,7 @@ class KernelLowering:
                 vec_np, np.repeat(np.arange(j), k)
             ):
                 return None
-            plan.append((axis, k, 0))
+            plan.append((axis, k, 0, 1))
             seen_axes.add(axis)
         if len(seen_axes) != len(plan):
             return None  # repeated axes
@@ -655,7 +647,7 @@ class KernelLowering:
                     vals = vals * self.dtype(self.sizes[ax])
 
         # group-reduce the windowed axes
-        for axis, k, _off in plan:
+        for axis, k, _off, _stride in plan:
             if k == 1:
                 continue
             if vals.shape[axis] == 1:
@@ -671,25 +663,31 @@ class KernelLowering:
         vals = jnp.squeeze(
             vals, axis=tuple(ax for ax in range(n) if ax not in seen_axes)
         )
-        axes = [axis for axis, _k, _o in plan]
+        axes = [axis for axis, _k, _o, _s in plan]
         order = sorted(range(len(axes)), key=lambda d: axes[d])
         inv = [0] * len(axes)
         for pos, d in enumerate(order):
             inv[d] = pos
         vals = jnp.transpose(vals, inv)
 
-        region = tuple(
-            slice(off, off + out_shape[d] - 0)
-            if off == 0
-            else slice(off, off + self.sizes[plan[d][0]])
-            for d, (_ax, _k, off) in enumerate(plan)
-        )
+        # vals extent per dim: grouped dims cover the whole output dim;
+        # affine dims carry the loop length, placed at the (strided) slice
+        # [off : off + stride*(L-1) + 1 : stride]
         region_shape = tuple(
-            out_shape[d] if off == 0 else self.sizes[plan[d][0]]
-            for d, (_ax, _k, off) in enumerate(plan)
+            out_shape[d] if k > 1 else self.sizes[ax]
+            for d, (ax, k, _off, _s) in enumerate(plan)
+        )
+        region = tuple(
+            slice(off, off + stride * (length - 1) + 1, stride)
+            for (_ax, _k, off, stride), length in zip(plan, region_shape)
         )
         vals = jnp.broadcast_to(vals, region_shape).astype(self.dtype)
-        if all(off == 0 for _ax, _k, off in plan):
+        if all(
+            off == 0 and stride == 1 and length == out_shape[d]
+            for d, ((_ax, _k, off, stride), length) in enumerate(
+                zip(plan, region_shape)
+            )
+        ):
             return _acc_combine(out, vals, mode)
         if mode == "add":
             return out.at[region].add(vals)

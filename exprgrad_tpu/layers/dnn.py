@@ -131,7 +131,15 @@ def maxpool2(images: Fun) -> Fun:
         images[image, y * 2 + 1, x * 2 + 1, chan],
     )
     with out.custom_grad():
-        image, y, x, chan = iters("image", "y", "x", "chan")
+        # bound y/x to the POOLED extent *2: odd trailing rows/cols never
+        # contributed to the forward max and get zero gradient.  (The
+        # reference's unbounded loop, dnn.nim:64-70, reads grad(out) out of
+        # bounds for odd inputs — silently clamped on GPU, a latent bug.)
+        from ..expr import irange
+
+        image, chan = iters("image", "chan")
+        y = irange("y", 0, out.shape[1] * 2)
+        x = irange("x", 0, out.shape[2] * 2)
         grad(images)[image, y, x, chan] = select(
             images[image, y, x, chan] == out[image, y // 2, x // 2, chan],
             grad(out)[image, y // 2, x // 2, chan],

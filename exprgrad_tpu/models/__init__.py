@@ -6,5 +6,6 @@ from .gan import mnist_gan
 from .autoencoder import conv_autoencoder
 from .transformer import tiny_transformer
 from .mixer import tiny_mixer
+from .mobile import mobile_cnn
 
-__all__ = ["conv_autoencoder", "fashion_mnist_cnn", "mnist_gan", "tiny_mixer", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["conv_autoencoder", "fashion_mnist_cnn", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

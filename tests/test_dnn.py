@@ -455,3 +455,35 @@ def test_strided_depthwise_and_general_grouped_conv():
         rtol=1e-10,
     )
     assert m2.lowering_stats("o").get("conv") == 1
+
+
+def test_maxpool2_odd_input_gradient():
+    """Odd spatial sizes: trailing rows/cols never enter the forward max
+    and must get ZERO gradient.  (The reference's custom-grad loop reads
+    grad(out) out of bounds here, dnn.nim:64-70 — a latent bug; our loop
+    is bounded to the pooled extent.)"""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters, sq
+    from exprgrad_tpu.layers import maxpool2
+
+    img = input("img")
+    net = maxpool2(img)
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(net.raw[it])
+    graph = loss.target("loss").backwards().grad(img).target("dimg")
+    mj = compile(graph, dtype="float64", backend="jax")
+    mi = compile(graph, dtype="float64", backend="interp")
+    x = np.random.default_rng(0).normal(size=(1, 5, 5, 2))
+    gj = np.asarray(mj.call("dimg", {"img": x}))
+    gi = np.asarray(mi.call("dimg", {"img": x}))
+    np.testing.assert_allclose(gj, gi, rtol=1e-12)
+    # trailing row/col get zero gradient
+    assert (gj[:, 4, :, :] == 0).all() and (gj[:, :, 4, :] == 0).all()
+    # interior: one argmax per 2x2 window carries 2*max
+    pooled = np.max(
+        [x[:, a:4:2, b:4:2, :] for a in range(2) for b in range(2)], axis=0
+    )
+    np.testing.assert_allclose(np.sort(gj[:, :4, :4][gj[:, :4, :4] != 0]),
+                               np.sort(2 * pooled.reshape(-1)))
