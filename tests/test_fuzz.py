@@ -89,8 +89,9 @@ def _random_kernel(rng: np.random.Generator, smooth: bool):
         value = value + 0.001 * r
 
     # write: random subset of loops with random index forms per dim
-    # (pure iterator, shifted i+c, or grouped i//2 — exercising the
-    # direct / slice-add / window-sum write lowerings)
+    # (pure iterator, shifted i+c, strided s*i+c, or grouped i//2 —
+    # exercising the direct / slice-add / strided-slice / window-sum
+    # write lowerings)
     write_count = int(rng.integers(0, n_loops + 1))
     write_axes = list(rng.permutation(n_loops)[:write_count])
     out = Fun()
@@ -98,7 +99,7 @@ def _random_kernel(rng: np.random.Generator, smooth: bool):
         dims = []
         dim_sizes = []
         for k in write_axes:
-            form = rng.integers(0, 3)
+            form = rng.integers(0, 4)
             if form == 0:
                 dims.append(loop_vars[k])
                 dim_sizes.append(sizes[k])
@@ -106,6 +107,11 @@ def _random_kernel(rng: np.random.Generator, smooth: bool):
                 off = int(rng.integers(1, 3))
                 dims.append(loop_vars[k] + off)
                 dim_sizes.append(sizes[k] + off + int(rng.integers(0, 2)))
+            elif form == 2:
+                s_ = int(rng.integers(2, 4))
+                off = int(rng.integers(0, 2))
+                dims.append(s_ * loop_vars[k] + off)
+                dim_sizes.append(s_ * (sizes[k] - 1) + off + 1)
             else:
                 dims.append(loop_vars[k] // 2)
                 dim_sizes.append((sizes[k] - 1) // 2 + 1)
