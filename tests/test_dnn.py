@@ -487,3 +487,36 @@ def test_maxpool2_odd_input_gradient():
     )
     np.testing.assert_allclose(np.sort(gj[:, :4, :4][gj[:, :4, :4] != 0]),
                                np.sort(2 * pooled.reshape(-1)))
+
+
+def test_pools_odd_sizes_match_oracle():
+    """avgpool2/maxpool2/upsample2 gradients on odd spatial extents: the
+    jax lowering and the oracle must agree exactly (guards the class of
+    out-of-bounds bug fixed in maxpool2's custom gradient)."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters, sq
+    from exprgrad_tpu.layers import avgpool2, maxpool2, upsample2
+
+    for layer in (avgpool2, maxpool2, upsample2):
+        img = input("img")
+        net = layer(img)
+        it = iters("it")
+        loss = Fun()
+        loss[0] = sq(net.raw[it])
+        graph = [
+            net.target("out"),
+            loss.target("loss").backwards().grad(img).target("dimg"),
+        ]
+        mj = compile(graph, dtype="float64", backend="jax")
+        mi = compile(graph, dtype="float64", backend="interp")
+        for hw in (4, 5, 7):
+            x = np.random.default_rng(hw).normal(size=(1, hw, hw, 2))
+            np.testing.assert_allclose(
+                mj.call("out", {"img": x}), mi.call("out", {"img": x}),
+                rtol=1e-12, err_msg=f"{layer.__name__} fwd {hw}",
+            )
+            np.testing.assert_allclose(
+                mj.call("dimg", {"img": x}), mi.call("dimg", {"img": x}),
+                rtol=1e-12, err_msg=f"{layer.__name__} grad {hw}",
+            )
