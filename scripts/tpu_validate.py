@@ -1,0 +1,102 @@
+"""On-chip validation sweep (run on real TPU hardware; one process at a
+time, no persistent compile cache — see CLAUDE.md).
+
+Validates the kernels that CPU interpret mode cannot performance-qualify:
+flash-attention forward+backward vs the plain-XLA VJP oracle (causal and
+not), and the fused matmul+epilogue.  Exits non-zero on any mismatch or
+on watchdog timeout (the tunnel can wedge).
+
+Usage:  PYTHONPATH=. python scripts/tpu_validate.py
+"""
+
+import signal
+import sys
+import time
+
+
+def _bail(_sig, _frm):
+    print("TIMEOUT", flush=True)
+    sys.exit(1)
+
+
+def main() -> None:
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(2400)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+
+    from exprgrad_tpu.ops.attention import flash_attention, xla_attention_vjp
+
+    rng = np.random.default_rng(0)
+    b, h, sq, skv, d = 2, 4, 1024, 1024, 128
+    mk = lambda s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    q, k, v = mk((b, h, sq, d)), mk((b, h, skv, d)), mk((b, h, skv, d))
+    g = mk((b, h, sq, d))
+
+    for causal in (False, True):
+        def fwd(q, k, v):
+            return flash_attention(q, k, v, causal=causal, interpret=False)
+
+        t0 = time.time()
+        out, vjp_fn = jax.vjp(fwd, q, k, v)
+        got = vjp_fn(g)
+        _ = [float(jnp.sum(x)) for x in got]  # fence (tunnel-safe)
+        print(f"attn bwd causal={causal}: {time.time()-t0:.1f}s", flush=True)
+        want = xla_attention_vjp(q, k, v, g, causal=causal)
+        for name, a, bb in zip("dq dk dv".split(), got, want):
+            a, bb = np.asarray(a), np.asarray(bb)
+            rel = np.max(np.abs(a - bb)) / (np.max(np.abs(bb)) + 1e-9)
+            print(f"  {name}: max rel err {rel:.2e}", flush=True)
+            assert rel < 2e-4, (causal, name, rel)
+    print("ATTENTION BACKWARD OK", flush=True)
+
+    # GQA on-chip
+    q4 = q
+    k1, v1 = k[:, :1], v[:, :1]
+    out = flash_attention(q4, k1, v1, causal=True, interpret=False)
+    ref = flash_attention(
+        q4, jnp.repeat(k1, h, 1), jnp.repeat(v1, h, 1), causal=True,
+        interpret=False,
+    )
+    rel = float(jnp.max(jnp.abs(out - ref)))
+    print("MQA max abs dev vs repeated heads:", rel, flush=True)
+    assert rel < 2e-5
+    print("GQA OK", flush=True)
+
+    # fused matmul epilogue
+    from exprgrad_tpu import Fun, compile, input, iters, maximum
+
+    y, x, it = iters("y", "x", "it")
+    a_in, b_in, bias = input("a"), input("b"), input("bias")
+    c = Fun("c")
+    c[y, x] = a_in[y, it] * b_in[it, x]
+    c.schedule(tile={"y": 256, "x": 256, "it": 512}, parallel=["y", "x"])
+    y2, x2 = iters("y2", "x2")
+    dd = Fun("d")
+    dd[y2, x2] = maximum(c[y2, x2] + bias[x2], 0.0)
+    model = compile(dd.target("d"), backend="jax")
+    m, kk, n = 1024, 2048, 1024
+    args = {
+        "a": rng.normal(size=(m, kk)).astype(np.float32),
+        "b": rng.normal(size=(kk, n)).astype(np.float32),
+        "bias": rng.normal(size=(n,)).astype(np.float32),
+    }
+    t0 = time.time()
+    out = np.asarray(model.call("d", args))
+    print(f"fused matmul: {time.time()-t0:.1f}s", flush=True)
+    want = np.maximum(args["a"] @ args["b"] + args["bias"], 0.0)
+    rel = np.max(np.abs(out - want)) / np.max(np.abs(want))
+    stats = model.lowering_stats("d")
+    print("stats:", stats, "rel err:", rel, flush=True)
+    assert stats.get("pallas-fused") == 1, stats
+    assert rel < 1e-4, rel
+    print("FUSED EPILOGUE OK", flush=True)
+    print("ALL ON-CHIP VALIDATIONS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
