@@ -546,6 +546,22 @@ class KernelLowering:
                         axis=d,
                     )
                     continue
+            # monotone grouped reads i // k -> repeat (broadcast+reshape,
+            # no gather; upsampling and pooling-gradient reads)
+            idx_np = self._static_dim_vector(index, axis)
+            if idx_np is not None:
+                length = idx_np.shape[0]
+                j = shape[d]
+                if (
+                    j > 0
+                    and length % j == 0
+                    and length // j > 1
+                    and np.array_equal(
+                        idx_np, np.repeat(np.arange(j), length // j)
+                    )
+                ):
+                    value = jnp.repeat(value, length // j, axis=d)
+                    continue
             idx = self._dim_index_1d(index, axis)
             if idx is None:
                 return None

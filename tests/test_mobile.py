@@ -47,3 +47,16 @@ def test_mobile_cnn_matches_oracle():
     np.testing.assert_allclose(
         mj.call("loss", args), mi.call("loss", args), rtol=1e-9
     )
+
+
+def test_mobile_fit_hlo_is_gather_and_scatter_free(tmp_path):
+    """The ENTIRE training program (fwd + derived bwd + adam) compiles
+    with zero gather and zero scatter HLO ops — every read/write lowers
+    to convs, dots, slices, repeats and elementwise fusions."""
+    model = compile(mobile_cnn(), seed=0)
+    path = tmp_path / "fit.hlo"
+    model.save_hlo(str(path), "fit", {"x": [8, 28, 28], "y": [8, 10]})
+    text = path.read_text()
+    assert text.count("gather(") == 0
+    assert text.count("scatter(") == 0
+    assert text.count("convolution(") >= 10
