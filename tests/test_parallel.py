@@ -131,3 +131,29 @@ def test_transformer_sequence_parallel():
     np.testing.assert_allclose(
         np.asarray(result[out_id]), expected, rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_scheduled_pallas_matmul():
+    """Schedule-driven Pallas kernels compose with mesh sharding (SPMD
+    partitions around the custom call)."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters
+    from exprgrad_tpu.parallel import ShardedExecutor, make_mesh
+
+    y, x, it = iters("y", "x", "it")
+    c = Fun("c")
+    c[y, x] = input("a")[y, it] * input("b")[it, x]
+    c.schedule(tile={"y": 64, "x": 128, "it": 128}, parallel=["y", "x"])
+    model = compile(c.target("c"), backend="jax")
+    mesh = make_mesh(8)
+    ex = ShardedExecutor(
+        model, "c", {"a": [256, 128], "b": [128, 256]}, mesh,
+        batch_inputs=["a"],
+    )
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(256, 128)).astype(np.float32)
+    b = rng.normal(size=(128, 256)).astype(np.float32)
+    res = ex.run({"a": a, "b": b})
+    out = np.asarray(res[model.program.targets["c"].output])
+    np.testing.assert_allclose(out, a @ b, rtol=1e-4)
