@@ -198,6 +198,16 @@ def _watchdog(seconds: int = 2700) -> None:
 
 def main() -> None:
     _watchdog()
+    try:
+        import jax
+
+        _log(f"bench: devices {jax.devices()}")
+    except RuntimeError as err:
+        _log(
+            "bench: TPU backend unavailable (the axon tunnel sometimes dies "
+            f"and is unrecoverable from this side, see CLAUDE.md): {err}"
+        )
+        sys.exit(1)
     details = {}
     roofline0 = 197e12
     _log("bench: matmul 8192^3 f32 ...")
