@@ -41,7 +41,9 @@ from ..passes.shapes import resolve_loop_bounds
 def _trunc_div(a, b):
     q = jnp.floor_divide(a, b)
     r = a - q * b
-    adjust = (r != 0) & ((r < 0) != (jnp.asarray(b) < 0))
+    # Nim-style truncated division: bump the floored quotient where the
+    # operand signs differ and a remainder exists (see interp._trunc_div).
+    adjust = (r != 0) & ((jnp.asarray(a) < 0) != (jnp.asarray(b) < 0))
     return q + adjust.astype(q.dtype)
 
 
@@ -435,11 +437,17 @@ class KernelLowering:
             elif op == Op.IDX_DIV:
                 q = np.floor_divide(a[0], a[1])
                 r = a[0] - q * a[1]
-                value = q + ((r != 0) & ((r < 0) != (np.asarray(a[1]) < 0)))
+                value = q + (
+                    (r != 0)
+                    & ((np.asarray(a[0]) < 0) != (np.asarray(a[1]) < 0))
+                )
             elif op == Op.MOD:
                 q = np.floor_divide(a[0], a[1])
                 r = a[0] - q * a[1]
-                q = q + ((r != 0) & ((r < 0) != (np.asarray(a[1]) < 0)))
+                q = q + (
+                    (r != 0)
+                    & ((np.asarray(a[0]) < 0) != (np.asarray(a[1]) < 0))
+                )
                 value = a[0] - q * a[1]
             elif op == Op.WRAP:
                 value = np.mod(a[0], a[1])

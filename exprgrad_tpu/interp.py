@@ -63,8 +63,11 @@ class _ArrayVal:
 def _trunc_div(a, b):
     q = np.floor_divide(a, b)
     r = a - q * b
-    # floored -> truncated: bump quotient where remainder sign mismatches
-    adjust = (r != 0) & ((r < 0) != (np.asarray(b) < 0))
+    # floored -> truncated: where operand signs differ and there is a
+    # nonzero remainder, the floored quotient is one below the truncated
+    # one.  (The remainder of floored division always carries the
+    # divisor's sign, so the dividend sign must be consulted directly.)
+    adjust = (r != 0) & ((np.asarray(a) < 0) != (np.asarray(b) < 0))
     return q + adjust
 
 

@@ -25,7 +25,7 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x03\n"
+MAGIC = b"EGTPU\x04\n"
 
 
 class Writer:
@@ -114,6 +114,21 @@ _OPS = list(ir.Op)
 _OP_IDX = {op: i for i, op in enumerate(_OPS)}
 
 
+def _r_op(r: Reader) -> ir.Op:
+    """Decode an opcode through the file's own op-name table.
+
+    The table is written by write_program, so inserting/reordering Op enum
+    members cannot silently remap opcodes in old checkpoints: decode goes
+    byte -> recorded name -> current Op, and an op that no longer exists
+    raises instead of executing the wrong program.
+    """
+    code = r.u8()
+    table = getattr(r, "op_table", _OPS)
+    if code >= len(table):
+        raise ValueError(f"corrupt checkpoint: opcode {code} out of range")
+    return table[code]
+
+
 def _w_instr(w: Writer, instr: ir.Instr) -> None:
     w.u8(_OP_IDX[instr.op])
     w.int_list(instr.args)
@@ -128,7 +143,7 @@ def _w_instr(w: Writer, instr: ir.Instr) -> None:
 
 def _r_instr(r: Reader) -> ir.Instr:
     return ir.Instr(
-        op=_OPS[r.u8()],
+        op=_r_op(r),
         args=r.int_list(),
         res=r.opt_int(),
         tensor=r.opt_int(),
@@ -317,6 +332,13 @@ def _r_shape_constraint(r: Reader) -> ir.ShapeConstraint:
 
 
 def write_program(w: Writer, program: ir.Program) -> None:
+    # Opcode table: per-instr opcodes are u8 indices into THIS list of op
+    # names, recorded in the file so the wire format survives Op enum
+    # insertion/reordering (names are the stable identity, not positions).
+    assert len(_OPS) <= 255, "opcode byte overflow; widen the opcode field"
+    w.i64(len(_OPS))
+    for op in _OPS:
+        w.string(op.value)
     w.i64(len(program.tensors))
     for tensor in program.tensors:
         w.string(tensor.kind.value)
@@ -349,6 +371,17 @@ def write_program(w: Writer, program: ir.Program) -> None:
 
 
 def read_program(r: Reader) -> ir.Program:
+    table = []
+    for _ in range(r.i64()):
+        name = r.string()
+        try:
+            table.append(ir.Op(name))
+        except ValueError:
+            raise ValueError(
+                f"checkpoint uses unknown IR op {name!r}; it was written by "
+                "an incompatible exprgrad_tpu version"
+            ) from None
+    r.op_table = table
     program = ir.Program()
     for _ in range(r.i64()):
         tensor = ir.TensorDef(kind=ir.TensorKind(r.string()))
