@@ -23,6 +23,7 @@ from .errors import (
     KernelTypeError,
     ModelRuntimeError,
     ParserError,
+    ScheduleWarning,
     ShapeError,
     StageError,
     ValidationError,
@@ -92,6 +93,7 @@ __all__ = [
     "rand", "remap", "select", "sin", "sq", "sqrt", "to_index", "to_program",
     "to_scalar", "wrap",
     "ExprgradError", "GradientError", "GeneratorError", "KernelTypeError",
-    "ModelRuntimeError", "ParserError", "ShapeError", "StageError",
+    "ModelRuntimeError", "ParserError", "ScheduleWarning", "ShapeError",
+    "StageError",
     "ValidationError",
 ]

@@ -29,6 +29,7 @@ class JaxExecutor:
         target_name: str,
         shapes: dict[int, list[int]],
         precision: str = "highest",
+        schedule_mode: str = "auto",
     ) -> None:
         self.program = program
         self.target = program.targets[target_name]
@@ -39,6 +40,9 @@ class JaxExecutor:
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
         }[precision]
+        from .policy import SchedulePolicy
+
+        self.policy = SchedulePolicy(schedule_mode)
 
         self.input_tids = sorted(
             tid
@@ -57,7 +61,8 @@ class JaxExecutor:
         from .pallasgen import plan_epilogue_fusions
 
         self.fused, self._skip_kernels, fused_away = plan_epilogue_fusions(
-            program, self.target, shapes, self.dtype, self.precision
+            program, self.target, shapes, self.dtype, self.precision,
+            self.policy,
         )
 
         self.output_tids = sorted(
@@ -139,7 +144,8 @@ class JaxExecutor:
                     )
                     continue
                 KernelLowering(
-                    program, kernel, self.shapes, self.dtype, self.precision
+                    program, kernel, self.shapes, self.dtype, self.precision,
+                    self.policy,
                 ).run(tensors, epoch, self.stats)
             return {tid: tensors[tid] for tid in self.output_tids}
 

@@ -86,12 +86,14 @@ class KernelLowering:
         shapes: dict[int, list[int]],
         dtype,
         precision=None,
+        policy=None,
     ) -> None:
         self.program = program
         self.kernel = kernel
         self.shapes = shapes
         self.dtype = dtype
         self.precision = precision
+        self.policy = policy
         self.nloops = len(kernel.loops)
         self.starts: list[int] = []
         self.sizes: list[int] = []
@@ -839,33 +841,75 @@ class KernelLowering:
             flat = flat.at[widx_b].min(vals_b)
         return flat.reshape(out.shape)
 
+    def _kernel_desc(self) -> str:
+        write = self.kernel.write
+        name = (
+            self.program.tensors[write.tensor].name
+            if write is not None
+            else "?"
+        )
+        return f"the kernel writing {name or '?'!r}"
+
     # ------------------------------------------------------------------
     def run(self, tensors: dict, epoch, stats: Optional[dict] = None) -> None:
-        """Execute the kernel, updating ``tensors[write.tensor]``."""
+        """Execute the kernel, updating ``tensors[write.tensor]``.
+
+        Lowering order: scheduled kernels try the Pallas emitters first,
+        gated by the cost-model policy; then einsum contraction -> conv
+        matcher -> general.  A schedule that does not end on a Pallas path
+        is reported (ScheduleWarning + a ``schedule-fallback`` stat) so
+        ``tile()``/``cache()`` are never silently ignored.
+        """
         if not self._bounds_ok:
             return
         self.epoch = epoch
         assert self.kernel.write is not None
         result = None
         path = "einsum"
-        # max-accumulation and dynamic (iterator-dependent) bounds are
-        # handled only by the general path (the latter needs a hull mask)
+        # add-accumulation with static bounds is required by the einsum/conv
+        # matchers; dynamic (iterator-dependent) bounds need the general
+        # path's hull mask
         general_only = (
             self.kernel.write.accumulate != "add" or bool(self.dynamic_axes)
         )
-        if not general_only and (
-            any(
-                loop.schedule.tile or loop.schedule.parallel
-                for loop in self.kernel.loops
-            )
-            or any(r.schedule.cache for r in self.kernel.reads)
-        ):
-            from .pallasgen import PallasMatmul
 
-            pm = PallasMatmul(self, self.kernel)
-            if pm.ok:
-                path = "pallas"
-                result = pm.lower(tensors)
+        from .pallasgen import PallasMapReduce, PallasMatmul, is_scheduled
+
+        scheduled = is_scheduled(self.kernel)
+        policy = self.policy
+        if policy is None:
+            from .policy import SchedulePolicy
+
+            policy = SchedulePolicy("force")  # direct/legacy constructions
+        fallback_reason = None
+        if scheduled and policy.mode != "ignore":
+            if self.dynamic_axes:
+                fallback_reason = "dynamic loop bounds"
+            else:
+                if not general_only:
+                    pm = PallasMatmul(self, self.kernel)
+                    if pm.ok:
+                        decision = policy.contraction(
+                            pm.m, pm.n, pm.k, fused=False
+                        )
+                        if decision.use_pallas:
+                            path = "pallas"
+                            result = pm.lower(tensors)
+                        else:
+                            fallback_reason = decision.reason
+                if result is None and fallback_reason is None:
+                    pmr = PallasMapReduce(self, self.kernel)
+                    if pmr.ok:
+                        decision = policy.mapreduce(pmr.total_bytes)
+                        if decision.use_pallas:
+                            path = "pallas-mapreduce"
+                            result = pmr.lower(tensors)
+                        else:
+                            fallback_reason = decision.reason
+                    else:
+                        fallback_reason = (
+                            f"unsupported kernel shape ({pmr.why})"
+                        )
         if result is None and not general_only:
             result = self._try_contraction(tensors)
         if result is None and not general_only:
@@ -881,4 +925,10 @@ class KernelLowering:
             path = f"general-{self.sub_path}"
         if stats is not None:
             stats[path] = stats.get(path, 0) + 1
+        if fallback_reason is not None:
+            policy.fallback(
+                stats,
+                self._kernel_desc(),
+                f"{fallback_reason}; lowered via {path}",
+            )
         tensors[self.kernel.write.tensor] = result

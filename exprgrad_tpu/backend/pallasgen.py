@@ -1,21 +1,37 @@
-"""Pallas TPU kernel emitter for schedule-annotated contractions.
+"""Pallas TPU kernel emitter for schedule-annotated kernels.
 
 This is the rebuild of the reference's schedule-driven GPU codegen
 (clgen.nim + the tile/cache passes, passes.nim:2043-2323): the user's
-schedule DSL — ``tile(iter, size)``, ``cache(tensor)``, ``parallel(iters)``
-(parser.nim:519-564) — maps onto the Pallas machine model:
+schedule DSL — ``tile(iter, size)``, ``cache(tensor)``, ``parallel(iters)``,
+``share_cache(iters)`` (parser.nim:519-564) — maps onto the Pallas machine
+model:
 
   parallel/tiled loops  -> the pallas grid (MXU-aligned block counts)
   tile_size             -> BlockSpec block shapes
   cache(t)              -> the operand's block is staged in VMEM (BlockSpec
                            with VMEM memory space; the pipeline DMAs
                            HBM->VMEM double-buffered automatically)
+  share_cache(it)       -> the ``it`` extent stays whole inside every block
+                           (the staged tile is shared by all grid programs
+                           along it — the TPU analog of the reference's
+                           workgroup-shared cache, passes.nim:2173-2323)
   shared-memory barrier  -> implicit in the grid semantics
 
-The emitter currently covers the contraction family (matmul and friends):
-one reduction grid dimension with a VMEM accumulator, parallel output
-dimensions.  Anything it cannot prove maps cleanly falls back to the XLA
-einsum path, which is already MXU-optimal for standard shapes.
+Two kernel families are covered:
+
+* ``PallasMatmul`` — contractions (matmul and friends): one reduction grid
+  dimension with a VMEM f32 accumulator, parallel output dimensions, MXU
+  ``jnp.dot`` blocks (+ optional fused elementwise epilogue).
+* ``PallasMapReduce`` — the map/reduce family (the reference's clgen emits
+  any kernel body, clgen.nim:249-257): elementwise expressions over
+  full-range reads, reduced (add/max/min) over the loop axes the write
+  does not cover.  Covers scheduled softmax / layer-norm / rms-norm-shaped
+  kernels with ``tile()`` -> BlockSpecs and VMEM-staged operands.
+
+Whether a *matched* schedule actually routes to Pallas is decided by the
+measured cost model in policy.py (schedule_mode="auto"/"force"/"ignore");
+anything unmatched falls back to the XLA paths with a ScheduleWarning —
+never silently.
 """
 
 from __future__ import annotations
@@ -33,6 +49,94 @@ _SUBLANE = {"float32": 8, "bfloat16": 16, "float64": 8}
 
 def _round_down(x: int, m: int) -> int:
     return max(m, (x // m) * m)
+
+
+def is_scheduled(kernel: Kernel) -> bool:
+    """True when the user attached any schedule directive to the kernel."""
+    return any(
+        loop.schedule.tile or loop.schedule.parallel or loop.schedule.share_cache
+        for loop in kernel.loops
+    ) or any(r.schedule.cache for r in kernel.reads)
+
+
+def _best_block(size: int, cap: int) -> int:
+    """Largest divisor of ``size`` that is <= cap (block sizes must divide
+    the extent; Pallas pads the tile internally for sublane/lane alignment)."""
+    cap = min(size, max(1, cap))
+    for b in range(cap, 0, -1):
+        if size % b == 0:
+            return b
+    return 1
+
+
+# elementwise ops the block evaluator supports (index-typed arithmetic,
+# arrays, epoch and debug ops stay on the XLA paths)
+_ELEMENTWISE_OPS = {
+    Op.SCALAR, Op.BOOL, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.NEG,
+    Op.SIN, Op.COS, Op.EXP, Op.POW, Op.SQRT,
+    Op.LOG, Op.LOG10, Op.LOG2, Op.LN,
+    Op.EQ, Op.LT, Op.LE, Op.AND, Op.OR, Op.SELECT,
+}
+
+
+def eval_elementwise(instrs, res, env: dict):
+    """Evaluate a scalar-expression instruction list on jnp blocks (f32).
+
+    ``env`` maps read data registers to blocks; classification must have
+    checked every op is in _ELEMENTWISE_OPS and every arg is defined."""
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+    for instr in instrs:
+        op = instr.op
+        a = [env[x] for x in instr.args]
+        if op == Op.SCALAR:
+            value = dtype(instr.scalar_lit)
+        elif op == Op.BOOL:
+            value = instr.bool_lit
+        elif op == Op.ADD:
+            value = a[0] + a[1]
+        elif op == Op.SUB:
+            value = a[0] - a[1]
+        elif op == Op.MUL:
+            value = a[0] * a[1]
+        elif op == Op.DIV:
+            value = a[0] / a[1]
+        elif op == Op.NEG:
+            value = -a[0]
+        elif op == Op.SIN:
+            value = jnp.sin(a[0])
+        elif op == Op.COS:
+            value = jnp.cos(a[0])
+        elif op == Op.EXP:
+            value = jnp.exp(a[0])
+        elif op == Op.POW:
+            value = jnp.power(a[0], a[1])
+        elif op == Op.SQRT:
+            value = jnp.sqrt(a[0])
+        elif op == Op.LN:
+            value = jnp.log(a[0])
+        elif op == Op.LOG:
+            value = jnp.log(a[0]) / jnp.log(a[1])
+        elif op == Op.LOG2:
+            value = jnp.log2(a[0])
+        elif op == Op.LOG10:
+            value = jnp.log10(a[0])
+        elif op == Op.EQ:
+            value = a[0] == a[1]
+        elif op == Op.LT:
+            value = a[0] < a[1]
+        elif op == Op.LE:
+            value = a[0] <= a[1]
+        elif op == Op.AND:
+            value = jnp.logical_and(a[0], a[1])
+        elif op == Op.OR:
+            value = jnp.logical_or(a[0], a[1])
+        else:  # SELECT (classification guarantees the op set)
+            value = jnp.where(a[0], a[1], a[2])
+        if instr.res is not None:
+            env[instr.res] = value
+    return env[res]
 
 
 class PallasMatmul:
@@ -59,10 +163,7 @@ class PallasMatmul:
         if len(write.dims) != 2:
             return False
         # schedule must request tiling or caching
-        scheduled = any(
-            loop.schedule.tile or loop.schedule.parallel for loop in kernel.loops
-        ) or any(r.schedule.cache for r in kernel.reads)
-        if not scheduled:
+        if not is_scheduled(kernel):
             return False
 
         # expression: plain product of the two reads
@@ -120,6 +221,11 @@ class PallasMatmul:
         # block sizes: user tile_size when given, else MXU-friendly defaults
         def tile_for(axis: int, default: int, extent: int, align: int) -> int:
             loop = next(l for l in kernel.loops if low.axis_of_reg[l.iter_reg] == axis)
+            if loop.schedule.share_cache:
+                # whole extent stays VMEM-resident, shared by every grid
+                # program along this axis (the _matmul_impl VMEM budget may
+                # still halve it to fit the 16MB scratchpad)
+                return extent
             size = loop.schedule.tile_size if loop.schedule.tile else default
             size = min(size, extent)
             if extent % size != 0:
@@ -184,7 +290,8 @@ class PallasMatmul:
         )
 
 
-def plan_epilogue_fusions(program, target, shapes, dtype, precision):
+def plan_epilogue_fusions(program, target, shapes, dtype, precision,
+                          policy=None):
     """Plan matmul+epilogue fusions for one target.
 
     Returns ``(fused, skipped)``: ``fused[i]`` is the (PallasMatmul,
@@ -212,11 +319,7 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision):
         kernel = kernels[idx]
         if kernel.write is None or kernel.write.accumulate != "add":
             continue
-        scheduled = any(
-            loop.schedule.tile or loop.schedule.parallel
-            for loop in kernel.loops
-        ) or any(r.schedule.cache for r in kernel.reads)
-        if not scheduled:
+        if not is_scheduled(kernel):
             continue
         t1 = kernel.write.tensor
         if program.tensors[t1].kind != ir.TensorKind.RESULT:
@@ -234,6 +337,10 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision):
         pm = PallasMatmul(low1, kernel)
         if not pm.ok:
             continue
+        if policy is not None and not policy.contraction(
+            pm.m, pm.n, pm.k, fused=True
+        ).use_pallas:
+            continue  # run() will report the fallback for the scheduled kernel
         # matmul must write [y, x] directly (no transposed store)
         if [low1._pure_iter(d) for d in kernel.write.dims] != [
             pm.y_axis, pm.x_axis
@@ -257,12 +364,7 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision):
 
 # elementwise ops an epilogue may contain (everything index-typed, tensor
 # -shaped-query or array-valued stays on the general path)
-_EPILOGUE_OPS = {
-    Op.SCALAR, Op.BOOL, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.NEG,
-    Op.SIN, Op.COS, Op.EXP, Op.POW, Op.SQRT,
-    Op.LOG, Op.LOG10, Op.LOG2, Op.LN,
-    Op.EQ, Op.LT, Op.LE, Op.AND, Op.OR, Op.SELECT,
-}
+_EPILOGUE_OPS = _ELEMENTWISE_OPS
 
 
 class PallasEpilogue:
@@ -367,54 +469,383 @@ class PallasEpilogue:
                 env[read.data] = acc
             else:
                 env[read.data] = next(it).astype(jnp.float32)
-        dtype = jnp.float32
-        for instr in self.kernel.expr.instrs:
-            op = instr.op
-            a = [env[x] for x in instr.args]
-            if op == Op.SCALAR:
-                value = dtype(instr.scalar_lit)
-            elif op == Op.BOOL:
-                value = instr.bool_lit
-            elif op == Op.ADD:
-                value = a[0] + a[1]
-            elif op == Op.SUB:
-                value = a[0] - a[1]
-            elif op == Op.MUL:
-                value = a[0] * a[1]
-            elif op == Op.DIV:
-                value = a[0] / a[1]
-            elif op == Op.NEG:
-                value = -a[0]
-            elif op == Op.SIN:
-                value = jnp.sin(a[0])
-            elif op == Op.COS:
-                value = jnp.cos(a[0])
-            elif op == Op.EXP:
-                value = jnp.exp(a[0])
-            elif op == Op.POW:
-                value = jnp.power(a[0], a[1])
-            elif op == Op.SQRT:
-                value = jnp.sqrt(a[0])
-            elif op == Op.LN:
-                value = jnp.log(a[0])
-            elif op == Op.LOG:
-                value = jnp.log(a[0]) / jnp.log(a[1])
-            elif op == Op.LOG2:
-                value = jnp.log2(a[0])
-            elif op == Op.LOG10:
-                value = jnp.log10(a[0])
-            elif op == Op.EQ:
-                value = a[0] == a[1]
-            elif op == Op.LT:
-                value = a[0] < a[1]
-            elif op == Op.LE:
-                value = a[0] <= a[1]
-            elif op == Op.AND:
-                value = jnp.logical_and(a[0], a[1])
-            elif op == Op.OR:
-                value = jnp.logical_or(a[0], a[1])
-            else:  # SELECT (classification guarantees the op set)
-                value = jnp.where(a[0], a[1], a[2])
+        return eval_elementwise(
+            self.kernel.expr.instrs, self.kernel.expr.res, env
+        )
+
+
+class PallasMapReduce:
+    """Schedule-driven Pallas lowering for the map/reduce kernel family.
+
+    Covers any kernel of the form
+
+        out[i_w1, i_w2, ...] (+|max|min)= f(reads at full-range iterators)
+
+    where ``f`` is a pure elementwise expression: the write's loop axes
+    become the (tiled) parallel grid, the remaining loop axes are reduced
+    inside the kernel (one may be gridded with a VMEM accumulator when the
+    reduction extent exceeds the VMEM budget).  This is the TPU rebuild of
+    the reference's general scheduled codegen (clgen.nim:249-257 emits any
+    kernel body; tileLoops passes.nim:2043-2090 tiles any loop; cacheTensors
+    passes.nim:2173-2323 stages reads through shared memory) — here tiles
+    are BlockSpecs and every operand block is DMA-staged through VMEM by
+    the Pallas pipeline.
+
+    Layout strategy: every operand is embedded into the full loop-axis rank
+    (size-1 dims for axes it does not cover), so blocks broadcast against
+    each other with plain jnp semantics and the lane dim is the innermost
+    loop.  Reads must visit axes in loop order (no in-kernel transposes);
+    anything else declines with a reason in ``self.why``.
+    """
+
+    def __init__(self, lowering, kernel: Kernel):
+        self.low = lowering
+        self.kernel = kernel
+        self.why = ""
+        self.ok = self._classify()
+
+    def _decline(self, why: str) -> bool:
+        self.why = why
+        return False
+
+    def _classify(self) -> bool:
+        low = self.low
+        kernel = self.kernel
+        write = kernel.write
+        if write is None or write.is_raw:
+            return self._decline("raw write")
+        if kernel.setup:
+            return self._decline("kernel-level setup instructions")
+        if low.dynamic_axes:
+            return self._decline("dynamic loop bounds")
+        if not low._bounds_ok:
+            return self._decline("empty loop range")
+        if any(s != 0 for s in low.starts):
+            return self._decline("nonzero loop start")
+        if np.dtype(low.dtype) == np.float64:
+            return self._decline("float64 (VPU computes in f32)")
+        if not write.dims:
+            return self._decline("scalar output")
+
+        n = low.nloops
+        out_shape = low.shapes[write.tensor]
+        out_axes: list[int] = []
+        for d, index in enumerate(write.dims):
+            axis = low._pure_iter(index)
+            if axis is None or not low._full_axis(axis, out_shape[d]):
+                return self._decline("write index is not a full-range iterator")
+            out_axes.append(axis)
+        if len(set(out_axes)) != len(out_axes):
+            return self._decline("repeated write iterator")
+        if out_axes != sorted(out_axes):
+            return self._decline("write axes not in loop order")
+
+        self.read_axes: dict[int, list[int]] = {}  # data reg -> axes
+        for read in kernel.reads:
+            if read.is_raw:
+                return self._decline("raw read")
+            shape = low.shapes[read.tensor]
+            axes = []
+            for d, index in enumerate(read.dims):
+                axis = low._pure_iter(index)
+                if axis is None or not low._full_axis(axis, shape[d]):
+                    return self._decline(
+                        "read index is not a full-range iterator"
+                    )
+                axes.append(axis)
+            if len(set(axes)) != len(axes):
+                return self._decline("repeated read iterator")
+            if axes != sorted(axes):
+                return self._decline("read axes not in loop order")
+            self.read_axes[read.data] = axes
+
+        # expression: pure elementwise over the read registers
+        defined = set(self.read_axes)
+        for instr in kernel.expr.instrs:
+            if instr.op not in _ELEMENTWISE_OPS:
+                return self._decline(f"unsupported op {instr.op.value}")
+            if any(arg not in defined for arg in instr.args):
+                return self._decline("expression uses loop iterators")
             if instr.res is not None:
-                env[instr.res] = value
-        return env[self.kernel.expr.res]
+                defined.add(instr.res)
+        if kernel.expr.res not in defined:
+            return self._decline("empty expression")
+
+        self.out_axes = out_axes
+        self.red_axes = [a for a in range(n) if a not in out_axes]
+
+        # contraction-shaped kernels (pure product of >=2 reads sharing a
+        # reduction axis) belong on the MXU einsum/PallasMatmul paths
+        if write.accumulate == "add" and self._looks_contraction():
+            return self._decline("contraction (MXU einsum path)")
+
+        return self._plan_blocks()
+
+    def _looks_contraction(self) -> bool:
+        defs = {i.res: i for i in self.kernel.expr.instrs}
+
+        def mul_leaves(reg) -> Optional[list[int]]:
+            if reg in self.read_axes:
+                return [reg]
+            instr = defs.get(reg)
+            if instr is not None and instr.op == Op.MUL:
+                left = mul_leaves(instr.args[0])
+                right = mul_leaves(instr.args[1])
+                if left is not None and right is not None:
+                    return left + right
+            return None
+
+        leaves = mul_leaves(self.kernel.expr.res)
+        if leaves is None or len(leaves) < 2:
+            return False
+        red = set(self.red_axes)
+        covering = sum(1 for reg in leaves if red & set(self.read_axes[reg]))
+        return covering >= 2
+
+    def _plan_blocks(self) -> bool:
+        low = self.low
+        kernel = self.kernel
+        n = low.nloops
+        sizes = low.sizes
+        loops = kernel.loops
+        block = list(sizes)  # start whole; shrink under the VMEM budget
+
+        user_tiled: set[int] = set()
+        shared: set[int] = set()
+        for axis, loop in enumerate(loops):
+            if loop.schedule.share_cache:
+                shared.add(axis)  # whole extent stays resident
+                continue
+            if loop.schedule.tile:
+                t = min(loop.schedule.tile_size, sizes[axis])
+                if sizes[axis] % t != 0:
+                    return self._decline(
+                        f"tile size {loop.schedule.tile_size} does not divide "
+                        f"extent {sizes[axis]}"
+                    )
+                block[axis] = t
+                user_tiled.add(axis)
+
+        # at most one reduction axis may be gridded (VMEM accumulator with
+        # first/last-step predicates); pick the largest non-phantom one
+        read_covered = set()
+        for axes in self.read_axes.values():
+            read_covered.update(axes)
+        candidates = [
+            a for a in self.red_axes
+            if a in read_covered and a not in shared
+        ]
+        self.red_grid_axis: Optional[int] = None
+        for a in self.red_axes:
+            if a in user_tiled and block[a] < sizes[a]:
+                if self.red_grid_axis is not None:
+                    return self._decline("more than one tiled reduction axis")
+                self.red_grid_axis = a
+
+        def block_bytes() -> int:
+            item = np.dtype(low.dtype).itemsize
+            total = 0
+            for read in kernel.reads:
+                elems = 1
+                for a in self.read_axes[read.data]:
+                    elems *= block[a]
+                # double-buffered DMA block + the f32 copy the kernel makes
+                total += elems * (2 * item + 4)
+            out_elems = 1
+            for a in self.out_axes:
+                out_elems *= block[a]
+            total += out_elems * (item + 4)  # out block + f32 value
+            if self.red_grid_axis is not None or any(
+                block[a] < sizes[a] for a in self.red_axes
+            ):
+                total += out_elems * 4  # accumulator scratch
+            return total
+
+        budget = 14 * 2**20
+        # shrink loop: first grid the largest reduction candidate, then halve
+        # untiled output axes (user tile sizes are respected: if they do not
+        # fit, decline rather than silently changing the schedule)
+        while block_bytes() > budget:
+            cands = sorted(
+                (a for a in candidates if block[a] > 1
+                 and (self.red_grid_axis in (None, a))),
+                key=lambda a: -block[a],
+            )
+            if cands and block[cands[0]] > 128:
+                a = cands[0]
+                block[a] = _best_block(sizes[a], block[a] // 2)
+                self.red_grid_axis = a if block[a] < sizes[a] else None
+                continue
+            outs = sorted(
+                (a for a in self.out_axes
+                 if a not in user_tiled and a not in shared and block[a] > 1),
+                key=lambda a: -block[a],
+            )
+            if outs:
+                a = outs[0]
+                block[a] = _best_block(sizes[a], block[a] // 2)
+                continue
+            return self._decline("blocks exceed the VMEM budget")
+
+        self.block = block
+        self.total_bytes = sum(
+            int(np.prod(low.shapes[r.tensor], dtype=np.int64))
+            for r in kernel.reads
+        ) * np.dtype(low.dtype).itemsize + int(
+            np.prod(low.shapes[kernel.write.tensor], dtype=np.int64)
+        ) * np.dtype(low.dtype).itemsize
+        return True
+
+    # ------------------------------------------------------------------
+    def lower(self, tensors: dict):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from ..interp import accumulation_identity
+
+        low = self.low
+        kernel = self.kernel
+        write = kernel.write
+        assert write is not None
+        n = low.nloops
+        sizes = low.sizes
+        block = self.block
+        mode = write.accumulate
+
+        # embed everything into the full loop rank (leading dummy axis when
+        # the kernel is rank-1 so the single loop lands on the lane dim)
+        pad = 1 if n == 1 else 0
+        rank = n + pad
+
+        def embed_shape(axes: list[int], extents: list[int]) -> tuple:
+            shape = [1] * rank
+            for a, e in zip(axes, extents):
+                shape[a + pad] = e
+            return tuple(shape)
+
+        # grid: output axes with >1 block, then the gridded reduction axis
+        grid_axes = [a for a in self.out_axes if sizes[a] // block[a] > 1]
+        red_gridded = (
+            self.red_grid_axis is not None
+            and sizes[self.red_grid_axis] // block[self.red_grid_axis] > 1
+        )
+        if red_gridded:
+            grid_axes.append(self.red_grid_axis)
+        grid = tuple(sizes[a] // block[a] for a in grid_axes) or (1,)
+        grid_pos = {a: i for i, a in enumerate(grid_axes)}
+
+        def index_map_for(axes: list[int]):
+            covered = set(axes)
+
+            def index_map(*gids):
+                out = []
+                for d in range(rank):
+                    axis = d - pad
+                    if axis in covered and axis in grid_pos:
+                        out.append(gids[grid_pos[axis]])
+                    else:
+                        out.append(0)
+                return tuple(out)
+
+            return index_map
+
+        in_specs = []
+        operands = []
+        for read in kernel.reads:
+            axes = self.read_axes[read.data]
+            arr = tensors[read.tensor].reshape(
+                embed_shape(axes, [sizes[a] for a in axes])
+            )
+            operands.append(arr)
+            in_specs.append(
+                pl.BlockSpec(
+                    embed_shape(axes, [block[a] for a in axes]),
+                    index_map_for(axes),
+                )
+            )
+        out_block = embed_shape(self.out_axes, [block[a] for a in self.out_axes])
+        out_embed = embed_shape(
+            self.out_axes, [sizes[a] for a in self.out_axes]
+        )
+        out_spec = pl.BlockSpec(out_block, index_map_for(self.out_axes))
+
+        red_positions = [a + pad for a in self.red_axes]
+        identity = accumulation_identity(mode)
+        n_reads = len(kernel.reads)
+        red_dim = grid_pos.get(self.red_grid_axis) if red_gridded else None
+
+        def body(*refs):
+            o_ref = refs[n_reads]
+            env = {}
+            for read, ref in zip(kernel.reads, refs[:n_reads]):
+                env[read.data] = ref[...].astype(jnp.float32)
+            value = eval_elementwise(kernel.expr.instrs, kernel.expr.res, env)
+            value = jnp.asarray(value, jnp.float32)
+            if value.ndim != rank:
+                value = jnp.broadcast_to(value, (1,) * rank)
+            # reduce the in-block reduction extents
+            for p in red_positions:
+                if value.shape[p] > 1:
+                    value = _acc_reduce_jnp(value, p, mode)
+                elif mode == "add" and block[p - pad] > 1:
+                    value = value * jnp.float32(block[p - pad])
+            value = jnp.broadcast_to(value, out_block)
+
+            if red_dim is None:
+                o_ref[...] = value.astype(o_ref.dtype)
+                return
+            acc_ref = refs[n_reads + 1]
+
+            @pl.when(pl.program_id(red_dim) == 0)
+            def _init():
+                acc_ref[...] = jnp.full_like(acc_ref, jnp.float32(identity))
+
+            if mode == "add":
+                acc_ref[...] += value
+            elif mode == "max":
+                acc_ref[...] = jnp.maximum(acc_ref[...], value)
+            else:
+                acc_ref[...] = jnp.minimum(acc_ref[...], value)
+
+            @pl.when(pl.program_id(red_dim) == pl.num_programs(red_dim) - 1)
+            def _flush():
+                o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+        scratch = (
+            [pltpu.VMEM(out_block, jnp.float32)] if red_dim is not None else []
+        )
+        semantics = tuple(
+            "arbitrary" if (red_dim is not None and i == red_dim) else "parallel"
+            for i in range(len(grid))
+        )
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        value = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_embed, np.dtype(low.dtype)),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics,
+            ),
+            interpret=interpret,
+        )(*operands)
+        value = value.reshape([sizes[a] for a in self.out_axes])
+
+        prev = tensors[write.tensor]
+        if mode == "add":
+            return prev + value
+        if mode == "max":
+            return jnp.maximum(prev, value)
+        return jnp.minimum(prev, value)
+
+
+def _acc_reduce_jnp(vals, axis: int, mode: str):
+    if mode == "add":
+        return vals.sum(axis=axis, keepdims=True)
+    if mode == "max":
+        return vals.max(axis=axis, keepdims=True)
+    return vals.min(axis=axis, keepdims=True)

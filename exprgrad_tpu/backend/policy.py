@@ -1,0 +1,162 @@
+"""Cost-model routing of user schedules: Pallas custom kernel vs XLA.
+
+The reference decides *whether to parallelize* a kernel from estimated work
+(estimateWork, passes.nim:2338-2400) and then always honors the schedule in
+its GPU codegen.  On TPU the trade-off is different: XLA's own lowering of
+contractions/elementwise chains is already MXU/VPU-optimal for most shapes,
+while a hand-scheduled Pallas kernel pays a custom-call launch and forgoes
+XLA fusion with its neighbors.  So schedules are treated as *routed hints*:
+
+* ``schedule_mode="auto"`` (default): a scheduled kernel goes to the Pallas
+  emitter only when this cost model predicts a win; otherwise it falls back
+  to the XLA path with a ``ScheduleWarning`` and a ``schedule-fallback``
+  entry in ``lowering_stats`` — never a silent 100x regression.
+* ``schedule_mode="force"``: always honor the schedule when the emitter
+  supports the kernel shape (benchmarking / kernel development).
+* ``schedule_mode="ignore"``: never emit Pallas; schedules only influence
+  nothing (useful to A/B the XLA path).
+
+The model's constants are MEASURED, not guessed: scripts/pallas_calibrate.py
+runs both paths on the real chip and writes ``pallas_calibration.json`` next
+to this module; until a calibration exists the defaults are the round-1
+on-chip measurements (TODO.md: XLA dot 142 TFLOP/s f32 at 8192^3 vs 0.2-2
+TFLOP/s for Pallas kernels through this platform's custom-call path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from dataclasses import dataclass
+
+from ..errors import ScheduleWarning
+
+_MODES = ("auto", "force", "ignore")
+
+# Round-1 on-chip measurements (see module docstring); overridden by
+# pallas_calibration.json when scripts/pallas_calibrate.py has run.
+_DEFAULTS = {
+    # sustained rates through the compiled executor, per path
+    "xla_matmul_tflops": 142.0,
+    "pallas_matmul_tflops": 2.0,
+    "xla_elementwise_gbps": 600.0,
+    "pallas_elementwise_gbps": 600.0,
+    # per-pallas_call launch overhead observed through this platform
+    "pallas_launch_us": 1000.0,
+    "xla_op_overhead_us": 1.0,
+}
+
+_CALIBRATION_PATH = os.path.join(
+    os.path.dirname(__file__), "pallas_calibration.json"
+)
+
+
+def _load_constants() -> dict:
+    constants = dict(_DEFAULTS)
+    try:
+        with open(_CALIBRATION_PATH) as f:
+            data = json.load(f)
+        constants.update(
+            {k: float(v) for k, v in data.items() if k in _DEFAULTS}
+        )
+        constants["calibrated"] = True
+    except (OSError, ValueError):
+        constants["calibrated"] = False
+    return constants
+
+
+@dataclass
+class Decision:
+    use_pallas: bool
+    reason: str
+
+
+class SchedulePolicy:
+    """Routing decisions + fallback reporting for one compiled model."""
+
+    def __init__(self, mode: str = "auto") -> None:
+        if mode not in _MODES:
+            raise ValueError(
+                f"schedule_mode must be one of {_MODES}, got {mode!r}"
+            )
+        self.mode = mode
+        self.constants = _load_constants()
+
+    # -- decisions -------------------------------------------------------
+    def contraction(self, m: int, n: int, k: int, fused: bool) -> Decision:
+        """Scheduled matmul-family kernel: Pallas tiled kernel vs XLA dot.
+
+        ``fused``: the Pallas kernel would also absorb the elementwise
+        consumer (epilogue fusion), saving one HBM round-trip of the m*n
+        product — XLA usually fuses that too inside the one-jit target, so
+        the byte saving is NOT credited; fused only amortizes the launch
+        over more useful work.
+        """
+        if self.mode == "force":
+            return Decision(True, "schedule_mode=force")
+        if self.mode == "ignore":
+            return Decision(False, "schedule_mode=ignore")
+        c = self.constants
+        flops = 2.0 * m * n * k
+        xla_s = flops / (c["xla_matmul_tflops"] * 1e12)
+        pallas_s = (
+            c["pallas_launch_us"] * 1e-6
+            + flops / (c["pallas_matmul_tflops"] * 1e12)
+        )
+        if pallas_s < xla_s:
+            return Decision(
+                True,
+                f"cost model: pallas {pallas_s * 1e6:.0f}us < xla "
+                f"{xla_s * 1e6:.0f}us",
+            )
+        return Decision(
+            False,
+            f"cost model: xla dot {xla_s * 1e6:.0f}us <= pallas "
+            f"{pallas_s * 1e6:.0f}us"
+            + ("" if c["calibrated"] else " (uncalibrated defaults)"),
+        )
+
+    def mapreduce(self, total_bytes: int) -> Decision:
+        """Scheduled elementwise/reduction kernel: Pallas vs XLA fusion.
+
+        Both paths are HBM-bound; XLA additionally fuses the kernel with
+        its neighbors inside the one-jit target, which the custom call
+        forecloses, so Pallas must win on bandwidth alone.
+        """
+        if self.mode == "force":
+            return Decision(True, "schedule_mode=force")
+        if self.mode == "ignore":
+            return Decision(False, "schedule_mode=ignore")
+        c = self.constants
+        xla_s = total_bytes / (c["xla_elementwise_gbps"] * 1e9)
+        pallas_s = (
+            c["pallas_launch_us"] * 1e-6
+            + total_bytes / (c["pallas_elementwise_gbps"] * 1e9)
+        )
+        if pallas_s < xla_s:
+            return Decision(True, "cost model: pallas bandwidth win")
+        return Decision(
+            False,
+            "cost model: XLA fusion path wins for elementwise/reduction"
+            + ("" if c["calibrated"] else " (uncalibrated defaults)"),
+        )
+
+    # -- reporting ---------------------------------------------------------
+    def fallback(
+        self,
+        stats: dict | None,
+        kernel_desc: str,
+        reason: str,
+        kind: str = "schedule-fallback",
+    ) -> None:
+        """Record + warn that a schedule fell back to the XLA path."""
+        if stats is not None:
+            stats[kind] = stats.get(kind, 0) + 1
+        warnings.warn(
+            f"schedule on {kernel_desc} not routed to Pallas: {reason}; "
+            "using the XLA lowering (compile with schedule_mode='force' "
+            "to override, 'ignore' to silence)",
+            ScheduleWarning,
+            stacklevel=2,
+        )

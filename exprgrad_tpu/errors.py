@@ -39,3 +39,14 @@ class ValidationError(ExprgradError):
 
 class ModelRuntimeError(ExprgradError):
     """Runtime usage error (unknown target/input, ...). Reference: RuntimeError."""
+
+
+class ScheduleWarning(UserWarning):
+    """A user schedule (tile/parallel/cache) could not be honored or was
+    overridden by the cost model; the kernel fell back to the XLA path.
+
+    The reference compiles any scheduled kernel through its GPU codegen
+    (clgen.nim); on TPU the XLA path is often faster than a hand schedule,
+    so schedules are routed by a measured cost model and every fallback is
+    reported through this category (silence with ``warnings.filterwarnings``)
+    and counted in ``Model.lowering_stats``."""

@@ -55,9 +55,16 @@ class Model:
         backend: str = "jax",
         seed: Optional[int] = None,
         precision: str = "highest",
+        schedule_mode: str = "auto",
     ) -> None:
         self.source = source
         self.precision = precision
+        if schedule_mode not in ("auto", "force", "ignore"):
+            raise ValueError(
+                "schedule_mode must be one of ('auto', 'force', 'ignore'), "
+                f"got {schedule_mode!r}"
+            )
+        self.schedule_mode = schedule_mode
         self.program = source.copy()
         compile_program(self.program)
         self.backend = backend
@@ -242,7 +249,8 @@ class Model:
                 from .backend.executor import JaxExecutor
 
                 self._executors[key] = JaxExecutor(
-                    self.program, target, shapes, precision=self.precision
+                    self.program, target, shapes, precision=self.precision,
+                    schedule_mode=self.schedule_mode,
                 )
         return self._executors[key]
 
@@ -436,13 +444,22 @@ def compile(  # noqa: A001
     backend: str = "jax",
     seed: Optional[int] = None,
     precision: str = "highest",
+    schedule_mode: str = "auto",
 ) -> Model:
     """Compile computation graphs into a model (reference model.nim:270).
 
     ``precision`` controls MXU matmul precision for float32 models:
     "highest" (default) matches the CPU oracle to ~1e-6; "default" uses
     fast bfloat16-pass matmuls on TPU.
+
+    ``schedule_mode`` controls how per-kernel schedules (``Fun.schedule``)
+    are routed: "auto" (default) honors a schedule only when the measured
+    cost model predicts the Pallas kernel beats the XLA lowering, warning
+    (ScheduleWarning) on every fallback; "force" always honors matching
+    schedules (kernel development / benchmarking); "ignore" never emits
+    Pallas.  See backend/policy.py.
     """
     source = to_program(graphs)
     source.scalar_type = ir.ScalarType(np.dtype(dtype).name)
-    return Model(source, backend=backend, seed=seed, precision=precision)
+    return Model(source, backend=backend, seed=seed, precision=precision,
+                 schedule_mode=schedule_mode)

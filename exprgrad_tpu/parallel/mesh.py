@@ -78,7 +78,8 @@ class ShardedExecutor:
         ]
         self.shapes = infer_shapes(program, target_name, pairs)
         self.executor = JaxExecutor(
-            program, target_name, self.shapes, precision=model.precision
+            program, target_name, self.shapes, precision=model.precision,
+            schedule_mode=getattr(model, "schedule_mode", "auto"),
         )
         self.mesh = mesh
         model_axis = mesh.shape.get("model", 1)

@@ -1,0 +1,197 @@
+"""Calibrate the schedule-routing cost model on the real chip.
+
+Measures, through the COMPILED EXECUTOR (the same path user models take):
+  * XLA dot vs scheduled Pallas matmul across shapes,
+  * XLA fused elementwise/reduction vs Pallas map-reduce kernels,
+  * per-pallas_call launch overhead (tiny-kernel time),
+and writes the fitted constants to
+``exprgrad_tpu/backend/pallas_calibration.json`` (loaded by policy.py) plus
+a human-readable table into ``BENCH_DETAILS.json`` under
+``pallas_vs_xla_table`` — the measured basis for schedule_mode="auto".
+
+Run on TPU hardware: ``PYTHONPATH=. python scripts/pallas_calibrate.py``
+(one TPU client at a time; see CLAUDE.md).  Timing uses chained
+data-dependent dispatches with a device->host fence to amortize the
+tunnel's ~25ms round trip.
+"""
+
+import json
+import os
+import signal
+import sys
+import time
+
+
+def _bail(_sig, _frm):
+    print("TIMEOUT", flush=True)
+    sys.exit(1)
+
+
+def _time_chain(fn, x, iters=8):
+    """Median-of-3 time for ``iters`` chained data-dependent applications."""
+    import jax.numpy as jnp
+
+    def chain(x):
+        for _ in range(iters):
+            x = fn(x)
+        return x
+
+    import jax
+
+    chained = jax.jit(chain)
+    _ = float(jnp.sum(chained(x)))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(chained(x)))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main() -> None:
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(3000)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu:
+        print("WARNING: not on TPU; constants will not be written")
+
+    from exprgrad_tpu.ops.matmul import pallas_matmul
+
+    rng = np.random.default_rng(0)
+    table = []
+
+    # --- contraction: XLA dot vs Pallas tiled matmul -------------------
+    mm_rates = {"xla": [], "pallas": []}
+    for size in (1024, 2048, 4096):
+        a = jnp.asarray(rng.normal(size=(size, size)).astype(np.float32))
+        flops = 2.0 * size**3
+
+        t_xla = _time_chain(
+            lambda x: jnp.dot(
+                x, x, preferred_element_type=jnp.float32
+            ),
+            a,
+        )
+        t_pl = _time_chain(
+            lambda x: pallas_matmul(
+                x, x, block_m=512, block_n=512, block_k=512
+            ),
+            a,
+        )
+        row = {
+            "kernel": f"matmul {size}^3 f32",
+            "xla_tflops": flops / t_xla / 1e12,
+            "pallas_tflops": flops / t_pl / 1e12,
+        }
+        mm_rates["xla"].append(row["xla_tflops"])
+        mm_rates["pallas"].append(row["pallas_tflops"])
+        table.append(row)
+        print(row, flush=True)
+
+    # --- launch overhead: tiny pallas kernel vs tiny XLA op -------------
+    tiny = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    t_tiny_pl = _time_chain(
+        lambda x: pallas_matmul(x, x, block_m=256, block_n=256, block_k=256),
+        tiny,
+    )
+    t_tiny_xla = _time_chain(
+        lambda x: jnp.dot(x, x, preferred_element_type=jnp.float32), tiny
+    )
+    launch_us = max(0.0, (t_tiny_pl - t_tiny_xla) * 1e6)
+    table.append(
+        {
+            "kernel": "matmul 256^3 (launch overhead probe)",
+            "xla_us": t_tiny_xla * 1e6,
+            "pallas_us": t_tiny_pl * 1e6,
+            "launch_overhead_us": launch_us,
+        }
+    )
+    print(table[-1], flush=True)
+
+    # --- map/reduce family through the compiler -------------------------
+    from exprgrad_tpu import Fun, compile, input as eg_input, iters, exp
+
+    def softmax_model(mode):
+        inp = eg_input("inp")
+        y, x = iters("y", "x")
+        mx = Fun("mx")
+        mx.maximize[y] = inp[y, x]
+        mx.schedule(tile={"y": 256})
+        y, x = iters("y", "x")
+        sums = Fun("sums")
+        sums[y] = exp(inp[y, x] - mx[y])
+        sums.schedule(tile={"y": 256})
+        y, x = iters("y", "x")
+        out = Fun("out")
+        out[y, x] = exp(inp[y, x] - mx[y]) / sums[y]
+        out.schedule(tile={"y": 256})
+        return compile(out.target("out"), backend="jax",
+                       schedule_mode=mode, precision="default")
+
+    v = rng.normal(size=(4096, 4096)).astype(np.float32)
+    times = {}
+    for mode in ("ignore", "force"):
+        model = softmax_model(mode)
+        model.call("out", {"inp": v})  # compile + stats
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out = model.call("out", {"inp": v})
+            _ = float(np.asarray(out).ravel()[0])
+            best = min(best, (time.perf_counter() - t0) / 4)
+        times[mode] = best
+        print(f"softmax 4096x4096 mode={mode}: {best * 1e3:.2f} ms",
+              flush=True)
+    bytes_moved = v.nbytes * 4  # 3 kernels: ~2 reads + out + write
+    gbps = {m: bytes_moved / t / 1e9 for m, t in times.items()}
+    table.append(
+        {
+            "kernel": "softmax 4096x4096 (3 scheduled kernels)",
+            "xla_ms": times["ignore"] * 1e3,
+            "pallas_ms": times["force"] * 1e3,
+            "xla_gbps": gbps["ignore"],
+            "pallas_gbps": gbps["force"],
+        }
+    )
+
+    constants = {
+        "xla_matmul_tflops": float(np.median(mm_rates["xla"])),
+        "pallas_matmul_tflops": float(np.median(mm_rates["pallas"])),
+        "pallas_launch_us": float(launch_us),
+        "xla_elementwise_gbps": float(gbps["ignore"]),
+        "pallas_elementwise_gbps": float(gbps["force"]),
+    }
+    print("constants:", constants, flush=True)
+
+    if on_tpu:
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "exprgrad_tpu", "backend",
+            "pallas_calibration.json",
+        )
+        with open(path, "w") as f:
+            json.dump(constants, f, indent=1)
+        print("wrote", os.path.normpath(path), flush=True)
+
+        details_path = os.path.join(
+            os.path.dirname(__file__), "..", "BENCH_DETAILS.json"
+        )
+        try:
+            with open(details_path) as f:
+                details = json.load(f)
+        except (OSError, ValueError):
+            details = {}
+        details["pallas_vs_xla_table"] = table
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=1)
+        print("updated BENCH_DETAILS.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,7 @@ def main() -> None:
     y2, x2 = iters("y2", "x2")
     dd = Fun("d")
     dd[y2, x2] = maximum(c[y2, x2] + bias[x2], 0.0)
-    model = compile(dd.target("d"), backend="jax")
+    model = compile(dd.target("d"), backend="jax", schedule_mode="force")
     m, kk, n = 1024, 2048, 1024
     args = {
         "a": rng.normal(size=(m, kk)).astype(np.float32),

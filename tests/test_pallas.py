@@ -33,7 +33,7 @@ def test_pallas_matmul_matches_einsum():
         {"tile": {"y": 32, "x": 128, "it": 128}, "parallel": ["y", "x"],
          "cache": []}
     )
-    scheduled = compile(graph, backend="jax")
+    scheduled = compile(graph, backend="jax", schedule_mode="force")
     out = scheduled.call("c", {"a": av, "b": bv})
     np.testing.assert_allclose(out, expected, rtol=1e-5)
 
@@ -48,7 +48,7 @@ def test_pallas_fallback_on_indivisible():
     av = rng.normal(size=(30, 50)).astype(np.float32)
     bv = rng.normal(size=(50, 70)).astype(np.float32)
     graph, a, b = _matmul_graph({"tile": {"y": 16}, "parallel": ["y"]})
-    model = compile(graph, backend="jax")
+    model = compile(graph, backend="jax", schedule_mode="force")
     out = model.call("c", {"a": av, "b": bv})
     np.testing.assert_allclose(out, av @ bv, rtol=1e-4)
     ex = next(iter(model._executors.values()))
@@ -64,7 +64,7 @@ def test_schedule_survives_cache_tensor_hint():
     a, b = input("a"), input("b")
     c[y, x] = a[y, it] * b[it, x]
     c.schedule(cache=[a, b])  # stage operands through VMEM
-    model = compile(c.target("c"), backend="jax")
+    model = compile(c.target("c"), backend="jax", schedule_mode="force")
     out = model.call("c", {"a": av, "b": bv})
     np.testing.assert_allclose(out, av @ bv, rtol=1e-4)
     ex = next(iter(model._executors.values()))

@@ -44,7 +44,7 @@ def _data(seed=0, m=128, k=256, n=256):
 def test_dense_bias_relu_fuses():
     args = _data()
     graph = _dense_relu_graph(schedule=True)
-    model = compile(graph, backend="jax")
+    model = compile(graph, backend="jax", schedule_mode="force")
     out = model.call("d", args)
     expected = np.maximum(args["a"] @ args["b"] + args["bias"], 0.0)
     np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
@@ -66,7 +66,7 @@ def test_unscheduled_does_not_fuse():
 def test_fused_matches_oracle():
     args = _data(2)
     graph = _dense_relu_graph(schedule=True)
-    mj = compile(graph, backend="jax")
+    mj = compile(graph, backend="jax", schedule_mode="force")
     a = mj.call("d", args)
     b = compile(graph, backend="interp").call("d", args)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
@@ -78,7 +78,7 @@ def test_float64_models_skip_pallas():
     refuses f64 models and the einsum path matches the oracle bit-for-bit."""
     args = {k: v.astype(np.float64) for k, v in _data(2).items()}
     graph = _dense_relu_graph(schedule=True)
-    mj = compile(graph, dtype="float64", backend="jax")
+    mj = compile(graph, dtype="float64", backend="jax", schedule_mode="force")
     a = mj.call("d", args)
     b = compile(graph, dtype="float64", backend="interp").call("d", args)
     np.testing.assert_allclose(a, b, rtol=1e-12)
@@ -108,7 +108,7 @@ def test_col_broadcast_and_residual():
         "col": rng.normal(size=(m,)).astype(np.float32),
         "res": rng.normal(size=(m, n)).astype(np.float32),
     }
-    model = compile(graph, backend="jax")
+    model = compile(graph, backend="jax", schedule_mode="force")
     out = model.call("d", args)
     expected = (
         np.exp((args["a"] @ args["b"] - args["col"][:, None]) * 0.01)
@@ -134,7 +134,7 @@ def test_no_fusion_when_intermediate_is_reused():
     graph = e.target("e")
     args = _data(4, m=128, k=128, n=256)
     del args["bias"]
-    model = compile(graph, backend="jax")
+    model = compile(graph, backend="jax", schedule_mode="force")
     out = model.call("e", args)
     cm = args["a"] @ args["b"]
     np.testing.assert_allclose(
@@ -155,7 +155,7 @@ def test_no_fusion_when_output_is_intermediate():
     graph = c.target("c")
     args = _data(5, m=128, k=128, n=256)
     del args["bias"]
-    model = compile(graph, backend="jax")
+    model = compile(graph, backend="jax", schedule_mode="force")
     out = model.call("c", args)
     np.testing.assert_allclose(out, args["a"] @ args["b"], rtol=1e-5)
     assert _stats(model).get("pallas-fused") is None
@@ -203,7 +203,7 @@ def test_select_epilogue_fuses():
     graph = d.target("d")
     args = _data(7, m=64, k=128, n=128)
     del args["bias"]
-    model = compile(graph, backend="jax")
+    model = compile(graph, backend="jax", schedule_mode="force")
     out = model.call("d", args)
     cm = args["a"] @ args["b"]
     np.testing.assert_allclose(

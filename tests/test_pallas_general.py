@@ -1,0 +1,279 @@
+"""Generalized schedule-driven Pallas emitter (PallasMapReduce) + the
+cost-model routing policy.
+
+The reference compiles ANY scheduled kernel body through its GPU codegen
+(clgen.nim:249-257, tileLoops/cacheTensors passes.nim:2043-2323); here the
+map/reduce family lowers to Pallas under ``schedule_mode="force"`` (checked
+numerically against the interp oracle, interpret mode on CPU), while the
+default ``auto`` mode routes through the measured cost model and reports
+every fallback with a ScheduleWarning — schedules are never silently
+ignored.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu import (
+    Fun,
+    ScheduleWarning,
+    compile,
+    exp,
+    input,
+    iters,
+    sq,
+    sqrt,
+)
+
+
+def _stats(model):
+    ex = next(iter(model._executors.values()))
+    return ex.stats
+
+
+def _softmax_graph(tile=None, share_cache=()):
+    inp = input("inp")
+    y, x = iters("y", "x")
+    row_max = Fun("mx")
+    row_max.maximize[y] = inp[y, x]
+    row_max.schedule(tile=tile, share_cache=share_cache)
+    y, x = iters("y", "x")
+    sums = Fun("sums")
+    sums[y] = exp(inp[y, x] - row_max[y])
+    sums.schedule(tile=tile, share_cache=share_cache)
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = exp(inp[y, x] - row_max[y]) / sums[y]
+    out.schedule(tile=tile, share_cache=share_cache)
+    return out.target("out")
+
+
+def _softmax_ref(v):
+    e = np.exp(v - v.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def test_scheduled_softmax_lowers_to_pallas():
+    """All three softmax kernels (max-reduce, sum-reduce, elementwise) run
+    as Pallas map/reduce kernels and match numpy."""
+    rng = np.random.default_rng(0)
+    v = (rng.normal(size=(64, 256)) * 10).astype(np.float32)
+    graph = _softmax_graph(tile={"y": 32})
+    model = compile(graph, backend="jax", schedule_mode="force")
+    out = model.call("out", {"inp": v})
+    np.testing.assert_allclose(out, _softmax_ref(v), rtol=1e-5, atol=1e-6)
+    stats = _stats(model)
+    assert stats.get("pallas-mapreduce") == 3, stats
+
+
+def test_scheduled_softmax_matches_oracle():
+    rng = np.random.default_rng(1)
+    v = (rng.normal(size=(32, 128)) * 5).astype(np.float32)
+    graph = _softmax_graph(tile={"y": 16, "x": 64})
+    mj = compile(graph, backend="jax", schedule_mode="force")
+    a = mj.call("out", {"inp": v})
+    b = compile(graph, backend="interp").call("out", {"inp": v})
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert _stats(mj).get("pallas-mapreduce") == 3
+
+
+def test_scheduled_layer_norm_shape():
+    """layer_norm-shaped kernels (mean, var, normalize) through Pallas."""
+    dim = 128
+    inv_d = 1.0 / dim
+    inp = input("inp")
+    gamma, beta = input("gamma"), input("beta")
+
+    n = Fun("mean")
+    y, x = iters("y", "x")
+    n[y] = inp[y, x] * inv_d
+    n.schedule(tile={"y": 16})
+
+    v = Fun("var")
+    y, x = iters("y", "x")
+    v[y] = sq(inp[y, x] - n[y]) * inv_d
+    v.schedule(tile={"y": 16})
+
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = (inp[y, x] - n[y]) / sqrt(v[y] + 1e-5) * gamma[x] + beta[x]
+    out.schedule(tile={"y": 16})
+
+    rng = np.random.default_rng(2)
+    args = {
+        "inp": rng.normal(size=(64, dim)).astype(np.float32),
+        "gamma": rng.normal(size=(dim,)).astype(np.float32),
+        "beta": rng.normal(size=(dim,)).astype(np.float32),
+    }
+    graph = out.target("out")
+    model = compile(graph, backend="jax", schedule_mode="force")
+    got = model.call("out", args)
+    xm = args["inp"] - args["inp"].mean(axis=1, keepdims=True)
+    var = (xm**2).mean(axis=1, keepdims=True)
+    want = xm / np.sqrt(var + 1e-5) * args["gamma"] + args["beta"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 3
+
+
+def test_gridded_reduction_axis():
+    """A tiled reduction axis runs over the grid with a VMEM accumulator."""
+    inp = input("inp")
+    sums = Fun("sums")
+    y, x = iters("y", "x")
+    sums[y] = inp[y, x] * 2.0
+    sums.schedule(tile={"y": 32, "x": 64})  # x is the reduction axis
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(64, 512)).astype(np.float32)
+    model = compile(sums.target("sums"), backend="jax", schedule_mode="force")
+    out = model.call("sums", {"inp": v})
+    np.testing.assert_allclose(out, (v * 2).sum(axis=1), rtol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_gridded_max_reduction():
+    inp = input("inp")
+    mx = Fun("mx")
+    y, x = iters("y", "x")
+    mx.maximize[y] = inp[y, x]
+    mx.schedule(tile={"x": 128})
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=(32, 512)).astype(np.float32)
+    model = compile(mx.target("mx"), backend="jax", schedule_mode="force")
+    out = model.call("mx", {"inp": v})
+    np.testing.assert_allclose(out, v.max(axis=1), rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_rank1_elementwise():
+    """Rank-1 kernels embed a leading dummy axis (lane dim = the loop)."""
+    inp = input("inp")
+    out = Fun("out")
+    x = iters("x")
+    out[x] = exp(inp[x]) + 1.0
+    out.schedule(tile={"x": 64})
+    v = np.linspace(-1, 1, 256).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.exp(v) + 1, rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_broadcast_write():
+    """Output axes not covered by any read broadcast the value."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = inp[y] * 3.0
+    out.with_shape([inp.shape[0], 64])
+    out.schedule(tile={"y": 16})
+    v = np.arange(32).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.tile((v * 3)[:, None], (1, 64)))
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_share_cache_keeps_axis_resident():
+    """share_cache on the reduction axis forces the whole extent into each
+    block (no reduction gridding even when tiled)."""
+    inp = input("inp")
+    sums = Fun("sums")
+    y, x = iters("y", "x")
+    sums[y] = exp(inp[y, x])
+    sums.schedule(tile={"y": 16}, share_cache=["x"])
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(32, 256)).astype(np.float32)
+    model = compile(sums.target("sums"), backend="jax", schedule_mode="force")
+    out = model.call("sums", {"inp": v})
+    np.testing.assert_allclose(out, np.exp(v).sum(axis=1), rtol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_auto_mode_falls_back_with_warning():
+    """Default auto mode: the uncalibrated cost model prefers XLA, the
+    schedule falls back WITH a ScheduleWarning and a stats entry, and the
+    result is still correct."""
+    inp = input("inp")
+    out = Fun("out")
+    x = iters("x")
+    out[x] = exp(inp[x])
+    out.schedule(tile={"x": 64})
+    v = np.linspace(-1, 1, 256).astype(np.float32)
+    model = compile(out.target("out"), backend="jax")
+    with pytest.warns(ScheduleWarning, match="not routed to Pallas"):
+        got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.exp(v), rtol=1e-6)
+    stats = _stats(model)
+    assert stats.get("pallas-mapreduce") is None
+    assert stats.get("schedule-fallback") == 1
+
+
+def test_ignore_mode_is_silent():
+    inp = input("inp")
+    out = Fun("out")
+    x = iters("x")
+    out[x] = exp(inp[x])
+    out.schedule(tile={"x": 64})
+    v = np.linspace(-1, 1, 128).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="ignore")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ScheduleWarning)
+        got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.exp(v), rtol=1e-6)
+    assert _stats(model).get("schedule-fallback") is None
+
+
+def test_unsupported_schedule_warns_in_force_mode():
+    """A scheduled kernel the emitters cannot map (non-iterator read index)
+    warns and falls back — never silently dropped."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = inp[y // 2, x]  # grouped read: not a pure iterator
+    out.with_shape([inp.shape[0] * 2, inp.shape[1]])
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(6)
+    v = rng.normal(size=(16, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning, match="unsupported kernel shape"):
+        got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.repeat(v, 2, axis=0))
+
+
+def test_contraction_shape_stays_on_mxu_paths():
+    """A scheduled row-dot (pure product sharing the reduction axis) is NOT
+    taken by the map/reduce emitter; it lands on the einsum path (MXU)."""
+    a, b = input("a"), input("b")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y] = a[y, x] * b[y, x]
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(7)
+    av = rng.normal(size=(32, 64)).astype(np.float32)
+    bv = rng.normal(size=(32, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning, match="contraction"):
+        got = model.call("out", {"a": av, "b": bv})
+    np.testing.assert_allclose(got, (av * bv).sum(axis=1), rtol=1e-5)
+    stats = _stats(model)
+    assert stats.get("einsum") == 1
+    assert stats.get("pallas-mapreduce") is None
+
+
+def test_partial_read_reduction():
+    """Reduction where one read covers the reduced axis and another does
+    not (the softmax-sums shape) — broadcasting inside the block."""
+    a, b = input("a"), input("b")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y] = exp(a[y, x]) + b[y]
+    out.schedule(tile={"y": 8})
+    rng = np.random.default_rng(8)
+    av = rng.normal(size=(16, 32)).astype(np.float32)
+    bv = rng.normal(size=(16,)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av, "b": bv})
+    want = (np.exp(av) + bv[:, None]).sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1

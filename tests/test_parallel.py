@@ -145,7 +145,7 @@ def test_sharded_scheduled_pallas_matmul():
     c = Fun("c")
     c[y, x] = input("a")[y, it] * input("b")[it, x]
     c.schedule(tile={"y": 64, "x": 128, "it": 128}, parallel=["y", "x"])
-    model = compile(c.target("c"), backend="jax")
+    model = compile(c.target("c"), backend="jax", schedule_mode="force")
     mesh = make_mesh(8)
     ex = ShardedExecutor(
         model, "c", {"a": [256, 128], "b": [128, 256]}, mesh,
