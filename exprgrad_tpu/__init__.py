@@ -59,6 +59,8 @@ from .fun import (
     Fun,
     cache,
     cond,
+    extern,
+    extern_grads,
     grad,
     input,
     input_,
@@ -68,6 +70,7 @@ from .fun import (
     rand,
     to_program,
 )
+from .registry import register_extern
 from .model import Model, compile, load_compiled
 from .tensor import (
     Tensor,
@@ -85,7 +88,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Boolean", "Index", "Scalar", "Fun", "Model", "Tensor",
-    "array", "cache", "compile", "cond", "cos", "epoch", "exp", "grad",
+    "array", "cache", "compile", "cond", "cos", "epoch", "exp",
+    "extern", "extern_grads", "grad", "register_extern",
     "debug_index", "debug_scalar",
     "input", "input_", "irange", "iters", "layer", "ln", "load_compiled",
     "log", "log10",

@@ -131,6 +131,7 @@ class JaxExecutor:
                         minval=lo,
                         maxval=hi,
                     )
+            extern_memo: dict = {}  # one logical extern call per trace
             for i, kernel in enumerate(self.target.kernels):
                 if i in self._skip_kernels:
                     continue  # folded into the previous matmul's epilogue
@@ -145,7 +146,7 @@ class JaxExecutor:
                     continue
                 KernelLowering(
                     program, kernel, self.shapes, self.dtype, self.precision,
-                    self.policy,
+                    self.policy, extern_memo,
                 ).run(tensors, epoch, self.stats)
             return {tid: tensors[tid] for tid in self.output_tids}
 

@@ -87,6 +87,7 @@ class KernelLowering:
         dtype,
         precision=None,
         policy=None,
+        extern_memo: Optional[dict] = None,
     ) -> None:
         self.program = program
         self.kernel = kernel
@@ -94,6 +95,7 @@ class KernelLowering:
         self.dtype = dtype
         self.precision = precision
         self.policy = policy
+        self.extern_memo = extern_memo if extern_memo is not None else {}
         self.nloops = len(kernel.loops)
         self.starts: list[int] = []
         self.sizes: list[int] = []
@@ -841,6 +843,47 @@ class KernelLowering:
             flat = flat.at[widx_b].min(vals_b)
         return flat.reshape(out.shape)
 
+    def _run_extern(self, tensors: dict, stats: Optional[dict]) -> None:
+        """Trace an extern kernel's registered jax implementation.
+
+        Shares ``self.extern_memo`` (one dict per target trace) across the
+        kernels of one logical multi-output call, so the op traces once.
+        """
+        from ..registry import ExternContext, get_extern
+
+        ext = self.kernel.extern
+        assert ext is not None and self.kernel.write is not None
+        key = ext.key()
+        if key not in self.extern_memo:
+            edef = get_extern(ext.name)
+            args = [tensors[tid] for tid in ext.inputs]
+            ctx = ExternContext(
+                dtype=self.dtype, precision=self.precision,
+                policy=self.policy,
+            )
+            result = edef.jax_fn(args, dict(ext.attrs), ctx)
+            if not isinstance(result, tuple):
+                result = (result,)
+            if len(result) != ext.nout:
+                raise ModelRuntimeError(
+                    f"extern op {ext.name!r} returned {len(result)} "
+                    f"outputs, but the graph expects {ext.nout}"
+                )
+            self.extern_memo[key] = result
+        value = self.extern_memo[key][ext.out_index].astype(self.dtype)
+        out_tid = self.kernel.write.tensor
+        expect = tuple(self.shapes[out_tid])
+        if tuple(value.shape) != expect:
+            raise ModelRuntimeError(
+                f"extern op {ext.name!r} output {ext.out_index} has shape "
+                f"{tuple(value.shape)}, but tensor t{out_tid} has shape "
+                f"{expect} (check the with_shape/copy_shape annotation)"
+            )
+        tensors[out_tid] = tensors[out_tid] + value
+        if stats is not None:
+            stat = f"extern:{ext.name}"
+            stats[stat] = stats.get(stat, 0) + 1
+
     def _kernel_desc(self) -> str:
         write = self.kernel.write
         name = (
@@ -860,6 +903,9 @@ class KernelLowering:
         is reported (ScheduleWarning + a ``schedule-fallback`` stat) so
         ``tile()``/``cache()`` are never silently ignored.
         """
+        if self.kernel.extern is not None:
+            self._run_extern(tensors, stats)
+            return
         if not self._bounds_ok:
             return
         self.epoch = epoch

@@ -142,6 +142,48 @@ class SchedulePolicy:
             + ("" if c["calibrated"] else " (uncalibrated defaults)"),
         )
 
+    def attention(
+        self, b: int, h: int, sq: int, skv: int, d: int, itemsize: int = 4
+    ) -> Decision:
+        """Fused flash-attention (Pallas) vs plain-XLA attention.
+
+        XLA attention materializes the [sq, skv] weight matrix in HBM
+        (costing ~4 full passes over it across softmax fwd: write scores,
+        read+write probs, read for the PV matmul); flash never does, but
+        pays custom-call launches and the measured Pallas compute rate.
+        Independent of schedule_mode: ``force``/``ignore`` apply to
+        schedule *hints*, while the attention impl is an explicit layer
+        argument with its own "flash"/"xla" overrides.
+
+        When the weight matrix alone would exceed ~2 GB, flash is chosen
+        regardless — the XLA path would OOM or page catastrophically.
+        """
+        c = self.constants
+        flops = 4.0 * b * h * sq * skv * d
+        s2_bytes = 4.0 * b * h * sq * skv  # scores kept f32
+        if s2_bytes > 2e9:
+            return Decision(True, "weight matrix too large for HBM path")
+        xla_s = (
+            flops / (c["xla_matmul_tflops"] * 1e12)
+            + 4.0 * s2_bytes / (c["xla_elementwise_gbps"] * 1e9)
+        )
+        pallas_s = (
+            c["pallas_launch_us"] * 1e-6
+            + flops / (c["pallas_matmul_tflops"] * 1e12)
+        )
+        if pallas_s < xla_s:
+            return Decision(
+                True,
+                f"cost model: flash {pallas_s * 1e6:.0f}us < xla "
+                f"{xla_s * 1e6:.0f}us",
+            )
+        return Decision(
+            False,
+            f"cost model: xla attention {xla_s * 1e6:.0f}us <= flash "
+            f"{pallas_s * 1e6:.0f}us"
+            + ("" if c["calibrated"] else " (uncalibrated defaults)"),
+        )
+
     # -- reporting ---------------------------------------------------------
     def fallback(
         self,

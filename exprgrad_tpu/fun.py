@@ -103,17 +103,83 @@ class KernelBuilder:
         tensor_of: dict[int, int],
         grads: Optional[dict[int, int]] = None,
     ) -> ir.Kernel:
-        ctx = _BuildCtx(self.schedule, grads, tensor_of)
-        kernel = ctx.build_kernel(self)
+        kernel = self._build_main(tensor_of, grads)
         if self.custom_grads:
             cg = ir.CustomGrad()
             shared_grads: dict[int, int] = {}
             for sub in self.custom_grads:
-                sub_ctx = _BuildCtx(sub.schedule, shared_grads, tensor_of)
-                cg.kernels.append(sub_ctx.build_kernel(sub))
+                cg.kernels.append(sub._build_main(tensor_of, shared_grads))
             cg.grad_placeholders = shared_grads
             kernel.custom_grad = cg
         return kernel
+
+    def _build_main(
+        self,
+        tensor_of: dict[int, int],
+        grads: Optional[dict[int, int]],
+    ) -> ir.Kernel:
+        ctx = _BuildCtx(self.schedule, grads, tensor_of)
+        return ctx.build_kernel(self)
+
+    def referenced_funs(self):
+        """Fun nodes this builder's expressions mention (graph children)."""
+        out: list[Fun] = []
+
+        def walk(node: ExprNode) -> None:
+            for child in node.children:
+                walk(child)
+            if node.tensor is not None:
+                out.append(node.tensor)
+
+        walk(self.value)
+        for d in self.dims:
+            walk(d)
+        return out
+
+
+class ExternKernelBuilder(KernelBuilder):
+    """Builds a kernel invoking a registered opaque op (ir.Extern).
+
+    ``target`` receives (accumulates) output ``out_index`` of the op named
+    ``extern_name`` applied to ``args``.  Gradients are NOT derived: attach
+    extern backward kernels via ``custom_grad`` + ``extern_grads``.
+    """
+
+    def __init__(
+        self,
+        target: "Fun",
+        extern_name: str,
+        args: Sequence["Fun"],
+        attrs: Optional[dict] = None,
+        out_index: int = 0,
+        nout: int = 1,
+    ) -> None:
+        super().__init__(target, [], False, as_scalar(0.0).node)
+        self.extern_name = extern_name
+        self.args = list(args)
+        self.attrs = dict(attrs or {})
+        self.out_index = out_index
+        self.nout = nout
+
+    def _build_main(
+        self,
+        tensor_of: dict[int, int],
+        grads: Optional[dict[int, int]],
+    ) -> ir.Kernel:
+        ctx = _BuildCtx(None, grads, tensor_of)
+        kernel = ctx.kernel
+        kernel.extern = ir.Extern(
+            name=self.extern_name,
+            inputs=[ctx.lookup_tensor(a) for a in self.args],
+            out_index=self.out_index,
+            nout=self.nout,
+            attrs=dict(self.attrs),
+        )
+        kernel.write = ir.TensorOp(tensor=ctx.lookup_tensor(self.target))
+        return kernel
+
+    def referenced_funs(self):
+        return list(self.args)
 
 
 _BUILD_GEN = [0]
@@ -432,6 +498,16 @@ class Fun:
             yield
         finally:
             _CUSTOM_GRAD_STACK.pop()
+        # tensors referenced only inside the gradient kernels still must be
+        # reachable from the graph (allocated + their kernels flattened
+        # first), e.g. an extern backward reading the forward's saved
+        # logsumexp tensor
+        for builder in collector:
+            for fun in builder.referenced_funs():
+                while fun.kind == FunKind.GRADIENT_ARG:
+                    fun = fun.children[0]
+                if fun is not self and fun not in self.children:
+                    self.children.append(fun)
         self.kernels[-1].custom_grads.extend(collector)
 
     # --- shape annotations -------------------------------------------
@@ -620,6 +696,77 @@ def grad(fun: Fun) -> Fun:
     return out
 
 
+def extern(
+    name: str,
+    args: Sequence[Fun],
+    outs: int = 1,
+    attrs: Optional[dict] = None,
+):
+    """Invoke a registered opaque op (see ``exprgrad_tpu.registry``) as a
+    graph node — the whole-op generalization of the reference's customGrad
+    seam (parser.nim:568-589).
+
+    Returns ``outs`` fresh result Funs (a single Fun when ``outs == 1``).
+    Each output used by the model must be given a shape with ``with_shape``
+    or ``copy_shape`` — extern results are opaque, so affine shape
+    inference cannot see through them.  Extern ops have no derived
+    gradient; attach one with ``custom_grad`` + ``extern_grads`` (or treat
+    the op as non-differentiable).
+
+    The registered op is evaluated once per target execution even when
+    several outputs are consumed.  Its results are *accumulated* (+=) into
+    the output tensors, consistent with ``++=`` kernel semantics.
+    """
+    funs = []
+    for index in range(outs):
+        out = Fun(f"{name}.{index}" if outs > 1 else name, FunKind.RESULT)
+        out.children = list(args)
+        out.kernels.append(
+            ExternKernelBuilder(out, name, args, attrs, index, outs)
+        )
+        out.lock()  # further writes would invalidate the op's semantics
+        funs.append(out)
+    return funs[0] if outs == 1 else tuple(funs)
+
+
+def extern_grads(
+    name: str,
+    args: Sequence[Fun],
+    into: Sequence[Fun],
+    attrs: Optional[dict] = None,
+) -> None:
+    """Accumulate the outputs of extern op ``name`` into existing tensors.
+
+    Typically used inside a ``custom_grad`` block with ``grad(x)`` targets
+    to register a fused backward kernel for an extern forward::
+
+        with out.custom_grad():
+            extern_grads("attention_grad", [q, k, v, out, lse, grad(out)],
+                         into=[grad(q), grad(k), grad(v)], attrs=...)
+    """
+    into = list(into)
+    for index, target in enumerate(into):
+        builder = ExternKernelBuilder(
+            target, name, args, attrs, index, len(into)
+        )
+        if _CUSTOM_GRAD_STACK:
+            _CUSTOM_GRAD_STACK[-1].append(builder)
+            continue
+        if target.kind not in (FunKind.RESULT, FunKind.EFFECT):
+            raise ParserError(
+                f"cannot add an extern kernel to a {target.kind.value} node"
+            )
+        if target.locked:
+            raise ParserError(
+                f"tensor {target.name!r} is locked: no further kernels may "
+                "write it"
+            )
+        target.kernels.append(builder)
+        for arg in args:
+            if arg is not target and arg not in target.children:
+                target.children.append(arg)
+
+
 def cond(branches: dict[str, Fun], otherwise: Optional[Fun] = None) -> Fun:
     """Select an input per target; used for GAN-style architectures."""
     out = Fun("cond", FunKind.COND)
@@ -631,6 +778,58 @@ def cond(branches: dict[str, Fun], otherwise: Optional[Fun] = None) -> Fun:
 def make_opt(optim: Callable, *args, **kwargs) -> Callable[[Fun, Fun], None]:
     """Bind optimizer hyper-parameters (reference makeOpt, parser.nim:819)."""
     return functools.partial(optim, *args, **kwargs)
+
+
+def static_rank(fun: Fun) -> Optional[int]:
+    """Best-effort tensor rank known at graph-build time, or None.
+
+    Used by rank-polymorphic layers (layer_norm/rms_norm/dense/softmax over
+    arbitrary leading dims) to build the right loop nest without the user
+    reshaping to rank 2 around every layer.  Sources, in order: declared
+    input/param shapes, reshape dims, user shape annotations, and the
+    write arity of the producing kernel.
+    """
+    seen: set[int] = set()
+
+    def walk(f: Fun) -> Optional[int]:
+        if id(f) in seen:
+            return None
+        seen.add(id(f))
+        kind = f.kind
+        if kind == FunKind.INPUT:
+            return len(f.input_shape) if f.input_shape else None
+        if kind == FunKind.PARAM:
+            return len(f.param_shape)
+        if kind == FunKind.RESHAPE:
+            return len(f.reshape_dims)
+        if kind in (FunKind.RANDOM, FunKind.TARGET, FunKind.GRADIENT):
+            return walk(f.children[-1]) if f.children else None
+        if kind == FunKind.EFFECT:
+            return walk(f.effect) if f.effect is not None else None
+        if kind == FunKind.CACHE:
+            return walk(f.cache_of) if f.cache_of is not None else None
+        if kind in (FunKind.RESULT,):
+            constr = f.shape_constr
+            if constr is not None:
+                if constr.kind == "dims":
+                    return len(constr.dims)
+                if constr.copy is not None:
+                    return walk(constr.copy)
+            for builder in f.kernels:
+                if isinstance(builder, ExternKernelBuilder):
+                    continue
+                if not builder.is_raw:
+                    return len(builder.dims)
+            # raw-write layers (relu-style) have the shape of their single
+            # source tensor (the raw-write COPY shape-inference rule)
+            for builder in f.kernels:
+                refs = [g for g in builder.referenced_funs() if g is not f]
+                if refs:
+                    return walk(refs[0])
+            return None
+        return None
+
+    return walk(fun)
 
 
 def layer(fn: Callable) -> Callable:

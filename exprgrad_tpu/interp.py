@@ -384,9 +384,49 @@ def run_target(
                 rng = np.random.default_rng(0)
             lo, hi = tdef.random_range
             tensors[tid] = rng.uniform(lo, hi, size=shapes[tid]).astype(dtype)
+    extern_memo: dict = {}
     for kernel in target.kernels:
         assert kernel.generator.kind == ir.GenKind.NONE, (
             "generator kernels must be expanded before execution"
         )
+        if kernel.extern is not None:
+            _run_extern(kernel, tensors, extern_memo, dtype)
+            continue
         _KernelEval(program, kernel, shapes, tensors, epoch, dtype).run()
     return tensors
+
+
+def _run_extern(
+    kernel: Kernel, tensors: dict, memo: dict, dtype: np.dtype
+) -> None:
+    """Evaluate an extern kernel via its registered numpy implementation.
+
+    All outputs of one logical call share a memo entry so multi-output ops
+    (e.g. attention's (out, logsumexp)) compute once per target run.
+    """
+    from .registry import get_extern
+
+    ext = kernel.extern
+    assert ext is not None and kernel.write is not None
+    key = ext.key()
+    if key not in memo:
+        edef = get_extern(ext.name)
+        args = [np.asarray(tensors[tid]) for tid in ext.inputs]
+        result = edef.numpy_fn(args, dict(ext.attrs))
+        if not isinstance(result, tuple):
+            result = (result,)
+        if len(result) != ext.nout:
+            raise ModelRuntimeError(
+                f"extern op {ext.name!r} returned {len(result)} outputs, "
+                f"but the graph expects {ext.nout}"
+            )
+        memo[key] = result
+    value = np.asarray(memo[key][ext.out_index], dtype=dtype)
+    out = tensors[kernel.write.tensor]
+    if value.shape != out.shape:
+        raise ModelRuntimeError(
+            f"extern op {ext.name!r} output {ext.out_index} has shape "
+            f"{value.shape}, but tensor t{kernel.write.tensor} has shape "
+            f"{out.shape} (check the with_shape/copy_shape annotation)"
+        )
+    tensors[kernel.write.tensor] = out + value

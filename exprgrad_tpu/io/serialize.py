@@ -25,7 +25,7 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x04\n"
+MAGIC = b"EGTPU\x05\n"
 
 
 class Writer:
@@ -228,6 +228,64 @@ def _r_tensor_op(r: Reader) -> Optional[ir.TensorOp]:
     return op
 
 
+_ATTR_CODECS = {
+    # tag -> (type check, write, read)
+    0: (bool, lambda w, v: w.boolean(v), lambda r: r.boolean()),
+    1: (int, lambda w, v: w.i64(v), lambda r: r.i64()),
+    2: (float, lambda w, v: w.f64(v), lambda r: r.f64()),
+    3: (str, lambda w, v: w.string(v), lambda r: r.string()),
+}
+
+
+def _w_attrs(w: Writer, attrs: dict) -> None:
+    w.i64(len(attrs))
+    for key in sorted(attrs):
+        w.string(key)
+        value = attrs[key]
+        for tag, (typ, write, _read) in _ATTR_CODECS.items():
+            if type(value) is typ:
+                w.u8(tag)
+                write(w, value)
+                break
+        else:
+            raise ModelRuntimeError(
+                f"extern attr {key!r} has unserializable type "
+                f"{type(value).__name__} (use bool/int/float/str)"
+            )
+
+
+def _r_attrs(r: Reader) -> dict:
+    out = {}
+    for _ in range(r.i64()):
+        key = r.string()
+        tag = r.u8()
+        out[key] = _ATTR_CODECS[tag][2](r)
+    return out
+
+
+def _w_extern(w: Writer, ext: Optional[ir.Extern]) -> None:
+    w.boolean(ext is not None)
+    if ext is None:
+        return
+    w.string(ext.name)
+    w.int_list(ext.inputs)
+    w.i64(ext.out_index)
+    w.i64(ext.nout)
+    _w_attrs(w, ext.attrs)
+
+
+def _r_extern(r: Reader) -> Optional[ir.Extern]:
+    if not r.boolean():
+        return None
+    return ir.Extern(
+        name=r.string(),
+        inputs=r.int_list(),
+        out_index=r.i64(),
+        nout=r.i64(),
+        attrs=_r_attrs(r),
+    )
+
+
 def _w_kernel(w: Writer, kernel: ir.Kernel) -> None:
     gen = kernel.generator
     w.string(gen.kind.value)
@@ -250,6 +308,7 @@ def _w_kernel(w: Writer, kernel: ir.Kernel) -> None:
         _w_instr(w, instr)
     w.opt_int(kernel.expr.res)
     _w_tensor_op(w, kernel.write)
+    _w_extern(w, kernel.extern)
     w.boolean(kernel.custom_grad is not None)
     if kernel.custom_grad is not None:
         cg = kernel.custom_grad
@@ -278,6 +337,7 @@ def _r_kernel(r: Reader) -> ir.Kernel:
     kernel.expr.instrs = [_r_instr(r) for _ in range(r.i64())]
     kernel.expr.res = r.opt_int()
     kernel.write = _r_tensor_op(r)
+    kernel.extern = _r_extern(r)
     if r.boolean():
         cg = ir.CustomGrad()
         cg.kernels = [_r_kernel(r) for _ in range(r.i64())]

@@ -382,6 +382,50 @@ class Generator:
 
 
 @dataclass
+class Extern:
+    """An opaque registered operation invoked as a kernel.
+
+    The TPU-native generalization of the reference's customGrad seam
+    (parser.nim:568-589): where the reference can only substitute hand
+    written *DSL* gradient kernels, an extern kernel calls a registered
+    backend primitive (e.g. a fused Pallas flash-attention kernel) for the
+    forward pass and registers extern backward kernels through the same
+    custom_grad machinery.  Evaluated by name through
+    ``exprgrad_tpu.registry`` — a jax implementation for the XLA backend
+    and an independent numpy implementation for the oracle interpreter.
+
+    ``inputs`` are tensor ids passed positionally.  A registered op may
+    return several arrays; each output materializes as its own extern
+    kernel selecting ``out_index`` (the registry result is computed once
+    per target execution).  The kernel's write accumulates (+=) into the
+    output tensor, matching ``++=`` semantics everywhere else.
+    """
+
+    name: str
+    inputs: list[int] = field(default_factory=list)
+    out_index: int = 0
+    nout: int = 1
+    attrs: dict = field(default_factory=dict)
+
+    def copy(self) -> "Extern":
+        return Extern(
+            name=self.name,
+            inputs=list(self.inputs),
+            out_index=self.out_index,
+            nout=self.nout,
+            attrs=dict(self.attrs),
+        )
+
+    def key(self):
+        """Memoization key shared by all outputs of one logical call."""
+        return (
+            self.name,
+            tuple(self.inputs),
+            tuple(sorted(self.attrs.items())),
+        )
+
+
+@dataclass
 class CustomGrad:
     """User-provided gradient kernels (reference KernelGradient, ir.nim:203-209).
 
@@ -406,6 +450,7 @@ class CustomGrad:
 class Kernel:
     generator: Generator = field(default_factory=Generator)
     custom_grad: Optional[CustomGrad] = None
+    extern: Optional[Extern] = None
     regs: list[Register] = field(default_factory=list)
     setup: list[Instr] = field(default_factory=list)
     loops: list[Loop] = field(default_factory=list)
@@ -424,10 +469,18 @@ class Kernel:
         if self.write is not None:
             yield ("write", self.write)
 
+    def input_tensors(self) -> Iterator[int]:
+        """Tensors the kernel consumes (reads + extern inputs)."""
+        for read in self.reads:
+            yield read.tensor
+        if self.extern is not None:
+            yield from self.extern.inputs
+
     def copy(self) -> "Kernel":
         return Kernel(
             generator=replace(self.generator, reshape=list(self.generator.reshape)),
             custom_grad=self.custom_grad.copy() if self.custom_grad else None,
+            extern=self.extern.copy() if self.extern else None,
             regs=[replace(r) for r in self.regs],
             setup=[i.copy() for i in self.setup],
             loops=[l.copy() for l in self.loops],
@@ -591,6 +644,10 @@ def substitute_tensors_kernel(kernel: Kernel, subs: dict[int, int]) -> None:
         if op.tensor in subs:
             op.tensor = subs[op.tensor]
     substitute_tensors_instrs(kernel.expr.instrs, subs)
+    if kernel.extern is not None:
+        kernel.extern.inputs = [
+            subs.get(t, t) for t in kernel.extern.inputs
+        ]
     if kernel.custom_grad is not None:
         cg = kernel.custom_grad
         if cg.subs:

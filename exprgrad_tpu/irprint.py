@@ -94,6 +94,24 @@ def fmt_kernel(kernel: Kernel, indent: str = "") -> str:
             lines.append(f"{indent}write {fmt_tensor(kernel.write.tensor)}")
         return "\n".join(lines)
 
+    if kernel.extern is not None:
+        ext = kernel.extern
+        attrs = ", ".join(f"{k}={v!r}" for k, v in sorted(ext.attrs.items()))
+        inputs = ", ".join(fmt_tensor(t) for t in ext.inputs)
+        out = f"[{ext.out_index}/{ext.nout}]" if ext.nout > 1 else ""
+        lines.append(
+            f"{indent}extern {ext.name}{out}({inputs})"
+            + (f" {{{attrs}}}" if attrs else "")
+        )
+        if kernel.write is not None:
+            lines.append(f"{indent}write: {fmt_tensor(kernel.write.tensor)} +=")
+        if kernel.custom_grad is not None:
+            lines.append(f"{indent}custom_grad:")
+            for sub in kernel.custom_grad.kernels:
+                lines.append(f"{indent}  kernel:")
+                lines.append(fmt_kernel(sub, indent + "    "))
+        return "\n".join(lines)
+
     if kernel.setup:
         lines.append(f"{indent}setup:")
         for instr in kernel.setup:

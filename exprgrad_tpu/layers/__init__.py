@@ -21,6 +21,7 @@ from .base import (
     sub,
     transpose,
 )
+from .attention import fused_attention, multi_head_attention
 from .dnn import (
     avgpool2,
     conv2,
@@ -43,7 +44,8 @@ __all__ = [
     "adam", "add", "avgpool2", "binary_cross_entropy", "conv2",
     "cross_entropy", "decayed_gradient_descent", "dense", "depthwise_conv2",
     "div_scalar",
-    "dropout", "gradient_descent",
+    "dropout", "fused_attention", "gradient_descent",
+    "multi_head_attention",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",
     "mse", "mul_scalar", "relu", "rms_norm", "sigmoid", "sin_layer", "softmax", "sub",

@@ -1,0 +1,115 @@
+"""Attention layers: fused flash attention as a DSL building block.
+
+The bridge the reference cannot express: its layer library tops out at
+conv/dense (dnn.nim:19-100) and its only escape hatch is hand-written DSL
+gradient kernels (customGrad, parser.nim:568-589).  Here a whole fused op
+— the Pallas flash-attention forward and backward kernels
+(ops/attention.py) — is spliced into the symbolic-autodiff graph through
+the extern seam (fun.extern/extern_grads), so user models written in the
+kernel DSL get memory-linear fused attention *with gradients* while every
+surrounding kernel (projections, residuals, norms) still lowers through
+the regular compiler.
+
+Head split/merge is expressed as per-head projection contractions
+("ntc,hcd->nhtd" einsums) rather than reshape+transpose — pure-iterator
+kernels that the backend lowers straight to MXU einsums with zero
+gathers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from ..expr import iters
+from ..fun import Fun, extern, extern_grads, grad, layer, param
+
+
+def fused_attention(
+    q: Fun,
+    k: Fun,
+    v: Fun,
+    causal: bool = False,
+    scale: float = 0.0,
+    impl: str = "auto",
+) -> Fun:
+    """Fused scaled-dot-product attention over ``[batch, heads, seq, dim]``.
+
+    ``k``/``v`` may carry fewer heads than ``q`` (grouped-query/multi-query
+    attention) as long as their head count divides ``q``'s.  ``scale <= 0``
+    means 1/sqrt(head_dim).  ``impl``: "flash" (Pallas kernels), "xla"
+    (plain einsum attention), or "auto" (per-shape cost-model routing —
+    see backend/policy.py attention()).
+
+    Differentiable: the backward pass is registered through the
+    custom_grad seam and runs the fused flash backward kernels (or the
+    XLA formula, same routing).
+    """
+    if impl not in ("auto", "flash", "xla"):
+        raise ValueError(
+            f"impl must be 'auto', 'flash' or 'xla', got {impl!r}"
+        )
+    attrs = {"causal": bool(causal), "scale": float(scale), "impl": impl}
+    out, lse = extern("attention", [q, k, v], outs=2, attrs=attrs)
+    out.name = "attention"
+    lse.name = "attention.lse"
+    out.copy_shape(q)
+    lse.with_shape([q.shape[0] * q.shape[1], q.shape[2]])
+    with out.custom_grad():
+        extern_grads(
+            "attention_grad",
+            [q, k, v, out, lse, grad(out)],
+            into=[grad(q), grad(k), grad(v)],
+            attrs=attrs,
+        )
+    return out
+
+
+@layer
+def multi_head_attention(
+    x: Fun,
+    dim: int,
+    heads: int,
+    causal: bool = True,
+    kv_heads: Optional[int] = None,
+    impl: str = "auto",
+    init: float = 0.1,
+) -> Fun:
+    """Multi-head self-attention over ``[batch, seq, dim]`` inputs.
+
+    Projections are per-head contractions (q = "ntc,hcd->nhtd" einsums on
+    the MXU, no reshapes/gathers); the attention core is
+    :func:`fused_attention`; the output projection merges heads the same
+    way ("nhtd,hde->nte").  ``kv_heads`` (dividing ``heads``) enables
+    grouped-query attention with a smaller KV projection.
+    """
+    if dim % heads:
+        raise ValueError(f"dim ({dim}) must be divisible by heads ({heads})")
+    kvh = heads if kv_heads is None else kv_heads
+    if heads % kvh:
+        raise ValueError(
+            f"heads ({heads}) must be a multiple of kv_heads ({kvh})"
+        )
+    hd = dim // heads
+    rng = (-init, init)
+
+    def proj(name: str, nheads: int) -> Fun:
+        w = param([nheads, dim, hd], init_range=rng, name=name)
+        n, h, t, c, d = iters("n", "h", "t", "c", "d")
+        out = Fun(name + ".out")
+        out[n, h, t, d] = x[n, t, c] * w[h, c, d]
+        return out
+
+    q = proj("wq", heads)
+    k = proj("wk", kvh)
+    v = proj("wv", kvh)
+
+    att = fused_attention(
+        q, k, v, causal=causal, scale=1.0 / math.sqrt(hd), impl=impl
+    )
+
+    wo = param([heads, hd, dim], init_range=rng, name="wo")
+    n, h, t, d, e = iters("n", "h", "t", "d", "e")
+    out = Fun()
+    out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
+    return out

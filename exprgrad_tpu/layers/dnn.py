@@ -1,21 +1,44 @@
-"""Neural-network layers (parity: reference exprgrad/layers/dnn.nim)."""
+"""Neural-network layers (parity: reference exprgrad/layers/dnn.nim).
+
+Layers applying along the LAST dimension (dense / softmax / layer_norm /
+rms_norm) are rank-polymorphic: the number of leading batch dimensions is
+inferred from the graph (``fun.static_rank``) or given via ``rank=``, so
+rank-3 transformer activations flow through without manual reshapes
+(the reference's layers are fixed to rank 2, dnn.nim:19-100).
+"""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from ..expr import exp, iters, maximum, select
-from ..fun import Fun, grad, layer, param, rand
+from ..fun import Fun, grad, layer, param, rand, static_rank
+
+
+def _lead(values: Fun, rank: Optional[int]) -> list:
+    """Leading (batch) iterators for a layer applied along the last dim."""
+    r = rank if rank is not None else (static_rank(values) or 2)
+    if r < 1:
+        r = 2
+    names = ["y"] if r == 2 else [f"b{i}" for i in range(r - 1)]
+    got = iters(*names)
+    return [got] if len(names) == 1 else list(got)
 
 
 @layer
-def dense(values: Fun, inp: int, outp: int, has_bias: bool = True) -> Fun:
+def dense(values: Fun, inp: int, outp: int, has_bias: bool = True,
+          rank: Optional[int] = None) -> Fun:
+    """Affine map along the last dim over any number of leading dims."""
     weights = param([inp, outp], name="weights")
-    y, x, it = iters("y", "x", "it")
+    lead = _lead(values, rank)
+    x, it = iters("x", "it")
     out = Fun()
-    out[y, x] = values[y, it] * weights[it, x]
+    out[(*lead, x)] = values[(*lead, it)] * weights[it, x]
     if has_bias:
         bias = param([outp], name="bias")
-        y, x = iters("y", "x")
-        out[y, x] = bias[x]
+        lead = _lead(values, rank)
+        x = iters("x")
+        out[(*lead, x)] = bias[x]
     return out
 
 
@@ -177,8 +200,8 @@ def upsample2(images: Fun) -> Fun:
 
 
 @layer
-def softmax(inp: Fun) -> Fun:
-    """Numerically exact row softmax using a true max-reduction.
+def softmax(inp: Fun, rank: Optional[int] = None) -> Fun:
+    """Numerically exact softmax along the last dim, any leading dims.
 
     The row max is computed with a max-accumulation kernel (``maximize``, a
     language extension; the reference's sum-only language cannot express it
@@ -186,24 +209,29 @@ def softmax(inp: Fun) -> Fun:
     gradient of exp(u) contains exp(u)^2, overflowing f32 at logit spread
     ~44 while the forward pass still looks fine).
     """
-    y, x = iters("y", "x")
+    lead = _lead(inp, rank)
+    x = iters("x")
     row_max = Fun("softmax.max")
-    row_max.maximize[y] = inp[y, x]
-    y, x = iters("y", "x")
+    row_max.maximize[tuple(lead)] = inp[(*lead, x)]
+    lead = _lead(inp, rank)
+    x = iters("x")
     sums = Fun("softmax.sums")
-    sums[y] = exp(inp[y, x] - row_max[y])
-    y, x = iters("y", "x")
+    sums[tuple(lead)] = exp(inp[(*lead, x)] - row_max[tuple(lead)])
+    lead = _lead(inp, rank)
+    x = iters("x")
     out = Fun()
-    out[y, x] = exp(inp[y, x] - row_max[y]) / sums[y]
+    out[(*lead, x)] = (
+        exp(inp[(*lead, x)] - row_max[tuple(lead)]) / sums[tuple(lead)]
+    )
     return out
 
 
 @layer
 def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
-               init: float = 0.1) -> Fun:
-    """Layer normalization of ``[rows, dim]`` inputs (Ba et al. 2016) with
+               init: float = 0.1, rank: Optional[int] = None) -> Fun:
+    """Layer normalization along the last dim (Ba et al. 2016) with
     learned scale/shift — beyond the reference's layer set (dnn.nim tops
-    out at softmax).  Reshape higher-rank tensors to rank 2 around it.
+    out at softmax).  Applies over any number of leading dims.
     The mean/variance reductions and the normalization are plain kernels;
     the compiler derives the (nontrivial) gradient through both
     reductions symbolically."""
@@ -211,38 +239,45 @@ def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
 
     inv_d = 1.0 / dim
     n = Fun("ln.mean")
-    y, x = iters("y", "x")
-    n[y] = inp[y, x] * inv_d
+    lead = _lead(inp, rank)
+    x = iters("x")
+    n[tuple(lead)] = inp[(*lead, x)] * inv_d
 
     v = Fun("ln.var")
-    y, x = iters("y", "x")
-    v[y] = sq(inp[y, x] - n[y]) * inv_d
+    lead = _lead(inp, rank)
+    x = iters("x")
+    v[tuple(lead)] = sq(inp[(*lead, x)] - n[tuple(lead)]) * inv_d
 
     gamma = param([dim], init_range=(1.0 - init, 1.0 + init), name="ln.g")
     beta = param([dim], init_range=(-init, init), name="ln.b")
-    y, x = iters("y", "x")
+    lead = _lead(inp, rank)
+    x = iters("x")
     out = Fun("ln.out")
-    out[y, x] = (
-        (inp[y, x] - n[y]) / sqrt(v[y] + eps) * gamma[x] + beta[x]
+    out[(*lead, x)] = (
+        (inp[(*lead, x)] - n[tuple(lead)]) / sqrt(v[tuple(lead)] + eps)
+        * gamma[x] + beta[x]
     )
     return out
 
 
 @layer
 def rms_norm(inp: Fun, dim: int, eps: float = 1e-5,
-             init: float = 0.1) -> Fun:
-    """RMS normalization of ``[rows, dim]`` inputs (Zhang & Sennrich 2019):
-    x / rms(x) * gamma, no mean subtraction — the norm used by modern LMs."""
+             init: float = 0.1, rank: Optional[int] = None) -> Fun:
+    """RMS normalization along the last dim (Zhang & Sennrich 2019):
+    x / rms(x) * gamma, no mean subtraction — the norm used by modern LMs.
+    Applies over any number of leading dims."""
     from ..expr import sq, sqrt
 
     ms = Fun("rms.ms")
-    y, x = iters("y", "x")
-    ms[y] = sq(inp[y, x]) * (1.0 / dim)
+    lead = _lead(inp, rank)
+    x = iters("x")
+    ms[tuple(lead)] = sq(inp[(*lead, x)]) * (1.0 / dim)
 
     gamma = param([dim], init_range=(1.0 - init, 1.0 + init), name="rms.g")
-    y, x = iters("y", "x")
+    lead = _lead(inp, rank)
+    x = iters("x")
     out = Fun("rms.out")
-    out[y, x] = inp[y, x] / sqrt(ms[y] + eps) * gamma[x]
+    out[(*lead, x)] = inp[(*lead, x)] / sqrt(ms[tuple(lead)] + eps) * gamma[x]
     return out
 
 

@@ -4,8 +4,8 @@ from .xor import xor_mlp, xor_from_scratch
 from .mnist import fashion_mnist_cnn
 from .gan import mnist_gan
 from .autoencoder import conv_autoencoder
-from .transformer import tiny_transformer
+from .transformer import flash_transformer, tiny_transformer
 from .mixer import tiny_mixer
 from .mobile import mobile_cnn
 
-__all__ = ["conv_autoencoder", "fashion_mnist_cnn", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

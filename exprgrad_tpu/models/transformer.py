@@ -17,6 +17,8 @@ from ..expr import exp, iters, select, to_index, to_scalar
 from ..fun import Fun, input, make_opt, param
 from ..layers import adam
 
+__all__ = ["tiny_transformer", "flash_transformer"]
+
 
 def _softmax_last(logits: Fun, vocab: int = 0) -> Fun:
     """Exact max-shifted softmax over the last of 3 dims (true
@@ -128,6 +130,92 @@ def tiny_transformer(
     labels = input("labels")
     from ..expr import ln
 
+    it = iters("it")
+    loss = Fun("loss")
+    loss[0] = -(labels.raw[it] * ln(predict.raw[it] + 1e-9)) / to_scalar(
+        labels.shape[0] * labels.shape[1]
+    )
+    return (
+        loss.target("loss")
+        .backwards()
+        .optimize(make_opt(adam, eta=eta))
+        .target("train")
+    )
+
+
+def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng) -> Fun:
+    """Token + learned-position embeddings (gather + bounded-iterator add)."""
+    from ..expr import irange
+
+    n, t, d = iters("n", "t", "d")
+    x = Fun("x")
+    emb = param([vocab, dim], init_range=rng, name="embed")
+    x[n, t, d] = emb[to_index(tokens[n, t]), d]
+    n, d = iters("n", "d")
+    t = irange("t", 0, tokens.shape[1])
+    pos = param([max_seq, dim], init_range=rng, name="pos")
+    x[n, t, d] = pos[t, d]
+    x.with_shape([tokens.shape[0], tokens.shape[1], dim])
+    return x
+
+
+def _residual(a: Fun, b: Fun, name: str) -> Fun:
+    n, t, d = iters("n", "t", "d")
+    out = Fun(name)
+    out[n, t, d] = a[n, t, d]
+    n, t, d = iters("n", "t", "d")
+    out[n, t, d] = b[n, t, d]  # second kernel accumulates
+    return out
+
+
+def flash_transformer(
+    vocab: int = 8,
+    dim: int = 16,
+    heads: int = 2,
+    hidden: int = 32,
+    blocks: int = 1,
+    max_seq: int = 64,
+    kv_heads=None,
+    eta: float = 0.005,
+    init: float = 0.2,
+    impl: str = "auto",
+) -> Fun:
+    """Pre-norm causal LM built from the rank-polymorphic layer library —
+    the flagship DSL transformer.
+
+    Each block is ``x += mha(rms_norm(x)); x += ffn(rms_norm(x))`` with
+    :func:`exprgrad_tpu.layers.multi_head_attention` (fused flash/XLA
+    attention through the extern custom-grad seam — the attention weight
+    matrix never hits HBM on the flash path) and rank-3 ``rms_norm`` /
+    ``dense`` applied without any manual reshapes.  Same interface as
+    :func:`tiny_transformer`: inputs "tokens" [batch, seq] and "labels"
+    [batch, seq, vocab]; targets "predict" and "train".
+    """
+    from ..expr import ln
+    from ..layers import dense, multi_head_attention, relu, rms_norm, softmax
+
+    rng = (-init, init)
+    tokens = input("tokens")
+    x = _embed(tokens, vocab, dim, max_seq, rng)
+
+    for b in range(blocks):
+        att = multi_head_attention(
+            rms_norm(x, dim, rank=3), dim, heads, causal=True,
+            kv_heads=kv_heads, impl=impl,
+        )
+        x = _residual(att, x, f"blk{b}.att")
+        ff = (
+            rms_norm(x, dim, rank=3)
+            .pipe(dense, dim, hidden, rank=3)
+            .pipe(relu)
+            .pipe(dense, hidden, dim, rank=3)
+        )
+        x = _residual(ff, x, f"blk{b}.ff")
+
+    logits = dense(rms_norm(x, dim, rank=3), dim, vocab, rank=3)
+    predict = softmax(logits, rank=3).target("predict")
+
+    labels = input("labels")
     it = iters("it")
     loss = Fun("loss")
     loss[0] = -(labels.raw[it] * ln(predict.raw[it] + 1e-9)) / to_scalar(

@@ -356,13 +356,29 @@ def generate(program: Program) -> None:
                 for fwd in reversed(target.kernels[:it]):
                     if fwd.generator.kind != GenKind.NONE:
                         continue
-                    for read in fwd.reads:
-                        if read.tensor not in grad_tensors:
+                    if (
+                        fwd.extern is not None
+                        and fwd.write is not None
+                        and fwd.write.tensor not in grad_tensors
+                    ):
+                        # opaque result never consumed on the loss path
+                        # (e.g. the saved-logsumexp output of a fused
+                        # attention, read only by its backward kernels)
+                        continue
+                    if fwd.extern is not None and fwd.custom_grad is None:
+                        raise GradientError(
+                            f"extern op {fwd.extern.name!r} has no "
+                            "gradient: attach one with custom_grad + "
+                            "extern_grads, or keep its result off the "
+                            "loss path"
+                        )
+                    for tid in fwd.input_tensors():
+                        if tid not in grad_tensors:
                             gt = program.alloc_tensor(
                                 ir.TensorDef(ir.TensorKind.RESULT)
                             )
-                            _copy_shape(target, gt, read.tensor)
-                            grad_tensors[read.tensor] = gt
+                            _copy_shape(target, gt, tid)
+                            grad_tensors[tid] = gt
                     if fwd.custom_grad is not None:
                         cg = fwd.custom_grad
                         subs = dict(cg.subs)

@@ -161,8 +161,8 @@ def dead_kernel_elim(program: Program) -> None:
                 continue
             assert kernel.write is not None
             if kernel.write.tensor in used:
-                for read in kernel.reads:
-                    used.add(read.tensor)
+                for tid in kernel.input_tensors():
+                    used.add(tid)
                 for instr in kernel.expr.instrs:
                     if instr.tensor is not None:
                         used.add(instr.tensor)
@@ -260,4 +260,6 @@ def collect_tensors(program: Program) -> None:
                 walk_instrs(loop.stop.setup, tensors)
             walk_instrs(kernel.setup, tensors)
             walk_instrs(kernel.expr.instrs, tensors)
+            if kernel.extern is not None:
+                tensors.update(kernel.extern.inputs)
         target.tensors = tensors

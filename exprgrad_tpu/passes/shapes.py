@@ -427,7 +427,9 @@ def infer_shape_constraints(program: Program) -> None:
                 )
             )
         for kernel in target.kernels:
-            if kernel.generator.kind == ir.GenKind.NONE:
+            # extern results are opaque: their shapes come from the user's
+            # with_shape/copy_shape annotation (enforced by the sort pass)
+            if kernel.generator.kind == ir.GenKind.NONE and kernel.extern is None:
                 target.shapes.extend(_kernel_constraints(kernel))
 
 

@@ -1,0 +1,83 @@
+"""flash_transformer: the layer-library causal LM (fused attention +
+rank-polymorphic norms/dense, zero manual reshapes)."""
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu import compile
+from exprgrad_tpu.models import flash_transformer
+
+VOCAB = 6
+
+
+def _data(rng, n=4, t=8):
+    toks = rng.integers(0, VOCAB, (n, t)).astype(np.float32)
+    labels = np.eye(VOCAB, dtype=np.float32)[rng.integers(0, VOCAB, (n, t))]
+    return {"tokens": toks, "labels": labels}
+
+
+def test_flash_transformer_matches_oracle():
+    mj = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2),
+                 backend="jax", seed=0)
+    mi = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2),
+                 backend="interp", seed=0)
+    rng = np.random.default_rng(0)
+    args = _data(rng)
+    p_diff = np.max(np.abs(
+        mj.call("predict", {"tokens": args["tokens"]})
+        - mi.call("predict", {"tokens": args["tokens"]})
+    ))
+    assert p_diff < 1e-6
+    for _ in range(3):
+        mj.epoch += 1
+        mi.epoch += 1
+        lj = mj.call("loss", args)[0]
+        li = mi.call("loss", args)[0]
+        assert abs(float(lj) - float(li)) < 1e-5
+        mj.apply("train", args)
+        mi.apply("train", args)
+    for tid in mj.params:
+        assert np.max(np.abs(np.asarray(mj.params[tid]) - mi.params[tid])) < 1e-5
+
+
+def test_flash_transformer_learns():
+    model = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2),
+                    backend="jax", seed=1)
+    rng = np.random.default_rng(1)
+    args = _data(rng)
+    first = float(model.call("loss", args)[0])
+    for _ in range(40):
+        model.epoch += 1
+        model.apply("train", args)
+    last = float(model.call("loss", args)[0])
+    assert last < first * 0.5
+
+
+def test_flash_transformer_gqa_compiles_and_trains():
+    model = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=4, kv_heads=2),
+        backend="jax", seed=2,
+    )
+    rng = np.random.default_rng(2)
+    args = _data(rng)
+    model.epoch += 1
+    model.apply("train", args)
+    for tid in model.params:
+        assert np.isfinite(np.asarray(model.params[tid])).all()
+
+
+def test_flash_transformer_lowering_guard():
+    """Backend regression guard: the train step must stay free of scatter
+    lowerings except the single embedding-table gradient, and route
+    attention through the extern kernels."""
+    model = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2),
+                    backend="jax", seed=3)
+    rng = np.random.default_rng(3)
+    args = _data(rng)
+    model.epoch += 1
+    model.apply("train", args)
+    stats = model.lowering_stats("train")
+    assert stats.get("extern:attention") == 2      # out + lse kernels
+    assert stats.get("extern:attention_grad") == 3  # dq, dk, dv
+    assert stats.get("general-scatter", 0) <= 1    # embedding grad only
+    assert "general-gather" not in stats
