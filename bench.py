@@ -70,9 +70,22 @@ def bench_matmul(n: int = 8192, dtype: str = "float32",
 
 
 def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
-                dtype="float32", chain: int = 6):
-    """Conv throughput: `chain` convolutions over distinct inputs run as one
-    scanned XLA program (one dispatch), like the compiled-epoch trainer."""
+                dtype="float32", chains=(10, 50)):
+    """Compute-bound conv characterization (honest MFU).
+
+    Each measurement is ONE dispatch running a data-dependent feedback
+    chain of convolutions (conv -> pad back to input size -> conv ...) so
+    per-conv cost cannot hide behind parallel scheduling, and the timing
+    is taken as the DIFFERENCE between a long and a short chain — the
+    ~25ms tunnel round-trip and dispatch overheads cancel exactly.  The
+    same two-length protocol runs the compiler's lowering and a raw
+    ``lax.conv_general_dilated`` loop, so the "zero compiler overhead"
+    claim is a measured number, not an assertion.
+
+    Returns (gflops, seconds_per_conv, raw_gflops).
+    """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -94,31 +107,68 @@ def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
     )
     executor = JaxExecutor(program, "out", shapes, precision="default")
     rng = np.random.default_rng(0)
-    stack = jax.device_put(
-        rng.normal(size=(chain, batch, size, size, cin)).astype(dtype) * 0.1
+    images = jax.device_put(
+        rng.normal(size=(batch, size, size, cin)).astype(dtype)
     )
+    # unit-variance-preserving filters keep the chained values bounded
     filters = jax.device_put(
-        rng.normal(size=(cout, k, k, cin)).astype(dtype) * 0.1
+        (rng.normal(size=(cout, k, k, cin)) / np.sqrt(k * k * cin)).astype(
+            dtype
+        )
     )
+    pad = k - 1
 
-    @jax.jit
-    def many(stack, filters):
-        def body(acc, images):
+    def chain_compiled(images, filters, n):
+        def body(imgs, _):
             out = executor.run_fn(
-                {img_id: images, flt_id: filters}, 0, 0
+                {img_id: imgs, flt_id: filters}, 0, 0
             )[out_id]
-            return acc + jnp.sum(out), None
+            nxt = jnp.pad(out, ((0, 0), (0, pad), (0, pad), (0, 0)))
+            return nxt.astype(imgs.dtype), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), stack)
-        return total
+        final, _ = jax.lax.scan(body, images, None, length=n)
+        return jnp.sum(final.astype(jnp.float32))
 
-    float(many(stack, filters))  # compile + warmup
-    t = time.perf_counter()
-    float(many(stack, filters))
-    elapsed = (time.perf_counter() - t) / chain
+    def chain_raw(images, filters, n):
+        flt = jnp.transpose(filters, (1, 2, 3, 0))  # HWIO
+
+        def body(imgs, _):
+            out = jax.lax.conv_general_dilated(
+                imgs, flt, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            nxt = jnp.pad(out, ((0, 0), (0, pad), (0, pad), (0, 0)))
+            return nxt.astype(imgs.dtype), None
+
+        final, _ = jax.lax.scan(body, images, None, length=n)
+        return jnp.sum(final.astype(jnp.float32))
+
+    def time_pair(fn, reps: int = 3):
+        short = jax.jit(functools.partial(fn, n=chains[0]))
+        long = jax.jit(functools.partial(fn, n=chains[1]))
+        float(short(images, filters))  # compile + warmup
+        float(long(images, filters))
+
+        def best(f):
+            times = []
+            for _ in range(reps):
+                t = time.perf_counter()
+                float(f(images, filters))
+                times.append(time.perf_counter() - t)
+            return min(times)
+
+        t_short, t_long = best(short), best(long)
+        diff = t_long - t_short
+        if diff <= 0:  # timing noise swamped the difference (tiny shapes)
+            return t_long / chains[1]
+        return diff / (chains[1] - chains[0])
+
+    per_conv = time_pair(chain_compiled)
+    per_conv_raw = time_pair(chain_raw)
     out_hw = size - k + 1
     flops = 2 * batch * out_hw * out_hw * cout * k * k * cin
-    return flops / elapsed / 1e9, elapsed
+    return flops / per_conv / 1e9, per_conv, flops / per_conv_raw / 1e9
 
 
 def bench_mnist_epoch(n_samples=8192, batch=256):
@@ -246,13 +296,25 @@ def main() -> None:
 
     _log("bench: conv2 ...")
     try:
-        conv_gflops, conv_t = bench_conv2()
+        conv_gflops, conv_t, raw_gflops = bench_conv2()
         details["conv2_b32_64x64x128_k3x128"] = {
             "gflops": round(conv_gflops, 1),
-            "seconds": conv_t,
-            "note": "identical to raw lax.conv on the same shapes -- the "
-                    "compiler's conv lowering adds zero overhead",
+            "seconds_per_conv": conv_t,
+            "mfu_vs_197tflops": round(conv_gflops * 1e9 / roofline0, 4),
+            "raw_lax_conv_gflops": round(raw_gflops, 1),
+            "compiler_overhead_pct": round(
+                (raw_gflops / conv_gflops - 1.0) * 100, 2
+            ),
+            "methodology": "per-conv time = (T(chain=50) - T(chain=10)) / "
+                           "40 of a data-dependent conv->pad->conv feedback "
+                           "chain in ONE dispatch; tunnel RTT and dispatch "
+                           "overhead cancel in the difference",
         }
+        _log(
+            f"bench: conv2 {conv_gflops:.0f} GFLOP/s compiled vs "
+            f"{raw_gflops:.0f} raw lax.conv "
+            f"({conv_gflops * 100 / roofline0 * 1e9:.1f}% MFU)"
+        )
     except Exception as err:  # keep the headline robust
         details["conv2_error"] = str(err)
 

@@ -138,8 +138,10 @@ class JaxExecutor:
                 if i in self.fused:
                     pm, epi = self.fused[i]
                     value = pm.lower_fused(tensors, epi)
-                    t2 = epi.kernel.write.tensor
-                    tensors[t2] = tensors[t2] + value
+                    t2 = epi.final_tensor
+                    tensors[t2] = tensors[t2] + value.reshape(
+                        tuple(self.shapes[t2])
+                    )
                     self.stats["pallas-fused"] = (
                         self.stats.get("pallas-fused", 0) + 1
                     )

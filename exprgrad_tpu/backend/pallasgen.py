@@ -194,25 +194,30 @@ class PallasMatmul:
             return False
         if len(set(w_axes)) != 2 or len(low.sizes) != 3:
             return False
-        # identify y (rows), x (cols), k (contraction)
+        # identify the contraction axis, then orient the reads: A must be
+        # laid out [rows, k] and B [k, cols] (operand transposes stay on
+        # the einsum path; the MXU wants these layouts)
         k_candidates = set(a_axes) & set(b_axes)
         if len(k_candidates) != 1:
             return False
         k = next(iter(k_candidates))
         if k in w_axes:
             return False
-        y_axis, x_axis = w_axes
-        # a must be [y, k] (transpose handled by swapping reads)
-        if set(a_axes) == {x_axis, k} and set(b_axes) == {y_axis, k}:
+        if a_axes[1] == k and b_axes[0] == k:
+            pass
+        elif b_axes[1] == k and a_axes[0] == k:
             a_read, b_read = b_read, a_read
             a_axes, b_axes = b_axes, a_axes
-        if set(a_axes) != {y_axis, k} or set(b_axes) != {x_axis, k}:
+        else:
             return False
-        if a_axes != [y_axis, k] or b_axes != [k, x_axis]:
-            return False  # layout transposes: leave to the einsum path
+        y_axis, x_axis = a_axes[0], b_axes[1]
+        if set(w_axes) != {y_axis, x_axis}:
+            return False
 
         self.a_read, self.b_read = a_read, b_read
         self.y_axis, self.x_axis, self.k_axis = y_axis, x_axis, k
+        # transposed store: c[x, y] += a[y, k] * b[k, x]
+        self.transposed = w_axes == [x_axis, y_axis]
         m, n, kk = (
             low.sizes[y_axis], low.sizes[x_axis], low.sizes[k]
         )
@@ -244,31 +249,29 @@ class PallasMatmul:
         return True
 
     def lower(self, tensors: dict):
-        from ..ops.matmul import pallas_matmul
+        from ..ops.matmul import _matmul_impl
 
         low = self.low
         a = tensors[self.a_read.tensor]
         b = tensors[self.b_read.tensor]
-        value = pallas_matmul(
+        value = _matmul_impl(
             a,
             b,
             block_m=self.bm,
             block_n=self.bn,
             block_k=self.bk,
             out_dtype=np.dtype(low.dtype),
+            transpose_out=self.transposed,
         )
-
         write = self.kernel.write
         assert write is not None
-        # write dims may be [y, x] or [x, y]
-        if [low._pure_iter(d) for d in write.dims] == [self.x_axis, self.y_axis]:
-            value = value.T
         return tensors[write.tensor] + value
 
-    def lower_fused(self, tensors: dict, epilogue: "PallasEpilogue"):
-        """Lower matmul + the consumer's elementwise epilogue as ONE Pallas
-        kernel: the epilogue runs on the f32 accumulator block in VMEM at
-        the last reduction step, so the product matrix never touches HBM."""
+    def lower_fused(self, tensors: dict, epilogue: "PallasEpilogueChain"):
+        """Lower matmul + the folded consumer chain as ONE Pallas kernel:
+        the epilogue expressions run on the f32 accumulator block in VMEM
+        at the last reduction step, so neither the product matrix nor any
+        chain intermediate ever touches HBM."""
         from ..ops.matmul import _matmul_impl
 
         low = self.low
@@ -287,19 +290,190 @@ class PallasMatmul:
             out_dtype=np.dtype(low.dtype),
             epilogue=epilogue.fn,
             extra=tuple(extra),
+            transpose_out=self.transposed,
         )
+
+
+# elementwise ops an epilogue may contain (everything index-typed, tensor
+# -shaped-query or array-valued stays on the general path)
+_EPILOGUE_OPS = _ELEMENTWISE_OPS
+
+
+class _EpilogueStep:
+    """One folded kernel of an epilogue chain.
+
+    ``kind="map"``: a consumer kernel reading the running value (``src``)
+    pointwise and writing a new tensor — out = f(acc, extras).
+    ``kind="add"``: an additional accumulating writer of the running
+    tensor (dense's bias kernel, dnn.py:42-46) — out = acc + f(extras).
+
+    Two shapes are accepted in the [rows, cols] frame: rank-2 pointwise
+    kernels (extras may be "row"/"col" rank-1 broadcasts or "full"
+    same-shape tensors) and flat ``.raw`` elementwise kernels over
+    rows*cols elements (relu-style layers; extras are "full" tensors of
+    the same total size, reshaped to the frame — positionwise identical
+    because elementwise expressions are position-independent).
+    """
+
+    def __init__(self, kernel: Kernel, kind: str):
+        self.kernel = kernel
+        self.kind = kind
+        self.read_pattern: dict[int, str] = {}  # data reg -> pattern
+        self.extra: list[tuple[int, str]] = []
+
+    def fn(self, acc, blocks):
+        """Evaluate on VMEM blocks; ``blocks`` is an iterator over this
+        step's extra operand blocks (already in frame layout)."""
+        import jax.numpy as jnp
+
+        env: dict[int, object] = {}
+        for read in self.kernel.reads:
+            pat = self.read_pattern[read.data]
+            if pat == "acc":
+                env[read.data] = acc
+            else:
+                env[read.data] = next(blocks).astype(jnp.float32)
+        value = eval_elementwise(
+            self.kernel.expr.instrs, self.kernel.expr.res, env
+        )
+        value = jnp.broadcast_to(value, acc.shape)
+        return acc + value if self.kind == "add" else value
+
+
+def _classify_step(low, kernel: Kernel, src: int, rows: int, cols: int,
+                   kind: str) -> Optional[_EpilogueStep]:
+    """Classify ``kernel`` as a foldable epilogue step in the
+    [rows, cols] frame, reading the running value from tensor ``src``
+    (for kind="map"); returns None when it does not match."""
+    write = kernel.write
+    if (
+        write is None
+        or kernel.setup
+        or write.accumulate != "add"
+        or kernel.generator.kind != ir.GenKind.NONE
+        or kernel.custom_grad is not None
+        or kernel.extern is not None
+    ):
+        return None
+    if not low._bounds_ok or low.dynamic_axes:
+        return None
+    if any(s != 0 for s in low.starts):
+        return None
+
+    total = rows * cols
+    raw = write.is_raw
+    if raw:
+        if len(kernel.loops) != 1 or low.sizes != [total]:
+            return None
+        if low._pure_iter(write.dims[0]) != 0:
+            return None
+        out_shape = low.shapes[write.tensor]
+        if int(np.prod(out_shape, dtype=np.int64)) != total:
+            return None
+    else:
+        if len(kernel.loops) != 2 or low.sizes != [rows, cols]:
+            return None
+        if len(write.dims) != 2:
+            return None
+        if [low._pure_iter(d) for d in write.dims] != [0, 1]:
+            return None
+        if low.shapes[write.tensor] != [rows, cols]:
+            return None
+
+    step = _EpilogueStep(kernel, kind)
+    saw_src = False
+    for read in kernel.reads:
+        shape = low.shapes[read.tensor]
+        if read.is_raw:
+            if not raw or low._pure_iter(read.dims[0]) != 0:
+                return None
+            if int(np.prod(shape, dtype=np.int64)) != total:
+                return None
+            pat = "full"
+        else:
+            if raw:
+                return None
+            axes = [low._pure_iter(d) for d in read.dims]
+            if any(a is None for a in axes):
+                return None
+            if axes == [0, 1] and shape == [rows, cols]:
+                pat = "full"
+            elif axes == [1] and shape == [cols]:
+                pat = "row"
+            elif axes == [0] and shape == [rows]:
+                pat = "col"
+            else:
+                return None
+        if read.tensor == src and pat == "full" and kind == "map":
+            step.read_pattern[read.data] = "acc"
+            saw_src = True
+            continue
+        if read.tensor == src:
+            return None  # add-steps may not read the running tensor
+        step.read_pattern[read.data] = pat
+        step.extra.append((read.tensor, pat))
+
+    if kind == "map" and not saw_src:
+        return None
+    defined = set(step.read_pattern)
+    for instr in kernel.expr.instrs:
+        if instr.op not in _EPILOGUE_OPS:
+            return None
+        if any(arg not in defined for arg in instr.args):
+            return None  # references a loop iterator
+        if instr.res is not None:
+            defined.add(instr.res)
+    if kernel.expr.res not in defined:
+        return None
+    return step
+
+
+class PallasEpilogueChain:
+    """A sequence of folded epilogue steps applied to the accumulator."""
+
+    def __init__(self, steps: list[_EpilogueStep], final_tensor: int,
+                 rows: int, cols: int):
+        self.steps = steps
+        self.final_tensor = final_tensor
+        self.rows, self.cols = rows, cols
+        self.extra: list[tuple[int, str]] = [
+            e for step in steps for e in step.extra
+        ]
+
+    def prepare(self, arr, pattern: str):
+        """Bring an extra operand into the 2-D frame layout."""
+        if pattern == "row":
+            return arr.reshape(1, -1)
+        if pattern == "col":
+            return arr.reshape(-1, 1)
+        return arr.reshape(self.rows, self.cols)
+
+    def fn(self, acc, *blocks):
+        it = iter(blocks)
+        for step in self.steps:
+            acc = step.fn(acc, it)
+        return acc
 
 
 def plan_epilogue_fusions(program, target, shapes, dtype, precision,
                           policy=None):
-    """Plan matmul+epilogue fusions for one target.
+    """Plan matmul+epilogue-chain fusions for one target.
 
-    Returns ``(fused, skipped)``: ``fused[i]`` is the (PallasMatmul,
-    PallasEpilogue) pair for the scheduled matmul at kernel index ``i``
-    whose consumer at ``i+1`` is folded into its flush step; ``skipped``
-    is the set of consumer kernel indices and intermediate tensor ids to
-    drop.  A fusion is only legal when the intermediate is a RESULT tensor
-    written once, read only by the consumer, and not the target output.
+    For every scheduled Pallas-matched matmul, folds into its VMEM flush
+    step (a) every additional accumulating writer of its output (bias
+    kernels) and (b) the chain of single-consumer elementwise kernels
+    downstream (activation, residual-style maps, rank-1 broadcasts) —
+    dense+bias+relu(+more) becomes ONE Pallas kernel; chain intermediates
+    never exist in HBM.  Transposed stores (``c[x, y]``) fuse too (the
+    accumulator block transposes in VMEM).
+
+    Returns ``(fused, skipped_kernels, skipped_tensors)``: ``fused[i]`` is
+    the (PallasMatmul, PallasEpilogueChain) pair for the matmul at kernel
+    index ``i``; ``skipped_kernels`` are the folded kernels' indices and
+    ``skipped_tensors`` the intermediate tensors that no longer
+    materialize.  Folding is only legal when each intermediate is a
+    RESULT tensor, not the target output, written/read exclusively by the
+    folded kernels.
     """
     from .jaxeval import KernelLowering
 
@@ -307,32 +481,36 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
     reads_of: dict[int, list[int]] = {}
     writes_of: dict[int, list[int]] = {}
     for idx, kernel in enumerate(kernels):
-        for read in kernel.reads:
-            reads_of.setdefault(read.tensor, []).append(idx)
+        for tid in kernel.input_tensors():
+            reads_of.setdefault(tid, []).append(idx)
         if kernel.write is not None:
             writes_of.setdefault(kernel.write.tensor, []).append(idx)
+
+    def lowering_for(kernel):
+        try:
+            low = KernelLowering(program, kernel, shapes, dtype, precision)
+        except Exception:
+            return None
+        if not low._bounds_ok or low.dynamic_axes:
+            return None
+        return low
 
     fused: dict[int, tuple] = {}
     skipped_kernels: set[int] = set()
     skipped_tensors: set[int] = set()
     for idx in range(len(kernels) - 1):
         kernel = kernels[idx]
-        if kernel.write is None or kernel.write.accumulate != "add":
+        if idx in skipped_kernels or kernel.write is None:
             continue
-        if not is_scheduled(kernel):
+        if kernel.write.accumulate != "add" or not is_scheduled(kernel):
             continue
         t1 = kernel.write.tensor
         if program.tensors[t1].kind != ir.TensorKind.RESULT:
             continue
         if t1 == target.output:
             continue
-        if writes_of.get(t1) != [idx] or reads_of.get(t1) != [idx + 1]:
-            continue
-        try:
-            low1 = KernelLowering(program, kernel, shapes, dtype, precision)
-        except Exception:
-            continue
-        if not low1._bounds_ok or low1.dynamic_axes:
+        low1 = lowering_for(kernel)
+        if low1 is None:
             continue
         pm = PallasMatmul(low1, kernel)
         if not pm.ok:
@@ -341,137 +519,70 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
             pm.m, pm.n, pm.k, fused=True
         ).use_pallas:
             continue  # run() will report the fallback for the scheduled kernel
-        # matmul must write [y, x] directly (no transposed store)
-        if [low1._pure_iter(d) for d in kernel.write.dims] != [
-            pm.y_axis, pm.x_axis
-        ]:
+        # frame: the value's [rows, cols] layout as stored
+        rows, cols = (pm.n, pm.m) if pm.transposed else (pm.m, pm.n)
+
+        steps: list[_EpilogueStep] = []
+        folded: set[int] = set()      # kernel indices folded so far
+        dropped: set[int] = set()     # intermediate tensors folded away
+        cur = t1
+        ok = True
+        while True:
+            at_t1 = cur == t1  # t1 must fold away fully or not at all
+            writers = writes_of.get(cur, [])
+            readers = reads_of.get(cur, [])
+            expected = folded | ({idx} if at_t1 else set())
+            own = [w for w in writers if w not in expected]
+            # absorb additional accumulating writers (bias kernels); each
+            # must precede every reader (fold moves it to the matmul's
+            # slot, which must not change what any reader observes) and
+            # not belong to another fusion chain
+            add_ok = True
+            for w in own:
+                low_w = lowering_for(kernels[w])
+                step = (
+                    _classify_step(low_w, kernels[w], cur, rows, cols, "add")
+                    if low_w is not None and w not in skipped_kernels
+                    and (not readers or w < min(readers))
+                    else None
+                )
+                if step is None:
+                    add_ok = False
+                    break
+                steps.append(step)
+                folded.add(w)
+            if not add_ok or len(readers) != 1:
+                ok = not at_t1
+                break
+            j = readers[0]
+            consumer = kernels[j]
+            low2 = lowering_for(consumer)
+            step = (
+                _classify_step(low2, consumer, cur, rows, cols, "map")
+                if low2 is not None and j > idx and j not in skipped_kernels
+                else None
+            )
+            if step is None:
+                ok = not at_t1
+                break
+            steps.append(step)
+            folded.add(j)
+            dropped.add(cur)
+            cur = consumer.write.tensor
+            if (
+                program.tensors[cur].kind != ir.TensorKind.RESULT
+                or cur == target.output
+            ):
+                break  # cur is the final landing tensor; stop folding
+
+        if not ok or not steps:
             continue
-        consumer = kernels[idx + 1]
-        if consumer.write is None or consumer.write.tensor == t1:
-            continue
-        try:
-            low2 = KernelLowering(program, consumer, shapes, dtype, precision)
-        except Exception:
-            continue
-        epi = PallasEpilogue(low2, consumer, t1, pm.m, pm.n)
-        if not epi.ok:
-            continue
-        fused[idx] = (pm, epi)
-        skipped_kernels.add(idx + 1)
-        skipped_tensors.add(t1)
-    return fused, skipped_kernels, skipped_tensors
-
-
-# elementwise ops an epilogue may contain (everything index-typed, tensor
-# -shaped-query or array-valued stays on the general path)
-_EPILOGUE_OPS = _ELEMENTWISE_OPS
-
-
-class PallasEpilogue:
-    """Classify a consumer kernel as a fusable elementwise epilogue.
-
-    Pattern (the reference's motivating case is dense+bias+activation,
-    dnn.nim:20-35, where the GPU backend relies on kernel fusion): the
-    kernel after a scheduled matmul writing ``t``:
-
-        out[y, x] = f(t[y, x], row[x], col[y], full[y, x], consts...)
-
-    — a pure scalar expression over the matmul result read pointwise plus
-    rank-1 broadcasts and same-shape tensors.  The expression is evaluated
-    on VMEM blocks inside the matmul kernel at flush time.
-    """
-
-    def __init__(self, low, kernel: Kernel, produced: int, m: int, n: int):
-        self.low = low          # KernelLowering for the CONSUMER kernel
-        self.kernel = kernel
-        self.produced = produced  # tensor id written by the matmul
-        self.m, self.n = m, n
-        self.extra: list[tuple[int, str]] = []  # (tensor id, pattern)
-        self._read_pattern: dict[int, str] = {}  # read data reg -> pattern
-        self.ok = self._classify()
-
-    def _classify(self) -> bool:
-        low = self.low
-        kernel = self.kernel
-        write = kernel.write
-        if (
-            write is None
-            or write.is_raw
-            or kernel.setup
-            or write.accumulate != "add"
-            or kernel.generator.kind != ir.GenKind.NONE
-            or kernel.custom_grad is not None
-        ):
-            return False
-        if not low._bounds_ok or low.dynamic_axes:
-            return False
-        if len(kernel.loops) != 2 or low.sizes != [self.m, self.n]:
-            return False
-        if len(write.dims) != 2:
-            return False
-        w_axes = [low._pure_iter(d) for d in write.dims]
-        if w_axes != [0, 1] or low.starts != [0, 0]:
-            return False
-        out_shape = low.shapes[write.tensor]
-        if out_shape != [self.m, self.n]:
-            return False
-
-        saw_produced = False
-        for read in kernel.reads:
-            if read.is_raw:
-                return False
-            axes = [low._pure_iter(d) for d in read.dims]
-            if any(a is None for a in axes):
-                return False
-            shape = low.shapes[read.tensor]
-            if read.tensor == self.produced:
-                if axes != [0, 1]:
-                    return False
-                saw_produced = True
-                self._read_pattern[read.data] = "acc"
-                continue
-            if axes == [0, 1] and shape == [self.m, self.n]:
-                pat = "full"
-            elif axes == [1] and shape == [self.n]:
-                pat = "row"
-            elif axes == [0] and shape == [self.m]:
-                pat = "col"
-            else:
-                return False
-            self._read_pattern[read.data] = pat
-            self.extra.append((read.tensor, pat))
-
-        if not saw_produced:
-            return False
-        for instr in kernel.expr.instrs:
-            if instr.op not in _EPILOGUE_OPS:
-                return False
-        return True
-
-    @staticmethod
-    def prepare(arr, pattern: str):
-        """Reshape rank-1 operands to 2-D so TPU blocks stay 2-D."""
-        if pattern == "row":
-            return arr.reshape(1, -1)
-        if pattern == "col":
-            return arr.reshape(-1, 1)
-        return arr
-
-    def fn(self, acc, *blocks):
-        """Evaluate the consumer's expression on VMEM blocks (f32)."""
-        import jax.numpy as jnp
-
-        env: dict[int, object] = {}
-        it = iter(blocks)
-        for read in self.kernel.reads:
-            pat = self._read_pattern[read.data]
-            if pat == "acc":
-                env[read.data] = acc
-            else:
-                env[read.data] = next(it).astype(jnp.float32)
-        return eval_elementwise(
-            self.kernel.expr.instrs, self.kernel.expr.res, env
+        fused[idx] = (
+            pm, PallasEpilogueChain(steps, cur, rows, cols)
         )
+        skipped_kernels.update(folded)
+        skipped_tensors.update(dropped)
+    return fused, skipped_kernels, skipped_tensors
 
 
 class PallasMapReduce:

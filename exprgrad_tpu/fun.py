@@ -96,19 +96,29 @@ class KernelBuilder:
         self.value = value
         self.accumulate = accumulate
         self.custom_grads: list[KernelBuilder] = []
-        self.schedule: Optional[ScheduleSpec] = None
+        # scope -> spec; "" = every compile scope (reference per-target
+        # schedule sub-blocks cpu:/threads:/gpu:, parser.nim:519-564)
+        self.schedules: dict[str, ScheduleSpec] = {}
+
+    def schedule_for(self, scope: str) -> Optional[ScheduleSpec]:
+        """The schedule active under ``scope`` ("tpu"/"cpu"): an exact
+        scope match wins, else the unscoped spec."""
+        return self.schedules.get(scope, self.schedules.get(""))
 
     def build(
         self,
         tensor_of: dict[int, int],
         grads: Optional[dict[int, int]] = None,
+        scope: str = "",
     ) -> ir.Kernel:
-        kernel = self._build_main(tensor_of, grads)
+        kernel = self._build_main(tensor_of, grads, scope)
         if self.custom_grads:
             cg = ir.CustomGrad()
             shared_grads: dict[int, int] = {}
             for sub in self.custom_grads:
-                cg.kernels.append(sub._build_main(tensor_of, shared_grads))
+                cg.kernels.append(
+                    sub._build_main(tensor_of, shared_grads, scope)
+                )
             cg.grad_placeholders = shared_grads
             kernel.custom_grad = cg
         return kernel
@@ -117,8 +127,9 @@ class KernelBuilder:
         self,
         tensor_of: dict[int, int],
         grads: Optional[dict[int, int]],
+        scope: str = "",
     ) -> ir.Kernel:
-        ctx = _BuildCtx(self.schedule, grads, tensor_of)
+        ctx = _BuildCtx(self.schedule_for(scope), grads, tensor_of)
         return ctx.build_kernel(self)
 
     def referenced_funs(self):
@@ -165,6 +176,7 @@ class ExternKernelBuilder(KernelBuilder):
         self,
         tensor_of: dict[int, int],
         grads: Optional[dict[int, int]],
+        scope: str = "",
     ) -> ir.Kernel:
         ctx = _BuildCtx(None, grads, tensor_of)
         kernel = ctx.kernel
@@ -474,11 +486,32 @@ class Fun:
         parallel: Sequence[str] = (),
         cache: Sequence["Fun"] = (),
         share_cache: Sequence[str] = (),
+        kernel: int = -1,
+        scope: str = "",
     ) -> "Fun":
-        """Attach schedule hints to the most recently added kernel."""
+        """Attach schedule hints to one of this tensor's kernels.
+
+        ``kernel`` selects which (default: the most recently added one);
+        e.g. ``dense(...).schedule(tile=..., kernel=0)`` schedules the
+        matmul kernel rather than the bias-add kernel added after it.
+
+        ``scope`` restricts the schedule to one compile environment —
+        ``"tpu"`` (the jax backend on TPU devices) or ``"cpu"`` (the jax
+        backend on host CPU / interpret-mode Pallas) — the TPU analog of
+        the reference's per-compile-target ``cpu:``/``gpu:`` schedule
+        sub-blocks (parser.nim:519-564).  Different scopes may carry
+        different specs on the same kernel; an exact scope match beats
+        the unscoped default at compile time.
+        """
         if not self.kernels:
             raise ParserError("schedule() requires a kernel to attach to")
-        self.kernels[-1].schedule = ScheduleSpec(tile, parallel, cache, share_cache)
+        if scope not in ("", "tpu", "cpu"):
+            raise ParserError(
+                f"schedule scope must be '', 'tpu' or 'cpu', got {scope!r}"
+            )
+        self.kernels[kernel].schedules[scope] = ScheduleSpec(
+            tile, parallel, cache, share_cache
+        )
         return self
 
     @contextlib.contextmanager
@@ -854,9 +887,10 @@ class _GraphLowering:
     graph can be compiled any number of times (unlike the reference, whose
     ``fun.tensor`` assignment makes toProgram single-shot)."""
 
-    def __init__(self) -> None:
+    def __init__(self, scope: str = "") -> None:
         self.program = ir.Program()
         self.tensor_of: dict[int, int] = {}
+        self.scope = scope
         self._alloc_seen: set[int] = set()
         self._flat_seen: dict[int, set[str]] = {}
 
@@ -946,7 +980,9 @@ class _GraphLowering:
         kind = fun.kind
         if kind in (FunKind.RESULT, FunKind.EFFECT):
             for builder in fun.kernels:
-                target.kernels.append(builder.build(tensor_of))
+                target.kernels.append(
+                    builder.build(tensor_of, scope=self.scope)
+                )
             constr = fun.shape_constr
             if constr is not None:
                 tid = tensor_of[id(fun)]
@@ -1039,15 +1075,20 @@ def _collect_targets(fun: Fun, targets: dict[str, Fun], seen: set[int]) -> None:
         _collect_targets(fun.effect, targets, seen)
 
 
-def to_program(graphs: Sequence[Fun] | Fun) -> ir.Program:
+def to_program(
+    graphs: Sequence[Fun] | Fun, schedule_scope: str = ""
+) -> ir.Program:
     """Lower computation graphs to an IR program (reference parser.nim:404-417).
 
     Re-entrant: graphs may be compiled multiple times; all lowering state
     lives in the per-call _GraphLowering, not on the Fun nodes.
+    ``schedule_scope`` selects which scoped schedules are baked into the
+    kernels ("tpu"/"cpu"; unscoped ones always apply) — ``compile``
+    resolves it from the backend.
     """
     if isinstance(graphs, Fun):
         graphs = [graphs]
-    lowering = _GraphLowering()
+    lowering = _GraphLowering(schedule_scope)
     targets: dict[str, Fun] = {}
     seen: set[int] = set()
     for fun in graphs:

@@ -148,7 +148,12 @@ class _KernelEval:
             elif op == Op.MUL:
                 value = a[0] * a[1]
             elif op == Op.DIV:
-                value = a[0] / a[1]
+                # derived gradients legitimately divide by values that are
+                # zero at masked/unreached grid points (e.g. d/dx log x
+                # evaluated where select() discards the result); keep the
+                # oracle warning-clean so real divergences stand out
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    value = a[0] / a[1]
             elif op == Op.IDX_DIV:
                 value = _trunc_div(a[0], a[1])
             elif op == Op.MOD:

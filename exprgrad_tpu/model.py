@@ -458,8 +458,17 @@ def compile(  # noqa: A001
     (ScheduleWarning) on every fallback; "force" always honors matching
     schedules (kernel development / benchmarking); "ignore" never emits
     Pallas.  See backend/policy.py.
+
+    Scoped schedules (``Fun.schedule(..., scope="tpu"/"cpu")``) are
+    resolved here: the jax backend compiles under scope "tpu" when the
+    default device is a TPU, else "cpu"; the interpreter always "cpu".
     """
-    source = to_program(graphs)
+    scope = "cpu"
+    if backend == "jax":
+        import jax
+
+        scope = "tpu" if jax.default_backend() in ("tpu", "axon") else "cpu"
+    source = to_program(graphs, schedule_scope=scope)
     source.scalar_type = ir.ScalarType(np.dtype(dtype).name)
     return Model(source, backend=backend, seed=seed, precision=precision,
                  schedule_mode=schedule_mode)

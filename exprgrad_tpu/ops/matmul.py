@@ -29,13 +29,20 @@ def _matmul_impl(
     interpret: bool | None = None,
     epilogue=None,
     extra: tuple = (),
+    transpose_out: bool = False,
 ) -> jax.Array:
     """Blocked matmul; ``epilogue(acc_f32, *extra_blocks) -> block`` is
     applied to each output block at the final reduction step (fused in
     VMEM — the product matrix never round-trips HBM).  ``extra`` entries
     are ``(array, block_pattern)`` with pattern "row" (shape [1, n], block
     [1, bn]), "col" (shape [m, 1], block [bm, 1]) or "full" ([m, n],
-    block [bm, bn])."""
+    block [bm, bn]).
+
+    ``transpose_out=True`` stores the TRANSPOSED product: the result has
+    shape [n, m] (the DSL's ``c[x, y] += a[y, k] * b[k, x]`` store); the
+    accumulator block is transposed in VMEM at flush time and the
+    epilogue (if any) runs in the transposed frame — extra patterns then
+    read "row" as [1, m] and "col" as [n, 1] blocks."""
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, f"contraction mismatch: {a.shape} @ {b.shape}"
@@ -49,8 +56,10 @@ def _matmul_impl(
     item = np.dtype(a.dtype).itemsize
 
     def vmem_bytes(bm, bn, bk):
+        # in the transposed frame, "row" vectors span m and "col" span n
+        rb, cb = (bm, bn) if transpose_out else (bn, bm)
         extra_bytes = sum(
-            (bn if pat == "row" else bm if pat == "col" else bm * bn)
+            (rb if pat == "row" else cb if pat == "col" else bm * bn)
             * np.dtype(arr.dtype).itemsize * 2
             for arr, pat in extra
         )
@@ -95,6 +104,8 @@ def _matmul_impl(
         @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
         def _flush():
             value = acc_ref[...]
+            if transpose_out:
+                value = value.T
             if epilogue is not None:
                 value = epilogue(value, *[r[...] for r in extra_refs])
             o_ref[...] = value.astype(o_ref.dtype)
@@ -103,18 +114,39 @@ def _matmul_impl(
     extra_arrays = []
     for arr, pat in extra:
         if pat == "row":
-            extra_specs.append(
-                pl.BlockSpec((1, block_n), lambda i, j, l: (0, j))
-            )
+            if transpose_out:
+                extra_specs.append(
+                    pl.BlockSpec((1, block_m), lambda i, j, l: (0, i))
+                )
+            else:
+                extra_specs.append(
+                    pl.BlockSpec((1, block_n), lambda i, j, l: (0, j))
+                )
         elif pat == "col":
+            if transpose_out:
+                extra_specs.append(
+                    pl.BlockSpec((block_n, 1), lambda i, j, l: (j, 0))
+                )
+            else:
+                extra_specs.append(
+                    pl.BlockSpec((block_m, 1), lambda i, j, l: (i, 0))
+                )
+        elif transpose_out:
             extra_specs.append(
-                pl.BlockSpec((block_m, 1), lambda i, j, l: (i, 0))
+                pl.BlockSpec((block_n, block_m), lambda i, j, l: (j, i))
             )
         else:
             extra_specs.append(
                 pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j))
             )
         extra_arrays.append(arr)
+
+    if transpose_out:
+        out_spec = pl.BlockSpec((block_n, block_m), lambda i, j, l: (j, i))
+        out_shape = jax.ShapeDtypeStruct((n, m), out_dtype)
+    else:
+        out_spec = pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j))
+        out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
 
     return pl.pallas_call(
         kernel,
@@ -124,8 +156,8 @@ def _matmul_impl(
             pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
             *extra_specs,
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

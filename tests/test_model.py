@@ -433,9 +433,12 @@ def test_derive_log(backend):
     np.testing.assert_allclose(
         model.call("log(x,5)", {"x": x}), 1 / (x * np.log(5)), rtol=1e-5
     )
-    expected = -np.log(2) / (x * np.log(x) ** 2)
+    # x away from 1: d/dx log_x(2) has a pole there (inf == inf would
+    # pass, but the oracle should stay warning-clean)
+    x2 = Tensor.linspace(2, 9, 8)
+    expected = -np.log(2) / (x2 * np.log(x2) ** 2)
     np.testing.assert_allclose(
-        model.call("log(2,x)", {"x": x}), expected, rtol=5e-4
+        model.call("log(2,x)", {"x": x2}), expected, rtol=5e-4
     )
 
 
