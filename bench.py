@@ -171,6 +171,123 @@ def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
     return flops / per_conv / 1e9, per_conv, flops / per_conv_raw / 1e9
 
 
+def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
+    """Fused flash attention (Pallas) vs plain-XLA attention, forward.
+
+    The measured shape->rate table that decides the attention impl
+    routing (backend/policy.py attention()).  Chained data-dependent
+    dispatches; flops = 4*b*h*s^2*d (two s x s x d contractions), halved
+    for the causal mask's skipped tiles.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(
+        rng.normal(size=(b, h, s, d)).astype(np.float32) * 0.1
+    )
+    q, k, v = mk(), mk(), mk()
+
+    def xla_attn(q, k, v):
+        s_ = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (1.0 / np.sqrt(d))
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s_.shape[-2:], 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s_.shape[-2:], 1)
+            s_ = jnp.where(rows >= cols, s_, -1e30)
+        p = jax.nn.softmax(s_, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    flash = functools.partial(flash_attention, causal=causal)
+
+    def timed(fn):
+        def chained(q, k, v):
+            cur = q
+            for _ in range(chain):
+                cur = fn(cur, k, v)
+            return cur
+
+        jitted = jax.jit(chained)
+        _fetch(jitted(q, k, v))  # compile + warmup
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            _fetch(jitted(q, k, v))
+            best = min(best, time.perf_counter() - t)
+        return best / chain
+
+    flops = 4 * b * h * s * s * d * (0.5 if causal else 1.0)
+    t_flash = timed(flash)
+    t_xla = timed(xla_attn)
+    return flops / t_flash / 1e9, flops / t_xla / 1e9
+
+
+def bench_transformer_step(vocab=2048, dim=512, heads=4, hidden=2048,
+                           blocks=2, batch=8, seq=512, chain=4):
+    """Full flash_transformer training step (fwd + symbolic bwd + adam)
+    through the compiled executor: tokens/s with the extern fused
+    attention.  head_dim = dim/heads = 128 (full lane width)."""
+    import jax
+
+    from exprgrad_tpu import compile as eg_compile, one_hot
+    from exprgrad_tpu.backend.executor import JaxExecutor
+    from exprgrad_tpu.models import flash_transformer
+    from exprgrad_tpu.passes import infer_shapes
+
+    model = eg_compile(
+        flash_transformer(vocab=vocab, dim=dim, heads=heads, hidden=hidden,
+                          blocks=blocks, max_seq=seq),
+        seed=0, precision="default",
+    )
+    program = model.program
+    tok_id = program.inputs["tokens"]
+    lab_id = program.inputs["labels"]
+    shapes = infer_shapes(
+        program, "train",
+        [(tok_id, [batch, seq]), (lab_id, [batch, seq, vocab])],
+    )
+    executor = JaxExecutor(program, "train", shapes, precision="default")
+
+    rng = np.random.default_rng(0)
+    toks = jax.device_put(
+        rng.integers(0, vocab, (batch, seq)).astype(np.float32)
+    )
+    labels = jax.device_put(
+        one_hot(rng.integers(0, vocab, batch * seq), vocab)
+        .reshape(batch, seq, vocab)
+    )
+    state = {
+        tid: jax.device_put(np.asarray(v))
+        for tid, v in {**model.params, **model.caches}.items()
+    }
+
+    def step(state, epoch):
+        out = executor.run_fn(
+            {**state, tok_id: toks, lab_id: labels}, epoch, 0
+        )
+        return {tid: out[tid] for tid in state if tid in out}
+
+    jitted = jax.jit(step)
+    state = jitted(state, 1)  # compile + warmup
+    import jax.numpy as jnp
+
+    _fetch(next(iter(state.values())))
+    t = time.perf_counter()
+    cur = state
+    for i in range(chain):
+        cur = jitted(cur, 2 + i)
+    _fetch(next(iter(cur.values())))
+    per_step = (time.perf_counter() - t) / chain
+    tokens_per_s = batch * seq / per_step
+    return per_step, tokens_per_s
+
+
 def bench_mnist_epoch(n_samples=8192, batch=256):
     """Fashion-MNIST training epoch (fwd + derived bwd + adam) with the
     dataset device-resident, as one compiled lax.scan program per epoch."""
@@ -327,6 +444,35 @@ def main() -> None:
         }
     except Exception as err:
         details["mnist_error"] = str(err)
+
+    _log("bench: attention flash vs xla ...")
+    try:
+        fl_gflops, xl_gflops = bench_attention()
+        details["attention_b8_h4_s2048_d128_causal"] = {
+            "flash_gflops": round(fl_gflops, 1),
+            "xla_gflops": round(xl_gflops, 1),
+            "note": "forward; the measured basis for the attention impl "
+                    "routing (policy.attention)",
+        }
+        _log(
+            f"bench: attention flash {fl_gflops:.0f} vs xla "
+            f"{xl_gflops:.0f} GFLOP/s"
+        )
+    except Exception as err:
+        details["attention_error"] = str(err)
+
+    _log("bench: flash_transformer train step ...")
+    try:
+        step_s, tok_s = bench_transformer_step()
+        details["flash_transformer_train_step"] = {
+            "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 seq512",
+            "seconds_per_step": round(step_s, 4),
+            "tokens_per_s": round(tok_s, 1),
+        }
+        _log(f"bench: transformer step {step_s * 1e3:.1f}ms, "
+             f"{tok_s:.0f} tokens/s")
+    except Exception as err:
+        details["transformer_error"] = str(err)
 
     roofline = 197e12  # v5e MXU, bf16 multiply / f32 accumulate
     target_gflops = 0.6 * roofline / 1e9  # BASELINE.md north star
