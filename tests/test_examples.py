@@ -148,3 +148,13 @@ def test_text_generation_example(monkeypatch, capsys):
     text_generation.main()
     out = capsys.readouterr().out
     assert "generated:" in out and "serving artifact max dev: 0.0" in out
+
+
+def test_flash_lm_example(monkeypatch, capsys):
+    import flash_lm
+
+    monkeypatch.setattr(flash_lm, "STEPS", 60)
+    flash_lm.main()
+    out = capsys.readouterr().out
+    assert "generation accuracy" in out
+    assert "checkpoint reload" in out
