@@ -932,12 +932,11 @@ class KernelLowering:
             if self.dynamic_axes:
                 fallback_reason = "dynamic loop bounds"
             else:
+                pm = None
                 if not general_only:
                     pm = PallasMatmul(self, self.kernel)
                     if pm.ok:
-                        decision = policy.contraction(
-                            pm.m, pm.n, pm.k, fused=False
-                        )
+                        decision = policy.contraction(pm.m, pm.n, pm.k)
                         if decision.use_pallas:
                             path = "pallas"
                             result = pm.lower(tensors)
@@ -953,8 +952,22 @@ class KernelLowering:
                         else:
                             fallback_reason = decision.reason
                     else:
+                        # a matmul-shaped kernel that PallasMatmul declined
+                        # LATE (indivisible tile, transposed layout): report
+                        # that specific cause, not map-reduce's generic
+                        # "it's a contraction"
+                        why = pmr.why
+                        if (
+                            pm is not None
+                            and why.startswith("contraction")
+                            and (
+                                "tile sizes" in pm.why
+                                or "transposed" in pm.why
+                            )
+                        ):
+                            why = pm.why
                         fallback_reason = (
-                            f"unsupported kernel shape ({pmr.why})"
+                            f"unsupported kernel shape ({why})"
                         )
         if result is None and not general_only:
             result = self._try_contraction(tensors)

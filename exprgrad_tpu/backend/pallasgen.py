@@ -140,42 +140,52 @@ def eval_elementwise(instrs, res, env: dict):
 
 
 class PallasMatmul:
-    """Schedule-driven tiled matmul: out[y,x] += a[y,k] * b[k,x]."""
+    """Schedule-driven tiled matmul: out[y,x] += a[y,k] * b[k,x].
+
+    ``why`` carries the decline reason when ``ok`` is False, so schedule
+    fallbacks report the real cause (an indivisible tile size, an operand
+    layout) rather than a generic mismatch."""
 
     def __init__(self, lowering, kernel: Kernel):
         self.low = lowering
         self.kernel = kernel
+        self.why = ""
         self.ok = self._classify()
+
+    def _decline(self, why: str) -> bool:
+        self.why = why
+        return False
 
     def _classify(self) -> bool:
         low = self.low
         kernel = self.kernel
         write = kernel.write
         if write is None or write.is_raw or kernel.setup:
-            return False
+            return self._decline("raw write or setup instructions")
         if np.dtype(low.dtype) == np.float64:
-            return False  # MXU/VMEM accumulate in f32; f64 models (CPU
-            # debugging) keep the exact einsum path
+            # MXU/VMEM accumulate in f32; f64 models (CPU debugging) keep
+            # the exact einsum path
+            return self._decline("float64 (MXU accumulates in f32)")
         if len(kernel.reads) != 2 or any(r.is_raw for r in kernel.reads):
-            return False
+            return self._decline("not a two-operand contraction")
         if any(r.dims and len(r.dims) != 2 for r in kernel.reads):
-            return False
+            return self._decline("operands are not rank-2")
         if len(write.dims) != 2:
-            return False
+            return self._decline("output is not rank-2")
         # schedule must request tiling or caching
         if not is_scheduled(kernel):
-            return False
+            return self._decline("no schedule")
 
         # expression: plain product of the two reads
         defs = {i.res: i for i in kernel.expr.instrs}
         if len(kernel.expr.instrs) != 1:
-            return False
+            return self._decline("expression is not a plain product")
         instr = defs.get(kernel.expr.res)
         if instr is None or instr.op != Op.MUL:
-            return False
+            return self._decline("expression is not a plain product")
         read_of = {r.data: r for r in kernel.reads}
         if set(instr.args) != set(read_of):
-            return False
+            return self._decline("expression is not a plain product")
 
         def axes_of(op) -> Optional[list[int]]:
             axes = []
@@ -191,28 +201,30 @@ class PallasMatmul:
         b_read = read_of[instr.args[1]]
         a_axes, b_axes = axes_of(a_read), axes_of(b_read)
         if w_axes is None or a_axes is None or b_axes is None:
-            return False
+            return self._decline("indices are not plain iterators")
         if len(set(w_axes)) != 2 or len(low.sizes) != 3:
-            return False
+            return self._decline("not a [y,x] += a[y,k]*b[k,x] loop nest")
         # identify the contraction axis, then orient the reads: A must be
         # laid out [rows, k] and B [k, cols] (operand transposes stay on
         # the einsum path; the MXU wants these layouts)
         k_candidates = set(a_axes) & set(b_axes)
         if len(k_candidates) != 1:
-            return False
+            return self._decline("no single shared contraction axis")
         k = next(iter(k_candidates))
         if k in w_axes:
-            return False
+            return self._decline("contraction axis appears in the output")
         if a_axes[1] == k and b_axes[0] == k:
             pass
         elif b_axes[1] == k and a_axes[0] == k:
             a_read, b_read = b_read, a_read
             a_axes, b_axes = b_axes, a_axes
         else:
-            return False
+            return self._decline(
+                "operand layout transposed (einsum path handles it)"
+            )
         y_axis, x_axis = a_axes[0], b_axes[1]
         if set(w_axes) != {y_axis, x_axis}:
-            return False
+            return self._decline("write axes do not match the operands")
 
         self.a_read, self.b_read = a_read, b_read
         self.y_axis, self.x_axis, self.k_axis = y_axis, x_axis, k
@@ -242,10 +254,12 @@ class PallasMatmul:
         self.bm = tile_for(y_axis, _round_down(min(m, 512), sub), m, sub)
         self.bn = tile_for(x_axis, _round_down(min(n, 512), 128), n, 128)
         self.bk = tile_for(k, _round_down(min(kk, 512), 128), kk, 128)
-        if not (self.bm and self.bn and self.bk):
-            return False
-        if self.m % self.bm or self.n % self.bn or self.k % self.bk:
-            return False
+        if not (self.bm and self.bn and self.bk) or (
+            self.m % self.bm or self.n % self.bn or self.k % self.bk
+        ):
+            return self._decline(
+                f"tile sizes must divide the problem ({m}x{n}x{kk})"
+            )
         return True
 
     def lower(self, tensors: dict):
@@ -516,7 +530,7 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
         if not pm.ok:
             continue
         if policy is not None and not policy.contraction(
-            pm.m, pm.n, pm.k, fused=True
+            pm.m, pm.n, pm.k
         ).use_pallas:
             continue  # run() will report the fallback for the scheduled kernel
         # frame: the value's [rows, cols] layout as stored
@@ -525,6 +539,19 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
         steps: list[_EpilogueStep] = []
         folded: set[int] = set()      # kernel indices folded so far
         dropped: set[int] = set()     # intermediate tensors folded away
+
+        def extras_ready(step: _EpilogueStep, kidx: int) -> bool:
+            """Folding moves the kernel from slot ``kidx`` to the matmul's
+            slot ``idx``; every extra operand must already hold its final
+            value there — reject when any writer lands in (idx, kidx]
+            (e.g. a residual produced by a branch flattened between the
+            matmul and its consumer)."""
+            for tid, _pat in step.extra:
+                for w in writes_of.get(tid, []):
+                    if idx < w <= kidx:
+                        return False
+            return True
+
         cur = t1
         ok = True
         while True:
@@ -546,7 +573,7 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
                     and (not readers or w < min(readers))
                     else None
                 )
-                if step is None:
+                if step is None or not extras_ready(step, w):
                     add_ok = False
                     break
                 steps.append(step)
@@ -562,7 +589,7 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
                 if low2 is not None and j > idx and j not in skipped_kernels
                 else None
             )
-            if step is None:
+            if step is None or not extras_ready(step, j):
                 ok = not at_t1
                 break
             steps.append(step)
@@ -777,8 +804,12 @@ class PallasMapReduce:
         # untiled output axes (user tile sizes are respected: if they do not
         # fit, decline rather than silently changing the schedule)
         while block_bytes() > budget:
+            # user tile sizes are respected here too: a user-tiled
+            # reduction axis never shrinks further (decline below instead
+            # of silently changing the schedule)
             cands = sorted(
                 (a for a in candidates if block[a] > 1
+                 and a not in user_tiled
                  and (self.red_grid_axis in (None, a))),
                 key=lambda a: -block[a],
             )

@@ -44,7 +44,6 @@ _DEFAULTS = {
     "pallas_elementwise_gbps": 600.0,
     # per-pallas_call launch overhead observed through this platform
     "pallas_launch_us": 1000.0,
-    "xla_op_overhead_us": 1.0,
 }
 
 _CALIBRATION_PATH = os.path.join(
@@ -84,14 +83,12 @@ class SchedulePolicy:
         self.constants = _load_constants()
 
     # -- decisions -------------------------------------------------------
-    def contraction(self, m: int, n: int, k: int, fused: bool) -> Decision:
+    def contraction(self, m: int, n: int, k: int) -> Decision:
         """Scheduled matmul-family kernel: Pallas tiled kernel vs XLA dot.
 
-        ``fused``: the Pallas kernel would also absorb the elementwise
-        consumer (epilogue fusion), saving one HBM round-trip of the m*n
-        product — XLA usually fuses that too inside the one-jit target, so
-        the byte saving is NOT credited; fused only amortizes the launch
-        over more useful work.
+        Epilogue fusion does not change this decision: XLA fuses the
+        elementwise consumer into its dot inside the one-jit target too,
+        so neither side is credited the consumer's bytes.
         """
         if self.mode == "force":
             return Decision(True, "schedule_mode=force")

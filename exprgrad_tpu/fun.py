@@ -813,6 +813,36 @@ def make_opt(optim: Callable, *args, **kwargs) -> Callable[[Fun, Fun], None]:
     return functools.partial(optim, *args, **kwargs)
 
 
+def uses_scoped_schedules(graphs: "Sequence[Fun] | Fun") -> bool:
+    """True when any kernel in the graph carries a scope-restricted
+    schedule — only then does compile() need to know the device platform
+    (resolving it initializes the jax backend, which must stay lazy for
+    everything else: the TPU tunnel can be down while host-side compiles
+    continue)."""
+    if isinstance(graphs, Fun):
+        graphs = [graphs]
+    seen: set[int] = set()
+    stack = list(graphs)
+    while stack:
+        fun = stack.pop()
+        if id(fun) in seen:
+            continue
+        seen.add(id(fun))
+        for builder in fun.kernels:
+            if any(scope for scope in builder.schedules):
+                return True
+            stack.extend(b.target for b in builder.custom_grads)
+        stack.extend(fun.children)
+        if fun.effect is not None:
+            stack.append(fun.effect)
+        if fun.cache_of is not None:
+            stack.append(fun.cache_of)
+        stack.extend(fun.cond_branches.values())
+        if fun.cond_else is not None:
+            stack.append(fun.cond_else)
+    return False
+
+
 def static_rank(fun: Fun) -> Optional[int]:
     """Best-effort tensor rank known at graph-build time, or None.
 

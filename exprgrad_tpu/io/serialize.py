@@ -259,6 +259,11 @@ def _r_attrs(r: Reader) -> dict:
     for _ in range(r.i64()):
         key = r.string()
         tag = r.u8()
+        if tag not in _ATTR_CODECS:
+            raise ModelRuntimeError(
+                f"corrupt checkpoint: extern attr {key!r} has unknown "
+                f"type tag {tag} (written by an incompatible version?)"
+            )
         out[key] = _ATTR_CODECS[tag][2](r)
     return out
 

@@ -462,9 +462,15 @@ def compile(  # noqa: A001
     Scoped schedules (``Fun.schedule(..., scope="tpu"/"cpu")``) are
     resolved here: the jax backend compiles under scope "tpu" when the
     default device is a TPU, else "cpu"; the interpreter always "cpu".
+    Scope resolution only queries the device platform when the graph
+    actually carries scoped schedules — plain compiles stay host-side
+    (the backend initializes lazily at first execution; see CLAUDE.md on
+    tunnel outages).
     """
+    from .fun import uses_scoped_schedules
+
     scope = "cpu"
-    if backend == "jax":
+    if backend == "jax" and uses_scoped_schedules(graphs):
         import jax
 
         scope = "tpu" if jax.default_backend() in ("tpu", "axon") else "cpu"

@@ -173,3 +173,58 @@ def test_chain_stops_at_reused_intermediate():
     np.testing.assert_allclose(out, rm * rm + rm, rtol=1e-5, atol=1e-5)
     stats = _stats(model)
     assert stats.get("pallas-fused") == 1  # matmul+relu fused, lands in r
+
+
+def test_no_fusion_when_extra_operand_written_after_matmul():
+    """An epilogue operand produced by a kernel that flattens BETWEEN the
+    matmul and the consumer must block the fold (the fused kernel would
+    read it before it is written).  Regression: this fused silently and
+    produced garbage."""
+    y, x, it = iters("y", "x", "it")
+    a, b, d = input("a"), input("b"), input("d")
+    c = Fun("c")
+    c[y, x] = a[y, it] * b[it, x]
+    c.schedule(tile={"y": 64, "x": 128, "it": 128}, parallel=["y", "x"])
+    x2, j = iters("x2", "j")
+    s = Fun("s")
+    s[x2] = d[x2, j]  # independent branch, flattens after the matmul
+    y3, x3 = iters("y3", "x3")
+    out = Fun("out")
+    out[y3, x3] = c[y3, x3] * s[x3]
+    graph = out.target("out")
+
+    rng = np.random.default_rng(7)
+    args = {
+        "a": rng.normal(size=(64, 128)).astype(np.float32),
+        "b": rng.normal(size=(128, 128)).astype(np.float32),
+        "d": rng.normal(size=(128, 4)).astype(np.float32),
+    }
+    model = compile(graph, backend="jax", schedule_mode="force")
+    got = model.call("out", args)
+    want = (args["a"] @ args["b"]) * args["d"].sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert _stats(model).get("pallas-fused") is None
+    assert _stats(model).get("pallas") == 1  # matmul alone still routed
+
+
+def test_matmul_decline_reason_reports_real_cause():
+    """A scheduled matmul with an indivisible tile must warn with the
+    matmul emitter's reason, not map-reduce's 'it is a contraction'."""
+    import pytest as _pytest
+
+    from exprgrad_tpu import ScheduleWarning
+
+    y, x, it = iters("y", "x", "it")
+    a, b = input("a"), input("b")
+    c = Fun("c")
+    c[y, x] = a[y, it] * b[it, x]
+    c.schedule(tile={"y": 16, "x": 16, "it": 16})
+    graph = c.target("c")
+    rng = np.random.default_rng(8)
+    args = {
+        "a": rng.normal(size=(30, 70)).astype(np.float32),
+        "b": rng.normal(size=(70, 50)).astype(np.float32),
+    }
+    model = compile(graph, backend="jax", schedule_mode="force")
+    with _pytest.warns(ScheduleWarning, match="tile sizes must divide"):
+        model.call("c", args)
