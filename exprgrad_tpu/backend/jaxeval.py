@@ -910,6 +910,17 @@ class KernelLowering:
             return
         self.epoch = epoch
         assert self.kernel.write is not None
+        out_tensors = tensors
+        if self.kernel.remat:
+            # recompute kernel (the remat pass): fence the operands so XLA
+            # cannot CSE this against the original forward computation —
+            # the whole point is releasing the original activation
+            tensors = dict(tensors)
+            for tid in set(self.kernel.input_tensors()):
+                if tid in tensors:
+                    tensors[tid] = jax.lax.optimization_barrier(tensors[tid])
+            if stats is not None:
+                stats["remat"] = stats.get("remat", 0) + 1
         result = None
         path = "einsum"
         # add-accumulation with static bounds is required by the einsum/conv
@@ -990,4 +1001,4 @@ class KernelLowering:
                 self._kernel_desc(),
                 f"{fallback_reason}; lowered via {path}",
             )
-        tensors[self.kernel.write.tensor] = result
+        out_tensors[self.kernel.write.tensor] = result

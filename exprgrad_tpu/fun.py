@@ -408,6 +408,7 @@ class Fun:
         self.reshape_dims: list[int] = []
         self.cond_branches: dict[str, Fun] = {}
         self.cond_else: Optional[Fun] = None
+        self.remat_flag = False
 
     # --- reading ------------------------------------------------------
     def __getitem__(self, indices) -> Scalar:
@@ -559,6 +560,21 @@ class Fun:
         self.shape_constr = _ShapeConstrBuilder("copy", copy=src)
         if src not in self.children:
             self.children.append(src)
+        return self
+
+    def remat(self) -> "Fun":
+        """Recompute this tensor in the backward pass instead of keeping
+        it alive from the forward — the symbolic-autodiff analog of
+        ``jax.checkpoint``: gradient kernels read a fresh copy computed by
+        duplicated (CSE-fenced) forward kernels, so the activation's HBM
+        footprint is released between the passes.  Trades FLOPs for
+        memory; mark large cheap activations (FFN hiddens, normalized
+        activations).  No effect on forward-only targets or numerics."""
+        if self.kind != FunKind.RESULT:
+            raise ParserError(
+                f"remat() applies to computed tensors, not {self.kind.value}"
+            )
+        self.remat_flag = True
         return self
 
     def lock(self) -> "Fun":
@@ -965,7 +981,10 @@ class _GraphLowering:
             )
         elif kind in (FunKind.RESULT, FunKind.GRADIENT, FunKind.RESHAPE):
             self.tensor_of[id(fun)] = program.alloc_tensor(
-                ir.TensorDef(ir.TensorKind.RESULT, name=fun.name)
+                ir.TensorDef(
+                    ir.TensorKind.RESULT, name=fun.name,
+                    remat=getattr(fun, "remat_flag", False),
+                )
             )
         elif kind == FunKind.EFFECT:
             assert fun.effect is not None

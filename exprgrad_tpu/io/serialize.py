@@ -314,6 +314,7 @@ def _w_kernel(w: Writer, kernel: ir.Kernel) -> None:
     w.opt_int(kernel.expr.res)
     _w_tensor_op(w, kernel.write)
     _w_extern(w, kernel.extern)
+    w.boolean(kernel.remat)
     w.boolean(kernel.custom_grad is not None)
     if kernel.custom_grad is not None:
         cg = kernel.custom_grad
@@ -343,6 +344,7 @@ def _r_kernel(r: Reader) -> ir.Kernel:
     kernel.expr.res = r.opt_int()
     kernel.write = _r_tensor_op(r)
     kernel.extern = _r_extern(r)
+    kernel.remat = r.boolean()
     if r.boolean():
         cg = ir.CustomGrad()
         cg.kernels = [_r_kernel(r) for _ in range(r.i64())]
@@ -414,6 +416,7 @@ def write_program(w: Writer, program: ir.Program) -> None:
         w.f64(tensor.random_range[0])
         w.f64(tensor.random_range[1])
         w.opt_int(tensor.cache_of)
+        w.boolean(tensor.remat)
     w.i64(len(program.inputs))
     for name in sorted(program.inputs):
         w.string(name)
@@ -455,6 +458,7 @@ def read_program(r: Reader) -> ir.Program:
         tensor.init_range = (r.f64(), r.f64())
         tensor.random_range = (r.f64(), r.f64())
         tensor.cache_of = r.opt_int()
+        tensor.remat = r.boolean()
         program.tensors.append(tensor)
     for _ in range(r.i64()):
         name = r.string()

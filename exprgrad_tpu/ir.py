@@ -451,6 +451,11 @@ class Kernel:
     generator: Generator = field(default_factory=Generator)
     custom_grad: Optional[CustomGrad] = None
     extern: Optional[Extern] = None
+    # recompute kernel emitted by the remat pass: the backend fences its
+    # operands (optimization_barrier) so XLA cannot CSE it with the
+    # original forward computation (which would keep the activation
+    # alive and defeat rematerialization)
+    remat: bool = False
     regs: list[Register] = field(default_factory=list)
     setup: list[Instr] = field(default_factory=list)
     loops: list[Loop] = field(default_factory=list)
@@ -481,6 +486,7 @@ class Kernel:
             generator=replace(self.generator, reshape=list(self.generator.reshape)),
             custom_grad=self.custom_grad.copy() if self.custom_grad else None,
             extern=self.extern.copy() if self.extern else None,
+            remat=self.remat,
             regs=[replace(r) for r in self.regs],
             setup=[i.copy() for i in self.setup],
             loops=[l.copy() for l in self.loops],
@@ -524,6 +530,7 @@ class TensorDef:
     init_range: tuple[float, float] = (0.0, 0.0)    # PARAM
     random_range: tuple[float, float] = (0.0, 0.0)  # RANDOM
     cache_of: Optional[int] = None                  # CACHE: tensor whose shape we copy
+    remat: bool = False  # recompute in the backward instead of storing
 
 
 class ScalarType(enum.Enum):

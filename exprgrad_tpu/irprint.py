@@ -112,6 +112,8 @@ def fmt_kernel(kernel: Kernel, indent: str = "") -> str:
                 lines.append(fmt_kernel(sub, indent + "    "))
         return "\n".join(lines)
 
+    if kernel.remat:
+        lines.append(f"{indent}remat")
     if kernel.setup:
         lines.append(f"{indent}setup:")
         for instr in kernel.setup:

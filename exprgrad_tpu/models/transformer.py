@@ -179,6 +179,7 @@ def flash_transformer(
     eta: float = 0.005,
     init: float = 0.2,
     impl: str = "auto",
+    remat: bool = False,
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
     the flagship DSL transformer.
@@ -190,6 +191,11 @@ def flash_transformer(
     ``dense`` applied without any manual reshapes.  Same interface as
     :func:`tiny_transformer`: inputs "tokens" [batch, seq] and "labels"
     [batch, seq, vocab]; targets "predict" and "train".
+
+    ``remat=True`` marks the per-block normalized activations and the FFN
+    hidden (the largest cheap activations) for recompute-in-backward —
+    gradient kernels read CSE-fenced recomputed copies instead of keeping
+    the forward values alive across the whole backward pass.
     """
     from ..expr import ln
     from ..layers import dense, multi_head_attention, relu, rms_norm, softmax
@@ -198,17 +204,20 @@ def flash_transformer(
     tokens = input("tokens")
     x = _embed(tokens, vocab, dim, max_seq, rng)
 
+    def marked(fun: Fun) -> Fun:
+        return fun.remat() if remat else fun
+
     for b in range(blocks):
         att = multi_head_attention(
-            rms_norm(x, dim, rank=3), dim, heads, causal=True,
+            marked(rms_norm(x, dim, rank=3)), dim, heads, causal=True,
             kv_heads=kv_heads, impl=impl,
         )
         x = _residual(att, x, f"blk{b}.att")
-        ff = (
-            rms_norm(x, dim, rank=3)
-            .pipe(dense, dim, hidden, rank=3)
-            .pipe(relu)
-            .pipe(dense, hidden, dim, rank=3)
+        ff = dense(
+            marked(relu(marked(dense(
+                marked(rms_norm(x, dim, rank=3)), dim, hidden, rank=3
+            )))),
+            hidden, dim, rank=3,
         )
         x = _residual(ff, x, f"blk{b}.ff")
 

@@ -321,6 +321,77 @@ def _reshape_kernel(program: Program, target: ir.Target, kernel: Kernel) -> Kern
     return out
 
 
+def _apply_remat(
+    program: Program,
+    target: ir.Target,
+    forward_kernels: list[Kernel],
+    grad_kernels: list[Kernel],
+) -> list[Kernel]:
+    """Rematerialize marked activations for the backward pass.
+
+    The symbolic-autodiff analog of ``jax.checkpoint``: for every
+    remat-marked tensor the gradient region reads, duplicate its forward
+    kernels into the gradient region writing a fresh tensor, and redirect
+    the gradient kernels' reads to it.  The duplicates are flagged
+    ``kernel.remat`` so the backend fences their operands
+    (``optimization_barrier``) — without the fence XLA would CSE the
+    recompute against the original forward computation and keep the
+    activation alive, defeating the point.  Chained marks recompute from
+    each other (a remat kernel reading another remat'd tensor reads the
+    recomputed copy).
+
+    Gradients themselves are unaffected: only VALUE reads move to the
+    copies; grad tensors stay keyed by the original forward tensors.
+    """
+    read_by_grads: set[int] = set()
+    for gk in grad_kernels:
+        read_by_grads.update(gk.input_tensors())
+
+    order: list[int] = []
+    writers: dict[int, list[Kernel]] = {}
+    for fk in forward_kernels:
+        if fk.generator.kind != GenKind.NONE or fk.write is None:
+            continue
+        tid = fk.write.tensor
+        if not program.tensors[tid].remat or tid not in read_by_grads:
+            continue
+        if tid not in writers:
+            writers[tid] = []
+            order.append(tid)
+        writers[tid].append(fk)
+
+    subs: dict[int, int] = {}
+    recompute: list[Kernel] = []
+    for tid in order:
+        if any(k.extern is not None for k in writers[tid]):
+            # extern results are memoized per execution: a duplicate call
+            # would be deduplicated right back — no memory to save
+            continue
+        tdef = program.tensors[tid]
+        new_tid = program.alloc_tensor(
+            ir.TensorDef(
+                ir.TensorKind.RESULT,
+                name=(tdef.name or f"t{tid}") + ".remat",
+            )
+        )
+        _copy_shape(target, new_tid, tid)
+        for fk in writers[tid]:
+            ck = fk.copy()
+            ck.custom_grad = None
+            ck.remat = True
+            ir.substitute_tensors_kernel(ck, subs)
+            assert ck.write is not None
+            ck.write.tensor = new_tid
+            recompute.append(ck)
+        subs[tid] = new_tid
+
+    if not subs:
+        return grad_kernels
+    for gk in grad_kernels:
+        ir.substitute_tensors_kernel(gk, subs)
+    return recompute + grad_kernels
+
+
 def generate(program: Program) -> None:
     """Expand generator kernels: autodiff + reshape (passes.nim:558-698)."""
     program.assert_pass(
@@ -392,6 +463,9 @@ def generate(program: Program) -> None:
                     else:
                         grad_kernels.extend(derive_kernel(fwd, grad_tensors))
 
+                grad_kernels = _apply_remat(
+                    program, target, target.kernels[:it], grad_kernels
+                )
                 target.kernels[it: it + 1] = grad_kernels
                 it += len(grad_kernels)
             elif gen.kind == GenKind.GRADIENT:
