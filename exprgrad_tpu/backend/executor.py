@@ -65,14 +65,21 @@ class JaxExecutor:
             self.policy,
         )
 
+        # jit outputs: ONLY the state the runtime reads back (updated
+        # params/caches) and the target's result.  Intermediate RESULT
+        # tensors must NOT escape the jit — as outputs XLA would have to
+        # materialize every activation in HBM, blocking fusion and
+        # rematerialization; kept internal they fuse/free at XLA's
+        # discretion (the whole point of the one-jit target design).
+        state_written = {
+            tid
+            for tid in written
+            if program.tensors[tid].kind
+            in (ir.TensorKind.PARAM, ir.TensorKind.CACHE)
+        }
         self.output_tids = sorted(
             (
-                written
-                | {
-                    tid
-                    for tid in self.target.tensors
-                    if program.tensors[tid].kind == ir.TensorKind.RESULT
-                }
+                state_written
                 | (
                     {self.target.output}
                     if self.target.output is not None

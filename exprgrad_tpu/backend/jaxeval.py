@@ -912,13 +912,24 @@ class KernelLowering:
         assert self.kernel.write is not None
         out_tensors = tensors
         if self.kernel.remat:
-            # recompute kernel (the remat pass): fence the operands so XLA
-            # cannot CSE this against the original forward computation —
-            # the whole point is releasing the original activation
-            tensors = dict(tensors)
-            for tid in set(self.kernel.input_tensors()):
-                if tid in tensors:
-                    tensors[tid] = jax.lax.optimization_barrier(tensors[tid])
+            # recompute kernel (the remat pass): fence the operands
+            # BUNDLED with the anchor (loss) value in one barrier —
+            # jax.checkpoint's scheme.  The anchor depends on the whole
+            # forward pass, so the fenced operands do too: the recompute
+            # cannot be hoisted before the loss, and CSE with the
+            # original forward computation would form a cycle.
+            anchor = self.kernel.remat_anchor
+            tids = sorted(
+                {t for t in self.kernel.input_tensors() if t != anchor}
+            )
+            bundle = [tensors[t] for t in tids if t in tensors]
+            if anchor is not None and anchor in tensors:
+                bundle.append(tensors[anchor])
+            if bundle:
+                fenced = jax.lax.optimization_barrier(tuple(bundle))
+                tensors = dict(tensors)
+                for t, v in zip(tids, fenced):
+                    tensors[t] = v
             if stats is not None:
                 stats["remat"] = stats.get("remat", 0) + 1
         result = None

@@ -315,6 +315,7 @@ def _w_kernel(w: Writer, kernel: ir.Kernel) -> None:
     _w_tensor_op(w, kernel.write)
     _w_extern(w, kernel.extern)
     w.boolean(kernel.remat)
+    w.opt_int(kernel.remat_anchor)
     w.boolean(kernel.custom_grad is not None)
     if kernel.custom_grad is not None:
         cg = kernel.custom_grad
@@ -345,6 +346,7 @@ def _r_kernel(r: Reader) -> ir.Kernel:
     kernel.write = _r_tensor_op(r)
     kernel.extern = _r_extern(r)
     kernel.remat = r.boolean()
+    kernel.remat_anchor = r.opt_int()
     if r.boolean():
         cg = ir.CustomGrad()
         cg.kernels = [_r_kernel(r) for _ in range(r.i64())]

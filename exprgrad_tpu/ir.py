@@ -452,10 +452,13 @@ class Kernel:
     custom_grad: Optional[CustomGrad] = None
     extern: Optional[Extern] = None
     # recompute kernel emitted by the remat pass: the backend fences its
-    # operands (optimization_barrier) so XLA cannot CSE it with the
-    # original forward computation (which would keep the activation
-    # alive and defeat rematerialization)
+    # operands together with the anchor tensor (the loss) in ONE
+    # optimization_barrier — jax.checkpoint's scheme — so the recompute
+    # cannot be hoisted into the forward pass or CSE'd against the
+    # original computation (which would keep the activation alive and
+    # defeat rematerialization)
     remat: bool = False
+    remat_anchor: Optional[int] = None
     regs: list[Register] = field(default_factory=list)
     setup: list[Instr] = field(default_factory=list)
     loops: list[Loop] = field(default_factory=list)
@@ -475,11 +478,14 @@ class Kernel:
             yield ("write", self.write)
 
     def input_tensors(self) -> Iterator[int]:
-        """Tensors the kernel consumes (reads + extern inputs)."""
+        """Tensors the kernel consumes (reads + extern inputs + the remat
+        anchor, which must stay alive for the recompute fence)."""
         for read in self.reads:
             yield read.tensor
         if self.extern is not None:
             yield from self.extern.inputs
+        if self.remat_anchor is not None:
+            yield self.remat_anchor
 
     def copy(self) -> "Kernel":
         return Kernel(
@@ -487,6 +493,7 @@ class Kernel:
             custom_grad=self.custom_grad.copy() if self.custom_grad else None,
             extern=self.extern.copy() if self.extern else None,
             remat=self.remat,
+            remat_anchor=self.remat_anchor,
             regs=[replace(r) for r in self.regs],
             setup=[i.copy() for i in self.setup],
             loops=[l.copy() for l in self.loops],
@@ -651,6 +658,8 @@ def substitute_tensors_kernel(kernel: Kernel, subs: dict[int, int]) -> None:
         if op.tensor in subs:
             op.tensor = subs[op.tensor]
     substitute_tensors_instrs(kernel.expr.instrs, subs)
+    if kernel.remat_anchor is not None:
+        kernel.remat_anchor = subs.get(kernel.remat_anchor, kernel.remat_anchor)
     if kernel.extern is not None:
         kernel.extern.inputs = [
             subs.get(t, t) for t in kernel.extern.inputs

@@ -326,6 +326,7 @@ def _apply_remat(
     target: ir.Target,
     forward_kernels: list[Kernel],
     grad_kernels: list[Kernel],
+    loss: int,
 ) -> list[Kernel]:
     """Rematerialize marked activations for the backward pass.
 
@@ -333,12 +334,13 @@ def _apply_remat(
     remat-marked tensor the gradient region reads, duplicate its forward
     kernels into the gradient region writing a fresh tensor, and redirect
     the gradient kernels' reads to it.  The duplicates are flagged
-    ``kernel.remat`` so the backend fences their operands
-    (``optimization_barrier``) — without the fence XLA would CSE the
-    recompute against the original forward computation and keep the
-    activation alive, defeating the point.  Chained marks recompute from
-    each other (a remat kernel reading another remat'd tensor reads the
-    recomputed copy).
+    ``kernel.remat`` with the LOSS tensor as their fence anchor — the
+    backend bundles their operands with the loss value in one
+    ``optimization_barrier`` (jax.checkpoint's scheme: the anchor depends
+    on the whole forward, so the recompute cannot be hoisted into the
+    forward pass, and CSE against the original computation would create
+    a cycle).  Chained marks recompute from each other (a remat kernel
+    reading another remat'd tensor reads the recomputed copy).
 
     Gradients themselves are unaffected: only VALUE reads move to the
     copies; grad tensors stay keyed by the original forward tensors.
@@ -380,6 +382,7 @@ def _apply_remat(
             ck.custom_grad = None
             ck.remat = True
             ir.substitute_tensors_kernel(ck, subs)
+            ck.remat_anchor = loss
             assert ck.write is not None
             ck.write.tensor = new_tid
             recompute.append(ck)
@@ -464,7 +467,8 @@ def generate(program: Program) -> None:
                         grad_kernels.extend(derive_kernel(fwd, grad_tensors))
 
                 grad_kernels = _apply_remat(
-                    program, target, target.kernels[:it], grad_kernels
+                    program, target, target.kernels[:it], grad_kernels,
+                    gen.tensor,
                 )
                 target.kernels[it: it + 1] = grad_kernels
                 it += len(grad_kernels)

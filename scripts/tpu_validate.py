@@ -159,6 +159,32 @@ def main() -> None:
           f"loss {l0:.4f} -> {l1:.4f}", flush=True)
     assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
     print("FLASH TRANSFORMER TRAIN STEP OK", flush=True)
+
+    # remat memory effect on the TPU compiler (informational: the CPU
+    # pipeline CSEs recomputes away — jax.checkpoint included — so this
+    # can only be observed here)
+    from exprgrad_tpu.passes import infer_shapes
+
+    for flag in (False, True):
+        mr = compile(
+            flash_transformer(vocab=64, dim=256, heads=2, hidden=1024,
+                              blocks=2, max_seq=128, remat=flag),
+            seed=0, precision="default",
+        )
+        prog = mr.program
+        shp = infer_shapes(
+            prog, "train",
+            [(prog.inputs["tokens"], [8, 128]),
+             (prog.inputs["labels"], [8, 128, 64])],
+        )
+        ex = mr._executor("train", shp)
+        spec = {
+            tid: jax.ShapeDtypeStruct(tuple(shp[tid]), np.float32)
+            for tid in ex.input_tids
+        }
+        ma = jax.jit(ex.run_fn).lower(spec, 0, 0).compile().memory_analysis()
+        print(f"remat={flag}: temp={ma.temp_size_in_bytes/2**20:.2f}MiB",
+              flush=True)
     print("ALL ON-CHIP VALIDATIONS PASSED", flush=True)
 
 
