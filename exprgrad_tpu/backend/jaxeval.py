@@ -920,9 +920,11 @@ class KernelLowering:
             # original forward computation would form a cycle.
             anchor = self.kernel.remat_anchor
             tids = sorted(
-                {t for t in self.kernel.input_tensors() if t != anchor}
+                t
+                for t in set(self.kernel.input_tensors())
+                if t != anchor and t in tensors
             )
-            bundle = [tensors[t] for t in tids if t in tensors]
+            bundle = [tensors[t] for t in tids]
             if anchor is not None and anchor in tensors:
                 bundle.append(tensors[anchor])
             if bundle:

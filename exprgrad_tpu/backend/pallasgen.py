@@ -367,6 +367,7 @@ def _classify_step(low, kernel: Kernel, src: int, rows: int, cols: int,
         or kernel.generator.kind != ir.GenKind.NONE
         or kernel.custom_grad is not None
         or kernel.extern is not None
+        or kernel.remat  # recompute kernels keep their CSE fence path
     ):
         return None
     if not low._bounds_ok or low.dynamic_axes:
@@ -515,6 +516,11 @@ def plan_epilogue_fusions(program, target, shapes, dtype, precision,
     for idx in range(len(kernels) - 1):
         kernel = kernels[idx]
         if idx in skipped_kernels or kernel.write is None:
+            continue
+        if kernel.remat:
+            # recompute kernels must go through KernelLowering.run, the
+            # only place the CSE fence (optimization_barrier bundle) is
+            # applied; fusing them would silently defeat rematerialization
             continue
         if kernel.write.accumulate != "add" or not is_scheduled(kernel):
             continue

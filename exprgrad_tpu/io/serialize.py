@@ -25,7 +25,7 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x05\n"
+MAGIC = b"EGTPU\x06\n"
 
 
 class Writer:

@@ -136,3 +136,56 @@ def test_flash_transformer_remat_matches_plain():
         np.testing.assert_allclose(
             results[True][tid], results[False][tid], rtol=1e-5, atol=1e-6
         )
+
+
+def test_scheduled_remat_matmul_not_fused_keeps_fence():
+    """A scheduled remat-marked matmul chain: the recompute kernels must
+    NOT take the epilogue-fusion path (which has no CSE fence) — they go
+    through the fenced lowering and stats count them."""
+    import warnings
+
+    from exprgrad_tpu import param
+
+    x = input("x")
+    w1 = param([128, 128], name="w1")
+    w2 = param([128, 8], name="w2")
+    y_, j, it = iters("y", "j", "it")
+    h = Fun("h")
+    h[y_, j] = x[y_, it] * w1[it, j]
+    h.schedule(tile={"y": 64, "x": 128, "it": 128}, parallel=["y", "j"])
+    i = iters("i")
+    hr = Fun("hr")
+    hr.raw[i] = select(h.raw[i] >= 0.0, h.raw[i], 0.0)
+    hr.copy_shape(h)
+    h.remat()
+    hr.remat()
+    y_, k, j = iters("y", "k", "j")
+    out = Fun("out")
+    out[y_, k] = hr[y_, j] * w2[j, k]
+    labels = input("labels")
+    it = iters("it")
+    loss = Fun("loss")
+    loss[0] = sq(out.raw[it] - labels.raw[it]) / to_scalar(labels.size)
+    graph = (
+        loss.target("loss")
+        .backwards()
+        .optimize(make_opt(gradient_descent, rate=0.01))
+        .target("train")
+    )
+    rng = np.random.default_rng(4)
+    args = {
+        "x": rng.normal(size=(64, 128)).astype(np.float32),
+        "labels": rng.normal(size=(64, 8)).astype(np.float32),
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        mj = compile(graph, backend="jax", schedule_mode="force", seed=2)
+        mi = compile(graph, backend="interp", seed=2)
+        mj.apply("train", args)
+        mi.apply("train", args)
+    stats = mj.lowering_stats("train")
+    assert stats.get("remat", 0) >= 2  # both recompute kernels fenced
+    for tid in mj.params:
+        np.testing.assert_allclose(
+            np.asarray(mj.params[tid]), mi.params[tid], rtol=1e-4, atol=1e-5
+        )
