@@ -81,3 +81,19 @@ def test_flash_transformer_lowering_guard():
     assert stats.get("extern:attention_grad") == 3  # dq, dk, dv
     assert stats.get("general-scatter", 0) <= 1    # embedding grad only
     assert "general-gather" not in stats
+
+
+def test_flash_transformer_aot_export_roundtrip():
+    """AOT serving artifact (jax.export) of the extern-attention predict
+    target reproduces the live model."""
+    from exprgrad_tpu import load_compiled
+
+    model = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2),
+                    backend="jax", seed=4)
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, VOCAB, (2, 8)).astype(np.float32)
+    data = model.export_compiled("predict", {"tokens": [2, 8]})
+    served = load_compiled(data)
+    live = np.asarray(model.call("predict", {"tokens": toks}))
+    aot = np.asarray(served({"tokens": toks}))
+    np.testing.assert_allclose(aot, live, rtol=1e-5, atol=1e-6)
