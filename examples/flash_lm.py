@@ -34,12 +34,17 @@ def batch(rng):
 
 
 def greedy_generate(model, prompt, n_new):
-    toks = list(prompt)
-    for _ in range(n_new):
-        window = np.asarray(toks[-SEQ:], np.float32)[None, :]
-        probs = np.asarray(model.call("predict", {"tokens": window}))
-        toks.append(int(probs[0, -1].argmax()))
-    return toks
+    """O(1)-per-token generation: the trained DSL weights drive the
+    KV-cache decoder (models.serve.FlashLMServer); the whole loop is one
+    jitted lax.scan instead of re-running predict per token."""
+    from exprgrad_tpu.models import FlashLMServer
+
+    server = FlashLMServer(model)
+    out = server.generate(
+        np.asarray(prompt, np.float32)[None, :], n_new,
+        capacity=len(prompt) + n_new,
+    )
+    return list(prompt) + [int(t) for t in np.asarray(out)[0]]
 
 
 def main() -> None:

@@ -7,5 +7,6 @@ from .autoencoder import conv_autoencoder
 from .transformer import flash_transformer, tiny_transformer
 from .mixer import tiny_mixer
 from .mobile import mobile_cnn
+from .serve import FlashLMServer
 
-__all__ = ["conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["FlashLMServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

@@ -1,0 +1,182 @@
+"""KV-cache serving for trained flash_transformer models.
+
+Train in the DSL (symbolic autodiff, one-jit training programs), serve
+with O(1)-per-token decoding: this bridge pulls the trained parameters
+out of a compiled :func:`flash_transformer` model and drives the
+static-capacity KV cache (ops/decode.py) with a jax forward that
+reproduces the DSL program's math exactly — prefill appends the whole
+prompt once, each generated token then costs one thin fused step instead
+of re-running the full O(seq²) predict target per token (the
+examples/flash_lm.py sliding-window approach).
+
+The whole generation loop jits as one ``lax.scan`` program.  Parity with
+the compiled model is tested (tests/test_serve.py): prefill logits match
+the "predict" target and greedy generation matches sliding-window greedy
+decoding token for token.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from ..errors import ModelRuntimeError
+
+
+class _Block(NamedTuple):
+    attn_g: object  # rms gamma before attention
+    wq: object      # [h, dim, hd]
+    wk: object      # [hkv, dim, hd]
+    wv: object      # [hkv, dim, hd]
+    wo: object      # [h, hd, dim]
+    ffn_g: object   # rms gamma before the FFN
+    w1: object      # [dim, hidden]
+    b1: object      # [hidden]
+    w2: object      # [hidden, dim]
+    b2: object      # [dim]
+
+
+class FlashLMServer:
+    """Incremental decoder over a trained flash_transformer's weights.
+
+    ``model`` is the compiled Model; parameters are matched by their
+    (name, shape) sequence — embed, pos, then per block
+    [rms.g, wq, wk, wv, wo, rms.g, weights, bias, weights, bias], then
+    the head [rms.g, weights, bias] — and validated; a mismatch raises
+    instead of serving garbage.
+    """
+
+    def __init__(self, model, cache_dtype=None, eps: float = 1e-5):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.eps = eps
+        self.cache_dtype = cache_dtype or jnp.bfloat16
+
+        seq = [
+            (model.program.tensors[tid].name,
+             jnp.asarray(np.asarray(model.params[tid])))
+            for tid in model.program.params
+        ]
+
+        def take(expected: str):
+            if not seq or seq[0][0] != expected:
+                got = seq[0][0] if seq else "<end>"
+                raise ModelRuntimeError(
+                    f"unexpected parameter {got!r} (wanted {expected!r}); "
+                    "FlashLMServer serves models built by flash_transformer"
+                )
+            return seq.pop(0)[1]
+
+        self.embed = take("embed")      # [vocab, dim]
+        self.pos = take("pos")          # [max_seq, dim]
+        self.vocab, self.dim = self.embed.shape
+        self.max_seq = self.pos.shape[0]
+
+        self.blocks: list[_Block] = []
+        while len(seq) > 3:
+            self.blocks.append(_Block(
+                attn_g=take("rms.g"),
+                wq=take("wq"), wk=take("wk"), wv=take("wv"), wo=take("wo"),
+                ffn_g=take("rms.g"),
+                w1=take("weights"), b1=take("bias"),
+                w2=take("weights"), b2=take("bias"),
+            ))
+        self.final_g = take("rms.g")
+        self.w_head = take("weights")
+        self.b_head = take("bias")
+        if seq:
+            raise ModelRuntimeError(
+                f"{len(seq)} unconsumed parameters; not a flash_transformer"
+            )
+        blk = self.blocks[0]
+        self.heads, _, self.head_dim = blk.wq.shape
+        self.kv_heads = blk.wk.shape[0]
+        self.scale = 1.0 / float(np.sqrt(self.head_dim))
+
+    # -- forward pieces (must mirror models/transformer.py exactly) -----
+    def _rms(self, x, gamma):
+        jnp = self._jnp
+        ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x / jnp.sqrt(ms + self.eps) * gamma
+
+    def _step(self, x, caches, pos_offset):
+        """One forward pass of ``t`` fresh tokens (already embedded) with
+        their K/V appended to the caches.  Returns (logits, caches)."""
+        from ..ops.decode import append, decode_attention
+
+        jnp = self._jnp
+        new_caches = []
+        for blk, cache in zip(self.blocks, caches):
+            rn = self._rms(x, blk.attn_g)
+            q = jnp.einsum("ntc,hcd->nhtd", rn, blk.wq)
+            k = jnp.einsum("ntc,hcd->nhtd", rn, blk.wk)
+            v = jnp.einsum("ntc,hcd->nhtd", rn, blk.wv)
+            cache = append(cache, k, v)
+            att = decode_attention(q, cache, sm_scale=self.scale)
+            x = x + jnp.einsum("nhtd,hde->nte", att, blk.wo)
+            rn2 = self._rms(x, blk.ffn_g)
+            h = jnp.maximum(rn2 @ blk.w1 + blk.b1, 0.0)
+            x = x + h @ blk.w2 + blk.b2
+            new_caches.append(cache)
+        logits = self._rms(x, self.final_g) @ self.w_head + self.b_head
+        return logits, new_caches
+
+    def _embed_tokens(self, tokens, pos_offset):
+        jnp = self._jnp
+        ids = tokens.astype(jnp.int32)
+        t = ids.shape[1]
+        pos_ids = pos_offset + jnp.arange(t, dtype=jnp.int32)
+        return self.embed[ids] + self.pos[pos_ids][None, :, :]
+
+    # -- public API ------------------------------------------------------
+    def init_caches(self, batch: int, capacity: Optional[int] = None):
+        from ..ops.decode import init_cache
+
+        capacity = capacity or self.max_seq
+        return [
+            init_cache(batch, self.kv_heads, capacity, self.head_dim,
+                       dtype=self.cache_dtype)
+            for _ in self.blocks
+        ]
+
+    def prefill(self, tokens, caches):
+        """Run the whole prompt ([batch, t] float ids) through the model,
+        filling the caches; returns (logits [batch, t, vocab], caches)."""
+        jnp = self._jnp
+        tokens = jnp.asarray(tokens)
+        x = self._embed_tokens(tokens, caches[0].length)
+        return self._step(x, caches, caches[0].length)
+
+    def decode(self, token, caches):
+        """One token per sequence ([batch, 1]); O(cache) per step."""
+        return self.prefill(token, caches)
+
+    def generate(self, prompt, n_new: int, capacity: Optional[int] = None):
+        """Greedy continuation; the per-token loop is ONE lax.scan."""
+        import jax
+
+        jnp = self._jnp
+        prompt = jnp.asarray(prompt)
+        batch = prompt.shape[0]
+        capacity = capacity or self.max_seq
+        caches = self.init_caches(batch, capacity)
+
+        @jax.jit
+        def run(prompt, caches):
+            logits, caches = self.prefill(prompt, caches)
+            first = jnp.argmax(logits[:, -1], axis=-1).astype(prompt.dtype)
+
+            def body(carry, _):
+                tok, caches = carry
+                logits, caches = self.decode(tok[:, None], caches)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(tok.dtype)
+                return (nxt, caches), tok
+
+            (_, _), toks = jax.lax.scan(
+                body, (first, caches), None, length=n_new
+            )
+            return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
+
+        return run(prompt, caches)

@@ -1,0 +1,99 @@
+"""FlashLMServer: KV-cache serving of trained flash_transformer models.
+
+Parity contract: the server's jax forward must reproduce the compiled
+DSL program exactly — prefill logits match the "predict" target, and
+greedy KV-cache generation matches greedy decoding through the model.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from exprgrad_tpu import ModelRuntimeError, compile
+from exprgrad_tpu.models import flash_transformer
+from exprgrad_tpu.models.serve import FlashLMServer
+
+VOCAB = 6
+
+
+def _trained_model(heads=2, kv_heads=None, steps=30):
+    model = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=heads,
+                          kv_heads=kv_heads, eta=0.01),
+        backend="jax", seed=0,
+    )
+    rng = np.random.default_rng(0)
+    phase = rng.integers(0, VOCAB, 16)
+    toks = ((phase[:, None] + np.arange(8)[None, :]) % VOCAB).astype(
+        np.float32
+    )
+    labels = np.eye(VOCAB, dtype=np.float32)[
+        ((toks + 1) % VOCAB).astype(int)
+    ]
+    for _ in range(steps):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return model
+
+
+@pytest.mark.parametrize("kv_heads", [None, 1])
+def test_prefill_matches_predict(kv_heads):
+    model = _trained_model(heads=2, kv_heads=kv_heads, steps=5)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, VOCAB, (3, 8)).astype(np.float32)
+
+    logits, _ = server.prefill(toks, server.init_caches(3))
+    probs = np.asarray(jnp.asarray(
+        jnp.exp(logits - jnp.max(logits, -1, keepdims=True))
+    ))
+    probs = probs / probs.sum(-1, keepdims=True)
+    want = np.asarray(model.call("predict", {"tokens": toks}))
+    np.testing.assert_allclose(probs, want, rtol=1e-4, atol=1e-5)
+
+
+def test_incremental_decode_matches_prefill():
+    """Token-by-token decoding reproduces the all-at-once prefill."""
+    model = _trained_model(steps=5)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, VOCAB, (2, 8)).astype(np.float32)
+
+    full_logits, _ = server.prefill(toks, server.init_caches(2))
+    caches = server.init_caches(2)
+    steps = []
+    for t in range(8):
+        logits, caches = server.decode(toks[:, t:t + 1], caches)
+        steps.append(np.asarray(logits[:, 0]))
+    np.testing.assert_allclose(
+        np.stack(steps, axis=1), np.asarray(full_logits),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_generate_matches_sliding_window_greedy():
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2.0, 3.0, 4.0]], np.float32)
+
+    got = np.asarray(server.generate(prompt, n_new=9))[0].astype(int)
+
+    toks = list(prompt[0].astype(int))
+    for _ in range(9):
+        window = np.asarray(toks, np.float32)[None, :]
+        probs = np.asarray(model.call("predict", {"tokens": window}))
+        toks.append(int(probs[0, -1].argmax()))
+    assert list(got) == toks[3:]
+    # and the trained model actually learned the +1 cycle
+    assert list(got)[:4] == [(prompt[0, 0].astype(int) + i) % VOCAB
+                             for i in range(3, 7)]
+
+
+def test_server_rejects_foreign_models():
+    from exprgrad_tpu.models import tiny_mixer
+
+    pred, loss, train = tiny_mixer()
+    model = compile([pred, loss, train], backend="interp", seed=0)
+    with pytest.raises(ModelRuntimeError, match="flash_transformer"):
+        FlashLMServer(model)
