@@ -153,8 +153,22 @@ class FlashLMServer:
         """One token per sequence ([batch, 1]); O(cache) per step."""
         return self.prefill(token, caches)
 
-    def generate(self, prompt, n_new: int, capacity: Optional[int] = None):
-        """Greedy continuation; the per-token loop is ONE lax.scan."""
+    def generate(
+        self,
+        prompt,
+        n_new: int,
+        capacity: Optional[int] = None,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        seed: int = 0,
+    ):
+        """Continue ``prompt`` ([batch, t] float ids) by ``n_new`` tokens.
+
+        ``temperature <= 0`` decodes greedily; otherwise tokens sample
+        from ``softmax(logits / temperature)``, restricted to the
+        ``top_k`` most likely tokens when given.  The per-token loop is
+        ONE jitted ``lax.scan``.
+        """
         import jax
 
         jnp = self._jnp
@@ -163,20 +177,31 @@ class FlashLMServer:
         capacity = capacity or self.max_seq
         caches = self.init_caches(batch, capacity)
 
+        def pick(logits, key):
+            if temperature <= 0.0:
+                return jnp.argmax(logits, axis=-1)
+            logits = logits / jnp.float32(temperature)
+            if top_k is not None and top_k < self.vocab:
+                kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+                logits = jnp.where(logits >= kth, logits, -jnp.inf)
+            return jax.random.categorical(key, logits, axis=-1)
+
         @jax.jit
-        def run(prompt, caches):
+        def run(prompt, caches, key):
             logits, caches = self.prefill(prompt, caches)
-            first = jnp.argmax(logits[:, -1], axis=-1).astype(prompt.dtype)
+            key, sub = jax.random.split(key)
+            first = pick(logits[:, -1], sub).astype(prompt.dtype)
 
             def body(carry, _):
-                tok, caches = carry
+                tok, caches, key = carry
                 logits, caches = self.decode(tok[:, None], caches)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(tok.dtype)
-                return (nxt, caches), tok
+                key, sub = jax.random.split(key)
+                nxt = pick(logits[:, -1], sub).astype(tok.dtype)
+                return (nxt, caches, key), tok
 
-            (_, _), toks = jax.lax.scan(
-                body, (first, caches), None, length=n_new
+            (_, _, _), toks = jax.lax.scan(
+                body, (first, caches, key), None, length=n_new
             )
             return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
 
-        return run(prompt, caches)
+        return run(prompt, caches, jax.random.PRNGKey(seed))

@@ -97,3 +97,22 @@ def test_server_rejects_foreign_models():
     model = compile([pred, loss, train], backend="interp", seed=0)
     with pytest.raises(ModelRuntimeError, match="flash_transformer"):
         FlashLMServer(model)
+
+
+def test_generate_sampling_modes():
+    """temperature/top_k sampling: valid tokens, seed-reproducible, and
+    temperature->0 recovers greedy."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[0.0, 1.0, 2.0]], np.float32)
+
+    greedy = np.asarray(server.generate(prompt, n_new=6))
+    s1 = np.asarray(server.generate(prompt, n_new=6, temperature=0.8,
+                                    top_k=3, seed=7))
+    s2 = np.asarray(server.generate(prompt, n_new=6, temperature=0.8,
+                                    top_k=3, seed=7))
+    assert np.array_equal(s1, s2)  # seeded sampling is reproducible
+    assert ((s1 >= 0) & (s1 < VOCAB)).all()
+    cold = np.asarray(server.generate(prompt, n_new=6, temperature=1e-4,
+                                      seed=3))
+    assert np.array_equal(cold, greedy)  # near-zero temp == greedy
