@@ -23,6 +23,7 @@ from .errors import (
     KernelTypeError,
     ModelRuntimeError,
     ParserError,
+    RematWarning,
     ScheduleWarning,
     ShapeError,
     StageError,
@@ -97,7 +98,8 @@ __all__ = [
     "rand", "remap", "select", "sin", "sq", "sqrt", "to_index", "to_program",
     "to_scalar", "wrap",
     "ExprgradError", "GradientError", "GeneratorError", "KernelTypeError",
-    "ModelRuntimeError", "ParserError", "ScheduleWarning", "ShapeError",
+    "ModelRuntimeError", "ParserError", "RematWarning", "ScheduleWarning",
+    "ShapeError",
     "StageError",
     "ValidationError",
 ]

@@ -41,6 +41,12 @@ class ModelRuntimeError(ExprgradError):
     """Runtime usage error (unknown target/input, ...). Reference: RuntimeError."""
 
 
+class RematWarning(UserWarning):
+    """A ``fun.remat()`` mark had no effect (e.g. the tensor is produced
+    by an extern op, whose per-execution memoization would deduplicate a
+    recompute right back).  Marks are never silently ignored."""
+
+
 class ScheduleWarning(UserWarning):
     """A user schedule (tile/parallel/cache) could not be honored or was
     overridden by the cost model; the kernel fell back to the XLA path.

@@ -319,7 +319,8 @@ class Model:
         log_status: bool = True,
         shuffle: bool = False,
         scan_batches: bool = False,
-    ) -> None:
+        monitor: Optional[str] = None,
+    ) -> Optional[float]:
         """Run a target over all batches of the inputs; increments epoch.
 
         Like the reference (model.nim:425, README.md:367), samples beyond the
@@ -328,6 +329,10 @@ class Model:
         ``scan_batches=True`` compiles the whole epoch into ONE XLA program
         (lax.scan over batches, parameters as the loop carry) — removes
         per-batch dispatch overhead entirely (jax backend only).
+
+        ``monitor`` names a scalar target (typically "loss") evaluated on
+        the first batch after the epoch; its value is returned (and shown
+        on the progress line when ``log_status``).
         """
         if not args:
             raise ModelRuntimeError(
@@ -358,11 +363,16 @@ class Model:
                 first.shape[0], int(self._rng.integers(0, 2**31 - 1))
             )
 
+        if monitor is not None and monitor not in self.program.targets:
+            raise ModelRuntimeError(
+                f"monitor target {monitor!r} is not a target of the model"
+            )
+
         if scan_batches and self.backend != "interp":
             self.epoch += 1
             self._fit_scan(target_name, args, shapes, batch_size,
                            batch_count, order)
-            return
+            return self._monitor(monitor, args, batch_size, log_status)
 
         self.epoch += 1
         for batch in range(batch_count):
@@ -383,6 +393,22 @@ class Model:
             self._run(target_name, batch_args, shapes)
         if log_status:
             print(f"\r{batch_count}/{batch_count}")
+        return self._monitor(monitor, args, batch_size, log_status)
+
+    def _monitor(
+        self, monitor: Optional[str], args, batch_size: int,
+        log_status: bool,
+    ) -> Optional[float]:
+        """Evaluate the monitor target on the first batch; scalar value."""
+        if monitor is None:
+            return None
+        first = {
+            name: value[:batch_size] for name, value in args.items()
+        }
+        value = float(np.asarray(self.call(monitor, first)).reshape(-1)[0])
+        if log_status:
+            print(f"epoch {self.epoch}: {monitor} {value:.6f}")
+        return value
 
 
     def _fit_scan(

@@ -368,6 +368,19 @@ def _apply_remat(
         if any(k.extern is not None for k in writers[tid]):
             # extern results are memoized per execution: a duplicate call
             # would be deduplicated right back — no memory to save
+            import warnings
+
+            from ..errors import RematWarning
+
+            name = program.tensors[tid].name or f"t{tid}"
+            warnings.warn(
+                f"remat() on {name!r} has no effect: it is produced by an "
+                "extern op (whose per-execution memoization would "
+                "deduplicate a recompute); mark the surrounding DSL "
+                "kernels instead",
+                RematWarning,
+                stacklevel=2,
+            )
             continue
         tdef = program.tensors[tid]
         new_tid = program.alloc_tensor(

@@ -559,3 +559,42 @@ def test_lr_schedule_in_the_language():
         model.params[tid] = w1
     n2, _ = update_norm(2)    # lr = 0.1 * 0.5^2
     assert n2 < n1 * 0.3 and n2 > 0
+
+
+def test_fit_monitor_reports_loss(backend, capsys):
+    """fit(monitor="loss") returns the post-epoch loss and it decreases."""
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(rate=0.5), backend=backend, seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0.0, 1, 1, 0])
+    first = model.fit("train", {"x": x, "y": y}, batch_size=4,
+                      log_status=False, monitor="loss")
+    for _ in range(60):
+        last = model.fit("train", {"x": x, "y": y}, batch_size=4,
+                         log_status=False, monitor="loss")
+    assert last < first
+    from exprgrad_tpu import ModelRuntimeError
+
+    with pytest.raises(ModelRuntimeError, match="monitor"):
+        model.fit("train", {"x": x, "y": y}, batch_size=4,
+                  log_status=False, monitor="nope")
+
+
+def test_remat_on_extern_warns():
+    """remat() marks on extern-produced tensors warn instead of silently
+    doing nothing."""
+    import warnings
+
+    from exprgrad_tpu import RematWarning, input as einput, to_scalar
+    from exprgrad_tpu.layers import fused_attention
+
+    q, k, v = einput("q"), einput("k"), einput("v")
+    att = fused_attention(q, k, v, impl="xla")
+    att.remat()
+    it = iters("it")
+    loss = Fun("loss")
+    loss[0] = att.raw[it] * att.raw[it]
+    graph = loss.target("loss").backwards().grad(q).target("dq")
+    with pytest.warns(RematWarning, match="extern"):
+        compile(graph, backend="jax")
