@@ -90,6 +90,11 @@ class FlashLMServer:
             raise ModelRuntimeError(
                 f"{len(seq)} unconsumed parameters; not a flash_transformer"
             )
+        if not self.blocks:
+            raise ModelRuntimeError(
+                "model has no transformer blocks (flash_transformer with "
+                "blocks >= 1 is required for KV-cache serving)"
+            )
         blk = self.blocks[0]
         self.heads, _, self.head_dim = blk.wq.shape
         self.kv_heads = blk.wk.shape[0]
@@ -175,6 +180,23 @@ class FlashLMServer:
         prompt = jnp.asarray(prompt)
         batch = prompt.shape[0]
         capacity = capacity or self.max_seq
+        if n_new < 1:
+            raise ModelRuntimeError(f"n_new must be >= 1 (got {n_new})")
+        # The last decode feeds token index t+n_new-2, so positions
+        # 0..t+n_new-2 are embedded and t+n_new-1 K/V rows are cached.
+        # All of these are static here; overflowing either corrupts the
+        # output silently (clamped gathers / clamped cache appends).
+        need = int(prompt.shape[1]) + n_new - 1
+        if need > self.max_seq:
+            raise ModelRuntimeError(
+                f"prompt_len + n_new - 1 = {need} exceeds the model's "
+                f"max_seq {self.max_seq} position embeddings"
+            )
+        if need > capacity:
+            raise ModelRuntimeError(
+                f"prompt_len + n_new - 1 = {need} exceeds KV-cache "
+                f"capacity {capacity}; pass capacity>={need}"
+            )
         caches = self.init_caches(batch, capacity)
 
         def pick(logits, key):
@@ -197,11 +219,15 @@ class FlashLMServer:
                 logits, caches = self.decode(tok[:, None], caches)
                 key, sub = jax.random.split(key)
                 nxt = pick(logits[:, -1], sub).astype(tok.dtype)
-                return (nxt, caches, key), tok
+                return (nxt, caches, key), nxt
 
-            (_, _, _), toks = jax.lax.scan(
-                body, (first, caches, key), None, length=n_new
+            # n_new-1 decode steps: the carried token is already the
+            # i-th output, so collecting `nxt` avoids a final decode
+            # whose result would be discarded.
+            (_, _, _), rest = jax.lax.scan(
+                body, (first, caches, key), None, length=n_new - 1
             )
+            toks = jnp.concatenate([first[None], rest], axis=0)
             return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
 
         return run(prompt, caches, jax.random.PRNGKey(seed))

@@ -99,6 +99,43 @@ def test_server_rejects_foreign_models():
         FlashLMServer(model)
 
 
+def test_generate_rejects_overflow():
+    """Static capacity/max_seq overflows raise instead of silently
+    clamping cache appends and position gathers (code-review finding)."""
+    model = _trained_model(steps=1)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+
+    with pytest.raises(ModelRuntimeError, match="capacity"):
+        server.generate(prompt, n_new=4, capacity=5)  # need 6 slots
+    with pytest.raises(ModelRuntimeError, match="max_seq"):
+        server.generate(prompt, n_new=63)  # need position 64 of 64
+    with pytest.raises(ModelRuntimeError, match="n_new"):
+        server.generate(prompt, n_new=0)
+    # exact fit is legal: positions 0..5, 6 cache rows
+    out = np.asarray(server.generate(prompt, n_new=4, capacity=6))
+    assert out.shape == (1, 4)
+
+
+def test_generate_single_token():
+    """n_new=1 takes the scan-length-0 path (prefill only, no decode)."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2.0, 3.0, 4.0]], np.float32)
+    one = np.asarray(server.generate(prompt, n_new=1))[0]
+    many = np.asarray(server.generate(prompt, n_new=5))[0]
+    assert one.shape == (1,) and one[0] == many[0]
+
+
+def test_server_rejects_blockless_model():
+    model = compile(
+        flash_transformer(vocab=VOCAB, dim=8, blocks=0), backend="interp",
+        seed=0,
+    )
+    with pytest.raises(ModelRuntimeError, match="blocks"):
+        FlashLMServer(model)
+
+
 def test_generate_sampling_modes():
     """temperature/top_k sampling: valid tokens, seed-reproducible, and
     temperature->0 recovers greedy."""
