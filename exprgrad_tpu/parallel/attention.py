@@ -11,8 +11,11 @@ causal masks in *global* sequence coordinates:
 * ``impl="ring"`` — ring attention: KV chunks rotate around the mesh axis
   via ``ppermute`` while each device folds one chunk per step into its
   online-softmax running state (merging locally-normalized outputs via
-  their logsumexps).  KV memory O(S/P) per device and the permute
-  overlaps with compute on real ICI.
+  their logsumexps).  KV memory O(S/P) per device.  The loop is double
+  buffered: each step's ppermute of the NEXT chunk is issued before the
+  current flash kernel, so on real ICI the async collective-permute
+  rides underneath the compute (tested structurally; the overlap itself
+  is only observable on multi-chip hardware).
 
 Both implementations are differentiable (``jax.custom_vjp``): the ring
 backward re-rotates KV chunks with their gradient accumulators traveling
@@ -135,6 +138,14 @@ def _ring_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
     )
     rank32 = rank.astype(jnp.int32)
     for t in range(size):
+        # Double buffering: the step-t+1 chunks go on the wire BEFORE the
+        # step-t kernel is issued.  The permute reads only the resident
+        # chunk, so nothing forces it after the kernel; issuing it first
+        # in program order lets XLA's latency-hiding scheduler run the
+        # async collective-permute on ICI underneath the flash kernel.
+        if t != size - 1:
+            k_next = jax.lax.ppermute(k, axis_name, perm)
+            v_next = jax.lax.ppermute(v, axis_name, perm)
         # chunk held at step t (int32 regardless of the x64 flag)
         src = jax.lax.rem(rank32 - jnp.int32(t) + jnp.int32(size),
                           jnp.int32(size))
@@ -147,8 +158,7 @@ def _ring_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
         )
         state = _merge(state, out_i, _lse3(lse_i, b, h, cq))
         if t != size - 1:
-            k = jax.lax.ppermute(k, axis_name, perm)
-            v = jax.lax.ppermute(v, axis_name, perm)
+            k, v = k_next, v_next
     return _finish(state, q.dtype), _global_lse(state)
 
 
@@ -176,6 +186,15 @@ def _make_ring(axis_name, sm_scale, causal, block_q, block_k, interpret):
         dk = jnp.zeros(k.shape, jnp.float32)
         dv = jnp.zeros(v.shape, jnp.float32)
         for t in range(size):
+            # k/v for step t+1 go on the wire before the step-t kernels
+            # (double buffering, as in the forward).  dk/dv cannot be
+            # prefetched the same way -- each accumulator must absorb the
+            # local partial before traveling -- but their permute only
+            # gates the NEXT accumulation, not the next kernel, so it
+            # still overlaps with step t+1's backward kernels.
+            if t != size - 1:
+                k_next = jax.lax.ppermute(k, axis_name, perm)
+                v_next = jax.lax.ppermute(v, axis_name, perm)
             src = jax.lax.rem(rank - jnp.int32(t) + jnp.int32(size),
                               jnp.int32(size))
             offs = jnp.stack(
@@ -189,8 +208,7 @@ def _make_ring(axis_name, sm_scale, causal, block_q, block_k, interpret):
             dk = dk + dk_p.astype(jnp.float32)
             dv = dv + dv_p.astype(jnp.float32)
             if t != size - 1:
-                k = jax.lax.ppermute(k, axis_name, perm)
-                v = jax.lax.ppermute(v, axis_name, perm)
+                k, v = k_next, v_next
                 dk = jax.lax.ppermute(dk, axis_name, perm)
                 dv = jax.lax.ppermute(dv, axis_name, perm)
         # chunk c sits on device (c - 1) mod P after the last step; one

@@ -52,6 +52,27 @@ def test_sp_attention_sharded_inputs_stay_sharded():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_ring_permute_issued_before_compute():
+    """Double buffering guard: in the traced program, the first
+    collective-permute (next KV chunk going on the wire) precedes the
+    first dot_general (the step-0 flash kernel), so XLA's latency-hiding
+    scheduler is free to overlap them on real ICI."""
+    mesh = _mesh()
+    q, k, v = _qkv(S=128, d=16)
+
+    def f(q, k, v):
+        return sequence_parallel_attention(q, k, v, mesh, causal=True,
+                                           impl="ring")
+
+    text = jax.jit(f).lower(q, k, v).as_text()
+    first_permute = text.find("collective_permute")
+    first_dot = text.find("dot_general")
+    assert first_permute != -1 and first_dot != -1
+    assert first_permute < first_dot, (first_permute, first_dot)
+    # 8-device ring: size-1 rotations of k and of v, no extras
+    assert text.count("collective_permute") == 2 * 7
+
+
 def test_sp_attention_rejects_unknown_impl():
     mesh = _mesh()
     q, k, v = _qkv(S=64)
