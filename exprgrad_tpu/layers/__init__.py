@@ -8,16 +8,20 @@ first-class citizens.
 from .base import (
     add,
     adam,
+    adamw,
     binary_cross_entropy,
     cross_entropy,
     div_scalar,
     decayed_gradient_descent,
     gradient_descent,
+    lion,
     matmul,
     maximum_elems,
     minimum_elems,
+    momentum,
     mse,
     mul_scalar,
+    rmsprop,
     sub,
     transpose,
 )
@@ -41,13 +45,14 @@ from .dnn import (
 )
 
 __all__ = [
-    "adam", "add", "avgpool2", "binary_cross_entropy", "conv2",
+    "adam", "adamw", "add", "avgpool2", "binary_cross_entropy", "conv2",
     "cross_entropy", "decayed_gradient_descent", "dense", "depthwise_conv2",
     "div_scalar",
-    "dropout", "fused_attention", "gradient_descent",
-    "multi_head_attention",
+    "dropout", "fused_attention", "gradient_descent", "lion",
+    "momentum", "multi_head_attention",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",
-    "mse", "mul_scalar", "relu", "rms_norm", "sigmoid", "sin_layer", "softmax", "sub",
+    "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
+    "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",
 ]

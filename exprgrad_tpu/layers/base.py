@@ -6,7 +6,18 @@ onto ``Fun`` (+, -, * for matmul/scalar-scale, / for scalar division).
 
 from __future__ import annotations
 
-from ..expr import epoch, iters, ln, maximum, minimum, pow_, sq, sqrt, to_scalar
+from ..expr import (
+    epoch,
+    iters,
+    ln,
+    maximum,
+    minimum,
+    pow_,
+    select,
+    sq,
+    sqrt,
+    to_scalar,
+)
 from ..fun import Fun, cache, layer
 
 
@@ -121,6 +132,103 @@ def adam(
     m_hat = m.raw[it] / (1.0 - pow_(beta1, to_scalar(epoch())))
     v_hat = v.raw[it] / (1.0 - pow_(beta2, to_scalar(epoch())))
     param.raw[it] = -eta * m_hat / (sqrt(v_hat) + eps)
+
+
+def momentum(
+    param: Fun,
+    grad: Fun,
+    eta: float = 0.01,
+    mu: float = 0.9,
+    nesterov: bool = False,
+) -> None:
+    """Polyak momentum SGD, optionally Nesterov.
+
+    Velocity lives in a cache tensor (``v <- mu*v + g``; cache writes
+    accumulate, so the statement adds ``v*(mu-1) + g``).  The update is
+    ``-eta*v``, or ``-eta*(g + mu*v)`` with the Nesterov look-ahead.
+    Beyond the reference's gd/adam pair (layers/base.nim:33-53) but built
+    from the same cache + accumulate-write seam.
+    """
+    vel = cache(param, "momentum.v")
+    it = iters("it")
+    vel.raw[it] = vel.raw[it] * (mu - 1.0) + grad.raw[it]
+    it = iters("it")
+    if nesterov:
+        param.raw[it] = -eta * (grad.raw[it] + mu * vel.raw[it])
+    else:
+        param.raw[it] = -eta * vel.raw[it]
+
+
+def rmsprop(
+    param: Fun,
+    grad: Fun,
+    eta: float = 0.001,
+    rho: float = 0.9,
+    eps: float = 1e-8,
+) -> None:
+    """Tieleman & Hinton RMSProp: leaky average of squared gradients in a
+    cache tensor, update scaled by its root."""
+    avg = cache(param, "rmsprop.sq")
+    it = iters("it")
+    avg.raw[it] = avg.raw[it] * (rho - 1.0) + (1.0 - rho) * sq(grad.raw[it])
+    it = iters("it")
+    param.raw[it] = -eta * grad.raw[it] / (sqrt(avg.raw[it]) + eps)
+
+
+def adamw(
+    param: Fun,
+    grad: Fun,
+    eta: float = 0.001,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.01,
+) -> None:
+    """Loshchilov & Hutter, "Decoupled Weight Decay Regularization", 2019.
+
+    Adam moments + bias correction exactly as :func:`adam`, plus a decay
+    term read from the pre-step parameter value in the same statement
+    (reads see the old buffer; the write accumulates), i.e.
+    ``p <- p - eta*(m_hat/(sqrt(v_hat)+eps) + wd*p)``.  Applied uniformly
+    to every parameter ``make_opt`` hands it — exclude biases/norm gains
+    by optimizing those targets with a separate optimizer if needed.
+    """
+    m = cache(param, "adamw.m")
+    v = cache(param, "adamw.v")
+    it = iters("it")
+    m.raw[it] = m.raw[it] * (beta1 - 1.0) + (1.0 - beta1) * grad.raw[it]
+    it = iters("it")
+    v.raw[it] = v.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * sq(grad.raw[it])
+    it = iters("it")
+    m_hat = m.raw[it] / (1.0 - pow_(beta1, to_scalar(epoch())))
+    v_hat = v.raw[it] / (1.0 - pow_(beta2, to_scalar(epoch())))
+    param.raw[it] = -eta * (
+        m_hat / (sqrt(v_hat) + eps) + weight_decay * param.raw[it]
+    )
+
+
+def lion(
+    param: Fun,
+    grad: Fun,
+    eta: float = 1e-4,
+    beta1: float = 0.9,
+    beta2: float = 0.99,
+    weight_decay: float = 0.0,
+) -> None:
+    """Chen et al., "Symbolic Discovery of Optimization Algorithms"
+    (Lion), 2023: sign of an interpolated momentum as the update, a
+    slower-decaying momentum as state.  The update statement reads the
+    OLD momentum (its cache write is a later kernel), matching the paper:
+    ``u = sign(beta1*m + (1-beta1)*g); p -= eta*(u + wd*p);
+    m <- beta2*m + (1-beta2)*g``.
+    """
+    m = cache(param, "lion.m")
+    it = iters("it")
+    u = m.raw[it] * beta1 + (1.0 - beta1) * grad.raw[it]
+    s = select(u > 0.0, 1.0, select(u < 0.0, -1.0, 0.0))
+    param.raw[it] = -eta * (s + weight_decay * param.raw[it])
+    it = iters("it")
+    m.raw[it] = m.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * grad.raw[it]
 
 
 # --- losses ---------------------------------------------------------------

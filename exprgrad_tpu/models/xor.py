@@ -11,8 +11,9 @@ from ..fun import Fun, input, make_opt, param
 from ..layers import dense, gradient_descent, leaky_relu, mse, sigmoid
 
 
-def xor_mlp(rate: float = 0.1) -> Fun:
-    """dense(2,4) -> leaky_relu -> dense(4,1) -> sigmoid, MSE loss, SGD."""
+def xor_mlp(rate: float = 0.1, opt=None) -> Fun:
+    """dense(2,4) -> leaky_relu -> dense(4,1) -> sigmoid, MSE loss; SGD by
+    default, or any ``make_opt(...)`` via ``opt``."""
     return (
         input("x")
         .pipe(dense, 2, 4)
@@ -22,7 +23,7 @@ def xor_mlp(rate: float = 0.1) -> Fun:
         .target("predict")
         .pipe(mse, input("y"))
         .target("loss")
-        .backprop(make_opt(gradient_descent, rate=rate))
+        .backprop(opt or make_opt(gradient_descent, rate=rate))
         .target("train")
     )
 

@@ -1,0 +1,159 @@
+"""Optimizer zoo: each optimizer's compiled update must match an exact
+numpy replica, step for step, on a model with a known gradient.
+
+Model: param w[4], loss = sum((w - x)^2)  =>  dL/dw = 2*(w - x).
+float64 + several steps with varying x so state tensors (velocity,
+moments, leaky averages) are genuinely exercised.
+"""
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu import Fun, compile, input, iters, make_opt, param, sq
+from exprgrad_tpu.layers import adamw, lion, momentum, rmsprop
+
+
+def _model(opt, backend="jax"):
+    x = input("x")
+    it = iters("it")
+    w = param([4], init_range=(0.4, 0.6), name="w")
+    loss = Fun()
+    loss[0] = sq(w.raw[it] - x.raw[it])
+    net = loss.target("loss").backprop(opt).target("train")
+    model = compile(net, dtype="float64", backend=backend)
+    wid = next(iter(model.params))
+    return model, wid
+
+
+def _drive(model, wid, xs):
+    """Apply one train step per row of xs; return the param trajectory."""
+    traj = []
+    for xv in xs:
+        model.epoch += 1
+        model.apply("train", {"x": xv})
+        traj.append(np.asarray(model.params[wid]).copy())
+    return traj
+
+
+XS = [np.full(4, fv) + np.arange(4) * 0.1 for fv in (0.0, 1.0, -0.5, 0.25)]
+
+
+@pytest.mark.parametrize("nesterov", [False, True])
+def test_momentum_matches_numpy(nesterov):
+    model, wid = _model(make_opt(momentum, eta=0.05, mu=0.9,
+                                 nesterov=nesterov))
+    w = np.asarray(model.params[wid]).copy()
+    v = np.zeros_like(w)
+    want = []
+    for xv in XS:
+        g = 2.0 * (w - xv)
+        v = 0.9 * v + g
+        w = w - 0.05 * ((g + 0.9 * v) if nesterov else v)
+        want.append(w.copy())
+    got = _drive(model, wid, XS)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_rmsprop_matches_numpy():
+    model, wid = _model(make_opt(rmsprop, eta=0.01, rho=0.9, eps=1e-8))
+    w = np.asarray(model.params[wid]).copy()
+    a = np.zeros_like(w)
+    want = []
+    for xv in XS:
+        g = 2.0 * (w - xv)
+        a = 0.9 * a + 0.1 * g * g
+        w = w - 0.01 * g / (np.sqrt(a) + 1e-8)
+        want.append(w.copy())
+    got = _drive(model, wid, XS)
+    for x, y in zip(got, want):
+        np.testing.assert_allclose(x, y, rtol=1e-12)
+
+
+def test_adamw_matches_numpy():
+    eta, b1, b2, eps, wd = 0.01, 0.9, 0.999, 1e-8, 0.1
+    model, wid = _model(make_opt(adamw, eta=eta, beta1=b1, beta2=b2,
+                                 eps=eps, weight_decay=wd))
+    w = np.asarray(model.params[wid]).copy()
+    m = np.zeros_like(w)
+    v = np.zeros_like(w)
+    want = []
+    for t, xv in enumerate(XS, start=1):
+        g = 2.0 * (w - xv)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        m_hat = m / (1 - b1 ** t)
+        v_hat = v / (1 - b2 ** t)
+        w = w - eta * (m_hat / (np.sqrt(v_hat) + eps) + wd * w)
+        want.append(w.copy())
+    got = _drive(model, wid, XS)
+    for x, y in zip(got, want):
+        np.testing.assert_allclose(x, y, rtol=1e-12)
+
+
+def test_lion_matches_numpy():
+    eta, b1, b2, wd = 0.02, 0.9, 0.99, 0.1
+    model, wid = _model(make_opt(lion, eta=eta, beta1=b1, beta2=b2,
+                                 weight_decay=wd))
+    w = np.asarray(model.params[wid]).copy()
+    m = np.zeros_like(w)
+    want = []
+    for xv in XS:
+        g = 2.0 * (w - xv)
+        u = b1 * m + (1 - b1) * g
+        w = w - eta * (np.sign(u) + wd * w)
+        m = b2 * m + (1 - b2) * g
+        want.append(w.copy())
+    got = _drive(model, wid, XS)
+    for x, y in zip(got, want):
+        np.testing.assert_allclose(x, y, rtol=1e-12)
+
+
+def test_optimizers_agree_across_backends():
+    """interp oracle and jax backend produce the same adamw trajectory."""
+    opt = lambda: make_opt(adamw, eta=0.01, weight_decay=0.05)
+    mj, wj = _model(opt(), backend="jax")
+    mi, wi = _model(opt(), backend="interp")
+    mi.params[wi] = np.asarray(mj.params[wj]).copy()
+    gj = _drive(mj, wj, XS)
+    gi = _drive(mi, wi, XS)
+    for a, b in zip(gj, gi):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_optimizer_state_survives_checkpoint(tmp_path):
+    """Momentum velocity is a cache tensor: save/load mid-run and the
+    continued trajectory matches an uninterrupted one."""
+    from exprgrad_tpu.io import load_model, save_model
+
+    model, wid = _model(make_opt(momentum, eta=0.05, mu=0.9))
+    ref, _ = _model(make_opt(momentum, eta=0.05, mu=0.9))
+    rid = next(iter(ref.params))
+    ref.params[rid] = np.asarray(model.params[wid]).copy()
+
+    _drive(model, wid, XS[:2])
+    _drive(ref, rid, XS[:2])
+    path = str(tmp_path / "momentum.ckpt")
+    save_model(model, path)
+    resumed = load_model(path, backend="jax")
+    rid2 = next(iter(resumed.params))
+    got = _drive(resumed, rid2, XS[2:])
+    want = _drive(ref, rid, XS[2:])
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_xor_converges_with_new_optimizers():
+    """End to end: xor trains to correct outputs under rmsprop."""
+    from exprgrad_tpu import Tensor
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(opt=make_opt(rmsprop, eta=0.02)),
+                    backend="jax", seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0.0, 1, 1, 0])
+    for _ in range(400):
+        model.epoch += 1
+        model.apply("train", {"x": x, "y": y})
+    pred = np.asarray(model.call("predict", {"x": x})).reshape(-1)
+    assert np.abs(pred - np.asarray([0, 1, 1, 0])).max() < 0.2
