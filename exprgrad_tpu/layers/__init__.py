@@ -26,6 +26,13 @@ from .base import (
     transpose,
 )
 from .attention import fused_attention, multi_head_attention
+from .schedules import (
+    cosine_decay,
+    exponential_decay,
+    step_decay,
+    warmup,
+    warmup_cosine,
+)
 from .dnn import (
     avgpool2,
     conv2,
@@ -55,4 +62,6 @@ __all__ = [
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
     "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",
+    "cosine_decay", "exponential_decay", "step_decay", "warmup",
+    "warmup_cosine",
 ]
