@@ -10,6 +10,7 @@ from .base import (
     adam,
     adamw,
     binary_cross_entropy,
+    clip_gradients,
     cross_entropy,
     div_scalar,
     decayed_gradient_descent,
@@ -62,6 +63,7 @@ __all__ = [
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
     "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",
+    "clip_gradients",
     "cosine_decay", "exponential_decay", "step_decay", "warmup",
     "warmup_cosine",
 ]

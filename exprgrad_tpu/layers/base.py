@@ -231,6 +231,22 @@ def lion(
     m.raw[it] = m.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * grad.raw[it]
 
 
+def clip_gradients(opt, bound: float):
+    """Wrap any bound optimizer with elementwise gradient clipping to
+    ``[-bound, bound]``: the clipped gradient is an ordinary intermediate
+    kernel the wrapped optimizer consumes.
+
+    ``net.backprop(clip_gradients(make_opt(adam, eta=1e-3), 1.0))``
+    """
+    def wrapped(param: Fun, grad: Fun) -> None:
+        it = iters("it")
+        clipped = Fun()
+        clipped.raw[it] = minimum(maximum(grad.raw[it], -bound), bound)
+        opt(param, clipped)
+
+    return wrapped
+
+
 # --- losses ---------------------------------------------------------------
 
 @layer

@@ -143,6 +143,53 @@ def test_optimizer_state_survives_checkpoint(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
+def test_clip_gradients_matches_numpy():
+    """Elementwise clip wrapper: grad 2*(w-x) with a far-away x saturates
+    the bound; update magnitude is exactly eta*bound."""
+    from exprgrad_tpu.layers import clip_gradients, gradient_descent
+
+    model, wid = _model(
+        clip_gradients(make_opt(gradient_descent, rate=0.1), bound=0.5)
+    )
+    w = np.asarray(model.params[wid]).copy()
+    want = []
+    for xv in XS:
+        g = np.clip(2.0 * (w - xv), -0.5, 0.5)
+        w = w - 0.1 * g
+        want.append(w.copy())
+    got = _drive(model, wid, XS)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_clip_gradients_composes_with_adamw():
+    from exprgrad_tpu.layers import clip_gradients
+
+    eta, b1, b2, eps, wd, bound = 0.01, 0.9, 0.999, 1e-8, 0.1, 0.3
+    model, wid = _model(
+        clip_gradients(
+            make_opt(adamw, eta=eta, beta1=b1, beta2=b2, eps=eps,
+                     weight_decay=wd),
+            bound,
+        )
+    )
+    w = np.asarray(model.params[wid]).copy()
+    m = np.zeros_like(w)
+    v = np.zeros_like(w)
+    want = []
+    for t, xv in enumerate(XS, start=1):
+        g = np.clip(2.0 * (w - xv), -bound, bound)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        m_hat = m / (1 - b1 ** t)
+        v_hat = v / (1 - b2 ** t)
+        w = w - eta * (m_hat / (np.sqrt(v_hat) + eps) + wd * w)
+        want.append(w.copy())
+    got = _drive(model, wid, XS)
+    for x, y in zip(got, want):
+        np.testing.assert_allclose(x, y, rtol=1e-12)
+
+
 def test_xor_converges_with_new_optimizers():
     """End to end: xor trains to correct outputs under rmsprop."""
     from exprgrad_tpu import Tensor
