@@ -10,6 +10,7 @@ from .base import (
     adam,
     adamw,
     binary_cross_entropy,
+    clip_by_global_norm,
     clip_gradients,
     cross_entropy,
     div_scalar,
@@ -63,7 +64,7 @@ __all__ = [
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
     "sin_layer", "softmax", "sub",
     "tanh", "transpose", "upsample2",
-    "clip_gradients",
+    "clip_by_global_norm", "clip_gradients",
     "cosine_decay", "exponential_decay", "step_decay", "warmup",
     "warmup_cosine",
 ]

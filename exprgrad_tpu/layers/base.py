@@ -247,6 +247,33 @@ def clip_gradients(opt, bound: float):
     return wrapped
 
 
+def clip_by_global_norm(opt, max_norm: float, eps: float = 1e-12):
+    """Wrap any bound optimizer with GLOBAL-norm gradient clipping
+    (the torch ``clip_grad_norm_`` / optax ``clip_by_global_norm``
+    semantics): every gradient is scaled by
+    ``min(1, max_norm / ||all grads||_2)``.
+
+    Cross-tensor reductions fall out of the dataflow: each wrapped call
+    adds one accumulation kernel ``total[0] ++= g_i^2`` to ONE shared
+    scalar tensor, and every scaled-gradient kernel reads ``total[0]`` —
+    the lowering orders all writers of a tensor before any reader, so the
+    scale sees the full sum regardless of parameter order.  The whole
+    thing stays inside the one-jit training program.
+    """
+    total = Fun()
+
+    def wrapped(param: Fun, grad: Fun) -> None:
+        it = iters("it")
+        total[0] = sq(grad.raw[it])
+        it = iters("it")
+        scaled = Fun()
+        scale = minimum(1.0, max_norm / (sqrt(total.raw[0]) + eps))
+        scaled.raw[it] = grad.raw[it] * scale
+        opt(param, scaled)
+
+    return wrapped
+
+
 # --- losses ---------------------------------------------------------------
 
 @layer

@@ -373,12 +373,36 @@ def _kernel_constraints(kernel: Kernel) -> list[ShapeConstraint]:
     out: list[ShapeConstraint] = []
     assert kernel.write is not None
     if kernel.write.is_raw:
+        src: Optional[int] = None
         if len(kernel.reads) == 1:
+            src = kernel.reads[0].tensor
+        else:
+            # multi-read raw write: copy the shape of a read indexed by
+            # the write's own identity index ({it} -> {it}) — the shared
+            # iterator extent pins both flat sizes, so the elementwise
+            # operand determines the result shape even when other reads
+            # (broadcast scalars like a global grad-norm) join the kernel
+            w = kernel.write.dims
+            if len(w) == 1 and not w[0].setup and w[0].constant == 0 \
+                    and len(w[0].factors) == 1 \
+                    and next(iter(w[0].factors.values())) == 1:
+                for op in kernel.reads:
+                    if (
+                        op.is_raw
+                        and op.tensor != kernel.write.tensor
+                        and len(op.dims) == 1
+                        and not op.dims[0].setup
+                        and op.dims[0].constant == 0
+                        and op.dims[0].factors == w[0].factors
+                    ):
+                        src = op.tensor
+                        break
+        if src is not None:
             out.append(
                 ShapeConstraint(
                     ShapeConstrKind.COPY,
                     dest=kernel.write.tensor,
-                    src=kernel.reads[0].tensor,
+                    src=src,
                 )
             )
     else:
@@ -725,4 +749,56 @@ def infer_shapes(
         dims = _apply_constraint(constr, shapes, static=False, names=names)
         if dims is not None:
             shapes[constr.dest] = dims
+    _check_raw_extents(program, target_name, shapes, names)
     return shapes
+
+
+def _flat(shape: Sequence[int]) -> int:
+    n = 1
+    for d in shape:
+        n *= d
+    return n
+
+
+def _identity_iter(op) -> Optional[int]:
+    """The register when a raw access is exactly ``{it}``, else None."""
+    if not op.is_raw or len(op.dims) != 1:
+        return None
+    d = op.dims[0]
+    if d.setup or d.constant != 0 or len(d.factors) != 1:
+        return None
+    reg, coeff = next(iter(d.factors.items()))
+    return reg if coeff == 1 else None
+
+def _check_raw_extents(
+    program: Program,
+    target_name: str,
+    shapes: dict[int, list[int]],
+    names: Optional[dict[int, str]] = None,
+) -> None:
+    """Identity-indexed raw reads must cover the write's flat extent.
+
+    The write tensor's flat size IS the loop extent for its identity
+    iterator; a same-iterator read of a smaller tensor would read out of
+    bounds (the numpy oracle raises IndexError, the XLA backend silently
+    clamps the gather) — catch it as a ShapeError up front.
+    """
+    for kernel in program.targets[target_name].kernels:
+        if kernel.write is None:
+            continue
+        wreg = _identity_iter(kernel.write)
+        if wreg is None or kernel.write.tensor not in shapes:
+            continue
+        extent = _flat(shapes[kernel.write.tensor])
+        for op in kernel.reads:
+            if (
+                _identity_iter(op) == wreg
+                and op.tensor in shapes
+                and _flat(shapes[op.tensor]) < extent
+            ):
+                raise ShapeError(
+                    f"tensor {_tname(names, op.tensor)} has "
+                    f"{_flat(shapes[op.tensor])} elements but is read "
+                    f"elementwise against {_tname(names, kernel.write.tensor)} "
+                    f"with {extent} elements"
+                )

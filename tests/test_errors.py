@@ -65,12 +65,32 @@ def test_underconstrained_shapes():
     with pytest.raises(ShapeError):
         compile(res.target("y"), backend="interp")
 
-    # raw write of two reads: no copy constraint possible
+    # raw write where no read uses the write's identity index: no copy
+    # constraint possible
+    it = iters("it")
+    c = Fun()
+    c.raw[it] = input("a").raw[0] + input("b").raw[0]
+    with pytest.raises(ShapeError):
+        compile(c.target("c"), backend="interp")
+
+
+@pytest.mark.parametrize("backend", ["interp", "jax"])
+def test_elementwise_two_read_raw_write_infers_shape(backend):
+    """c{it} = a{it} + b{it} copies a's shape (the identity-indexed read
+    pins the iterator extent); an undersized b errors at call time
+    instead of reading out of bounds / silently clamping."""
+    import numpy as np
+
     it = iters("it")
     c = Fun()
     c.raw[it] = input("a").raw[it] + input("b").raw[it]
-    with pytest.raises(ShapeError):
-        compile(c.target("c"), backend="interp")
+    model = compile(c.target("c"), backend=backend)
+    out = model.call("c", {"a": Tensor.new([2, 2], 1.0),
+                           "b": Tensor.new([2, 2], 2.0)})
+    np.testing.assert_allclose(np.asarray(out), np.full((2, 2), 3.0))
+    with pytest.raises(ShapeError, match="elementwise"):
+        model.call("c", {"a": Tensor.new([2, 2], 1.0),
+                         "b": Tensor.new([3], 2.0)})
 
 
 def test_read_dimension_conflict():

@@ -190,6 +190,79 @@ def test_clip_gradients_composes_with_adamw():
         np.testing.assert_allclose(x, y, rtol=1e-12)
 
 
+def _two_param_model(opt):
+    """Two differently-shaped params so the global norm is genuinely
+    cross-tensor: loss = sum((w1-x)^2) + sum(w2^2)."""
+    from exprgrad_tpu import input as eg_input
+
+    x = eg_input("x")
+    it = iters("it")
+    w1 = param([3], init_range=(1.0, 1.0), name="w1")
+    w2 = param([2], init_range=(-2.0, -2.0), name="w2")
+    loss = Fun()
+    loss[0] = sq(w1.raw[it] - x.raw[it])
+    it2 = iters("it")
+    loss[0] = sq(w2.raw[it2])
+    net = loss.target("loss").backprop(opt).target("train")
+    model = compile(net, dtype="float64", backend="jax")
+    ids = {model.program.tensors[t].name: t for t in model.params}
+    return model, ids
+
+
+def test_clip_by_global_norm_matches_numpy():
+    from exprgrad_tpu.layers import clip_by_global_norm, gradient_descent
+
+    model, ids = _two_param_model(
+        clip_by_global_norm(make_opt(gradient_descent, rate=0.1),
+                            max_norm=1.0)
+    )
+    w1 = np.asarray(model.params[ids["w1"]]).copy()
+    w2 = np.asarray(model.params[ids["w2"]]).copy()
+    for xv in [np.zeros(3), np.full(3, 0.7), np.full(3, -0.2)]:
+        model.epoch += 1
+        model.apply("train", {"x": xv})
+        g1, g2 = 2 * (w1 - xv), 2 * w2
+        s = min(1.0, 1.0 / (np.sqrt((g1**2).sum() + (g2**2).sum()) + 1e-12))
+        w1, w2 = w1 - 0.1 * g1 * s, w2 - 0.1 * g2 * s
+        np.testing.assert_allclose(np.asarray(model.params[ids["w1"]]), w1,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(model.params[ids["w2"]]), w2,
+                                   rtol=1e-12)
+
+
+def test_clip_by_global_norm_inactive_below_bound():
+    """Small gradients pass through unscaled (scale clamps at 1)."""
+    from exprgrad_tpu.layers import clip_by_global_norm, gradient_descent
+
+    model, ids = _two_param_model(
+        clip_by_global_norm(make_opt(gradient_descent, rate=0.1),
+                            max_norm=1e6)
+    )
+    w1 = np.asarray(model.params[ids["w1"]]).copy()
+    model.epoch += 1
+    model.apply("train", {"x": np.zeros(3)})
+    np.testing.assert_allclose(
+        np.asarray(model.params[ids["w1"]]), w1 - 0.1 * 2 * w1, rtol=1e-12
+    )
+
+
+def test_clip_by_global_norm_composes_with_adam():
+    """End to end through adam: still trains xor."""
+    from exprgrad_tpu import Tensor
+    from exprgrad_tpu.layers import adam, clip_by_global_norm
+    from exprgrad_tpu.models import xor_mlp
+
+    opt = clip_by_global_norm(make_opt(adam, eta=0.05), max_norm=0.5)
+    model = compile(xor_mlp(opt=opt), backend="jax", seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0.0, 1, 1, 0])
+    for _ in range(400):
+        model.epoch += 1
+        model.apply("train", {"x": x, "y": y})
+    pred = np.asarray(model.call("predict", {"x": x})).reshape(-1)
+    assert np.abs(pred - np.asarray([0, 1, 1, 0])).max() < 0.2
+
+
 def test_xor_converges_with_new_optimizers():
     """End to end: xor trains to correct outputs under rmsprop."""
     from exprgrad_tpu import Tensor
