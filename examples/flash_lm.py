@@ -14,8 +14,9 @@ import tempfile
 
 import numpy as np
 
-from exprgrad_tpu import compile, one_hot
+from exprgrad_tpu import compile, make_opt, one_hot
 from exprgrad_tpu.io.serialize import load_model, save_model
+from exprgrad_tpu.layers import adamw, clip_by_global_norm, warmup_cosine
 from exprgrad_tpu.models import flash_transformer
 
 VOCAB, SEQ, BATCH = 6, 8, 32
@@ -49,8 +50,18 @@ def greedy_generate(model, prompt, n_new):
 
 def main() -> None:
     rng = np.random.default_rng(0)
+    # the standard LM training recipe, all compiled INTO the train target:
+    # adamw + decoupled decay, linear warmup into cosine annealing (an
+    # epoch() expression, no host callback), global-norm gradient clipping
+    # (cross-tensor reduction inside the one-jit program)
+    recipe = clip_by_global_norm(
+        make_opt(adamw, eta=warmup_cosine(0.02, warmup_steps=10,
+                                          total=STEPS),
+                 weight_decay=0.001),
+        max_norm=1.0,
+    )
     model = compile(
-        flash_transformer(vocab=VOCAB, dim=16, heads=2, eta=0.01),
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, opt=recipe),
         seed=1,
     )
 

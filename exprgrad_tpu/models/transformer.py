@@ -180,9 +180,12 @@ def flash_transformer(
     init: float = 0.2,
     impl: str = "auto",
     remat: bool = False,
+    opt=None,
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
-    the flagship DSL transformer.
+    the flagship DSL transformer.  ``opt`` overrides the default
+    ``make_opt(adam, eta=eta)`` with any bound optimizer (e.g.
+    ``clip_by_global_norm(make_opt(adamw, eta=warmup_cosine(...)), 1.0)``).
 
     Each block is ``x += mha(rms_norm(x)); x += ffn(rms_norm(x))`` with
     :func:`exprgrad_tpu.layers.multi_head_attention` (fused flash/XLA
@@ -233,6 +236,6 @@ def flash_transformer(
     return (
         loss.target("loss")
         .backwards()
-        .optimize(make_opt(adam, eta=eta))
+        .optimize(opt or make_opt(adam, eta=eta))
         .target("train")
     )
