@@ -63,7 +63,13 @@ class Writer:
 
     def tensor(self, arr: np.ndarray) -> None:
         arr = np.ascontiguousarray(arr)
-        self.string(arr.dtype.str)
+        # extension dtypes (ml_dtypes bfloat16 etc.) stringify as raw
+        # void ("<V2") through .str, which loses the type on reload;
+        # their .name ("bfloat16") round-trips through np.dtype()
+        tag = arr.dtype.str
+        if "V" in tag:
+            tag = arr.dtype.name
+        self.string(tag)
         self.int_list(arr.shape)
         data = arr.tobytes()
         self.i64(len(data))

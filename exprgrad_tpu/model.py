@@ -135,6 +135,31 @@ class Model:
 
         return fn
 
+    def astype(self, dtype: str) -> "Model":
+        """A new model with the same program and the parameters, caches,
+        and epoch carried over, cast to ``dtype``.
+
+        The TPU serving move: train in float32 (f32 master weights, MXU
+        matmuls already run bf16 passes under ``precision="default"``),
+        then ``model.astype("bfloat16")`` halves parameter/activation HBM
+        for inference.  Executors recompile lazily at the new dtype; the
+        original model is untouched.  Continuing to *train* the cast
+        model works but rounds small updates away — cast for serving.
+        """
+        nd = np.dtype(dtype)
+        src = self.source.copy()
+        src.scalar_type = ir.ScalarType(nd.name)
+        out = Model(src, backend=self.backend, precision=self.precision,
+                    schedule_mode=self.schedule_mode)
+        out.params = {
+            tid: np.asarray(v).astype(nd) for tid, v in self.params.items()
+        }
+        out.caches = {
+            tid: np.asarray(v).astype(nd) for tid, v in self.caches.items()
+        }
+        out.epoch = self.epoch
+        return out
+
     def export_compiled(
         self,
         target_name: str,
