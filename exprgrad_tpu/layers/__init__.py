@@ -16,6 +16,8 @@ from .base import (
     div_scalar,
     decayed_gradient_descent,
     gradient_descent,
+    huber,
+    l1_loss,
     lion,
     matmul,
     maximum_elems,
@@ -24,6 +26,7 @@ from .base import (
     mse,
     mul_scalar,
     rmsprop,
+    smoothed_cross_entropy,
     sub,
     transpose,
 )
@@ -57,12 +60,13 @@ __all__ = [
     "adam", "adamw", "add", "avgpool2", "binary_cross_entropy", "conv2",
     "cross_entropy", "decayed_gradient_descent", "dense", "depthwise_conv2",
     "div_scalar",
-    "dropout", "fused_attention", "gradient_descent", "lion",
+    "dropout", "fused_attention", "gradient_descent", "huber",
+    "l1_loss", "lion",
     "momentum", "multi_head_attention",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
-    "sin_layer", "softmax", "sub",
+    "sin_layer", "smoothed_cross_entropy", "softmax", "sub",
     "tanh", "transpose", "upsample2",
     "clip_by_global_norm", "clip_gradients",
     "cosine_decay", "exponential_decay", "step_decay", "warmup",

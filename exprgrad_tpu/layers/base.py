@@ -311,6 +311,46 @@ def cross_entropy(pred: Fun, labels: Fun) -> Fun:
     return out
 
 
+@layer
+def smoothed_cross_entropy(pred: Fun, labels: Fun, classes: int,
+                           alpha: float = 0.1) -> Fun:
+    """Label-smoothed cross entropy: targets become
+    ``(1-alpha)*labels + alpha/classes``.  Standard LM/vision
+    regularizer; beyond the reference's loss trio."""
+    it = iters("it")
+    out = Fun()
+    target = (1.0 - alpha) * labels.raw[it] + alpha / float(classes)
+    out[0] = -(target * ln(maximum(pred.raw[it], 1e-12))) / to_scalar(
+        pred.shape[0]
+    )
+    return out
+
+
+@layer
+def l1_loss(a: Fun, b: Fun) -> Fun:
+    """Mean absolute error (|d| as select on the sign: no abs op needed,
+    and the subgradient at 0 is 0 via the false branch)."""
+    it = iters("it")
+    out = Fun()
+    d = a.raw[it] - b.raw[it]
+    out[0] = select(d < 0.0, -d, d) / to_scalar(a.shape[0])
+    return out
+
+
+@layer
+def huber(a: Fun, b: Fun, delta: float = 1.0) -> Fun:
+    """Huber loss: quadratic within ``delta``, linear outside —
+    mse's robustness fix for outlier-heavy regression."""
+    it = iters("it")
+    out = Fun()
+    d = a.raw[it] - b.raw[it]
+    ad = select(d < 0.0, -d, d)
+    quad = 0.5 * sq(d)
+    lin = delta * (ad - 0.5 * delta)
+    out[0] = select(ad < delta, quad, lin) / to_scalar(a.shape[0])
+    return out
+
+
 # --- Fun operator sugar ---------------------------------------------------
 
 def _fun_add(self: Fun, other):

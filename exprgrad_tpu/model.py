@@ -88,12 +88,30 @@ class Model:
                 )
         self.params: dict[int, np.ndarray] = {}
         self.caches: dict[int, np.ndarray] = {}
+        # Large float32-family tensors draw natively in float32: float64
+        # generation + astype dominates compile() wall time for LM-sized
+        # models (embeddings, block weights).  Small tensors keep the
+        # original float64 stream so seeded inits of existing models are
+        # unchanged.  The two paths consume the rng differently, so the
+        # stream (not the distribution) depends on this size threshold.
+        fast_floor = 1 << 16
         for tid in self.program.params:
             tdef = self.program.tensors[tid]
             lo, hi = tdef.init_range
-            self.params[tid] = self._rng.uniform(lo, hi, size=tdef.shape).astype(
-                dtype
-            )
+            n = 1
+            for d in tdef.shape:
+                n *= d
+            if dtype != np.float64 and n >= fast_floor:
+                r = self._rng.random(size=tdef.shape, dtype=np.float32)
+                r *= np.float32(hi - lo)  # in place: no 2x temporaries
+                r += np.float32(lo)
+                self.params[tid] = (
+                    r if dtype == np.float32 else r.astype(dtype)
+                )
+            else:
+                self.params[tid] = self._rng.uniform(
+                    lo, hi, size=tdef.shape
+                ).astype(dtype, copy=False)
         for tid in self.program.caches:
             tdef = self.program.tensors[tid]
             self.caches[tid] = np.zeros(tdef.shape, dtype=dtype)
