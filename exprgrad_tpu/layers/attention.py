@@ -32,6 +32,7 @@ def fused_attention(
     causal: bool = False,
     scale: float = 0.0,
     impl: str = "auto",
+    window: Optional[int] = None,
 ) -> Fun:
     """Fused scaled-dot-product attention over ``[batch, heads, seq, dim]``.
 
@@ -39,7 +40,9 @@ def fused_attention(
     attention) as long as their head count divides ``q``'s.  ``scale <= 0``
     means 1/sqrt(head_dim).  ``impl``: "flash" (Pallas kernels), "xla"
     (plain einsum attention), or "auto" (per-shape cost-model routing —
-    see backend/policy.py attention()).
+    see backend/policy.py attention()).  ``window`` (with ``causal=True``)
+    restricts each query to the last ``window`` positions — sliding-window
+    attention, O(S*W) on the flash path via whole-tile skipping.
 
     Differentiable: the backward pass is registered through the
     custom_grad seam and runs the fused flash backward kernels (or the
@@ -49,7 +52,10 @@ def fused_attention(
         raise ValueError(
             f"impl must be 'auto', 'flash' or 'xla', got {impl!r}"
         )
-    attrs = {"causal": bool(causal), "scale": float(scale), "impl": impl}
+    if window is not None and (window < 1 or not causal):
+        raise ValueError("window requires causal=True and window >= 1")
+    attrs = {"causal": bool(causal), "scale": float(scale), "impl": impl,
+             "window": int(window or 0)}
     out, lse = extern("attention", [q, k, v], outs=2, attrs=attrs)
     out.name = "attention"
     lse.name = "attention.lse"
@@ -74,6 +80,7 @@ def multi_head_attention(
     kv_heads: Optional[int] = None,
     impl: str = "auto",
     init: float = 0.1,
+    window: Optional[int] = None,
 ) -> Fun:
     """Multi-head self-attention over ``[batch, seq, dim]`` inputs.
 
@@ -105,7 +112,8 @@ def multi_head_attention(
     v = proj("wv", kvh)
 
     att = fused_attention(
-        q, k, v, causal=causal, scale=1.0 / math.sqrt(hd), impl=impl
+        q, k, v, causal=causal, scale=1.0 / math.sqrt(hd), impl=impl,
+        window=window,
     )
 
     wo = param([heads, hd, dim], init_range=rng, name="wo")

@@ -95,6 +95,20 @@ class FlashLMServer:
                 "model has no transformer blocks (flash_transformer with "
                 "blocks >= 1 is required for KV-cache serving)"
             )
+        # sliding-window models must be served with the same mask: read
+        # the window off the program's attention extern attrs
+        windows = {
+            int(kern.extern.attrs.get("window", 0))
+            for target in model.program.targets.values()
+            for kern in target.kernels
+            if kern.extern is not None and kern.extern.name == "attention"
+        }
+        windows.discard(0)
+        if len(windows) > 1:
+            raise ModelRuntimeError(
+                f"blocks disagree on attention window: {sorted(windows)}"
+            )
+        self.window = windows.pop() if windows else None
         blk = self.blocks[0]
         self.heads, _, self.head_dim = blk.wq.shape
         self.kv_heads = blk.wk.shape[0]
@@ -119,7 +133,8 @@ class FlashLMServer:
             k = jnp.einsum("ntc,hcd->nhtd", rn, blk.wk)
             v = jnp.einsum("ntc,hcd->nhtd", rn, blk.wv)
             cache = append(cache, k, v)
-            att = decode_attention(q, cache, sm_scale=self.scale)
+            att = decode_attention(q, cache, sm_scale=self.scale,
+                                   window=self.window)
             x = x + jnp.einsum("nhtd,hde->nte", att, blk.wo)
             rn2 = self._rms(x, blk.ffn_g)
             h = jnp.maximum(rn2 @ blk.w1 + blk.b1, 0.0)

@@ -181,11 +181,15 @@ def flash_transformer(
     impl: str = "auto",
     remat: bool = False,
     opt=None,
+    window=None,
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
     the flagship DSL transformer.  ``opt`` overrides the default
     ``make_opt(adam, eta=eta)`` with any bound optimizer (e.g.
     ``clip_by_global_norm(make_opt(adamw, eta=warmup_cosine(...)), 1.0)``).
+    ``window`` gives every block sliding-window attention (each position
+    attends to the previous ``window`` tokens only; FlashLMServer
+    discovers and honors it when serving).
 
     Each block is ``x += mha(rms_norm(x)); x += ffn(rms_norm(x))`` with
     :func:`exprgrad_tpu.layers.multi_head_attention` (fused flash/XLA
@@ -213,7 +217,7 @@ def flash_transformer(
     for b in range(blocks):
         att = multi_head_attention(
             marked(rms_norm(x, dim, rank=3)), dim, heads, causal=True,
-            kv_heads=kv_heads, impl=impl,
+            kv_heads=kv_heads, impl=impl, window=window,
         )
         x = _residual(att, x, f"blk{b}.att")
         ff = dense(

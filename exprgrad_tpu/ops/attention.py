@@ -34,10 +34,51 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _tile_live(q_idx, kv_idx, *, block_q, block_k, causal, window, offs_ref):
+    """Predicate: does this (q tile, kv tile) intersect the attention
+    band at all?  Causal skips tiles above the diagonal; a sliding
+    window additionally skips tiles entirely to the left of the band
+    (compute drops from O(S^2) to O(S*W)).  With runtime offsets
+    (sharded sequences) the skip becomes a traced predicate — pl.when
+    handles both."""
+    live = True
+    q_lo = q_idx * block_q
+    q_hi = q_lo + block_q - 1
+    k_lo = kv_idx * block_k
+    k_hi = k_lo + block_k - 1
+    if offs_ref is not None:
+        q_lo, q_hi = q_lo + offs_ref[0], q_hi + offs_ref[0]
+        k_lo, k_hi = k_lo + offs_ref[1], k_hi + offs_ref[1]
+    if causal:
+        live = q_hi >= k_lo
+    if window is not None:
+        # rows attend to cols in (row - window, row]
+        live = jnp.logical_and(live, k_hi > q_lo - window)
+    return live
+
+
+def _mask_scores(s, q_idx, kv_idx, *, block_q, block_k, causal, window,
+                 offs_ref):
+    """Apply the causal / sliding-window mask in GLOBAL coordinates."""
+    if not causal and window is None:
+        return s
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    rows = q_idx * block_q + rows
+    cols = kv_idx * block_k + cols
+    if offs_ref is not None:
+        rows = rows + offs_ref[0]
+        cols = cols + offs_ref[1]
+    keep = rows >= cols if causal else (rows == rows)
+    if window is not None:
+        keep = jnp.logical_and(keep, cols > rows - window)
+    return jnp.where(keep, s, _NEG_INF)
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_kv_blocks: int, offs_ref=None,
+    num_kv_blocks: int, window=None, offs_ref=None,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(1)
@@ -48,17 +89,8 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    # causal: KV tiles entirely above the diagonal contribute nothing.
-    # With runtime offsets (sharded sequences) the tile skip becomes a
-    # traced predicate — pl.when handles both.
-    should_run = True
-    if causal:
-        q_end = q_idx * block_q + block_q - 1
-        k_start = kv_idx * block_k
-        if offs_ref is not None:
-            q_end = q_end + offs_ref[0]
-            k_start = k_start + offs_ref[1]
-        should_run = q_end >= k_start
+    should_run = _tile_live(q_idx, kv_idx, block_q=block_q, block_k=block_k,
+                            causal=causal, window=window, offs_ref=offs_ref)
 
     @pl.when(should_run)
     def _run():
@@ -71,15 +103,8 @@ def _fwd_kernel(
         )  # [block_q, block_k]
         if sm_scale != 1.0:
             s = s * sm_scale
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            rows = q_idx * block_q + rows
-            cols = kv_idx * block_k + cols
-            if offs_ref is not None:
-                rows = rows + offs_ref[0]
-                cols = cols + offs_ref[1]
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+        s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
+                         causal=causal, window=window, offs_ref=offs_ref)
 
         m_prev = m_scratch[...]          # [block_q, 128]
         l_prev = l_scratch[...]
@@ -110,7 +135,7 @@ def _fwd_kernel(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_kv_blocks: int, offs_ref=None,
+    num_kv_blocks: int, window=None, offs_ref=None,
 ):
     q_idx = pl.program_id(1)
     kv_idx = pl.program_id(2)
@@ -119,14 +144,8 @@ def _bwd_dq_kernel(
     def _init():
         dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
 
-    should_run = True
-    if causal:
-        q_end = q_idx * block_q + block_q - 1
-        k_start = kv_idx * block_k
-        if offs_ref is not None:
-            q_end = q_end + offs_ref[0]
-            k_start = k_start + offs_ref[1]
-        should_run = q_end >= k_start
+    should_run = _tile_live(q_idx, kv_idx, block_q=block_q, block_k=block_k,
+                            causal=causal, window=window, offs_ref=offs_ref)
 
     @pl.when(should_run)
     def _run():
@@ -142,15 +161,8 @@ def _bwd_dq_kernel(
         )
         if sm_scale != 1.0:
             s = s * sm_scale
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            rows = q_idx * block_q + rows
-            cols = kv_idx * block_k + cols
-            if offs_ref is not None:
-                rows = rows + offs_ref[0]
-                cols = cols + offs_ref[1]
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+        s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
+                         causal=causal, window=window, offs_ref=offs_ref)
 
         p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
         dp = jax.lax.dot_general(
@@ -173,7 +185,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_q_blocks: int, offs_ref=None,
+    num_q_blocks: int, window=None, offs_ref=None,
 ):
     kv_idx = pl.program_id(1)
     q_idx = pl.program_id(2)
@@ -183,14 +195,8 @@ def _bwd_dkv_kernel(
         dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
         dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
 
-    should_run = True
-    if causal:
-        q_end = q_idx * block_q + block_q - 1
-        k_start = kv_idx * block_k
-        if offs_ref is not None:
-            q_end = q_end + offs_ref[0]
-            k_start = k_start + offs_ref[1]
-        should_run = q_end >= k_start
+    should_run = _tile_live(q_idx, kv_idx, block_q=block_q, block_k=block_k,
+                            causal=causal, window=window, offs_ref=offs_ref)
 
     @pl.when(should_run)
     def _run():
@@ -206,15 +212,8 @@ def _bwd_dkv_kernel(
         )
         if sm_scale != 1.0:
             s = s * sm_scale
-        if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            rows = q_idx * block_q + rows
-            cols = kv_idx * block_k + cols
-            if offs_ref is not None:
-                rows = rows + offs_ref[0]
-                cols = cols + offs_ref[1]
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+        s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
+                         causal=causal, window=window, offs_ref=offs_ref)
 
         p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
         # dv += p^T @ do
@@ -242,7 +241,7 @@ def _bwd_dkv_kernel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def flash_attention(
     q: jax.Array,
@@ -253,6 +252,7 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """softmax(q @ k^T * sm_scale) @ v, fused.
 
@@ -260,8 +260,14 @@ def flash_attention(
     hkv divides h (grouped-query / multi-query attention: each KV head
     serves h/hkv consecutive query heads).  Sequence lengths must divide
     the block sizes (pad upstream otherwise).
+
+    ``window`` (requires ``causal=True``) restricts each query position r
+    to keys in ``(r - window, r]`` — sliding-window attention.  Tiles
+    entirely outside the band are skipped, so compute scales O(S*W)
+    instead of O(S^2).
     """
-    out, _ = _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret)
+    out, _ = _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
+                      window=window)
     return out
 
 
@@ -277,7 +283,8 @@ def _kv_group(q, k, v) -> int:
     return h // hkv
 
 
-def _resolve(q, k, v, sm_scale, block_q, block_k, interpret):
+def _resolve(q, k, v, sm_scale, block_q, block_k, interpret, causal=True,
+             window=None):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if sm_scale is None:
@@ -289,13 +296,18 @@ def _resolve(q, k, v, sm_scale, block_q, block_k, interpret):
             f"sequence lengths ({sq},{skv}) must be divisible by block "
             f"sizes ({block_q},{block_k})"
         )
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1 (got {window})")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     return float(sm_scale), block_q, block_k, bool(interpret)
 
 
 def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
-             offsets=None):
+             offsets=None, window=None):
     """Returns (out [b,h,sq,d], lse [b*h, sq]).
 
     ``offsets`` (optional int32 array [q_offset, k_offset]) gives the
@@ -307,7 +319,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
     skv = k.shape[2]
     group = _kv_group(q, k, v)
     sm_scale, block_q, block_k, interpret = _resolve(
-        q, k, v, sm_scale, block_q, block_k, interpret
+        q, k, v, sm_scale, block_q, block_k, interpret, causal, window
     )
     num_kv = skv // block_k
     grid = (b * h, sq // block_q, num_kv)
@@ -318,6 +330,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv,
+        window=window,
     )
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * (h // group), skv, d)
@@ -391,16 +404,16 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
 
 def flash_attention_forward(q, k, v, sm_scale=None, causal=False,
                             block_q=128, block_k=128, interpret=None,
-                            offsets=None):
+                            offsets=None, window=None):
     """Forward-only entry returning ``(out, lse)`` with optional global
     sequence offsets — the building block for sequence-parallel attention
     (exprgrad_tpu.parallel.attention)."""
     return _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
-                    offsets)
+                    offsets, window=window)
 
 
 def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
-              interpret, offsets=None):
+              interpret, offsets=None, window=None):
     """dq/dk/dv from saved (out, lse).  With ``offsets`` the causal mask
     uses global coordinates, making this the per-(q chunk, kv chunk)
     partial-gradient building block for ring attention."""
@@ -408,7 +421,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     skv = k.shape[2]
     group = _kv_group(q, k, v)
     sm_scale, block_q, block_k, interpret = _resolve(
-        q, k, v, sm_scale, block_q, block_k, interpret
+        q, k, v, sm_scale, block_q, block_k, interpret, causal, window
     )
     num_q = sq // block_q
     num_kv = skv // block_k
@@ -470,6 +483,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
             block_q=block_q,
             block_k=block_k,
             num_kv_blocks=num_kv,
+            window=window,
         ),
         (b * h, num_q, num_kv),
         [
@@ -512,6 +526,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
             block_q=block_q,
             block_k=block_k,
             num_q_blocks=num_q,
+            window=window,
         ),
         (b * h, num_kv, num_q),
         [
@@ -552,45 +567,50 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
 
 def flash_attention_backward(q, k, v, out, lse, g, sm_scale=None,
                              causal=False, block_q=128, block_k=128,
-                             interpret=None, offsets=None):
+                             interpret=None, offsets=None, window=None):
     """Public backward entry: gradients from saved ``(out, lse)`` with
     optional global offsets (the ring-attention partial building block)."""
     return _backward(q, k, v, out, lse, g, sm_scale, causal, block_q,
-                     block_k, interpret, offsets)
+                     block_k, interpret, offsets, window=window)
 
 
-def _reference_weights(q, k, sm_scale, causal):
+def _reference_weights(q, k, sm_scale, causal, window=None):
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * sm_scale
-    if causal:
+    if causal or window is not None:
         sq, skv = s.shape[-2], s.shape[-1]
         rows = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        keep = rows >= cols if causal else (rows == rows)
+        if window is not None:
+            keep = keep & (cols > rows - window)
+        s = jnp.where(keep, s, _NEG_INF)
     return jax.nn.softmax(s, axis=-1)
 
 
-def _fwd_rule(q, k, v, sm_scale, causal, block_q, block_k, interpret):
+def _fwd_rule(q, k, v, sm_scale, causal, block_q, block_k, interpret,
+              window):
     out, lse = _forward(q, k, v, sm_scale, causal, block_q, block_k,
-                        interpret)
+                        interpret, window=window)
     return out, (q, k, v, out, lse)
 
 
-def _bwd_rule(sm_scale, causal, block_q, block_k, interpret, residuals, g):
+def _bwd_rule(sm_scale, causal, block_q, block_k, interpret, window,
+              residuals, g):
     q, k, v, out, lse = residuals
     return _backward(q, k, v, out, lse, g, sm_scale, causal, block_q,
-                     block_k, interpret)
+                     block_k, interpret, window=window)
 
 
-def xla_attention_vjp(q, k, v, g, sm_scale=None, causal=False):
+def xla_attention_vjp(q, k, v, g, sm_scale=None, causal=False, window=None):
     """Plain-XLA attention backward (materializes the weight matrix).
 
     Kept as an independent oracle for testing the Pallas backward kernels.
     """
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
-    p = _reference_weights(q, k, sm_scale, causal)           # [b,h,sq,skv] f32
+    p = _reference_weights(q, k, sm_scale, causal, window)   # [b,h,sq,skv] f32
     g32 = g.astype(jnp.float32)
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
     dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))

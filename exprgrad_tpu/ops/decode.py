@@ -59,11 +59,13 @@ def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
 
 
 def decode_attention(q: jax.Array, cache: KVCache,
-                     sm_scale: Optional[float] = None) -> jax.Array:
+                     sm_scale: Optional[float] = None,
+                     window: Optional[int] = None) -> jax.Array:
     """Attend ``q`` [b, h, t, d] (the t newest tokens, already appended to
     the cache) against the cache.  Causal within the fresh tokens: query i
     sits at global position ``length - t + i`` and sees positions
-    ``<= that``.  Returns [b, h, t, d] in q's dtype."""
+    ``<= that`` — restricted to the last ``window`` positions when given
+    (serving sliding-window models).  Returns [b, h, t, d] in q's dtype."""
     b, h, t, d = q.shape
     hkv = cache.k.shape[1]
     capacity = cache.k.shape[2]
@@ -83,6 +85,10 @@ def decode_attention(q: jax.Array, cache: KVCache,
     pos = cache.length - t + jnp.arange(t, dtype=jnp.int32)   # [t]
     key_pos = jnp.arange(capacity, dtype=jnp.int32)           # [capacity]
     mask = key_pos[None, :] <= pos[:, None]                   # [t, capacity]
+    if window is not None:
+        mask = jnp.logical_and(
+            mask, key_pos[None, :] > pos[:, None] - jnp.int32(window)
+        )
     s = jnp.where(mask[None, None], s, _NEG_INF)
 
     p = jax.nn.softmax(s, axis=-1)

@@ -36,6 +36,12 @@ def _scale(attrs: dict, d: int) -> float:
     return scale if scale > 0.0 else 1.0 / float(np.sqrt(d))
 
 
+def _window(attrs: dict):
+    """Sliding-window size; attr 0 (the serializable encoding) = None."""
+    w = int(attrs.get("window", 0))
+    return w if w > 0 else None
+
+
 def _flash_ok(sq: int, skv: int) -> bool:
     """Do the shapes satisfy the flash kernels' block divisibility?"""
     return sq % min(128, sq) == 0 and skv % min(128, skv) == 0
@@ -61,7 +67,7 @@ def _pick_impl(attrs: dict, shapes, ctx) -> str:
 # jax implementations
 # --------------------------------------------------------------------------
 
-def _jax_xla_forward(q, k, v, scale, causal):
+def _jax_xla_forward(q, k, v, scale, causal, window=None):
     """Plain-XLA attention returning (out, lse[b*h, sq]); GQA-aware."""
     import jax
     import jax.numpy as jnp
@@ -74,10 +80,13 @@ def _jax_xla_forward(q, k, v, scale, causal):
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
-    if causal:
+    if causal or window is not None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
-        s = jnp.where(rows >= cols, s, _NEG_INF)
+        keep = rows >= cols if causal else (rows == rows)
+        if window is not None:
+            keep = jnp.logical_and(keep, cols > rows - window)
+        s = jnp.where(keep, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -93,23 +102,27 @@ def _jax_attention(args, attrs, ctx):
     q, k, v = args
     scale = _scale(attrs, q.shape[-1])
     causal = bool(attrs.get("causal", False))
+    window = _window(attrs)
     impl = _pick_impl(attrs, [a.shape for a in args], ctx)
     if impl == "flash":
         from .attention import flash_attention_forward
 
-        return flash_attention_forward(q, k, v, scale, causal)
-    return _jax_xla_forward(q, k, v, scale, causal)
+        return flash_attention_forward(q, k, v, scale, causal,
+                                       window=window)
+    return _jax_xla_forward(q, k, v, scale, causal, window)
 
 
 def _jax_attention_grad(args, attrs, ctx):
     q, k, v, out, lse, g = args
     scale = _scale(attrs, q.shape[-1])
     causal = bool(attrs.get("causal", False))
+    window = _window(attrs)
     impl = _pick_impl(attrs, [a.shape for a in args[:3]], ctx)
     if impl == "flash":
         from .attention import flash_attention_backward
 
-        return flash_attention_backward(q, k, v, out, lse, g, scale, causal)
+        return flash_attention_backward(q, k, v, out, lse, g, scale, causal,
+                                        window=window)
 
     import jax.numpy as jnp
 
@@ -120,24 +133,29 @@ def _jax_attention_grad(args, attrs, ctx):
         group = h // hkv
         ke = jnp.repeat(k, group, axis=1)
         ve = jnp.repeat(v, group, axis=1)
-        dq, dke, dve = xla_attention_vjp(q, ke, ve, g, scale, causal)
+        dq, dke, dve = xla_attention_vjp(q, ke, ve, g, scale, causal,
+                                         window)
         b, _, skv, d = k.shape
         dk = dke.reshape(b, hkv, group, skv, d).sum(axis=2)
         dv = dve.reshape(b, hkv, group, skv, d).sum(axis=2)
         return dq, dk.astype(k.dtype), dv.astype(v.dtype)
-    return xla_attention_vjp(q, k, v, g, scale, causal)
+    return xla_attention_vjp(q, k, v, g, scale, causal, window)
 
 
 # --------------------------------------------------------------------------
 # numpy oracle implementations
 # --------------------------------------------------------------------------
 
-def _np_weights(q, k, scale, causal):
+def _np_weights(q, k, scale, causal, window=None):
     """(p, lse): softmax weights and logsumexp, f64 for oracle accuracy."""
     s = np.einsum("bhqd,bhkd->bhqk", q, k, dtype=np.float64) * scale
-    if causal:
+    if causal or window is not None:
         sq, skv = s.shape[-2], s.shape[-1]
-        mask = np.arange(sq)[:, None] >= np.arange(skv)[None, :]
+        rows = np.arange(sq)[:, None]
+        cols = np.arange(skv)[None, :]
+        mask = rows >= cols if causal else np.ones((sq, skv), bool)
+        if window is not None:
+            mask = mask & (cols > rows - window)
         s = np.where(mask, s, _NEG_INF)
     m = np.max(s, axis=-1, keepdims=True)
     p = np.exp(s - m)
@@ -158,7 +176,7 @@ def _np_attention(args, attrs):
     scale = _scale(attrs, q.shape[-1])
     causal = bool(attrs.get("causal", False))
     ke, ve = _np_expand(q, k, v)
-    p, lse = _np_weights(q, ke, scale, causal)
+    p, lse = _np_weights(q, ke, scale, causal, _window(attrs))
     out = np.einsum("bhqk,bhkd->bhqd", p, ve, dtype=np.float64)
     b, h, sq, _ = q.shape
     return out.astype(q.dtype), lse.reshape(b * h, sq).astype(np.float32)
@@ -169,7 +187,7 @@ def _np_attention_grad(args, attrs):
     scale = _scale(attrs, q.shape[-1])
     causal = bool(attrs.get("causal", False))
     ke, ve = _np_expand(q, k, v)
-    p, _ = _np_weights(q, ke, scale, causal)
+    p, _ = _np_weights(q, ke, scale, causal, _window(attrs))
     g64 = g.astype(np.float64)
     dv = np.einsum("bhqk,bhqd->bhkd", p, g64)
     dp = np.einsum("bhqd,bhkd->bhqk", g64, ve.astype(np.float64))

@@ -1,0 +1,212 @@
+"""Sliding-window flash attention (forward + backward, GQA): parity
+against a dense masked-softmax oracle in interpret mode.  The band mask
+is (r - window, r] combined with causal; out-of-band tiles are skipped
+entirely by the kernels (the predicate is exercised here because S spans
+multiple blocks with window < S)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exprgrad_tpu.ops.attention import flash_attention
+
+B, H, S, D = 2, 2, 256, 32
+BLOCK = 64
+
+
+def _qkv(hkv=H, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda h: jnp.asarray(
+        rng.normal(size=(B, h, S, D)).astype(np.float32))
+    return mk(H), mk(hkv), mk(hkv)
+
+
+def _dense(q, k, v, window, causal=True):
+    """Dense masked-softmax oracle (f32)."""
+    group = q.shape[1] // k.shape[1]
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    keep = rows >= cols if causal else np.ones((S, S), bool)
+    if window is not None:
+        keep = keep & (cols > rows - window)
+    s = jnp.where(keep, s, -1e30)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+
+
+@pytest.mark.parametrize("window", [1, 32, 100, 256])
+def test_window_forward_matches_dense(window):
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v, causal=True, window=window,
+                          block_q=BLOCK, block_k=BLOCK)
+    ref = _dense(q, k, v, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_window_full_equals_causal():
+    """window >= S keeps the whole causal triangle: identical output."""
+    q, k, v = _qkv(seed=1)
+    w = flash_attention(q, k, v, causal=True, window=S,
+                        block_q=BLOCK, block_k=BLOCK)
+    c = flash_attention(q, k, v, causal=True,
+                        block_q=BLOCK, block_k=BLOCK)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(c), atol=1e-6)
+
+
+@pytest.mark.parametrize("window", [32, 100])
+def test_window_gradients_match_dense(window):
+    q, k, v = _qkv(seed=2)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, window=window,
+                                       block_q=BLOCK, block_k=BLOCK) * g)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense(q, k, v, window) * g)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_window_gqa():
+    """Grouped-query heads with a window: forward + backward parity."""
+    q, k, v = _qkv(hkv=1, seed=4)
+    out = flash_attention(q, k, v, causal=True, window=64,
+                          block_q=BLOCK, block_k=BLOCK)
+    ref = _dense(q, k, v, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+    got = jax.grad(lambda *a: jnp.sum(flash_attention(
+        *a, causal=True, window=64, block_q=BLOCK, block_k=BLOCK) * g),
+        argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(lambda *a: jnp.sum(_dense(*a, 64) * g),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_window_validation():
+    q, k, v = _qkv(seed=6)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention(q, k, v, causal=False, window=16)
+    with pytest.raises(ValueError, match="window"):
+        flash_attention(q, k, v, causal=True, window=0)
+
+
+# ---------------------------------------------------------------------------
+# through the DSL extern seam and the serving stack
+# ---------------------------------------------------------------------------
+
+def _train_windowed(window, impl="auto", steps=150):
+    from exprgrad_tpu import compile, one_hot
+    from exprgrad_tpu.models import flash_transformer
+
+    model = compile(
+        flash_transformer(vocab=6, dim=16, heads=2, eta=0.01,
+                          window=window, impl=impl),
+        seed=1, backend="jax",
+    )
+    rng = np.random.default_rng(0)
+    toks = ((rng.integers(0, 6, 16)[:, None] + np.arange(8)[None, :]) % 6
+            ).astype(np.float32)
+    labels = one_hot(((toks + 1) % 6).astype(int), 6).reshape(16, 8, 6)
+    for _ in range(steps):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return model, toks
+
+
+@pytest.mark.parametrize("impl", ["xla", "flash"])
+def test_windowed_transformer_interp_parity(impl):
+    """Windowed attention through the extern seam: the jax backend and
+    the independent numpy oracle agree on predict."""
+    from exprgrad_tpu import compile
+    from exprgrad_tpu.models import flash_transformer
+
+    net = flash_transformer(vocab=6, dim=16, heads=2, window=4, impl=impl)
+    mj = compile(net, seed=3, backend="jax")
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 6, (2, 8)).astype(np.float32)
+    pj = np.asarray(mj.call("predict", {"tokens": toks}))
+
+    net2 = flash_transformer(vocab=6, dim=16, heads=2, window=4, impl=impl)
+    mi = compile(net2, seed=3, backend="interp")
+    for tid in mj.params:
+        mi.params[tid] = np.asarray(mj.params[tid]).copy()
+    pi = np.asarray(mi.call("predict", {"tokens": toks}))
+    np.testing.assert_allclose(pj, pi, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_model_differs_from_global():
+    """The window actually changes the math (same seed, same data)."""
+    from exprgrad_tpu import compile
+    from exprgrad_tpu.models import flash_transformer
+
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 6, (2, 8)).astype(np.float32)
+    mw = compile(flash_transformer(vocab=6, dim=16, heads=2, window=2),
+                 seed=5, backend="jax")
+    mg = compile(flash_transformer(vocab=6, dim=16, heads=2),
+                 seed=5, backend="jax")
+    pw = np.asarray(mw.call("predict", {"tokens": toks}))
+    pg = np.asarray(mg.call("predict", {"tokens": toks}))
+    assert np.abs(pw - pg).max() > 1e-4
+
+
+def test_windowed_server_matches_predict():
+    """FlashLMServer discovers the window from the extern attrs; its
+    prefill logits match the compiled predict target, and generation
+    matches sliding-window greedy decoding through the model."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.models import FlashLMServer
+
+    model, toks = _train_windowed(window=4)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    assert server.window == 4
+
+    logits, _ = server.prefill(toks[:2], server.init_caches(2))
+    probs = np.asarray(jnp.asarray(
+        jnp.exp(logits - jnp.max(logits, -1, keepdims=True))))
+    probs = probs / probs.sum(-1, keepdims=True)
+    want = np.asarray(model.call("predict", {"tokens": toks[:2]}))
+    np.testing.assert_allclose(probs, want, rtol=1e-4, atol=1e-5)
+
+    got = np.asarray(server.generate(
+        np.asarray([[2.0, 3.0, 4.0]], np.float32), n_new=5))[0].astype(int)
+    ref = [2, 3, 4]
+    for _ in range(5):
+        win = np.asarray(ref, np.float32)[None, :]
+        p = np.asarray(model.call("predict", {"tokens": win}))
+        ref.append(int(p[0, -1].argmax()))
+    assert list(got) == ref[3:]
+
+
+def test_windowed_attrs_survive_checkpoint(tmp_path):
+    """window rides the extern attrs through save/load; the reloaded
+    oracle-backend model reproduces predictions."""
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.models import FlashLMServer
+
+    model, toks = _train_windowed(window=4, steps=20)
+    path = str(tmp_path / "windowed.egt")
+    save_model(model, path)
+    re = load_model(path, backend="interp")
+    a = np.asarray(model.call("predict", {"tokens": toks[:1]}))
+    b = np.asarray(re.call("predict", {"tokens": toks[:1]}))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    re_jax = load_model(path, backend="jax")
+    assert FlashLMServer(re_jax).window == 4
