@@ -75,7 +75,7 @@ def _global_lse(state):
 
 
 def _gather_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
-                    block_k, interpret):
+                    block_k, interpret, window=None):
     rank = jax.lax.axis_index(axis_name).astype(jnp.int32)
     chunk_q = q.shape[2]
     kf = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
@@ -83,14 +83,16 @@ def _gather_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
     offs = jnp.stack([rank * jnp.int32(chunk_q), jnp.int32(0)])
     out, lse = flash_attention_forward(
         q, kf, vf, sm_scale, causal, block_q, block_k, interpret,
-        offsets=offs,
+        offsets=offs, window=window,
     )
     return out, lse, kf, vf, offs
 
 
-def _make_gather(axis_name, sm_scale, causal, block_q, block_k, interpret):
+def _make_gather(axis_name, sm_scale, causal, block_q, block_k, interpret,
+                 window=None):
     kw = dict(axis_name=axis_name, sm_scale=sm_scale, causal=causal,
-              block_q=block_q, block_k=block_k, interpret=interpret)
+              block_q=block_q, block_k=block_k, interpret=interpret,
+              window=window)
 
     @jax.custom_vjp
     def gather(q, k, v):
@@ -107,7 +109,7 @@ def _make_gather(axis_name, sm_scale, causal, block_q, block_k, interpret):
         _, _, kf, vf, offs = _gather_forward(q, k, v, **kw)
         dq, dk_full, dv_full = flash_attention_backward(
             q, kf, vf, out, lse, g, sm_scale, causal, block_q, block_k,
-            interpret, offsets=offs,
+            interpret, offsets=offs, window=window,
         )
         # each device holds the full-KV partials from its q chunk;
         # sum across devices and keep the local chunk: reduce-scatter
@@ -124,7 +126,7 @@ def _make_gather(axis_name, sm_scale, causal, block_q, block_k, interpret):
 
 
 def _ring_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
-                  block_k, interpret):
+                  block_k, interpret, window=None):
     rank = jax.lax.axis_index(axis_name)
     size = jax.lax.axis_size(axis_name)
     b, h, cq, d = q.shape
@@ -154,7 +156,7 @@ def _ring_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
         ).astype(jnp.int32)
         out_i, lse_i = flash_attention_forward(
             q, k, v, sm_scale, causal, block_q, block_k, interpret,
-            offsets=offs,
+            offsets=offs, window=window,
         )
         state = _merge(state, out_i, _lse3(lse_i, b, h, cq))
         if t != size - 1:
@@ -162,9 +164,11 @@ def _ring_forward(q, k, v, *, axis_name, sm_scale, causal, block_q,
     return _finish(state, q.dtype), _global_lse(state)
 
 
-def _make_ring(axis_name, sm_scale, causal, block_q, block_k, interpret):
+def _make_ring(axis_name, sm_scale, causal, block_q, block_k, interpret,
+               window=None):
     kw = dict(axis_name=axis_name, sm_scale=sm_scale, causal=causal,
-              block_q=block_q, block_k=block_k, interpret=interpret)
+              block_q=block_q, block_k=block_k, interpret=interpret,
+              window=window)
 
     @jax.custom_vjp
     def ring(q, k, v):
@@ -202,7 +206,7 @@ def _make_ring(axis_name, sm_scale, causal, block_q, block_k, interpret):
             ).astype(jnp.int32)
             dq_p, dk_p, dv_p = flash_attention_backward(
                 q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
-                interpret, offsets=offs,
+                interpret, offsets=offs, window=window,
             )
             dq = dq + dq_p.astype(jnp.float32)
             dk = dk + dk_p.astype(jnp.float32)
@@ -233,17 +237,22 @@ def sequence_parallel_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """softmax(q k^T) v with the sequence dim sharded over ``mesh[axis]``.
 
     Shapes: q/k/v [b, h, S, d] (S divisible by the axis size).  Returns
     [b, h, S, d] with the same sharding.  ``impl``: "ring" (KV rotates via
-    ppermute, O(S/P) memory) or "gather" (all-gather KV).
+    ppermute, O(S/P) memory) or "gather" (all-gather KV).  ``window``
+    (with ``causal=True``) is sliding-window attention in GLOBAL
+    coordinates — the offset-aware kernels mask and tile-skip across
+    shard boundaries exactly as on one device.
     """
     if impl not in ("ring", "gather"):
         raise ValueError(f"unknown impl {impl!r}")
     make = _make_ring if impl == "ring" else _make_gather
-    body = make(axis, sm_scale, causal, block_q, block_k, interpret)
+    body = make(axis, sm_scale, causal, block_q, block_k, interpret,
+                window=window)
     spec = P(None, None, axis, None)
     mapped = shard_map(
         body,

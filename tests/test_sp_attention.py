@@ -52,6 +52,32 @@ def test_sp_attention_sharded_inputs_stay_sharded():
                                rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("impl", ["gather", "ring"])
+def test_sp_attention_window(impl):
+    """Sliding-window attention across shard boundaries: the global-
+    coordinate band mask must agree with the single-device kernel even
+    when the band straddles chunk edges (window=96 vs 64-wide chunks),
+    forward and backward."""
+    mesh = _mesh()
+    q, k, v = _qkv(seed=4)  # S=512 over 8 devices -> 64-wide chunks
+    ref = flash_attention(q, k, v, causal=True, window=96)
+    out = sequence_parallel_attention(q, k, v, mesh, causal=True,
+                                      impl=impl, window=96)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+    got = jax.grad(lambda *a: jnp.sum(sequence_parallel_attention(
+        *a, mesh, causal=True, impl=impl, window=96) * g),
+        argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(lambda *a: jnp.sum(flash_attention(
+        *a, causal=True, window=96) * g), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_ring_permute_issued_before_compute():
     """Double buffering guard: in the traced program, the first
     collective-permute (next KV chunk going on the wire) precedes the
