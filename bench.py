@@ -228,6 +228,50 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
     return flops / t_flash / 1e9, flops / t_xla / 1e9
 
 
+def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
+    """Sliding-window vs full-causal flash attention wall time.
+
+    Out-of-band tiles are skipped entirely by the kernels, so the
+    windowed step should approach (useful band) / (causal triangle) of
+    the causal time — the O(S*W) long-context claim, measured.  Returns
+    (t_window_s, t_causal_s, speedup).
+    """
+    import functools
+
+    import jax
+
+    from exprgrad_tpu.ops.attention import flash_attention
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(
+        rng.normal(size=(b, h, s, d)).astype(np.float32) * 0.1
+    )
+    q, k, v = mk(), mk(), mk()
+
+    def timed(fn):
+        def chained(q, k, v):
+            cur = q
+            for _ in range(chain):
+                cur = fn(cur, k, v)
+            return cur
+
+        jitted = jax.jit(chained)
+        _fetch(jitted(q, k, v))
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            _fetch(jitted(q, k, v))
+            best = min(best, time.perf_counter() - t)
+        return best / chain
+
+    t_win = timed(functools.partial(flash_attention, causal=True,
+                                    window=window))
+    t_causal = timed(functools.partial(flash_attention, causal=True))
+    return t_win, t_causal, t_causal / t_win
+
+
 def bench_transformer_step(vocab=2048, dim=512, heads=4, hidden=2048,
                            blocks=2, batch=8, seq=512, chain=4):
     """Full flash_transformer training step (fwd + symbolic bwd + adam)
@@ -460,6 +504,21 @@ def main() -> None:
         )
     except Exception as err:
         details["attention_error"] = str(err)
+
+    _log("bench: sliding-window vs causal attention ...")
+    try:
+        t_win, t_causal, speedup = bench_window_attention()
+        details["window_attention_s4096_w512"] = {
+            "window_ms": round(t_win * 1e3, 2),
+            "causal_ms": round(t_causal * 1e3, 2),
+            "speedup": round(speedup, 2),
+            "note": "tile-skip O(S*W) vs O(S^2/2); ideal ~4x at S=4096 "
+                    "W=512 (band 512*4096 vs triangle 4096^2/2)",
+        }
+        _log(f"bench: window {t_win * 1e3:.1f}ms vs causal "
+             f"{t_causal * 1e3:.1f}ms ({speedup:.2f}x)")
+    except Exception as err:
+        details["window_attention_error"] = str(err)
 
     _log("bench: flash_transformer train step ...")
     try:
