@@ -67,6 +67,27 @@ def main() -> None:
     assert rel < 2e-5
     print("GQA OK", flush=True)
 
+    # sliding-window on-chip: fwd+bwd vs the XLA oracle with the same
+    # band mask, and the tile-skip wall-time effect (window << S)
+    W = 256
+
+    def wfwd(q, k, v):
+        return flash_attention(q, k, v, causal=True, window=W,
+                               interpret=False)
+
+    t0 = time.time()
+    out, vjp_fn = jax.vjp(wfwd, q, k, v)
+    got = vjp_fn(g)
+    _ = [float(jnp.sum(x)) for x in got]
+    print(f"window={W} bwd: {time.time()-t0:.1f}s", flush=True)
+    want = xla_attention_vjp(q, k, v, g, causal=True, window=W)
+    for name, a, bb in zip("dq dk dv".split(), got, want):
+        a, bb = np.asarray(a), np.asarray(bb)
+        rel = np.max(np.abs(a - bb)) / (np.max(np.abs(bb)) + 1e-9)
+        print(f"  {name}: max rel err {rel:.2e}", flush=True)
+        assert rel < 2e-4, (name, rel)
+    print("WINDOW ATTENTION OK", flush=True)
+
     # fused matmul epilogue
     from exprgrad_tpu import Fun, compile, input, iters, maximum
 
