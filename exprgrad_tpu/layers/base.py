@@ -216,19 +216,25 @@ def lion(
     weight_decay: float = 0.0,
 ) -> None:
     """Chen et al., "Symbolic Discovery of Optimization Algorithms"
-    (Lion), 2023: sign of an interpolated momentum as the update, a
-    slower-decaying momentum as state.  The update statement reads the
-    OLD momentum (its cache write is a later kernel), matching the paper:
-    ``u = sign(beta1*m + (1-beta1)*g); p -= eta*(u + wd*p);
+    (Lion), 2023: ``u = sign(beta1*m + (1-beta1)*g); p -= eta*(u + wd*p);
     m <- beta2*m + (1-beta2)*g``.
+
+    The lowering emits a cache's writer kernels before any reader kernel
+    (statement source order does NOT survive), so a read of ``m`` in the
+    update always sees the NEW momentum.  The paper's interpolation of
+    the OLD momentum is therefore recovered algebraically:
+    ``m_old = (m_new - (1-beta2)*g)/beta2``, giving
+    ``u = (beta1/beta2)*m_new + ((1-beta1) - beta1*(1-beta2)/beta2)*g``.
     """
     m = cache(param, "lion.m")
     it = iters("it")
-    u = m.raw[it] * beta1 + (1.0 - beta1) * grad.raw[it]
+    m.raw[it] = m.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * grad.raw[it]
+    it = iters("it")
+    c_m = beta1 / beta2
+    c_g = (1.0 - beta1) - beta1 * (1.0 - beta2) / beta2
+    u = c_m * m.raw[it] + c_g * grad.raw[it]
     s = select(u > 0.0, 1.0, select(u < 0.0, -1.0, 0.0))
     param.raw[it] = -eta * (s + weight_decay * param.raw[it])
-    it = iters("it")
-    m.raw[it] = m.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * grad.raw[it]
 
 
 def clip_gradients(opt, bound: float):
@@ -259,10 +265,19 @@ def clip_by_global_norm(opt, max_norm: float, eps: float = 1e-12):
     the lowering orders all writers of a tensor before any reader, so the
     scale sees the full sum regardless of parameter order.  The whole
     thing stays inside the one-jit training program.
+
+    The shared tensor is keyed per ``optimize()``/``backprop()`` call
+    (by the backwards node the gradients hang off), so one recipe object
+    is reusable across models and across multiple backprop targets
+    without cross-contaminating their norms.
     """
-    total = Fun()
+    totals: dict[int, Fun] = {}
 
     def wrapped(param: Fun, grad: Fun) -> None:
+        # grad is the GRADIENT node [backwards, param]; all grads of one
+        # optimize() call share the backwards child
+        key = id(grad.children[0]) if grad.children else id(grad)
+        total = totals.setdefault(key, Fun())
         it = iters("it")
         total[0] = sq(grad.raw[it])
         it = iters("it")

@@ -56,6 +56,7 @@ class Model:
         seed: Optional[int] = None,
         precision: str = "highest",
         schedule_mode: str = "auto",
+        init_params: bool = True,
     ) -> None:
         self.source = source
         self.precision = precision
@@ -88,6 +89,10 @@ class Model:
                 )
         self.params: dict[int, np.ndarray] = {}
         self.caches: dict[int, np.ndarray] = {}
+        if not init_params:
+            # caller provides params/caches (astype, loaders): skip the
+            # draw entirely instead of generating arrays to be discarded
+            return
         # Large float32-family tensors draw natively in float32: float64
         # generation + astype dominates compile() wall time for LM-sized
         # models (embeddings, block weights).  Small tensors keep the
@@ -168,7 +173,7 @@ class Model:
         src = self.source.copy()
         src.scalar_type = ir.ScalarType(nd.name)
         out = Model(src, backend=self.backend, precision=self.precision,
-                    schedule_mode=self.schedule_mode)
+                    schedule_mode=self.schedule_mode, init_params=False)
         out.params = {
             tid: np.asarray(v).astype(nd) for tid, v in self.params.items()
         }
@@ -176,6 +181,9 @@ class Model:
             tid: np.asarray(v).astype(nd) for tid, v in self.caches.items()
         }
         out.epoch = self.epoch
+        # carry the rand()/dropout stream so the cast model stays as
+        # deterministic as the original
+        out._rng.bit_generator.state = self._rng.bit_generator.state
         return out
 
     def export_compiled(

@@ -103,12 +103,16 @@ class FlashLMServer:
             for kern in target.kernels
             if kern.extern is not None and kern.extern.name == "attention"
         }
-        windows.discard(0)
+        # 0 = full causal; mixing it with windowed blocks (or mixing two
+        # window sizes) cannot be served with one decode mask
         if len(windows) > 1:
             raise ModelRuntimeError(
-                f"blocks disagree on attention window: {sorted(windows)}"
+                "blocks disagree on attention window "
+                f"({sorted(windows)}, 0 = full causal); KV-cache serving "
+                "needs one uniform window"
             )
-        self.window = windows.pop() if windows else None
+        w = windows.pop() if windows else 0
+        self.window = w if w > 0 else None
         blk = self.blocks[0]
         self.heads, _, self.head_dim = blk.wq.shape
         self.kv_heads = blk.wk.shape[0]

@@ -48,6 +48,22 @@ def test_astype_carries_epoch_and_caches():
         assert str(np.asarray(cast.caches[tid]).dtype) == "bfloat16"
 
 
+def test_astype_preserves_rng_stream():
+    """The cast model inherits the original's rand()/dropout stream (no
+    fresh unseeded rng) and skips the throwaway re-init."""
+    model, _ = _trained()
+    before = model._rng.bit_generator.state
+    cast = model.astype("bfloat16")
+    assert cast._rng.bit_generator.state == before
+    # params are exactly the casts of the originals, not re-draws
+    for tid in model.params:
+        np.testing.assert_array_equal(
+            np.asarray(cast.params[tid]),
+            np.asarray(model.params[tid]).astype(
+                np.asarray(cast.params[tid]).dtype),
+        )
+
+
 def test_astype_roundtrip_float32():
     model, x = _trained()
     back = model.astype("bfloat16").astype("float32")

@@ -109,6 +109,29 @@ def test_lion_matches_numpy():
         np.testing.assert_allclose(x, y, rtol=1e-12)
 
 
+def test_lion_uses_old_momentum():
+    """Adversarial gradient sequence where sign(b1*m_old + (1-b1)*g)
+    differs from sign of the same blend with the NEW momentum: the paper
+    recurrence must win (the lowering reads the updated cache, so the
+    implementation recovers m_old algebraically — this pins it)."""
+    eta, b1, b2 = 0.02, 0.9, 0.99
+    model, wid = _model(make_opt(lion, eta=eta, beta1=b1, beta2=b2))
+    w = np.asarray(model.params[wid]).copy()
+    m = np.zeros_like(w)
+    # g=-1 then g=0.085: u_paper = 0.9*(-0.01) + 0.1*0.085 < 0 but the
+    # new-momentum blend is > 0 — opposite update directions
+    for g_target in (-1.0, 0.085, 0.5, -0.03):
+        xv = w - g_target / 2.0  # makes grad exactly g_target everywhere
+        model.epoch += 1
+        model.apply("train", {"x": xv})
+        g = np.full_like(w, g_target)
+        u = b1 * m + (1 - b1) * g
+        w = w - eta * np.sign(u)
+        m = b2 * m + (1 - b2) * g
+        np.testing.assert_allclose(np.asarray(model.params[wid]), w,
+                                   rtol=1e-12)
+
+
 def test_optimizers_agree_across_backends():
     """interp oracle and jax backend produce the same adamw trajectory."""
     opt = lambda: make_opt(adamw, eta=0.01, weight_decay=0.05)
@@ -244,6 +267,25 @@ def test_clip_by_global_norm_inactive_below_bound():
     np.testing.assert_allclose(
         np.asarray(model.params[ids["w1"]]), w1 - 0.1 * 2 * w1, rtol=1e-12
     )
+
+
+def test_clip_by_global_norm_recipe_is_reusable():
+    """One recipe object compiles into several models without dragging
+    the first graph into the second (per-backwards-node norm tensor)."""
+    from exprgrad_tpu.layers import clip_by_global_norm, gradient_descent
+
+    recipe = clip_by_global_norm(make_opt(gradient_descent, rate=0.1),
+                                 max_norm=1.0)
+    m1, ids1 = _two_param_model(recipe)
+    m2, ids2 = _two_param_model(recipe)
+    for m, ids in ((m1, ids1), (m2, ids2)):
+        w1 = np.asarray(m.params[ids["w1"]]).copy()
+        w2 = np.asarray(m.params[ids["w2"]]).copy()
+        m.apply("train", {"x": np.zeros(3)})
+        g1, g2 = 2 * w1, 2 * w2
+        s = min(1.0, 1.0 / (np.sqrt((g1**2).sum() + (g2**2).sum()) + 1e-12))
+        np.testing.assert_allclose(np.asarray(m.params[ids["w1"]]),
+                                   w1 - 0.1 * g1 * s, rtol=1e-12)
 
 
 def test_clip_by_global_norm_composes_with_adam():

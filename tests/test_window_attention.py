@@ -195,6 +195,29 @@ def test_windowed_server_matches_predict():
     assert list(got) == ref[3:]
 
 
+def test_server_rejects_mixed_windows():
+    """A program mixing windowed and full-causal attention blocks cannot
+    be served with one decode mask: ModelRuntimeError, not silent
+    truncation of the full-attention blocks."""
+    from exprgrad_tpu import ModelRuntimeError
+    from exprgrad_tpu.models import FlashLMServer
+
+    model, _ = _train_windowed(window=4, steps=1)
+    # flip ONE attention extern to full causal (window attr 0)
+    flipped = False
+    for target in model.program.targets.values():
+        for kern in target.kernels:
+            if kern.extern is not None and kern.extern.name == "attention":
+                kern.extern.attrs["window"] = 0
+                flipped = True
+                break
+        if flipped:
+            break
+    assert flipped
+    with pytest.raises(ModelRuntimeError, match="window"):
+        FlashLMServer(model)
+
+
 def test_windowed_attrs_survive_checkpoint(tmp_path):
     """window rides the extern attrs through save/load; the reloaded
     oracle-backend model reproduces predictions."""
