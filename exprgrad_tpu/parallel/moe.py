@@ -63,30 +63,48 @@ def shard_moe_params(params: MoEParams, mesh: Mesh,
 
 
 def moe_layer(x: jax.Array, params: MoEParams,
-              capacity_factor: float = 1.25):
+              capacity_factor: float = 1.25, top_k: int = 1):
     """x [n_tokens, d] -> (y [n_tokens, d], aux_loss scalar).
 
     Dense dispatch: tokens one-hot into [n, E, C] (expert, slot) and the
     expert FFNs run as batched matmuls over [E, C, ·] — sharding E over a
     mesh axis makes this expert-parallel with XLA-inserted collectives.
+
+    ``top_k=1`` is Switch routing (gate = the chosen expert's softmax
+    probability); ``top_k>1`` is Mixtral-style: each token dispatches to
+    its k best experts and combines them with the top-k probabilities
+    renormalized to sum to 1.  Capacity scales with k
+    (``ceil(k*n/E * capacity_factor)`` slots per expert); overflowing
+    assignments drop individually (a token can keep one expert and lose
+    another).
     """
     n, d = x.shape
     e = params.router.shape[1]
-    capacity = int(np.ceil(n / e * capacity_factor))
+    if not 1 <= top_k <= e:
+        raise ValueError(f"top_k must be in [1, {e}] (got {top_k})")
+    capacity = int(np.ceil(top_k * n / e * capacity_factor))
 
     logits = jnp.einsum("nd,de->ne", x, params.router,
                         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                    # [n, E]
-    expert = jnp.argmax(probs, axis=-1)                        # [n]
-    gate = jnp.max(probs, axis=-1)                             # [n]
+    top_p, top_i = jax.lax.top_k(probs, top_k)                 # [n, k]
+    onehot = jax.nn.one_hot(top_i, e, dtype=jnp.float32).sum(1)  # [n, E]
+    # gate weight per (token, chosen expert); 0 elsewhere.  Switch (k=1)
+    # keeps the RAW router probability (the router's gradient path);
+    # Mixtral (k>1) renormalizes the top-k probabilities to sum to 1.
+    weights = top_p if top_k == 1 else (
+        top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+    )
+    gates = jnp.einsum(
+        "nk,nke->ne", weights, jax.nn.one_hot(top_i, e, dtype=jnp.float32)
+    )                                                          # [n, E]
 
-    onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)      # [n, E]
-    # slot of each token within its expert's queue (arrival order, 0-based)
-    pos = jnp.cumsum(onehot, axis=0) * onehot - onehot
+    # slot of each assignment within its expert's queue (arrival order)
+    pos = jnp.cumsum(onehot, axis=0) * onehot - onehot         # [n, E]
     keep = (pos < capacity) * onehot                           # [n, E]
-    slot = jax.nn.one_hot(pos.sum(-1).astype(jnp.int32), capacity,
-                          dtype=jnp.float32)                   # [n, C]
-    dispatch = keep[:, :, None] * slot[:, None, :]             # [n, E, C]
+    dispatch = keep[:, :, None] * jax.nn.one_hot(
+        pos.astype(jnp.int32), capacity, dtype=jnp.float32
+    )                                                          # [n, E, C]
 
     xin = jnp.einsum("nec,nd->ecd", dispatch, x.astype(jnp.float32))
     h = jnp.einsum("ecd,edh->ech", xin, params.w1.astype(jnp.float32))
@@ -94,11 +112,11 @@ def moe_layer(x: jax.Array, params: MoEParams,
     out = jnp.einsum("ech,ehd->ecd", h, params.w2.astype(jnp.float32))
     out = out + params.b2[:, None, :].astype(jnp.float32)
 
-    combine = dispatch * gate[:, None, None]                   # [n, E, C]
+    combine = dispatch * gates[:, :, None]                     # [n, E, C]
     y = jnp.einsum("nec,ecd->nd", combine, out).astype(x.dtype)
 
     # Switch load-balancing loss: E * sum_e fraction_routed_e * mean_prob_e
-    frac = onehot.mean(axis=0)
+    frac = onehot.mean(axis=0) / top_k
     mean_prob = probs.mean(axis=0)
     aux = e * jnp.sum(frac * mean_prob)
     return y, aux
