@@ -409,6 +409,10 @@ class Fun:
         self.cond_branches: dict[str, Fun] = {}
         self.cond_else: Optional[Fun] = None
         self.remat_flag = False
+        # effects flattened AFTER this node's own kernels — the seam for
+        # state that must observe a post-update value (EMA shadows read
+        # the freshly-written parameter; see layers.base.with_ema)
+        self.post_effects: list[Fun] = []
 
     # --- reading ------------------------------------------------------
     def __getitem__(self, indices) -> Scalar:
@@ -619,6 +623,8 @@ class Fun:
                 return
             for child in fun.children:
                 walk(child)
+            for post in fun.post_effects:
+                walk(post)
             if fun.effect is not None:
                 walk(fun.effect)
             if fun.kind == FunKind.PARAM:
@@ -849,6 +855,7 @@ def uses_scoped_schedules(graphs: "Sequence[Fun] | Fun") -> bool:
                 return True
             stack.extend(b.target for b in builder.custom_grads)
         stack.extend(fun.children)
+        stack.extend(fun.post_effects)
         if fun.effect is not None:
             stack.append(fun.effect)
         if fun.cache_of is not None:
@@ -1008,6 +1015,8 @@ class _GraphLowering:
 
         for child in fun.children:
             self.alloc(child)
+        for post in fun.post_effects:
+            self.alloc(post)
 
         if kind == FunKind.TARGET:
             child_tid = self.tensor_of.get(id(fun.children[0]))
@@ -1100,6 +1109,10 @@ class _GraphLowering:
                     src=tensor_of[id(fun.children[0])],
                 )
             )
+        # post-effects run AFTER this node's own kernels (EMA shadows
+        # read the freshly-written parameter)
+        for post in fun.post_effects:
+            self.flatten(post, target)
 
 
 def _collect_targets(fun: Fun, targets: dict[str, Fun], seen: set[int]) -> None:
@@ -1120,6 +1133,8 @@ def _collect_targets(fun: Fun, targets: dict[str, Fun], seen: set[int]) -> None:
             _collect_targets(fun.cond_else, targets, seen)
     for child in fun.children:
         _collect_targets(child, targets, seen)
+    for post in fun.post_effects:
+        _collect_targets(post, targets, seen)
     if fun.effect is not None:
         _collect_targets(fun.effect, targets, seen)
 

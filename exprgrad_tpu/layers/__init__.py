@@ -29,6 +29,7 @@ from .base import (
     smoothed_cross_entropy,
     sub,
     transpose,
+    with_ema,
 )
 from .attention import fused_attention, multi_head_attention
 from .schedules import (
@@ -70,5 +71,5 @@ __all__ = [
     "tanh", "transpose", "upsample2",
     "clip_by_global_norm", "clip_gradients",
     "cosine_decay", "exponential_decay", "step_decay", "warmup",
-    "warmup_cosine",
+    "warmup_cosine", "with_ema",
 ]

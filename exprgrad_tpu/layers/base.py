@@ -289,6 +289,29 @@ def clip_by_global_norm(opt, max_norm: float, eps: float = 1e-12):
     return wrapped
 
 
+def with_ema(opt, decay: float = 0.999):
+    """Wrap any bound optimizer with an exponential moving average of the
+    parameters (Polyak averaging — the standard eval/serving smoother).
+
+    The shadow lives in a cache tensor named ``"ema"`` updated from the
+    POST-update parameter via the post-effects seam
+    (``ema <- decay*ema + (1-decay)*p``); it rides checkpoints like any
+    optimizer state.  The shadow starts at zero, so read it debiased
+    through :meth:`Model.ema_params(decay)` (same ``epoch``-based
+    correction discipline as adam).
+
+    ``net.backprop(with_ema(make_opt(adam, eta=1e-3), 0.999))``
+    """
+    def wrapped(param: Fun, grad: Fun) -> None:
+        opt(param, grad)
+        e = cache(param, "ema")
+        it = iters("it")
+        e.raw[it] = e.raw[it] * (decay - 1.0) + (1.0 - decay) * param.raw[it]
+        param.post_effects.append(e)
+
+    return wrapped
+
+
 # --- losses ---------------------------------------------------------------
 
 @layer

@@ -158,6 +158,38 @@ class Model:
 
         return fn
 
+    def ema_params(self, decay: float) -> dict[int, np.ndarray]:
+        """Debiased EMA shadow parameters (train with
+        ``layers.with_ema(opt, decay)``), keyed by parameter tensor id.
+
+        The shadow starts at zero, so the raw cache is scaled by
+        ``1/(1 - decay^epoch)`` — the adam bias-correction discipline
+        (one ``model.epoch`` increment per applied step).  Serve with
+        ``model.params.update(model.ema_params(decay))`` (keep a copy of
+        ``model.params`` to swap back).
+        """
+        if self.epoch < 1:
+            raise ModelRuntimeError(
+                "ema_params needs epoch >= 1 (no steps applied yet)"
+            )
+        out: dict[int, np.ndarray] = {}
+        corr = 1.0 - decay ** self.epoch
+        for tid, tdef in enumerate(self.program.tensors):
+            if (
+                tdef.kind == ir.TensorKind.CACHE
+                and tdef.name == "ema"
+                and tdef.cache_of is not None
+                and tid in self.caches
+            ):
+                val = np.asarray(self.caches[tid])
+                out[tdef.cache_of] = (val / corr).astype(val.dtype)
+        if not out:
+            raise ModelRuntimeError(
+                "model has no EMA shadows; train with "
+                "layers.with_ema(opt, decay)"
+            )
+        return out
+
     def astype(self, dtype: str) -> "Model":
         """A new model with the same program and the parameters, caches,
         and epoch carried over, cast to ``dtype``.

@@ -305,6 +305,75 @@ def test_clip_by_global_norm_composes_with_adam():
     assert np.abs(pred - np.asarray([0, 1, 1, 0])).max() < 0.2
 
 
+def test_with_ema_matches_numpy():
+    """EMA shadow follows decay*ema + (1-decay)*post_update_param; read
+    back debiased by 1/(1-decay^epoch)."""
+    from exprgrad_tpu.layers import gradient_descent, with_ema
+
+    model, wid = _model(
+        with_ema(make_opt(gradient_descent, rate=0.1), decay=0.9)
+    )
+    w = np.asarray(model.params[wid]).copy()
+    ema = np.zeros_like(w)
+    for t, xv in enumerate(XS, 1):
+        model.epoch += 1
+        model.apply("train", {"x": xv})
+        w = w - 0.1 * 2.0 * (w - xv)
+        ema = 0.9 * ema + 0.1 * w
+        np.testing.assert_allclose(np.asarray(model.params[wid]), w,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(model.ema_params(0.9)[wid],
+                                   ema / (1 - 0.9 ** t), rtol=1e-12)
+
+
+def test_with_ema_composes_and_survives_checkpoint(tmp_path):
+    """EMA over adam, shadow rides checkpoints; swapped-in EMA weights
+    serve a reasonable xor prediction."""
+    from exprgrad_tpu import Tensor
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.layers import adam, with_ema
+
+    opt = with_ema(make_opt(adam, eta=0.05), decay=0.98)
+    model = compile(xor_mlp_ema(opt), backend="jax", seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0.0, 1, 1, 0])
+    for _ in range(400):
+        model.epoch += 1
+        model.apply("train", {"x": x, "y": y})
+
+    path = str(tmp_path / "ema.ckpt")
+    save_model(model, path)
+    re = load_model(path, backend="jax")
+    ema = re.ema_params(0.98)
+    np.testing.assert_allclose(
+        sorted(np.asarray(v).sum() for v in ema.values()),
+        sorted(np.asarray(v).sum() for v in model.ema_params(0.98).values()),
+        rtol=1e-6,
+    )
+    re.params.update(ema)
+    pred = np.asarray(re.call("predict", {"x": x})).reshape(-1)
+    assert np.abs(pred - np.asarray([0, 1, 1, 0])).max() < 0.25
+
+
+def xor_mlp_ema(opt):
+    from exprgrad_tpu.models import xor_mlp
+
+    return xor_mlp(opt=opt)
+
+
+def test_ema_params_errors():
+    from exprgrad_tpu import ModelRuntimeError
+    from exprgrad_tpu.layers import gradient_descent, with_ema
+
+    model, _ = _model(make_opt(gradient_descent, rate=0.1))
+    model.epoch = 1
+    with pytest.raises(ModelRuntimeError, match="EMA"):
+        model.ema_params(0.9)
+    model2, _ = _model(with_ema(make_opt(gradient_descent, rate=0.1), 0.9))
+    with pytest.raises(ModelRuntimeError, match="epoch"):
+        model2.ema_params(0.9)
+
+
 def test_xor_converges_with_new_optimizers():
     """End to end: xor trains to correct outputs under rmsprop."""
     from exprgrad_tpu import Tensor
