@@ -46,6 +46,19 @@ def main() -> None:
     err = float(jnp.max(jnp.abs(ring - out)))
     print(f"ring vs single-device max abs err: {err:.2e}")
 
+    # sliding-window attention: O(S*W) — the band is exact across shard
+    # boundaries (global-coordinate masks in the offset-aware kernels)
+    W = S // 8
+    with measure_time(f"ring attention, window={W}"):
+        win = sequence_parallel_attention(
+            qs, ks, vs, mesh, axis="data", causal=True, impl="ring",
+            window=W,
+        )
+        float(jnp.sum(win))
+    wref = flash_attention(q, k, v, causal=True, window=W)
+    werr = float(jnp.max(jnp.abs(win - wref)))
+    print(f"windowed ring vs single-device max abs err: {werr:.2e}")
+
     # gradients flow through the ring (training-grade)
     def loss(q, k, v):
         return jnp.sum(
