@@ -224,8 +224,11 @@ def lion(
     update always sees the NEW momentum.  The paper's interpolation of
     the OLD momentum is therefore recovered algebraically:
     ``m_old = (m_new - (1-beta2)*g)/beta2``, giving
-    ``u = (beta1/beta2)*m_new + ((1-beta1) - beta1*(1-beta2)/beta2)*g``.
+    ``u = (beta1/beta2)*m_new + ((1-beta1) - beta1*(1-beta2)/beta2)*g``
+    (which is why ``beta2`` must be nonzero).
     """
+    if not 0.0 < beta2 <= 1.0:
+        raise ValueError(f"beta2 must be in (0, 1] (got {beta2})")
     m = cache(param, "lion.m")
     it = iters("it")
     m.raw[it] = m.raw[it] * (beta2 - 1.0) + (1.0 - beta2) * grad.raw[it]
@@ -271,13 +274,22 @@ def clip_by_global_norm(opt, max_norm: float, eps: float = 1e-12):
     is reusable across models and across multiple backprop targets
     without cross-contaminating their norms.
     """
-    totals: dict[int, Fun] = {}
+    import weakref
+
+    # weakrefs so a long-lived recipe doesn't pin every graph it was
+    # ever compiled into (the total Fun references the whole loss graph)
+    totals: dict[int, "weakref.ref[Fun]"] = {}
 
     def wrapped(param: Fun, grad: Fun) -> None:
         # grad is the GRADIENT node [backwards, param]; all grads of one
         # optimize() call share the backwards child
         key = id(grad.children[0]) if grad.children else id(grad)
-        total = totals.setdefault(key, Fun())
+        total = totals.get(key, lambda: None)()
+        if total is None:
+            for k in [k for k, r in totals.items() if r() is None]:
+                del totals[k]  # drop entries whose graphs were collected
+            total = Fun()
+            totals[key] = weakref.ref(total)
         it = iters("it")
         total[0] = sq(grad.raw[it])
         it = iters("it")
@@ -295,19 +307,28 @@ def with_ema(opt, decay: float = 0.999):
 
     The shadow lives in a cache tensor named ``"ema"`` updated from the
     POST-update parameter via the post-effects seam
-    (``ema <- decay*ema + (1-decay)*p``); it rides checkpoints like any
-    optimizer state.  The shadow starts at zero, so read it debiased
-    through :meth:`Model.ema_params(decay)` (same ``epoch``-based
-    correction discipline as adam).
+    (``ema <- decay*ema + (1-decay)*p``); a companion ``"ema.w"`` cache
+    follows the same recurrence toward 1, so the exact debias factor is
+    tracked IN the program — :meth:`Model.ema_params` divides the two
+    and is correct no matter how steps map to ``model.epoch`` (per-step
+    ``apply`` and per-epoch ``fit`` both work).  Both caches ride
+    checkpoints like any optimizer state.
 
     ``net.backprop(with_ema(make_opt(adam, eta=1e-3), 0.999))``
     """
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1) (got {decay})")
+
     def wrapped(param: Fun, grad: Fun) -> None:
         opt(param, grad)
         e = cache(param, "ema")
         it = iters("it")
         e.raw[it] = e.raw[it] * (decay - 1.0) + (1.0 - decay) * param.raw[it]
+        w = cache(param, "ema.w")
+        it = iters("it")
+        w.raw[it] = w.raw[it] * (decay - 1.0) + (1.0 - decay)
         param.post_effects.append(e)
+        param.post_effects.append(w)
 
     return wrapped
 

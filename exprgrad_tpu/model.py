@@ -158,36 +158,50 @@ class Model:
 
         return fn
 
-    def ema_params(self, decay: float) -> dict[int, np.ndarray]:
+    def ema_params(self) -> dict[int, np.ndarray]:
         """Debiased EMA shadow parameters (train with
         ``layers.with_ema(opt, decay)``), keyed by parameter tensor id.
 
-        The shadow starts at zero, so the raw cache is scaled by
-        ``1/(1 - decay^epoch)`` — the adam bias-correction discipline
-        (one ``model.epoch`` increment per applied step).  Serve with
-        ``model.params.update(model.ema_params(decay))`` (keep a copy of
+        The ``"ema.w"`` companion cache tracks the exact bias weight
+        (``1 - decay^steps`` after ``steps`` applied updates), so the
+        returned values are ``ema / ema.w`` — correct for any stepping
+        discipline.  Serve with
+        ``model.params.update(model.ema_params())`` (keep a copy of
         ``model.params`` to swap back).
         """
-        if self.epoch < 1:
-            raise ModelRuntimeError(
-                "ema_params needs epoch >= 1 (no steps applied yet)"
-            )
-        out: dict[int, np.ndarray] = {}
-        corr = 1.0 - decay ** self.epoch
+        shadows: dict[int, int] = {}
+        weights: dict[int, int] = {}
         for tid, tdef in enumerate(self.program.tensors):
             if (
-                tdef.kind == ir.TensorKind.CACHE
-                and tdef.name == "ema"
-                and tdef.cache_of is not None
-                and tid in self.caches
+                tdef.kind != ir.TensorKind.CACHE
+                or tdef.cache_of is None
+                or tid not in self.caches
             ):
-                val = np.asarray(self.caches[tid])
-                out[tdef.cache_of] = (val / corr).astype(val.dtype)
-        if not out:
+                continue
+            table = {"ema": shadows, "ema.w": weights}.get(tdef.name)
+            if table is None:
+                continue
+            if tdef.cache_of in table:
+                raise ModelRuntimeError(
+                    f"parameter t{tdef.cache_of} has multiple "
+                    f"{tdef.name!r} shadows (with_ema applied in more "
+                    "than one target?); ema_params would be ambiguous"
+                )
+            table[tdef.cache_of] = tid
+        if not shadows:
             raise ModelRuntimeError(
                 "model has no EMA shadows; train with "
                 "layers.with_ema(opt, decay)"
             )
+        out: dict[int, np.ndarray] = {}
+        for pid, tid in shadows.items():
+            val = np.asarray(self.caches[tid])
+            w = np.asarray(self.caches[weights[pid]])
+            if float(np.max(w)) == 0.0:
+                raise ModelRuntimeError(
+                    "EMA shadow has seen no training steps yet"
+                )
+            out[pid] = (val / w).astype(val.dtype)
         return out
 
     def astype(self, dtype: str) -> "Model":

@@ -88,16 +88,15 @@ def moe_layer(x: jax.Array, params: MoEParams,
                         preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                    # [n, E]
     top_p, top_i = jax.lax.top_k(probs, top_k)                 # [n, k]
-    onehot = jax.nn.one_hot(top_i, e, dtype=jnp.float32).sum(1)  # [n, E]
+    choice = jax.nn.one_hot(top_i, e, dtype=jnp.float32)       # [n, k, E]
+    onehot = choice.sum(1)                                     # [n, E]
     # gate weight per (token, chosen expert); 0 elsewhere.  Switch (k=1)
     # keeps the RAW router probability (the router's gradient path);
     # Mixtral (k>1) renormalizes the top-k probabilities to sum to 1.
     weights = top_p if top_k == 1 else (
         top_p / jnp.sum(top_p, axis=-1, keepdims=True)
     )
-    gates = jnp.einsum(
-        "nk,nke->ne", weights, jax.nn.one_hot(top_i, e, dtype=jnp.float32)
-    )                                                          # [n, E]
+    gates = jnp.einsum("nk,nke->ne", weights, choice)          # [n, E]
 
     # slot of each assignment within its expert's queue (arrival order)
     pos = jnp.cumsum(onehot, axis=0) * onehot - onehot         # [n, E]

@@ -306,8 +306,9 @@ def test_clip_by_global_norm_composes_with_adam():
 
 
 def test_with_ema_matches_numpy():
-    """EMA shadow follows decay*ema + (1-decay)*post_update_param; read
-    back debiased by 1/(1-decay^epoch)."""
+    """EMA shadow follows decay*ema + (1-decay)*post_update_param; the
+    ema.w companion tracks 1-decay^steps exactly, so ema_params() is
+    debiased by the true step count (not model.epoch)."""
     from exprgrad_tpu.layers import gradient_descent, with_ema
 
     model, wid = _model(
@@ -316,13 +317,13 @@ def test_with_ema_matches_numpy():
     w = np.asarray(model.params[wid]).copy()
     ema = np.zeros_like(w)
     for t, xv in enumerate(XS, 1):
-        model.epoch += 1
+        # do NOT advance model.epoch: debiasing must not depend on it
         model.apply("train", {"x": xv})
         w = w - 0.1 * 2.0 * (w - xv)
         ema = 0.9 * ema + 0.1 * w
         np.testing.assert_allclose(np.asarray(model.params[wid]), w,
                                    rtol=1e-12)
-        np.testing.assert_allclose(model.ema_params(0.9)[wid],
+        np.testing.assert_allclose(model.ema_params()[wid],
                                    ema / (1 - 0.9 ** t), rtol=1e-12)
 
 
@@ -344,10 +345,10 @@ def test_with_ema_composes_and_survives_checkpoint(tmp_path):
     path = str(tmp_path / "ema.ckpt")
     save_model(model, path)
     re = load_model(path, backend="jax")
-    ema = re.ema_params(0.98)
+    ema = re.ema_params()
     np.testing.assert_allclose(
         sorted(np.asarray(v).sum() for v in ema.values()),
-        sorted(np.asarray(v).sum() for v in model.ema_params(0.98).values()),
+        sorted(np.asarray(v).sum() for v in model.ema_params().values()),
         rtol=1e-6,
     )
     re.params.update(ema)
@@ -366,12 +367,53 @@ def test_ema_params_errors():
     from exprgrad_tpu.layers import gradient_descent, with_ema
 
     model, _ = _model(make_opt(gradient_descent, rate=0.1))
-    model.epoch = 1
     with pytest.raises(ModelRuntimeError, match="EMA"):
-        model.ema_params(0.9)
+        model.ema_params()
     model2, _ = _model(with_ema(make_opt(gradient_descent, rate=0.1), 0.9))
-    with pytest.raises(ModelRuntimeError, match="epoch"):
-        model2.ema_params(0.9)
+    with pytest.raises(ModelRuntimeError, match="steps"):
+        model2.ema_params()  # shadow exists but never updated
+    with pytest.raises(ValueError, match="decay"):
+        with_ema(make_opt(gradient_descent, rate=0.1), decay=1.0)
+
+
+def test_ema_debias_exact_under_fit():
+    """fit() runs many batches per epoch increment; the ema.w companion
+    still debiases by the true number of applied steps."""
+    from exprgrad_tpu import Tensor
+    from exprgrad_tpu.layers import gradient_descent, with_ema
+    from exprgrad_tpu.models import xor_mlp
+
+    decay = 0.9
+    model = compile(
+        xor_mlp(opt=with_ema(make_opt(gradient_descent, rate=0.1), decay)),
+        backend="jax", seed=0,
+    )
+    x = Tensor.new([8, 2], [0, 0, 0, 1, 1, 0, 1, 1, 0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([8, 1], [0.0, 1, 1, 0, 0, 1, 1, 0])
+    model.fit("train", {"x": x, "y": y}, batch_size=4, log_status=False)
+    # 2 batches ran but epoch advanced once: true step count is 2
+    ema = model.ema_params()
+    wid = next(iter(model.params))
+    w = np.asarray(model.params[wid])
+    # after n steps the debiased EMA is a convex combination of the
+    # post-step params; with 2 steps it cannot exceed the param scale
+    assert np.all(np.abs(ema[wid]) <= np.abs(w).max() + 1.0)
+    # and the weight cache equals 1 - decay^2 exactly
+    for tid, tdef in enumerate(model.program.tensors):
+        if tdef.name == "ema.w" and tid in model.caches:
+            np.testing.assert_allclose(
+                np.asarray(model.caches[tid]),
+                np.full_like(np.asarray(model.caches[tid]),
+                             1 - decay ** 2),
+                rtol=1e-6,
+            )
+
+
+def test_lion_rejects_zero_beta2():
+    from exprgrad_tpu.layers import lion as lion_opt
+
+    with pytest.raises(ValueError, match="beta2"):
+        _model(make_opt(lion_opt, beta2=0.0))
 
 
 def test_xor_converges_with_new_optimizers():
