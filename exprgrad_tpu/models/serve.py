@@ -124,9 +124,11 @@ class FlashLMServer:
         ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
         return x / jnp.sqrt(ms + self.eps) * gamma
 
-    def _step(self, x, caches, pos_offset):
+    def _step(self, x, caches, pos_offset, key_pos=None, q_pos=None):
         """One forward pass of ``t`` fresh tokens (already embedded) with
-        their K/V appended to the caches.  Returns (logits, caches)."""
+        their K/V appended to the caches.  Returns (logits, caches).
+        ``key_pos``/``q_pos`` activate ragged-batch position masking
+        (see ops.decode.decode_attention)."""
         from ..ops.decode import append, decode_attention
 
         jnp = self._jnp
@@ -138,7 +140,8 @@ class FlashLMServer:
             v = jnp.einsum("ntc,hcd->nhtd", rn, blk.wv)
             cache = append(cache, k, v)
             att = decode_attention(q, cache, sm_scale=self.scale,
-                                   window=self.window)
+                                   window=self.window,
+                                   key_pos=key_pos, q_pos=q_pos)
             x = x + jnp.einsum("nhtd,hde->nte", att, blk.wo)
             rn2 = self._rms(x, blk.ffn_g)
             h = jnp.maximum(rn2 @ blk.w1 + blk.b1, 0.0)
@@ -153,6 +156,13 @@ class FlashLMServer:
         t = ids.shape[1]
         pos_ids = pos_offset + jnp.arange(t, dtype=jnp.int32)
         return self.embed[ids] + self.pos[pos_ids][None, :, :]
+
+    def _embed_at(self, tokens, pos_ids):
+        """Embed with explicit per-sequence positions [batch, t]."""
+        jnp = self._jnp
+        return self.embed[tokens.astype(jnp.int32)] + self.pos[
+            pos_ids.astype(jnp.int32)
+        ]
 
     # -- public API ------------------------------------------------------
     def init_caches(self, batch: int, capacity: Optional[int] = None):
@@ -185,6 +195,7 @@ class FlashLMServer:
         temperature: float = 0.0,
         top_k: Optional[int] = None,
         seed: int = 0,
+        lengths=None,
     ):
         """Continue ``prompt`` ([batch, t] float ids) by ``n_new`` tokens.
 
@@ -192,6 +203,12 @@ class FlashLMServer:
         from ``softmax(logits / temperature)``, restricted to the
         ``top_k`` most likely tokens when given.  The per-token loop is
         ONE jitted ``lax.scan``.
+
+        ``lengths`` ([batch] ints) serves a RAGGED batch: prompts are
+        right-padded to a common width and each sequence decodes from its
+        own length — pad K/V are position-masked out of attention and
+        every sequence uses its true positions, so results are identical
+        to serving each prompt alone.
         """
         import jax
 
@@ -205,16 +222,31 @@ class FlashLMServer:
         # 0..t+n_new-2 are embedded and t+n_new-1 K/V rows are cached.
         # All of these are static here; overflowing either corrupts the
         # output silently (clamped gathers / clamped cache appends).
-        need = int(prompt.shape[1]) + n_new - 1
+        t_max = int(prompt.shape[1])
+        if lengths is not None:
+            lengths = np.asarray(lengths, np.int64)
+            if lengths.shape != (batch,):
+                raise ModelRuntimeError(
+                    f"lengths must have shape ({batch},), got "
+                    f"{lengths.shape}"
+                )
+            if lengths.min() < 1 or lengths.max() > t_max:
+                raise ModelRuntimeError(
+                    f"lengths must lie in [1, prompt width {t_max}]"
+                )
+            need = int(lengths.max()) + n_new - 1
+            cache_need = t_max + n_new - 1
+        else:
+            need = cache_need = t_max + n_new - 1
         if need > self.max_seq:
             raise ModelRuntimeError(
                 f"prompt_len + n_new - 1 = {need} exceeds the model's "
                 f"max_seq {self.max_seq} position embeddings"
             )
-        if need > capacity:
+        if cache_need > capacity:
             raise ModelRuntimeError(
-                f"prompt_len + n_new - 1 = {need} exceeds KV-cache "
-                f"capacity {capacity}; pass capacity>={need}"
+                f"prompt_width + n_new - 1 = {cache_need} exceeds KV-cache "
+                f"capacity {capacity}; pass capacity>={cache_need}"
             )
         caches = self.init_caches(batch, capacity)
 
@@ -227,26 +259,74 @@ class FlashLMServer:
                 logits = jnp.where(logits >= kth, logits, -jnp.inf)
             return jax.random.categorical(key, logits, axis=-1)
 
+        if lengths is None:
+            @jax.jit
+            def run(prompt, caches, key):
+                logits, caches = self.prefill(prompt, caches)
+                key, sub = jax.random.split(key)
+                first = pick(logits[:, -1], sub).astype(prompt.dtype)
+
+                def body(carry, _):
+                    tok, caches, key = carry
+                    logits, caches = self.decode(tok[:, None], caches)
+                    key, sub = jax.random.split(key)
+                    nxt = pick(logits[:, -1], sub).astype(tok.dtype)
+                    return (nxt, caches, key), nxt
+
+                # n_new-1 decode steps: the carried token is already the
+                # i-th output, so collecting `nxt` avoids a final decode
+                # whose result would be discarded.
+                (_, _, _), rest = jax.lax.scan(
+                    body, (first, caches, key), None, length=n_new - 1
+                )
+                toks = jnp.concatenate([first[None], rest], axis=0)
+                return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
+
+            return run(prompt, caches, jax.random.PRNGKey(seed))
+
+        lens = jnp.asarray(lengths, jnp.int32)
+
         @jax.jit
-        def run(prompt, caches, key):
-            logits, caches = self.prefill(prompt, caches)
+        def run_ragged(prompt, caches, key, lens):
+            t = prompt.shape[1]
+            slot = jnp.arange(capacity, dtype=jnp.int32)
+            # prefill: true positions; pad rows clamp (their outputs and
+            # K/V are masked/ignored by position)
+            pos_ids = jnp.minimum(jnp.arange(t, dtype=jnp.int32)[None, :],
+                                  lens[:, None] - 1)
+            key_pos = jnp.where(
+                (slot[None, :] < lens[:, None]) & (slot[None, :] < t),
+                slot[None, :], jnp.int32(-1),
+            )                                           # [batch, capacity]
+            x = self._embed_at(prompt, pos_ids)
+            logits, caches = self._step(x, caches, 0, key_pos=key_pos,
+                                        q_pos=pos_ids)
             key, sub = jax.random.split(key)
-            first = pick(logits[:, -1], sub).astype(prompt.dtype)
+            last = jnp.take_along_axis(
+                logits, (lens[:, None, None] - 1).astype(jnp.int32), axis=1
+            )[:, 0]
+            first = pick(last, sub).astype(prompt.dtype)
 
             def body(carry, _):
-                tok, caches, key = carry
-                logits, caches = self.decode(tok[:, None], caches)
+                tok, caches, key, key_pos, cur = carry
+                # the fresh K/V land at slot cache.length: mark the slot
+                # with the token's true position before attending
+                write_at = caches[0].length
+                key_pos = jax.lax.dynamic_update_slice(
+                    key_pos, cur[:, None], (jnp.int32(0), write_at)
+                )
+                x = self._embed_at(tok[:, None], cur[:, None])
+                logits, caches = self._step(x, caches, 0, key_pos=key_pos,
+                                            q_pos=cur[:, None])
                 key, sub = jax.random.split(key)
-                nxt = pick(logits[:, -1], sub).astype(tok.dtype)
-                return (nxt, caches, key), nxt
+                nxt = pick(logits[:, 0], sub).astype(tok.dtype)
+                return (nxt, caches, key, key_pos, cur + 1), nxt
 
-            # n_new-1 decode steps: the carried token is already the
-            # i-th output, so collecting `nxt` avoids a final decode
-            # whose result would be discarded.
-            (_, _, _), rest = jax.lax.scan(
-                body, (first, caches, key), None, length=n_new - 1
+            (_, _, _, _, _), rest = jax.lax.scan(
+                body, (first, caches, key, key_pos, lens), None,
+                length=n_new - 1,
             )
             toks = jnp.concatenate([first[None], rest], axis=0)
             return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
 
-        return run(prompt, caches, jax.random.PRNGKey(seed))
+        return run_ragged(prompt, caches, jax.random.PRNGKey(seed), lens)

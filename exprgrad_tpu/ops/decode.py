@@ -60,18 +60,29 @@ def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
 
 def decode_attention(q: jax.Array, cache: KVCache,
                      sm_scale: Optional[float] = None,
-                     window: Optional[int] = None) -> jax.Array:
+                     window: Optional[int] = None,
+                     key_pos: Optional[jax.Array] = None,
+                     q_pos: Optional[jax.Array] = None) -> jax.Array:
     """Attend ``q`` [b, h, t, d] (the t newest tokens, already appended to
     the cache) against the cache.  Causal within the fresh tokens: query i
     sits at global position ``length - t + i`` and sees positions
     ``<= that`` — restricted to the last ``window`` positions when given
-    (serving sliding-window models).  Returns [b, h, t, d] in q's dtype."""
+    (serving sliding-window models).  Returns [b, h, t, d] in q's dtype.
+
+    For RAGGED batches (right-padded prompts of different lengths) pass
+    TRUE positions explicitly: ``key_pos`` [b, capacity] gives each cache
+    slot's position with ``-1`` marking invalid/pad slots; ``q_pos``
+    [b, t] gives the fresh tokens' positions.  The mask then follows
+    positions, not slot indices, so pad K/V never attend and the window
+    band is exact per sequence."""
     b, h, t, d = q.shape
     hkv = cache.k.shape[1]
     capacity = cache.k.shape[2]
     group = h // hkv
     if h % hkv:
         raise ValueError(f"query heads ({h}) not a multiple of kv ({hkv})")
+    if (key_pos is None) != (q_pos is None):
+        raise ValueError("key_pos and q_pos must be given together")
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
 
@@ -82,14 +93,23 @@ def decode_attention(q: jax.Array, cache: KVCache,
                    preferred_element_type=jnp.float32) * sm_scale
     s = s.reshape(b, h, t, capacity)
 
-    pos = cache.length - t + jnp.arange(t, dtype=jnp.int32)   # [t]
-    key_pos = jnp.arange(capacity, dtype=jnp.int32)           # [capacity]
-    mask = key_pos[None, :] <= pos[:, None]                   # [t, capacity]
-    if window is not None:
-        mask = jnp.logical_and(
-            mask, key_pos[None, :] > pos[:, None] - jnp.int32(window)
-        )
-    s = jnp.where(mask[None, None], s, _NEG_INF)
+    if key_pos is None:
+        pos = cache.length - t + jnp.arange(t, dtype=jnp.int32)   # [t]
+        kp = jnp.arange(capacity, dtype=jnp.int32)                # [cap]
+        mask = kp[None, :] <= pos[:, None]                        # [t, cap]
+        if window is not None:
+            mask = jnp.logical_and(
+                mask, kp[None, :] > pos[:, None] - jnp.int32(window)
+            )
+        mask = mask[None, None]                                   # [1,1,t,c]
+    else:
+        kp = key_pos.astype(jnp.int32)[:, None, :]                # [b,1,cap]
+        qp = q_pos.astype(jnp.int32)[:, :, None]                  # [b,t,1]
+        mask = jnp.logical_and(kp >= 0, kp <= qp)                 # [b,t,cap]
+        if window is not None:
+            mask = jnp.logical_and(mask, kp > qp - jnp.int32(window))
+        mask = mask[:, None]                                      # [b,1,t,c]
+    s = jnp.where(mask, s, _NEG_INF)
 
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum(

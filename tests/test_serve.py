@@ -136,6 +136,61 @@ def test_server_rejects_blockless_model():
         FlashLMServer(model)
 
 
+def test_generate_ragged_matches_solo():
+    """Right-padded ragged batch: each sequence's generation is identical
+    to serving that prompt alone (pad K/V position-masked, true
+    positions throughout)."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompts = [[2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0, 5.0], [0.0, 1.0]]
+    lengths = [len(p) for p in prompts]
+    t_max = max(lengths)
+    padded = np.zeros((len(prompts), t_max), np.float32)
+    for i, p in enumerate(prompts):
+        padded[i, :len(p)] = p
+
+    got = np.asarray(server.generate(padded, n_new=6, lengths=lengths,
+                                     capacity=t_max + 6))
+    for i, p in enumerate(prompts):
+        solo = np.asarray(server.generate(
+            np.asarray([p], np.float32), n_new=6, capacity=len(p) + 6,
+        ))[0]
+        np.testing.assert_array_equal(got[i], solo, err_msg=f"seq {i}")
+
+
+def test_generate_ragged_windowed():
+    """Ragged batch through a sliding-window model: per-sequence windows
+    follow true positions."""
+    from tests.test_window_attention import _train_windowed
+
+    model, _ = _train_windowed(window=4)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompts = [[2.0, 3.0, 4.0, 5.0, 0.0, 1.0], [5.0, 0.0]]
+    lengths = [6, 2]
+    padded = np.zeros((2, 6), np.float32)
+    for i, p in enumerate(prompts):
+        padded[i, :len(p)] = p
+    got = np.asarray(server.generate(padded, n_new=5, lengths=lengths,
+                                     capacity=11))
+    for i, p in enumerate(prompts):
+        solo = np.asarray(server.generate(
+            np.asarray([p], np.float32), n_new=5, capacity=len(p) + 5,
+        ))[0]
+        np.testing.assert_array_equal(got[i], solo, err_msg=f"seq {i}")
+
+
+def test_generate_ragged_validation():
+    model = _trained_model(steps=1)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    padded = np.zeros((2, 4), np.float32)
+    with pytest.raises(ModelRuntimeError, match="lengths"):
+        server.generate(padded, n_new=2, lengths=[3])  # wrong shape
+    with pytest.raises(ModelRuntimeError, match="lengths"):
+        server.generate(padded, n_new=2, lengths=[3, 5])  # > width
+    with pytest.raises(ModelRuntimeError, match="max_seq"):
+        server.generate(padded, n_new=62, lengths=[4, 2])
+
+
 def test_generate_sampling_modes():
     """temperature/top_k sampling: valid tokens, seed-reproducible, and
     temperature->0 recovers greedy."""
