@@ -187,6 +187,55 @@ class FlashLMServer:
         """One token per sequence ([batch, 1]); O(cache) per step."""
         return self.prefill(token, caches)
 
+    def score(self, tokens, lengths=None):
+        """Per-sequence mean negative log-likelihood of ``tokens``
+        ([batch, t] float ids; optional per-sequence ``lengths`` for
+        right-padded ragged batches).  Returns [batch] float32 — the
+        teacher-forced NLL of tokens[1:] given tokens[:-1]; ``exp`` of it
+        is perplexity.  One prefill pass, no generation loop."""
+        import jax
+
+        jnp = self._jnp
+        tokens = jnp.asarray(tokens)
+        batch, t = tokens.shape
+        if t < 2:
+            raise ModelRuntimeError("score needs sequences of >= 2 tokens")
+        if t > self.max_seq:
+            raise ModelRuntimeError(
+                f"sequence length {t} exceeds max_seq {self.max_seq}"
+            )
+        if lengths is None:
+            lens = jnp.full((batch,), t, jnp.int32)
+        else:
+            lengths = np.asarray(lengths, np.int64)
+            if lengths.shape != (batch,) or lengths.min() < 2 \
+                    or lengths.max() > t:
+                raise ModelRuntimeError(
+                    f"lengths must be [batch] ints in [2, {t}]"
+                )
+            lens = jnp.asarray(lengths, jnp.int32)
+
+        @jax.jit
+        def run(tokens, lens):
+            caches = self.init_caches(batch, t)
+            slot = jnp.arange(t, dtype=jnp.int32)
+            pos_ids = jnp.minimum(slot[None, :], lens[:, None] - 1)
+            key_pos = jnp.where(slot[None, :] < lens[:, None],
+                                slot[None, :], jnp.int32(-1))
+            x = self._embed_at(tokens, pos_ids)
+            logits, _ = self._step(x, caches, 0, key_pos=key_pos,
+                                   q_pos=pos_ids)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nxt = tokens.astype(jnp.int32)[:, 1:]           # targets
+            tok_lp = jnp.take_along_axis(
+                logp[:, :-1], nxt[:, :, None], axis=-1
+            )[..., 0]                                        # [b, t-1]
+            valid = slot[None, 1:] < lens[:, None]
+            n = jnp.maximum(jnp.sum(valid, axis=1), 1)
+            return -jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1) / n
+
+        return run(tokens, lens)
+
     def generate(
         self,
         prompt,
@@ -196,6 +245,7 @@ class FlashLMServer:
         top_k: Optional[int] = None,
         seed: int = 0,
         lengths=None,
+        stop_token: Optional[int] = None,
     ):
         """Continue ``prompt`` ([batch, t] float ids) by ``n_new`` tokens.
 
@@ -209,6 +259,11 @@ class FlashLMServer:
         own length — pad K/V are position-masked out of attention and
         every sequence uses its true positions, so results are identical
         to serving each prompt alone.
+
+        ``stop_token`` freezes a sequence once it emits that token: all
+        its later outputs are the stop token itself (the scan still runs
+        the fixed ``n_new`` steps — static shapes — finished rows just
+        carry the stop token forward).
         """
         import jax
 
@@ -259,25 +314,35 @@ class FlashLMServer:
                 logits = jnp.where(logits >= kth, logits, -jnp.inf)
             return jax.random.categorical(key, logits, axis=-1)
 
+        def freeze(nxt, done):
+            """Carry the stop token forward on finished rows."""
+            if stop_token is None:
+                return nxt, jnp.zeros(nxt.shape, bool)
+            stop = jnp.asarray(stop_token, nxt.dtype)
+            nxt = jnp.where(done, stop, nxt)
+            return nxt, jnp.logical_or(done, nxt == stop)
+
         if lengths is None:
             @jax.jit
             def run(prompt, caches, key):
                 logits, caches = self.prefill(prompt, caches)
                 key, sub = jax.random.split(key)
                 first = pick(logits[:, -1], sub).astype(prompt.dtype)
+                first, done = freeze(first, jnp.zeros(first.shape, bool))
 
                 def body(carry, _):
-                    tok, caches, key = carry
+                    tok, caches, key, done = carry
                     logits, caches = self.decode(tok[:, None], caches)
                     key, sub = jax.random.split(key)
                     nxt = pick(logits[:, -1], sub).astype(tok.dtype)
-                    return (nxt, caches, key), nxt
+                    nxt, done = freeze(nxt, done)
+                    return (nxt, caches, key, done), nxt
 
                 # n_new-1 decode steps: the carried token is already the
                 # i-th output, so collecting `nxt` avoids a final decode
                 # whose result would be discarded.
-                (_, _, _), rest = jax.lax.scan(
-                    body, (first, caches, key), None, length=n_new - 1
+                (_, _, _, _), rest = jax.lax.scan(
+                    body, (first, caches, key, done), None, length=n_new - 1
                 )
                 toks = jnp.concatenate([first[None], rest], axis=0)
                 return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
@@ -306,9 +371,10 @@ class FlashLMServer:
                 logits, (lens[:, None, None] - 1).astype(jnp.int32), axis=1
             )[:, 0]
             first = pick(last, sub).astype(prompt.dtype)
+            first, done = freeze(first, jnp.zeros(first.shape, bool))
 
             def body(carry, _):
-                tok, caches, key, key_pos, cur = carry
+                tok, caches, key, key_pos, cur, done = carry
                 # the fresh K/V land at slot cache.length: mark the slot
                 # with the token's true position before attending
                 write_at = caches[0].length
@@ -320,10 +386,11 @@ class FlashLMServer:
                                             q_pos=cur[:, None])
                 key, sub = jax.random.split(key)
                 nxt = pick(logits[:, 0], sub).astype(tok.dtype)
-                return (nxt, caches, key, key_pos, cur + 1), nxt
+                nxt, done = freeze(nxt, done)
+                return (nxt, caches, key, key_pos, cur + 1, done), nxt
 
-            (_, _, _, _, _), rest = jax.lax.scan(
-                body, (first, caches, key, key_pos, lens), None,
+            (_, _, _, _, _, _), rest = jax.lax.scan(
+                body, (first, caches, key, key_pos, lens, done), None,
                 length=n_new - 1,
             )
             toks = jnp.concatenate([first[None], rest], axis=0)

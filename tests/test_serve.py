@@ -191,6 +191,52 @@ def test_generate_ragged_validation():
         server.generate(padded, n_new=62, lengths=[4, 2])
 
 
+def test_generate_stop_token_freezes_rows():
+    """Once a sequence emits the stop token every later output is the
+    stop token, and other rows keep decoding exactly as without it."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2.0, 3.0, 4.0], [0.0, 1.0, 2.0]], np.float32)
+    free = np.asarray(server.generate(prompt, n_new=8))
+    # the trained +1-cycle model emits 5 then 0 then 1... for row 0;
+    # pick the second generated token of row 0 as the stop
+    stop = int(free[0, 1])
+    got = np.asarray(server.generate(prompt, n_new=8, stop_token=stop))
+    hit = list(free[0]).index(stop)
+    np.testing.assert_array_equal(got[0, :hit + 1], free[0, :hit + 1])
+    assert (got[0, hit:] == stop).all()
+    # row 1 hits the same value at its own (different) step
+    hit1 = list(free[1]).index(stop)
+    np.testing.assert_array_equal(got[1, :hit1 + 1], free[1, :hit1 + 1])
+    assert (got[1, hit1:] == stop).all()
+
+
+def test_score_matches_predict_nll():
+    """score() equals the mean NLL computed from the compiled predict
+    target's probabilities, including the ragged case."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, VOCAB, (3, 8)).astype(np.float32)
+
+    got = np.asarray(server.score(toks))
+    probs = np.asarray(model.call("predict", {"tokens": toks}))
+    ids = toks.astype(int)
+    want = np.stack([
+        -np.mean([np.log(probs[b, i, ids[b, i + 1]] + 0.0)
+                  for i in range(7)])
+        for b in range(3)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # ragged: scoring a padded batch equals scoring each prefix alone
+    lengths = [8, 5, 3]
+    ragged = np.asarray(server.score(toks, lengths=lengths))
+    for b, ln in enumerate(lengths):
+        solo = np.asarray(server.score(toks[b:b + 1, :ln]))[0]
+        np.testing.assert_allclose(ragged[b], solo, rtol=1e-4, atol=1e-5)
+
+
 def test_generate_sampling_modes():
     """temperature/top_k sampling: valid tokens, seed-reproducible, and
     temperature->0 recovers greedy."""
