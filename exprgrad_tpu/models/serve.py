@@ -187,6 +187,148 @@ class FlashLMServer:
         """One token per sequence ([batch, 1]); O(cache) per step."""
         return self.prefill(token, caches)
 
+    def generate_beam(
+        self,
+        prompt,
+        n_new: int,
+        beams: int = 4,
+        capacity: Optional[int] = None,
+        stop_token: Optional[int] = None,
+    ):
+        """Beam-search continuation of ``prompt`` ([batch, t] float ids).
+
+        Returns ``(tokens [batch, beams, n_new], scores [batch, beams])``
+        with beams sorted best-first; ``scores`` are cumulative token
+        log-probabilities.  The whole loop is one jitted ``lax.scan``:
+        each step expands every live beam over the vocabulary, keeps the
+        top ``beams`` of ``beams * vocab`` candidates, and REORDERS the
+        KV caches by gathering parent rows (batch-major
+        ``[batch*beams, ...]`` layout).  ``stop_token`` finishes a beam:
+        it stops accumulating score and pads with the stop token.
+        Uniform prompts only (use ``generate(lengths=...)`` for ragged
+        greedy/sampled decoding).
+        """
+        import jax
+
+        jnp = self._jnp
+        prompt = jnp.asarray(prompt)
+        batch, t = prompt.shape
+        capacity = capacity or self.max_seq
+        if not 1 <= beams <= self.vocab:
+            raise ModelRuntimeError(
+                f"beams must be in [1, vocab={self.vocab}] (got {beams})"
+            )
+        if n_new < 1:
+            raise ModelRuntimeError(f"n_new must be >= 1 (got {n_new})")
+        need = t + n_new - 1
+        if need > self.max_seq:
+            raise ModelRuntimeError(
+                f"prompt_len + n_new - 1 = {need} exceeds max_seq "
+                f"{self.max_seq}"
+            )
+        if need > capacity:
+            raise ModelRuntimeError(
+                f"prompt_len + n_new - 1 = {need} exceeds capacity "
+                f"{capacity}"
+            )
+        V = self.vocab
+
+        @jax.jit
+        def run(prompt):
+            from ..ops.decode import KVCache
+
+            # prefill once at batch, then replicate rows per beam
+            caches = self.init_caches(batch, capacity)
+            logits, caches = self.prefill(prompt, caches)
+            logp0 = jax.nn.log_softmax(
+                logits[:, -1].astype(jnp.float32), axis=-1
+            )                                              # [batch, V]
+            caches = [
+                KVCache(
+                    k=jnp.repeat(c.k, beams, axis=0),
+                    v=jnp.repeat(c.v, beams, axis=0),
+                    length=c.length,
+                )
+                for c in caches
+            ]
+
+            # first expansion: top `beams` tokens of the prompt dist
+            scores, tok0 = jax.lax.top_k(logp0, beams)     # [batch, beams]
+            tok = tok0.astype(prompt.dtype)
+            done = (
+                tok == stop_token if stop_token is not None
+                else jnp.zeros(tok.shape, bool)
+            )
+
+            def body(carry, _):
+                tok, scores, done, caches = carry
+                flat = tok.reshape(batch * beams)
+                logits, caches = self.decode(flat[:, None], caches)
+                logp = jax.nn.log_softmax(
+                    logits[:, 0].astype(jnp.float32), axis=-1
+                ).reshape(batch, beams, V)
+                if stop_token is not None:
+                    # finished beams only extend with the stop token, at
+                    # zero additional score
+                    frozen = jnp.full((V,), -jnp.inf, jnp.float32)
+                    frozen = frozen.at[stop_token].set(0.0)
+                    logp = jnp.where(done[:, :, None], frozen[None, None],
+                                     logp)
+                cand = scores[:, :, None] + logp           # [b, beams, V]
+                scores, idx = jax.lax.top_k(
+                    cand.reshape(batch, beams * V), beams
+                )                                          # [b, beams]
+                parent = idx // V                          # [b, beams]
+                tok = (idx % V).astype(tok.dtype)
+
+                rows = (
+                    jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
+                    + parent.astype(jnp.int32)
+                ).reshape(-1)                              # [b*beams]
+                caches = [
+                    KVCache(
+                        k=jnp.take(c.k, rows, axis=0),
+                        v=jnp.take(c.v, rows, axis=0),
+                        length=c.length,
+                    )
+                    for c in caches
+                ]
+                if stop_token is not None:
+                    done = jnp.take_along_axis(done, parent, axis=1)
+                    done = jnp.logical_or(done, tok == stop_token)
+                return (tok, scores, done, caches), \
+                    (tok, parent.astype(jnp.int32))
+
+            (tok, scores, done, _), (toks, parents) = jax.lax.scan(
+                body, (tok, scores, done, caches), None,
+                length=n_new - 1,
+            )
+
+            # backtrack: walk parents from the last step to recover each
+            # final beam's token path (first-step tokens included)
+            def back(carry, step):
+                beam_of = carry                             # [b, beams]
+                step_tok, step_parent = step
+                toks_here = jnp.take_along_axis(step_tok, beam_of, axis=1)
+                beam_of = jnp.take_along_axis(step_parent, beam_of, axis=1)
+                return beam_of, toks_here
+
+            beam_of = jnp.tile(
+                jnp.arange(beams, dtype=jnp.int32)[None, :], (batch, 1)
+            )
+            beam_of, rev = jax.lax.scan(
+                back, beam_of, (toks, parents), reverse=True
+            )
+            first = jnp.take_along_axis(tok0, beam_of, axis=1).astype(
+                prompt.dtype
+            )                                              # [b, beams]
+            seq = jnp.concatenate(
+                [first[None], rev], axis=0
+            )                                              # [n_new, b, beams]
+            return jnp.transpose(seq, (1, 2, 0)), scores
+
+        return run(prompt)
+
     def score(self, tokens, lengths=None):
         """Per-sequence mean negative log-likelihood of ``tokens``
         ([batch, t] float ids; optional per-sequence ``lengths`` for

@@ -237,6 +237,78 @@ def test_score_matches_predict_nll():
         np.testing.assert_allclose(ragged[b], solo, rtol=1e-4, atol=1e-5)
 
 
+def _path_logprob(model, prompt, seq):
+    """Cumulative log-prob of generated ``seq`` after ``prompt`` via the
+    compiled predict target (teacher forcing), stopping at the first
+    stop-token repetition boundary the caller trims."""
+    toks = list(prompt)
+    lp = 0.0
+    for tok in seq:
+        window = np.asarray(toks, np.float32)[None, :]
+        probs = np.asarray(model.call("predict", {"tokens": window}))
+        lp += float(np.log(probs[0, -1, int(tok)]))
+        toks.append(float(tok))
+    return lp
+
+
+def test_beam_search_top_beam_and_scores():
+    """Top beam matches greedy on a sharply-trained model; every
+    returned score equals the recomputed path log-prob; scores sorted."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = [2.0, 3.0, 4.0]
+    seqs, scores = server.generate_beam(
+        np.asarray([prompt], np.float32), n_new=5, beams=3,
+    )
+    seqs = np.asarray(seqs)[0].astype(int)
+    scores = np.asarray(scores)[0]
+    greedy = np.asarray(server.generate(
+        np.asarray([prompt], np.float32), n_new=5))[0].astype(int)
+    np.testing.assert_array_equal(seqs[0], greedy)
+    assert (np.diff(scores) <= 1e-6).all()
+    for b in range(3):
+        want = _path_logprob(model, prompt, seqs[b])
+        np.testing.assert_allclose(scores[b], want, rtol=1e-3, atol=1e-4)
+
+
+def test_beam_search_batch_and_stop():
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompts = np.asarray([[2.0, 3.0, 4.0], [0.0, 1.0, 2.0]], np.float32)
+    seqs, scores = server.generate_beam(prompts, n_new=6, beams=2)
+    assert np.asarray(seqs).shape == (2, 2, 6)
+    for b in range(2):
+        greedy = np.asarray(server.generate(prompts[b:b + 1], n_new=6))[0]
+        np.testing.assert_array_equal(
+            np.asarray(seqs)[b, 0].astype(int), greedy.astype(int)
+        )
+
+    # stop token: beams freeze; frozen tail is all stop and the score
+    # equals the truncated path's log-prob
+    free = np.asarray(server.generate(prompts[:1], n_new=6))[0]
+    stop = int(free[1])
+    seqs, scores = server.generate_beam(prompts[:1], n_new=6, beams=2,
+                                        stop_token=stop)
+    s0 = np.asarray(seqs)[0, 0].astype(int)
+    hit = list(s0).index(stop)
+    assert (s0[hit:] == stop).all()
+    want = _path_logprob(model, list(prompts[0]), s0[:hit + 1])
+    np.testing.assert_allclose(np.asarray(scores)[0, 0], want,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_beam_search_validation():
+    model = _trained_model(steps=1)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    p = np.asarray([[1.0, 2.0]], np.float32)
+    with pytest.raises(ModelRuntimeError, match="beams"):
+        server.generate_beam(p, n_new=2, beams=0)
+    with pytest.raises(ModelRuntimeError, match="beams"):
+        server.generate_beam(p, n_new=2, beams=VOCAB + 1)
+    with pytest.raises(ModelRuntimeError, match="max_seq"):
+        server.generate_beam(p, n_new=64, beams=2)
+
+
 def test_generate_sampling_modes():
     """temperature/top_k sampling: valid tokens, seed-reproducible, and
     temperature->0 recovers greedy."""
