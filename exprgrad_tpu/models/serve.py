@@ -113,6 +113,11 @@ class FlashLMServer:
             )
         w = windows.pop() if windows else 0
         self.window = w if w > 0 else None
+        # compiled entry points, keyed by static config (shapes are
+        # handled by jax.jit's own cache INSIDE each entry): repeated
+        # serving calls must not re-trace -- XLA compiles are expensive
+        # on the target platform
+        self._jit_cache: dict = {}
         blk = self.blocks[0]
         self.heads, _, self.head_dim = blk.wq.shape
         self.kv_heads = blk.wk.shape[0]
@@ -163,6 +168,31 @@ class FlashLMServer:
         return self.embed[tokens.astype(jnp.int32)] + self.pos[
             pos_ids.astype(jnp.int32)
         ]
+
+    def _ragged_positions(self, lens, width, capacity):
+        """(pos_ids [b, width], key_pos [b, capacity]) for a right-padded
+        batch: true positions with pad queries clamped and pad/unwritten
+        cache slots marked -1 (shared by scoring and ragged decoding)."""
+        jnp = self._jnp
+        slot = jnp.arange(capacity, dtype=jnp.int32)
+        pos_ids = jnp.minimum(
+            jnp.arange(width, dtype=jnp.int32)[None, :], lens[:, None] - 1
+        )
+        key_pos = jnp.where(
+            (slot[None, :] < lens[:, None]) & (slot[None, :] < width),
+            slot[None, :], jnp.int32(-1),
+        )
+        return pos_ids, key_pos
+
+    def _jitted(self, key, build):
+        """jit-compile ``build()`` once per static config ``key``."""
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(build())
+            self._jit_cache[key] = fn
+        return fn
 
     # -- public API ------------------------------------------------------
     def init_caches(self, batch: int, capacity: Optional[int] = None):
@@ -233,10 +263,11 @@ class FlashLMServer:
             )
         V = self.vocab
 
-        @jax.jit
-        def run(prompt):
+        def build():
+          def run(prompt):
             from ..ops.decode import KVCache
 
+            batch = prompt.shape[0]
             # prefill once at batch, then replicate rows per beam
             caches = self.init_caches(batch, capacity)
             logits, caches = self.prefill(prompt, caches)
@@ -327,7 +358,10 @@ class FlashLMServer:
             )                                              # [n_new, b, beams]
             return jnp.transpose(seq, (1, 2, 0)), scores
 
-        return run(prompt)
+          return run
+
+        key = ("beam", n_new, beams, capacity, stop_token)
+        return self._jitted(key, build)(prompt)
 
     def score(self, tokens, lengths=None):
         """Per-sequence mean negative log-likelihood of ``tokens``
@@ -357,13 +391,13 @@ class FlashLMServer:
                 )
             lens = jnp.asarray(lengths, jnp.int32)
 
-        @jax.jit
-        def run(tokens, lens):
+        def build():
+          def run(tokens, lens):
+            import jax
+
+            batch, t = tokens.shape
             caches = self.init_caches(batch, t)
-            slot = jnp.arange(t, dtype=jnp.int32)
-            pos_ids = jnp.minimum(slot[None, :], lens[:, None] - 1)
-            key_pos = jnp.where(slot[None, :] < lens[:, None],
-                                slot[None, :], jnp.int32(-1))
+            pos_ids, key_pos = self._ragged_positions(lens, t, t)
             x = self._embed_at(tokens, pos_ids)
             logits, _ = self._step(x, caches, 0, key_pos=key_pos,
                                    q_pos=pos_ids)
@@ -372,11 +406,14 @@ class FlashLMServer:
             tok_lp = jnp.take_along_axis(
                 logp[:, :-1], nxt[:, :, None], axis=-1
             )[..., 0]                                        # [b, t-1]
-            valid = slot[None, 1:] < lens[:, None]
+            valid = jnp.arange(1, t, dtype=jnp.int32)[None, :] < \
+                lens[:, None]
             n = jnp.maximum(jnp.sum(valid, axis=1), 1)
             return -jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1) / n
 
-        return run(tokens, lens)
+          return run
+
+        return self._jitted(("score",), build)(tokens, lens)
 
     def generate(
         self,
@@ -399,8 +436,11 @@ class FlashLMServer:
         ``lengths`` ([batch] ints) serves a RAGGED batch: prompts are
         right-padded to a common width and each sequence decodes from its
         own length — pad K/V are position-masked out of attention and
-        every sequence uses its true positions, so results are identical
-        to serving each prompt alone.
+        every sequence uses its true positions.  GREEDY results are
+        bit-equal to serving each prompt alone; sampled decoding
+        (``temperature > 0``) is exact over the same distributions but
+        draws batch-shaped noise, so individual samples differ from a
+        solo call with the same seed.
 
         ``stop_token`` freezes a sequence once it emits that token: all
         its later outputs are the stop token itself (the scan still runs
@@ -465,7 +505,7 @@ class FlashLMServer:
             return nxt, jnp.logical_or(done, nxt == stop)
 
         if lengths is None:
-            @jax.jit
+          def build():
             def run(prompt, caches, key):
                 logits, caches = self.prefill(prompt, caches)
                 key, sub = jax.random.split(key)
@@ -489,22 +529,22 @@ class FlashLMServer:
                 toks = jnp.concatenate([first[None], rest], axis=0)
                 return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
 
-            return run(prompt, caches, jax.random.PRNGKey(seed))
+            return run
+
+          key = ("gen", n_new, stop_token, temperature, top_k)
+          return self._jitted(key, build)(
+              prompt, caches, jax.random.PRNGKey(seed)
+          )
 
         lens = jnp.asarray(lengths, jnp.int32)
 
-        @jax.jit
-        def run_ragged(prompt, caches, key, lens):
+        def build_ragged():
+          def run_ragged(prompt, caches, key, lens):
             t = prompt.shape[1]
-            slot = jnp.arange(capacity, dtype=jnp.int32)
+            cap = caches[0].k.shape[2]
             # prefill: true positions; pad rows clamp (their outputs and
             # K/V are masked/ignored by position)
-            pos_ids = jnp.minimum(jnp.arange(t, dtype=jnp.int32)[None, :],
-                                  lens[:, None] - 1)
-            key_pos = jnp.where(
-                (slot[None, :] < lens[:, None]) & (slot[None, :] < t),
-                slot[None, :], jnp.int32(-1),
-            )                                           # [batch, capacity]
+            pos_ids, key_pos = self._ragged_positions(lens, t, cap)
             x = self._embed_at(prompt, pos_ids)
             logits, caches = self._step(x, caches, 0, key_pos=key_pos,
                                         q_pos=pos_ids)
@@ -538,4 +578,9 @@ class FlashLMServer:
             toks = jnp.concatenate([first[None], rest], axis=0)
             return jnp.swapaxes(toks, 0, 1)  # [batch, n_new]
 
-        return run_ragged(prompt, caches, jax.random.PRNGKey(seed), lens)
+          return run_ragged
+
+        key = ("gen_ragged", n_new, stop_token, temperature, top_k)
+        return self._jitted(key, build_ragged)(
+            prompt, caches, jax.random.PRNGKey(seed), lens
+        )

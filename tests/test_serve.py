@@ -297,6 +297,44 @@ def test_beam_search_batch_and_stop():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_beam_search_finds_exhaustive_best():
+    """On a lightly-trained (flatter) model, beam 0 must equal the best
+    of ALL vocab^2 two-token continuations by recomputed log-prob — a
+    regression guard against pruning bugs that keep scores
+    self-consistent but drop the true best path."""
+    import itertools
+
+    model = _trained_model(steps=8)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = [2.0, 3.0]
+    seqs, scores = server.generate_beam(
+        np.asarray([prompt], np.float32), n_new=2, beams=4,
+    )
+    best = max(itertools.product(range(VOCAB), repeat=2),
+               key=lambda s: _path_logprob(model, prompt, s))
+    assert list(np.asarray(seqs)[0, 0].astype(int)) == list(best)
+    np.testing.assert_allclose(
+        np.asarray(scores)[0, 0], _path_logprob(model, prompt, best),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_serving_entry_points_do_not_retrace():
+    """Repeated same-config calls reuse ONE compiled callable per entry
+    point (XLA compiles are expensive on the target platform)."""
+    model = _trained_model(steps=1)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    p = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+    for _ in range(2):
+        server.generate(p, n_new=2)
+        server.generate(p, n_new=2, lengths=[3])
+        server.generate_beam(p, n_new=2, beams=2)
+        server.score(p)
+    assert len(server._jit_cache) == 4
+    keys = {k[0] for k in server._jit_cache}
+    assert keys == {"gen", "gen_ragged", "beam", "score"}
+
+
 def test_beam_search_validation():
     model = _trained_model(steps=1)
     server = FlashLMServer(model, cache_dtype=jnp.float32)
