@@ -31,7 +31,11 @@ from .base import (
     transpose,
     with_ema,
 )
-from .attention import fused_attention, multi_head_attention
+from .attention import (
+    fused_attention,
+    multi_head_attention,
+    multi_head_cross_attention,
+)
 from .schedules import (
     cosine_decay,
     exponential_decay,
@@ -63,7 +67,7 @@ __all__ = [
     "div_scalar",
     "dropout", "fused_attention", "gradient_descent", "huber",
     "l1_loss", "lion",
-    "momentum", "multi_head_attention",
+    "momentum", "multi_head_attention", "multi_head_cross_attention",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",

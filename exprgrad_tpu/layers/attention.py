@@ -121,3 +121,54 @@ def multi_head_attention(
     out = Fun()
     out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
     return out
+
+
+@layer
+def multi_head_cross_attention(
+    x: Fun,
+    context: Fun,
+    dim: int,
+    heads: int,
+    context_dim: Optional[int] = None,
+    kv_heads: Optional[int] = None,
+    impl: str = "auto",
+    init: float = 0.1,
+) -> Fun:
+    """Cross-attention: queries from ``x`` [batch, t, dim], keys/values
+    from ``context`` [batch, s, context_dim] (defaults to ``dim``) — the
+    encoder-decoder building block.  Same per-head contraction
+    projections and fused-attention core as
+    :func:`multi_head_attention`; non-causal (every query sees the whole
+    context), and the fused kernels handle ``t != s`` natively.
+    """
+    if dim % heads:
+        raise ValueError(f"dim ({dim}) must be divisible by heads ({heads})")
+    kvh = heads if kv_heads is None else kv_heads
+    if heads % kvh:
+        raise ValueError(
+            f"heads ({heads}) must be a multiple of kv_heads ({kvh})"
+        )
+    cdim = context_dim or dim
+    hd = dim // heads
+    rng = (-init, init)
+
+    def proj(src: Fun, name: str, nheads: int, in_dim: int) -> Fun:
+        w = param([nheads, in_dim, hd], init_range=rng, name=name)
+        n, h, t, c, d = iters("n", "h", "t", "c", "d")
+        out = Fun(name + ".out")
+        out[n, h, t, d] = src[n, t, c] * w[h, c, d]
+        return out
+
+    q = proj(x, "wq", heads, dim)
+    k = proj(context, "wk", kvh, cdim)
+    v = proj(context, "wv", kvh, cdim)
+
+    att = fused_attention(
+        q, k, v, causal=False, scale=1.0 / math.sqrt(hd), impl=impl
+    )
+
+    wo = param([heads, hd, dim], init_range=rng, name="wo")
+    n, h, t, d, e = iters("n", "h", "t", "d", "e")
+    out = Fun()
+    out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
+    return out
