@@ -1,0 +1,121 @@
+"""Encoder-decoder (seq2seq) model family.
+
+Beyond the reference's model families and the decoder-only transformers
+here: a full encoder-decoder built from the layer library — bidirectional
+self-attention over the source, causal self-attention plus
+CROSS-ATTENTION (``layers.multi_head_cross_attention``, fused extern
+kernels) in the decoder.  The canonical correctness task is sequence
+reversal: producing position ``i`` requires attending to source position
+``s-1-i``, which only cross-attention can do, so a model that trains to
+zero loss proves the seam end to end (tests/test_seq2seq.py).
+
+Inputs: "src" [batch, s] and "tgt" [batch, t] float ids (tgt is the
+shifted target prefix for teacher forcing), "labels" [batch, t, vocab]
+one-hot.  Targets: "predict" and "train".
+"""
+
+from __future__ import annotations
+
+from ..expr import irange, iters, ln, maximum, to_index, to_scalar
+from ..fun import Fun, input, make_opt, param
+from ..layers import (
+    adam,
+    dense,
+    multi_head_attention,
+    multi_head_cross_attention,
+    rms_norm,
+    softmax,
+)
+
+__all__ = ["tiny_seq2seq"]
+
+
+def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
+           prefix: str) -> Fun:
+    n, t, d = iters("n", "t", "d")
+    x = Fun(prefix + ".x")
+    emb = param([vocab, dim], init_range=rng, name=prefix + ".embed")
+    x[n, t, d] = emb[to_index(tokens[n, t]), d]
+    n, d = iters("n", "d")
+    t = irange("t", 0, tokens.shape[1])
+    pos = param([max_seq, dim], init_range=rng, name=prefix + ".pos")
+    x[n, t, d] = pos[t, d]
+    x.with_shape([tokens.shape[0], tokens.shape[1], dim])
+    return x
+
+
+def _residual(a: Fun, b: Fun, name: str) -> Fun:
+    n, t, d = iters("n", "t", "d")
+    out = Fun(name)
+    out[n, t, d] = a[n, t, d]
+    n, t, d = iters("n", "t", "d")
+    out[n, t, d] = b[n, t, d]  # second kernel accumulates
+    return out
+
+
+def tiny_seq2seq(
+    vocab: int = 8,
+    dim: int = 16,
+    heads: int = 2,
+    hidden: int = 32,
+    max_src: int = 32,
+    max_tgt: int = 32,
+    eta: float = 0.01,
+    init: float = 0.2,
+    impl: str = "auto",
+    opt=None,
+) -> Fun:
+    """One encoder block (bidirectional) + one decoder block (causal self
+    + cross attention) + FFN, pre-norm residual throughout."""
+    rng = (-init, init)
+
+    # --- encoder ---------------------------------------------------------
+    src = input("src")
+    e = _embed(src, vocab, dim, max_src, rng, "src")
+    enc_att = multi_head_attention(
+        rms_norm(e, dim, rank=3), dim, heads, causal=False, impl=impl,
+    )
+    e = _residual(enc_att, e, "enc.att")
+    enc_ff = dense(
+        _relu(dense(rms_norm(e, dim, rank=3), dim, hidden, rank=3)),
+        hidden, dim, rank=3,
+    )
+    enc = _residual(enc_ff, e, "enc.out")
+
+    # --- decoder ---------------------------------------------------------
+    tgt = input("tgt")
+    x = _embed(tgt, vocab, dim, max_tgt, rng, "tgt")
+    self_att = multi_head_attention(
+        rms_norm(x, dim, rank=3), dim, heads, causal=True, impl=impl,
+    )
+    x = _residual(self_att, x, "dec.self")
+    cross = multi_head_cross_attention(
+        rms_norm(x, dim, rank=3), enc, dim, heads, impl=impl,
+    )
+    x = _residual(cross, x, "dec.cross")
+    ff = dense(
+        _relu(dense(rms_norm(x, dim, rank=3), dim, hidden, rank=3)),
+        hidden, dim, rank=3,
+    )
+    x = _residual(ff, x, "dec.out")
+
+    logits = dense(rms_norm(x, dim, rank=3), dim, vocab, rank=3)
+    predict = softmax(logits, rank=3).target("predict")
+
+    labels = input("labels")
+    it = iters("it")
+    loss = Fun("loss")
+    loss[0] = -(labels.raw[it] * ln(maximum(predict.raw[it], 1e-9))) / \
+        to_scalar(labels.shape[0] * labels.shape[1])
+    return (
+        loss.target("loss")
+        .backwards()
+        .optimize(opt or make_opt(adam, eta=eta))
+        .target("train")
+    )
+
+
+def _relu(x: Fun) -> Fun:
+    from ..layers import relu
+
+    return relu(x)
