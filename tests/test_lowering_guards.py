@@ -58,3 +58,24 @@ def test_gan_lowering_profile():
     model.apply("fit.gen", {"seed": rng.normal(size=(8, 8)).astype(np.float32)})
     for target in ("fit.discr", "fit.gen"):
         _assert_clean(model.lowering_stats(target))
+
+
+def test_seq2seq_lowering_profile():
+    """Encoder-decoder train step: MXU einsums + extern attention, with
+    only the two embedding-table gradient scatters (src + tgt)."""
+    from exprgrad_tpu.models import tiny_seq2seq
+
+    model = compile(tiny_seq2seq(vocab=6, dim=16, heads=2), backend="jax",
+                    seed=0)
+    rng = np.random.default_rng(2)
+    src = rng.integers(1, 6, (4, 6)).astype(np.float32)
+    tgt = rng.integers(0, 6, (4, 6)).astype(np.float32)
+    labels = np.eye(6, dtype=np.float32)[rng.integers(0, 6, (4, 6))]
+    model.epoch += 1
+    model.apply("train", {"src": src, "tgt": tgt, "labels": labels})
+    stats = model.lowering_stats("train")
+    _assert_clean(stats, allow_scatter=2)
+    # 3 attention sites (enc self, dec self, cross): each contributes
+    # out + lse forward kernels and dq/dk/dv backward kernels
+    assert stats.get("extern:attention") == 6, stats
+    assert stats.get("extern:attention_grad") == 9, stats
