@@ -228,6 +228,37 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
     return flops / t_flash / 1e9, flops / t_xla / 1e9
 
 
+def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
+                  batch=8, prompt_len=128, n_new=128):
+    """FlashLMServer decode throughput: generated tokens per second for a
+    batch of prompts through the scanned KV-cache loop (weights random —
+    throughput is weight-agnostic).  Returns (tokens_per_s, step_ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.models import FlashLMServer, flash_transformer
+
+    model = eg_compile(
+        flash_transformer(vocab=vocab, dim=dim, heads=heads, hidden=hidden,
+                          blocks=blocks, max_seq=prompt_len + n_new),
+        seed=0, precision="default",
+    )
+    server = FlashLMServer(model, cache_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, vocab, (batch, prompt_len)).astype(np.float32)
+
+    out = server.generate(prompt, n_new=n_new)   # compile + warmup
+    _fetch(out)
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        _fetch(server.generate(prompt, n_new=n_new))
+        best = min(best, time.perf_counter() - t)
+    toks = batch * n_new
+    return toks / best, best / n_new * 1e3
+
+
 def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
     """Sliding-window vs full-causal flash attention wall time.
 
@@ -504,6 +535,20 @@ def main() -> None:
         )
     except Exception as err:
         details["attention_error"] = str(err)
+
+    _log("bench: KV-cache serving throughput ...")
+    try:
+        tok_s, step_ms = bench_serving()
+        details["serving_decode"] = {
+            "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 "
+                      "prompt128 n_new128 bf16-cache",
+            "tokens_per_s": round(tok_s, 1),
+            "ms_per_step": round(step_ms, 3),
+        }
+        _log(f"bench: serving {tok_s:.0f} tokens/s "
+             f"({step_ms:.2f}ms/step batch-8)")
+    except Exception as err:
+        details["serving_error"] = str(err)
 
     _log("bench: sliding-window vs causal attention ...")
     try:
