@@ -71,6 +71,54 @@ def fused_attention(
     return out
 
 
+def _mha_core(
+    x: Fun,
+    context: Fun,
+    dim: int,
+    context_dim: int,
+    heads: int,
+    causal: bool,
+    kv_heads: Optional[int],
+    impl: str,
+    init: float,
+    window: Optional[int],
+) -> Fun:
+    """Shared projections + fused core for self- and cross-attention.
+    Parameter names (wq/wk/wv/wo) and kernel structure are part of the
+    serving contract (FlashLMServer matches them) — keep stable."""
+    if dim % heads:
+        raise ValueError(f"dim ({dim}) must be divisible by heads ({heads})")
+    kvh = heads if kv_heads is None else kv_heads
+    if heads % kvh:
+        raise ValueError(
+            f"heads ({heads}) must be a multiple of kv_heads ({kvh})"
+        )
+    hd = dim // heads
+    rng = (-init, init)
+
+    def proj(src: Fun, name: str, nheads: int, in_dim: int) -> Fun:
+        w = param([nheads, in_dim, hd], init_range=rng, name=name)
+        n, h, t, c, d = iters("n", "h", "t", "c", "d")
+        out = Fun(name + ".out")
+        out[n, h, t, d] = src[n, t, c] * w[h, c, d]
+        return out
+
+    q = proj(x, "wq", heads, dim)
+    k = proj(context, "wk", kvh, context_dim)
+    v = proj(context, "wv", kvh, context_dim)
+
+    att = fused_attention(
+        q, k, v, causal=causal, scale=1.0 / math.sqrt(hd), impl=impl,
+        window=window,
+    )
+
+    wo = param([heads, hd, dim], init_range=rng, name="wo")
+    n, h, t, d, e = iters("n", "h", "t", "d", "e")
+    out = Fun()
+    out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
+    return out
+
+
 @layer
 def multi_head_attention(
     x: Fun,
@@ -90,37 +138,8 @@ def multi_head_attention(
     way ("nhtd,hde->nte").  ``kv_heads`` (dividing ``heads``) enables
     grouped-query attention with a smaller KV projection.
     """
-    if dim % heads:
-        raise ValueError(f"dim ({dim}) must be divisible by heads ({heads})")
-    kvh = heads if kv_heads is None else kv_heads
-    if heads % kvh:
-        raise ValueError(
-            f"heads ({heads}) must be a multiple of kv_heads ({kvh})"
-        )
-    hd = dim // heads
-    rng = (-init, init)
-
-    def proj(name: str, nheads: int) -> Fun:
-        w = param([nheads, dim, hd], init_range=rng, name=name)
-        n, h, t, c, d = iters("n", "h", "t", "c", "d")
-        out = Fun(name + ".out")
-        out[n, h, t, d] = x[n, t, c] * w[h, c, d]
-        return out
-
-    q = proj("wq", heads)
-    k = proj("wk", kvh)
-    v = proj("wv", kvh)
-
-    att = fused_attention(
-        q, k, v, causal=causal, scale=1.0 / math.sqrt(hd), impl=impl,
-        window=window,
-    )
-
-    wo = param([heads, hd, dim], init_range=rng, name="wo")
-    n, h, t, d, e = iters("n", "h", "t", "d", "e")
-    out = Fun()
-    out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
-    return out
+    return _mha_core(x, x, dim, dim, heads, causal, kv_heads, impl, init,
+                     window)
 
 
 @layer
@@ -141,34 +160,5 @@ def multi_head_cross_attention(
     :func:`multi_head_attention`; non-causal (every query sees the whole
     context), and the fused kernels handle ``t != s`` natively.
     """
-    if dim % heads:
-        raise ValueError(f"dim ({dim}) must be divisible by heads ({heads})")
-    kvh = heads if kv_heads is None else kv_heads
-    if heads % kvh:
-        raise ValueError(
-            f"heads ({heads}) must be a multiple of kv_heads ({kvh})"
-        )
-    cdim = context_dim or dim
-    hd = dim // heads
-    rng = (-init, init)
-
-    def proj(src: Fun, name: str, nheads: int, in_dim: int) -> Fun:
-        w = param([nheads, in_dim, hd], init_range=rng, name=name)
-        n, h, t, c, d = iters("n", "h", "t", "c", "d")
-        out = Fun(name + ".out")
-        out[n, h, t, d] = src[n, t, c] * w[h, c, d]
-        return out
-
-    q = proj(x, "wq", heads, dim)
-    k = proj(context, "wk", kvh, cdim)
-    v = proj(context, "wv", kvh, cdim)
-
-    att = fused_attention(
-        q, k, v, causal=False, scale=1.0 / math.sqrt(hd), impl=impl
-    )
-
-    wo = param([heads, hd, dim], init_range=rng, name="wo")
-    n, h, t, d, e = iters("n", "h", "t", "d", "e")
-    out = Fun()
-    out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
-    return out
+    return _mha_core(x, context, dim, context_dim or dim, heads, False,
+                     kv_heads, impl, init, None)

@@ -16,41 +16,20 @@ one-hot.  Targets: "predict" and "train".
 
 from __future__ import annotations
 
-from ..expr import irange, iters, ln, maximum, to_index, to_scalar
-from ..fun import Fun, input, make_opt, param
+from ..expr import iters, ln, maximum, to_scalar
+from ..fun import Fun, input, make_opt
 from ..layers import (
     adam,
     dense,
     multi_head_attention,
     multi_head_cross_attention,
+    relu,
     rms_norm,
     softmax,
 )
+from .transformer import _embed, _residual
 
 __all__ = ["tiny_seq2seq"]
-
-
-def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
-           prefix: str) -> Fun:
-    n, t, d = iters("n", "t", "d")
-    x = Fun(prefix + ".x")
-    emb = param([vocab, dim], init_range=rng, name=prefix + ".embed")
-    x[n, t, d] = emb[to_index(tokens[n, t]), d]
-    n, d = iters("n", "d")
-    t = irange("t", 0, tokens.shape[1])
-    pos = param([max_seq, dim], init_range=rng, name=prefix + ".pos")
-    x[n, t, d] = pos[t, d]
-    x.with_shape([tokens.shape[0], tokens.shape[1], dim])
-    return x
-
-
-def _residual(a: Fun, b: Fun, name: str) -> Fun:
-    n, t, d = iters("n", "t", "d")
-    out = Fun(name)
-    out[n, t, d] = a[n, t, d]
-    n, t, d = iters("n", "t", "d")
-    out[n, t, d] = b[n, t, d]  # second kernel accumulates
-    return out
 
 
 def tiny_seq2seq(
@@ -77,7 +56,7 @@ def tiny_seq2seq(
     )
     e = _residual(enc_att, e, "enc.att")
     enc_ff = dense(
-        _relu(dense(rms_norm(e, dim, rank=3), dim, hidden, rank=3)),
+        relu(dense(rms_norm(e, dim, rank=3), dim, hidden, rank=3)),
         hidden, dim, rank=3,
     )
     enc = _residual(enc_ff, e, "enc.out")
@@ -94,7 +73,7 @@ def tiny_seq2seq(
     )
     x = _residual(cross, x, "dec.cross")
     ff = dense(
-        _relu(dense(rms_norm(x, dim, rank=3), dim, hidden, rank=3)),
+        relu(dense(rms_norm(x, dim, rank=3), dim, hidden, rank=3)),
         hidden, dim, rank=3,
     )
     x = _residual(ff, x, "dec.out")
@@ -113,9 +92,3 @@ def tiny_seq2seq(
         .optimize(opt or make_opt(adam, eta=eta))
         .target("train")
     )
-
-
-def _relu(x: Fun) -> Fun:
-    from ..layers import relu
-
-    return relu(x)

@@ -185,11 +185,17 @@ class FlashLMServer:
         return pos_ids, key_pos
 
     def _jitted(self, key, build):
-        """jit-compile ``build()`` once per static config ``key``."""
+        """jit-compile ``build()`` once per static config ``key``.
+
+        Bounded (FIFO over configs): a serving loop that sweeps n_new or
+        temperature must not pin one XLA executable per distinct value
+        forever."""
         fn = self._jit_cache.get(key)
         if fn is None:
             import jax
 
+            if len(self._jit_cache) >= 32:
+                self._jit_cache.pop(next(iter(self._jit_cache)))
             fn = jax.jit(build())
             self._jit_cache[key] = fn
         return fn

@@ -143,17 +143,24 @@ def tiny_transformer(
     )
 
 
-def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng) -> Fun:
-    """Token + learned-position embeddings (gather + bounded-iterator add)."""
+def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
+           prefix: str = "") -> Fun:
+    """Token + learned-position embeddings (gather + bounded-iterator add).
+
+    The default parameter names "embed"/"pos" are part of the serving
+    contract (FlashLMServer matches them); ``prefix`` namespaces them for
+    models with several embeddings (seq2seq encoder/decoder).
+    """
     from ..expr import irange
 
+    dot = prefix + "." if prefix else ""
     n, t, d = iters("n", "t", "d")
-    x = Fun("x")
-    emb = param([vocab, dim], init_range=rng, name="embed")
+    x = Fun(dot + "x")
+    emb = param([vocab, dim], init_range=rng, name=dot + "embed")
     x[n, t, d] = emb[to_index(tokens[n, t]), d]
     n, d = iters("n", "d")
     t = irange("t", 0, tokens.shape[1])
-    pos = param([max_seq, dim], init_range=rng, name="pos")
+    pos = param([max_seq, dim], init_range=rng, name=dot + "pos")
     x[n, t, d] = pos[t, d]
     x.with_shape([tokens.shape[0], tokens.shape[1], dim])
     return x
