@@ -19,6 +19,7 @@ this platform).  Details for all benchmarks go to BENCH_DETAILS.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -456,6 +457,21 @@ def main() -> None:
             "bench: TPU backend unavailable (the axon tunnel sometimes dies "
             f"and is unrecoverable from this side, see CLAUDE.md): {err}"
         )
+        # surface the last good on-chip measurement for context — clearly
+        # marked as carried over, NOT a fresh number
+        for prior in ("BENCH_r01.json",):
+            if os.path.exists(prior):
+                try:
+                    with open(prior) as f:
+                        last = json.load(f).get("parsed")
+                    if last:
+                        _log(
+                            "bench: last good on-chip measurement "
+                            f"({prior}): {json.dumps(last)} -- tunnel was "
+                            "down for this round's bench window"
+                        )
+                except Exception:
+                    pass
         sys.exit(1)
     details = {}
     roofline0 = 197e12
