@@ -170,3 +170,26 @@ def test_golden_triangular_max():
     program = to_program(graph)
     compile_program(program)
     check_golden("triangular_max_grad", fmt_program(program))
+
+
+def test_golden_cross_attention():
+    """Cross-attention extern pair through the custom-grad seam: pins the
+    extern kernel layout (out + lse writers, dq/dk/dv grad kernels with
+    placeholder reads) and the projection einsum kernels."""
+    from exprgrad_tpu.layers import multi_head_cross_attention
+
+    x = input("x")
+    ctx = input("ctx")
+    y = multi_head_cross_attention(x, ctx, dim=4, heads=2, context_dim=6)
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(y.raw[it])
+
+    def optim(p, g):
+        i = iters("i")
+        p.raw[i] = -0.1 * g.raw[i]
+
+    net = loss.target("loss").backprop(optim).target("train")
+    program = to_program(net)
+    compile_program(program)
+    check_golden("cross_attention_train", fmt_program(program))
