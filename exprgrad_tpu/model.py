@@ -158,6 +158,45 @@ class Model:
 
         return fn
 
+    def summary(self) -> str:
+        """Human-readable parameter/cache table with totals, plus the
+        per-target kernel counts — the quick sanity view of a compiled
+        model."""
+        lines = []
+        total = 0
+        for tid, value in self.params.items():
+            tdef = self.program.tensors[tid]
+            n = int(np.prod(np.asarray(value).shape)) if np.asarray(
+                value).shape else 1
+            total += n
+            lines.append(
+                f"  t{tid:<4} {tdef.name or '<unnamed>':<18} "
+                f"{str(list(np.asarray(value).shape)):<18} {n:>10,}"
+            )
+        cache_total = 0
+        cache_lines = []
+        for tid, value in self.caches.items():
+            tdef = self.program.tensors[tid]
+            n = int(np.prod(np.asarray(value).shape)) if np.asarray(
+                value).shape else 1
+            cache_total += n
+            cache_lines.append(
+                f"  t{tid:<4} {tdef.name or '<unnamed>':<18} "
+                f"{str(list(np.asarray(value).shape)):<18} {n:>10,}"
+            )
+        out = [f"Model: {len(self.params)} parameters "
+               f"({total:,} elements), {len(self.caches)} caches "
+               f"({cache_total:,} elements), epoch {self.epoch}"]
+        out.append("parameters:")
+        out.extend(lines)
+        if cache_lines:
+            out.append("caches:")
+            out.extend(cache_lines)
+        out.append("targets:")
+        for name, target in self.program.targets.items():
+            out.append(f"  {name:<12} {len(target.kernels)} kernels")
+        return "\n".join(out)
+
     def ema_params(self) -> dict[int, np.ndarray]:
         """Debiased EMA shadow parameters (train with
         ``layers.with_ema(opt, decay)``), keyed by parameter tensor id.

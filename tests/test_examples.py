@@ -158,3 +158,14 @@ def test_flash_lm_example(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "generation accuracy" in out
     assert "checkpoint reload" in out
+
+
+def test_seq2seq_example(monkeypatch, capsys):
+    import seq2seq as s2s_example
+
+    monkeypatch.setattr(s2s_example, "STEPS", 250)
+    s2s_example.main()
+    out = capsys.readouterr().out
+    assert "reversal accuracy" in out
+    acc = float(out.rsplit(":", 1)[1])
+    assert acc > 0.9, out

@@ -112,3 +112,15 @@ def test_export_compiled_trained_model(tmp_path):
     # artifact output == live trained model output (convergence itself is
     # covered by test_talks/test_model at full step counts)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_model_summary():
+    from exprgrad_tpu import compile
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(), backend="interp", seed=0)
+    text = model.summary()
+    assert "parameters" in text and "targets:" in text
+    # dense(2,4)+bias + dense(4,1)+bias = 8+4+4+1 = 17 elements
+    assert "17 elements" in text, text
+    assert "train" in text and "predict" in text
