@@ -29,7 +29,31 @@ from ..layers import (
 )
 from .transformer import _embed, _residual
 
-__all__ = ["tiny_seq2seq"]
+__all__ = ["greedy_decode", "tiny_seq2seq"]
+
+
+def greedy_decode(model, src, n_new: int, bos: int = 0):
+    """Autoregressive greedy decoding through the compiled model's
+    "predict" target: feed the growing target prefix (starting at
+    ``bos``) and take the argmax of the last position each step.
+
+    O(t^2) in total (each step re-runs the full teacher-forced forward)
+    but exact and backend-agnostic — the KV-cache fast path is the
+    decoder-only FlashLMServer; encoder-decoder serving recomputes.
+    Returns [batch, n_new] int token ids.
+    """
+    import numpy as np
+
+    src = np.asarray(src, np.float32)
+    batch = src.shape[0]
+    tgt = np.full((batch, 1), float(bos), np.float32)
+    out = []
+    for _ in range(n_new):
+        probs = np.asarray(model.call("predict", {"src": src, "tgt": tgt}))
+        nxt = probs[:, -1].argmax(-1)
+        out.append(nxt)
+        tgt = np.concatenate([tgt, nxt[:, None].astype(np.float32)], axis=1)
+    return np.stack(out, axis=1)
 
 
 def tiny_seq2seq(

@@ -63,3 +63,21 @@ def test_seq2seq_interp_parity():
     pj = np.asarray(mj.call("predict", {"src": src, "tgt": tgt}))
     pi = np.asarray(mi.call("predict", {"src": src, "tgt": tgt}))
     np.testing.assert_allclose(pj, pi, rtol=1e-4, atol=1e-5)
+
+
+def test_greedy_decode_reverses_free_running():
+    """FREE-RUNNING generation (no teacher forcing): greedy_decode feeds
+    its own outputs back and still reverses held-out sequences."""
+    from exprgrad_tpu.models import greedy_decode
+
+    model = compile(tiny_seq2seq(vocab=VOCAB, dim=16, heads=2, eta=0.02),
+                    backend="jax", seed=0)
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        model.epoch += 1
+        src, tgt, labels = _batch(rng)
+        model.apply("train", {"src": src, "tgt": tgt, "labels": labels})
+    src, _, _ = _batch(rng, n=4)
+    out = greedy_decode(model, src, n_new=6)
+    acc = (out == src[:, ::-1].astype(int)).mean()
+    assert acc > 0.9, (acc, out)
