@@ -123,7 +123,7 @@ def _random_kernel(rng: np.random.Generator, smooth: bool):
     return out, arrays
 
 
-@pytest.mark.parametrize("seed", range(30))
+@pytest.mark.parametrize("seed", range(60))
 def test_fuzz_forward_backends_agree(seed):
     rng = np.random.default_rng(seed)
     graph, arrays = _random_kernel(rng, smooth=False)

@@ -72,7 +72,7 @@ def _build_chain(rng):
     return cur.target("out"), inputs
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(30))
 def test_fusion_chain_fuzz(seed):
     rng = np.random.default_rng(seed)
     graph, inputs = _build_chain(rng)
