@@ -335,6 +335,41 @@ def test_serving_entry_points_do_not_retrace():
     assert keys == {"gen", "gen_ragged", "beam", "score"}
 
 
+def test_beam_search_on_windowed_model():
+    """Beam search composes with sliding-window serving (the discovered
+    window masks decode attention inside the beam loop)."""
+    from tests.test_window_attention import _train_windowed
+
+    model, _ = _train_windowed(window=4)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    assert server.window == 4
+    prompt = np.asarray([[2.0, 3.0, 4.0]], np.float32)
+    seqs, scores = server.generate_beam(prompt, n_new=5, beams=2)
+    greedy = np.asarray(server.generate(prompt, n_new=5))[0].astype(int)
+    np.testing.assert_array_equal(
+        np.asarray(seqs)[0, 0].astype(int), greedy
+    )
+    assert (np.diff(np.asarray(scores)[0]) <= 1e-6).all()
+
+
+def test_ragged_sampling_batch_deterministic():
+    """Sampled ragged decoding is reproducible for the same padded batch
+    and seed (the documented contract; solo-equality is greedy-only)."""
+    model = _trained_model(steps=5)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    padded = np.zeros((2, 4), np.float32)
+    padded[0, :3] = [2, 3, 4]
+    padded[1, :4] = [0, 1, 2, 3]
+    a = np.asarray(server.generate(padded, n_new=5, lengths=[3, 4],
+                                   temperature=0.9, seed=11))
+    b = np.asarray(server.generate(padded, n_new=5, lengths=[3, 4],
+                                   temperature=0.9, seed=11))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(server.generate(padded, n_new=5, lengths=[3, 4],
+                                   temperature=0.9, seed=12))
+    assert not np.array_equal(a, c)  # seed actually matters
+
+
 def test_beam_search_validation():
     model = _trained_model(steps=1)
     server = FlashLMServer(model, cache_dtype=jnp.float32)
