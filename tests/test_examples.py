@@ -169,3 +169,14 @@ def test_seq2seq_example(monkeypatch, capsys):
     assert "reversal accuracy" in out
     acc = float(out.rsplit(":", 1)[1])
     assert acc > 0.9, out
+
+
+def test_moe_example(monkeypatch, capsys):
+    import moe as moe_example
+
+    monkeypatch.setattr(moe_example, "STEPS", 400)
+    moe_example.main()
+    out = capsys.readouterr().out
+    assert "MoE wins by" in out
+    ratio = float(out.rsplit("by", 1)[1].rstrip("x)\n"))
+    assert ratio > 1.0, out
