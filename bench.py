@@ -459,19 +459,23 @@ def main() -> None:
         )
         # surface the last good on-chip measurement for context — clearly
         # marked as carried over, NOT a fresh number
-        for prior in ("BENCH_r01.json",):
-            if os.path.exists(prior):
-                try:
-                    with open(prior) as f:
-                        last = json.load(f).get("parsed")
-                    if last:
-                        _log(
-                            "bench: last good on-chip measurement "
-                            f"({prior}): {json.dumps(last)} -- tunnel was "
-                            "down for this round's bench window"
-                        )
-                except Exception:
-                    pass
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        priors = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        for prior in reversed(priors):
+            try:
+                with open(prior) as f:
+                    last = json.load(f).get("parsed")
+            except Exception:
+                continue
+            if last:
+                _log(
+                    "bench: last good on-chip measurement "
+                    f"({os.path.basename(prior)}): {json.dumps(last)} -- "
+                    "tunnel was down for this round's bench window"
+                )
+                break
         sys.exit(1)
     details = {}
     roofline0 = 197e12

@@ -21,7 +21,7 @@ def make_task(rng):
     """Inputs cluster around EXPERTS distinct centers; the target applies
     a different random linear map per cluster."""
     centers = rng.normal(size=(EXPERTS, D)).astype(np.float32) * 3
-    maps = rng.normal(size=(EXPERTS, D, D)).astype(np.float32) * 0.5
+    maps = rng.normal(size=(EXPERTS, D, D)).astype(np.float32)
 
     def batch(n=N):
         which = rng.integers(0, EXPERTS, n)
@@ -64,9 +64,11 @@ def main() -> None:
     final = float(jnp.mean((out - y) ** 2))
     print(f"loss: {first:.3f} -> {final:.3f} (aux balance {float(aux):.3f})")
 
-    # routing actually specializes: a dense 1-expert baseline of the same
-    # per-token capacity cannot fit the piecewise task as well
-    dense = init_moe(rng, D, HIDDEN, 1)
+    # routing actually specializes: a dense 1-expert baseline with the
+    # SAME per-token FLOPs (top-2 runs two HIDDEN-wide FFNs per token, so
+    # the baseline gets one 2*HIDDEN-wide FFN) cannot fit the piecewise
+    # task as well
+    dense = init_moe(rng, D, 2 * HIDDEN, 1)
 
     @jax.jit
     def dstep(params, x, y, lr=0.05):

@@ -161,29 +161,23 @@ class Model:
     def summary(self) -> str:
         """Human-readable parameter/cache table with totals, plus the
         per-target kernel counts — the quick sanity view of a compiled
-        model."""
-        lines = []
-        total = 0
-        for tid, value in self.params.items():
-            tdef = self.program.tensors[tid]
-            n = int(np.prod(np.asarray(value).shape)) if np.asarray(
-                value).shape else 1
-            total += n
-            lines.append(
-                f"  t{tid:<4} {tdef.name or '<unnamed>':<18} "
-                f"{str(list(np.asarray(value).shape)):<18} {n:>10,}"
-            )
-        cache_total = 0
-        cache_lines = []
-        for tid, value in self.caches.items():
-            tdef = self.program.tensors[tid]
-            n = int(np.prod(np.asarray(value).shape)) if np.asarray(
-                value).shape else 1
-            cache_total += n
-            cache_lines.append(
-                f"  t{tid:<4} {tdef.name or '<unnamed>':<18} "
-                f"{str(list(np.asarray(value).shape)):<18} {n:>10,}"
-            )
+        model.  Reads only shapes (``np.shape``): no device->host
+        transfers, safe on large jax-resident models."""
+        def table(items):
+            lines, total = [], 0
+            for tid, value in items.items():
+                shape = np.shape(value)
+                n = int(np.prod(shape))
+                total += n
+                lines.append(
+                    f"  t{tid:<4} "
+                    f"{self.program.tensors[tid].name or '<unnamed>':<18} "
+                    f"{str(list(shape)):<18} {n:>10,}"
+                )
+            return lines, total
+
+        lines, total = table(self.params)
+        cache_lines, cache_total = table(self.caches)
         out = [f"Model: {len(self.params)} parameters "
                f"({total:,} elements), {len(self.caches)} caches "
                f"({cache_total:,} elements), epoch {self.epoch}"]

@@ -10,4 +10,4 @@ from .mixer import tiny_mixer
 from .mobile import mobile_cnn
 from .serve import FlashLMServer
 
-__all__ = ["FlashLMServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "mnist_gan", "mobile_cnn", "greedy_decode", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["FlashLMServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

@@ -44,6 +44,21 @@ def greedy_decode(model, src, n_new: int, bos: int = 0):
     """
     import numpy as np
 
+    from ..errors import ModelRuntimeError
+
+    # the target prefix grows to n_new+1 positions; they must fit the
+    # model's tgt positional table or the embedding read goes OOB
+    max_tgt = next(
+        (np.asarray(model.params[tid]).shape[0]
+         for tid in model.program.params
+         if model.program.tensors[tid].name == "tgt.pos"),
+        None,
+    )
+    if max_tgt is not None and n_new + 1 > max_tgt:
+        raise ModelRuntimeError(
+            f"n_new + 1 = {n_new + 1} exceeds the model's max_tgt "
+            f"{max_tgt} positional embeddings"
+        )
     src = np.asarray(src, np.float32)
     batch = src.shape[0]
     tgt = np.full((batch, 1), float(bos), np.float32)
