@@ -230,10 +230,18 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
 
 
 def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
-                  batch=8, prompt_len=128, n_new=128):
+                  batch=8, prompt_len=128, n_lo=8, n_new=128, reps=3):
     """FlashLMServer decode throughput: generated tokens per second for a
     batch of prompts through the scanned KV-cache loop (weights random —
-    throughput is weight-agnostic).  Returns (tokens_per_s, step_ms)."""
+    throughput is weight-agnostic).
+
+    The per-decode-step cost is the two-length difference quotient
+    ``(T(n_new) - T(n_lo)) / (n_new - n_lo)``: both runs pay the same
+    prefill, dispatch, and tunnel round-trip, so those cancel exactly
+    (round 2's prefill-subtraction clamp reported 0.0 under timing noise
+    — a broken number; this difference spans (n_new - n_lo) steps so the
+    noise is divided down instead).  Returns
+    (tokens_per_s, step_ms_or_None, t_lo, t_hi)."""
     import jax
     import jax.numpy as jnp
 
@@ -252,19 +260,18 @@ def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
     def timed(k):
         _fetch(server.generate(prompt, n_new=k))   # compile + warmup
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t = time.perf_counter()
             _fetch(server.generate(prompt, n_new=k))
             best = min(best, time.perf_counter() - t)
         return best
 
-    # subtract the prefill (measured as an n_new=1 run) so ms_per_step is
-    # the pure incremental-decode cost the KV cache exists for
-    t_full = timed(n_new)
-    t_prefill = timed(1)
-    step_s = max(t_full - t_prefill, 1e-9) / (n_new - 1)
+    t_hi = timed(n_new)
+    t_lo = timed(n_lo)
+    diff = t_hi - t_lo
+    step_ms = diff / (n_new - n_lo) * 1e3 if diff > 0 else None
     toks = batch * n_new
-    return toks / t_full, step_s * 1e3
+    return toks / t_hi, step_ms, t_lo, t_hi
 
 
 def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
@@ -368,7 +375,10 @@ def bench_transformer_step(vocab=2048, dim=512, heads=4, hidden=2048,
     _fetch(next(iter(cur.values())))
     per_step = (time.perf_counter() - t) / chain
     tokens_per_s = batch * seq / per_step
-    return per_step, tokens_per_s
+    # attribution: which attention impl actually traced (VERDICT r2 #3 —
+    # a tokens/s number must not silently mean XLA attention)
+    impls = {k: v for k, v in executor.stats.items() if "attention" in k}
+    return per_step, tokens_per_s, impls
 
 
 def bench_mnist_epoch(n_samples=8192, batch=256):
@@ -565,17 +575,28 @@ def main() -> None:
 
     _log("bench: KV-cache serving throughput ...")
     try:
-        tok_s, step_ms = bench_serving()
+        tok_s, step_ms, t_lo, t_hi = bench_serving()
         details["serving_decode"] = {
             "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 "
                       "prompt128 n_new128 bf16-cache",
             "tokens_per_s": round(tok_s, 1),
-            "ms_per_decode_step": round(step_ms, 3),
-            "note": "tokens/s is end-to-end (prefill included); "
-                    "ms_per_decode_step has the prefill subtracted",
+            "ms_per_decode_step": (
+                round(step_ms, 3) if step_ms is not None else None
+            ),
+            "t_8_steps_s": round(t_lo, 4),
+            "t_128_steps_s": round(t_hi, 4),
+            "impl": "kv-cache incremental decode (ops/decode.py, XLA "
+                    "one-position attention inside the scan)",
+            "methodology": "tokens/s is end-to-end over the 128-step run "
+                           "(prefill included); ms_per_decode_step = "
+                           "(T(128) - T(8)) / 120, min of 3 reps each — "
+                           "prefill/dispatch/RTT cancel in the difference "
+                           "(null when the difference is negative under "
+                           "noise)",
         }
         _log(f"bench: serving {tok_s:.0f} tokens/s "
-             f"({step_ms:.2f}ms/step batch-8)")
+             f"({step_ms if step_ms is None else round(step_ms, 3)}"
+             f"ms/step batch-8)")
     except Exception as err:
         details["serving_error"] = str(err)
 
@@ -596,14 +617,15 @@ def main() -> None:
 
     _log("bench: flash_transformer train step ...")
     try:
-        step_s, tok_s = bench_transformer_step()
+        step_s, tok_s, impls = bench_transformer_step()
         details["flash_transformer_train_step"] = {
             "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 seq512",
             "seconds_per_step": round(step_s, 4),
             "tokens_per_s": round(tok_s, 1),
+            "attention_impl": impls,
         }
         _log(f"bench: transformer step {step_s * 1e3:.1f}ms, "
-             f"{tok_s:.0f} tokens/s")
+             f"{tok_s:.0f} tokens/s, attn {impls}")
     except Exception as err:
         details["transformer_error"] = str(err)
 

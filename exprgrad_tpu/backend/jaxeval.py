@@ -859,7 +859,7 @@ class KernelLowering:
             args = [tensors[tid] for tid in ext.inputs]
             ctx = ExternContext(
                 dtype=self.dtype, precision=self.precision,
-                policy=self.policy,
+                policy=self.policy, stats=stats,
             )
             result = edef.jax_fn(args, dict(ext.attrs), ctx)
             if not isinstance(result, tuple):

@@ -69,6 +69,18 @@ def _best_block(size: int, cap: int) -> int:
     return 1
 
 
+def _best_block_aligned(size: int, cap: int, align: int) -> int:
+    """Largest divisor of ``size`` <= cap that Mosaic accepts as a partial
+    block on an aligned dim: divisible by ``align`` (or the full extent —
+    a whole-dim block is always legal).  Returns ``size`` (no shrink
+    possible) when no aligned divisor fits under the cap."""
+    cap = min(size, max(1, cap))
+    for b in range(cap, 0, -1):
+        if size % b == 0 and (b % align == 0 or b == size):
+            return b
+    return size
+
+
 # elementwise ops the block evaluator supports (index-typed arithmetic,
 # arrays, epoch and debug ops stay on the XLA paths)
 _ELEMENTWISE_OPS = {
@@ -247,18 +259,26 @@ class PallasMatmul:
             size = min(size, extent)
             if extent % size != 0:
                 return 0  # require divisibility; else fall back
+            if size < extent and size % align != 0:
+                return 0  # Mosaic rejects misaligned partial blocks
             return size
 
         dtype_name = np.dtype(self.low.dtype).name
         sub = _SUBLANE.get(dtype_name, 8)
-        self.bm = tile_for(y_axis, _round_down(min(m, 512), sub), m, sub)
+        # alignment by the dim's position in the operand/output blocks:
+        # bm is a sublane dim of A/out (lane of out when transposed), bn a
+        # lane dim of B/out, bk the lane dim of A — partial blocks on a
+        # lane dim must be 128-aligned, on a sublane dim 8/16-aligned.
+        m_align = 128 if self.transposed else sub
+        self.bm = tile_for(y_axis, _round_down(min(m, 512), sub), m, m_align)
         self.bn = tile_for(x_axis, _round_down(min(n, 512), 128), n, 128)
         self.bk = tile_for(k, _round_down(min(kk, 512), 128), kk, 128)
         if not (self.bm and self.bn and self.bk) or (
             self.m % self.bm or self.n % self.bn or self.k % self.bk
         ):
             return self._decline(
-                f"tile sizes must divide the problem ({m}x{n}x{kk})"
+                f"tile sizes must divide the problem ({m}x{n}x{kk}) and be "
+                f"Mosaic-aligned on partial dims"
             )
         return True
 
@@ -754,6 +774,23 @@ class PallasMapReduce:
         loops = kernel.loops
         block = list(sizes)  # start whole; shrink under the VMEM budget
 
+        # Mosaic alignment: every block is embedded at full loop rank
+        # (see lower()), so the last loop axis lands on the lane dim
+        # (partial blocks must be 128-aligned) and the second-to-last on
+        # the sublane dim (8/16-aligned by dtype).  A partial block that
+        # is misaligned on those dims is rejected by the TPU lowering
+        # even though interpret mode accepts it.
+        sub_req = _SUBLANE.get(str(np.dtype(low.dtype)), 8)
+        lane_axis = n - 1
+        sub_axis = n - 2 if n >= 2 else None
+
+        def align_of(a: int) -> int:
+            if a == lane_axis:
+                return 128
+            if a == sub_axis:
+                return sub_req
+            return 1
+
         user_tiled: set[int] = set()
         shared: set[int] = set()
         for axis, loop in enumerate(loops):
@@ -766,6 +803,11 @@ class PallasMapReduce:
                     return self._decline(
                         f"tile size {loop.schedule.tile_size} does not divide "
                         f"extent {sizes[axis]}"
+                    )
+                if t < sizes[axis] and t % align_of(axis) != 0:
+                    return self._decline(
+                        f"tile size {t} on loop {axis} is not Mosaic-aligned "
+                        f"(needs a multiple of {align_of(axis)} on this dim)"
                     )
                 block[axis] = t
                 user_tiled.add(axis)
@@ -812,26 +854,40 @@ class PallasMapReduce:
         while block_bytes() > budget:
             # user tile sizes are respected here too: a user-tiled
             # reduction axis never shrinks further (decline below instead
-            # of silently changing the schedule)
+            # of silently changing the schedule).  Shrinks go through
+            # _best_block_aligned so a partial block on the lane/sublane
+            # dims stays Mosaic-legal; an axis with no aligned smaller
+            # divisor simply cannot shrink and is skipped.
             cands = sorted(
                 (a for a in candidates if block[a] > 1
                  and a not in user_tiled
                  and (self.red_grid_axis in (None, a))),
                 key=lambda a: -block[a],
             )
-            if cands and block[cands[0]] > 128:
-                a = cands[0]
-                block[a] = _best_block(sizes[a], block[a] // 2)
-                self.red_grid_axis = a if block[a] < sizes[a] else None
+            shrunk = False
+            for a in cands:
+                if block[a] <= 128:
+                    continue
+                nb = _best_block_aligned(sizes[a], block[a] // 2, align_of(a))
+                if nb < block[a]:
+                    block[a] = nb
+                    self.red_grid_axis = a if block[a] < sizes[a] else None
+                    shrunk = True
+                    break
+            if shrunk:
                 continue
             outs = sorted(
                 (a for a in self.out_axes
                  if a not in user_tiled and a not in shared and block[a] > 1),
                 key=lambda a: -block[a],
             )
-            if outs:
-                a = outs[0]
-                block[a] = _best_block(sizes[a], block[a] // 2)
+            for a in outs:
+                nb = _best_block_aligned(sizes[a], block[a] // 2, align_of(a))
+                if nb < block[a]:
+                    block[a] = nb
+                    shrunk = True
+                    break
+            if shrunk:
                 continue
             return self._decline("blocks exceed the VMEM budget")
 
@@ -852,6 +908,7 @@ class PallasMapReduce:
         from jax.experimental.pallas import tpu as pltpu
 
         from ..interp import accumulation_identity
+        from ..ops.mosaic_check import check_specs
 
         low = self.low
         kernel = self.kernel
@@ -969,6 +1026,10 @@ class PallasMapReduce:
             for i in range(len(grid))
         )
         interpret = jax.default_backend() not in ("tpu", "axon")
+        check_specs(in_specs, [o.shape for o in operands],
+                    kernel="pallas_map_reduce")
+        check_specs([out_spec], [tuple(out_embed)],
+                    kernel="pallas_map_reduce", kind="output")
         value = pl.pallas_call(
             body,
             grid=grid,

@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mosaic_check import check_specs
+
 _NEG_INF = -1e30
 
 
@@ -127,9 +129,12 @@ def _fwd_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        m = m_scratch[...][:, 0]
-        lsum = l_scratch[...][:, 0]
-        lse_ref[0, :] = m + jnp.log(jnp.where(lsum == 0.0, 1.0, lsum))
+        # lse is carried as [bh, sq, 1] so its (1, block_q, 1) block
+        # satisfies Mosaic's (8, 128)-divisible-or-full rule on the last
+        # two dims, and (block_q, 1) matches the scratch row orientation.
+        m = m_scratch[...][:, :1]
+        lsum = l_scratch[...][:, :1]
+        lse_ref[0] = m + jnp.log(jnp.where(lsum == 0.0, 1.0, lsum))
 
 
 def _bwd_dq_kernel(
@@ -153,8 +158,8 @@ def _bwd_dq_kernel(
         k = k_ref[0]                     # [block_k, d]
         v = v_ref[0]                     # [block_k, d]
         do = do_ref[0]                   # [block_q, d]
-        lse = lse_ref[0, :]              # [block_q]
-        delta = delta_ref[0, :]          # [block_q]
+        lse = lse_ref[0]                 # [block_q, 1]
+        delta = delta_ref[0]             # [block_q, 1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -164,12 +169,12 @@ def _bwd_dq_kernel(
         s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
                          causal=causal, window=window, offs_ref=offs_ref)
 
-        p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
+        p = jnp.exp(s - lse)             # [block_q, block_k]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                # [block_q, block_k]
-        ds = p * (dp - delta[:, None])
+        ds = p * (dp - delta)
         if sm_scale != 1.0:
             ds = ds * sm_scale
         dq_scratch[...] += jax.lax.dot(
@@ -204,8 +209,8 @@ def _bwd_dkv_kernel(
         k = k_ref[0]                     # [block_k, d]
         v = v_ref[0]                     # [block_k, d]
         do = do_ref[0]                   # [block_q, d]
-        lse = lse_ref[0, :]              # [block_q]
-        delta = delta_ref[0, :]          # [block_q]
+        lse = lse_ref[0]                 # [block_q, 1]
+        delta = delta_ref[0]             # [block_q, 1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -215,7 +220,7 @@ def _bwd_dkv_kernel(
         s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
                          causal=causal, window=window, offs_ref=offs_ref)
 
-        p = jnp.exp(s - lse[:, None])    # [block_q, block_k]
+        p = jnp.exp(s - lse)             # [block_q, block_k]
         # dv += p^T @ do
         dv_scratch[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -225,7 +230,7 @@ def _bwd_dkv_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta[:, None])
+        ds = p * (dp - delta)
         if sm_scale != 1.0:
             ds = ds * sm_scale
         # dk += ds^T @ q
@@ -347,17 +352,24 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
     ]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
-        pl.BlockSpec((1, block_q), lambda bh, i, j, *_: (bh, i)),
+        # lse rides as [bh, sq, 1]: block (1, block_q, 1) keeps the last
+        # two dims Mosaic-legal ((block_q % 8 == 0 or full), trailing dim
+        # full) where a (1, block_q) row block over [bh, sq] does not.
+        pl.BlockSpec((1, block_q, 1), lambda bh, i, j, *_: (bh, i, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-        jax.ShapeDtypeStruct((b * h, sq), jnp.float32),
+        jax.ShapeDtypeStruct((b * h, sq, 1), jnp.float32),
     ]
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, 128), jnp.float32),
         pltpu.VMEM((block_q, d), jnp.float32),
     ]
+    check_specs(in_specs, [qf.shape, kf.shape, vf.shape],
+                kernel="flash_fwd")
+    check_specs(out_specs, [s.shape for s in out_shape],
+                kernel="flash_fwd", kind="output")
     params = dict(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -399,7 +411,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
             out_shape=out_shape,
             **params,
         )(jnp.asarray(offsets, jnp.int32), qf, kf, vf)
-    return out.reshape(b, h, sq, d), lse
+    return out.reshape(b, h, sq, d), lse[..., 0]
 
 
 def flash_attention_forward(q, k, v, sm_scale=None, causal=False,
@@ -431,13 +443,22 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     vf = v.reshape(b * (h // group), skv, d)
     dof = g.reshape(b * h, sq, d)
     # delta[r] = sum_d dO[r,d] * O[r,d]  (one fused elementwise+reduce pass)
+    # Both lse and delta ride as [b*h, sq, 1] so their (1, block_q, 1)
+    # blocks satisfy Mosaic's last-two-dims rule (see _forward).
     delta = jnp.sum(
         dof.astype(jnp.float32) * out.reshape(b * h, sq, d).astype(jnp.float32),
-        axis=-1,
-    )  # [b*h, sq]
+        axis=-1, keepdims=True,
+    )  # [b*h, sq, 1]
+    lse = lse.reshape(b * h, sq, 1)
 
     def call(kernel_fn, static, grid, in_specs, out_specs, out_shape,
              scratch_shapes, cost, operands):
+        outs = out_shape if isinstance(out_shape, (list, tuple)) else [out_shape]
+        ospecs = out_specs if isinstance(out_specs, (list, tuple)) else [out_specs]
+        check_specs(in_specs, [o.shape for o in operands],
+                    kernel=kernel_fn.__name__)
+        check_specs(ospecs, [o.shape for o in outs],
+                    kernel=kernel_fn.__name__, kind="output")
         params = dict(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -473,7 +494,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         )(jnp.asarray(offsets, jnp.int32), *operands)
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0))
-    row_spec = pl.BlockSpec((1, block_q), lambda bh, i, j, *_: (bh, i))
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda bh, i, j, *_: (bh, i, 0))
 
     dq = call(
         _bwd_dq_kernel,
@@ -517,7 +538,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     )
     kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i, *_: (bh, j, 0))
     qrow_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i, *_: (bh, i, 0))
-    row_spec2 = pl.BlockSpec((1, block_q), lambda bh, j, i, *_: (bh, i))
+    row_spec2 = pl.BlockSpec((1, block_q, 1), lambda bh, j, i, *_: (bh, i, 0))
     dk, dv = call(
         _bwd_dkv_kernel,
         dict(

@@ -104,6 +104,8 @@ def _jax_attention(args, attrs, ctx):
     causal = bool(attrs.get("causal", False))
     window = _window(attrs)
     impl = _pick_impl(attrs, [a.shape for a in args], ctx)
+    if ctx is not None:
+        ctx.record(f"attention-impl:{impl}")
     if impl == "flash":
         from .attention import flash_attention_forward
 
@@ -118,6 +120,8 @@ def _jax_attention_grad(args, attrs, ctx):
     causal = bool(attrs.get("causal", False))
     window = _window(attrs)
     impl = _pick_impl(attrs, [a.shape for a in args[:3]], ctx)
+    if ctx is not None:
+        ctx.record(f"attention-grad-impl:{impl}")
     if impl == "flash":
         from .attention import flash_attention_backward
 

@@ -18,6 +18,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .mosaic_check import check_specs
+
 
 def _matmul_impl(
     a: jax.Array,
@@ -148,14 +150,19 @@ def _matmul_impl(
         out_spec = pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j))
         out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
 
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l)),
+        pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
+        *extra_specs,
+    ]
+    check_specs(in_specs, [a.shape, b.shape, *[e.shape for e in extra_arrays]],
+                kernel="pallas_matmul")
+    check_specs([out_spec], [out_shape.shape], kernel="pallas_matmul",
+                kind="output")
     return pl.pallas_call(
         kernel,
         grid=(m // block_m, n // block_n, k // block_k),
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l)),
-            pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
-            *extra_specs,
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],

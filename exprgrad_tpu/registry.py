@@ -34,6 +34,13 @@ class ExternContext:
     dtype: object = None          # numpy scalar type of the program
     precision: object = None      # jax.lax.Precision for contractions
     policy: object = None         # backend.policy.SchedulePolicy or None
+    stats: object = None          # executor lowering-stats dict or None
+
+    def record(self, key: str) -> None:
+        """Count an attributable lowering decision (e.g. which attention
+        impl actually traced) into the executor's lowering_stats."""
+        if self.stats is not None:
+            self.stats[key] = self.stats.get(key, 0) + 1
 
 
 @dataclass

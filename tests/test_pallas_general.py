@@ -69,8 +69,9 @@ def test_scheduled_softmax_lowers_to_pallas():
 
 def test_scheduled_softmax_matches_oracle():
     rng = np.random.default_rng(1)
-    v = (rng.normal(size=(32, 128)) * 5).astype(np.float32)
-    graph = _softmax_graph(tile={"y": 16, "x": 64})
+    v = (rng.normal(size=(32, 256)) * 5).astype(np.float32)
+    # lane-dim tiles must be 128-aligned (Mosaic); 64 would be declined
+    graph = _softmax_graph(tile={"y": 16, "x": 128})
     mj = compile(graph, backend="jax", schedule_mode="force")
     a = mj.call("out", {"inp": v})
     b = compile(graph, backend="interp").call("out", {"inp": v})
@@ -122,12 +123,13 @@ def test_gridded_reduction_axis():
     sums = Fun("sums")
     y, x = iters("y", "x")
     sums[y] = inp[y, x] * 2.0
-    sums.schedule(tile={"y": 32, "x": 64})  # x is the reduction axis
+    sums.schedule(tile={"y": 32, "x": 128})  # x is the reduction axis
     rng = np.random.default_rng(3)
     v = rng.normal(size=(64, 512)).astype(np.float32)
     model = compile(sums.target("sums"), backend="jax", schedule_mode="force")
     out = model.call("sums", {"inp": v})
-    np.testing.assert_allclose(out, (v * 2).sum(axis=1), rtol=1e-5)
+    # gridded accumulation reorders the f32 sum: allow absolute slack
+    np.testing.assert_allclose(out, (v * 2).sum(axis=1), rtol=1e-5, atol=1e-4)
     assert _stats(model).get("pallas-mapreduce") == 1
 
 
@@ -151,7 +153,7 @@ def test_rank1_elementwise():
     out = Fun("out")
     x = iters("x")
     out[x] = exp(inp[x]) + 1.0
-    out.schedule(tile={"x": 64})
+    out.schedule(tile={"x": 128})
     v = np.linspace(-1, 1, 256).astype(np.float32)
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
     got = model.call("out", {"inp": v})
@@ -259,6 +261,23 @@ def test_contraction_shape_stays_on_mxu_paths():
     stats = _stats(model)
     assert stats.get("einsum") == 1
     assert stats.get("pallas-mapreduce") is None
+
+
+def test_misaligned_lane_tile_declines_with_mosaic_reason():
+    """A user tile that would produce a Mosaic-illegal partial block on
+    the lane dim (not 128-aligned) is declined — with the reason — instead
+    of shipping a kernel the chip rejects (the round-2 failure mode)."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = exp(inp[y, x])
+    out.schedule(tile={"x": 64})  # partial 64 over 128 lanes: illegal
+    v = np.linspace(-1, 1, 32 * 128).reshape(32, 128).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning, match="Mosaic-aligned"):
+        got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.exp(v), rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") is None
 
 
 def test_partial_read_reduction():
