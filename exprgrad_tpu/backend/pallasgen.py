@@ -705,23 +705,70 @@ class PallasMapReduce:
             return self._decline("write axes not in loop order")
 
         self.read_axes: dict[int, list[int]] = {}  # data reg -> axes
+        # data reg -> per-dim ("iter"|"stride"|"div", param, offset)
+        self.read_plans: dict[int, list[tuple]] = {}
+        lane_axis = n - 1  # embedded lane dim (after rank-1 padding too)
         for read in kernel.reads:
             if read.is_raw:
                 return self._decline("raw read")
             shape = low.shapes[read.tensor]
             axes = []
+            plans = []  # per dim: ("iter", 1, 0) | ("stride", s, c) | ("div", k, 0)
             for d, index in enumerate(read.dims):
                 axis = low._pure_iter(index)
-                if axis is None or not low._full_axis(axis, shape[d]):
+                if axis is not None and low._full_axis(axis, shape[d]):
+                    axes.append(axis)
+                    plans.append(("iter", 1, 0))
+                    continue
+                # windowed/strided read family: s*i + c (pool windows,
+                # shifted stencils) and i // k (upsampling) — the
+                # reference's clgen emits any computed body
+                # (clgen.nim:249-257); here the input block covers the
+                # transformed extent and the kernel slices/repeats it.
+                deps = low._linear_deps(index)
+                if len(deps) != 1:
                     return self._decline(
-                        "read index is not a full-range iterator"
+                        "read index is not a single-iterator form"
                     )
-                axes.append(axis)
+                axis = next(iter(deps))
+                if axis == lane_axis:
+                    return self._decline(
+                        "transformed read on the lane axis"
+                    )
+                L = low.sizes[axis]
+                vec = low._static_dim_vector(index, axis)
+                if vec is None or vec.shape != (L,):
+                    return self._decline(
+                        "read index is not statically affine"
+                    )
+                D = int(shape[d])
+                c0 = int(vec[0])
+                s = int(vec[1] - vec[0]) if L > 1 else 1
+                if s >= 1 and np.array_equal(vec, np.arange(L) * s + c0):
+                    if not (0 <= c0 < s) or D != s * L:
+                        return self._decline(
+                            "affine read offset/extent is not "
+                            "block-coverable (needs 0 <= c < s, dim = s*L)"
+                        )
+                    axes.append(axis)
+                    plans.append(("stride", s, c0))
+                    continue
+                if D >= 1 and L % D == 0 and np.array_equal(
+                    vec, np.repeat(np.arange(D), L // D)
+                ):
+                    axes.append(axis)
+                    plans.append(("div", L // D, 0))
+                    continue
+                return self._decline(
+                    "read index is neither affine (s*i + c) nor a "
+                    "grouping (i // k)"
+                )
             if len(set(axes)) != len(axes):
                 return self._decline("repeated read iterator")
             if axes != sorted(axes):
                 return self._decline("read axes not in loop order")
             self.read_axes[read.data] = axes
+            self.read_plans[read.data] = plans
 
         # expression: pure elementwise over the read registers
         defined = set(self.read_axes)
@@ -791,6 +838,18 @@ class PallasMapReduce:
                 return sub_req
             return 1
 
+        # per-axis block-size requirement: Mosaic alignment, plus k-
+        # divisibility for grouped (i // k) reads (the input block is
+        # block/k and must itself stay aligned)
+        from math import gcd
+
+        req = {a: align_of(a) for a in range(n)}
+        for data, axes in self.read_axes.items():
+            for a, (kind, p, _c) in zip(axes, self.read_plans[data]):
+                if kind == "div":
+                    need = p * align_of(a)
+                    req[a] = req[a] * need // gcd(req[a], need)
+
         user_tiled: set[int] = set()
         shared: set[int] = set()
         for axis, loop in enumerate(loops):
@@ -804,10 +863,10 @@ class PallasMapReduce:
                         f"tile size {loop.schedule.tile_size} does not divide "
                         f"extent {sizes[axis]}"
                     )
-                if t < sizes[axis] and t % align_of(axis) != 0:
+                if t < sizes[axis] and t % req[axis] != 0:
                     return self._decline(
                         f"tile size {t} on loop {axis} is not Mosaic-aligned "
-                        f"(needs a multiple of {align_of(axis)} on this dim)"
+                        f"(needs a multiple of {req[axis]} on this dim)"
                     )
                 block[axis] = t
                 user_tiled.add(axis)
@@ -833,8 +892,15 @@ class PallasMapReduce:
             total = 0
             for read in kernel.reads:
                 elems = 1
-                for a in self.read_axes[read.data]:
-                    elems *= block[a]
+                for a, (kind, p, _c) in zip(
+                    self.read_axes[read.data], self.read_plans[read.data]
+                ):
+                    if kind == "stride":
+                        elems *= block[a] * p
+                    elif kind == "div":
+                        elems *= max(1, block[a] // p)
+                    else:
+                        elems *= block[a]
                 # double-buffered DMA block + the f32 copy the kernel makes
                 total += elems * (2 * item + 4)
             out_elems = 1
@@ -868,7 +934,7 @@ class PallasMapReduce:
             for a in cands:
                 if block[a] <= 128:
                     continue
-                nb = _best_block_aligned(sizes[a], block[a] // 2, align_of(a))
+                nb = _best_block_aligned(sizes[a], block[a] // 2, req[a])
                 if nb < block[a]:
                     block[a] = nb
                     self.red_grid_axis = a if block[a] < sizes[a] else None
@@ -882,7 +948,7 @@ class PallasMapReduce:
                 key=lambda a: -block[a],
             )
             for a in outs:
-                nb = _best_block_aligned(sizes[a], block[a] // 2, align_of(a))
+                nb = _best_block_aligned(sizes[a], block[a] // 2, req[a])
                 if nb < block[a]:
                     block[a] = nb
                     shrunk = True
@@ -958,18 +1024,34 @@ class PallasMapReduce:
 
         in_specs = []
         operands = []
+        # per read: in-kernel transforms [(embedded pos, kind, param, off)]
+        read_transforms: list[list[tuple]] = []
         for read in kernel.reads:
             axes = self.read_axes[read.data]
-            arr = tensors[read.tensor].reshape(
-                embed_shape(axes, [sizes[a] for a in axes])
-            )
+            plans = self.read_plans[read.data]
+            extents, blocks, transforms = [], [], []
+            for a, (kind, p, c) in zip(axes, plans):
+                if kind == "stride":
+                    # input block covers the s-wide window band; the
+                    # kernel takes the phase-c strided slice
+                    extents.append(sizes[a] * p)
+                    blocks.append(block[a] * p)
+                    transforms.append((a + pad, "stride", p, c))
+                elif kind == "div":
+                    # input block is 1/k of the output block; the kernel
+                    # repeats each element k times
+                    extents.append(sizes[a] // p)
+                    blocks.append(max(1, block[a] // p))
+                    transforms.append((a + pad, "div", p, 0))
+                else:
+                    extents.append(sizes[a])
+                    blocks.append(block[a])
+            arr = tensors[read.tensor].reshape(embed_shape(axes, extents))
             operands.append(arr)
             in_specs.append(
-                pl.BlockSpec(
-                    embed_shape(axes, [block[a] for a in axes]),
-                    index_map_for(axes),
-                )
+                pl.BlockSpec(embed_shape(axes, blocks), index_map_for(axes))
             )
+            read_transforms.append(transforms)
         out_block = embed_shape(self.out_axes, [block[a] for a in self.out_axes])
         out_embed = embed_shape(
             self.out_axes, [sizes[a] for a in self.out_axes]
@@ -984,8 +1066,20 @@ class PallasMapReduce:
         def body(*refs):
             o_ref = refs[n_reads]
             env = {}
-            for read, ref in zip(kernel.reads, refs[:n_reads]):
-                env[read.data] = ref[...].astype(jnp.float32)
+            for read, ref, transforms in zip(
+                kernel.reads, refs[:n_reads], read_transforms
+            ):
+                val = ref[...].astype(jnp.float32)
+                for pos, kind, p, c in transforms:
+                    if kind == "stride":
+                        width = val.shape[pos] // p
+                        val = jax.lax.slice_in_dim(
+                            val, c, c + p * (width - 1) + 1, stride=p,
+                            axis=pos,
+                        )
+                    else:  # div: expand each input element k times
+                        val = jnp.repeat(val, p, axis=pos)
+                env[read.data] = val
             value = eval_elementwise(kernel.expr.instrs, kernel.expr.res, env)
             value = jnp.asarray(value, jnp.float32)
             if value.ndim != rank:

@@ -157,6 +157,49 @@ def main() -> None:
     assert rel < 1e-4, rel
     print("FUSED CHAIN OK", flush=True)
 
+    # windowed/strided Pallas family on-chip: scheduled maxpool (strided
+    # window reads) and upsample (grouped i//k reads) through the
+    # map/reduce emitter
+    from exprgrad_tpu import iters as _iters
+
+    i_, y_, x_, c_ = _iters("i", "y", "x", "c")
+    imgs_in = input("imgs")
+    pool = Fun("pool")
+    pool[i_, y_, x_, c_] = maximum(
+        maximum(imgs_in[i_, y_ * 2, x_ * 2, c_],
+                imgs_in[i_, y_ * 2 + 1, x_ * 2, c_]),
+        maximum(imgs_in[i_, y_ * 2, x_ * 2 + 1, c_],
+                imgs_in[i_, y_ * 2 + 1, x_ * 2 + 1, c_]),
+    )
+    pool.schedule(tile={"y": 16})
+    pm = compile(pool.target("pool"), backend="jax", schedule_mode="force")
+    pv = rng.normal(size=(4, 64, 64, 128)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(pm.call("pool", {"imgs": pv}))
+    print(f"scheduled maxpool: {time.time()-t0:.1f}s", flush=True)
+    want = pv.reshape(4, 32, 2, 32, 2, 128).max(axis=(2, 4))
+    assert np.array_equal(got, want)
+    pstats = pm.lowering_stats("pool")
+    print("pool stats:", pstats, flush=True)
+    assert pstats.get("pallas-mapreduce") == 1, pstats
+
+    upi = input("upimgs")
+    i_, y_, x_, c_ = _iters("i", "y", "x", "c")
+    up = Fun("up")
+    up[i_, y_, x_, c_] = upi[i_, y_ // 2, x_ // 2, c_]
+    up.with_shape([upi.shape[0], upi.shape[1] * 2, upi.shape[2] * 2,
+                   upi.shape[3]])
+    up.schedule(tile={"y": 16})
+    um = compile(up.target("up"), backend="jax", schedule_mode="force")
+    uv = rng.normal(size=(4, 32, 32, 128)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(um.call("up", {"upimgs": uv}))
+    print(f"scheduled upsample: {time.time()-t0:.1f}s", flush=True)
+    assert np.array_equal(got, np.repeat(np.repeat(uv, 2, 1), 2, 2))
+    ustats = um.lowering_stats("up")
+    assert ustats.get("pallas-mapreduce") == 1, ustats
+    print("WINDOWED/STRIDED PALLAS FAMILY OK", flush=True)
+
     # flash_transformer: one real train step on-chip (extern fused
     # attention through the symbolic backward), finite + loss sane
     from exprgrad_tpu.models import flash_transformer

@@ -22,6 +22,8 @@ from exprgrad_tpu import (
     exp,
     input,
     iters,
+    maximum,
+    select,
     sq,
     sqrt,
 )
@@ -227,20 +229,24 @@ def test_ignore_mode_is_silent():
 
 
 def test_unsupported_schedule_warns_in_force_mode():
-    """A scheduled kernel the emitters cannot map (non-iterator read index)
-    warns and falls back — never silently dropped."""
+    """A scheduled kernel the emitters cannot map (a read dim mixing two
+    iterators) warns and falls back — never silently dropped.  (Grouped
+    ``y // 2`` reads used to be the example here; they are now a
+    supported read family.)"""
     inp = input("inp")
     out = Fun("out")
     y, x = iters("y", "x")
-    out[y, x] = inp[y // 2, x]  # grouped read: not a pure iterator
-    out.with_shape([inp.shape[0] * 2, inp.shape[1]])
+    out[y, x] = inp[y + x, x]  # two iterators in one read dim
+    out.with_shape([inp.shape[1], inp.shape[1]])
     out.schedule(tile={"y": 16})
     rng = np.random.default_rng(6)
-    v = rng.normal(size=(16, 64)).astype(np.float32)
+    v = rng.normal(size=(128, 64)).astype(np.float32)
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
     with pytest.warns(ScheduleWarning, match="unsupported kernel shape"):
         got = model.call("out", {"inp": v})
-    np.testing.assert_allclose(got, np.repeat(v, 2, axis=0))
+    want = v[np.arange(64)[:, None] + np.arange(64)[None, :],
+             np.arange(64)[None, :].repeat(64, 0)]
+    np.testing.assert_allclose(got, want)
 
 
 def test_contraction_shape_stays_on_mxu_paths():
@@ -261,6 +267,129 @@ def test_contraction_shape_stays_on_mxu_paths():
     stats = _stats(model)
     assert stats.get("einsum") == 1
     assert stats.get("pallas-mapreduce") is None
+
+
+def test_scheduled_maxpool_lowers_to_pallas():
+    """Strided window reads (s*i + c): a scheduled 2x2 maxpool honors its
+    schedule through the Pallas emitter (VERDICT r2 missing #1; the
+    reference compiles any scheduled body, clgen.nim:249-257)."""
+    imgs = input("imgs")
+    i, y, x, c = iters("i", "y", "x", "c")
+    out = Fun("out")
+    out[i, y, x, c] = maximum(
+        maximum(imgs[i, y * 2, x * 2, c], imgs[i, y * 2 + 1, x * 2, c]),
+        maximum(imgs[i, y * 2, x * 2 + 1, c],
+                imgs[i, y * 2 + 1, x * 2 + 1, c]),
+    )
+    out.schedule(tile={"y": 8})
+    rng = np.random.default_rng(10)
+    v = rng.normal(size=(2, 16, 16, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"imgs": v})
+    want = v.reshape(2, 8, 2, 8, 2, 128).max(axis=(2, 4))
+    np.testing.assert_allclose(got, want)
+    assert _stats(model).get("pallas-mapreduce") == 1
+    oracle = compile(out.target("out"), backend="interp").call(
+        "out", {"imgs": v}
+    )
+    np.testing.assert_allclose(got, oracle)
+
+
+def test_scheduled_avgpool_strided_sum():
+    imgs = input("imgs")
+    i, y, x, c = iters("i", "y", "x", "c")
+    out = Fun("out")
+    out[i, y, x, c] = (
+        imgs[i, y * 2, x * 2, c] + imgs[i, y * 2 + 1, x * 2, c]
+        + imgs[i, y * 2, x * 2 + 1, c] + imgs[i, y * 2 + 1, x * 2 + 1, c]
+    ) / 4.0
+    out.schedule(tile={"i": 1})
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=(2, 8, 8, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"imgs": v})
+    want = v.reshape(2, 4, 2, 4, 2, 128).mean(axis=(2, 4))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_upsample_div_read():
+    """Grouped reads (i // k): scheduled 2x upsampling repeats the input
+    block in VMEM."""
+    imgs = input("imgs")
+    i, y, x, c = iters("i", "y", "x", "c")
+    up = Fun("up")
+    up[i, y, x, c] = imgs[i, y // 2, x // 2, c]
+    up.with_shape([imgs.shape[0], imgs.shape[1] * 2, imgs.shape[2] * 2,
+                   imgs.shape[3]])
+    up.schedule(tile={"y": 8})
+    rng = np.random.default_rng(12)
+    v = rng.normal(size=(2, 8, 8, 128)).astype(np.float32)
+    model = compile(up.target("up"), backend="jax", schedule_mode="force")
+    got = model.call("up", {"imgs": v})
+    want = np.repeat(np.repeat(v, 2, axis=1), 2, axis=2)
+    np.testing.assert_allclose(got, want)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_pool_gradient_shape():
+    """The maxpool-gradient kernel shape: a select(==) routing between a
+    full-range read and two grouped (i // 2) reads."""
+    imgs, pooled, gout = input("imgs"), input("pooled"), input("gout")
+    i, y, x, c = iters("i", "y", "x", "c")
+    gin = Fun("gin")
+    gin[i, y, x, c] = select(
+        imgs[i, y, x, c] == pooled[i, y // 2, x // 2, c],
+        gout[i, y // 2, x // 2, c],
+        0.0,
+    )
+    gin.schedule(tile={"y": 8})
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=(1, 16, 16, 128)).astype(np.float32)
+    p = v.reshape(1, 8, 2, 8, 2, 128).max(axis=(2, 4))
+    g = rng.normal(size=p.shape).astype(np.float32)
+    model = compile(gin.target("gin"), backend="jax", schedule_mode="force")
+    got = model.call("gin", {"imgs": v, "pooled": p, "gout": g})
+    sel = v == np.repeat(np.repeat(p, 2, 1), 2, 2)
+    want = np.where(sel, np.repeat(np.repeat(g, 2, 1), 2, 2), 0.0)
+    np.testing.assert_allclose(got, want)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_transformed_lane_read_declines():
+    """Strided/grouped reads on the LANE axis decline (Mosaic restriction)
+    with a reason rather than shipping a broken kernel."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = inp[y, x // 2]
+    out.with_shape([inp.shape[0], inp.shape[1] * 2])
+    out.schedule(tile={"y": 8})
+    rng = np.random.default_rng(14)
+    v = rng.normal(size=(16, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning, match="lane axis"):
+        got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.repeat(v, 2, axis=1))
+    assert _stats(model).get("pallas-mapreduce") is None
+
+
+def test_shifted_read_declines():
+    """A plain shift (i + 1) crosses block boundaries — declined, correct
+    via XLA."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = inp[y + 1, x]
+    out.with_shape([inp.shape[0] - 1, inp.shape[1]])
+    out.schedule(tile={"y": 8})
+    rng = np.random.default_rng(15)
+    v = rng.normal(size=(17, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning):
+        got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, v[1:])
+    assert _stats(model).get("pallas-mapreduce") is None
 
 
 def test_misaligned_lane_tile_declines_with_mosaic_reason():
