@@ -82,10 +82,13 @@ def _mha_core(
     impl: str,
     init: float,
     window: Optional[int],
+    prefix: str = "",
 ) -> Fun:
     """Shared projections + fused core for self- and cross-attention.
-    Parameter names (wq/wk/wv/wo) and kernel structure are part of the
-    serving contract (FlashLMServer matches them) — keep stable."""
+    Parameter names (wq/wk/wv/wo, optionally namespaced by ``prefix``)
+    and kernel structure are part of the serving contract (FlashLMServer
+    matches the unprefixed sequence; Seq2SeqServer extracts prefixed
+    names) — keep stable."""
     if dim % heads:
         raise ValueError(f"dim ({dim}) must be divisible by heads ({heads})")
     kvh = heads if kv_heads is None else kv_heads
@@ -97,7 +100,7 @@ def _mha_core(
     rng = (-init, init)
 
     def proj(src: Fun, name: str, nheads: int, in_dim: int) -> Fun:
-        w = param([nheads, in_dim, hd], init_range=rng, name=name)
+        w = param([nheads, in_dim, hd], init_range=rng, name=prefix + name)
         n, h, t, c, d = iters("n", "h", "t", "c", "d")
         out = Fun(name + ".out")
         out[n, h, t, d] = src[n, t, c] * w[h, c, d]
@@ -112,7 +115,7 @@ def _mha_core(
         window=window,
     )
 
-    wo = param([heads, hd, dim], init_range=rng, name="wo")
+    wo = param([heads, hd, dim], init_range=rng, name=prefix + "wo")
     n, h, t, d, e = iters("n", "h", "t", "d", "e")
     out = Fun()
     out[n, t, e] = att[n, h, t, d] * wo[h, d, e]
@@ -129,6 +132,7 @@ def multi_head_attention(
     impl: str = "auto",
     init: float = 0.1,
     window: Optional[int] = None,
+    prefix: str = "",
 ) -> Fun:
     """Multi-head self-attention over ``[batch, seq, dim]`` inputs.
 
@@ -139,7 +143,7 @@ def multi_head_attention(
     grouped-query attention with a smaller KV projection.
     """
     return _mha_core(x, x, dim, dim, heads, causal, kv_heads, impl, init,
-                     window)
+                     window, prefix)
 
 
 @layer
@@ -152,6 +156,7 @@ def multi_head_cross_attention(
     kv_heads: Optional[int] = None,
     impl: str = "auto",
     init: float = 0.1,
+    prefix: str = "",
 ) -> Fun:
     """Cross-attention: queries from ``x`` [batch, t, dim], keys/values
     from ``context`` [batch, s, context_dim] (defaults to ``dim``) — the
@@ -161,4 +166,4 @@ def multi_head_cross_attention(
     context), and the fused kernels handle ``t != s`` natively.
     """
     return _mha_core(x, context, dim, context_dim or dim, heads, False,
-                     kv_heads, impl, init, None)
+                     kv_heads, impl, init, None, prefix)

@@ -27,15 +27,19 @@ def _lead(values: Fun, rank: Optional[int]) -> list:
 
 @layer
 def dense(values: Fun, inp: int, outp: int, has_bias: bool = True,
-          rank: Optional[int] = None) -> Fun:
-    """Affine map along the last dim over any number of leading dims."""
-    weights = param([inp, outp], name="weights")
+          rank: Optional[int] = None, prefix: str = "") -> Fun:
+    """Affine map along the last dim over any number of leading dims.
+
+    ``prefix`` namespaces the parameter names ("<prefix>weights"/"bias")
+    so servers can extract weights by unique name (the encoder-decoder
+    serving contract, models/seq2seq_serve.py)."""
+    weights = param([inp, outp], name=prefix + "weights")
     lead = _lead(values, rank)
     x, it = iters("x", "it")
     out = Fun()
     out[(*lead, x)] = values[(*lead, it)] * weights[it, x]
     if has_bias:
-        bias = param([outp], name="bias")
+        bias = param([outp], name=prefix + "bias")
         lead = _lead(values, rank)
         x = iters("x")
         out[(*lead, x)] = bias[x]
@@ -262,7 +266,8 @@ def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
 
 @layer
 def rms_norm(inp: Fun, dim: int, eps: float = 1e-5,
-             init: float = 0.1, rank: Optional[int] = None) -> Fun:
+             init: float = 0.1, rank: Optional[int] = None,
+             prefix: str = "") -> Fun:
     """RMS normalization along the last dim (Zhang & Sennrich 2019):
     x / rms(x) * gamma, no mean subtraction — the norm used by modern LMs.
     Applies over any number of leading dims."""
@@ -273,7 +278,8 @@ def rms_norm(inp: Fun, dim: int, eps: float = 1e-5,
     x = iters("x")
     ms[tuple(lead)] = sq(inp[(*lead, x)]) * (1.0 / dim)
 
-    gamma = param([dim], init_range=(1.0 - init, 1.0 + init), name="rms.g")
+    gamma = param([dim], init_range=(1.0 - init, 1.0 + init),
+                  name=prefix + "rms.g")
     lead = _lead(inp, rank)
     x = iters("x")
     out = Fun("rms.out")

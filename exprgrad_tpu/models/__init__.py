@@ -5,9 +5,10 @@ from .mnist import fashion_mnist_cnn
 from .gan import mnist_gan
 from .autoencoder import conv_autoencoder
 from .seq2seq import greedy_decode, tiny_seq2seq
+from .seq2seq_serve import Seq2SeqServer
 from .transformer import flash_transformer, tiny_transformer
 from .mixer import tiny_mixer
 from .mobile import mobile_cnn
 from .serve import FlashLMServer
 
-__all__ = ["FlashLMServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

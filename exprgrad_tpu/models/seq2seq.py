@@ -88,15 +88,21 @@ def tiny_seq2seq(
     rng = (-init, init)
 
     # --- encoder ---------------------------------------------------------
+    # every parameter is name-prefixed: the graph interleaves encoder and
+    # decoder parameter registration (lazy construction), so serving
+    # extracts weights by unique NAME, not traversal order
+    # (models/seq2seq_serve.py Seq2SeqServer)
     src = input("src")
     e = _embed(src, vocab, dim, max_src, rng, "src")
     enc_att = multi_head_attention(
-        rms_norm(e, dim, rank=3), dim, heads, causal=False, impl=impl,
+        rms_norm(e, dim, rank=3, prefix="enc.att."), dim, heads,
+        causal=False, impl=impl, prefix="enc.att.",
     )
     e = _residual(enc_att, e, "enc.att")
     enc_ff = dense(
-        relu(dense(rms_norm(e, dim, rank=3), dim, hidden, rank=3)),
-        hidden, dim, rank=3,
+        relu(dense(rms_norm(e, dim, rank=3, prefix="enc.ffn."), dim,
+                   hidden, rank=3, prefix="enc.ffn1.")),
+        hidden, dim, rank=3, prefix="enc.ffn2.",
     )
     enc = _residual(enc_ff, e, "enc.out")
 
@@ -104,20 +110,24 @@ def tiny_seq2seq(
     tgt = input("tgt")
     x = _embed(tgt, vocab, dim, max_tgt, rng, "tgt")
     self_att = multi_head_attention(
-        rms_norm(x, dim, rank=3), dim, heads, causal=True, impl=impl,
+        rms_norm(x, dim, rank=3, prefix="dec.self."), dim, heads,
+        causal=True, impl=impl, prefix="dec.self.",
     )
     x = _residual(self_att, x, "dec.self")
     cross = multi_head_cross_attention(
-        rms_norm(x, dim, rank=3), enc, dim, heads, impl=impl,
+        rms_norm(x, dim, rank=3, prefix="dec.cross."), enc, dim, heads,
+        impl=impl, prefix="dec.cross.",
     )
     x = _residual(cross, x, "dec.cross")
     ff = dense(
-        relu(dense(rms_norm(x, dim, rank=3), dim, hidden, rank=3)),
-        hidden, dim, rank=3,
+        relu(dense(rms_norm(x, dim, rank=3, prefix="dec.ffn."), dim,
+                   hidden, rank=3, prefix="dec.ffn1.")),
+        hidden, dim, rank=3, prefix="dec.ffn2.",
     )
     x = _residual(ff, x, "dec.out")
 
-    logits = dense(rms_norm(x, dim, rank=3), dim, vocab, rank=3)
+    logits = dense(rms_norm(x, dim, rank=3, prefix="head."), dim, vocab,
+                   rank=3, prefix="head.")
     predict = softmax(logits, rank=3).target("predict")
 
     labels = input("labels")

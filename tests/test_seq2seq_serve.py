@@ -1,0 +1,143 @@
+"""Encoder-decoder KV-cache serving (Seq2SeqServer).
+
+Parity contract: prefill probabilities match the compiled model's
+"predict" target, and greedy generation matches ``greedy_decode``
+token for token — while decoding with per-token cost independent of the
+generated length (encode-once + cached self-attention + precomputed
+cross K/V), vs greedy_decode's O(t²) full re-forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from exprgrad_tpu import compile
+from exprgrad_tpu.errors import ModelRuntimeError
+from exprgrad_tpu.models import (
+    Seq2SeqServer,
+    flash_transformer,
+    greedy_decode,
+    tiny_seq2seq,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return compile(tiny_seq2seq(), seed=0)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """A model trained on sequence reversal (non-degenerate weights)."""
+    rng = np.random.default_rng(0)
+    m = compile(tiny_seq2seq(eta=0.02), seed=1)
+    src = rng.integers(1, 8, (32, 6)).astype(np.float32)
+    rev = src[:, ::-1]
+    tgt = np.concatenate(
+        [np.zeros((32, 1), np.float32), rev[:, :-1]], axis=1
+    )
+    labels = np.eye(8, dtype=np.float32)[rev.astype(int)]
+    for _ in range(300):
+        m.epoch += 1
+        m.apply("train", {"src": src, "tgt": tgt, "labels": labels})
+    return m
+
+
+def test_prefill_matches_predict_target(model):
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 8, (3, 8)).astype(np.float32)
+    tgt = rng.integers(0, 8, (3, 5)).astype(np.float32)
+    probs = np.asarray(model.call("predict", {"src": src, "tgt": tgt}))
+    server = Seq2SeqServer(model)
+    enc = server.encode(src)
+    logits, _ = server.prefill(tgt, enc, server.init_caches(3, capacity=8))
+    got = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, probs, atol=1e-5)
+
+
+def test_greedy_generation_matches_greedy_decode(model):
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 8, (4, 8)).astype(np.float32)
+    want = greedy_decode(model, src, n_new=7)
+    got = np.asarray(Seq2SeqServer(model).generate(src, n_new=7))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_trained_model_serves_reversal(trained):
+    """The served trained model still solves the task (weights are real,
+    not init noise) and matches greedy_decode."""
+    rng = np.random.default_rng(3)
+    # memorized training batch prefix (seen data: tests the serving path
+    # with real weights, not generalization)
+    src = np.asarray(
+        np.random.default_rng(0).integers(1, 8, (32, 6)), np.float32
+    )[:8]
+    server = Seq2SeqServer(trained)
+    got = np.asarray(server.generate(src, n_new=6))
+    want = greedy_decode(trained, src, n_new=6)
+    np.testing.assert_array_equal(got, want)
+    # the task itself: output is the reversed source
+    acc = (got == src[:, ::-1].astype(np.int64)).mean()
+    assert acc > 0.9, acc
+
+
+def test_incremental_decode_is_stepwise(trained):
+    """decode() one token at a time reproduces a whole-prefix prefill."""
+    rng = np.random.default_rng(4)
+    src = rng.integers(1, 8, (2, 6)).astype(np.float32)
+    server = Seq2SeqServer(trained)
+    enc = server.encode(src)
+    tgt = rng.integers(0, 8, (2, 5)).astype(np.float32)
+
+    full_logits, _ = server.prefill(
+        tgt, enc, server.init_caches(2, capacity=8)
+    )
+    caches = server.init_caches(2, capacity=8)
+    steps = []
+    for i in range(5):
+        logits, caches = server._step(tgt[:, i:i + 1], enc, caches)
+        steps.append(np.asarray(logits)[:, 0])
+    np.testing.assert_allclose(
+        np.stack(steps, axis=1), np.asarray(full_logits), atol=1e-5
+    )
+
+
+def test_sampling_temperature_runs(model):
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 8, (2, 8)).astype(np.float32)
+    server = Seq2SeqServer(model)
+    a = np.asarray(server.generate(src, n_new=5, temperature=1.0, seed=1))
+    b = np.asarray(server.generate(src, n_new=5, temperature=1.0, seed=1))
+    np.testing.assert_array_equal(a, b)  # same seed -> deterministic
+    assert a.shape == (2, 5)
+    assert (a >= 0).all() and (a < 8).all()
+
+
+def test_rejects_wrong_model_family():
+    m = compile(flash_transformer(vocab=8, dim=16, heads=2, hidden=32,
+                                  max_seq=16), seed=0)
+    # flash_transformer fails either on duplicate unprefixed names or on
+    # missing prefixed ones — both carry the family hint
+    with pytest.raises(ModelRuntimeError, match="Seq2SeqServer serves"):
+        Seq2SeqServer(m)
+
+
+def test_bounds_validation(model):
+    server = Seq2SeqServer(model)
+    src = np.zeros((1, 8), np.float32)
+    with pytest.raises(ModelRuntimeError, match="max_tgt"):
+        server.generate(src, n_new=64)
+    with pytest.raises(ModelRuntimeError, match="max_src"):
+        server.generate(np.zeros((1, 64), np.float32), n_new=4)
+
+
+def test_compile_cache_no_retrace(model):
+    server = Seq2SeqServer(model)
+    src = np.zeros((2, 8), np.float32)
+    server.generate(src, n_new=4)
+    n = len(server._jit_cache)
+    server.generate(src, n_new=4)
+    assert len(server._jit_cache) == n  # same config: no new entry
+    server.generate(src, n_new=5)
+    assert len(server._jit_cache) == n + 1
