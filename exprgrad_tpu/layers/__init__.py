@@ -60,6 +60,7 @@ from .dnn import (
     tanh,
     upsample2,
 )
+from .moe import moe_ffn
 
 __all__ = [
     "adam", "adamw", "add", "avgpool2", "binary_cross_entropy", "conv2",
@@ -67,6 +68,7 @@ __all__ = [
     "div_scalar",
     "dropout", "fused_attention", "gradient_descent", "huber",
     "l1_loss", "lion",
+    "moe_ffn",
     "momentum", "multi_head_attention", "multi_head_cross_attention",
     "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
     "layer_norm",

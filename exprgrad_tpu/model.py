@@ -73,6 +73,7 @@ class Model:
         self._rng = np.random.default_rng(seed)
         self._executors: dict = {}
         self._call_count = 0
+        self.batch_buckets = None  # see set_batch_buckets
 
         dtype = np.dtype(self.program.scalar_type.value)
         if dtype == np.float64 and backend == "jax":
@@ -421,19 +422,110 @@ class Model:
             return np.asarray(result[target.output])
         return None
 
+    def set_batch_buckets(self, buckets) -> None:
+        """Enable shape-bucketed padding for :meth:`call`.
+
+        Every new input-shape signature costs a fresh XLA trace+compile
+        (25s–5min through this platform's tunnel — SURVEY §7 "hard
+        parts"; the reference instead JITs one shape-polymorphic function
+        per target, model.nim:392-406).  With buckets set, ``call`` pads
+        the leading (batch) dim of its inputs up to the next bucket
+        boundary and slices the output back, so every batch size within a
+        bucket reuses ONE compiled executor.
+
+        ``buckets``: a sorted list of sizes (e.g. ``[8, 32, 128]``), or
+        ``"pow2"`` to round up to the next power of two.  Padding
+        replicates the last row (no NaN-generating zero rows through
+        softmax/log paths).
+
+        Scope: per-row-independent *inference* targets.  Targets that
+        update parameters or caches (training) are never bucketed — the
+        padded rows would change batch-mean losses and gradients — and
+        run at their exact shape.  Scalar-output targets (e.g. "loss")
+        pass through unsliced: the padded rows DO contribute there, so
+        keep bucketing to per-row targets.
+        """
+        if buckets == "pow2":
+            self.batch_buckets = "pow2"
+            return
+        bl = sorted(int(b) for b in buckets)
+        if not bl or bl[0] < 1:
+            raise ModelRuntimeError(
+                "batch buckets must be a non-empty list of positive sizes "
+                "or 'pow2'"
+            )
+        self.batch_buckets = bl
+
+    def _bucket_for(self, b: int) -> int:
+        if self.batch_buckets == "pow2":
+            n = 1
+            while n < b:
+                n *= 2
+            return n
+        for size in self.batch_buckets:
+            if size >= b:
+                return size
+        return b  # beyond the largest bucket: run exact
+
+    def _target_mutates(self, target_name: str) -> bool:
+        """Does the target write any parameter or cache tensor?"""
+        mutating = (ir.TensorKind.PARAM, ir.TensorKind.CACHE)
+        return any(
+            kern.write is not None
+            and self.program.tensors[kern.write.tensor].kind in mutating
+            for kern in self.program.targets[target_name].kernels
+        )
+
     def call(
         self, target_name: str, args: Optional[dict[str, np.ndarray]] = None
     ) -> np.ndarray:
-        """Compute the value of a target for the given inputs."""
+        """Compute the value of a target for the given inputs.
+
+        With :meth:`set_batch_buckets` active, inference targets run at
+        the padded bucket size and the output is sliced back — batch-size
+        changes within a bucket reuse the compiled executor."""
         args = args or {}
         if target_name not in self.program.targets:
             raise ModelRuntimeError(
                 f"{target_name!r} is not a target of the model"
             )
+        b = padded = None
+        if (
+            self.batch_buckets is not None
+            and args
+            and not self._target_mutates(target_name)
+        ):
+            b = int(next(iter(
+                np.shape(v)[0] for v in args.values() if np.shape(v)
+            ), 0))
+            padded = self._bucket_for(b) if b else None
+            if padded is not None and padded > b:
+                args = {
+                    name: (
+                        np.pad(
+                            np.asarray(v),
+                            [(0, padded - b)] + [(0, 0)] * (np.ndim(v) - 1),
+                            mode="edge",
+                        )
+                        if np.shape(v) and np.shape(v)[0] == b
+                        else v
+                    )
+                    for name, v in args.items()
+                }
+            else:
+                padded = None
         shapes = infer_shapes(
             self.program, target_name, self._input_shapes(target_name, args)
         )
-        return self._run(target_name, args, shapes)
+        out = self._run(target_name, args, shapes)
+        if (
+            padded is not None
+            and out is not None
+            and np.ndim(out) >= 1
+            and np.shape(out)[0] == padded
+        ):
+            out = out[:b]
+        return out
 
     def apply(
         self, target_name: str, args: Optional[dict[str, np.ndarray]] = None

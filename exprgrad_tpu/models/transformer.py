@@ -189,6 +189,8 @@ def flash_transformer(
     remat: bool = False,
     opt=None,
     window=None,
+    moe_experts: int = 0,
+    moe_k: int = 2,
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
     the flagship DSL transformer.  ``opt`` overrides the default
@@ -210,9 +212,15 @@ def flash_transformer(
     hidden (the largest cheap activations) for recompute-in-backward —
     gradient kernels read CSE-fenced recomputed copies instead of keeping
     the forward values alive across the whole backward pass.
+
+    ``moe_experts > 0`` replaces every block's dense FFN with a top-
+    ``moe_k`` routed mixture-of-experts FFN (``layers.moe_ffn``, extern
+    forward+backward — the sparse-FFN LM family).
     """
     from ..expr import ln
-    from ..layers import dense, multi_head_attention, relu, rms_norm, softmax
+    from ..layers import (
+        dense, moe_ffn, multi_head_attention, relu, rms_norm, softmax,
+    )
 
     rng = (-init, init)
     tokens = input("tokens")
@@ -227,12 +235,19 @@ def flash_transformer(
             kv_heads=kv_heads, impl=impl, window=window,
         )
         x = _residual(att, x, f"blk{b}.att")
-        ff = dense(
-            marked(relu(marked(dense(
-                marked(rms_norm(x, dim, rank=3)), dim, hidden, rank=3
-            )))),
-            hidden, dim, rank=3,
-        )
+        if moe_experts > 0:
+            ff = moe_ffn(
+                marked(rms_norm(x, dim, rank=3)), dim, hidden,
+                n_experts=moe_experts, k=moe_k, init=init,
+                prefix=f"blk{b}.",
+            )
+        else:
+            ff = dense(
+                marked(relu(marked(dense(
+                    marked(rms_norm(x, dim, rank=3)), dim, hidden, rank=3
+                )))),
+                hidden, dim, rank=3,
+            )
         x = _residual(ff, x, f"blk{b}.ff")
 
     logits = dense(rms_norm(x, dim, rank=3), dim, vocab, rank=3)

@@ -210,3 +210,5 @@ def _np_attention_grad(args, attrs):
 
 register_extern("attention", 2, _jax_attention, _np_attention)
 register_extern("attention_grad", 3, _jax_attention_grad, _np_attention_grad)
+
+from . import moe as _moe  # noqa: E402,F401  (registers moe/moe_grad)

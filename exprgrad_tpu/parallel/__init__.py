@@ -11,7 +11,12 @@ all-gather/reduce-scatter around sharded matmuls under tensor parallelism).
 from .attention import sequence_parallel_attention
 from .mesh import ShardedExecutor, make_mesh, sharded_fit
 from .moe import MoEParams, init_moe, moe_layer, shard_moe_params
-from .pipeline import pipeline_apply, shard_pipeline_params
+from .pipeline import (
+    pipeline_apply,
+    pipeline_from_model,
+    shard_pipeline_params,
+    stack_stage_params,
+)
 
 __all__ = [
     "MoEParams",
@@ -20,8 +25,10 @@ __all__ = [
     "make_mesh",
     "moe_layer",
     "pipeline_apply",
+    "pipeline_from_model",
     "sequence_parallel_attention",
     "shard_moe_params",
     "shard_pipeline_params",
+    "stack_stage_params",
     "sharded_fit",
 ]

@@ -97,3 +97,103 @@ def pipeline_apply(
         check_vma=False,
     )
     return mapped(params, xs)
+
+
+# ---------------------------------------------------------------------------
+# compiled-model pipeline: stages run a COMPILED DSL program
+# ---------------------------------------------------------------------------
+
+def stack_stage_params(models) -> dict:
+    """Stack the parameters of P compiled models (one per stage, same
+    program) along a new leading stage dim: ``{tid: [P, ...]}`` — the
+    params pytree :func:`pipeline_from_model` expects.  Pass P references
+    to ONE model to start all stages from shared weights."""
+    first = models[0]
+    return {
+        tid: jnp.stack([jnp.asarray(np.asarray(m.params[tid]))
+                        for m in models])
+        for tid in first.program.params
+    }
+
+
+def pipeline_from_model(
+    model,
+    target_name: str,
+    micro_shape,
+    mesh: Mesh,
+    axis: str = "stage",
+    input_name: str | None = None,
+):
+    """Pipeline-parallel execution of a COMPILED DSL program.
+
+    ``model`` is a compiled shape-preserving block (one input, output of
+    the same shape — e.g. a transformer block written in the kernel DSL);
+    each of the P devices on ``mesh[axis]`` runs the block's compiled
+    executor as one pipeline stage with its own parameter values.
+
+    Returns ``(apply, param_template)`` where
+    ``apply(stage_params, xs[M, *micro_shape]) -> [M, *micro_shape]``
+    streams M microbatches through the P stages (GPipe schedule,
+    differentiable — ``jax.grad`` through it yields the reverse
+    pipeline), and ``param_template`` is ``{tid: [P, ...]}`` holding the
+    model's own parameters replicated per stage (a ready-to-train or
+    ready-to-load pytree; see :func:`stack_stage_params`).
+
+    The stage program must be deterministic (no ``rand()``/dropout: the
+    per-stage executor is traced once with a fixed seed) and cache-free
+    (compile the forward block, not a training target).
+    """
+    from ..backend.executor import JaxExecutor
+    from ..errors import ModelRuntimeError
+    from ..passes import infer_shapes
+
+    program = model.program
+    if target_name not in program.targets:
+        raise ModelRuntimeError(
+            f"{target_name!r} is not a target of the model"
+        )
+    if program.caches:
+        raise ModelRuntimeError(
+            "pipeline stages must be cache-free forward programs "
+            "(compile the block itself, not a training target)"
+        )
+    if input_name is None:
+        if len(program.inputs) != 1:
+            raise ModelRuntimeError(
+                f"stage program has inputs {sorted(program.inputs)}; pass "
+                "input_name to pick the streamed activation"
+            )
+        input_name = next(iter(program.inputs))
+    in_tid = program.inputs[input_name]
+    out_tid = program.targets[target_name].output
+    shapes = infer_shapes(
+        program, target_name, [(in_tid, list(micro_shape))]
+    )
+    if list(shapes[out_tid]) != list(micro_shape):
+        raise ModelRuntimeError(
+            f"stage output shape {shapes[out_tid]} != input shape "
+            f"{list(micro_shape)}; pipelines chain shape-preserving stages"
+        )
+    executor = JaxExecutor(
+        program, target_name, shapes, precision=model.precision,
+        schedule_mode=getattr(model, "schedule_mode", "auto"),
+    )
+
+    def stage_fn(stage_params: dict, h):
+        tensors = dict(stage_params)
+        tensors[in_tid] = h.reshape(shapes[in_tid])
+        return executor.run_fn(tensors, 0, 0)[out_tid].reshape(h.shape)
+
+    n_stages = mesh.shape[axis]
+    template = {
+        tid: jnp.broadcast_to(
+            jnp.asarray(np.asarray(model.params[tid]))[None],
+            (n_stages, *np.shape(model.params[tid])),
+        )
+        for tid in program.params
+    }
+
+    def apply(stage_params: dict, xs):
+        return pipeline_apply(stage_params, xs, mesh, stage_fn, axis=axis)
+
+    return apply, template
