@@ -118,6 +118,7 @@ class FlashLMServer:
         # serving calls must not re-trace -- XLA compiles are expensive
         # on the target platform
         self._jit_cache: dict = {}
+        self.prompt_buckets = None  # see set_prompt_buckets
         blk = self.blocks[0]
         self.heads, _, self.head_dim = blk.wq.shape
         self.kv_heads = blk.wk.shape[0]
@@ -421,6 +422,40 @@ class FlashLMServer:
 
         return self._jitted(("score",), build)(tokens, lens)
 
+    def set_prompt_buckets(self, buckets) -> None:
+        """Bucket prompt WIDTHS so ``generate`` does not re-trace per
+        prompt length (each new width is otherwise a fresh XLA compile —
+        minutes through this platform's tunnel).
+
+        ``buckets``: sorted widths (e.g. ``[32, 128, 512]``) or
+        ``"pow2"``.  Prompts pad right to the bucket width and decode
+        through the RAGGED path with their true lengths — pad K/V slots
+        are position-masked out of attention, so greedy results stay
+        bit-equal to the unbucketed call (the ragged-batch exactness
+        contract, tests/test_serve.py).
+        """
+        if buckets == "pow2":
+            self.prompt_buckets = "pow2"
+            return
+        bl = sorted(int(b) for b in buckets)
+        if not bl or bl[0] < 1:
+            raise ModelRuntimeError(
+                "prompt buckets must be a non-empty list of positive "
+                "widths or 'pow2'"
+            )
+        self.prompt_buckets = bl
+
+    def _prompt_bucket(self, width: int) -> int:
+        if self.prompt_buckets == "pow2":
+            n = 1
+            while n < width:
+                n *= 2
+            return n
+        for size in self.prompt_buckets:
+            if size >= width:
+                return size
+        return width
+
     def generate(
         self,
         prompt,
@@ -461,6 +496,14 @@ class FlashLMServer:
         capacity = capacity or self.max_seq
         if n_new < 1:
             raise ModelRuntimeError(f"n_new must be >= 1 (got {n_new})")
+        if self.prompt_buckets is not None:
+            width = int(prompt.shape[1])
+            target = min(self._prompt_bucket(width),
+                         max(capacity - n_new + 1, width))
+            if target > width:
+                if lengths is None:
+                    lengths = np.full((batch,), width, np.int64)
+                prompt = jnp.pad(prompt, ((0, 0), (0, target - width)))
         # The last decode feeds token index t+n_new-2, so positions
         # 0..t+n_new-2 are embedded and t+n_new-1 K/V rows are cached.
         # All of these are static here; overflowing either corrupts the

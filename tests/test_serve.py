@@ -399,3 +399,44 @@ def test_generate_sampling_modes():
     cold = np.asarray(server.generate(prompt, n_new=6, temperature=1e-4,
                                       seed=3))
     assert np.array_equal(cold, greedy)  # near-zero temp == greedy
+
+
+@pytest.fixture(scope="module")
+def bucket_model():
+    return _trained_model()
+
+
+def test_prompt_buckets_no_retrace_and_bit_equal(bucket_model):
+    """Prompt-width bucketing: several widths share one traced program
+    (the ragged path with true lengths), greedy output bit-equal to the
+    unbucketed call."""
+    server = FlashLMServer(bucket_model)
+    rng = np.random.default_rng(17)
+    prompts = {
+        w: rng.integers(0, VOCAB, (2, w)).astype(np.float32)
+        for w in (5, 9, 13)
+    }
+    exact = {w: np.asarray(server.generate(p, n_new=4))
+             for w, p in prompts.items()}
+
+    bucketed = FlashLMServer(bucket_model)
+    bucketed.set_prompt_buckets([16])
+    outs = {w: np.asarray(bucketed.generate(p, n_new=4))
+            for w, p in prompts.items()}
+    for w in prompts:
+        np.testing.assert_array_equal(outs[w], exact[w])
+    # all three widths hit ONE jitted entry with ONE traced shape
+    assert len(bucketed._jit_cache) == 1
+    fn = next(iter(bucketed._jit_cache.values()))
+    assert fn._cache_size() == 1
+
+
+def test_prompt_buckets_respect_capacity(bucket_model):
+    """The bucket width is clamped so width + n_new - 1 still fits the
+    cache capacity (no silent clamped-append corruption)."""
+    server = FlashLMServer(bucket_model)
+    server.set_prompt_buckets([1024])
+    p = np.zeros((1, 5), np.float32)
+    out = np.asarray(server.generate(p, n_new=4))
+    want = np.asarray(FlashLMServer(bucket_model).generate(p, n_new=4))
+    np.testing.assert_array_equal(out, want)
