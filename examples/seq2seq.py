@@ -52,6 +52,16 @@ def main() -> None:
     print("output :", pred[0].tolist())
     print(f"held-out reversal accuracy: {acc:.2f}")
 
+    # KV-cache serving: encode once, O(1)-per-token decoding (vs
+    # greedy_decode's exact O(t^2) re-forward); greedy token-equal
+    from exprgrad_tpu.models import Seq2SeqServer
+
+    server = Seq2SeqServer(model)
+    served = np.asarray(server.generate(src, n_new=src.shape[1]))
+    print("served :", served[0].tolist())
+    acc_served = (served == src[:, ::-1].astype(np.int64)).mean()
+    print(f"served reversal accuracy: {acc_served:.2f}")
+
 
 if __name__ == "__main__":
     main()
