@@ -207,11 +207,14 @@ class Seq2SeqServer:
         return fn
 
     def generate(self, src, n_new: int, bos: int = 0,
-                 temperature: float = 0.0, seed: int = 0):
+                 temperature: float = 0.0, seed: int = 0,
+                 stop_token: Optional[int] = None):
         """Encode ``src`` [batch, s] once, then generate ``n_new`` target
         tokens with O(1)-per-token decoding (one ``lax.scan`` program).
-        ``temperature > 0`` samples; 0 is greedy.  Returns [batch, n_new]
-        int32 ids."""
+        ``temperature > 0`` samples; 0 is greedy.  ``stop_token`` freezes
+        a sequence once it emits that token (the scan still runs the
+        fixed ``n_new`` steps — static shapes — finished rows carry the
+        stop token forward).  Returns [batch, n_new] int32 ids."""
         import jax
 
         jnp = self._jnp
@@ -228,7 +231,7 @@ class Seq2SeqServer:
             )
         greedy = temperature <= 0.0
         key = ("gen", batch, s_len, n_new, greedy,
-               float(temperature))
+               float(temperature), stop_token)
 
         def build():
             def run(src, rng_key):
@@ -245,14 +248,19 @@ class Seq2SeqServer:
                     ).astype(jnp.int32)
 
                 def body(carry, k):
-                    tok, caches = carry
+                    tok, caches, done = carry
                     logits, caches = self._step(tok, enc, caches)
                     nxt = pick(logits, k)
-                    return (nxt[:, None], caches), nxt
+                    if stop_token is not None:
+                        stop = jnp.int32(stop_token)
+                        nxt = jnp.where(done, stop, nxt)
+                        done = jnp.logical_or(done, nxt == stop)
+                    return (nxt[:, None], caches, done), nxt
 
                 keys = jax.random.split(rng_key, n_new)
-                (_, _), toks = jax.lax.scan(
-                    body, (tok, caches), keys
+                done0 = jnp.zeros((batch,), bool)
+                (_, _, _), toks = jax.lax.scan(
+                    body, (tok, caches, done0), keys
                 )
                 return toks.T  # [batch, n_new]
 
@@ -260,3 +268,43 @@ class Seq2SeqServer:
 
         fn = self._jitted(key, build)
         return fn(src, jax.random.PRNGKey(seed))
+
+    def score(self, src, tgt):
+        """Teacher-forced negative log-likelihood per sequence.
+
+        ``tgt`` [batch, t] are the reference target tokens; the model
+        scores token ``tgt[:, i]`` given BOS + ``tgt[:, :i]`` (BOS = 0,
+        matching :meth:`generate`).  Returns ([batch] total NLL,
+        [batch] mean NLL per token) from ONE prefill pass — perplexity =
+        ``exp(mean_nll)``."""
+        import jax
+
+        jnp = self._jnp
+        src = jnp.asarray(src)
+        tgt = jnp.asarray(tgt)
+        batch, t = tgt.shape
+        if t + 1 > self.max_tgt:
+            raise ModelRuntimeError(
+                f"t + 1 = {t + 1} exceeds max_tgt {self.max_tgt}"
+            )
+        key = ("score", batch, int(src.shape[1]), t)
+
+        def build():
+            def run(src, tgt):
+                enc = self.encode(src)
+                caches = self.init_caches(batch, capacity=t + 1)
+                ids = tgt.astype(jnp.int32)
+                prefix = jnp.concatenate(
+                    [jnp.zeros((batch, 1), jnp.int32), ids[:, :-1]], axis=1
+                )
+                logits, _ = self._step(prefix, enc, caches)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tok_lp = jnp.take_along_axis(
+                    logp, ids[:, :, None], axis=-1
+                )[..., 0]
+                nll = -jnp.sum(tok_lp, axis=-1)
+                return nll, nll / t
+
+            return run
+
+        return self._jitted(key, build)(src, tgt)

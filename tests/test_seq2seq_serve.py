@@ -141,3 +141,37 @@ def test_compile_cache_no_retrace(model):
     assert len(server._jit_cache) == n  # same config: no new entry
     server.generate(src, n_new=5)
     assert len(server._jit_cache) == n + 1
+
+
+def test_score_matches_predict_nll(trained):
+    """score() equals the NLL computed from the predict target's probs."""
+    rng = np.random.default_rng(6)
+    src = rng.integers(1, 8, (3, 6)).astype(np.float32)
+    tgt_ids = rng.integers(0, 8, (3, 6))
+    server = Seq2SeqServer(trained)
+    nll, mean_nll = server.score(src, tgt_ids)
+    # oracle: teacher-forced probs from the compiled model
+    prefix = np.concatenate(
+        [np.zeros((3, 1)), tgt_ids[:, :-1]], axis=1
+    ).astype(np.float32)
+    probs = np.asarray(trained.call("predict", {"src": src, "tgt": prefix}))
+    want = -np.log(
+        np.take_along_axis(probs, tgt_ids[:, :, None], axis=-1)[..., 0]
+    ).sum(-1)
+    np.testing.assert_allclose(np.asarray(nll), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean_nll) * 6, np.asarray(nll),
+                               rtol=1e-6)
+
+
+def test_stop_token_freezes(trained):
+    rng = np.random.default_rng(7)
+    src = rng.integers(1, 8, (4, 6)).astype(np.float32)
+    server = Seq2SeqServer(trained)
+    plain = np.asarray(server.generate(src, n_new=6))
+    stop = int(plain[0, 2])  # force an early stop on row 0
+    out = np.asarray(server.generate(src, n_new=6, stop_token=stop))
+    for row in range(4):
+        hits = np.where(out[row] == stop)[0]
+        if len(hits):
+            first = hits[0]
+            assert (out[row, first:] == stop).all()
