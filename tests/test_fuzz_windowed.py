@@ -1,0 +1,153 @@
+"""Differential fuzz for the windowed/strided Pallas read family.
+
+Random map/reduce kernels mixing pure-iterator, affine (s*i + c), and
+grouped (i // k) reads, run with ``schedule_mode="force"`` (Pallas
+emitter active where legal) against the numpy interpreter oracle — the
+same guard the epilogue-fusion fuzz provides for the matmul family.
+A base read covers every axis purely so loop bounds and shapes always
+infer; the transformed reads stress the band-block + in-kernel
+slice/repeat machinery (backend/pallasgen.py PallasMapReduce).
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu import Fun, compile, exp, input, iters, maximum
+
+SIZES = (16, 16, 128)  # i2 is the lane axis (pure reads only there)
+
+
+def _build(rng):
+    i0, i1, i2 = iters("i0", "i1", "i2")
+    its = (i0, i1, i2)
+    inputs = {"base": SIZES}
+    reads = [input("base")[i0, i1, i2]]
+    vals = {"base": None}
+
+    n_extra = int(rng.integers(1, 3))
+    for r in range(n_extra):
+        # per-axis plan; strided axes read EVERY phase (like pooling) so
+        # the tensor size s*L is consistent with the exact shape
+        # equations AND the Pallas matcher's D == s*L rule — a lone
+        # phase c < s-1 over a s*L tensor is unsolvable once another
+        # read pins the loop bound
+        plans = []
+        shape = []
+        for a in range(3):
+            kind = "iter" if a == 2 else rng.choice(
+                ["iter", "iter", "stride2", "stride3", "div2", "div4"]
+            )
+            L = SIZES[a]
+            if kind == "iter":
+                plans.append(("iter", 1))
+                shape.append(L)
+            elif kind == "stride2":
+                plans.append(("stride", 2))
+                shape.append(2 * L)
+            elif kind == "stride3":
+                plans.append(("stride", 3))
+                shape.append(3 * L)
+            elif kind == "div2":
+                plans.append(("div", 2))
+                shape.append(L // 2)
+            else:
+                plans.append(("div", 4))
+                shape.append(L // 4)
+        name = f"t{r}"
+        inputs[name] = tuple(shape)
+        t = input(name)
+
+        def dims_for(phases):
+            dims = []
+            for a, (kind, p) in enumerate(plans):
+                if kind == "iter":
+                    dims.append(its[a])
+                elif kind == "stride":
+                    dims.append(its[a] * p + phases[a])
+                else:
+                    dims.append(its[a] // p)
+            return tuple(dims)
+
+        stride_axes = [a for a, (kind, _) in enumerate(plans)
+                       if kind == "stride"]
+        # enumerate every phase combination across strided axes (the
+        # pooling pattern); combine phases with max or add
+        combos = [[0] * 3]
+        for a in stride_axes:
+            combos = [c[:a] + [ph] + c[a + 1:]
+                      for c in combos for ph in range(plans[a][1])]
+        phase_reads = [t[dims_for(c)] for c in combos]
+        val = phase_reads[0]
+        comb = rng.choice(["max", "add"])
+        for pr in phase_reads[1:]:
+            val = maximum(val, pr) if comb == "max" else val + pr
+        reads.append(val)
+
+    expr = reads[0]
+    for other in reads[1:]:
+        op = rng.choice(["add", "mul", "max"])
+        if op == "add":
+            expr = expr + other
+        elif op == "mul":
+            expr = expr * other
+        else:
+            expr = maximum(expr, other)
+    if rng.random() < 0.3:
+        expr = exp(expr * 0.05)
+
+    out = Fun("out")
+    keep = [2] + [a for a in (0, 1) if rng.random() < 0.6]
+    keep = sorted(keep)
+    idx = tuple(its[a] for a in keep)
+    use_max = rng.random() < 0.25
+    if use_max:
+        out.maximize[idx] = expr
+    else:
+        out[idx] = expr
+
+    tiles = {}
+    for a in keep:
+        if a != 2 and rng.random() < 0.6:
+            tiles[f"i{a}"] = int(rng.choice([8, 16]))
+    red = [a for a in (0, 1) if a not in keep]
+    if red and rng.random() < 0.4 and not use_max:
+        tiles[f"i{red[0]}"] = 8
+    if tiles:
+        out.schedule(tile=tiles)
+    else:
+        out.schedule(parallel=[f"i{keep[0]}"])
+    return out.target("out"), inputs
+
+
+_PALLAS_HITS = []
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_windowed_fuzz_force_matches_oracle(seed):
+    rng = np.random.default_rng(1000 + seed)
+    graph, inputs = _build(rng)
+    args = {
+        name: (rng.normal(size=shape) * 0.5).astype(np.float32)
+        for name, shape in inputs.items()
+    }
+    mj = compile(graph, backend="jax", schedule_mode="force")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = np.asarray(mj.call("out", args))
+    want = np.asarray(
+        compile(graph, backend="interp").call("out", args)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    stats = next(iter(mj._executors.values())).stats
+    _PALLAS_HITS.append(stats.get("pallas-mapreduce", 0))
+
+
+def test_windowed_fuzz_exercised_pallas():
+    """The sweep must actually hit the Pallas route a healthy fraction of
+    the time — otherwise the fuzz is only testing XLA fallbacks."""
+    assert sum(1 for h in _PALLAS_HITS if h) >= len(_PALLAS_HITS) * 0.5, (
+        f"pallas-mapreduce hit in only {sum(1 for h in _PALLAS_HITS if h)}"
+        f"/{len(_PALLAS_HITS)} cases"
+    )
