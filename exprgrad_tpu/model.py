@@ -74,6 +74,7 @@ class Model:
         self._executors: dict = {}
         self._call_count = 0
         self.batch_buckets = None  # see set_batch_buckets
+        self._bucket_track_memo: dict = {}
 
         dtype = np.dtype(self.program.scalar_type.value)
         if dtype == np.float64 and backend == "jax":
@@ -445,27 +446,14 @@ class Model:
         pass through unsliced: the padded rows DO contribute there, so
         keep bucketing to per-row targets.
         """
-        if buckets == "pow2":
-            self.batch_buckets = "pow2"
-            return
-        bl = sorted(int(b) for b in buckets)
-        if not bl or bl[0] < 1:
-            raise ModelRuntimeError(
-                "batch buckets must be a non-empty list of positive sizes "
-                "or 'pow2'"
-            )
-        self.batch_buckets = bl
+        from .utils.buckets import normalize_buckets
+
+        self.batch_buckets = normalize_buckets(buckets, "batch bucket")
 
     def _bucket_for(self, b: int) -> int:
-        if self.batch_buckets == "pow2":
-            n = 1
-            while n < b:
-                n *= 2
-            return n
-        for size in self.batch_buckets:
-            if size >= b:
-                return size
-        return b  # beyond the largest bucket: run exact
+        from .utils.buckets import bucket_for
+
+        return bucket_for(self.batch_buckets, b)
 
     def _target_mutates(self, target_name: str) -> bool:
         """Does the target write any parameter or cache tensor?"""
@@ -500,18 +488,43 @@ class Model:
             ), 0))
             padded = self._bucket_for(b) if b else None
             if padded is not None and padded > b:
-                args = {
-                    name: (
-                        np.pad(
-                            np.asarray(v),
-                            [(0, padded - b)] + [(0, 0)] * (np.ndim(v) - 1),
-                            mode="edge",
+                # bucket only when the output's leading dim TRACKS the
+                # batch (per-row target): a target whose output happens
+                # to match the padded size coincidentally must not be
+                # sliced, and a batch-aggregating target (scalar loss,
+                # per-class sums) must not see padded rows at all
+                memo_key = (target_name, b,
+                            tuple(sorted(
+                                (n, np.shape(v)) for n, v in args.items()
+                            )))
+                track = self._bucket_track_memo.get(memo_key)
+                if track is None:
+                    out_tid = self.program.targets[target_name].output
+                    track = False
+                    if out_tid is not None:
+                        shapes0 = infer_shapes(
+                            self.program, target_name,
+                            self._input_shapes(target_name, args),
                         )
-                        if np.shape(v) and np.shape(v)[0] == b
-                        else v
-                    )
-                    for name, v in args.items()
-                }
+                        out0 = shapes0.get(out_tid)
+                        track = bool(out0) and out0[0] == b
+                    self._bucket_track_memo[memo_key] = track
+                if track:
+                    args = {
+                        name: (
+                            np.pad(
+                                np.asarray(v),
+                                [(0, padded - b)]
+                                + [(0, 0)] * (np.ndim(v) - 1),
+                                mode="edge",
+                            )
+                            if np.shape(v) and np.shape(v)[0] == b
+                            else v
+                        )
+                        for name, v in args.items()
+                    }
+                else:
+                    padded = None
             else:
                 padded = None
         shapes = infer_shapes(

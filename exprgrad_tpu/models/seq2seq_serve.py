@@ -97,8 +97,10 @@ class Seq2SeqServer:
                 "grouped-query cross-attention is not supported by this "
                 "server (kv_heads must equal heads)"
             )
+        from ..utils.buckets import JitCache
+
         self.scale = 1.0 / float(np.sqrt(self.head_dim))
-        self._jit_cache: dict = {}
+        self._jit_cache = JitCache()
 
     # -- forward pieces (must mirror models/seq2seq.py exactly) ----------
     def _rms(self, x, gamma):
@@ -196,15 +198,8 @@ class Seq2SeqServer:
         return self._step(tokens, enc, caches)
 
     def _jitted(self, key, build):
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            import jax
-
-            if len(self._jit_cache) >= 32:
-                self._jit_cache.pop(next(iter(self._jit_cache)))
-            fn = jax.jit(build())
-            self._jit_cache[key] = fn
-        return fn
+        """Bounded per-config jit cache (utils.buckets.JitCache)."""
+        return self._jit_cache.get(key, build)
 
     def generate(self, src, n_new: int, bos: int = 0,
                  temperature: float = 0.0, seed: int = 0,
@@ -231,7 +226,7 @@ class Seq2SeqServer:
             )
         greedy = temperature <= 0.0
         key = ("gen", batch, s_len, n_new, greedy,
-               float(temperature), stop_token)
+               float(temperature), stop_token, bos)
 
         def build():
             def run(src, rng_key):

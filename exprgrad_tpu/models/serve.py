@@ -117,7 +117,9 @@ class FlashLMServer:
         # handled by jax.jit's own cache INSIDE each entry): repeated
         # serving calls must not re-trace -- XLA compiles are expensive
         # on the target platform
-        self._jit_cache: dict = {}
+        from ..utils.buckets import JitCache
+
+        self._jit_cache = JitCache()
         self.prompt_buckets = None  # see set_prompt_buckets
         blk = self.blocks[0]
         self.heads, _, self.head_dim = blk.wq.shape
@@ -186,20 +188,9 @@ class FlashLMServer:
         return pos_ids, key_pos
 
     def _jitted(self, key, build):
-        """jit-compile ``build()`` once per static config ``key``.
-
-        Bounded (FIFO over configs): a serving loop that sweeps n_new or
-        temperature must not pin one XLA executable per distinct value
-        forever."""
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            import jax
-
-            if len(self._jit_cache) >= 32:
-                self._jit_cache.pop(next(iter(self._jit_cache)))
-            fn = jax.jit(build())
-            self._jit_cache[key] = fn
-        return fn
+        """jit-compile ``build()`` once per static config ``key``
+        (bounded FIFO — utils.buckets.JitCache)."""
+        return self._jit_cache.get(key, build)
 
     # -- public API ------------------------------------------------------
     def init_caches(self, batch: int, capacity: Optional[int] = None):
@@ -434,27 +425,14 @@ class FlashLMServer:
         bit-equal to the unbucketed call (the ragged-batch exactness
         contract, tests/test_serve.py).
         """
-        if buckets == "pow2":
-            self.prompt_buckets = "pow2"
-            return
-        bl = sorted(int(b) for b in buckets)
-        if not bl or bl[0] < 1:
-            raise ModelRuntimeError(
-                "prompt buckets must be a non-empty list of positive "
-                "widths or 'pow2'"
-            )
-        self.prompt_buckets = bl
+        from ..utils.buckets import normalize_buckets
+
+        self.prompt_buckets = normalize_buckets(buckets, "prompt bucket")
 
     def _prompt_bucket(self, width: int) -> int:
-        if self.prompt_buckets == "pow2":
-            n = 1
-            while n < width:
-                n *= 2
-            return n
-        for size in self.prompt_buckets:
-            if size >= width:
-                return size
-        return width
+        from ..utils.buckets import bucket_for
+
+        return bucket_for(self.prompt_buckets, width)
 
     def generate(
         self,

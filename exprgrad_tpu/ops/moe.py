@@ -51,7 +51,6 @@ def _jax_moe_fwd(x, gate, w1, b1, w2, b2, k: int):
     probs = jax.nn.softmax(logits, axis=-1)
     vals, idx = jax.lax.top_k(probs, k)               # [n, t, k]
     weight = vals / jnp.sum(vals, axis=-1, keepdims=True)
-    e_dim = gate.shape[-1]
     mask = jnp.zeros_like(probs).at[
         jnp.arange(x.shape[0])[:, None, None],
         jnp.arange(x.shape[1])[None, :, None],
@@ -65,7 +64,6 @@ def _jax_moe_fwd(x, gate, w1, b1, w2, b2, k: int):
     y = jnp.einsum("nteh,ehd->nted", h, w2.astype(jnp.float32)) \
         + b2.astype(jnp.float32)                       # [n, t, E, d]
     out = jnp.einsum("nte,nted->ntd", mask, y)
-    del e_dim
     return out.astype(x.dtype)
 
 

@@ -106,3 +106,28 @@ def test_bad_buckets_rejected():
         model.set_batch_buckets([])
     with pytest.raises(ModelRuntimeError):
         model.set_batch_buckets([0, 4])
+
+
+def test_non_batch_tracking_target_runs_exact():
+    """A target whose output leading dim does NOT track the batch (here a
+    per-feature column sum whose size coincides with the bucket) is
+    neither padded nor sliced — padding would contaminate the sums and
+    slicing would drop features (review finding)."""
+    from exprgrad_tpu import iters
+
+    x = input("x")
+    colsum = Fun("colsum")
+    n, f = iters("n", "f")
+    colsum[f] = x[n, f]  # reduce over the batch -> shape [4]
+    model = compile(colsum.target("colsum"), seed=0)
+    model.set_batch_buckets([4])
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(3, 4)).astype(np.float32)  # batch 3, features 4
+    out = model.call("colsum", {"x": v})
+    assert out.shape == (4,)
+    np.testing.assert_allclose(out, v.sum(axis=0), rtol=1e-5)
+    # compiled at the EXACT batch-3 signature, not padded batch-4
+    key = next(k for k in model._executors if k[0] == "colsum")
+    shapes = dict(key[1])
+    x_id = model.program.inputs["x"]
+    assert list(shapes[x_id])[0] == 3

@@ -147,6 +147,11 @@ def test_windowed_fuzz_force_matches_oracle(seed):
 def test_windowed_fuzz_exercised_pallas():
     """The sweep must actually hit the Pallas route a healthy fraction of
     the time — otherwise the fuzz is only testing XLA fallbacks."""
+    if len(_PALLAS_HITS) < 40:
+        pytest.skip(
+            "coverage meter needs the full 40-seed sweep in this process "
+            f"(saw {len(_PALLAS_HITS)})"
+        )
     assert sum(1 for h in _PALLAS_HITS if h) >= len(_PALLAS_HITS) * 0.5, (
         f"pallas-mapreduce hit in only {sum(1 for h in _PALLAS_HITS if h)}"
         f"/{len(_PALLAS_HITS)} cases"

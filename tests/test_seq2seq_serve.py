@@ -175,3 +175,17 @@ def test_stop_token_freezes(trained):
         if len(hits):
             first = hits[0]
             assert (out[row, first:] == stop).all()
+
+
+def test_generate_bos_in_compile_key(model):
+    """Different bos values must not share a compiled program (bos is
+    baked into the traced closure — review finding)."""
+    src = np.asarray(
+        np.random.default_rng(8).integers(1, 8, (2, 8)), np.float32
+    )
+    server = Seq2SeqServer(model)
+    a = np.asarray(server.generate(src, n_new=5, bos=0))
+    b = np.asarray(server.generate(src, n_new=5, bos=3))
+    c = np.asarray(server.generate(src, n_new=5, bos=0))
+    np.testing.assert_array_equal(a, c)
+    assert not np.array_equal(a, b)  # different bos: different decode
