@@ -193,3 +193,44 @@ def test_golden_cross_attention():
     program = to_program(net)
     compile_program(program)
     check_golden("cross_attention_train", fmt_program(program))
+
+
+def test_golden_moe_train():
+    """MoE extern pair through the custom-grad seam: pins the routed
+    forward writer and the six grad kernels (dx/dgate/dw1/db1/dw2/db2
+    extern outputs accumulated through the symbolic backward)."""
+    from exprgrad_tpu.layers import moe_ffn
+
+    x = input("x")
+    y = moe_ffn(x, dim=4, hidden=8, n_experts=2, k=1)
+    it = iters("it")
+    loss = Fun()
+    loss[0] = sq(y.raw[it])
+
+    def optim(p, g):
+        i = iters("i")
+        p.raw[i] = -0.1 * g.raw[i]
+
+    net = loss.target("loss").backprop(optim).target("train")
+    program = to_program(net)
+    compile_program(program)
+    check_golden("moe_train", fmt_program(program))
+
+
+def test_golden_scheduled_pool():
+    """Scheduled strided-window pooling: pins the IR the windowed/strided
+    Pallas family consumes (affine read indices + tile schedule)."""
+    from exprgrad_tpu import maximum
+
+    imgs = input("imgs")
+    i, y, x, c = iters("i", "y", "x", "c")
+    out = Fun("out")
+    out[i, y, x, c] = maximum(
+        maximum(imgs[i, y * 2, x * 2, c], imgs[i, y * 2 + 1, x * 2, c]),
+        maximum(imgs[i, y * 2, x * 2 + 1, c],
+                imgs[i, y * 2 + 1, x * 2 + 1, c]),
+    )
+    out.schedule(tile={"y": 8})
+    program = to_program(out.target("out"))
+    compile_program(program)
+    check_golden("scheduled_pool", fmt_program(program))
