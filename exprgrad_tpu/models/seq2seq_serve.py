@@ -36,11 +36,13 @@ from ..errors import ModelRuntimeError
 
 
 class _Enc(NamedTuple):
-    """Per-request encoder state: memory + precomputed cross K/V."""
+    """Per-request encoder state: memory + precomputed cross K/V (and the
+    source-position validity mask for ragged batches, or None)."""
 
     memory: object    # [b, s, dim]
     ck: object        # [b, h, s, hd]
     cv: object        # [b, h, s, hd]
+    kv_mask: object = None  # [b, s] bool, True = real source position
 
 
 class Seq2SeqServer:
@@ -108,10 +110,11 @@ class Seq2SeqServer:
         ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
         return x / jnp.sqrt(ms + self.eps) * gamma
 
-    def _full_attention(self, q, k, v, causal: bool):
+    def _full_attention(self, q, k, v, causal: bool, kv_mask=None):
         """Plain softmax attention [b,h,t,d]x[b,h,s,d] — the encoder's
         bidirectional core and the decoder's cross core (f32 math, max-
-        subtracted softmax: matches ops/externs._jax_xla_forward)."""
+        subtracted softmax: matches ops/externs._jax_xla_forward).
+        ``kv_mask`` [b, s] masks padded key positions (ragged sources)."""
         jnp = self._jnp
         s = jnp.einsum("nhtd,nhsd->nhts", q, k,
                        preferred_element_type=jnp.float32) * self.scale
@@ -122,25 +125,39 @@ class Seq2SeqServer:
             rows = jax.lax.broadcasted_iota(jnp.int32, (t_, s_), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (t_, s_), 1)
             s = jnp.where(rows >= cols, s, -1e30)
+        if kv_mask is not None:
+            s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         return jnp.einsum("nhts,nhsd->nhtd", p, v,
                           preferred_element_type=jnp.float32)
 
-    def encode(self, src):
+    def encode(self, src, lengths=None):
         """Run the encoder once; precompute the cross-attention K/V.
-        Returns an ``_Enc`` usable for any number of decode steps."""
+        Returns an ``_Enc`` usable for any number of decode steps.
+
+        ``lengths`` ([batch] ints) serves a RAGGED batch of sources
+        right-padded to a common width: padded key positions are masked
+        out of the encoder's bidirectional attention AND of every later
+        cross-attention read, so results match encoding each source
+        alone at its true length."""
         jnp = self._jnp
         p = self.p
         ids = jnp.asarray(src).astype(jnp.int32)
         s_len = ids.shape[1]
+        kv_mask = None
+        if lengths is not None:
+            lens = jnp.asarray(lengths, jnp.int32)
+            kv_mask = (
+                jnp.arange(s_len, dtype=jnp.int32)[None, :] < lens[:, None]
+            )
         e = p["src.embed"][ids] + p["src.pos"][:s_len][None]
         rn = self._rms(e, p["enc.att.rms.g"])
         q = jnp.einsum("ntc,hcd->nhtd", rn, p["enc.att.wq"])
         k = jnp.einsum("ntc,hcd->nhtd", rn, p["enc.att.wk"])
         v = jnp.einsum("ntc,hcd->nhtd", rn, p["enc.att.wv"])
-        att = self._full_attention(q, k, v, causal=False)
+        att = self._full_attention(q, k, v, causal=False, kv_mask=kv_mask)
         e = e + jnp.einsum("nhtd,hde->nte", att, p["enc.att.wo"])
         rn2 = self._rms(e, p["enc.ffn.rms.g"])
         h = jnp.maximum(rn2 @ p["enc.ffn1.weights"] + p["enc.ffn1.bias"],
@@ -150,7 +167,7 @@ class Seq2SeqServer:
         # output, mirroring multi_head_cross_attention(x_norm, enc, ...))
         ck = jnp.einsum("nsc,hcd->nhsd", enc, p["dec.cross.wk"])
         cv = jnp.einsum("nsc,hcd->nhsd", enc, p["dec.cross.wv"])
-        return _Enc(enc, ck, cv)
+        return _Enc(enc, ck, cv, kv_mask)
 
     def init_caches(self, batch: int, capacity: Optional[int] = None):
         from ..ops.decode import init_cache
@@ -182,7 +199,8 @@ class Seq2SeqServer:
         # cross-attention against the precomputed encoder K/V
         rn = self._rms(x, p["dec.cross.rms.g"])
         qc = jnp.einsum("ntc,hcd->nhtd", rn, p["dec.cross.wq"])
-        ca = self._full_attention(qc, enc.ck, enc.cv, causal=False)
+        ca = self._full_attention(qc, enc.ck, enc.cv, causal=False,
+                                  kv_mask=enc.kv_mask)
         x = x + jnp.einsum("nhtd,hde->nte", ca, p["dec.cross.wo"])
 
         rn = self._rms(x, p["dec.ffn.rms.g"])
@@ -203,13 +221,16 @@ class Seq2SeqServer:
 
     def generate(self, src, n_new: int, bos: int = 0,
                  temperature: float = 0.0, seed: int = 0,
-                 stop_token: Optional[int] = None):
+                 stop_token: Optional[int] = None, lengths=None):
         """Encode ``src`` [batch, s] once, then generate ``n_new`` target
         tokens with O(1)-per-token decoding (one ``lax.scan`` program).
         ``temperature > 0`` samples; 0 is greedy.  ``stop_token`` freezes
         a sequence once it emits that token (the scan still runs the
         fixed ``n_new`` steps — static shapes — finished rows carry the
-        stop token forward).  Returns [batch, n_new] int32 ids."""
+        stop token forward).  ``lengths`` ([batch] ints) serves a RAGGED
+        batch of right-padded sources: padded positions are masked out of
+        encoder and cross attention, so greedy output matches serving
+        each source alone.  Returns [batch, n_new] int32 ids."""
         import jax
 
         jnp = self._jnp
@@ -224,13 +245,25 @@ class Seq2SeqServer:
             raise ModelRuntimeError(
                 f"source length {s_len} exceeds max_src {self.max_src}"
             )
+        if lengths is not None:
+            lens_np = np.asarray(lengths, np.int64)
+            if lens_np.shape != (batch,):
+                raise ModelRuntimeError(
+                    f"lengths must have shape ({batch},), got "
+                    f"{lens_np.shape}"
+                )
+            if lens_np.min() < 1 or lens_np.max() > s_len:
+                raise ModelRuntimeError(
+                    f"lengths must lie in [1, source width {s_len}]"
+                )
         greedy = temperature <= 0.0
+        ragged = lengths is not None
         key = ("gen", batch, s_len, n_new, greedy,
-               float(temperature), stop_token, bos)
+               float(temperature), stop_token, bos, ragged)
 
         def build():
-            def run(src, rng_key):
-                enc = self.encode(src)
+            def run(src, rng_key, lens):
+                enc = self.encode(src, lengths=lens)
                 caches = self.init_caches(batch, capacity=n_new + 1)
                 tok = jnp.full((batch, 1), bos, jnp.int32)
 
@@ -262,7 +295,10 @@ class Seq2SeqServer:
             return run
 
         fn = self._jitted(key, build)
-        return fn(src, jax.random.PRNGKey(seed))
+        lens_arg = (
+            jnp.asarray(lengths, jnp.int32) if ragged else None
+        )
+        return fn(src, jax.random.PRNGKey(seed), lens_arg)
 
     def score(self, src, tgt):
         """Teacher-forced negative log-likelihood per sequence.

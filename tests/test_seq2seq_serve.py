@@ -189,3 +189,23 @@ def test_generate_bos_in_compile_key(model):
     c = np.asarray(server.generate(src, n_new=5, bos=0))
     np.testing.assert_array_equal(a, c)
     assert not np.array_equal(a, b)  # different bos: different decode
+
+
+def test_ragged_sources_match_solo(trained):
+    """Right-padded ragged sources with lengths decode exactly like each
+    source served alone at its true length (encoder + cross attention
+    mask the pad positions)."""
+    rng = np.random.default_rng(9)
+    lens = [6, 4, 2]
+    width = 6
+    server = Seq2SeqServer(trained)
+    src = np.zeros((3, width), np.float32)
+    rows = []
+    for i, L in enumerate(lens):
+        row = rng.integers(1, 8, L)
+        src[i, :L] = row
+        rows.append(row.astype(np.float32))
+    got = np.asarray(server.generate(src, n_new=6, lengths=lens))
+    for i, row in enumerate(rows):
+        solo = np.asarray(server.generate(row[None, :], n_new=6))[0]
+        np.testing.assert_array_equal(got[i], solo)
