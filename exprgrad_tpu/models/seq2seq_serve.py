@@ -300,6 +300,136 @@ class Seq2SeqServer:
         )
         return fn(src, jax.random.PRNGKey(seed), lens_arg)
 
+    def generate_beam(self, src, n_new: int, beams: int = 4, bos: int = 0,
+                      stop_token: Optional[int] = None, lengths=None):
+        """Beam-search decoding from an encoded source.
+
+        Returns ``(tokens [batch, beams, n_new], scores [batch, beams])``
+        best-first; scores are cumulative token log-probabilities.  Same
+        machinery as FlashLMServer.generate_beam: each step expands every
+        live beam over the vocabulary, keeps the top ``beams`` of
+        ``beams * vocab`` candidates, and reorders the decoder KV caches
+        by gathering parent rows — the encoder memory and cross K/V are
+        replicated per beam once and never change.  ``lengths`` masks
+        ragged right-padded sources (see :meth:`generate`)."""
+        import jax
+
+        jnp = self._jnp
+        src = jnp.asarray(src)
+        batch, s_len = src.shape
+        V = self.vocab
+        if not 1 <= beams <= V:
+            raise ModelRuntimeError(
+                f"beams must be in [1, vocab={V}] (got {beams})"
+            )
+        if n_new + 1 > self.max_tgt:
+            raise ModelRuntimeError(
+                f"n_new + 1 = {n_new + 1} exceeds max_tgt {self.max_tgt}"
+            )
+        if s_len > self.max_src:
+            raise ModelRuntimeError(
+                f"source length {s_len} exceeds max_src {self.max_src}"
+            )
+        ragged = lengths is not None
+        key = ("beam", batch, s_len, n_new, beams, bos, stop_token,
+               ragged)
+
+        def build():
+          def run(src, lens):
+            from ..ops.decode import KVCache
+
+            enc = self.encode(src, lengths=lens)
+            caches = self.init_caches(batch, capacity=n_new + 1)
+            tok = jnp.full((batch, 1), bos, jnp.int32)
+            logits, caches = self._step(tok, enc, caches)
+            logp0 = jax.nn.log_softmax(
+                logits[:, -1].astype(jnp.float32), axis=-1
+            )                                              # [batch, V]
+
+            def rep(x, r):
+                return None if x is None else jnp.repeat(x, r, axis=0)
+
+            enc_rep = _Enc(
+                rep(enc.memory, beams), rep(enc.ck, beams),
+                rep(enc.cv, beams), rep(enc.kv_mask, beams),
+            )
+            caches = [
+                KVCache(k=jnp.repeat(c.k, beams, axis=0),
+                        v=jnp.repeat(c.v, beams, axis=0),
+                        length=c.length)
+                for c in caches
+            ]
+
+            scores, tok0 = jax.lax.top_k(logp0, beams)     # [batch, beams]
+            tok = tok0.astype(jnp.int32)
+            done = (
+                tok == stop_token if stop_token is not None
+                else jnp.zeros(tok.shape, bool)
+            )
+
+            def body(carry, _):
+                tok, scores, done, caches = carry
+                flat = tok.reshape(batch * beams)
+                logits, caches = self._step(flat[:, None], enc_rep,
+                                            caches)
+                logp = jax.nn.log_softmax(
+                    logits[:, 0].astype(jnp.float32), axis=-1
+                ).reshape(batch, beams, V)
+                if stop_token is not None:
+                    frozen = jnp.full((V,), -jnp.inf, jnp.float32)
+                    frozen = frozen.at[stop_token].set(0.0)
+                    logp = jnp.where(done[:, :, None],
+                                     frozen[None, None], logp)
+                cand = scores[:, :, None] + logp           # [b, beams, V]
+                scores, idx = jax.lax.top_k(
+                    cand.reshape(batch, beams * V), beams
+                )
+                parent = idx // V
+                tok = (idx % V).astype(jnp.int32)
+                rows = (
+                    jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
+                    + parent.astype(jnp.int32)
+                ).reshape(-1)
+                caches = [
+                    KVCache(k=jnp.take(c.k, rows, axis=0),
+                            v=jnp.take(c.v, rows, axis=0),
+                            length=c.length)
+                    for c in caches
+                ]
+                if stop_token is not None:
+                    done = jnp.take_along_axis(done, parent, axis=1)
+                    done = jnp.logical_or(done, tok == stop_token)
+                return (tok, scores, done, caches), \
+                    (tok, parent.astype(jnp.int32))
+
+            (tok, scores, done, _), (toks, parents) = jax.lax.scan(
+                body, (tok, scores, done, caches), None,
+                length=n_new - 1,
+            )
+
+            def back(carry, step):
+                beam_of = carry
+                step_tok, step_parent = step
+                toks_here = jnp.take_along_axis(step_tok, beam_of, axis=1)
+                beam_of = jnp.take_along_axis(step_parent, beam_of,
+                                              axis=1)
+                return beam_of, toks_here
+
+            beam_of = jnp.tile(
+                jnp.arange(beams, dtype=jnp.int32)[None, :], (batch, 1)
+            )
+            beam_of, rev = jax.lax.scan(
+                back, beam_of, (toks, parents), reverse=True
+            )
+            first = jnp.take_along_axis(tok0, beam_of, axis=1)
+            seq = jnp.concatenate([first[None], rev], axis=0)
+            return jnp.transpose(seq, (1, 2, 0)), scores
+
+          return run
+
+        lens_arg = jnp.asarray(lengths, jnp.int32) if ragged else None
+        return self._jitted(key, build)(src, lens_arg)
+
     def score(self, src, tgt):
         """Teacher-forced negative log-likelihood per sequence.
 

@@ -209,3 +209,52 @@ def test_ragged_sources_match_solo(trained):
     for i, row in enumerate(rows):
         solo = np.asarray(server.generate(row[None, :], n_new=6))[0]
         np.testing.assert_array_equal(got[i], solo)
+
+
+def test_beam1_matches_greedy(trained):
+    rng = np.random.default_rng(10)
+    src = rng.integers(1, 8, (3, 6)).astype(np.float32)
+    server = Seq2SeqServer(trained)
+    toks, scores = server.generate_beam(src, n_new=6, beams=1)
+    greedy = np.asarray(server.generate(src, n_new=6))
+    np.testing.assert_array_equal(np.asarray(toks)[:, 0], greedy)
+    assert np.all(np.asarray(scores) <= 0)
+
+
+def test_beam_scores_sorted_and_exact(trained):
+    """Beam scores are sorted best-first and each equals the sequence's
+    true cumulative log-probability under teacher forcing."""
+    rng = np.random.default_rng(11)
+    src = rng.integers(1, 8, (2, 6)).astype(np.float32)
+    server = Seq2SeqServer(trained)
+    toks, scores = server.generate_beam(src, n_new=4, beams=3)
+    toks, scores = np.asarray(toks), np.asarray(scores)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    for b_i in range(2):
+        for beam in range(3):
+            nll, _ = server.score(src[b_i:b_i + 1], toks[b_i, beam][None])
+            np.testing.assert_allclose(
+                scores[b_i, beam], -float(np.asarray(nll)[0]),
+                rtol=1e-4, atol=1e-4,
+            )
+
+
+def test_beam_on_ragged_sources(trained):
+    rng = np.random.default_rng(12)
+    lens = [6, 3]
+    src = np.zeros((2, 6), np.float32)
+    rows = []
+    for i, L in enumerate(lens):
+        row = rng.integers(1, 8, L).astype(np.float32)
+        src[i, :L] = row
+        rows.append(row)
+    server = Seq2SeqServer(trained)
+    toks, scores = server.generate_beam(src, n_new=5, beams=2,
+                                        lengths=lens)
+    for i, row in enumerate(rows):
+        solo_t, solo_s = server.generate_beam(row[None, :], n_new=5,
+                                              beams=2)
+        np.testing.assert_array_equal(np.asarray(toks)[i],
+                                      np.asarray(solo_t)[0])
+        np.testing.assert_allclose(np.asarray(scores)[i],
+                                   np.asarray(solo_s)[0], atol=1e-5)
