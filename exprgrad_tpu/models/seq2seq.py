@@ -78,53 +78,60 @@ def tiny_seq2seq(
     hidden: int = 32,
     max_src: int = 32,
     max_tgt: int = 32,
+    enc_blocks: int = 1,
+    dec_blocks: int = 1,
     eta: float = 0.01,
     init: float = 0.2,
     impl: str = "auto",
     opt=None,
 ) -> Fun:
-    """One encoder block (bidirectional) + one decoder block (causal self
-    + cross attention) + FFN, pre-norm residual throughout."""
+    """``enc_blocks`` bidirectional encoder blocks + ``dec_blocks``
+    decoder blocks (causal self + cross attention) + FFN, pre-norm
+    residual throughout."""
     rng = (-init, init)
 
-    # --- encoder ---------------------------------------------------------
-    # every parameter is name-prefixed: the graph interleaves encoder and
-    # decoder parameter registration (lazy construction), so serving
-    # extracts weights by unique NAME, not traversal order
-    # (models/seq2seq_serve.py Seq2SeqServer)
+    # every parameter is name-prefixed per block ("enc0.att.wq", ...):
+    # the graph interleaves encoder and decoder parameter registration
+    # (lazy construction), so serving extracts weights by unique NAME,
+    # not traversal order (models/seq2seq_serve.py Seq2SeqServer)
     src = input("src")
     e = _embed(src, vocab, dim, max_src, rng, "src")
-    enc_att = multi_head_attention(
-        rms_norm(e, dim, rank=3, prefix="enc.att."), dim, heads,
-        causal=False, impl=impl, prefix="enc.att.",
-    )
-    e = _residual(enc_att, e, "enc.att")
-    enc_ff = dense(
-        relu(dense(rms_norm(e, dim, rank=3, prefix="enc.ffn."), dim,
-                   hidden, rank=3, prefix="enc.ffn1.")),
-        hidden, dim, rank=3, prefix="enc.ffn2.",
-    )
-    enc = _residual(enc_ff, e, "enc.out")
+    for b in range(enc_blocks):
+        p = f"enc{b}."
+        enc_att = multi_head_attention(
+            rms_norm(e, dim, rank=3, prefix=p + "att."), dim, heads,
+            causal=False, impl=impl, prefix=p + "att.",
+        )
+        e = _residual(enc_att, e, p + "att")
+        enc_ff = dense(
+            relu(dense(rms_norm(e, dim, rank=3, prefix=p + "ffn."), dim,
+                       hidden, rank=3, prefix=p + "ffn1.")),
+            hidden, dim, rank=3, prefix=p + "ffn2.",
+        )
+        e = _residual(enc_ff, e, p + "out")
+    enc = e
 
     # --- decoder ---------------------------------------------------------
     tgt = input("tgt")
     x = _embed(tgt, vocab, dim, max_tgt, rng, "tgt")
-    self_att = multi_head_attention(
-        rms_norm(x, dim, rank=3, prefix="dec.self."), dim, heads,
-        causal=True, impl=impl, prefix="dec.self.",
-    )
-    x = _residual(self_att, x, "dec.self")
-    cross = multi_head_cross_attention(
-        rms_norm(x, dim, rank=3, prefix="dec.cross."), enc, dim, heads,
-        impl=impl, prefix="dec.cross.",
-    )
-    x = _residual(cross, x, "dec.cross")
-    ff = dense(
-        relu(dense(rms_norm(x, dim, rank=3, prefix="dec.ffn."), dim,
-                   hidden, rank=3, prefix="dec.ffn1.")),
-        hidden, dim, rank=3, prefix="dec.ffn2.",
-    )
-    x = _residual(ff, x, "dec.out")
+    for b in range(dec_blocks):
+        p = f"dec{b}."
+        self_att = multi_head_attention(
+            rms_norm(x, dim, rank=3, prefix=p + "self."), dim, heads,
+            causal=True, impl=impl, prefix=p + "self.",
+        )
+        x = _residual(self_att, x, p + "self")
+        cross = multi_head_cross_attention(
+            rms_norm(x, dim, rank=3, prefix=p + "cross."), enc, dim,
+            heads, impl=impl, prefix=p + "cross.",
+        )
+        x = _residual(cross, x, p + "cross")
+        ff = dense(
+            relu(dense(rms_norm(x, dim, rank=3, prefix=p + "ffn."), dim,
+                       hidden, rank=3, prefix=p + "ffn1.")),
+            hidden, dim, rank=3, prefix=p + "ffn2.",
+        )
+        x = _residual(ff, x, p + "out")
 
     logits = dense(rms_norm(x, dim, rank=3, prefix="head."), dim, vocab,
                    rank=3, prefix="head.")

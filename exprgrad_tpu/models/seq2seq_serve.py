@@ -15,10 +15,11 @@ independent of the generated length.
   static config (XLA compiles are expensive on this platform).
 
 Parameters are extracted from the compiled model BY NAME — every
-parameter of :func:`tiny_seq2seq` carries a unique prefixed name
-("enc.att.wq", "dec.cross.wk", ...) because the DSL graph interleaves
-encoder and decoder registration order (the encoder subgraph only
-registers when cross-attention first references it).
+parameter of :func:`tiny_seq2seq` carries a unique per-block prefixed
+name ("enc0.att.wq", "dec1.cross.wk", ...) because the DSL graph
+interleaves encoder and decoder registration order (the encoder
+subgraph only registers when cross-attention first references it).
+Any (enc_blocks, dec_blocks) depth is served.
 
 Parity is tested (tests/test_seq2seq_serve.py): prefill logits match the
 "predict" target and greedy generation matches ``greedy_decode`` token
@@ -36,33 +37,30 @@ from ..errors import ModelRuntimeError
 
 
 class _Enc(NamedTuple):
-    """Per-request encoder state: memory + precomputed cross K/V (and the
-    source-position validity mask for ragged batches, or None)."""
+    """Per-request encoder state: memory + precomputed cross K/V per
+    decoder block (and the source-position validity mask for ragged
+    batches, or None)."""
 
     memory: object    # [b, s, dim]
-    ck: object        # [b, h, s, hd]
-    cv: object        # [b, h, s, hd]
+    ck: tuple         # per decoder block: [b, h, s, hd]
+    cv: tuple         # per decoder block: [b, h, s, hd]
     kv_mask: object = None  # [b, s] bool, True = real source position
 
 
 class Seq2SeqServer:
-    """Incremental decoder over a trained :func:`tiny_seq2seq`'s weights."""
+    """Incremental decoder over a trained :func:`tiny_seq2seq`'s weights
+    (any encoder/decoder depth — blocks discovered by name prefix)."""
 
-    _NAMES = [
-        "src.embed", "src.pos",
-        "enc.att.rms.g", "enc.att.wq", "enc.att.wk", "enc.att.wv",
-        "enc.att.wo",
-        "enc.ffn.rms.g", "enc.ffn1.weights", "enc.ffn1.bias",
-        "enc.ffn2.weights", "enc.ffn2.bias",
-        "tgt.embed", "tgt.pos",
-        "dec.self.rms.g", "dec.self.wq", "dec.self.wk", "dec.self.wv",
-        "dec.self.wo",
-        "dec.cross.rms.g", "dec.cross.wq", "dec.cross.wk", "dec.cross.wv",
-        "dec.cross.wo",
-        "dec.ffn.rms.g", "dec.ffn1.weights", "dec.ffn1.bias",
-        "dec.ffn2.weights", "dec.ffn2.bias",
-        "head.rms.g", "head.weights", "head.bias",
-    ]
+    _TOP = ["src.embed", "src.pos", "tgt.embed", "tgt.pos",
+            "head.rms.g", "head.weights", "head.bias"]
+    _ENC_KEYS = ["att.rms.g", "att.wq", "att.wk", "att.wv", "att.wo",
+                 "ffn.rms.g", "ffn1.weights", "ffn1.bias",
+                 "ffn2.weights", "ffn2.bias"]
+    _DEC_KEYS = ["self.rms.g", "self.wq", "self.wk", "self.wv", "self.wo",
+                 "cross.rms.g", "cross.wq", "cross.wk", "cross.wv",
+                 "cross.wo",
+                 "ffn.rms.g", "ffn1.weights", "ffn1.bias",
+                 "ffn2.weights", "ffn2.bias"]
 
     def __init__(self, model, cache_dtype=None, eps: float = 1e-5):
         import jax.numpy as jnp
@@ -77,28 +75,56 @@ class Seq2SeqServer:
             if name in by_name:
                 raise ModelRuntimeError(
                     f"duplicate parameter name {name!r}; Seq2SeqServer "
-                    "serves single-block tiny_seq2seq models (unique "
-                    "prefixed names)"
+                    "serves tiny_seq2seq models (unique prefixed names)"
                 )
             by_name[name] = jnp.asarray(np.asarray(model.params[tid]))
-        missing = [n for n in self._NAMES if n not in by_name]
-        if missing:
+
+        def block_list(prefix_fmt: str, keys) -> list:
+            blocks = []
+            b = 0
+            while f"{prefix_fmt.format(b)}{keys[0]}" in by_name:
+                pre = prefix_fmt.format(b)
+                missing = [k for k in keys if pre + k not in by_name]
+                if missing:
+                    raise ModelRuntimeError(
+                        f"block {pre!r} is missing {missing[:3]}; "
+                        "Seq2SeqServer serves models built by tiny_seq2seq"
+                    )
+                blocks.append({k: by_name.pop(pre + k) for k in keys})
+                b += 1
+            return blocks
+
+        missing_top = [n for n in self._TOP if n not in by_name]
+        if missing_top:
             raise ModelRuntimeError(
-                f"missing parameters {missing[:4]}...; Seq2SeqServer "
+                f"missing parameters {missing_top[:4]}...; Seq2SeqServer "
                 "serves models built by tiny_seq2seq (name-prefixed "
                 "parameters)"
             )
-        self.p = {n: by_name[n] for n in self._NAMES}
+        self.enc = block_list("enc{}.", self._ENC_KEYS)
+        self.dec = block_list("dec{}.", self._DEC_KEYS)
+        self.p = {n: by_name.pop(n) for n in self._TOP}
+        if not self.enc or not self.dec:
+            raise ModelRuntimeError(
+                "Seq2SeqServer needs at least one encoder and one "
+                "decoder block (enc0./dec0. prefixed parameters)"
+            )
+        if by_name:
+            raise ModelRuntimeError(
+                f"{len(by_name)} unconsumed parameters "
+                f"({sorted(by_name)[:3]}...); not a tiny_seq2seq"
+            )
 
         self.vocab, self.dim = self.p["src.embed"].shape
         self.max_src = self.p["src.pos"].shape[0]
         self.max_tgt = self.p["tgt.pos"].shape[0]
-        self.heads, _, self.head_dim = self.p["dec.self.wq"].shape
-        if self.p["dec.cross.wk"].shape[0] != self.heads:
-            raise ModelRuntimeError(
-                "grouped-query cross-attention is not supported by this "
-                "server (kv_heads must equal heads)"
-            )
+        self.heads, _, self.head_dim = self.dec[0]["self.wq"].shape
+        for blk in self.dec:
+            if blk["cross.wk"].shape[0] != self.heads:
+                raise ModelRuntimeError(
+                    "grouped-query cross-attention is not supported by "
+                    "this server (kv_heads must equal heads)"
+                )
         from ..utils.buckets import JitCache
 
         self.scale = 1.0 / float(np.sqrt(self.head_dim))
@@ -153,20 +179,31 @@ class Seq2SeqServer:
                 jnp.arange(s_len, dtype=jnp.int32)[None, :] < lens[:, None]
             )
         e = p["src.embed"][ids] + p["src.pos"][:s_len][None]
-        rn = self._rms(e, p["enc.att.rms.g"])
-        q = jnp.einsum("ntc,hcd->nhtd", rn, p["enc.att.wq"])
-        k = jnp.einsum("ntc,hcd->nhtd", rn, p["enc.att.wk"])
-        v = jnp.einsum("ntc,hcd->nhtd", rn, p["enc.att.wv"])
-        att = self._full_attention(q, k, v, causal=False, kv_mask=kv_mask)
-        e = e + jnp.einsum("nhtd,hde->nte", att, p["enc.att.wo"])
-        rn2 = self._rms(e, p["enc.ffn.rms.g"])
-        h = jnp.maximum(rn2 @ p["enc.ffn1.weights"] + p["enc.ffn1.bias"],
-                        0.0)
-        enc = e + h @ p["enc.ffn2.weights"] + p["enc.ffn2.bias"]
-        # cross K/V: computed ONCE per request (context = raw encoder
-        # output, mirroring multi_head_cross_attention(x_norm, enc, ...))
-        ck = jnp.einsum("nsc,hcd->nhsd", enc, p["dec.cross.wk"])
-        cv = jnp.einsum("nsc,hcd->nhsd", enc, p["dec.cross.wv"])
+        for blk in self.enc:
+            rn = self._rms(e, blk["att.rms.g"])
+            q = jnp.einsum("ntc,hcd->nhtd", rn, blk["att.wq"])
+            k = jnp.einsum("ntc,hcd->nhtd", rn, blk["att.wk"])
+            v = jnp.einsum("ntc,hcd->nhtd", rn, blk["att.wv"])
+            att = self._full_attention(q, k, v, causal=False,
+                                       kv_mask=kv_mask)
+            e = e + jnp.einsum("nhtd,hde->nte", att, blk["att.wo"])
+            rn2 = self._rms(e, blk["ffn.rms.g"])
+            h = jnp.maximum(
+                rn2 @ blk["ffn1.weights"] + blk["ffn1.bias"], 0.0
+            )
+            e = e + h @ blk["ffn2.weights"] + blk["ffn2.bias"]
+        enc = e
+        # cross K/V: computed ONCE per request per decoder block
+        # (context = raw encoder output, mirroring
+        # multi_head_cross_attention(x_norm, enc, ...))
+        ck = tuple(
+            jnp.einsum("nsc,hcd->nhsd", enc, blk["cross.wk"])
+            for blk in self.dec
+        )
+        cv = tuple(
+            jnp.einsum("nsc,hcd->nhsd", enc, blk["cross.wv"])
+            for blk in self.dec
+        )
         return _Enc(enc, ck, cv, kv_mask)
 
     def init_caches(self, batch: int, capacity: Optional[int] = None):
@@ -174,7 +211,8 @@ class Seq2SeqServer:
 
         capacity = capacity or self.max_tgt
         return [init_cache(batch, self.heads, capacity, self.head_dim,
-                           dtype=self.cache_dtype)]
+                           dtype=self.cache_dtype)
+                for _ in self.dec]
 
     def _step(self, tokens, enc: _Enc, caches):
         """Forward ``t`` fresh target tokens; returns (logits, caches)."""
@@ -187,29 +225,33 @@ class Seq2SeqServer:
         pos = caches[0].length + jnp.arange(t, dtype=jnp.int32)
         x = p["tgt.embed"][ids] + p["tgt.pos"][pos][None]
 
-        # causal self-attention through the KV cache
-        rn = self._rms(x, p["dec.self.rms.g"])
-        q = jnp.einsum("ntc,hcd->nhtd", rn, p["dec.self.wq"])
-        k = jnp.einsum("ntc,hcd->nhtd", rn, p["dec.self.wk"])
-        v = jnp.einsum("ntc,hcd->nhtd", rn, p["dec.self.wv"])
-        cache = append(caches[0], k, v)
-        att = decode_attention(q, cache, sm_scale=self.scale)
-        x = x + jnp.einsum("nhtd,hde->nte", att, p["dec.self.wo"])
+        new_caches = []
+        for blk, cache, ck, cv in zip(self.dec, caches, enc.ck, enc.cv):
+            # causal self-attention through the KV cache
+            rn = self._rms(x, blk["self.rms.g"])
+            q = jnp.einsum("ntc,hcd->nhtd", rn, blk["self.wq"])
+            k = jnp.einsum("ntc,hcd->nhtd", rn, blk["self.wk"])
+            v = jnp.einsum("ntc,hcd->nhtd", rn, blk["self.wv"])
+            cache = append(cache, k, v)
+            att = decode_attention(q, cache, sm_scale=self.scale)
+            x = x + jnp.einsum("nhtd,hde->nte", att, blk["self.wo"])
 
-        # cross-attention against the precomputed encoder K/V
-        rn = self._rms(x, p["dec.cross.rms.g"])
-        qc = jnp.einsum("ntc,hcd->nhtd", rn, p["dec.cross.wq"])
-        ca = self._full_attention(qc, enc.ck, enc.cv, causal=False,
-                                  kv_mask=enc.kv_mask)
-        x = x + jnp.einsum("nhtd,hde->nte", ca, p["dec.cross.wo"])
+            # cross-attention against the precomputed encoder K/V
+            rn = self._rms(x, blk["cross.rms.g"])
+            qc = jnp.einsum("ntc,hcd->nhtd", rn, blk["cross.wq"])
+            ca = self._full_attention(qc, ck, cv, causal=False,
+                                      kv_mask=enc.kv_mask)
+            x = x + jnp.einsum("nhtd,hde->nte", ca, blk["cross.wo"])
 
-        rn = self._rms(x, p["dec.ffn.rms.g"])
-        h = jnp.maximum(rn @ p["dec.ffn1.weights"] + p["dec.ffn1.bias"],
-                        0.0)
-        x = x + h @ p["dec.ffn2.weights"] + p["dec.ffn2.bias"]
+            rn = self._rms(x, blk["ffn.rms.g"])
+            h = jnp.maximum(
+                rn @ blk["ffn1.weights"] + blk["ffn1.bias"], 0.0
+            )
+            x = x + h @ blk["ffn2.weights"] + blk["ffn2.bias"]
+            new_caches.append(cache)
         logits = (self._rms(x, p["head.rms.g"]) @ p["head.weights"]
                   + p["head.bias"])
-        return logits, [cache]
+        return logits, new_caches
 
     def prefill(self, tokens, enc: _Enc, caches):
         """Run a whole target prefix, filling the self-attention cache."""
@@ -346,12 +388,10 @@ class Seq2SeqServer:
                 logits[:, -1].astype(jnp.float32), axis=-1
             )                                              # [batch, V]
 
-            def rep(x, r):
-                return None if x is None else jnp.repeat(x, r, axis=0)
+            import jax.tree_util as jtu
 
-            enc_rep = _Enc(
-                rep(enc.memory, beams), rep(enc.ck, beams),
-                rep(enc.cv, beams), rep(enc.kv_mask, beams),
+            enc_rep = jtu.tree_map(
+                lambda x: jnp.repeat(x, beams, axis=0), enc
             )
             caches = [
                 KVCache(k=jnp.repeat(c.k, beams, axis=0),

@@ -258,3 +258,20 @@ def test_beam_on_ragged_sources(trained):
                                       np.asarray(solo_t)[0])
         np.testing.assert_allclose(np.asarray(scores)[i],
                                    np.asarray(solo_s)[0], atol=1e-5)
+
+
+def test_multiblock_seq2seq_serves():
+    """2 encoder + 2 decoder blocks: block discovery by name prefix,
+    per-block cross K/V and self caches; greedy == greedy_decode."""
+    rng = np.random.default_rng(13)
+    m = compile(tiny_seq2seq(enc_blocks=2, dec_blocks=2), seed=0)
+    server = Seq2SeqServer(m)
+    assert len(server.enc) == 2 and len(server.dec) == 2
+    src = rng.integers(1, 8, (2, 6)).astype(np.float32)
+    got = np.asarray(server.generate(src, n_new=5))
+    want = greedy_decode(m, src, n_new=5)
+    np.testing.assert_array_equal(got, want)
+    toks, scores = server.generate_beam(src, n_new=4, beams=2)
+    assert np.asarray(toks).shape == (2, 2, 4)
+    np.testing.assert_array_equal(np.asarray(toks)[:, 0],
+                                  np.asarray(got)[:, :4])
