@@ -25,7 +25,32 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x06\n"
+MAGIC = b"EGTPU\x07\n"
+_MAGIC_V6 = b"EGTPU\x06\n"  # pre-CRC format: rejected with a clear error
+
+
+class _CrcStream:
+    """Wrap a binary stream, folding every byte written/read into a
+    CRC32 (native egtpu_crc32, zlib fallback) — checkpoint files carry
+    the CRC as a 4-byte little-endian trailer so load_model detects
+    bit-rot/truncation instead of deserializing garbage."""
+
+    def __init__(self, stream):
+        self.stream = stream
+        self.crc = 0
+
+    def write(self, data):
+        from ..utils.native import crc32
+
+        self.crc = crc32(bytes(data), self.crc)
+        return self.stream.write(data)
+
+    def read(self, n=-1):
+        from ..utils.native import crc32
+
+        data = self.stream.read(n)
+        self.crc = crc32(data, self.crc)
+        return data
 
 
 class Writer:
@@ -501,10 +526,12 @@ def load_program(path: str) -> ir.Program:
 
 
 def save_model(model, path: str) -> None:
-    """Checkpoint = source program + params + caches + epoch."""
+    """Checkpoint = source program + params + caches + epoch, closed by
+    a CRC32 trailer of the payload (integrity check at load)."""
     with open(path, "wb") as f:
         f.write(MAGIC)
-        w = Writer(f)
+        cs = _CrcStream(f)
+        w = Writer(cs)
         write_program(w, model.source)
         w.i64(model.epoch)
         for table in (model.params, model.caches):
@@ -512,6 +539,7 @@ def save_model(model, path: str) -> None:
             for tid in sorted(table):
                 w.i64(tid)
                 w.tensor(np.asarray(table[tid]))
+        f.write(struct.pack("<I", cs.crc & 0xFFFFFFFF))
 
 
 def load_model(path: str, backend: str = "jax"):
@@ -520,18 +548,43 @@ def load_model(path: str, backend: str = "jax"):
     from ..model import Model
 
     with open(path, "rb") as f:
-        if f.read(len(MAGIC)) != MAGIC:
+        head = f.read(len(MAGIC))
+        if head == _MAGIC_V6:
+            raise ModelRuntimeError(
+                f"{path} is a v6 checkpoint (pre-CRC format); re-save it "
+                "with this version"
+            )
+        if head != MAGIC:
             raise ModelRuntimeError(f"{path} is not an exprgrad-tpu file")
-        r = Reader(f)
-        source = read_program(r)
-        epoch = r.i64()
-        tables = []
-        for _ in range(2):
-            table = {}
-            for _ in range(r.i64()):
-                tid = r.i64()
-                table[tid] = r.tensor()
-            tables.append(table)
+        cs = _CrcStream(f)
+        r = Reader(cs)
+        try:
+            source = read_program(r)
+            epoch = r.i64()
+            tables = []
+            for _ in range(2):
+                table = {}
+                for _ in range(r.i64()):
+                    tid = r.i64()
+                    table[tid] = r.tensor()
+                tables.append(table)
+        except (MemoryError, OverflowError, ValueError) as err:
+            # a corrupted length/shape field can demand an absurd
+            # allocation before the CRC trailer is ever reached — fold
+            # it into the same clean integrity error
+            raise ModelRuntimeError(
+                f"{path} is corrupted (invalid structure while reading: "
+                f"{type(err).__name__})"
+            ) from err
+        payload_crc = cs.crc
+        trailer = f.read(4)
+        if len(trailer) != 4 or struct.unpack("<I", trailer)[0] != (
+            payload_crc & 0xFFFFFFFF
+        ):
+            raise ModelRuntimeError(
+                f"{path} failed its CRC32 integrity check (truncated or "
+                "corrupted checkpoint)"
+            )
 
     model = Model(source, backend=backend)
     model.epoch = epoch

@@ -9,6 +9,8 @@ training (epoch preserved for adam bias correction).
 
 import pathlib
 
+import pytest
+
 import numpy as np
 
 from exprgrad_tpu import Tensor, compile
@@ -114,3 +116,70 @@ def test_random_program_roundtrips():
         buf.seek(0)
         loaded = read_program(Reader(buf))
         assert fmt_program(loaded) == fmt_program(program)
+
+
+def test_checkpoint_crc_detects_corruption(tmp_path):
+    """A flipped payload byte fails the CRC32 trailer check with a clean
+    error instead of deserializing garbage."""
+    from exprgrad_tpu.errors import ModelRuntimeError
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.models import flash_transformer
+
+    # a model whose file is dominated by one big tensor, so a mid-file
+    # flip lands in raw tensor DATA — structurally valid, only the CRC
+    # can catch it (corrupted framing fields fail with their own error)
+    model = compile(
+        flash_transformer(vocab=64, dim=32, heads=2, hidden=64,
+                          max_seq=16),
+        seed=0,
+    )
+    path = tmp_path / "m.bin"
+    save_model(model, str(path))
+    data = bytearray(path.read_bytes())
+    data[len(data) // 2] ^= 0xFF
+    path.write_bytes(bytes(data))
+    with pytest.raises(ModelRuntimeError, match="CRC32|corrupted"):
+        load_model(str(path))
+
+
+def test_corrupted_framing_gives_clean_error(tmp_path):
+    """A flipped LENGTH field must raise ModelRuntimeError, never a raw
+    MemoryError from an absurd allocation."""
+    from exprgrad_tpu.errors import ModelRuntimeError
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(), seed=0)
+    path = tmp_path / "m.bin"
+    save_model(model, str(path))
+    raw = path.read_bytes()
+    for off in (12, 20, 40, 100):
+        data = bytearray(raw)
+        data[len(data) - off] ^= 0xFF
+        path.write_bytes(bytes(data))
+        with pytest.raises(ModelRuntimeError):
+            load_model(str(path))
+
+
+def test_checkpoint_truncation_detected(tmp_path):
+    from exprgrad_tpu.errors import ModelRuntimeError
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(), seed=0)
+    path = tmp_path / "m.bin"
+    save_model(model, str(path))
+    data = path.read_bytes()
+    path.write_bytes(data[:-2])  # drop half the trailer
+    with pytest.raises(ModelRuntimeError):
+        load_model(str(path))
+
+
+def test_old_v6_magic_clean_error(tmp_path):
+    from exprgrad_tpu.errors import ModelRuntimeError
+    from exprgrad_tpu.io import load_model
+
+    path = tmp_path / "old.bin"
+    path.write_bytes(b"EGTPU\x06\n" + b"\x00" * 32)
+    with pytest.raises(ModelRuntimeError, match="v6 checkpoint"):
+        load_model(str(path))
