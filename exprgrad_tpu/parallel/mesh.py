@@ -63,11 +63,20 @@ class ShardedExecutor:
         mesh: Mesh,
         batch_inputs: Optional[Sequence[str]] = None,
         input_specs: Optional[dict[str, P]] = None,
+        zero: bool = False,
     ) -> None:
         """``input_specs`` overrides the default batch-dim sharding per input
         name with an explicit PartitionSpec — e.g. sequence parallelism:
-        ``{"tokens": P("data", "model")}`` shards the sequence dimension
-        over the model axis and XLA inserts the attention collectives."""
+        ``{"tokens": P("data", "model")}`` shards the sequence
+        dimension over the model axis and XLA inserts the attention
+        collectives.
+
+        ``zero=True`` shards OPTIMIZER-STATE caches (adam m/v, momentum,
+        EMA shadows) over the ``data`` axis on their leading dim
+        (ZeRO-1): each device stores 1/N of the optimizer state, and XLA
+        inserts the reduce-scatter/all-gather pair the sharded update
+        implies.  Values are bit-identical to the replicated layout —
+        sharding is a layout annotation, not a numeric change."""
         self.model = model
         program = model.program
         self.program = program
@@ -83,6 +92,7 @@ class ShardedExecutor:
         )
         self.mesh = mesh
         model_axis = mesh.shape.get("model", 1)
+        data_axis = mesh.shape.get("data", 1)
 
         if batch_inputs is None:
             batch_inputs = list(input_shapes)
@@ -115,7 +125,25 @@ class ShardedExecutor:
                 ):
                     spec = [None] * len(shape)
                     spec[-1] = "model"
+                    if (
+                        zero
+                        and tdef.kind == ir.TensorKind.CACHE
+                        and data_axis > 1
+                        and shape[0] % data_axis == 0
+                        and spec[0] is None
+                    ):
+                        spec[0] = "data"
                     return NamedSharding(mesh, P(*spec))
+                if (
+                    zero
+                    and tdef.kind == ir.TensorKind.CACHE
+                    and data_axis > 1
+                    and len(shape) >= 1
+                    and shape[0] % data_axis == 0
+                ):
+                    return NamedSharding(
+                        mesh, P("data", *([None] * (len(shape) - 1)))
+                    )
                 return NamedSharding(mesh, P())
             return NamedSharding(mesh, P())
 
@@ -136,12 +164,12 @@ class ShardedExecutor:
             tensors[program.inputs[name]] = np.ascontiguousarray(value, dtype)
         tensors.update(self.model.params)
         tensors.update(self.model.caches)
+        # ALWAYS place onto the declared sharding: step outputs come back
+        # with compiler-chosen layouts, and feeding them to the next step
+        # unplaced trips jit's in_shardings check (device_put is a no-op
+        # when the sharding already matches)
         inputs = {
-            tid: (
-                tensors[tid]
-                if hasattr(tensors[tid], "sharding")
-                else jax.device_put(tensors[tid], self.in_shardings[tid])
-            )
+            tid: jax.device_put(tensors[tid], self.in_shardings[tid])
             for tid in self.executor.input_tids
         }
         result = self._fn(inputs, epoch, seed)

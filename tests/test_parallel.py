@@ -200,3 +200,66 @@ def test_flash_transformer_sharded_train_step():
     sharded = loss_ex.run({"tokens": toks, "labels": labels})
     out_id = loss_ex.model.program.targets["loss"].output
     assert abs(float(np.asarray(sharded[out_id])[0]) - single_loss) < 1e-5
+
+
+def test_zero_optimizer_state_sharding():
+    """ZeRO-1: optimizer caches shard 1/N per device over the data axis;
+    one training step is bit-identical to the replicated layout."""
+    from exprgrad_tpu import compile as eg_compile, one_hot
+    from exprgrad_tpu.models import flash_transformer
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 6, (8, 8)).astype(np.float32)
+    labels = one_hot(rng.integers(0, 6, 8 * 8), 6).reshape(8, 8, 6)
+
+    results = {}
+    for zero in (False, True):
+        model = eg_compile(
+            flash_transformer(vocab=6, dim=16, heads=2), seed=0
+        )
+        ex = ShardedExecutor(
+            model, "train", {"tokens": [8, 8], "labels": [8, 8, 6]},
+            mesh, batch_inputs=["tokens", "labels"], zero=zero,
+        )
+        ex.run({"tokens": toks, "labels": labels}, epoch=1, seed=0)
+        results[zero] = {
+            tid: np.asarray(v) for tid, v in model.params.items()
+        }
+        if zero:
+            # every shardable optimizer cache is actually split over data
+            split = 0
+            for tid, val in model.caches.items():
+                shard_shape = val.sharding.shard_shape(val.shape)
+                if val.shape and val.shape[0] % 4 == 0 and val.shape[0] > 0:
+                    if shard_shape[0] == val.shape[0] // 4:
+                        split += 1
+            assert split > 0, "no optimizer cache was ZeRO-sharded"
+    for tid in results[False]:
+        np.testing.assert_allclose(
+            results[True][tid], results[False][tid], rtol=1e-6, atol=1e-7
+        )
+
+
+def test_multistep_tp_training():
+    """Several sharded steps in sequence: step outputs (compiler-chosen
+    layouts) must feed the next step without tripping jit's in_shardings
+    check (regression: run() used to skip device_put for already-sharded
+    arrays)."""
+    from exprgrad_tpu import compile as eg_compile, one_hot
+    from exprgrad_tpu.models import flash_transformer
+
+    mesh = make_mesh(8, model=2)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 6, (8, 8)).astype(np.float32)
+    labels = one_hot(rng.integers(0, 6, 64), 6).reshape(8, 8, 6)
+    model = eg_compile(flash_transformer(vocab=6, dim=16, heads=2), seed=0)
+    ex = ShardedExecutor(
+        model, "train", {"tokens": [8, 8], "labels": [8, 8, 6]},
+        mesh, batch_inputs=["tokens", "labels"],
+    )
+    for step in range(3):
+        ex.run({"tokens": toks, "labels": labels}, epoch=1 + step,
+               seed=step)
+    for v in model.params.values():
+        assert np.isfinite(np.asarray(v)).all()
