@@ -38,8 +38,9 @@ def greedy_decode(model, src, n_new: int, bos: int = 0):
     ``bos``) and take the argmax of the last position each step.
 
     O(t^2) in total (each step re-runs the full teacher-forced forward)
-    but exact and backend-agnostic — the KV-cache fast path is the
-    decoder-only FlashLMServer; encoder-decoder serving recomputes.
+    but exact and backend-agnostic — the production fast path is
+    :class:`~exprgrad_tpu.models.Seq2SeqServer` (encode once + KV cache,
+    per-token cost independent of t, greedy token-equal to this).
     Returns [batch, n_new] int token ids.
     """
     import numpy as np

@@ -169,3 +169,37 @@ def test_flash_mismatched_heads_rejected():
     q, k, v = _rand_qkv(b=1, h=3, sq=128, skv=128, d=32, seed=10)
     with pytest.raises(ValueError):
         flash_attention(q, k[:, :2], v[:, :2])
+
+
+def test_flash_attention_bfloat16():
+    """bf16 q/k/v through fwd+bwd (the Model.astype('bfloat16') serving
+    path feeds bf16 into the kernels): matches the f32 oracle within
+    bf16 tolerance, outputs keep the input dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    b, h, s, d = 2, 2, 256, 64
+    mk = lambda: (rng.normal(size=(b, h, s, d)) * 0.2).astype(np.float32)
+    qf, kf, vf, gf = mk(), mk(), mk(), mk()
+    q16, k16, v16 = (jnp.asarray(x, jnp.bfloat16) for x in (qf, kf, vf))
+
+    out16, vjp16 = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, causal=True), q16, k16,
+        v16,
+    )
+    assert out16.dtype == jnp.bfloat16
+    grads16 = vjp16(jnp.asarray(gf, jnp.bfloat16))
+    out32, vjp32 = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, causal=True),
+        jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf),
+    )
+    grads32 = vjp32(jnp.asarray(gf))
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(out32), atol=2e-2
+    )
+    for g16, g32 in zip(grads16, grads32):
+        assert g16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(g16, np.float32), np.asarray(g32), atol=6e-2
+        )
