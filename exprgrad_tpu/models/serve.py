@@ -215,6 +215,143 @@ class FlashLMServer:
         """One token per sequence ([batch, 1]); O(cache) per step."""
         return self.prefill(token, caches)
 
+    def generate_speculative(
+        self,
+        draft: "FlashLMServer",
+        prompt,
+        n_new: int,
+        k: int = 4,
+        capacity: Optional[int] = None,
+    ):
+        """Greedy speculative decoding: a small ``draft`` server proposes
+        ``k`` tokens per round, this (target) model verifies them in ONE
+        ``k``-wide cached step, accepting the longest matching prefix
+        plus one bonus token from the target's own distribution.
+
+        With greedy acceptance the output is EXACTLY this model's greedy
+        sequence (``generate(prompt, n_new)``) for ANY draft — the draft
+        only changes how many target steps it takes (≈ n_new /
+        (accepted+1) instead of n_new).  Whole loop is one jitted
+        ``lax.while_loop``; both KV caches rewind their ``length`` on
+        rejection (stale slots are masked by position and overwritten by
+        later appends).  Returns ``(tokens [1, n_new], target_steps)``.
+
+        Single sequence only (per-row acceptance lengths would make the
+        batch ragged); draft and target must share the vocabulary.
+        """
+        import jax
+
+        jnp = self._jnp
+        prompt = jnp.asarray(prompt)
+        batch, t = prompt.shape
+        if batch != 1:
+            raise ModelRuntimeError(
+                "speculative decoding serves one sequence at a time "
+                f"(got batch {batch}); per-row acceptance lengths would "
+                "make the batch ragged"
+            )
+        if draft.vocab != self.vocab:
+            raise ModelRuntimeError(
+                f"draft vocab {draft.vocab} != target vocab {self.vocab}"
+            )
+        if k < 1:
+            raise ModelRuntimeError(f"k must be >= 1 (got {k})")
+        if n_new < 1:
+            raise ModelRuntimeError(f"n_new must be >= 1 (got {n_new})")
+        # rows for rejected proposals are appended before the rewind, so
+        # the high-water mark overshoots by up to k
+        need = t + n_new - 1 + k
+        if need > self.max_seq or need > draft.max_seq:
+            raise ModelRuntimeError(
+                f"prompt_len + n_new - 1 + k = {need} exceeds max_seq "
+                f"(target {self.max_seq}, draft {draft.max_seq})"
+            )
+        capacity = capacity or need
+        if need > capacity:
+            raise ModelRuntimeError(
+                f"{need} cache rows needed, capacity {capacity}"
+            )
+
+        buf_len = n_new + k
+
+        def build():
+          def run(prompt):
+            from ..ops.decode import KVCache
+
+            tc = self.init_caches(1, capacity)
+            dc = draft.init_caches(1, capacity)
+            logits_t, tc = self.prefill(prompt, tc)
+            _, dc = draft.prefill(prompt, dc)
+            first = jnp.argmax(logits_t[:, -1], axis=-1).astype(jnp.int32)
+            out = jnp.zeros((buf_len,), jnp.int32)
+            out = out.at[0].set(first[0])
+
+            def rewind(caches, new_len):
+                return [KVCache(c.k, c.v, new_len) for c in caches]
+
+            def cond(carry):
+                _, count, *_ = carry
+                return count < n_new
+
+            def body(carry):
+                out, count, cur, tc, dc, steps = carry
+
+                # draft proposes k tokens greedily from cur
+                def dstep(dcarry, _):
+                    dcs, tok = dcarry
+                    dlogits, dcs = draft.decode(tok[:, None], dcs)
+                    nxt = jnp.argmax(
+                        dlogits[:, -1], axis=-1
+                    ).astype(jnp.int32)
+                    return (dcs, nxt), nxt
+
+                (dc, _), props = jax.lax.scan(
+                    dstep, (dc, cur), None, length=k
+                )
+                props = props[:, 0]                       # [k]
+
+                # target verifies in ONE k-wide step on [cur, d_1..d_k-1]
+                len0 = tc[0].length
+                seq_in = jnp.concatenate(
+                    [cur, props[: k - 1]]
+                )[None, :].astype(jnp.float32)            # [1, k]
+                vlogits, tc = self.prefill(seq_in, tc)
+                targets = jnp.argmax(
+                    vlogits[0], axis=-1
+                ).astype(jnp.int32)                       # [k]
+
+                eq = props == targets                     # d_j+1 vs t_j
+                m = jnp.sum(
+                    jnp.cumprod(eq.astype(jnp.int32))
+                ).astype(jnp.int32)
+                n_emit = jnp.minimum(m + 1, k).astype(jnp.int32)
+                bonus = targets[jnp.minimum(m, k - 1)]
+                cur_next = jnp.where(m == k, props[k - 1], bonus)[None]
+
+                # round emits d_1..d_m then (partial accept only) the
+                # bonus in slot m; slots past n_emit are garbage that the
+                # next round's write overwrites
+                emit = props.at[jnp.minimum(m, k - 1)].set(
+                    jnp.where(m == k, props[k - 1], bonus)
+                )                                         # [k]
+                out = jax.lax.dynamic_update_slice(out, emit, (count,))
+                new_len = (len0 + n_emit).astype(jnp.int32)
+                tc = rewind(tc, new_len)
+                dc = rewind(dc, new_len)
+                return (out, (count + n_emit).astype(jnp.int32),
+                        cur_next, tc, dc, steps + jnp.int32(1))
+
+            out, count, _, _, _, steps = jax.lax.while_loop(
+                cond, body,
+                (out, jnp.int32(1), first, tc, dc, jnp.int32(0)),
+            )
+            return out[:n_new][None, :], steps
+
+          return run
+
+        key = ("spec", t, n_new, k, capacity, id(draft))
+        return self._jitted(key, build)(prompt)
+
     def generate_beam(
         self,
         prompt,

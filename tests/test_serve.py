@@ -440,3 +440,61 @@ def test_prompt_buckets_respect_capacity(bucket_model):
     out = np.asarray(server.generate(p, n_new=4))
     want = np.asarray(FlashLMServer(bucket_model).generate(p, n_new=4))
     np.testing.assert_array_equal(out, want)
+
+
+def test_speculative_matches_greedy_exactly(bucket_model):
+    """Greedy speculative decoding == plain greedy for any draft (the
+    draft only changes the number of target steps)."""
+    target = FlashLMServer(bucket_model)
+    draft = FlashLMServer(
+        compile(flash_transformer(vocab=VOCAB, dim=16, heads=2), seed=9)
+    )
+    prompt = np.asarray([[1, 2, 3, 4, 0]], np.float32)
+    want = np.asarray(target.generate(prompt, n_new=16))
+    for k in (1, 3, 5):
+        got, steps = target.generate_speculative(draft, prompt,
+                                                 n_new=16, k=k)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        assert 1 <= int(steps) <= 16
+
+
+def test_speculative_self_draft_compresses_steps(bucket_model):
+    """With the target as its own draft every proposal is accepted:
+    ~n_new/k verify steps instead of n_new."""
+    target = FlashLMServer(bucket_model)
+    prompt = np.asarray([[2, 4, 1]], np.float32)
+    want = np.asarray(target.generate(prompt, n_new=12))
+    got, steps = target.generate_speculative(target, prompt, n_new=12,
+                                             k=4)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(steps) <= 4  # ceil(11 / 4) rounds after the first token
+
+
+def test_speculative_windowed_target():
+    m = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, max_seq=64,
+                          window=8),
+        seed=3,
+    )
+    target = FlashLMServer(m)
+    prompt = np.asarray([[1, 5, 2, 3]], np.float32)
+    want = np.asarray(target.generate(prompt, n_new=14))
+    got, _ = target.generate_speculative(target, prompt, n_new=14, k=3)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_speculative_validations(bucket_model):
+    from exprgrad_tpu.errors import ModelRuntimeError
+
+    target = FlashLMServer(bucket_model)
+    with pytest.raises(ModelRuntimeError, match="one sequence"):
+        target.generate_speculative(
+            target, np.zeros((2, 4), np.float32), n_new=4
+        )
+    small_vocab = FlashLMServer(
+        compile(flash_transformer(vocab=4, dim=16, heads=2), seed=0)
+    )
+    with pytest.raises(ModelRuntimeError, match="vocab"):
+        target.generate_speculative(
+            small_vocab, np.zeros((1, 4), np.float32), n_new=4
+        )
