@@ -578,6 +578,7 @@ class FlashLMServer:
         capacity: Optional[int] = None,
         temperature: float = 0.0,
         top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
         seed: int = 0,
         lengths=None,
         stop_token: Optional[int] = None,
@@ -586,7 +587,9 @@ class FlashLMServer:
 
         ``temperature <= 0`` decodes greedily; otherwise tokens sample
         from ``softmax(logits / temperature)``, restricted to the
-        ``top_k`` most likely tokens when given.  The per-token loop is
+        ``top_k`` most likely tokens and/or the smallest nucleus whose
+        probability mass reaches ``top_p`` when given (both filters
+        compose: top_k first, then top_p over the survivors).  The per-token loop is
         ONE jitted ``lax.scan``.
 
         ``lengths`` ([batch] ints) serves a RAGGED batch: prompts are
@@ -651,12 +654,26 @@ class FlashLMServer:
             )
         caches = self.init_caches(batch, capacity)
 
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ModelRuntimeError(
+                f"top_p must lie in (0, 1] (got {top_p})"
+            )
+
         def pick(logits, key):
             if temperature <= 0.0:
                 return jnp.argmax(logits, axis=-1)
             logits = logits / jnp.float32(temperature)
             if top_k is not None and top_k < self.vocab:
                 kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+                logits = jnp.where(logits >= kth, logits, -jnp.inf)
+            if top_p is not None and top_p < 1.0:
+                # nucleus: keep the smallest descending-prob prefix with
+                # cumulative mass >= top_p (the top token always stays)
+                sl = jnp.sort(logits, axis=-1)[:, ::-1]      # descending
+                probs = jax.nn.softmax(sl, axis=-1)
+                keep = jnp.cumsum(probs, axis=-1) - probs < top_p
+                kth = jnp.max(jnp.where(keep, sl, -jnp.inf), axis=-1,
+                              keepdims=True)
                 logits = jnp.where(logits >= kth, logits, -jnp.inf)
             return jax.random.categorical(key, logits, axis=-1)
 
@@ -695,7 +712,7 @@ class FlashLMServer:
 
             return run
 
-          key = ("gen", n_new, stop_token, temperature, top_k)
+          key = ("gen", n_new, stop_token, temperature, top_k, top_p)
           return self._jitted(key, build)(
               prompt, caches, jax.random.PRNGKey(seed)
           )
@@ -744,7 +761,7 @@ class FlashLMServer:
 
           return run_ragged
 
-        key = ("gen_ragged", n_new, stop_token, temperature, top_k)
+        key = ("gen_ragged", n_new, stop_token, temperature, top_k, top_p)
         return self._jitted(key, build_ragged)(
             prompt, caches, jax.random.PRNGKey(seed), lens
         )

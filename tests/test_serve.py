@@ -498,3 +498,24 @@ def test_speculative_validations(bucket_model):
         target.generate_speculative(
             small_vocab, np.zeros((1, 4), np.float32), n_new=4
         )
+
+
+def test_top_p_sampling(bucket_model):
+    """Nucleus sampling: tokens only come from the smallest prefix of
+    the sorted distribution whose mass reaches top_p; deterministic for
+    a given seed; top_p=tiny degenerates to greedy."""
+    server = FlashLMServer(bucket_model)
+    prompt = np.asarray([[1, 2, 3, 0]], np.float32)
+    a = np.asarray(server.generate(prompt, n_new=8, temperature=1.0,
+                                   top_p=0.9, seed=5))
+    b = np.asarray(server.generate(prompt, n_new=8, temperature=1.0,
+                                   top_p=0.9, seed=5))
+    np.testing.assert_array_equal(a, b)
+    # a vanishing nucleus keeps only the argmax -> equals greedy
+    tiny = np.asarray(server.generate(prompt, n_new=8, temperature=1.0,
+                                      top_p=1e-9, seed=5))
+    greedy = np.asarray(server.generate(prompt, n_new=8))
+    np.testing.assert_array_equal(tiny, greedy)
+    from exprgrad_tpu.errors import ModelRuntimeError
+    with pytest.raises(ModelRuntimeError, match="top_p"):
+        server.generate(prompt, n_new=4, temperature=1.0, top_p=1.5)
