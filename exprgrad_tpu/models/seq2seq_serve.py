@@ -393,10 +393,13 @@ class Seq2SeqServer:
             enc_rep = jtu.tree_map(
                 lambda x: jnp.repeat(x, beams, axis=0), enc
             )
+            def _repc(x):
+                return None if x is None else jnp.repeat(x, beams, axis=0)
+
             caches = [
-                KVCache(k=jnp.repeat(c.k, beams, axis=0),
-                        v=jnp.repeat(c.v, beams, axis=0),
-                        length=c.length)
+                c._replace(k=_repc(c.k), v=_repc(c.v),
+                           k_scale=_repc(c.k_scale),
+                           v_scale=_repc(c.v_scale))
                 for c in caches
             ]
 
@@ -430,10 +433,13 @@ class Seq2SeqServer:
                     jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
                     + parent.astype(jnp.int32)
                 ).reshape(-1)
+                def _takec(x):
+                    return None if x is None else jnp.take(x, rows, axis=0)
+
                 caches = [
-                    KVCache(k=jnp.take(c.k, rows, axis=0),
-                            v=jnp.take(c.v, rows, axis=0),
-                            length=c.length)
+                    c._replace(k=_takec(c.k), v=_takec(c.v),
+                               k_scale=_takec(c.k_scale),
+                               v_scale=_takec(c.v_scale))
                     for c in caches
                 ]
                 if stop_token is not None:

@@ -287,7 +287,7 @@ class FlashLMServer:
             out = out.at[0].set(first[0])
 
             def rewind(caches, new_len):
-                return [KVCache(c.k, c.v, new_len) for c in caches]
+                return [c._replace(length=new_len) for c in caches]
 
             def cond(carry):
                 _, count, *_ = carry
@@ -409,12 +409,12 @@ class FlashLMServer:
             logp0 = jax.nn.log_softmax(
                 logits[:, -1].astype(jnp.float32), axis=-1
             )                                              # [batch, V]
+            def _rep(x):
+                return None if x is None else jnp.repeat(x, beams, axis=0)
+
             caches = [
-                KVCache(
-                    k=jnp.repeat(c.k, beams, axis=0),
-                    v=jnp.repeat(c.v, beams, axis=0),
-                    length=c.length,
-                )
+                c._replace(k=_rep(c.k), v=_rep(c.v),
+                           k_scale=_rep(c.k_scale), v_scale=_rep(c.v_scale))
                 for c in caches
             ]
 
@@ -451,12 +451,13 @@ class FlashLMServer:
                     jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
                     + parent.astype(jnp.int32)
                 ).reshape(-1)                              # [b*beams]
+                def _take(x):
+                    return None if x is None else jnp.take(x, rows, axis=0)
+
                 caches = [
-                    KVCache(
-                        k=jnp.take(c.k, rows, axis=0),
-                        v=jnp.take(c.v, rows, axis=0),
-                        length=c.length,
-                    )
+                    c._replace(k=_take(c.k), v=_take(c.v),
+                               k_scale=_take(c.k_scale),
+                               v_scale=_take(c.v_scale))
                     for c in caches
                 ]
                 if stop_token is not None:

@@ -26,21 +26,46 @@ _NEG_INF = -1e30
 
 class KVCache(NamedTuple):
     """Static-capacity key/value cache.  ``length`` is the number of valid
-    positions (traced int32 scalar)."""
+    positions (traced int32 scalar).
+
+    With an INT8 cache (``init_cache(dtype=jnp.int8)``) ``k_scale`` /
+    ``v_scale`` hold one f32 dequantization scale per (batch, kv-head,
+    slot) — symmetric per-row max/127 quantization, halving cache HBM vs
+    bf16 at the cost of per-slot rounding (decode attention dequantizes
+    on the fly).  None for float caches."""
 
     k: jax.Array        # [b, hkv, capacity, d]
     v: jax.Array        # [b, hkv, capacity, d]
     length: jax.Array   # int32 scalar
+    k_scale: Optional[jax.Array] = None  # [b, hkv, capacity] f32
+    v_scale: Optional[jax.Array] = None  # [b, hkv, capacity] f32
 
 
 def init_cache(batch: int, kv_heads: int, capacity: int, head_dim: int,
                dtype=jnp.bfloat16) -> KVCache:
     shape = (batch, kv_heads, capacity, head_dim)
+    quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    scale = (
+        jnp.ones(shape[:3], jnp.float32) if quantized else None
+    )
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.int32(0),
+        k_scale=scale,
+        v_scale=scale,
     )
+
+
+def _quantize(x: jax.Array):
+    """Symmetric per-(b, h, slot) int8 quantization: (int8 codes, f32
+    scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    codes = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scale
 
 
 def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
@@ -49,7 +74,18 @@ def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
     traced; excess positions would wrap via clamping)."""
     zero = jnp.zeros((), cache.length.dtype)  # match index dtypes under x64
     start = (zero, zero, cache.length, zero)
-    return KVCache(
+    if cache.k_scale is not None:
+        kq, ks = _quantize(k_new)
+        vq, vs = _quantize(v_new)
+        s3 = (zero, zero, cache.length)
+        return cache._replace(
+            k=jax.lax.dynamic_update_slice(cache.k, kq, start),
+            v=jax.lax.dynamic_update_slice(cache.v, vq, start),
+            k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks, s3),
+            v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs, s3),
+            length=cache.length + jnp.int32(k_new.shape[2]),
+        )
+    return cache._replace(
         k=jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype),
                                        start),
         v=jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype),
@@ -89,6 +125,9 @@ def decode_attention(q: jax.Array, cache: KVCache,
     qg = q.reshape(b, hkv, group * t, d).astype(jnp.float32)
     kf = cache.k.astype(jnp.float32)
     vf = cache.v.astype(jnp.float32)
+    if cache.k_scale is not None:  # int8 cache: dequantize on the fly
+        kf = kf * cache.k_scale[..., None]
+        vf = vf * cache.v_scale[..., None]
     s = jnp.einsum("bgqd,bgsd->bgqs", qg, kf,
                    preferred_element_type=jnp.float32) * sm_scale
     s = s.reshape(b, h, t, capacity)

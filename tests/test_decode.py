@@ -92,3 +92,56 @@ def test_decode_rejects_bad_heads():
     q = jnp.zeros((1, 4, 1, 8), jnp.float32)
     with pytest.raises(ValueError):
         decode_attention(q, cache)
+
+
+def test_int8_quantized_cache_close_to_f32():
+    """init_cache(dtype=int8): symmetric per-slot quantization; decode
+    attention dequantizes on the fly and stays close to the f32 cache."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops.decode import append, decode_attention, init_cache
+
+    rng = np.random.default_rng(0)
+    b, h, cap, d = 2, 2, 32, 16
+    kq = init_cache(b, h, cap, d, dtype=jnp.int8)
+    kf = init_cache(b, h, cap, d, dtype=jnp.float32)
+    assert kq.k.dtype == jnp.int8 and kq.k_scale is not None
+    for t in (8, 1, 3):
+        knew = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+        vnew = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+        kq = append(kq, knew, vnew)
+        kf = append(kf, knew, vnew)
+    q = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
+    outq = np.asarray(decode_attention(q, kq))
+    outf = np.asarray(decode_attention(q, kf))
+    assert np.max(np.abs(outq - outf)) < 0.05, np.max(np.abs(outq - outf))
+    # memory claim: int8 codes + f32 scales < half the f32 cache bytes
+    bytes_q = kq.k.nbytes + kq.k_scale.nbytes
+    bytes_f = kf.k.nbytes
+    assert bytes_q < 0.6 * bytes_f
+
+
+def test_int8_cache_serving_greedy_agreement():
+    """An int8-cached server's greedy decode agrees with the f32-cached
+    one on a trained model (per-slot quantization noise is far below the
+    logit margins)."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu import compile
+    from exprgrad_tpu.models import FlashLMServer, flash_transformer
+
+    rng = np.random.default_rng(1)
+    m = compile(flash_transformer(vocab=8, dim=16, heads=2, max_seq=32,
+                                  eta=0.05), seed=0)
+    phase = rng.integers(0, 8, 16)
+    toks = ((phase[:, None] + np.arange(8)[None, :]) % 8).astype(np.float32)
+    labels = np.eye(8, dtype=np.float32)[((toks + 1) % 8).astype(int)]
+    for _ in range(30):
+        m.epoch += 1
+        m.apply("train", {"tokens": toks, "labels": labels})
+    f32 = FlashLMServer(m, cache_dtype=jnp.float32)
+    q8 = FlashLMServer(m, cache_dtype=jnp.int8)
+    prompt = toks[:2, :4]
+    a = np.asarray(f32.generate(prompt, n_new=12))
+    b = np.asarray(q8.generate(prompt, n_new=12))
+    np.testing.assert_array_equal(a, b)
