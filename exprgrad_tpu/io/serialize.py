@@ -568,7 +568,8 @@ def load_model(path: str, backend: str = "jax"):
                     tid = r.i64()
                     table[tid] = r.tensor()
                 tables.append(table)
-        except (MemoryError, OverflowError, ValueError) as err:
+        except (MemoryError, OverflowError, ValueError,
+                TypeError) as err:
             # a corrupted length/shape field can demand an absurd
             # allocation before the CRC trailer is ever reached — fold
             # it into the same clean integrity error

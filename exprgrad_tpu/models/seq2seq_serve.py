@@ -287,17 +287,7 @@ class Seq2SeqServer:
             raise ModelRuntimeError(
                 f"source length {s_len} exceeds max_src {self.max_src}"
             )
-        if lengths is not None:
-            lens_np = np.asarray(lengths, np.int64)
-            if lens_np.shape != (batch,):
-                raise ModelRuntimeError(
-                    f"lengths must have shape ({batch},), got "
-                    f"{lens_np.shape}"
-                )
-            if lens_np.min() < 1 or lens_np.max() > s_len:
-                raise ModelRuntimeError(
-                    f"lengths must lie in [1, source width {s_len}]"
-                )
+        self._check_lengths(lengths, batch, s_len)
         greedy = temperature <= 0.0
         ragged = lengths is not None
         key = ("gen", batch, s_len, n_new, greedy,
@@ -342,6 +332,19 @@ class Seq2SeqServer:
         )
         return fn(src, jax.random.PRNGKey(seed), lens_arg)
 
+    def _check_lengths(self, lengths, batch: int, s_len: int) -> None:
+        if lengths is None:
+            return
+        lens_np = np.asarray(lengths, np.int64)
+        if lens_np.shape != (batch,):
+            raise ModelRuntimeError(
+                f"lengths must have shape ({batch},), got {lens_np.shape}"
+            )
+        if lens_np.min() < 1 or lens_np.max() > s_len:
+            raise ModelRuntimeError(
+                f"lengths must lie in [1, source width {s_len}]"
+            )
+
     def generate_beam(self, src, n_new: int, beams: int = 4, bos: int = 0,
                       stop_token: Optional[int] = None, lengths=None):
         """Beam-search decoding from an encoded source.
@@ -364,6 +367,9 @@ class Seq2SeqServer:
             raise ModelRuntimeError(
                 f"beams must be in [1, vocab={V}] (got {beams})"
             )
+        if n_new < 1:
+            raise ModelRuntimeError(f"n_new must be >= 1 (got {n_new})")
+        self._check_lengths(lengths, batch, s_len)
         if n_new + 1 > self.max_tgt:
             raise ModelRuntimeError(
                 f"n_new + 1 = {n_new + 1} exceeds max_tgt {self.max_tgt}"
@@ -378,8 +384,6 @@ class Seq2SeqServer:
 
         def build():
           def run(src, lens):
-            from ..ops.decode import KVCache
-
             enc = self.encode(src, lengths=lens)
             caches = self.init_caches(batch, capacity=n_new + 1)
             tok = jnp.full((batch, 1), bos, jnp.int32)

@@ -228,10 +228,13 @@ class FlashLMServer:
         ``k``-wide cached step, accepting the longest matching prefix
         plus one bonus token from the target's own distribution.
 
-        With greedy acceptance the output is EXACTLY this model's greedy
+        With greedy acceptance the output equals this model's greedy
         sequence (``generate(prompt, n_new)``) for ANY draft — the draft
         only changes how many target steps it takes (≈ n_new /
-        (accepted+1) instead of n_new).  Whole loop is one jitted
+        (accepted+1) instead of n_new).  Caveat: the verify step is
+        k-wide while plain decode is 1-wide, so XLA may reduce in a
+        different order; a token whose top-2 logits tie within float
+        noise (~1e-6 relative) could resolve differently.  Whole loop is one jitted
         ``lax.while_loop``; both KV caches rewind their ``length`` on
         rejection (stale slots are masked by position and overwritten by
         later appends).  Returns ``(tokens [1, n_new], target_steps)``.
@@ -276,8 +279,6 @@ class FlashLMServer:
 
         def build():
           def run(prompt):
-            from ..ops.decode import KVCache
-
             tc = self.init_caches(1, capacity)
             dc = draft.init_caches(1, capacity)
             logits_t, tc = self.prefill(prompt, tc)
@@ -400,8 +401,6 @@ class FlashLMServer:
 
         def build():
           def run(prompt):
-            from ..ops.decode import KVCache
-
             batch = prompt.shape[0]
             # prefill once at batch, then replicate rows per beam
             caches = self.init_caches(batch, capacity)
@@ -664,16 +663,25 @@ class FlashLMServer:
             if temperature <= 0.0:
                 return jnp.argmax(logits, axis=-1)
             logits = logits / jnp.float32(temperature)
+            need_sort = (top_k is not None and top_k < self.vocab) or (
+                top_p is not None and top_p < 1.0
+            )
+            if need_sort:
+                sl = jnp.sort(logits, axis=-1)[:, ::-1]  # one descending
             if top_k is not None and top_k < self.vocab:
-                kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-                logits = jnp.where(logits >= kth, logits, -jnp.inf)
+                logits = jnp.where(
+                    logits >= sl[:, top_k - 1][:, None], logits, -jnp.inf
+                )
+                sl = jnp.where(
+                    jnp.arange(sl.shape[-1])[None, :] < top_k, sl, -jnp.inf
+                )
             if top_p is not None and top_p < 1.0:
                 # nucleus: keep the smallest descending-prob prefix with
-                # cumulative mass >= top_p (the top token always stays)
-                sl = jnp.sort(logits, axis=-1)[:, ::-1]      # descending
+                # cumulative mass >= top_p; the cutoff is the SMALLEST
+                # kept logit (the top token always stays)
                 probs = jax.nn.softmax(sl, axis=-1)
                 keep = jnp.cumsum(probs, axis=-1) - probs < top_p
-                kth = jnp.max(jnp.where(keep, sl, -jnp.inf), axis=-1,
+                kth = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1,
                               keepdims=True)
                 logits = jnp.where(logits >= kth, logits, -jnp.inf)
             return jax.random.categorical(key, logits, axis=-1)

@@ -275,3 +275,12 @@ def test_multiblock_seq2seq_serves():
     assert np.asarray(toks).shape == (2, 2, 4)
     np.testing.assert_array_equal(np.asarray(toks)[:, 0],
                                   np.asarray(got)[:, :4])
+
+
+def test_beam_validates_lengths(model):
+    src = np.zeros((2, 6), np.float32)
+    with pytest.raises(ModelRuntimeError, match="lengths"):
+        model_server = Seq2SeqServer(model)
+        model_server.generate_beam(src, n_new=4, beams=2, lengths=[10, 3])
+    with pytest.raises(ModelRuntimeError, match="n_new"):
+        Seq2SeqServer(model).generate_beam(src, n_new=0, beams=2)

@@ -183,3 +183,22 @@ def test_old_v6_magic_clean_error(tmp_path):
     path.write_bytes(b"EGTPU\x06\n" + b"\x00" * 32)
     with pytest.raises(ModelRuntimeError, match="v6 checkpoint"):
         load_model(str(path))
+
+
+def test_corrupted_dtype_tag_gives_clean_error(tmp_path):
+    """A corrupted tensor dtype-tag string must raise ModelRuntimeError,
+    not a raw TypeError from np.dtype (review finding)."""
+    from exprgrad_tpu.errors import ModelRuntimeError
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(), seed=0)
+    path = tmp_path / "m.bin"
+    save_model(model, str(path))
+    data = bytearray(path.read_bytes())
+    idx = bytes(data).find(b"<f4")
+    assert idx > 0
+    data[idx + 2] = ord("9")  # "<f4" -> "<f9": invalid dtype
+    path.write_bytes(bytes(data))
+    with pytest.raises(ModelRuntimeError):
+        load_model(str(path))

@@ -519,3 +519,32 @@ def test_top_p_sampling(bucket_model):
     from exprgrad_tpu.errors import ModelRuntimeError
     with pytest.raises(ModelRuntimeError, match="top_p"):
         server.generate(prompt, n_new=4, temperature=1.0, top_p=1.5)
+
+
+def test_top_p_actually_samples_inside_nucleus(bucket_model):
+    """Regression: the nucleus cutoff must be the SMALLEST kept logit —
+    with a multi-token nucleus, sampling must produce more than one
+    distinct token across seeds (the broken max-cutoff degenerated to
+    greedy) while excluded tokens never appear."""
+    server = FlashLMServer(bucket_model)
+    prompt = np.asarray([[1, 2, 3, 0]], np.float32)
+    # flat-ish sampling distribution via high temperature; nucleus 0.8
+    probs = None
+    model_probs = np.asarray(
+        bucket_model.call("predict", {"tokens": prompt})
+    )[0, -1]
+    t = 3.0
+    p_t = np.exp(np.log(np.maximum(model_probs, 1e-30)) / t)
+    p_t /= p_t.sum()
+    order = np.argsort(-p_t)
+    cum = np.cumsum(p_t[order])
+    nucleus = set(order[: int(np.searchsorted(cum, 0.8)) + 1].tolist())
+    assert len(nucleus) >= 2, "pick a flatter config for this test"
+    seen = set()
+    for seed in range(40):
+        tok = int(np.asarray(server.generate(
+            prompt, n_new=1, temperature=t, top_p=0.8, seed=seed
+        ))[0, 0])
+        seen.add(tok)
+    assert seen <= nucleus, (seen, nucleus)
+    assert len(seen) >= 2, "top_p degenerated to greedy"
