@@ -230,7 +230,8 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
 
 
 def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
-                  batch=8, prompt_len=128, n_lo=8, n_new=128, reps=3):
+                  batch=8, prompt_len=128, n_lo=8, n_new=128, reps=3,
+                  cache_dtype=None):
     """FlashLMServer decode throughput: generated tokens per second for a
     batch of prompts through the scanned KV-cache loop (weights random —
     throughput is weight-agnostic).
@@ -253,7 +254,10 @@ def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
                           blocks=blocks, max_seq=prompt_len + n_new),
         seed=0, precision="default",
     )
-    server = FlashLMServer(model, cache_dtype=jnp.bfloat16)
+    dtype = (
+        jnp.bfloat16 if cache_dtype is None else jnp.dtype(cache_dtype)
+    )
+    server = FlashLMServer(model, cache_dtype=dtype)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, vocab, (batch, prompt_len)).astype(np.float32)
 
@@ -272,6 +276,55 @@ def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
     step_ms = diff / (n_new - n_lo) * 1e3 if diff > 0 else None
     toks = batch * n_new
     return toks / t_hi, step_ms, t_lo, t_hi
+
+
+def bench_speculative(vocab=2048, dim=512, heads=4, hidden=2048,
+                      blocks=2, prompt_len=64, n_new=128, k=4, reps=3):
+    """Speculative decoding wall time vs plain greedy (batch 1).
+
+    Draft = 1-block dim/4 model (random weights: acceptance is the
+    worst case, so the measured speedup is a floor; trained drafts
+    accept more).  Output is exact either way.  Returns
+    (plain_tok_s, spec_tok_s, target_steps)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.models import FlashLMServer, flash_transformer
+
+    target = FlashLMServer(eg_compile(
+        flash_transformer(vocab=vocab, dim=dim, heads=heads, hidden=hidden,
+                          blocks=blocks, max_seq=prompt_len + n_new + k),
+        seed=0, precision="default",
+    ))
+    draft = FlashLMServer(eg_compile(
+        flash_transformer(vocab=vocab, dim=dim // 4, heads=heads,
+                          hidden=hidden // 4,
+                          max_seq=prompt_len + n_new + k),
+        seed=1, precision="default",
+    ))
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, vocab, (1, prompt_len)).astype(np.float32)
+
+    def timed(fn):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t_plain = timed(lambda: _fetch(target.generate(prompt, n_new=n_new)))
+    steps_holder = {}
+
+    def spec():
+        out, steps = target.generate_speculative(draft, prompt,
+                                                 n_new=n_new, k=k)
+        steps_holder["steps"] = int(steps)
+        _fetch(out)
+
+    t_spec = timed(spec)
+    return n_new / t_plain, n_new / t_spec, steps_holder["steps"]
 
 
 def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
@@ -637,6 +690,42 @@ def main() -> None:
              f"ms/step batch-8)")
     except Exception as err:
         details["serving_error"] = str(err)
+
+    _log("bench: speculative decoding ...")
+    try:
+        plain_tok, spec_tok, vsteps = bench_speculative()
+        details["speculative_decoding"] = {
+            "config": "target vocab2048 dim512 blocks2; draft dim128 "
+                      "1-block (random weights: worst-case acceptance); "
+                      "batch1 prompt64 n_new128 k4",
+            "plain_tokens_per_s": round(plain_tok, 1),
+            "speculative_tokens_per_s": round(spec_tok, 1),
+            "target_verify_steps": vsteps,
+            "speedup": round(spec_tok / plain_tok, 2),
+            "impl": "generate_speculative: k-wide cached verify steps, "
+                    "exact greedy output",
+        }
+        _log(f"bench: speculative {spec_tok:.0f} vs plain {plain_tok:.0f} "
+             f"tokens/s ({vsteps} verify steps for 128 tokens)")
+    except Exception as err:
+        details["speculative_error"] = str(err)
+
+    _log("bench: int8 KV-cache serving ...")
+    try:
+        tok8, step8, _, _ = bench_serving(cache_dtype="int8")
+        details["serving_decode_int8"] = {
+            "config": "same as serving_decode but int8 KV cache "
+                      "(per-slot symmetric quantization)",
+            "tokens_per_s": round(tok8, 1),
+            "ms_per_decode_step": (
+                round(step8, 3) if step8 is not None else None
+            ),
+            "impl": "int8 codes + f32 scales, dequantized in decode "
+                    "attention (~3x less cache HBM than f32)",
+        }
+        _log(f"bench: int8 serving {tok8:.0f} tokens/s")
+    except Exception as err:
+        details["serving_int8_error"] = str(err)
 
     _log("bench: seq2seq serving vs greedy_decode ...")
     try:
