@@ -180,3 +180,13 @@ def test_moe_example(monkeypatch, capsys):
     assert "MoE wins by" in out
     ratio = float(out.rsplit("by", 1)[1].rstrip("x)\n"))
     assert ratio > 1.0, out
+
+
+def test_serving_suite_example(monkeypatch, capsys):
+    import serving_suite
+
+    monkeypatch.setattr(serving_suite, "STEPS", 30)
+    serving_suite.main()
+    out = capsys.readouterr().out
+    assert "int8 agrees : True" in out
+    assert "exact=True" in out
