@@ -284,3 +284,18 @@ def test_beam_validates_lengths(model):
         model_server.generate_beam(src, n_new=4, beams=2, lengths=[10, 3])
     with pytest.raises(ModelRuntimeError, match="n_new"):
         Seq2SeqServer(model).generate_beam(src, n_new=0, beams=2)
+
+
+def test_seq2seq_int8_cache(trained):
+    """The quantized KV cache works under the encoder-decoder server
+    (cache_dtype plumbs into ops.decode): greedy matches f32-cached."""
+    import jax.numpy as jnp
+
+    f32 = Seq2SeqServer(trained)
+    q8 = Seq2SeqServer(trained, cache_dtype=jnp.int8)
+    src = np.asarray(
+        np.random.default_rng(0).integers(1, 8, (4, 6)), np.float32
+    )
+    a = np.asarray(f32.generate(src, n_new=6))
+    b = np.asarray(q8.generate(src, n_new=6))
+    np.testing.assert_array_equal(a, b)
