@@ -21,7 +21,7 @@ def _bail(_sig, _frm):
 
 def main() -> None:
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(2400)
+    signal.alarm(3900)  # ~16 on-chip compiles at tunnel-variable latency
 
     import numpy as np
     import jax
