@@ -350,7 +350,10 @@ class FlashLMServer:
 
           return run
 
-        key = ("spec", t, n_new, k, capacity, id(draft))
+        # the draft itself is part of the key (its weights are baked
+        # into the trace); keying the OBJECT keeps it alive with the
+        # cache entry, where id() could be reused after GC
+        key = ("spec", t, n_new, k, capacity, draft)
         return self._jitted(key, build)(prompt)
 
     def generate_beam(
