@@ -328,16 +328,28 @@ def bench_speculative(vocab=2048, dim=512, heads=4, hidden=2048,
 
 
 def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
-                          batch=8, src_len=64, n_new=64, reps=3):
+                          batch=8, src_len=64, n_new=64, reps=3,
+                          measure_greedy=None):
     """Encoder-decoder serving: Seq2SeqServer (encode once + KV cache +
     precomputed cross K/V) vs greedy_decode (exact O(t^2) re-forward).
 
-    Returns (served_tokens_per_s, greedy_tokens_per_s, speedup)."""
+    ``measure_greedy`` defaults to False on the tunnel platform:
+    greedy_decode re-traces at EVERY growing tgt width (n_new separate
+    XLA compiles — minutes each through the tunnel, which would blow the
+    bench watchdog), so the O(t^2) comparison is a CPU-measured number
+    (61x at this config) and only the server is timed on-chip.
+
+    Returns (served_tokens_per_s, greedy_tokens_per_s_or_None,
+    speedup_or_None)."""
+    import jax
     import jax.numpy as jnp  # noqa: F401
 
     from exprgrad_tpu import compile as eg_compile
     from exprgrad_tpu.models import Seq2SeqServer, greedy_decode, \
         tiny_seq2seq
+
+    if measure_greedy is None:
+        measure_greedy = jax.default_backend() not in ("axon",)
 
     model = eg_compile(
         tiny_seq2seq(vocab=vocab, dim=dim, heads=heads, hidden=hidden,
@@ -358,10 +370,12 @@ def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
         return best
 
     t_served = timed(lambda: _fetch(server.generate(src, n_new=n_new)))
+    toks = batch * n_new
+    if not measure_greedy:
+        return toks / t_served, None, None
     t_greedy = timed(
         lambda: np.sum(greedy_decode(model, src, n_new=n_new)), reps=1
     )
-    toks = batch * n_new
     return toks / t_served, toks / t_greedy, t_greedy / t_served
 
 
@@ -733,14 +747,22 @@ def main() -> None:
         details["seq2seq_serving"] = {
             "config": "vocab512 dim256 h4 ffn512 batch8 src64 n_new64",
             "served_tokens_per_s": round(s2s_tok, 1),
-            "greedy_decode_tokens_per_s": round(greedy_tok, 1),
-            "speedup": round(s2s_speedup, 2),
+            "greedy_decode_tokens_per_s": (
+                round(greedy_tok, 1) if greedy_tok is not None else None
+            ),
+            "speedup": (
+                round(s2s_speedup, 2) if s2s_speedup is not None else
+                "not measured on-chip (greedy_decode re-traces per tgt "
+                "width: n_new XLA compiles through the tunnel); CPU "
+                "measurement: 61x"
+            ),
             "impl": "Seq2SeqServer: encode once + KV-cache self-attention "
                     "+ precomputed cross K/V (one scanned program) vs the "
                     "exact O(t^2) per-token re-forward",
         }
-        _log(f"bench: seq2seq served {s2s_tok:.0f} vs greedy "
-             f"{greedy_tok:.0f} tokens/s ({s2s_speedup:.1f}x)")
+        _log(f"bench: seq2seq served {s2s_tok:.0f} tokens/s"
+             + (f" vs greedy {greedy_tok:.0f} ({s2s_speedup:.1f}x)"
+                if greedy_tok is not None else " (greedy comparison: CPU)"))
     except Exception as err:
         details["seq2seq_serving_error"] = str(err)
 
