@@ -540,6 +540,19 @@ def _log(msg: str) -> None:
 
 
 _RESULT: dict = {}
+_DETAILS: dict = {}
+
+
+def _flush_details() -> None:
+    """Write BENCH_DETAILS.json incrementally: a watchdog exit mid-sweep
+    must still leave every completed section's numbers on disk."""
+    import json as _json
+
+    try:
+        with open("BENCH_DETAILS.json", "w") as f:
+            _json.dump(_DETAILS, f, indent=2)
+    except OSError:
+        pass
 
 
 def _watchdog(seconds: int = 2700) -> None:
@@ -550,6 +563,7 @@ def _watchdog(seconds: int = 2700) -> None:
     import signal
 
     def on_alarm(_sig, _frame):
+        _flush_details()
         if _RESULT:
             print(_json.dumps(_RESULT), flush=True)
             os._exit(0)
@@ -592,7 +606,7 @@ def main() -> None:
                 )
                 break
         sys.exit(1)
-    details = {}
+    details = _DETAILS
     roofline0 = 197e12
     _log("bench: matmul 8192^3 f32 ...")
 
@@ -610,6 +624,7 @@ def main() -> None:
 
     # the TPU-native dtype: bf16 operands, f32 accumulation on the MXU
     best_gflops, best_name = mm_gflops, "matmul8192_f32_gflops"
+    _flush_details()
     _log("bench: matmul 8192^3 bf16 ...")
     try:
         bf_gflops, bf_t = bench_matmul(dtype="bfloat16")
@@ -628,6 +643,7 @@ def main() -> None:
         details["matmul_bf16_error"] = str(err)
     mm_gflops = best_gflops
 
+    _flush_details()
     _log("bench: conv2 ...")
     try:
         conv_gflops, conv_t, raw_gflops = bench_conv2()
@@ -652,6 +668,7 @@ def main() -> None:
     except Exception as err:  # keep the headline robust
         details["conv2_error"] = str(err)
 
+    _flush_details()
     _log("bench: mnist epoch ...")
     try:
         epoch_time, samples_per_s = bench_mnist_epoch()
@@ -662,6 +679,7 @@ def main() -> None:
     except Exception as err:
         details["mnist_error"] = str(err)
 
+    _flush_details()
     _log("bench: attention flash vs xla ...")
     try:
         fl_gflops, xl_gflops = bench_attention()
@@ -678,6 +696,7 @@ def main() -> None:
     except Exception as err:
         details["attention_error"] = str(err)
 
+    _flush_details()
     _log("bench: KV-cache serving throughput ...")
     try:
         tok_s, step_ms, t_lo, t_hi = bench_serving()
@@ -705,6 +724,7 @@ def main() -> None:
     except Exception as err:
         details["serving_error"] = str(err)
 
+    _flush_details()
     _log("bench: speculative decoding ...")
     try:
         plain_tok, spec_tok, vsteps = bench_speculative()
@@ -724,6 +744,7 @@ def main() -> None:
     except Exception as err:
         details["speculative_error"] = str(err)
 
+    _flush_details()
     _log("bench: int8 KV-cache serving ...")
     try:
         tok8, step8, _, _ = bench_serving(cache_dtype="int8")
@@ -741,6 +762,7 @@ def main() -> None:
     except Exception as err:
         details["serving_int8_error"] = str(err)
 
+    _flush_details()
     _log("bench: seq2seq serving vs greedy_decode ...")
     try:
         s2s_tok, greedy_tok, s2s_speedup = bench_seq2seq_serving()
@@ -766,6 +788,7 @@ def main() -> None:
     except Exception as err:
         details["seq2seq_serving_error"] = str(err)
 
+    _flush_details()
     _log("bench: sliding-window vs causal attention ...")
     try:
         t_win, t_causal, speedup = bench_window_attention()
@@ -781,6 +804,7 @@ def main() -> None:
     except Exception as err:
         details["window_attention_error"] = str(err)
 
+    _flush_details()
     _log("bench: flash_transformer train step ...")
     try:
         step_s, tok_s, impls = bench_transformer_step()
@@ -800,8 +824,7 @@ def main() -> None:
     details["roofline_gflops"] = roofline / 1e9
     details["mxu_utilization"] = round(mm_gflops * 1e9 / roofline, 4)
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+    _flush_details()
 
     print(
         json.dumps(
