@@ -643,7 +643,23 @@ def _apply_constraint(
             for index in indices:
                 equations.append(index - LinearIndex.of_const(size - 1))
 
-    solution = solve_partial(equations)
+    try:
+        solution = solve_partial(equations)
+    except ShapeError as err:
+        # name the tensor and the read extents so the user can see WHICH
+        # kernel's reads disagree (e.g. a strided read t[2*i] over a
+        # tensor whose size is not exactly 2L-1 while another read pins L
+        # — reads must reach exactly size-1, reference passes.nim:1252)
+        reads_desc = ", ".join(
+            f"{_tname(names, tensor)}{[shapes[tensor]] if tensor in shapes else ''}"
+            for tensor in constr.reads
+        )
+        raise ShapeError(
+            f"{err} while inferring the shape of "
+            f"{_tname(names, constr.dest)} from its reads of {reads_desc}; "
+            "read indices must span each tensor dim exactly (max index == "
+            "size-1) — resize the operand or bound the iterator (irange)"
+        ) from err
     max_values = {r: int(v) for r, v in solution.items()}
     sizes = []
     for index in constr.write:

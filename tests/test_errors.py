@@ -237,3 +237,20 @@ def test_locked_tensor_rejects_further_writes():
     y = iters("y")
     with pytest.raises(ParserError, match="locked"):
         pooled.raw[y] = 1.0
+
+
+def test_unsolvable_read_extents_name_the_tensors():
+    """The 'no solution' shape error names the destination and the read
+    tensors with their shapes (a bare message was undiagnosable)."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters
+    from exprgrad_tpu.errors import ShapeError
+
+    i0, i2 = iters("i0", "i2")
+    out = Fun("out")
+    out[i0, i2] = input("base")[i0, i2] + input("t")[i0 * 2, i2]
+    m = compile(out.target("out"), backend="interp")
+    with pytest.raises(ShapeError, match="'t'.*span each tensor dim"):
+        m.call("out", {"base": np.zeros((16, 8), np.float32),
+                       "t": np.zeros((32, 8), np.float32)})
