@@ -156,3 +156,67 @@ def test_windowed_fuzz_exercised_pallas():
         f"pallas-mapreduce hit in only {sum(1 for h in _PALLAS_HITS if h)}"
         f"/{len(_PALLAS_HITS)} cases"
     )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_windowed_gradient_fuzz(seed):
+    """Training-step parity: a pooling/upsampling program with scheduled
+    kernels derives gradients (scatter-free i//k and strided writes) that
+    match the interp oracle step for step."""
+    from exprgrad_tpu import to_scalar
+    from exprgrad_tpu.fun import input as eg_input, make_opt, param
+    from exprgrad_tpu.layers import adam
+
+    rng = np.random.default_rng(3000 + seed)
+    i0, i1, i2 = iters("i0", "i1", "i2")
+    x = eg_input("x")
+    w = param([SIZES[2]], init_range=(-0.3, 0.3), name="w")
+    mode = rng.choice(["pool", "up"])
+    h = Fun("h")
+    if mode == "pool":
+        # strided 2x reduction on i0 (both phases)
+        h[i0, i1, i2] = (
+            x[i0 * 2, i1, i2] + x[i0 * 2 + 1, i1, i2]
+        ) * w[i2]
+        in_shape = (2 * SIZES[0], SIZES[1], SIZES[2])
+    else:
+        h[i0, i1, i2] = x[i0 // 2, i1, i2] * w[i2]
+        h.with_shape([x.shape[0] * 2, x.shape[1], x.shape[2]])
+        in_shape = (SIZES[0] // 2, SIZES[1], SIZES[2])
+    if rng.random() < 0.7:
+        h.schedule(tile={"i0": 8})
+    t = eg_input("t")
+    j = iters("j")
+    loss = Fun("loss")
+    loss[0] = (h.raw[j] - t.raw[j]) ** 2 / to_scalar(
+        SIZES[0] * SIZES[1] * SIZES[2]
+    )
+    graph = (
+        loss.target("loss")
+        .backwards()
+        .optimize(make_opt(adam, eta=0.05))
+        .target("train")
+    )
+    out_shape = (
+        (SIZES[0], SIZES[1], SIZES[2]) if mode == "pool"
+        else (SIZES[0], SIZES[1], SIZES[2])
+    )
+    args = {
+        "x": rng.normal(size=in_shape).astype(np.float32),
+        "t": rng.normal(size=out_shape).astype(np.float32),
+    }
+    mj = compile(graph, backend="jax", seed=seed,
+                 schedule_mode="force")
+    mi = compile(graph, backend="interp", seed=seed)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for _ in range(2):
+            mj.epoch += 1
+            mi.epoch += 1
+            mj.apply("train", args)
+            mi.apply("train", args)
+    for tid in mj.params:
+        np.testing.assert_allclose(
+            np.asarray(mj.params[tid]), np.asarray(mi.params[tid]),
+            atol=1e-5,
+        )
