@@ -718,9 +718,10 @@ def main() -> None:
                            "(null when the difference is negative under "
                            "noise)",
         }
-        _log(f"bench: serving {tok_s:.0f} tokens/s "
-             f"({step_ms if step_ms is None else round(step_ms, 3)}"
-             f"ms/step batch-8)")
+        _log(f"bench: serving {tok_s:.0f} tokens/s ("
+             + (f"{step_ms:.3f}ms/step" if step_ms is not None
+                else "step time below noise")
+             + " batch-8)")
     except Exception as err:
         details["serving_error"] = str(err)
 

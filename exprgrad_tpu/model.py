@@ -75,6 +75,7 @@ class Model:
         self._call_count = 0
         self.batch_buckets = None  # see set_batch_buckets
         self._bucket_track_memo: dict = {}
+        self._mutates_memo: dict = {}
 
         dtype = np.dtype(self.program.scalar_type.value)
         if dtype == np.float64 and backend == "jax":
@@ -439,12 +440,17 @@ class Model:
         replicates the last row (no NaN-generating zero rows through
         softmax/log paths).
 
-        Scope: per-row-independent *inference* targets.  Targets that
-        update parameters or caches (training) are never bucketed — the
-        padded rows would change batch-mean losses and gradients — and
-        run at their exact shape.  Scalar-output targets (e.g. "loss")
-        pass through unsliced: the padded rows DO contribute there, so
-        keep bucketing to per-row targets.
+        Scope: per-row-independent *inference* targets, checked
+        statically before padding.  A target is bucketed only when (a)
+        it writes no parameter/cache (training always runs exact — the
+        padded rows would change batch-mean gradients), (b) its output's
+        leading dim tracks the batch under shape inference, and (c) a
+        kernel-lineage scan finds no read that REDUCES over a
+        batch-sized leading dim (e.g. an auxiliary input of coincidental
+        length, or a mean-over-batch intermediate) — any such target
+        runs at its exact shape instead, costing a compile per batch
+        size but never wrong numbers.  Extern ops (attention, moe) are
+        assumed batch-row-independent.
         """
         from .utils.buckets import normalize_buckets
 
@@ -456,13 +462,57 @@ class Model:
         return bucket_for(self.batch_buckets, b)
 
     def _target_mutates(self, target_name: str) -> bool:
-        """Does the target write any parameter or cache tensor?"""
+        """Does the target write any parameter or cache tensor?
+        (memoized: static per target)"""
+        cached = self._mutates_memo.get(target_name)
+        if cached is not None:
+            return cached
         mutating = (ir.TensorKind.PARAM, ir.TensorKind.CACHE)
-        return any(
+        result = any(
             kern.write is not None
             and self.program.tensors[kern.write.tensor].kind in mutating
             for kern in self.program.targets[target_name].kernels
         )
+        self._mutates_memo[target_name] = result
+        return result
+
+    @staticmethod
+    def _index_regs(index) -> set:
+        regs = set(index.factors.keys())
+        for instr in index.setup:
+            regs.update(instr.args)
+        return regs
+
+    def _bucket_pad_safe(self, target_name: str, shapes0: dict,
+                         b: int) -> bool:
+        """Is edge-padding every batch-sized leading dim sound for this
+        target?  Unsafe pattern: a kernel READS a tensor whose leading
+        dim equals the batch but the read's dim-0 registers are absent
+        from the write's dims — i.e. the kernel reduces over that dim,
+        so padded rows would contaminate real rows (found by review: an
+        auxiliary input of coincidental length b summed into the
+        output).  Conservative: any such read disables bucketing."""
+        for kern in self.program.targets[target_name].kernels:
+            write = kern.write
+            if write is None or kern.extern is not None:
+                continue  # extern ops are batch-row-independent (doc'd)
+            wregs = set()
+            for d in write.dims:
+                wregs |= self._index_regs(d)
+            for read in kern.reads:
+                shape = shapes0.get(read.tensor)
+                if not shape or shape[0] != b or not read.dims:
+                    continue
+                if read.is_raw:
+                    # raw reads flatten the batch dim into one register;
+                    # safe only for raw-to-raw elementwise copies
+                    if not (write.is_raw and self._index_regs(
+                            read.dims[0]) <= wregs):
+                        return False
+                    continue
+                if not self._index_regs(read.dims[0]) <= wregs:
+                    return False
+        return True
 
     def call(
         self, target_name: str, args: Optional[dict[str, np.ndarray]] = None
@@ -507,7 +557,12 @@ class Model:
                             self._input_shapes(target_name, args),
                         )
                         out0 = shapes0.get(out_tid)
-                        track = bool(out0) and out0[0] == b
+                        track = (
+                            bool(out0) and out0[0] == b
+                            and self._bucket_pad_safe(
+                                target_name, shapes0, b
+                            )
+                        )
                     self._bucket_track_memo[memo_key] = track
                 if track:
                     args = {

@@ -498,6 +498,11 @@ class Seq2SeqServer:
             raise ModelRuntimeError(
                 f"t + 1 = {t + 1} exceeds max_tgt {self.max_tgt}"
             )
+        if src.shape[1] > self.max_src:
+            raise ModelRuntimeError(
+                f"source length {src.shape[1]} exceeds max_src "
+                f"{self.max_src}"
+            )
         key = ("score", batch, int(src.shape[1]), t)
 
         def build():

@@ -18,7 +18,7 @@ def normalize_buckets(buckets, what: str = "bucket"):
         return "pow2"
     try:
         bl = sorted(int(b) for b in buckets)
-    except TypeError:
+    except (TypeError, ValueError):
         raise ModelRuntimeError(
             f"{what}s must be a non-empty list of positive sizes or "
             "'pow2'"

@@ -131,3 +131,53 @@ def test_non_batch_tracking_target_runs_exact():
     shapes = dict(key[1])
     x_id = model.program.inputs["x"]
     assert list(shapes[x_id])[0] == 3
+
+
+def test_batch_reduced_aux_input_runs_exact():
+    """An auxiliary input whose length coincides with the batch but is
+    REDUCED into the output (review-found silent corruption) disables
+    bucketing — the call runs exact and correct."""
+    from exprgrad_tpu import iters
+
+    x, r = input("x"), input("r")
+    out = Fun("out")
+    n, i = iters("n", "i")
+    out[n] = x[n, i]
+    n2, j = iters("n2", "j")
+    out[n2] = r[j]  # reduced over j; len(r) == batch
+    model = compile(out.target("out"), seed=0)
+    model.set_batch_buckets([8])
+    xv = np.arange(20, dtype=np.float32).reshape(5, 4)
+    rv = np.arange(5, dtype=np.float32) * 10
+    got = model.call("out", {"x": xv, "r": rv})
+    np.testing.assert_allclose(got, xv.sum(1) + rv.sum(), rtol=1e-6)
+    key = next(k for k in model._executors if k[0] == "out")
+    assert dict(key[1])[model.program.inputs["x"]][0] == 5  # exact
+
+
+def test_batch_mean_intermediate_runs_exact():
+    """out[n] = x[n] - mean-over-batch(x): the intermediate reduces over
+    the batch dim, so padding would contaminate every row — must run
+    exact."""
+    from exprgrad_tpu import iters, to_scalar
+
+    x = input("x")
+    mean = Fun("mean")
+    n, f = iters("n", "f")
+    mean[f] = x[n, f] / to_scalar(x.shape[0])
+    out = Fun("out")
+    n2, f2 = iters("n2", "f2")
+    out[n2, f2] = x[n2, f2] - mean[f2]
+    model = compile(out.target("out"), seed=0)
+    model.set_batch_buckets([8])
+    xv = np.random.default_rng(0).normal(size=(5, 4)).astype(np.float32)
+    got = model.call("out", {"x": xv})
+    np.testing.assert_allclose(got, xv - xv.mean(0), rtol=1e-5, atol=1e-6)
+    key = next(k for k in model._executors if k[0] == "out")
+    assert dict(key[1])[model.program.inputs["x"]][0] == 5
+
+
+def test_string_buckets_rejected_cleanly():
+    model = compile(_mlp(), seed=0)
+    with pytest.raises(ModelRuntimeError):
+        model.set_batch_buckets("pow3")
