@@ -391,89 +391,20 @@ class Seq2SeqServer:
             logp0 = jax.nn.log_softmax(
                 logits[:, -1].astype(jnp.float32), axis=-1
             )                                              # [batch, V]
-
             import jax.tree_util as jtu
+
+            from ._beam import beam_search_loop, replicate_caches
 
             enc_rep = jtu.tree_map(
                 lambda x: jnp.repeat(x, beams, axis=0), enc
             )
-            def _repc(x):
-                return None if x is None else jnp.repeat(x, beams, axis=0)
+            caches = replicate_caches(caches, beams)
 
-            caches = [
-                c._replace(k=_repc(c.k), v=_repc(c.v),
-                           k_scale=_repc(c.k_scale),
-                           v_scale=_repc(c.v_scale))
-                for c in caches
-            ]
+            def step(tokens, caches):
+                return self._step(tokens, enc_rep, caches)
 
-            scores, tok0 = jax.lax.top_k(logp0, beams)     # [batch, beams]
-            tok = tok0.astype(jnp.int32)
-            done = (
-                tok == stop_token if stop_token is not None
-                else jnp.zeros(tok.shape, bool)
-            )
-
-            def body(carry, _):
-                tok, scores, done, caches = carry
-                flat = tok.reshape(batch * beams)
-                logits, caches = self._step(flat[:, None], enc_rep,
-                                            caches)
-                logp = jax.nn.log_softmax(
-                    logits[:, 0].astype(jnp.float32), axis=-1
-                ).reshape(batch, beams, V)
-                if stop_token is not None:
-                    frozen = jnp.full((V,), -jnp.inf, jnp.float32)
-                    frozen = frozen.at[stop_token].set(0.0)
-                    logp = jnp.where(done[:, :, None],
-                                     frozen[None, None], logp)
-                cand = scores[:, :, None] + logp           # [b, beams, V]
-                scores, idx = jax.lax.top_k(
-                    cand.reshape(batch, beams * V), beams
-                )
-                parent = idx // V
-                tok = (idx % V).astype(jnp.int32)
-                rows = (
-                    jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
-                    + parent.astype(jnp.int32)
-                ).reshape(-1)
-                def _takec(x):
-                    return None if x is None else jnp.take(x, rows, axis=0)
-
-                caches = [
-                    c._replace(k=_takec(c.k), v=_takec(c.v),
-                               k_scale=_takec(c.k_scale),
-                               v_scale=_takec(c.v_scale))
-                    for c in caches
-                ]
-                if stop_token is not None:
-                    done = jnp.take_along_axis(done, parent, axis=1)
-                    done = jnp.logical_or(done, tok == stop_token)
-                return (tok, scores, done, caches), \
-                    (tok, parent.astype(jnp.int32))
-
-            (tok, scores, done, _), (toks, parents) = jax.lax.scan(
-                body, (tok, scores, done, caches), None,
-                length=n_new - 1,
-            )
-
-            def back(carry, step):
-                beam_of = carry
-                step_tok, step_parent = step
-                toks_here = jnp.take_along_axis(step_tok, beam_of, axis=1)
-                beam_of = jnp.take_along_axis(step_parent, beam_of,
-                                              axis=1)
-                return beam_of, toks_here
-
-            beam_of = jnp.tile(
-                jnp.arange(beams, dtype=jnp.int32)[None, :], (batch, 1)
-            )
-            beam_of, rev = jax.lax.scan(
-                back, beam_of, (toks, parents), reverse=True
-            )
-            first = jnp.take_along_axis(tok0, beam_of, axis=1)
-            seq = jnp.concatenate([first[None], rev], axis=0)
-            return jnp.transpose(seq, (1, 2, 0)), scores
+            return beam_search_loop(step, caches, logp0, n_new, beams,
+                                    V, stop_token)
 
           return run
 

@@ -411,92 +411,17 @@ class FlashLMServer:
             logp0 = jax.nn.log_softmax(
                 logits[:, -1].astype(jnp.float32), axis=-1
             )                                              # [batch, V]
-            def _rep(x):
-                return None if x is None else jnp.repeat(x, beams, axis=0)
+            caches = replicate_caches(caches, beams)
 
-            caches = [
-                c._replace(k=_rep(c.k), v=_rep(c.v),
-                           k_scale=_rep(c.k_scale), v_scale=_rep(c.v_scale))
-                for c in caches
-            ]
+            def step(tokens, caches):
+                return self.decode(tokens.astype(prompt.dtype), caches)
 
-            # first expansion: top `beams` tokens of the prompt dist
-            scores, tok0 = jax.lax.top_k(logp0, beams)     # [batch, beams]
-            tok = tok0.astype(prompt.dtype)
-            done = (
-                tok == stop_token if stop_token is not None
-                else jnp.zeros(tok.shape, bool)
-            )
-
-            def body(carry, _):
-                tok, scores, done, caches = carry
-                flat = tok.reshape(batch * beams)
-                logits, caches = self.decode(flat[:, None], caches)
-                logp = jax.nn.log_softmax(
-                    logits[:, 0].astype(jnp.float32), axis=-1
-                ).reshape(batch, beams, V)
-                if stop_token is not None:
-                    # finished beams only extend with the stop token, at
-                    # zero additional score
-                    frozen = jnp.full((V,), -jnp.inf, jnp.float32)
-                    frozen = frozen.at[stop_token].set(0.0)
-                    logp = jnp.where(done[:, :, None], frozen[None, None],
-                                     logp)
-                cand = scores[:, :, None] + logp           # [b, beams, V]
-                scores, idx = jax.lax.top_k(
-                    cand.reshape(batch, beams * V), beams
-                )                                          # [b, beams]
-                parent = idx // V                          # [b, beams]
-                tok = (idx % V).astype(tok.dtype)
-
-                rows = (
-                    jnp.arange(batch, dtype=jnp.int32)[:, None] * beams
-                    + parent.astype(jnp.int32)
-                ).reshape(-1)                              # [b*beams]
-                def _take(x):
-                    return None if x is None else jnp.take(x, rows, axis=0)
-
-                caches = [
-                    c._replace(k=_take(c.k), v=_take(c.v),
-                               k_scale=_take(c.k_scale),
-                               v_scale=_take(c.v_scale))
-                    for c in caches
-                ]
-                if stop_token is not None:
-                    done = jnp.take_along_axis(done, parent, axis=1)
-                    done = jnp.logical_or(done, tok == stop_token)
-                return (tok, scores, done, caches), \
-                    (tok, parent.astype(jnp.int32))
-
-            (tok, scores, done, _), (toks, parents) = jax.lax.scan(
-                body, (tok, scores, done, caches), None,
-                length=n_new - 1,
-            )
-
-            # backtrack: walk parents from the last step to recover each
-            # final beam's token path (first-step tokens included)
-            def back(carry, step):
-                beam_of = carry                             # [b, beams]
-                step_tok, step_parent = step
-                toks_here = jnp.take_along_axis(step_tok, beam_of, axis=1)
-                beam_of = jnp.take_along_axis(step_parent, beam_of, axis=1)
-                return beam_of, toks_here
-
-            beam_of = jnp.tile(
-                jnp.arange(beams, dtype=jnp.int32)[None, :], (batch, 1)
-            )
-            beam_of, rev = jax.lax.scan(
-                back, beam_of, (toks, parents), reverse=True
-            )
-            first = jnp.take_along_axis(tok0, beam_of, axis=1).astype(
-                prompt.dtype
-            )                                              # [b, beams]
-            seq = jnp.concatenate(
-                [first[None], rev], axis=0
-            )                                              # [n_new, b, beams]
-            return jnp.transpose(seq, (1, 2, 0)), scores
+            return beam_search_loop(step, caches, logp0, n_new, beams,
+                                    V, stop_token)
 
           return run
+
+        from ._beam import beam_search_loop, replicate_caches  # noqa: F811
 
         key = ("beam", n_new, beams, capacity, stop_token)
         return self._jitted(key, build)(prompt)
