@@ -222,22 +222,31 @@ class FlashLMServer:
         n_new: int,
         k: int = 4,
         capacity: Optional[int] = None,
+        temperature: float = 0.0,
+        seed: int = 0,
     ):
-        """Greedy speculative decoding: a small ``draft`` server proposes
-        ``k`` tokens per round, this (target) model verifies them in ONE
-        ``k``-wide cached step, accepting the longest matching prefix
-        plus one bonus token from the target's own distribution.
+        """Speculative decoding: a small ``draft`` server proposes ``k``
+        tokens per round, this (target) model verifies them in ONE
+        ``k``-wide cached step.
 
-        With greedy acceptance the output equals this model's greedy
-        sequence (``generate(prompt, n_new)``) for ANY draft — the draft
-        only changes how many target steps it takes (≈ n_new /
-        (accepted+1) instead of n_new).  Caveat: the verify step is
-        k-wide while plain decode is 1-wide, so XLA may reduce in a
-        different order; a token whose top-2 logits tie within float
-        noise (~1e-6 relative) could resolve differently.  Whole loop is one jitted
-        ``lax.while_loop``; both KV caches rewind their ``length`` on
-        rejection (stale slots are masked by position and overwritten by
-        later appends).  Returns ``(tokens [1, n_new], target_steps)``.
+        ``temperature <= 0`` (default) is GREEDY acceptance: the output
+        equals this model's greedy sequence (``generate(prompt,
+        n_new)``) for ANY draft — the draft only changes how many target
+        steps it takes.  ``temperature > 0`` is the exact
+        rejection-sampling scheme (Leviathan et al.): proposal ``d_j``
+        is accepted with probability ``min(1, p_j(d_j) / q_j(d_j))`` and
+        the first rejection resamples from the normalized residual
+        ``max(p - q, 0)`` — the OUTPUT DISTRIBUTION equals plain
+        temperature sampling from the target, again for any draft (a
+        better draft only raises the acceptance rate).
+
+        Caveat: the verify step is k-wide while plain decode is 1-wide,
+        so XLA may reduce in a different order; greedy tokens whose top-2
+        logits tie within float noise (~1e-6 relative) could resolve
+        differently.  Whole loop is one jitted ``lax.while_loop``; both
+        KV caches rewind their ``length`` on rejection (stale slots are
+        masked by position and overwritten by later appends).  Returns
+        ``(tokens [1, n_new], target_steps)``.
 
         Single sequence only (per-row acceptance lengths would make the
         batch ragged); draft and target must share the vocabulary.
@@ -276,14 +285,24 @@ class FlashLMServer:
             )
 
         buf_len = n_new + k
+        sampled = temperature > 0.0
+        T = float(temperature) if sampled else 1.0
 
         def build():
-          def run(prompt):
+          def run(prompt, key0):
             tc = self.init_caches(1, capacity)
             dc = draft.init_caches(1, capacity)
             logits_t, tc = self.prefill(prompt, tc)
             _, dc = draft.prefill(prompt, dc)
-            first = jnp.argmax(logits_t[:, -1], axis=-1).astype(jnp.int32)
+            if sampled:
+                key0, sub = jax.random.split(key0)
+                first = jax.random.categorical(
+                    sub, logits_t[:, -1].astype(jnp.float32) / T, axis=-1
+                ).astype(jnp.int32)
+            else:
+                first = jnp.argmax(
+                    logits_t[:, -1], axis=-1
+                ).astype(jnp.int32)
             out = jnp.zeros((buf_len,), jnp.int32)
             out = out.at[0].set(first[0])
 
@@ -295,19 +314,25 @@ class FlashLMServer:
                 return count < n_new
 
             def body(carry):
-                out, count, cur, tc, dc, steps = carry
+                out, count, cur, tc, dc, steps, key = carry
+                key, kd, ka, kr = jax.random.split(key, 4)
 
-                # draft proposes k tokens greedily from cur
-                def dstep(dcarry, _):
+                # draft proposes k tokens from cur (argmax or sampled),
+                # recording its per-step distribution q_j
+                def dstep(dcarry, dk):
                     dcs, tok = dcarry
                     dlogits, dcs = draft.decode(tok[:, None], dcs)
-                    nxt = jnp.argmax(
-                        dlogits[:, -1], axis=-1
-                    ).astype(jnp.int32)
-                    return (dcs, nxt), nxt
+                    row = dlogits[:, -1].astype(jnp.float32) / T
+                    if sampled:
+                        nxt = jax.random.categorical(
+                            dk, row, axis=-1
+                        ).astype(jnp.int32)
+                    else:
+                        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+                    return (dcs, nxt), (nxt, jax.nn.softmax(row, -1)[0])
 
-                (dc, _), props = jax.lax.scan(
-                    dstep, (dc, cur), None, length=k
+                (dc, _), (props, qs) = jax.lax.scan(
+                    dstep, (dc, cur), jax.random.split(kd, k)
                 )
                 props = props[:, 0]                       # [k]
 
@@ -317,34 +342,58 @@ class FlashLMServer:
                     [cur, props[: k - 1]]
                 )[None, :].astype(jnp.float32)            # [1, k]
                 vlogits, tc = self.prefill(seq_in, tc)
-                targets = jnp.argmax(
-                    vlogits[0], axis=-1
-                ).astype(jnp.int32)                       # [k]
 
-                eq = props == targets                     # d_j+1 vs t_j
-                m = jnp.sum(
-                    jnp.cumprod(eq.astype(jnp.int32))
-                ).astype(jnp.int32)
+                if sampled:
+                    # rejection sampling: accept d_j with prob
+                    # min(1, p_j(d_j)/q_j(d_j)); first rejection
+                    # resamples from the normalized residual (p - q)+
+                    p = jax.nn.softmax(
+                        vlogits[0].astype(jnp.float32) / T, axis=-1
+                    )                                     # [k, V]
+                    j = jnp.arange(k)
+                    ratio = p[j, props] / jnp.maximum(
+                        qs[j, props], 1e-30
+                    )
+                    acc = jax.random.uniform(ka, (k,)) < ratio
+                    m = jnp.sum(
+                        jnp.cumprod(acc.astype(jnp.int32))
+                    ).astype(jnp.int32)
+                    row = jnp.minimum(m, k - 1)
+                    resid = jnp.maximum(p[row] - qs[row], 0.0)
+                    rs = jnp.sum(resid)
+                    resid = jnp.where(rs > 1e-30, resid / rs, p[row])
+                    last = jax.random.categorical(
+                        kr, jnp.log(jnp.maximum(resid, 1e-38))
+                    ).astype(jnp.int32)
+                else:
+                    targets = jnp.argmax(
+                        vlogits[0], axis=-1
+                    ).astype(jnp.int32)                   # [k]
+                    eq = props == targets                 # d_j+1 vs t_j
+                    m = jnp.sum(
+                        jnp.cumprod(eq.astype(jnp.int32))
+                    ).astype(jnp.int32)
+                    last = targets[jnp.minimum(m, k - 1)]  # bonus
+
                 n_emit = jnp.minimum(m + 1, k).astype(jnp.int32)
-                bonus = targets[jnp.minimum(m, k - 1)]
-                cur_next = jnp.where(m == k, props[k - 1], bonus)[None]
+                cur_next = jnp.where(m == k, props[k - 1], last)[None]
 
                 # round emits d_1..d_m then (partial accept only) the
-                # bonus in slot m; slots past n_emit are garbage that the
-                # next round's write overwrites
+                # bonus/replacement in slot m; slots past n_emit are
+                # garbage that the next round's write overwrites
                 emit = props.at[jnp.minimum(m, k - 1)].set(
-                    jnp.where(m == k, props[k - 1], bonus)
+                    jnp.where(m == k, props[k - 1], last)
                 )                                         # [k]
                 out = jax.lax.dynamic_update_slice(out, emit, (count,))
                 new_len = (len0 + n_emit).astype(jnp.int32)
                 tc = rewind(tc, new_len)
                 dc = rewind(dc, new_len)
                 return (out, (count + n_emit).astype(jnp.int32),
-                        cur_next, tc, dc, steps + jnp.int32(1))
+                        cur_next, tc, dc, steps + jnp.int32(1), key)
 
-            out, count, _, _, _, steps = jax.lax.while_loop(
+            out, count, _, _, _, steps, _ = jax.lax.while_loop(
                 cond, body,
-                (out, jnp.int32(1), first, tc, dc, jnp.int32(0)),
+                (out, jnp.int32(1), first, tc, dc, jnp.int32(0), key0),
             )
             return out[:n_new][None, :], steps
 
@@ -353,8 +402,9 @@ class FlashLMServer:
         # the draft itself is part of the key (its weights are baked
         # into the trace); keying the OBJECT keeps it alive with the
         # cache entry, where id() could be reused after GC
-        key = ("spec", t, n_new, k, capacity, draft)
-        return self._jitted(key, build)(prompt)
+        key = ("spec", t, n_new, k, capacity, draft, sampled,
+               float(temperature))
+        return self._jitted(key, build)(prompt, jax.random.PRNGKey(seed))
 
     def generate_beam(
         self,

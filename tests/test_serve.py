@@ -548,3 +548,46 @@ def test_top_p_actually_samples_inside_nucleus(bucket_model):
         seen.add(tok)
     assert seen <= nucleus, (seen, nucleus)
     assert len(seen) >= 2, "top_p degenerated to greedy"
+
+
+def test_speculative_sampling_preserves_target_distribution():
+    """temperature>0 speculative decoding is the exact rejection-sampling
+    scheme: over many seeds the (t1, t2) joint matches p(t1)p(t2|t1) of
+    the TARGET (untrained = spread distribution, disagreeing draft —
+    the rejection/residual path fires constantly).  Deterministic: fixed
+    seed list -> fixed counts."""
+    m = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2,
+                                  max_seq=32), seed=0)
+    target = FlashLMServer(m)
+    draft = FlashLMServer(compile(
+        flash_transformer(vocab=VOCAB, dim=8, heads=2, max_seq=32),
+        seed=3,
+    ))
+    prompt = np.asarray([[1, 2, 3, 4]], np.float32)
+    pr = np.asarray(m.call("predict", {"tokens": prompt}))[0, -1]
+    p1 = pr / pr.sum()
+    exp_joint = np.zeros((VOCAB, VOCAB))
+    for t1 in range(VOCAB):
+        ext = np.concatenate([prompt, [[t1]]], axis=1).astype(np.float32)
+        p2 = np.asarray(m.call("predict", {"tokens": ext}))[0, -1]
+        exp_joint[t1] = p1[t1] * (p2 / p2.sum())
+    N = 250
+    emp = np.zeros((VOCAB, VOCAB))
+    for s in range(N):
+        out, _ = target.generate_speculative(
+            draft, prompt, n_new=2, k=2, temperature=1.0, seed=s
+        )
+        emp[int(np.asarray(out)[0, 0]), int(np.asarray(out)[0, 1])] += 1
+    emp /= N
+    # per-cell multinomial 3-sigma at p<=0.25, N=250 is ~0.08
+    assert np.abs(emp - exp_joint).max() < 0.09
+
+
+def test_speculative_sampled_deterministic_per_seed(bucket_model):
+    target = FlashLMServer(bucket_model)
+    prompt = np.asarray([[1, 2, 3]], np.float32)
+    a, _ = target.generate_speculative(target, prompt, n_new=6, k=3,
+                                       temperature=0.9, seed=11)
+    b, _ = target.generate_speculative(target, prompt, n_new=6, k=3,
+                                       temperature=0.9, seed=11)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
