@@ -411,6 +411,77 @@ class Seq2SeqServer:
         lens_arg = jnp.asarray(lengths, jnp.int32) if ragged else None
         return self._jitted(key, build)(src, lens_arg)
 
+    def generate_speculative(self, draft: "Seq2SeqServer", src,
+                             n_new: int, k: int = 4, bos: int = 0,
+                             temperature: float = 0.0, seed: int = 0,
+                             lengths=None):
+        """Speculative decoding for encoder-decoder models: BOTH servers
+        encode the source once (each with its own encoder), then the
+        draft proposes ``k`` target tokens per round and this model
+        verifies them in one ``k``-wide cached step (models/_spec.py:
+        greedy = exact target-greedy output for any draft; temperature
+        sampling = exact rejection scheme).  Returns
+        ``(tokens [1, n_new] int32, target_steps)``."""
+        import jax
+
+        from ._spec import check_spec_args, speculative_loop
+
+        jnp = self._jnp
+        src = jnp.asarray(src)
+        batch, s_len = src.shape
+        check_spec_args(batch, self.vocab, draft.vocab, k, n_new,
+                        ModelRuntimeError)
+        self._check_lengths(lengths, batch, s_len)
+        need = n_new + k
+        if need + 1 > self.max_tgt or need + 1 > draft.max_tgt:
+            raise ModelRuntimeError(
+                f"n_new + k + 1 = {need + 1} exceeds max_tgt "
+                f"(target {self.max_tgt}, draft {draft.max_tgt})"
+            )
+        if s_len > self.max_src or s_len > draft.max_src:
+            raise ModelRuntimeError(
+                f"source length {s_len} exceeds max_src "
+                f"(target {self.max_src}, draft {draft.max_src})"
+            )
+        sampled = temperature > 0.0
+        T = float(temperature) if sampled else 1.0
+        ragged = lengths is not None
+        key = ("spec", batch, s_len, n_new, k, bos, draft, sampled,
+               float(temperature), ragged)
+
+        def build():
+          def run(src, key0, lens):
+            enc_t = self.encode(src, lengths=lens)
+            enc_d = draft.encode(src, lengths=lens)
+            tc = self.init_caches(1, capacity=need + 1)
+            dc = draft.init_caches(1, capacity=need + 1)
+            tok = jnp.full((1, 1), bos, jnp.int32)
+            logits_t, tc = self._step(tok, enc_t, tc)
+            _, dc = draft._step(tok, enc_d, dc)
+            if sampled:
+                key0, sub = jax.random.split(key0)
+                first = jax.random.categorical(
+                    sub, logits_t[:, -1].astype(jnp.float32) / T, axis=-1
+                ).astype(jnp.int32)
+            else:
+                first = jnp.argmax(
+                    logits_t[:, -1], axis=-1
+                ).astype(jnp.int32)
+            return speculative_loop(
+                draft_step=lambda toks, st: draft._step(toks, enc_d, st),
+                target_step=lambda toks, st: self._step(toks, enc_t, st),
+                rewind=lambda st, ln: [c._replace(length=ln) for c in st],
+                length_of=lambda st: st[0].length,
+                dstate=dc, tstate=tc, first=first,
+                n_new=n_new, k=k, temperature=temperature, key0=key0,
+            )
+
+          return run
+
+        lens_arg = jnp.asarray(lengths, jnp.int32) if ragged else None
+        return self._jitted(key, build)(src, jax.random.PRNGKey(seed),
+                                        lens_arg)
+
     def score(self, src, tgt):
         """Teacher-forced negative log-likelihood per sequence.
 

@@ -253,23 +253,13 @@ class FlashLMServer:
         """
         import jax
 
+        from ._spec import check_spec_args, speculative_loop
+
         jnp = self._jnp
         prompt = jnp.asarray(prompt)
         batch, t = prompt.shape
-        if batch != 1:
-            raise ModelRuntimeError(
-                "speculative decoding serves one sequence at a time "
-                f"(got batch {batch}); per-row acceptance lengths would "
-                "make the batch ragged"
-            )
-        if draft.vocab != self.vocab:
-            raise ModelRuntimeError(
-                f"draft vocab {draft.vocab} != target vocab {self.vocab}"
-            )
-        if k < 1:
-            raise ModelRuntimeError(f"k must be >= 1 (got {k})")
-        if n_new < 1:
-            raise ModelRuntimeError(f"n_new must be >= 1 (got {n_new})")
+        check_spec_args(batch, self.vocab, draft.vocab, k, n_new,
+                        ModelRuntimeError)
         # rows for rejected proposals are appended before the rewind, so
         # the high-water mark overshoots by up to k
         need = t + n_new - 1 + k
@@ -283,8 +273,6 @@ class FlashLMServer:
             raise ModelRuntimeError(
                 f"{need} cache rows needed, capacity {capacity}"
             )
-
-        buf_len = n_new + k
         sampled = temperature > 0.0
         T = float(temperature) if sampled else 1.0
 
@@ -303,105 +291,17 @@ class FlashLMServer:
                 first = jnp.argmax(
                     logits_t[:, -1], axis=-1
                 ).astype(jnp.int32)
-            out = jnp.zeros((buf_len,), jnp.int32)
-            out = out.at[0].set(first[0])
-
-            def rewind(caches, new_len):
-                return [c._replace(length=new_len) for c in caches]
-
-            def cond(carry):
-                _, count, *_ = carry
-                return count < n_new
-
-            def body(carry):
-                out, count, cur, tc, dc, steps, key = carry
-                key, kd, ka, kr = jax.random.split(key, 4)
-
-                # draft proposes k tokens from cur (argmax or sampled),
-                # recording its per-step distribution q_j
-                def dstep(dcarry, dk):
-                    dcs, tok = dcarry
-                    dlogits, dcs = draft.decode(tok[:, None], dcs)
-                    row = dlogits[:, -1].astype(jnp.float32) / T
-                    if sampled:
-                        nxt = jax.random.categorical(
-                            dk, row, axis=-1
-                        ).astype(jnp.int32)
-                    else:
-                        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
-                    return (dcs, nxt), (nxt, jax.nn.softmax(row, -1)[0])
-
-                (dc, _), (props, qs) = jax.lax.scan(
-                    dstep, (dc, cur), jax.random.split(kd, k)
-                )
-                props = props[:, 0]                       # [k]
-
-                # target verifies in ONE k-wide step on [cur, d_1..d_k-1]
-                len0 = tc[0].length
-                seq_in = jnp.concatenate(
-                    [cur, props[: k - 1]]
-                )[None, :].astype(jnp.float32)            # [1, k]
-                vlogits, tc = self.prefill(seq_in, tc)
-
-                if sampled:
-                    # rejection sampling: accept d_j with prob
-                    # min(1, p_j(d_j)/q_j(d_j)); first rejection
-                    # resamples from the normalized residual (p - q)+
-                    p = jax.nn.softmax(
-                        vlogits[0].astype(jnp.float32) / T, axis=-1
-                    )                                     # [k, V]
-                    j = jnp.arange(k)
-                    ratio = p[j, props] / jnp.maximum(
-                        qs[j, props], 1e-30
-                    )
-                    acc = jax.random.uniform(ka, (k,)) < ratio
-                    m = jnp.sum(
-                        jnp.cumprod(acc.astype(jnp.int32))
-                    ).astype(jnp.int32)
-                    row = jnp.minimum(m, k - 1)
-                    resid = jnp.maximum(p[row] - qs[row], 0.0)
-                    rs = jnp.sum(resid)
-                    resid = jnp.where(rs > 1e-30, resid / rs, p[row])
-                    last = jax.random.categorical(
-                        kr, jnp.log(jnp.maximum(resid, 1e-38))
-                    ).astype(jnp.int32)
-                else:
-                    targets = jnp.argmax(
-                        vlogits[0], axis=-1
-                    ).astype(jnp.int32)                   # [k]
-                    eq = props == targets                 # d_j+1 vs t_j
-                    m = jnp.sum(
-                        jnp.cumprod(eq.astype(jnp.int32))
-                    ).astype(jnp.int32)
-                    last = targets[jnp.minimum(m, k - 1)]  # bonus
-
-                n_emit = jnp.minimum(m + 1, k).astype(jnp.int32)
-                cur_next = jnp.where(m == k, props[k - 1], last)[None]
-
-                # round emits d_1..d_m then (partial accept only) the
-                # bonus/replacement in slot m; slots past n_emit are
-                # garbage that the next round's write overwrites
-                emit = props.at[jnp.minimum(m, k - 1)].set(
-                    jnp.where(m == k, props[k - 1], last)
-                )                                         # [k]
-                out = jax.lax.dynamic_update_slice(out, emit, (count,))
-                new_len = (len0 + n_emit).astype(jnp.int32)
-                tc = rewind(tc, new_len)
-                dc = rewind(dc, new_len)
-                return (out, (count + n_emit).astype(jnp.int32),
-                        cur_next, tc, dc, steps + jnp.int32(1), key)
-
-            out, count, _, _, _, steps, _ = jax.lax.while_loop(
-                cond, body,
-                (out, jnp.int32(1), first, tc, dc, jnp.int32(0), key0),
+            return speculative_loop(
+                draft_step=lambda toks, st: draft.decode(toks, st),
+                target_step=lambda toks, st: self.prefill(toks, st),
+                rewind=lambda st, ln: [c._replace(length=ln) for c in st],
+                length_of=lambda st: st[0].length,
+                dstate=dc, tstate=tc, first=first,
+                n_new=n_new, k=k, temperature=temperature, key0=key0,
             )
-            return out[:n_new][None, :], steps
 
           return run
 
-        # the draft itself is part of the key (its weights are baked
-        # into the trace); keying the OBJECT keeps it alive with the
-        # cache entry, where id() could be reused after GC
         key = ("spec", t, n_new, k, capacity, draft, sampled,
                float(temperature))
         return self._jitted(key, build)(prompt, jax.random.PRNGKey(seed))

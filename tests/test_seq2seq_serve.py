@@ -299,3 +299,20 @@ def test_seq2seq_int8_cache(trained):
     a = np.asarray(f32.generate(src, n_new=6))
     b = np.asarray(q8.generate(src, n_new=6))
     np.testing.assert_array_equal(a, b)
+
+
+def test_seq2seq_speculative_matches_greedy(trained):
+    """Encoder-decoder speculative decoding == plain greedy for any
+    draft (here: a random-weight draft and self-draft)."""
+    src = np.asarray(
+        np.random.default_rng(0).integers(1, 8, (1, 6)), np.float32
+    )
+    target = Seq2SeqServer(trained)
+    want = np.asarray(target.generate(src, n_new=6))
+    draft = Seq2SeqServer(compile(tiny_seq2seq(), seed=9))
+    for k in (1, 3):
+        got, steps = target.generate_speculative(draft, src, n_new=6, k=k)
+        np.testing.assert_array_equal(np.asarray(got), want)
+    got, steps = target.generate_speculative(target, src, n_new=6, k=3)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(steps) <= 3  # self-draft: full acceptance
