@@ -24,7 +24,6 @@ def _build(rng):
     its = (i0, i1, i2)
     inputs = {"base": SIZES}
     reads = [input("base")[i0, i1, i2]]
-    vals = {"base": None}
 
     n_extra = int(rng.integers(1, 3))
     for r in range(n_extra):
