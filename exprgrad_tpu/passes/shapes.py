@@ -342,6 +342,95 @@ def solve_partial(equations: list[LinearIndex]) -> dict[int, Fraction]:
     return out
 
 
+def solve_floor(equations: list[LinearIndex]) -> Optional[dict[int, int]]:
+    """Floor-bound fallback for inconsistent read-extent systems.
+
+    The exact solver demands every read's max index reach size-1 exactly
+    (reference passes.nim:1252).  That rejects legitimate strided reads
+    whose loop bound is pinned elsewhere: ``out[i] = base[i] + t[2*i]``
+    with ``base`` of length L and ``t`` of length 2L yields the conflicting
+    equations ``i == L-1`` and ``2*i == 2L-1``.  Here we retry with floor
+    semantics: a stride-f read may stop up to f-1 elements short of the
+    end (it must still be unable to take one more step), while unit-stride
+    reads keep exact-cover semantics — so plain elementwise size mismatches
+    (``a`` of 5 vs ``b`` of 7) remain errors.
+
+    Concretely every single-register equation ``f*r + c == 0`` (f > 0)
+    implies the bound ``r == (-c) // f``; all bounds for a register must
+    agree.  Multi-register equations are resolved by substitution once all
+    but one register are known, and checked with the same slack rule.
+    Returns None when the relaxation does not apply (no stride > 1
+    anywhere, negative strides, bounds that disagree, negative iterator
+    maxima); the caller then re-raises the exact solver's error.
+    """
+    values: dict[int, int] = {}
+    any_strided = False
+
+    def assign(reg: int, f: int, rhs: int) -> bool:
+        nonlocal any_strided
+        if f <= 0:
+            return False
+        val = rhs // f
+        if val < 0:
+            return False
+        if f > 1:
+            any_strided = True
+        prev = values.get(reg)
+        if prev is None:
+            values[reg] = val
+            return True
+        return prev == val
+
+    pending: list[LinearIndex] = []
+    for eq in equations:
+        regs = [r for r, f in eq.factors.items() if f != 0]
+        if not regs:
+            if eq.constant != 0:
+                return None
+            continue
+        if len(regs) == 1:
+            r = regs[0]
+            if not assign(r, eq.factors[r], -eq.constant):
+                return None
+        else:
+            pending.append(eq)
+
+    # substitute known registers into multi-register equations until fixed
+    progress = True
+    while pending and progress:
+        progress = False
+        still: list[LinearIndex] = []
+        for eq in pending:
+            unknown = [r for r, f in eq.factors.items() if f != 0 and r not in values]
+            if len(unknown) > 1:
+                still.append(eq)
+                continue
+            rhs = -eq.constant - sum(
+                f * values[r]
+                for r, f in eq.factors.items()
+                if f != 0 and r in values
+            )
+            if not unknown:
+                # fully determined: residual must sit inside the stride slack
+                strides = [f for f in eq.factors.values() if f != 0]
+                if any(f <= 0 for f in strides):
+                    return None
+                if not (0 <= rhs < max(strides)):
+                    return None
+                if max(strides) > 1:
+                    any_strided = True
+            elif not assign(unknown[0], eq.factors[unknown[0]], rhs):
+                return None
+            progress = True
+        pending = still
+
+    if pending or not any_strided:
+        # dependent multi-register subsystem we cannot order, or a pure
+        # unit-stride conflict (a genuine size mismatch): don't relax
+        return None
+    return values
+
+
 # ---------------------------------------------------------------------------
 # constraint inference
 # ---------------------------------------------------------------------------
@@ -645,22 +734,27 @@ def _apply_constraint(
 
     try:
         solution = solve_partial(equations)
+        max_values = {r: int(v) for r, v in solution.items()}
     except ShapeError as err:
-        # name the tensor and the read extents so the user can see WHICH
-        # kernel's reads disagree (e.g. a strided read t[2*i] over a
-        # tensor whose size is not exactly 2L-1 while another read pins L
-        # — reads must reach exactly size-1, reference passes.nim:1252)
-        reads_desc = ", ".join(
-            f"{_tname(names, tensor)}{[shapes[tensor]] if tensor in shapes else ''}"
-            for tensor in constr.reads
-        )
-        raise ShapeError(
-            f"{err} while inferring the shape of "
-            f"{_tname(names, constr.dest)} from its reads of {reads_desc}; "
-            "read indices must span each tensor dim exactly (max index == "
-            "size-1) — resize the operand or bound the iterator (irange)"
-        ) from err
-    max_values = {r: int(v) for r, v in solution.items()}
+        # the exact system (max index == size-1 per read, reference
+        # passes.nim:1252) is inconsistent; retry with floor-bound
+        # semantics for strided reads before giving up
+        floored = solve_floor(equations)
+        if floored is None:
+            # name the tensor and the read extents so the user can see
+            # WHICH kernel's reads disagree
+            reads_desc = ", ".join(
+                f"{_tname(names, tensor)}{[shapes[tensor]] if tensor in shapes else ''}"
+                for tensor in constr.reads
+            )
+            raise ShapeError(
+                f"{err} while inferring the shape of "
+                f"{_tname(names, constr.dest)} from its reads of {reads_desc}; "
+                "unit-stride read indices must span each tensor dim exactly "
+                "(max index == size-1) and strided reads to within one "
+                "stride — resize the operand or bound the iterator (irange)"
+            ) from err
+        max_values = floored
     sizes = []
     for index in constr.write:
         if any(r not in max_values for r in index.factors) or index.setup:

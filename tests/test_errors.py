@@ -241,7 +241,12 @@ def test_locked_tensor_rejects_further_writes():
 
 def test_unsolvable_read_extents_name_the_tensors():
     """The 'no solution' shape error names the destination and the read
-    tensors with their shapes (a bare message was undiagnosable)."""
+    tensors with their shapes (a bare message was undiagnosable).
+
+    Unit-stride reads keep exact-cover semantics, so two identity-indexed
+    reads of different sizes conflict; strided reads with slack < stride
+    are legal since the floor-bound relaxation (solve_floor) and no longer
+    raise — see tests/test_strided_shapes.py."""
     import numpy as np
 
     from exprgrad_tpu import Fun, compile, input, iters
@@ -249,8 +254,17 @@ def test_unsolvable_read_extents_name_the_tensors():
 
     i0, i2 = iters("i0", "i2")
     out = Fun("out")
-    out[i0, i2] = input("base")[i0, i2] + input("t")[i0 * 2, i2]
+    out[i0, i2] = input("base")[i0, i2] + input("t")[i0, i2]
     m = compile(out.target("out"), backend="interp")
     with pytest.raises(ShapeError, match="'t'.*span each tensor dim"):
         m.call("out", {"base": np.zeros((16, 8), np.float32),
-                       "t": np.zeros((32, 8), np.float32)})
+                       "t": np.zeros((12, 8), np.float32)})
+
+    # the strided sibling of the same program is now legal (floor slack)
+    i0, i2 = iters("i0", "i2")
+    out2 = Fun("out2")
+    out2[i0, i2] = input("base")[i0, i2] + input("t")[i0 * 2, i2]
+    m2 = compile(out2.target("out"), backend="interp")
+    res = m2.call("out", {"base": np.ones((16, 8), np.float32),
+                          "t": np.ones((32, 8), np.float32)})
+    np.testing.assert_allclose(np.asarray(res), np.full((16, 8), 2.0))
