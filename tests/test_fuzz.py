@@ -43,7 +43,9 @@ def _random_kernel(rng: np.random.Generator, smooth: bool):
             elif form == 2:  # strided
                 s = int(rng.integers(2, 4))
                 dims.append(s * loop_vars[k])
-                dim_sizes.append(s * (sizes[k] - 1) + 1)
+                # random slack < stride: legal under floor-bound read
+                # extents (solve_floor), exercises the relaxed solver
+                dim_sizes.append(s * (sizes[k] - 1) + 1 + int(rng.integers(0, s)))
             else:  # divided
                 dims.append(loop_vars[k] // 2)
                 dim_sizes.append((sizes[k] - 1) // 2 + 1)
