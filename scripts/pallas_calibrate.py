@@ -50,13 +50,16 @@ def _time_chain(fn, x, iters=8):
 
 def main() -> None:
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(3000)
+    # short fuse over backend init (a hung axon registration must not
+    # hold the one-client slot; CLAUDE.md), then the full sweep budget
+    signal.alarm(420)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    signal.alarm(3000)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not on_tpu:
         print("WARNING: not on TPU; constants will not be written")
@@ -65,6 +68,32 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     table = []
+    constants = {}
+
+    def flush():
+        """Write whatever is measured SO FAR (tunnel windows are short;
+        a partial calibration beats none — policy.py merges over its
+        defaults key-by-key)."""
+        if not on_tpu or not constants:
+            return
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "exprgrad_tpu", "backend",
+            "pallas_calibration.json",
+        )
+        with open(path, "w") as f:
+            json.dump(constants, f, indent=1)
+        details_path = os.path.join(
+            os.path.dirname(__file__), "..", "BENCH_DETAILS.json"
+        )
+        try:
+            with open(details_path) as f:
+                details = json.load(f)
+        except (OSError, ValueError):
+            details = {}
+        details["pallas_vs_xla_table"] = table
+        with open(details_path, "w") as f:
+            json.dump(details, f, indent=1)
+        print("flushed calibration artifacts", flush=True)
 
     # --- contraction: XLA dot vs Pallas tiled matmul -------------------
     mm_rates = {"xla": [], "pallas": []}
@@ -93,6 +122,11 @@ def main() -> None:
         mm_rates["pallas"].append(row["pallas_tflops"])
         table.append(row)
         print(row, flush=True)
+        constants["xla_matmul_tflops"] = float(np.median(mm_rates["xla"]))
+        constants["pallas_matmul_tflops"] = float(
+            np.median(mm_rates["pallas"])
+        )
+        flush()
 
     # --- launch overhead: tiny pallas kernel vs tiny XLA op -------------
     tiny = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
@@ -113,6 +147,8 @@ def main() -> None:
         }
     )
     print(table[-1], flush=True)
+    constants["pallas_launch_us"] = float(launch_us)
+    flush()
 
     # --- map/reduce family through the compiler -------------------------
     from exprgrad_tpu import Fun, compile, input as eg_input, iters, exp
@@ -161,36 +197,13 @@ def main() -> None:
         }
     )
 
-    constants = {
-        "xla_matmul_tflops": float(np.median(mm_rates["xla"])),
-        "pallas_matmul_tflops": float(np.median(mm_rates["pallas"])),
-        "pallas_launch_us": float(launch_us),
-        "xla_elementwise_gbps": float(gbps["ignore"]),
-        "pallas_elementwise_gbps": float(gbps["force"]),
-    }
+    constants["xla_elementwise_gbps"] = float(gbps["ignore"])
+    constants["pallas_elementwise_gbps"] = float(gbps["force"])
     print("constants:", constants, flush=True)
-
+    flush()
     if on_tpu:
-        path = os.path.join(
-            os.path.dirname(__file__), "..", "exprgrad_tpu", "backend",
-            "pallas_calibration.json",
-        )
-        with open(path, "w") as f:
-            json.dump(constants, f, indent=1)
-        print("wrote", os.path.normpath(path), flush=True)
-
-        details_path = os.path.join(
-            os.path.dirname(__file__), "..", "BENCH_DETAILS.json"
-        )
-        try:
-            with open(details_path) as f:
-                details = json.load(f)
-        except (OSError, ValueError):
-            details = {}
-        details["pallas_vs_xla_table"] = table
-        with open(details_path, "w") as f:
-            json.dump(details, f, indent=1)
-        print("updated BENCH_DETAILS.json", flush=True)
+        print("wrote exprgrad_tpu/backend/pallas_calibration.json",
+              flush=True)
 
 
 if __name__ == "__main__":

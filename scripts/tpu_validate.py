@@ -21,13 +21,17 @@ def _bail(_sig, _frm):
 
 def main() -> None:
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(3900)  # ~16 on-chip compiles at tunnel-variable latency
+    # short fuse over backend init: a hung axon registration must die in
+    # minutes, not hold the one-client slot for the full sweep timeout
+    # (CLAUDE.md: kill a hung initializing client promptly)
+    signal.alarm(420)
 
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    signal.alarm(3900)  # ~16 on-chip compiles at tunnel-variable latency
 
     from exprgrad_tpu.ops.attention import flash_attention, xla_attention_vjp
 
