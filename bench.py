@@ -576,11 +576,15 @@ def _watchdog(seconds: int = 2700) -> None:
 
 
 def main() -> None:
-    _watchdog()
+    # short fuse over backend init: a hung axon registration must die in
+    # minutes (CLAUDE.md — kill a hung initializing client promptly);
+    # the full sweep budget is armed once devices are live
+    _watchdog(420)
     try:
         import jax
 
         _log(f"bench: devices {jax.devices()}")
+        _watchdog()
     except RuntimeError as err:
         _log(
             "bench: TPU backend unavailable (the axon tunnel sometimes dies "
