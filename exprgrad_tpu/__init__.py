@@ -73,6 +73,7 @@ from .fun import (
 )
 from .registry import register_extern
 from .model import Model, compile, load_compiled
+from .autotune import TuneReport
 from .tensor import (
     Tensor,
     concat_first,
@@ -88,7 +89,7 @@ from .tensor import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "Boolean", "Index", "Scalar", "Fun", "Model", "Tensor",
+    "Boolean", "Index", "Scalar", "Fun", "Model", "Tensor", "TuneReport",
     "array", "cache", "compile", "cond", "cos", "epoch", "exp",
     "extern", "extern_grads", "grad", "register_extern",
     "debug_index", "debug_scalar",

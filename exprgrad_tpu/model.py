@@ -372,6 +372,24 @@ class Model:
         with jax.profiler.trace(logdir):
             self.call(target_name, args)
 
+    def autotune(self, target_name: str, args: Optional[dict] = None, **kw):
+        """Search tile sizes for this target's scheduled kernels by
+        MEASURING candidates end-to-end on the current backend, install
+        the fastest, and return the :class:`~exprgrad_tpu.autotune.
+        TuneReport` (str() it for the table).
+
+        The schedule-stripped XLA route is always a candidate, so the
+        result can only match or beat both the hand schedule and plain
+        XLA on this machine.  Pins ``schedule_mode="force"`` so later
+        calls honor the tuned schedule (a kernel whose winner was the
+        XLA route simply has no schedule left to force)."""
+        from .autotune import tune
+
+        report = tune(self, target_name, args, **kw)
+        self.schedule_mode = "force"
+        self._executors.clear()
+        return report
+
     # --- execution ----------------------------------------------------
     def _executor(self, target: str, shapes: dict[int, list[int]]):
         key = (target, tuple(sorted((t, tuple(s)) for t, s in shapes.items())))
