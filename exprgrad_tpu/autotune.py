@@ -34,7 +34,10 @@ import numpy as np
 from .errors import ModelRuntimeError
 from .passes import infer_shapes
 
-__all__ = ["tune", "TuneReport", "KernelTuneEntry"]
+__all__ = [
+    "tune", "TuneReport", "KernelTuneEntry",
+    "export_tuning", "apply_tuning",
+]
 
 # MXU-aligned tile-size lattice: the Mosaic (8, 128) layout rule makes
 # multiples of 128 the only sensible trailing blocks; 512 keeps the
@@ -275,3 +278,85 @@ def _restore_all(target, report: TuneReport) -> None:
     for entry in report.entries:
         kernel = target.kernels[entry.kernel_index]
         _restore_schedules(kernel, entry.candidates[0]["schedule"])
+
+
+# --- tuning persistence ---------------------------------------------------
+#
+# Checkpoints serialize the SOURCE program (io/serialize.py), but tuned
+# schedules live on the compiled program's kernels, so save_model alone
+# loses them.  export_tuning captures every kernel's schedule state as a
+# JSON-serializable dict keyed by (kernel index, loop index) — stable
+# across recompiles because the pass pipeline is deterministic for a
+# given source — and apply_tuning re-installs it on a freshly loaded or
+# recompiled model of the SAME source.
+
+TUNING_FORMAT = 1
+
+
+def export_tuning(model, target_name: str) -> dict:
+    """Capture ``target_name``'s current kernel schedules (e.g. right
+    after :meth:`Model.autotune`) as a JSON-serializable dict."""
+    if target_name not in model.program.targets:
+        raise ModelRuntimeError(
+            f"{target_name!r} is not a target of the model"
+        )
+    target = model.program.targets[target_name]
+    kernels = []
+    for ki, kernel in enumerate(target.kernels):
+        loops = [
+            {
+                "tile": loop.schedule.tile,
+                "parallel": loop.schedule.parallel,
+                "tile_size": loop.schedule.tile_size,
+                "share_cache": loop.schedule.share_cache,
+            }
+            for loop in kernel.loops
+        ]
+        # record EVERY kernel: "tuned to no schedule at all" (the XLA
+        # strip won) is as much a tuning decision as a tile size
+        kernels.append({"kernel": ki, "loops": loops})
+    return {
+        "format": TUNING_FORMAT,
+        "target": target_name,
+        "n_kernels": len(target.kernels),
+        "kernels": kernels,
+    }
+
+
+def apply_tuning(model, data: dict) -> None:
+    """Re-install an :func:`export_tuning` capture on a model compiled
+    from the same source; pins ``schedule_mode='force'`` and clears the
+    executor cache so the next call honors it."""
+    if data.get("format") != TUNING_FORMAT:
+        raise ModelRuntimeError(
+            f"unsupported tuning format {data.get('format')!r}"
+        )
+    target_name = data["target"]
+    if target_name not in model.program.targets:
+        raise ModelRuntimeError(
+            f"{target_name!r} is not a target of the model"
+        )
+    target = model.program.targets[target_name]
+    if len(target.kernels) != data["n_kernels"]:
+        raise ModelRuntimeError(
+            f"tuning was captured for {data['n_kernels']} kernels but "
+            f"target {target_name!r} compiled to {len(target.kernels)} "
+            "— the model source changed since export_tuning"
+        )
+    for item in data["kernels"]:
+        ki = item["kernel"]
+        if not 0 <= ki < len(target.kernels):
+            raise ModelRuntimeError(f"tuning kernel index {ki} out of range")
+        kernel = target.kernels[ki]
+        if len(kernel.loops) != len(item["loops"]):
+            raise ModelRuntimeError(
+                f"tuning loop count mismatch on kernel {ki} — the model "
+                "source changed since export_tuning"
+            )
+        for loop, sched in zip(kernel.loops, item["loops"]):
+            loop.schedule.tile = bool(sched["tile"])
+            loop.schedule.parallel = bool(sched["parallel"])
+            loop.schedule.tile_size = int(sched["tile_size"])
+            loop.schedule.share_cache = bool(sched["share_cache"])
+    model.schedule_mode = "force"
+    model._executors.clear()

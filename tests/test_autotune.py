@@ -89,6 +89,54 @@ def test_autotune_unscheduled_target_is_noop():
                                atol=2e-4)
 
 
+def test_export_apply_tuning_roundtrip(tmp_path):
+    """Tuned schedules survive checkpoint save/load via export/apply."""
+    import json
+
+    from exprgrad_tpu.autotune import apply_tuning, export_tuning
+    from exprgrad_tpu.io import load_model, save_model
+
+    model, args = _matmul_model()
+    model.autotune("c", args, tile_sizes=(256,), reps=1, chain=1)
+    want = np.asarray(model.call("c", args))
+    tuning = export_tuning(model, "c")
+    # JSON round-trip (the on-disk form)
+    tuning = json.loads(json.dumps(tuning))
+
+    ckpt = tmp_path / "m.egt"
+    save_model(model, str(ckpt))
+    loaded = load_model(str(ckpt), backend="jax")
+    apply_tuning(loaded, tuning)
+    assert loaded.schedule_mode == "force"
+
+    # schedules on the loaded program match the tuned ones exactly
+    src = model.program.targets["c"].kernels
+    dst = loaded.program.targets["c"].kernels
+    for ks, kd in zip(src, dst):
+        for ls, ld in zip(ks.loops, kd.loops):
+            assert (ls.schedule.tile, ls.schedule.parallel,
+                    ls.schedule.tile_size, ls.schedule.share_cache) == (
+                ld.schedule.tile, ld.schedule.parallel,
+                ld.schedule.tile_size, ld.schedule.share_cache)
+    got = np.asarray(loaded.call("c", args))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_apply_tuning_rejects_mismatched_source():
+    from exprgrad_tpu.autotune import apply_tuning, export_tuning
+
+    model, args = _matmul_model()
+    tuning = export_tuning(model, "c")
+    other, _ = _matmul_model(schedule=False)
+    tuning_bad = dict(tuning, n_kernels=tuning["n_kernels"] + 1)
+    with pytest.raises(ModelRuntimeError, match="source changed"):
+        apply_tuning(other, tuning_bad)
+    with pytest.raises(ModelRuntimeError, match="format"):
+        apply_tuning(model, {"format": 99})
+    with pytest.raises(ModelRuntimeError, match="target"):
+        apply_tuning(model, dict(tuning, target="nope"))
+
+
 def test_autotune_training_target_leaves_params_untouched():
     """Tuning a mutating target must not step the host-side params."""
     from exprgrad_tpu import make_opt, param
