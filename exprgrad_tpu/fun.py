@@ -660,6 +660,82 @@ class Fun:
     def backprop(self, optim: Callable[["Fun", "Fun"], None]) -> "Fun":
         return self.backwards().optimize(optim)
 
+    def optimize_accum(
+        self,
+        optim: Callable[["Fun", "Fun"], None],
+        steps: int,
+        params: Optional[Sequence["Fun"]] = None,
+        accum_target: str = "train.accum",
+        step_target: str = "train.step",
+    ) -> "Fun":
+        """Gradient accumulation: two targets over shared grad-sum caches.
+
+        ``accum_target`` adds this microbatch's gradients into a
+        per-parameter cache tensor; ``step_target`` adds them too, then
+        applies ``optim`` with the MEAN of the accumulated gradients and
+        zeroes the caches (a post-effect, so it runs after every
+        optimizer read).  Running ``steps - 1`` accum microbatches + one
+        step microbatch is numerically one ``optim`` update on the
+        concatenated effective batch (for mean-reduced losses) at the
+        memory of a single microbatch.  ``Model.fit(step_target, ...,
+        accum_target=..., accum_steps=steps)`` drives the interleaving.
+
+        The reference has no accumulation concept (its optimizers fuse
+        update into the train target, parser.nim:757-775); this extends
+        that seam — both targets share ONE set of gradient kernels and
+        the grad-sum state lives in ordinary cache tensors, so it
+        checkpoints and resumes like adam moments.
+        """
+        if self.kind != FunKind.BACKWARDS:
+            raise ParserError(
+                "optimize_accum() must be applied to a backwards() node"
+            )
+        if steps < 1:
+            raise ParserError("optimize_accum() needs steps >= 1")
+        if params is None:
+            params = self.params()
+        accum_out = Fun("accum", FunKind.MULTIPLE)
+        step_out = Fun("step", FunKind.MULTIPLE)
+        for p in params:
+            g = self.grad(p)
+            inner = Fun(f"{p.name}.grad_sum", FunKind.CACHE)
+            inner.cache_of = p
+
+            def acc_effect(inner=inner):
+                eff = Fun(inner.name, FunKind.EFFECT)
+                eff.effect = inner
+                return eff
+
+            # accum target: grad_sum += g  (writes are ++= accumulate)
+            a1 = acc_effect()
+            it = iters("it")
+            a1.raw[it] = g.raw[it]
+            accum_out.children.append(a1)
+
+            # step target: grad_sum += g; optim(param, grad_sum/steps);
+            # then zero grad_sum (post-effect: after every optim read)
+            a2 = acc_effect()
+            it = iters("it")
+            a2.raw[it] = g.raw[it]
+            mean = Fun(f"{p.name}.grad_mean", FunKind.RESULT)
+            it = iters("it")
+            mean.raw[it] = a2.raw[it] * (1.0 / steps)
+            p_eff = Fun(p.name, FunKind.EFFECT)
+            p_eff.effect = p
+            optim(p_eff, mean)
+            step_out.children.append(p_eff)
+            a3 = acc_effect()
+            it = iters("it")
+            a3.raw[it] = -a3.raw[it]
+            step_out.post_effects.append(a3)
+
+        out = Fun("optimize_accum", FunKind.MULTIPLE)
+        out.children = [
+            accum_out.target(accum_target),
+            step_out.target(step_target),
+        ]
+        return out
+
     def reshape(self, shape: Sequence[int]) -> "Fun":
         out = Fun("reshape", FunKind.RESHAPE)
         out.children = [self]

@@ -628,6 +628,8 @@ class Model:
         shuffle: bool = False,
         scan_batches: bool = False,
         monitor: Optional[str] = None,
+        accum_target: Optional[str] = None,
+        accum_steps: int = 1,
     ) -> Optional[float]:
         """Run a target over all batches of the inputs; increments epoch.
 
@@ -641,6 +643,14 @@ class Model:
         ``monitor`` names a scalar target (typically "loss") evaluated on
         the first batch after the epoch; its value is returned (and shown
         on the progress line when ``log_status``).
+
+        Gradient accumulation (``Fun.optimize_accum``): pass the
+        accumulate-only target as ``accum_target`` and the group size as
+        ``accum_steps`` — every group of ``accum_steps`` batches runs
+        ``accum_steps - 1`` accumulate batches then one ``target_name``
+        (step) batch, one optimizer update per group at the memory of a
+        single microbatch.  A trailing partial group leaves its gradient
+        sums in the caches; they roll into the next epoch's first step.
         """
         if not args:
             raise ModelRuntimeError(
@@ -650,6 +660,24 @@ class Model:
         if target_name not in self.program.targets:
             raise ModelRuntimeError(
                 f"{target_name!r} is not a target of the model"
+            )
+        if accum_steps < 1:
+            raise ModelRuntimeError("accum_steps must be >= 1")
+        if accum_target is not None:
+            if accum_target not in self.program.targets:
+                raise ModelRuntimeError(
+                    f"accum target {accum_target!r} is not a target of "
+                    "the model"
+                )
+            if scan_batches:
+                raise ModelRuntimeError(
+                    "gradient accumulation is not supported with "
+                    "scan_batches (the scan carries only parameters)"
+                )
+        elif accum_steps != 1:
+            raise ModelRuntimeError(
+                "accum_steps > 1 requires accum_target (see "
+                "Fun.optimize_accum)"
             )
         first = next(iter(args.values()))
         batch_count = first.shape[0] // batch_size
@@ -662,6 +690,11 @@ class Model:
                 (self.program.inputs[name], [batch_size] + list(value.shape[1:]))
             )
         shapes = infer_shapes(self.program, target_name, input_shapes)
+        accum_shapes = None
+        if accum_target is not None:
+            accum_shapes = infer_shapes(
+                self.program, accum_target, input_shapes
+            )
 
         order = None
         if shuffle:
@@ -698,7 +731,11 @@ class Model:
                     name: gather_rows(np.asarray(value), idx)
                     for name, value in args.items()
                 }
-            self._run(target_name, batch_args, shapes)
+            if (accum_target is not None
+                    and batch % accum_steps != accum_steps - 1):
+                self._run(accum_target, batch_args, accum_shapes)
+            else:
+                self._run(target_name, batch_args, shapes)
         if log_status:
             print(f"\r{batch_count}/{batch_count}")
         return self._monitor(monitor, args, batch_size, log_status)
