@@ -217,6 +217,26 @@ def test_golden_moe_train():
     check_golden("moe_train", fmt_program(program))
 
 
+def test_golden_accum_train():
+    """optimize_accum compiler output: pins the grad-sum accumulate
+    kernels of the ``.accum`` target and the mean-gradient optimizer +
+    cache-reset kernels of the ``.step`` target (gradient accumulation,
+    fun.py optimize_accum)."""
+    from exprgrad_tpu import make_opt
+    from exprgrad_tpu.layers import gradient_descent, mse
+
+    y, x, it = iters("y", "x", "it")
+    w = param([8, 4], (-0.5, 0.5), name="w")
+    pred = Fun("pred")
+    pred[y, x] = input("inp")[y, it] * w[it, x]
+    loss = mse(pred, input("lbl"))
+    net = (loss.target("loss").backwards()
+           .optimize_accum(make_opt(gradient_descent, rate=0.1), 4))
+    program = to_program(net)
+    compile_program(program)
+    check_golden("accum_train", fmt_program(program))
+
+
 def test_golden_scheduled_pool():
     """Scheduled strided-window pooling: pins the IR the windowed/strided
     Pallas family consumes (affine read indices + tile schedule)."""
