@@ -409,6 +409,10 @@ class Fun:
         self.cond_branches: dict[str, Fun] = {}
         self.cond_else: Optional[Fun] = None
         self.remat_flag = False
+        # frozen parameters are excluded from optimize()/optimize_accum()
+        # parameter collection (no optimizer update, and their gradient
+        # kernels are dead-code-eliminated); the LoRA fine-tuning seam
+        self.frozen = False
         # effects flattened AFTER this node's own kernels — the seam for
         # state that must observe a post-update value (EMA shadows read
         # the freshly-written parameter; see layers.base.with_ema)
@@ -638,6 +642,18 @@ class Fun:
         walk(self)
         return out
 
+    def trainable_params(self, stop: Sequence[str] = ()) -> list["Fun"]:
+        """``params()`` minus frozen parameters — the set ``optimize()``/
+        ``optimize_accum()`` update by default.  Raises when nothing is
+        trainable (an all-frozen graph is always a usage error)."""
+        out = [p for p in self.params(stop) if not p.frozen]
+        if not out:
+            raise ParserError(
+                "no trainable parameters: every param in the graph is "
+                "frozen (unfreeze one or pass params= explicitly)"
+            )
+        return out
+
     def optimize(
         self,
         optim: Callable[["Fun", "Fun"], None],
@@ -647,7 +663,7 @@ class Fun:
         if self.kind != FunKind.BACKWARDS:
             raise ParserError("optimize() must be applied to a backwards() node")
         if params is None:
-            params = self.params()
+            params = self.trainable_params()
         out = Fun("optimize", FunKind.MULTIPLE)
         for p in params:
             effect = Fun(p.name, FunKind.EFFECT)
@@ -693,7 +709,7 @@ class Fun:
         if steps < 1:
             raise ParserError("optimize_accum() needs steps >= 1")
         if params is None:
-            params = self.params()
+            params = self.trainable_params()
         accum_out = Fun("accum", FunKind.MULTIPLE)
         step_out = Fun("step", FunKind.MULTIPLE)
         for p in params:
@@ -795,11 +811,20 @@ def param(
     shape: Sequence[int],
     init_range: tuple[float, float] = (-0.1, 0.1),
     name: str = "",
+    frozen: bool = False,
 ) -> Fun:
-    """Trainable parameter, uniformly initialized in ``init_range``."""
+    """Trainable parameter, uniformly initialized in ``init_range``.
+
+    ``frozen=True`` keeps the parameter in the forward graph (and in
+    checkpoints) but excludes it from ``optimize()``/``optimize_accum()``
+    — no update kernels are built and its gradient kernels are removed by
+    dead-code elimination.  This is the fine-tuning seam ``lora_dense``
+    builds on; the reference has no freezing concept (parser.nim:741-775
+    always optimizes every param)."""
     fun = Fun(name, FunKind.PARAM)
     fun.param_shape = list(shape)
     fun.init_range = init_range
+    fun.frozen = frozen
     return fun
 
 

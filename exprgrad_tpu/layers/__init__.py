@@ -51,7 +51,9 @@ from .dnn import (
     dropout,
     layer_norm,
     leaky_relu,
+    lora_dense,
     maxpool2,
+    merge_lora,
     relu,
     rms_norm,
     sigmoid,
@@ -70,7 +72,8 @@ __all__ = [
     "l1_loss", "lion",
     "moe_ffn",
     "momentum", "multi_head_attention", "multi_head_cross_attention",
-    "leaky_relu", "matmul", "maximum_elems", "maxpool2", "minimum_elems",
+    "leaky_relu", "lora_dense", "matmul", "maximum_elems", "maxpool2",
+    "merge_lora", "minimum_elems",
     "layer_norm",
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
     "sin_layer", "smoothed_cross_entropy", "softmax", "sub",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from ..errors import ParserError
 from ..expr import exp, iters, maximum, select
 from ..fun import Fun, grad, layer, param, rand, static_rank
 
@@ -44,6 +45,110 @@ def dense(values: Fun, inp: int, outp: int, has_bias: bool = True,
         x = iters("x")
         out[(*lead, x)] = bias[x]
     return out
+
+
+@layer
+def lora_dense(values: Fun, inp: int, outp: int, rank: int,
+               alpha: Optional[float] = None, has_bias: bool = True,
+               train_bias: bool = False, lead_rank: Optional[int] = None,
+               prefix: str = "") -> Fun:
+    """Low-rank-adapted dense layer for fine-tuning (LoRA, Hu et al. 2021).
+
+    The base weight ``<prefix>weights`` is a FROZEN parameter (excluded
+    from optimizer updates — the ``param(frozen=)`` seam); two small
+    trainable adapters ``<prefix>lora_a`` ([inp, rank], scaled-uniform
+    init) and ``<prefix>lora_b`` ([rank, outp], zero init) add the
+    low-rank update::
+
+        out = x @ W  +  (alpha / rank) * (x @ A) @ B  (+ bias)
+
+    With B zero-initialized the layer starts exactly equal to the frozen
+    base, and only ``2 * rank * (inp + outp)`` values train.  After
+    training, ``merge_lora(model, alpha=...)`` folds the adapters into
+    the base weight in place.  ``alpha`` defaults to ``rank`` (scale 1).
+    The bias (if any) is frozen too unless ``train_bias=True``.
+
+    No reference analog — the reference trains every parameter
+    (parser.nim:741-775); this is fine-tuning infrastructure built on
+    the same optimize() seam."""
+    if rank < 1:
+        raise ParserError("lora_dense() needs rank >= 1")
+    scale = (alpha if alpha is not None else float(rank)) / float(rank)
+    bound = float(inp) ** -0.5
+    weights = param([inp, outp], name=prefix + "weights", frozen=True)
+    lora_a = param([inp, rank], (-bound, bound), name=prefix + "lora_a")
+    lora_b = param([rank, outp], (0.0, 0.0), name=prefix + "lora_b")
+
+    lead = _lead(values, lead_rank)
+    rr, it = iters("rr", "it")
+    mid = Fun(prefix + "lora_mid" if prefix else "lora_mid")
+    mid[(*lead, rr)] = values[(*lead, it)] * lora_a[it, rr]
+
+    lead = _lead(values, lead_rank)
+    x, it = iters("x", "it")
+    out = Fun()
+    out[(*lead, x)] = values[(*lead, it)] * weights[it, x]
+    lead = _lead(values, lead_rank)
+    x, rr = iters("x", "rr")
+    out[(*lead, x)] = scale * mid[(*lead, rr)] * lora_b[rr, x]
+    if has_bias:
+        bias = param([outp], name=prefix + "bias",
+                     frozen=not train_bias)
+        lead = _lead(values, lead_rank)
+        x = iters("x")
+        out[(*lead, x)] = bias[x]
+    return out
+
+
+def merge_lora(model, alpha: Optional[float] = None) -> list:
+    """Fold every trained LoRA adapter pair into its frozen base weight,
+    in place: ``W += (alpha / rank) * A @ B``, then zero ``lora_b`` so the
+    model's forward outputs are UNCHANGED (the adapter branch now adds 0).
+
+    Matches adapters to bases by the ``lora_dense`` naming contract
+    (``<p>weights`` / ``<p>lora_a`` / ``<p>lora_b``).  Pass the same
+    ``alpha`` the layer was built with (default: the layer's rank, i.e.
+    scale 1 — read from A's shape).  Returns the merged base-weight
+    names; the merged arrays can then serve without the adapter compute
+    via a plain ``dense`` model of the same names."""
+    import numpy as np
+
+    by_name: dict = {}
+    for tid in model.program.params:
+        nm = model.program.tensors[tid].name
+        if nm:
+            by_name.setdefault(nm, []).append(tid)
+    merged = []
+    for nm, tids in sorted(by_name.items()):
+        if not nm.endswith("lora_a"):
+            continue
+        pre = nm[: -len("lora_a")]
+        for other in (pre + "lora_b", pre + "weights"):
+            if len(by_name.get(other, ())) != len(tids):
+                raise ParserError(
+                    f"merge_lora: {nm!r} has no matching {other!r} "
+                    "(lora_dense names adapters <prefix>lora_a/lora_b/"
+                    "weights)"
+                )
+        if len(tids) != 1:
+            raise ParserError(
+                f"merge_lora: {len(tids)} parameters named {nm!r}; "
+                "give each lora_dense a unique prefix to merge"
+            )
+        a_tid = tids[0]
+        b_tid = by_name[pre + "lora_b"][0]
+        w_tid = by_name[pre + "weights"][0]
+        a = np.asarray(model.params[a_tid])
+        b = np.asarray(model.params[b_tid])
+        r = a.shape[1]
+        scale = (alpha if alpha is not None else float(r)) / float(r)
+        w = np.asarray(model.params[w_tid])
+        model.params[w_tid] = (w + scale * (a @ b)).astype(w.dtype)
+        model.params[b_tid] = np.zeros_like(b)
+        merged.append(pre + "weights")
+    if not merged:
+        raise ParserError("merge_lora: model has no lora_a parameters")
+    return merged
 
 
 @layer
