@@ -64,6 +64,7 @@ class ShardedExecutor:
         batch_inputs: Optional[Sequence[str]] = None,
         input_specs: Optional[dict[str, P]] = None,
         zero: bool = False,
+        fsdp: bool = False,
     ) -> None:
         """``input_specs`` overrides the default batch-dim sharding per input
         name with an explicit PartitionSpec — e.g. sequence parallelism:
@@ -76,7 +77,17 @@ class ShardedExecutor:
         (ZeRO-1): each device stores 1/N of the optimizer state, and XLA
         inserts the reduce-scatter/all-gather pair the sharded update
         implies.  Values are bit-identical to the replicated layout —
-        sharding is a layout annotation, not a numeric change."""
+        sharding is a layout annotation, not a numeric change.
+
+        ``fsdp=True`` additionally shards the PARAMETERS themselves over
+        the ``data`` axis (ZeRO-3 / fully-sharded data parallelism): each
+        device stores 1/N of every weight, XLA all-gathers a weight just
+        before its forward/backward use and reduce-scatters its gradient.
+        Composes with tensor parallelism (a matrix can be ``data`` x
+        ``model`` sharded) and implies the optimizer state follows its
+        parameter's sharding.  Peak per-device memory drops from
+        O(params) to O(params / data); compute results are bit-identical
+        to the replicated layout."""
         self.model = model
         program = model.program
         self.program = program
@@ -112,39 +123,31 @@ class ShardedExecutor:
                     mesh, P("data", *([None] * (len(shape) - 1)))
                 )
             if tdef.kind in (ir.TensorKind.PARAM, ir.TensorKind.CACHE):
-                base = tid
                 if tdef.kind == ir.TensorKind.CACHE:
-                    base = tdef.cache_of  # caches follow their parameter
-                    tdef_p = program.tensors[base]
+                    # caches follow their parameter's layout decisions
+                    tdef_p = program.tensors[tdef.cache_of]
                 else:
                     tdef_p = tdef
+                spec = [None] * len(shape)
                 if (
                     model_axis > 1
                     and len(tdef_p.shape) >= 2
                     and tdef_p.shape[-1] % model_axis == 0
-                ):
-                    spec = [None] * len(shape)
-                    spec[-1] = "model"
-                    if (
-                        zero
-                        and tdef.kind == ir.TensorKind.CACHE
-                        and data_axis > 1
-                        and shape[0] % data_axis == 0
-                        and spec[0] is None
-                    ):
-                        spec[0] = "data"
-                    return NamedSharding(mesh, P(*spec))
-                if (
-                    zero
-                    and tdef.kind == ir.TensorKind.CACHE
-                    and data_axis > 1
                     and len(shape) >= 1
-                    and shape[0] % data_axis == 0
                 ):
-                    return NamedSharding(
-                        mesh, P("data", *([None] * (len(shape) - 1)))
-                    )
-                return NamedSharding(mesh, P())
+                    spec[-1] = "model"
+                # data-axis sharding of the state itself: fsdp shards
+                # params AND caches (ZeRO-3); zero shards only the
+                # optimizer caches (ZeRO-1)
+                shard_state = fsdp or (
+                    zero and tdef.kind == ir.TensorKind.CACHE
+                )
+                if shard_state and data_axis > 1:
+                    for d in range(len(shape)):
+                        if spec[d] is None and shape[d] % data_axis == 0:
+                            spec[d] = "data"
+                            break
+                return NamedSharding(mesh, P(*spec))
             return NamedSharding(mesh, P())
 
         self.in_shardings = {

@@ -263,3 +263,52 @@ def test_multistep_tp_training():
                seed=step)
     for v in model.params.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_fsdp_param_sharding():
+    """FSDP (ZeRO-3): parameters themselves shard 1/N over the data axis
+    (XLA all-gathers weights at use, reduce-scatters their grads); one
+    training step matches the replicated layout bit-for-bit, and it
+    composes with tensor parallelism (data x model sharded matrices)."""
+    from exprgrad_tpu import compile as eg_compile, one_hot
+    from exprgrad_tpu.models import flash_transformer
+
+    mesh = make_mesh(8, model=2)  # data=4, model=2
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 8, (8, 8)).astype(np.float32)
+    labels = one_hot(rng.integers(0, 8, 8 * 8), 8).reshape(8, 8, 8)
+
+    results = {}
+    for fsdp in (False, True):
+        model = eg_compile(
+            flash_transformer(vocab=8, dim=16, heads=2), seed=0
+        )
+        ex = ShardedExecutor(
+            model, "train", {"tokens": [8, 8], "labels": [8, 8, 8]},
+            mesh, batch_inputs=["tokens", "labels"], fsdp=fsdp,
+        )
+        ex.run({"tokens": toks, "labels": labels}, epoch=1, seed=0)
+        results[fsdp] = {
+            tid: np.asarray(v) for tid, v in model.params.items()
+        }
+        if fsdp:
+            data_axis = mesh.shape["data"]
+            split = both = 0
+            for tid, val in model.params.items():
+                if not val.shape:
+                    continue
+                shard = val.sharding.shard_shape(val.shape)
+                if any(
+                    s == full // data_axis
+                    for s, full in zip(shard, val.shape)
+                    if full % data_axis == 0 and full >= data_axis
+                ):
+                    split += 1
+                    if shard[-1] < val.shape[-1]:  # also model-sharded
+                        both += 1
+            assert split > 0, "no parameter was FSDP-sharded"
+            assert both > 0, "no parameter was data x model sharded"
+    for tid in results[False]:
+        np.testing.assert_allclose(
+            results[True][tid], results[False][tid], rtol=1e-6, atol=1e-7
+        )
