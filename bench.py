@@ -231,7 +231,7 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
 
 def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
                   batch=8, prompt_len=128, n_lo=8, n_new=128, reps=3,
-                  cache_dtype=None):
+                  cache_dtype=None, weight_dtype=None):
     """FlashLMServer decode throughput: generated tokens per second for a
     batch of prompts through the scanned KV-cache loop (weights random —
     throughput is weight-agnostic).
@@ -257,7 +257,8 @@ def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
     dtype = (
         jnp.bfloat16 if cache_dtype is None else jnp.dtype(cache_dtype)
     )
-    server = FlashLMServer(model, cache_dtype=dtype)
+    server = FlashLMServer(model, cache_dtype=dtype,
+                           weight_dtype=weight_dtype)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, vocab, (batch, prompt_len)).astype(np.float32)
 
@@ -766,6 +767,27 @@ def main() -> None:
         _log(f"bench: int8 serving {tok8:.0f} tokens/s")
     except Exception as err:
         details["serving_int8_error"] = str(err)
+
+    _flush_details()
+    _log("bench: fully-quantized serving (int8 weights + int8 cache) ...")
+    try:
+        tokw, stepw, _, _ = bench_serving(cache_dtype="int8",
+                                          weight_dtype="int8")
+        details["serving_decode_w8a16_int8cache"] = {
+            "config": "same as serving_decode but int8 weight-only "
+                      "quantization (W8A16, per-output-channel scales) "
+                      "AND int8 KV cache",
+            "tokens_per_s": round(tokw, 1),
+            "ms_per_decode_step": (
+                round(stepw, 3) if stepw is not None else None
+            ),
+            "impl": "models/_quant.py codes*scale fused into the dots; "
+                    "weight HBM 1/4 of f32 — decode is weight-bandwidth-"
+                    "bound, so bytes read per step drop ~4x",
+        }
+        _log(f"bench: w8a16 serving {tokw:.0f} tokens/s")
+    except Exception as err:
+        details["serving_w8a16_error"] = str(err)
 
     _flush_details()
     _log("bench: seq2seq serving vs greedy_decode ...")

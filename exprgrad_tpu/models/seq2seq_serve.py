@@ -34,6 +34,7 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 from ..errors import ModelRuntimeError
+from ._quant import dequantize as _dq
 
 
 class _Enc(NamedTuple):
@@ -62,12 +63,14 @@ class Seq2SeqServer:
                  "ffn.rms.g", "ffn1.weights", "ffn1.bias",
                  "ffn2.weights", "ffn2.bias"]
 
-    def __init__(self, model, cache_dtype=None, eps: float = 1e-5):
+    def __init__(self, model, cache_dtype=None, eps: float = 1e-5,
+                 weight_dtype=None):
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.eps = eps
         self.cache_dtype = cache_dtype or jnp.float32
+        self.weight_dtype = weight_dtype
 
         by_name: dict = {}
         for tid in model.program.params:
@@ -130,6 +133,26 @@ class Seq2SeqServer:
         self.scale = 1.0 / float(np.sqrt(self.head_dim))
         self._jit_cache = JitCache()
 
+        if weight_dtype is not None:
+            if jnp.dtype(weight_dtype) != jnp.int8:
+                raise ModelRuntimeError(
+                    f"unsupported weight_dtype {weight_dtype!r} "
+                    "(int8 weight-only quantization is supported)"
+                )
+            from ._quant import quantize_weight as q
+
+            # contraction axes match the einsums below; embeddings,
+            # positions, biases, and rms gammas stay full precision
+            axes = {"wq": 1, "wk": 1, "wv": 1, "wo": (0, 1)}
+            for blk in self.enc + self.dec:
+                for key in list(blk):
+                    tail = key.rsplit(".", 1)[-1]
+                    if tail in axes:
+                        blk[key] = q(blk[key], axes[tail])
+                    elif key in ("ffn1.weights", "ffn2.weights"):
+                        blk[key] = q(blk[key], 0)
+            self.p["head.weights"] = q(self.p["head.weights"], 0)
+
     # -- forward pieces (must mirror models/seq2seq.py exactly) ----------
     def _rms(self, x, gamma):
         jnp = self._jnp
@@ -181,27 +204,27 @@ class Seq2SeqServer:
         e = p["src.embed"][ids] + p["src.pos"][:s_len][None]
         for blk in self.enc:
             rn = self._rms(e, blk["att.rms.g"])
-            q = jnp.einsum("ntc,hcd->nhtd", rn, blk["att.wq"])
-            k = jnp.einsum("ntc,hcd->nhtd", rn, blk["att.wk"])
-            v = jnp.einsum("ntc,hcd->nhtd", rn, blk["att.wv"])
+            q = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["att.wq"]))
+            k = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["att.wk"]))
+            v = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["att.wv"]))
             att = self._full_attention(q, k, v, causal=False,
                                        kv_mask=kv_mask)
-            e = e + jnp.einsum("nhtd,hde->nte", att, blk["att.wo"])
+            e = e + jnp.einsum("nhtd,hde->nte", att, _dq(blk["att.wo"]))
             rn2 = self._rms(e, blk["ffn.rms.g"])
             h = jnp.maximum(
-                rn2 @ blk["ffn1.weights"] + blk["ffn1.bias"], 0.0
+                rn2 @ _dq(blk["ffn1.weights"]) + blk["ffn1.bias"], 0.0
             )
-            e = e + h @ blk["ffn2.weights"] + blk["ffn2.bias"]
+            e = e + h @ _dq(blk["ffn2.weights"]) + blk["ffn2.bias"]
         enc = e
         # cross K/V: computed ONCE per request per decoder block
         # (context = raw encoder output, mirroring
         # multi_head_cross_attention(x_norm, enc, ...))
         ck = tuple(
-            jnp.einsum("nsc,hcd->nhsd", enc, blk["cross.wk"])
+            jnp.einsum("nsc,hcd->nhsd", enc, _dq(blk["cross.wk"]))
             for blk in self.dec
         )
         cv = tuple(
-            jnp.einsum("nsc,hcd->nhsd", enc, blk["cross.wv"])
+            jnp.einsum("nsc,hcd->nhsd", enc, _dq(blk["cross.wv"]))
             for blk in self.dec
         )
         return _Enc(enc, ck, cv, kv_mask)
@@ -229,27 +252,27 @@ class Seq2SeqServer:
         for blk, cache, ck, cv in zip(self.dec, caches, enc.ck, enc.cv):
             # causal self-attention through the KV cache
             rn = self._rms(x, blk["self.rms.g"])
-            q = jnp.einsum("ntc,hcd->nhtd", rn, blk["self.wq"])
-            k = jnp.einsum("ntc,hcd->nhtd", rn, blk["self.wk"])
-            v = jnp.einsum("ntc,hcd->nhtd", rn, blk["self.wv"])
+            q = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["self.wq"]))
+            k = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["self.wk"]))
+            v = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["self.wv"]))
             cache = append(cache, k, v)
             att = decode_attention(q, cache, sm_scale=self.scale)
-            x = x + jnp.einsum("nhtd,hde->nte", att, blk["self.wo"])
+            x = x + jnp.einsum("nhtd,hde->nte", att, _dq(blk["self.wo"]))
 
             # cross-attention against the precomputed encoder K/V
             rn = self._rms(x, blk["cross.rms.g"])
-            qc = jnp.einsum("ntc,hcd->nhtd", rn, blk["cross.wq"])
+            qc = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["cross.wq"]))
             ca = self._full_attention(qc, ck, cv, causal=False,
                                       kv_mask=enc.kv_mask)
-            x = x + jnp.einsum("nhtd,hde->nte", ca, blk["cross.wo"])
+            x = x + jnp.einsum("nhtd,hde->nte", ca, _dq(blk["cross.wo"]))
 
             rn = self._rms(x, blk["ffn.rms.g"])
             h = jnp.maximum(
-                rn @ blk["ffn1.weights"] + blk["ffn1.bias"], 0.0
+                rn @ _dq(blk["ffn1.weights"]) + blk["ffn1.bias"], 0.0
             )
-            x = x + h @ blk["ffn2.weights"] + blk["ffn2.bias"]
+            x = x + h @ _dq(blk["ffn2.weights"]) + blk["ffn2.bias"]
             new_caches.append(cache)
-        logits = (self._rms(x, p["head.rms.g"]) @ p["head.weights"]
+        logits = (self._rms(x, p["head.rms.g"]) @ _dq(p["head.weights"])
                   + p["head.bias"])
         return logits, new_caches
 

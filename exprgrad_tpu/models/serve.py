@@ -47,12 +47,14 @@ class FlashLMServer:
     instead of serving garbage.
     """
 
-    def __init__(self, model, cache_dtype=None, eps: float = 1e-5):
+    def __init__(self, model, cache_dtype=None, eps: float = 1e-5,
+                 weight_dtype=None):
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.eps = eps
         self.cache_dtype = cache_dtype or jnp.bfloat16
+        self.weight_dtype = weight_dtype
 
         seq = [
             (model.program.tensors[tid].name,
@@ -126,6 +128,26 @@ class FlashLMServer:
         self.kv_heads = blk.wk.shape[0]
         self.scale = 1.0 / float(np.sqrt(self.head_dim))
 
+        if weight_dtype is not None:
+            if jnp.dtype(weight_dtype) != jnp.int8:
+                raise ModelRuntimeError(
+                    f"unsupported weight_dtype {weight_dtype!r} "
+                    "(int8 weight-only quantization is supported)"
+                )
+            from ._quant import quantize_weight as q
+
+            # contraction axes per matrix (see the einsums in _step);
+            # embeddings/positions/biases/gammas stay full precision
+            self.blocks = [
+                blk._replace(
+                    wq=q(blk.wq, 1), wk=q(blk.wk, 1), wv=q(blk.wv, 1),
+                    wo=q(blk.wo, (0, 1)),
+                    w1=q(blk.w1, 0), w2=q(blk.w2, 0),
+                )
+                for blk in self.blocks
+            ]
+            self.w_head = q(self.w_head, 0)
+
     # -- forward pieces (must mirror models/transformer.py exactly) -----
     def _rms(self, x, gamma):
         jnp = self._jnp
@@ -138,24 +160,25 @@ class FlashLMServer:
         ``key_pos``/``q_pos`` activate ragged-batch position masking
         (see ops.decode.decode_attention)."""
         from ..ops.decode import append, decode_attention
+        from ._quant import dequantize as dq
 
         jnp = self._jnp
         new_caches = []
         for blk, cache in zip(self.blocks, caches):
             rn = self._rms(x, blk.attn_g)
-            q = jnp.einsum("ntc,hcd->nhtd", rn, blk.wq)
-            k = jnp.einsum("ntc,hcd->nhtd", rn, blk.wk)
-            v = jnp.einsum("ntc,hcd->nhtd", rn, blk.wv)
+            q = jnp.einsum("ntc,hcd->nhtd", rn, dq(blk.wq))
+            k = jnp.einsum("ntc,hcd->nhtd", rn, dq(blk.wk))
+            v = jnp.einsum("ntc,hcd->nhtd", rn, dq(blk.wv))
             cache = append(cache, k, v)
             att = decode_attention(q, cache, sm_scale=self.scale,
                                    window=self.window,
                                    key_pos=key_pos, q_pos=q_pos)
-            x = x + jnp.einsum("nhtd,hde->nte", att, blk.wo)
+            x = x + jnp.einsum("nhtd,hde->nte", att, dq(blk.wo))
             rn2 = self._rms(x, blk.ffn_g)
-            h = jnp.maximum(rn2 @ blk.w1 + blk.b1, 0.0)
-            x = x + h @ blk.w2 + blk.b2
+            h = jnp.maximum(rn2 @ dq(blk.w1) + blk.b1, 0.0)
+            x = x + h @ dq(blk.w2) + blk.b2
             new_caches.append(cache)
-        logits = self._rms(x, self.final_g) @ self.w_head + self.b_head
+        logits = self._rms(x, self.final_g) @ dq(self.w_head) + self.b_head
         return logits, new_caches
 
     def _embed_tokens(self, tokens, pos_offset):

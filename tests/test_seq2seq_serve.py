@@ -316,3 +316,33 @@ def test_seq2seq_speculative_matches_greedy(trained):
     got, steps = target.generate_speculative(target, src, n_new=6, k=3)
     np.testing.assert_array_equal(np.asarray(got), want)
     assert int(steps) <= 3  # self-draft: full acceptance
+
+
+def test_weight_only_int8_quantization(trained):
+    """W8A16 seq2seq serving: int8 per-output-channel weights, logits
+    tracking full precision and greedy generation identical on the
+    trained (confident) model."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.models._quant import QuantW
+
+    full = Seq2SeqServer(trained)
+    quant = Seq2SeqServer(trained, weight_dtype=jnp.int8)
+
+    n_q = sum(
+        isinstance(v, QuantW)
+        for blk in quant.enc + quant.dec
+        for v in blk.values()
+    )
+    assert n_q == 6 * len(quant.enc) + 10 * len(quant.dec)
+    assert isinstance(quant.p["head.weights"], QuantW)
+    assert quant.p["head.weights"].codes.dtype == jnp.int8
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(1, 8, (4, 6)).astype(np.float32)
+    out_f = np.asarray(full.generate(src, n_new=6))
+    out_q = np.asarray(quant.generate(src, n_new=6))
+    assert (out_f == out_q).all()
+
+    with pytest.raises(ModelRuntimeError):
+        Seq2SeqServer(trained, weight_dtype=jnp.float16)

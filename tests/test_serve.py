@@ -591,3 +591,51 @@ def test_speculative_sampled_deterministic_per_seed(bucket_model):
     b, _ = target.generate_speculative(target, prompt, n_new=6, k=3,
                                        temperature=0.9, seed=11)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_weight_only_int8_quantization():
+    """W8A16 serving: per-output-channel int8 weights stay within the
+    exact scale/2 dequantization bound, the quantized server's logits
+    track full precision, and a trained model's greedy generation
+    matches the full-precision server."""
+    from exprgrad_tpu.models._quant import QuantW, dequantize
+
+    model = _trained_model()
+    full = FlashLMServer(model)
+    quant = FlashLMServer(model, weight_dtype=jnp.int8)
+
+    # storage really is int8, with the elementwise error bound holding
+    n_quant = 0
+    for blk_f, blk_q in zip(full.blocks, quant.blocks):
+        for wf, wq in zip(blk_f, blk_q):
+            if isinstance(wq, QuantW):
+                n_quant += 1
+                assert wq.codes.dtype == jnp.int8
+                err = np.abs(np.asarray(wf) - np.asarray(dequantize(wq)))
+                bound = np.broadcast_to(
+                    np.asarray(wq.scale) * 0.5 + 1e-7, err.shape
+                )
+                assert (err <= bound).all()
+    assert n_quant == 6 * len(full.blocks)
+    assert isinstance(quant.w_head, QuantW)
+
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, VOCAB, (4, 8)).astype(np.float32)
+    lf, _ = full.prefill(jnp.asarray(prompt), full.init_caches(4))
+    lq, _ = quant.prefill(jnp.asarray(prompt), quant.init_caches(4))
+    rel = float(
+        np.linalg.norm(np.asarray(lq) - np.asarray(lf))
+        / np.linalg.norm(np.asarray(lf))
+    )
+    assert rel < 0.05, f"quantized logits drifted {rel:.3f} relative"
+
+    out_f = np.asarray(full.generate(prompt, n_new=12))
+    out_q = np.asarray(quant.generate(prompt, n_new=12))
+    # trained model -> confident logits -> greedy path is robust to the
+    # <1% per-matmul quantization noise
+    assert (out_f == out_q).all()
+
+
+def test_weight_dtype_validation():
+    with pytest.raises(ModelRuntimeError):
+        FlashLMServer(_trained_model(), weight_dtype=jnp.float16)
