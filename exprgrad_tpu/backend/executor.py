@@ -112,8 +112,16 @@ class JaxExecutor:
         extreme = extreme_accumulated_results(self.target)
 
         def run_fn(inputs: dict, epoch, seed):
-            tensors = dict(inputs)
+            from ..quant import QuantW, dequantize
+
             dt = jnp.dtype(program.scalar_type.value)
+            # quantized parameters (Model.quantize_weights) enter as
+            # QuantW pytrees; the convert+scale fuses into their
+            # consuming dots, so the int8 codes are what lives in HBM
+            tensors = {
+                tid: dequantize(v, dt) if isinstance(v, QuantW) else v
+                for tid, v in inputs.items()
+            }
             for tid in sorted(self.target.tensors):
                 tdef = program.tensors[tid]
                 if tdef.kind == ir.TensorKind.RESULT:

@@ -528,6 +528,13 @@ def load_program(path: str) -> ir.Program:
 def save_model(model, path: str) -> None:
     """Checkpoint = source program + params + caches + epoch, closed by
     a CRC32 trailer of the payload (integrity check at load)."""
+    from ..quant import QuantW
+
+    if any(isinstance(v, QuantW) for v in model.params.values()):
+        raise ModelRuntimeError(
+            "cannot checkpoint a weight-quantized model (checkpoints "
+            "store full precision); save first, then quantize_weights()"
+        )
     with open(path, "wb") as f:
         f.write(MAGIC)
         cs = _CrcStream(f)

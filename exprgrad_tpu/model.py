@@ -76,6 +76,7 @@ class Model:
         self.batch_buckets = None  # see set_batch_buckets
         self._bucket_track_memo: dict = {}
         self._mutates_memo: dict = {}
+        self._quantized_tids: set = set()  # see quantize_weights
 
         dtype = np.dtype(self.program.scalar_type.value)
         if dtype == np.float64 and backend == "jax":
@@ -166,10 +167,15 @@ class Model:
         per-target kernel counts — the quick sanity view of a compiled
         model.  Reads only shapes (``np.shape``): no device->host
         transfers, safe on large jax-resident models."""
+        from .quant import QuantW
+
         def table(items):
             lines, total = [], 0
             for tid, value in items.items():
-                shape = np.shape(value)
+                if isinstance(value, QuantW):  # quantize_weights codes
+                    shape = np.shape(value.codes)
+                else:
+                    shape = np.shape(value)
                 n = int(np.prod(shape))
                 total += n
                 lines.append(
@@ -251,6 +257,11 @@ class Model:
         original model is untouched.  Continuing to *train* the cast
         model works but rounds small updates away — cast for serving.
         """
+        if self._quantized_tids:
+            raise ModelRuntimeError(
+                "cannot astype a weight-quantized model; cast first, "
+                "then quantize_weights()"
+            )
         nd = np.dtype(dtype)
         src = self.source.copy()
         src.scalar_type = ir.ScalarType(nd.name)
@@ -267,6 +278,69 @@ class Model:
         # deterministic as the original
         out._rng.bit_generator.state = self._rng.bit_generator.state
         return out
+
+    def quantize_weights(
+        self,
+        target_name: str = "predict",
+        dtype: str = "int8",
+        names: Optional[set] = None,
+        min_size: int = 256,
+    ) -> dict[str, tuple]:
+        """Weight-only int8 quantization (W8A16) for inference serving.
+
+        Each eligible parameter is replaced in-place by int8 codes plus
+        per-output-channel f32 scales; the executor dequantizes inside
+        the jitted program, so the int8 codes are what lives in HBM
+        (1/4 the f32 bytes) and the convert+scale fuses into the
+        consuming dot.  *Which* axes get scales is inferred from the
+        kernel IR of ``target_name`` (quant.infer_quant_axes): read
+        axes indexed by reduction iterators are contracted into the
+        scale's max, the rest keep one scale per channel.  Parameters
+        read raw, via computed indices (embeddings), through externs,
+        or only elementwise (biases, norm gammas) stay full precision,
+        as does anything smaller than ``min_size`` elements or not in
+        ``names`` (when given).
+
+        Quantization is inference-only: calling a target that *updates*
+        a quantized parameter (e.g. "train") raises.  Checkpoint before
+        quantizing — ``save_model`` stores full-precision weights only.
+        Returns ``{param_name: contraction_axes}`` for what was
+        quantized.
+        """
+        from .quant import QuantW, infer_quant_axes, quantize_weight
+
+        if self.backend == "interp":
+            raise ModelRuntimeError(
+                "weight quantization is a jax-backend serving feature "
+                "(the interpreter is the full-precision oracle)"
+            )
+        if np.dtype(dtype) != np.dtype(np.int8):
+            raise ModelRuntimeError(
+                f"unsupported weight dtype {dtype!r} (int8 weight-only "
+                "quantization is supported)"
+            )
+        if target_name not in self.program.targets:
+            raise ModelRuntimeError(
+                f"no target {target_name!r} to infer quantization axes "
+                f"from (targets: {sorted(self.program.targets)})"
+            )
+        done: dict[str, tuple] = {}
+        for tid in self.program.params:
+            tdef = self.program.tensors[tid]
+            if names is not None and tdef.name not in names:
+                continue
+            value = self.params[tid]
+            if isinstance(value, QuantW):
+                continue
+            if int(np.prod(np.shape(value), dtype=np.int64)) < min_size:
+                continue
+            axes = infer_quant_axes(self.program, tid, target_name)
+            if axes is None:
+                continue
+            self.params[tid] = quantize_weight(value, axes)
+            self._quantized_tids.add(tid)
+            done[tdef.name] = axes
+        return done
 
     def export_compiled(
         self,
@@ -430,6 +504,18 @@ class Model:
         self._call_count += 1
         seed = int(self._rng.integers(0, 2**31 - 1))
         executor = self._executor(target_name, shapes)
+        if self._quantized_tids:
+            hit = self._quantized_tids.intersection(executor.donated_tids)
+            if hit:
+                hit_names = sorted(
+                    self.program.tensors[t].name for t in hit
+                )
+                raise ModelRuntimeError(
+                    f"target {target_name!r} updates quantized "
+                    f"parameter(s) {hit_names}; weight quantization is "
+                    "inference-only — reload the full-precision "
+                    "checkpoint to train"
+                )
         result = executor.run(tensors, shapes, self.epoch, seed)
 
         for tid in self.params:
