@@ -48,13 +48,14 @@ class FlashLMServer:
     """
 
     def __init__(self, model, cache_dtype=None, eps: float = 1e-5,
-                 weight_dtype=None):
+                 weight_dtype=None, mesh=None):
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.eps = eps
         self.cache_dtype = cache_dtype or jnp.bfloat16
         self.weight_dtype = weight_dtype
+        self.mesh = mesh
 
         seq = [
             (model.program.tensors[tid].name,
@@ -148,6 +149,66 @@ class FlashLMServer:
             ]
             self.w_head = q(self.w_head, 0)
 
+        if mesh is not None:
+            self._shard_weights()
+
+    # -- multi-device serving (tensor-parallel weights, dp batches) ------
+    def _place(self, w, *axis_names):
+        """device_put onto the mesh with one axis name (or None) per dim;
+        a name is dropped where the dim doesn't divide the mesh axis
+        (GQA kv heads, size-1 scale dims).  QuantW shards codes and
+        scales alike."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ._quant import QuantW
+
+        if isinstance(w, QuantW):
+            return QuantW(self._place(w.codes, *axis_names),
+                          self._place(w.scale, *axis_names))
+        spec = []
+        for size, name in zip(w.shape, axis_names):
+            n = self.mesh.shape.get(name, 1) if name else 1
+            spec.append(name if name and n > 1 and size % n == 0
+                        and size >= n else None)
+        return jax.device_put(w, NamedSharding(self.mesh, P(*spec)))
+
+    def _shard_weights(self) -> None:
+        """Megatron-style tensor parallelism over the mesh's ``model``
+        axis: attention shards by head, the FFN by hidden column/row
+        (XLA inserts the psum the row-sharded second matmul implies),
+        the LM head by vocab column.  Embeddings, norms, and the small
+        biases stay replicated.  Batches shard over ``data``."""
+        p = self._place
+        self.embed = p(self.embed, None, None)
+        self.pos = p(self.pos, None, None)
+        self.blocks = [
+            blk._replace(
+                attn_g=p(blk.attn_g, None),
+                wq=p(blk.wq, "model", None, None),
+                wk=p(blk.wk, "model", None, None),
+                wv=p(blk.wv, "model", None, None),
+                wo=p(blk.wo, "model", None, None),
+                ffn_g=p(blk.ffn_g, None),
+                w1=p(blk.w1, None, "model"),
+                b1=p(blk.b1, "model"),
+                w2=p(blk.w2, "model", None),
+                b2=p(blk.b2, None),
+            )
+            for blk in self.blocks
+        ]
+        self.final_g = p(self.final_g, None)
+        self.w_head = p(self.w_head, None, "model")
+        self.b_head = p(self.b_head, "model")
+
+    def _tokens(self, x):
+        """Entry placement for token batches: shard the batch over the
+        ``data`` axis when serving on a mesh."""
+        x = self._jnp.asarray(x)
+        if self.mesh is not None and x.ndim >= 1:
+            return self._place(x, "data", *([None] * (x.ndim - 1)))
+        return x
+
     # -- forward pieces (must mirror models/transformer.py exactly) -----
     def _rms(self, x, gamma):
         jnp = self._jnp
@@ -220,17 +281,32 @@ class FlashLMServer:
         from ..ops.decode import init_cache
 
         capacity = capacity or self.max_seq
-        return [
+        caches = [
             init_cache(batch, self.kv_heads, capacity, self.head_dim,
                        dtype=self.cache_dtype)
             for _ in self.blocks
         ]
+        if self.mesh is not None:
+            # batch over data, kv heads over model (dropped per-dim when
+            # not divisible); scales are [b, hkv, cap]
+            caches = [
+                c._replace(
+                    k=self._place(c.k, "data", "model", None, None),
+                    v=self._place(c.v, "data", "model", None, None),
+                    k_scale=(None if c.k_scale is None else
+                             self._place(c.k_scale, "data", "model", None)),
+                    v_scale=(None if c.v_scale is None else
+                             self._place(c.v_scale, "data", "model", None)),
+                )
+                for c in caches
+            ]
+        return caches
 
     def prefill(self, tokens, caches):
         """Run the whole prompt ([batch, t] float ids) through the model,
         filling the caches; returns (logits [batch, t, vocab], caches)."""
         jnp = self._jnp
-        tokens = jnp.asarray(tokens)
+        tokens = self._tokens(tokens)
         x = self._embed_tokens(tokens, caches[0].length)
         return self._step(x, caches, caches[0].length)
 
@@ -279,7 +355,7 @@ class FlashLMServer:
         from ._spec import check_spec_args, speculative_loop
 
         jnp = self._jnp
-        prompt = jnp.asarray(prompt)
+        prompt = self._tokens(prompt)
         batch, t = prompt.shape
         check_spec_args(batch, self.vocab, draft.vocab, k, n_new,
                         ModelRuntimeError)
@@ -353,7 +429,7 @@ class FlashLMServer:
         import jax
 
         jnp = self._jnp
-        prompt = jnp.asarray(prompt)
+        prompt = self._tokens(prompt)
         batch, t = prompt.shape
         capacity = capacity or self.max_seq
         if not 1 <= beams <= self.vocab:
@@ -408,7 +484,7 @@ class FlashLMServer:
         import jax
 
         jnp = self._jnp
-        tokens = jnp.asarray(tokens)
+        tokens = self._tokens(tokens)
         batch, t = tokens.shape
         if t < 2:
             raise ModelRuntimeError("score needs sequences of >= 2 tokens")
@@ -510,7 +586,7 @@ class FlashLMServer:
         import jax
 
         jnp = self._jnp
-        prompt = jnp.asarray(prompt)
+        prompt = self._tokens(prompt)
         batch = prompt.shape[0]
         capacity = capacity or self.max_seq
         if n_new < 1:

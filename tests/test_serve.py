@@ -639,3 +639,42 @@ def test_weight_only_int8_quantization():
 def test_weight_dtype_validation():
     with pytest.raises(ModelRuntimeError):
         FlashLMServer(_trained_model(), weight_dtype=jnp.float16)
+
+
+def test_mesh_tensor_parallel_serving():
+    """Serving on a (data x model) mesh: head-sharded attention, column/
+    row-sharded FFN, vocab-sharded LM head, dp batches — greedy output
+    identical to the single-device server (trained model)."""
+    import jax
+
+    from exprgrad_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = _trained_model()
+    mesh = make_mesh(8, model=2)
+    solo = FlashLMServer(model)
+    tp = FlashLMServer(model, mesh=mesh)
+
+    # the big matrices really are distributed
+    blk = tp.blocks[0]
+    assert blk.wq.sharding.shard_shape(blk.wq.shape)[0] == blk.wq.shape[0] // 2
+    assert blk.w1.sharding.shard_shape(blk.w1.shape)[1] == blk.w1.shape[1] // 2
+    caches = tp.init_caches(4)
+    assert caches[0].k.sharding.shard_shape(caches[0].k.shape)[0] == 1
+
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, VOCAB, (4, 8)).astype(np.float32)
+    out_solo = np.asarray(solo.generate(prompt, n_new=12))
+    out_tp = np.asarray(tp.generate(prompt, n_new=12))
+    assert (out_solo == out_tp).all()
+
+    nll_solo = np.asarray(solo.score(prompt))
+    nll_tp = np.asarray(tp.score(prompt))
+    np.testing.assert_allclose(nll_tp, nll_solo, rtol=1e-5, atol=1e-6)
+
+    # composes with weight quantization (sharded int8 codes + scales)
+    q_solo = FlashLMServer(model, weight_dtype=jnp.int8)
+    q_tp = FlashLMServer(model, weight_dtype=jnp.int8, mesh=mesh)
+    assert (np.asarray(q_solo.generate(prompt, n_new=12))
+            == np.asarray(q_tp.generate(prompt, n_new=12))).all()
