@@ -307,18 +307,15 @@ class Model:
         Returns ``{param_name: contraction_axes}`` for what was
         quantized.
         """
-        from .quant import QuantW, infer_quant_axes, quantize_weight
+        from .quant import (QuantW, check_weight_dtype,
+                            infer_quant_axes, quantize_weight)
 
         if self.backend == "interp":
             raise ModelRuntimeError(
                 "weight quantization is a jax-backend serving feature "
                 "(the interpreter is the full-precision oracle)"
             )
-        if np.dtype(dtype) != np.dtype(np.int8):
-            raise ModelRuntimeError(
-                f"unsupported weight dtype {dtype!r} (int8 weight-only "
-                "quantization is supported)"
-            )
+        check_weight_dtype(dtype)
         if target_name not in self.program.targets:
             raise ModelRuntimeError(
                 f"no target {target_name!r} to infer quantization axes "
@@ -359,6 +356,12 @@ class Model:
         as a manual compile cache).  Bound to fixed input shapes and the
         exporting platform.  ``rand()`` tensors are fixed to ``seed``.
         """
+        if self._quantized_tids:
+            raise ModelRuntimeError(
+                "cannot export_compiled a weight-quantized model "
+                "(StableHLO export embeds plain-array constants); "
+                "export first, then quantize_weights()"
+            )
         import jax
         import jax.numpy as jnp
 
@@ -489,6 +492,24 @@ class Model:
             out.append((self.program.inputs[name], list(np.shape(value))))
         return out
 
+    def _check_quantized(self, target_name: str, executor) -> None:
+        """Refuse to run a target that would UPDATE weight-quantized
+        parameters (quantize_weights is inference-only); shared by every
+        execution path (call/apply, fit batch loop, fit scan-epoch)."""
+        if not self._quantized_tids:
+            return
+        hit = self._quantized_tids.intersection(executor.donated_tids)
+        if hit:
+            hit_names = sorted(
+                self.program.tensors[t].name for t in hit
+            )
+            raise ModelRuntimeError(
+                f"target {target_name!r} updates quantized "
+                f"parameter(s) {hit_names}; weight quantization is "
+                "inference-only — reload the full-precision "
+                "checkpoint to train"
+            )
+
     def _run(
         self, target_name: str, args: dict[str, np.ndarray], shapes
     ) -> Optional[np.ndarray]:
@@ -504,18 +525,7 @@ class Model:
         self._call_count += 1
         seed = int(self._rng.integers(0, 2**31 - 1))
         executor = self._executor(target_name, shapes)
-        if self._quantized_tids:
-            hit = self._quantized_tids.intersection(executor.donated_tids)
-            if hit:
-                hit_names = sorted(
-                    self.program.tensors[t].name for t in hit
-                )
-                raise ModelRuntimeError(
-                    f"target {target_name!r} updates quantized "
-                    f"parameter(s) {hit_names}; weight quantization is "
-                    "inference-only — reload the full-precision "
-                    "checkpoint to train"
-                )
+        self._check_quantized(target_name, executor)
         result = executor.run(tensors, shapes, self.epoch, seed)
 
         for tid in self.params:
@@ -851,6 +861,7 @@ class Model:
 
         dtype = np.dtype(self.program.scalar_type.value)
         executor = self._executor(target_name, shapes)
+        self._check_quantized(target_name, executor)
         batches: dict[int, np.ndarray] = {}
         for name, value in args.items():
             tid = self.program.inputs[name]

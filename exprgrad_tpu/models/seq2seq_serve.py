@@ -72,6 +72,15 @@ class Seq2SeqServer:
         self.cache_dtype = cache_dtype or jnp.float32
         self.weight_dtype = weight_dtype
 
+        from ._quant import QuantW
+
+        if any(isinstance(v, QuantW) for v in model.params.values()):
+            raise ModelRuntimeError(
+                "model weights were already quantized by "
+                "Model.quantize_weights (executor-level serving); build "
+                "the server from the full-precision model and pass "
+                "weight_dtype=jnp.int8 instead"
+            )
         by_name: dict = {}
         for tid in model.program.params:
             name = model.program.tensors[tid].name
@@ -134,12 +143,10 @@ class Seq2SeqServer:
         self._jit_cache = JitCache()
 
         if weight_dtype is not None:
-            if jnp.dtype(weight_dtype) != jnp.int8:
-                raise ModelRuntimeError(
-                    f"unsupported weight_dtype {weight_dtype!r} "
-                    "(int8 weight-only quantization is supported)"
-                )
+            from ..quant import check_weight_dtype
             from ._quant import quantize_weight as q
+
+            check_weight_dtype(weight_dtype)
 
             # contraction axes match the einsums below; embeddings,
             # positions, biases, and rms gammas stay full precision

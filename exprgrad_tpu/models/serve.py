@@ -57,6 +57,15 @@ class FlashLMServer:
         self.weight_dtype = weight_dtype
         self.mesh = mesh
 
+        from ._quant import QuantW
+
+        if any(isinstance(v, QuantW) for v in model.params.values()):
+            raise ModelRuntimeError(
+                "model weights were already quantized by "
+                "Model.quantize_weights (executor-level serving); build "
+                "the server from the full-precision model and pass "
+                "weight_dtype=jnp.int8 instead"
+            )
         seq = [
             (model.program.tensors[tid].name,
              jnp.asarray(np.asarray(model.params[tid])))
@@ -130,12 +139,10 @@ class FlashLMServer:
         self.scale = 1.0 / float(np.sqrt(self.head_dim))
 
         if weight_dtype is not None:
-            if jnp.dtype(weight_dtype) != jnp.int8:
-                raise ModelRuntimeError(
-                    f"unsupported weight_dtype {weight_dtype!r} "
-                    "(int8 weight-only quantization is supported)"
-                )
+            from ..quant import check_weight_dtype
             from ._quant import quantize_weight as q
+
+            check_weight_dtype(weight_dtype)
 
             # contraction axes per matrix (see the einsums in _step);
             # embeddings/positions/biases/gammas stay full precision

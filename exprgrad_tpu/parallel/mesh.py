@@ -76,8 +76,9 @@ class ShardedExecutor:
         EMA shadows) over the ``data`` axis on their leading dim
         (ZeRO-1): each device stores 1/N of the optimizer state, and XLA
         inserts the reduce-scatter/all-gather pair the sharded update
-        implies.  Values are bit-identical to the replicated layout —
-        sharding is a layout annotation, not a numeric change.
+        implies.  Values match the replicated layout to float
+        reduction-order noise (tested at 1e-6 relative) — sharding is
+        a layout annotation, not an algorithmic change.
 
         ``fsdp=True`` additionally shards the PARAMETERS themselves over
         the ``data`` axis (ZeRO-3 / fully-sharded data parallelism): each
@@ -86,8 +87,20 @@ class ShardedExecutor:
         Composes with tensor parallelism (a matrix can be ``data`` x
         ``model`` sharded) and implies the optimizer state follows its
         parameter's sharding.  Peak per-device memory drops from
-        O(params) to O(params / data); compute results are bit-identical
-        to the replicated layout."""
+        O(params) to O(params / data); results match the replicated
+        layout up to float reduction-order noise (tested at 1e-6
+        relative)."""
+        from ..quant import QuantW
+
+        if any(
+            isinstance(v, QuantW) for v in model.params.values()
+        ):
+            raise ModelRuntimeError(
+                "sharded execution of a weight-quantized model is not "
+                "supported (quantize_weights is a single-device serving "
+                "feature); for tensor-parallel quantized serving use "
+                "FlashLMServer(model, mesh=..., weight_dtype=...)"
+            )
         self.model = model
         program = model.program
         self.program = program

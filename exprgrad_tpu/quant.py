@@ -36,6 +36,20 @@ class QuantW(NamedTuple):
     scale: object  # f32, keepdims-reduced over the contraction axes
 
 
+def check_weight_dtype(dtype) -> None:
+    """The one place the supported weight dtypes are defined (shared by
+    both servers and Model.quantize_weights)."""
+    import numpy as np
+
+    if np.dtype(dtype) != np.dtype(np.int8):
+        from .errors import ModelRuntimeError
+
+        raise ModelRuntimeError(
+            f"unsupported weight dtype {dtype!r} (int8 weight-only "
+            "quantization is supported)"
+        )
+
+
 def quantize_weight(w, contract_axes: Union[int, Sequence[int]]) -> QuantW:
     """Symmetric int8 quantization with one scale per output channel.
 

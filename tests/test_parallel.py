@@ -204,7 +204,8 @@ def test_flash_transformer_sharded_train_step():
 
 def test_zero_optimizer_state_sharding():
     """ZeRO-1: optimizer caches shard 1/N per device over the data axis;
-    one training step is bit-identical to the replicated layout."""
+    one training step matches the replicated layout to
+    reduction-order noise."""
     from exprgrad_tpu import compile as eg_compile, one_hot
     from exprgrad_tpu.models import flash_transformer
 
@@ -268,7 +269,8 @@ def test_multistep_tp_training():
 def test_fsdp_param_sharding():
     """FSDP (ZeRO-3): parameters themselves shard 1/N over the data axis
     (XLA all-gathers weights at use, reduce-scatters their grads); one
-    training step matches the replicated layout bit-for-bit, and it
+    training step matches the replicated layout to reduction-order
+    noise, and it
     composes with tensor parallelism (data x model sharded matrices)."""
     from exprgrad_tpu import compile as eg_compile, one_hot
     from exprgrad_tpu.models import flash_transformer

@@ -129,3 +129,60 @@ def test_quantize_weights_validation():
     interp = compile(net, backend="interp", seed=0)
     with pytest.raises(ModelRuntimeError, match="interp"):
         interp.quantize_weights()
+
+
+def test_quantized_model_guards_every_path():
+    """Review regressions: every execution/serialization path must give
+    the clean inference-only error, not a pytree TypeError."""
+    import jax
+
+    from exprgrad_tpu import make_opt
+    from exprgrad_tpu.layers import gradient_descent, mse
+
+    net = (
+        input("x")
+        .pipe(dense, 8, 32)
+        .pipe(relu)
+        .pipe(dense, 32, 4)
+        .target("predict")
+        .pipe(mse, input("y"))
+        .target("loss")
+        .backprop(make_opt(gradient_descent, rate=0.1))
+        .target("train")
+    )
+    model = compile(net, seed=0)
+    model.quantize_weights(min_size=32)
+    rng = np.random.default_rng(0)
+    x = Tensor.rand([16, 8], rng=rng)
+    y = Tensor.rand([16, 4], rng=rng)
+
+    # fit in BOTH modes dies cleanly (the scan path used to raise a
+    # confusing carry-structure TypeError)
+    for scan in (False, True):
+        with pytest.raises(ModelRuntimeError, match="inference-only"):
+            model.fit("train", {"x": x, "y": y}, batch_size=8,
+                      log_status=False, scan_batches=scan)
+
+    # export_compiled refuses instead of crashing in jnp.asarray
+    with pytest.raises(ModelRuntimeError, match="export"):
+        model.export_compiled("predict", {"x": [4, 8]})
+
+    # sharded execution refuses up front (it would silently dequantize)
+    if len(jax.devices()) >= 8:
+        from exprgrad_tpu.parallel import ShardedExecutor, make_mesh
+
+        with pytest.raises(ModelRuntimeError, match="sharded"):
+            ShardedExecutor(model, "train", {"x": [16, 8], "y": [16, 4]},
+                            make_mesh(8))
+
+
+def test_servers_reject_prequantized_models():
+    """FlashLMServer/Seq2SeqServer must name the right fix when handed a
+    Model.quantize_weights model (weight_dtype is the server-side path)."""
+    from exprgrad_tpu.models import FlashLMServer, flash_transformer
+    from exprgrad_tpu.models.serve import FlashLMServer as _FS
+
+    model = compile(flash_transformer(vocab=6, dim=16, heads=2), seed=0)
+    model.quantize_weights(min_size=64)
+    with pytest.raises(ModelRuntimeError, match="weight_dtype"):
+        FlashLMServer(model)
