@@ -96,7 +96,12 @@ class FlashLMServer:
                 w2=take("weights"), b2=take("bias"),
             ))
         self.final_g = take("rms.g")
-        self.w_head = take("weights")
+        if seq and seq[0][0] == "weights":
+            self.w_head = take("weights")
+        else:
+            # tie_embeddings=True: the LM head IS the embedding table
+            # (logits = h @ embed.T); serve the transpose directly
+            self.w_head = jnp.transpose(self.embed)
         self.b_head = take("bias")
         if seq:
             raise ModelRuntimeError(

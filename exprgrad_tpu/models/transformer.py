@@ -144,19 +144,21 @@ def tiny_transformer(
 
 
 def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
-           prefix: str = "") -> Fun:
+           prefix: str = "", emb: Fun = None) -> Fun:
     """Token + learned-position embeddings (gather + bounded-iterator add).
 
     The default parameter names "embed"/"pos" are part of the serving
     contract (FlashLMServer matches them); ``prefix`` namespaces them for
-    models with several embeddings (seq2seq encoder/decoder).
+    models with several embeddings (seq2seq encoder/decoder).  ``emb``
+    passes in an existing embedding parameter (weight tying).
     """
     from ..expr import irange
 
     dot = prefix + "." if prefix else ""
     n, t, d = iters("n", "t", "d")
     x = Fun(dot + "x")
-    emb = param([vocab, dim], init_range=rng, name=dot + "embed")
+    if emb is None:
+        emb = param([vocab, dim], init_range=rng, name=dot + "embed")
     x[n, t, d] = emb[to_index(tokens[n, t]), d]
     n, d = iters("n", "d")
     t = irange("t", 0, tokens.shape[1])
@@ -191,6 +193,7 @@ def flash_transformer(
     window=None,
     moe_experts: int = 0,
     moe_k: int = 2,
+    tie_embeddings: bool = False,
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
     the flagship DSL transformer.  ``opt`` overrides the default
@@ -216,6 +219,13 @@ def flash_transformer(
     ``moe_experts > 0`` replaces every block's dense FFN with a top-
     ``moe_k`` routed mixture-of-experts FFN (``layers.moe_ffn``, extern
     forward+backward — the sparse-FFN LM family).
+
+    ``tie_embeddings=True`` shares ONE parameter between the input
+    embedding table and the LM head (``logits = h @ embed.T``, the
+    GPT-2/Gemma recipe, saving vocab x dim weights): the same tensor is
+    read by a gather kernel and a matmul kernel, and the symbolic
+    autodiff accumulates both gradient paths into it — one scatter-add
+    from the lookup, one dense contribution from the head.
     """
     from ..expr import ln
     from ..layers import (
@@ -224,7 +234,11 @@ def flash_transformer(
 
     rng = (-init, init)
     tokens = input("tokens")
-    x = _embed(tokens, vocab, dim, max_seq, rng)
+    emb = (
+        param([vocab, dim], init_range=rng, name="embed")
+        if tie_embeddings else None
+    )
+    x = _embed(tokens, vocab, dim, max_seq, rng, emb=emb)
 
     def marked(fun: Fun) -> Fun:
         return fun.remat() if remat else fun
@@ -250,7 +264,17 @@ def flash_transformer(
             )
         x = _residual(ff, x, f"blk{b}.ff")
 
-    logits = dense(rms_norm(x, dim, rank=3), dim, vocab, rank=3)
+    h = rms_norm(x, dim, rank=3)
+    if tie_embeddings:
+        # head = embed.T plus a bias: logits[n,t,v] = h[n,t,d]*emb[v,d]
+        n, t, v, d = iters("n", "t", "v", "d")
+        logits = Fun("head")
+        logits[n, t, v] = h[n, t, d] * emb[v, d]
+        n, t, v = iters("n", "t", "v")
+        head_b = param([vocab], init_range=rng, name="bias")
+        logits[n, t, v] = head_b[v]  # second kernel accumulates
+    else:
+        logits = dense(h, dim, vocab, rank=3)
     predict = softmax(logits, rank=3).target("predict")
 
     labels = input("labels")

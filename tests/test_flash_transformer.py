@@ -97,3 +97,86 @@ def test_flash_transformer_aot_export_roundtrip():
     live = np.asarray(model.call("predict", {"tokens": toks}))
     aot = np.asarray(served({"tokens": toks}))
     np.testing.assert_allclose(aot, live, rtol=1e-5, atol=1e-6)
+
+
+def test_tied_embeddings_gradient_is_sum_of_both_paths():
+    """tie_embeddings=True: one parameter feeds the input gather AND the
+    LM head; the symbolic autodiff must accumulate both gradient
+    contributions.  Checked against central finite differences of the
+    loss (gd(rate=1) step = -gradient)."""
+    from exprgrad_tpu import make_opt
+    from exprgrad_tpu.layers import gradient_descent
+
+    def build():
+        return compile(
+            flash_transformer(vocab=4, dim=8, heads=2, hidden=8,
+                              tie_embeddings=True,
+                              opt=make_opt(gradient_descent, rate=1.0)),
+            seed=5,
+        )
+
+    model = build()
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 4, (2, 4)).astype(np.float32)
+    labels = np.eye(4, dtype=np.float32)[rng.integers(0, 4, (2, 4))]
+    args = {"tokens": toks, "labels": labels}
+
+    embed_tid = next(
+        t for t in model.program.params
+        if model.program.tensors[t].name == "embed"
+    )
+    before = np.asarray(model.params[embed_tid]).copy()
+    model.epoch += 1
+    model.apply("train", args)
+    grad = before - np.asarray(model.params[embed_tid])
+
+    # finite differences on a few entries via fresh models (same seed)
+    eps = 1e-3
+    for (i, j) in [(0, 0), (1, 3), (3, 5)]:
+        vals = []
+        for sign in (+1, -1):
+            m2 = build()
+            p = np.asarray(m2.params[embed_tid]).copy()
+            p[i, j] += sign * eps
+            m2.params[embed_tid] = p
+            vals.append(float(m2.call("loss", args)[0]))
+        fd = (vals[0] - vals[1]) / (2 * eps)
+        assert abs(fd - grad[i, j]) < 5e-3 * max(1.0, abs(fd)), (
+            f"embed[{i},{j}]: fd {fd} vs autodiff {grad[i, j]}"
+        )
+
+
+def test_tied_embeddings_param_count_and_serving():
+    """Tied model drops the vocab x dim head matrix; FlashLMServer serves
+    it (head = embed.T) with prefill matching the predict target."""
+    import jax
+
+    from exprgrad_tpu.models.serve import FlashLMServer
+
+    tied = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2,
+                          tie_embeddings=True), seed=0
+    )
+    untied = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2), seed=0
+    )
+    n_tied = sum(np.prod(np.shape(v)) for v in tied.params.values())
+    n_untied = sum(np.prod(np.shape(v)) for v in untied.params.values())
+    assert n_untied - n_tied == VOCAB * 16  # the head matrix is gone
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, VOCAB, (3, 8)).astype(np.float32)
+    labels = np.eye(VOCAB, dtype=np.float32)[
+        rng.integers(0, VOCAB, (3, 8))
+    ]
+    for _ in range(10):
+        tied.epoch += 1
+        tied.apply("train", {"tokens": toks, "labels": labels})
+
+    import jax.numpy as jnp
+
+    probs = tied.call("predict", {"tokens": toks})
+    server = FlashLMServer(tied, cache_dtype=jnp.float32)  # exact parity
+    logits, _ = server.prefill(toks, server.init_caches(3))
+    got = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, probs, atol=1e-5)
