@@ -83,6 +83,24 @@ def main() -> None:
           f"({int(steps)} verify steps, exact="
           f"{bool(np.array_equal(np.asarray(spec), greedy))})")
 
+    # W8A16: int8 weights (per-output-channel scales) + int8 KV cache —
+    # the fully-quantized deployment config
+    w8 = FlashLMServer(model, weight_dtype=jnp.int8, cache_dtype=jnp.int8)
+    w8_out = np.asarray(w8.generate(prompt, n_new=10))
+    print("w8a16 agrees:", bool(np.array_equal(w8_out, greedy)))
+
+    # multi-device: tensor-parallel weights + dp batches when the host
+    # exposes a mesh (8 virtual devices under tests/conftest.py)
+    import jax
+
+    if len(jax.devices()) >= 8:
+        from exprgrad_tpu.parallel import make_mesh
+
+        tp = FlashLMServer(model, mesh=make_mesh(8, model=2))
+        tp_out = np.asarray(tp.generate(prompt, n_new=10))
+        print("tp serving  :", bool(np.array_equal(tp_out, greedy)),
+              "(attention by head, FFN by column/row, head by vocab)")
+
 
 if __name__ == "__main__":
     main()

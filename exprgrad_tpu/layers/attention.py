@@ -33,6 +33,7 @@ def fused_attention(
     scale: float = 0.0,
     impl: str = "auto",
     window: Optional[int] = None,
+    extra_attrs: Optional[dict] = None,
 ) -> Fun:
     """Fused scaled-dot-product attention over ``[batch, heads, seq, dim]``.
 
@@ -56,6 +57,8 @@ def fused_attention(
         raise ValueError("window requires causal=True and window >= 1")
     attrs = {"causal": bool(causal), "scale": float(scale), "impl": impl,
              "window": int(window or 0)}
+    if extra_attrs:
+        attrs.update(extra_attrs)  # model metadata (e.g. rope base)
     out, lse = extern("attention", [q, k, v], outs=2, attrs=attrs)
     out.name = "attention"
     lse.name = "attention.lse"
@@ -71,6 +74,47 @@ def fused_attention(
     return out
 
 
+def rope(x: Fun, head_dim: int, base: float = 10000.0) -> Fun:
+    """Rotary position embedding over ``[batch, heads, seq, head_dim]``
+    (rotate-half convention: RoFormer / GPT-NeoX / LLaMA).
+
+    Pure DSL kernels — the rotation angle is an *index expression*
+    (``t * base^(-2d/hd)`` via exp/ln of iterator scalars), so the whole
+    thing lowers like any other kernel and the symbolic autodiff derives
+    the backward rotation automatically (cos/sin derivative rules +
+    offset-read gradient kernels).  Two kernels write the two halves:
+
+        out[..., d]      = x[..., d]      * cos(a) - x[..., d+h/2] * sin(a)
+        out[..., d+h/2]  = x[..., d+h/2]  * cos(a) + x[..., d]      * sin(a)
+
+    Applied to q and k after projection; the dot product then depends
+    only on relative position.  (Beyond the reference — its layers stop
+    at dense/conv; this is the modern-LM position encoding.)
+    """
+    from ..expr import cos, exp, irange, sin, to_scalar
+
+    half = head_dim // 2
+    if half * 2 != head_dim or half < 1:
+        raise ValueError(f"rope needs an even head_dim >= 2 ({head_dim})")
+    coef = -2.0 * math.log(base) / head_dim
+
+    out = Fun("rope")
+    n, h, t = iters("n", "h", "t")
+    d = irange("d", 0, half)
+    ang = to_scalar(t) * exp(to_scalar(d) * coef)
+    out[n, h, t, d] = (
+        x[n, h, t, d] * cos(ang) - x[n, h, t, d + half] * sin(ang)
+    )
+    n, h, t = iters("n", "h", "t")
+    d = irange("d", 0, half)
+    ang = to_scalar(t) * exp(to_scalar(d) * coef)
+    out[n, h, t, d + half] = (
+        x[n, h, t, d + half] * cos(ang) + x[n, h, t, d] * sin(ang)
+    )
+    out.copy_shape(x)
+    return out
+
+
 def _mha_core(
     x: Fun,
     context: Fun,
@@ -83,6 +127,8 @@ def _mha_core(
     init: float,
     window: Optional[int],
     prefix: str = "",
+    rope_base: Optional[float] = None,
+    rope_max_seq: int = 0,
 ) -> Fun:
     """Shared projections + fused core for self- and cross-attention.
     Parameter names (wq/wk/wv/wo, optionally namespaced by ``prefix``)
@@ -109,10 +155,17 @@ def _mha_core(
     q = proj(x, "wq", heads, dim)
     k = proj(context, "wk", kvh, context_dim)
     v = proj(context, "wv", kvh, context_dim)
+    extra = None
+    if rope_base:
+        q = rope(q, hd, rope_base)
+        k = rope(k, hd, rope_base)
+        # metadata for the serving runtimes (discovered like ``window``)
+        extra = {"rope": float(rope_base),
+                 "rope_max_seq": int(rope_max_seq)}
 
     att = fused_attention(
         q, k, v, causal=causal, scale=1.0 / math.sqrt(hd), impl=impl,
-        window=window,
+        window=window, extra_attrs=extra,
     )
 
     wo = param([heads, hd, dim], init_range=rng, name=prefix + "wo")
@@ -133,6 +186,8 @@ def multi_head_attention(
     init: float = 0.1,
     window: Optional[int] = None,
     prefix: str = "",
+    rope_base: Optional[float] = None,
+    rope_max_seq: int = 0,
 ) -> Fun:
     """Multi-head self-attention over ``[batch, seq, dim]`` inputs.
 
@@ -143,7 +198,8 @@ def multi_head_attention(
     grouped-query attention with a smaller KV projection.
     """
     return _mha_core(x, x, dim, dim, heads, causal, kv_heads, impl, init,
-                     window, prefix)
+                     window, prefix, rope_base=rope_base,
+                     rope_max_seq=rope_max_seq)
 
 
 @layer

@@ -82,9 +82,11 @@ class FlashLMServer:
             return seq.pop(0)[1]
 
         self.embed = take("embed")      # [vocab, dim]
-        self.pos = take("pos")          # [max_seq, dim]
+        if seq and seq[0][0] == "pos":
+            self.pos = take("pos")      # [max_seq, dim]
+        else:
+            self.pos = None             # rotary model (rope=True)
         self.vocab, self.dim = self.embed.shape
-        self.max_seq = self.pos.shape[0]
 
         self.blocks: list[_Block] = []
         while len(seq) > 3:
@@ -130,6 +132,30 @@ class FlashLMServer:
             )
         w = windows.pop() if windows else 0
         self.window = w if w > 0 else None
+        # rotary metadata travels the same way (layers.attention rope)
+        ropes = {
+            (float(kern.extern.attrs.get("rope", 0.0)),
+             int(kern.extern.attrs.get("rope_max_seq", 0)))
+            for target in model.program.targets.values()
+            for kern in target.kernels
+            if kern.extern is not None and kern.extern.name == "attention"
+        }
+        if len(ropes) > 1:
+            raise ModelRuntimeError(
+                f"blocks disagree on rope config ({sorted(ropes)}); "
+                "KV-cache serving needs one uniform rotation"
+            )
+        rb, rms = ropes.pop() if ropes else (0.0, 0)
+        self.rope_base = rb if rb > 0 else None
+        if self.pos is not None:
+            self.max_seq = self.pos.shape[0]
+        elif self.rope_base is not None:
+            self.max_seq = rms
+        else:
+            raise ModelRuntimeError(
+                "model has neither a position table nor rope metadata; "
+                "cannot bound the serving context"
+            )
         # compiled entry points, keyed by static config (shapes are
         # handled by jax.jit's own cache INSIDE each entry): repeated
         # serving calls must not re-trace -- XLA compiles are expensive
@@ -242,6 +268,15 @@ class FlashLMServer:
             q = jnp.einsum("ntc,hcd->nhtd", rn, dq(blk.wq))
             k = jnp.einsum("ntc,hcd->nhtd", rn, dq(blk.wk))
             v = jnp.einsum("ntc,hcd->nhtd", rn, dq(blk.wv))
+            if self.rope_base is not None:
+                if q_pos is not None:   # ragged: true per-seq positions
+                    rot_pos = q_pos
+                else:
+                    rot_pos = pos_offset + jnp.arange(
+                        x.shape[1], dtype=jnp.int32
+                    )
+                q = self._rope_rotate(q, rot_pos)
+                k = self._rope_rotate(k, rot_pos)
             cache = append(cache, k, v)
             att = decode_attention(q, cache, sm_scale=self.scale,
                                    window=self.window,
@@ -257,6 +292,8 @@ class FlashLMServer:
     def _embed_tokens(self, tokens, pos_offset):
         jnp = self._jnp
         ids = tokens.astype(jnp.int32)
+        if self.pos is None:  # rotary: positions live in the attention
+            return self.embed[ids]
         t = ids.shape[1]
         pos_ids = pos_offset + jnp.arange(t, dtype=jnp.int32)
         return self.embed[ids] + self.pos[pos_ids][None, :, :]
@@ -264,9 +301,29 @@ class FlashLMServer:
     def _embed_at(self, tokens, pos_ids):
         """Embed with explicit per-sequence positions [batch, t]."""
         jnp = self._jnp
+        if self.pos is None:
+            return self.embed[tokens.astype(jnp.int32)]
         return self.embed[tokens.astype(jnp.int32)] + self.pos[
             pos_ids.astype(jnp.int32)
         ]
+
+    def _rope_rotate(self, x, positions):
+        """Rotate ``x`` [b, h, t, hd] by absolute ``positions`` ([t] or
+        [b, t]) — mirrors layers.attention.rope exactly (rotate-half)."""
+        jnp = self._jnp
+        hd = x.shape[-1]
+        half = hd // 2
+        inv = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32)
+            * (-2.0 * float(np.log(self.rope_base)) / hd)
+        )
+        ang = positions.astype(jnp.float32)[..., None] * inv
+        if ang.ndim == 2:          # [t, half] -> broadcast over batch
+            ang = ang[None]
+        ang = ang[:, None]         # [b?, 1, t, half]
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        x1, x2 = x[..., :half], x[..., half:]
+        return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
 
     def _ragged_positions(self, lens, width, capacity):
         """(pos_ids [b, width], key_pos [b, capacity]) for a right-padded

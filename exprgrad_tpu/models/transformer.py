@@ -144,7 +144,7 @@ def tiny_transformer(
 
 
 def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
-           prefix: str = "", emb: Fun = None) -> Fun:
+           prefix: str = "", emb: Fun = None, pos: bool = True) -> Fun:
     """Token + learned-position embeddings (gather + bounded-iterator add).
 
     The default parameter names "embed"/"pos" are part of the serving
@@ -160,10 +160,11 @@ def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
     if emb is None:
         emb = param([vocab, dim], init_range=rng, name=dot + "embed")
     x[n, t, d] = emb[to_index(tokens[n, t]), d]
-    n, d = iters("n", "d")
-    t = irange("t", 0, tokens.shape[1])
-    pos = param([max_seq, dim], init_range=rng, name=dot + "pos")
-    x[n, t, d] = pos[t, d]
+    if pos:  # rotary models carry positions in the attention rotation
+        n, d = iters("n", "d")
+        t = irange("t", 0, tokens.shape[1])
+        pos_p = param([max_seq, dim], init_range=rng, name=dot + "pos")
+        x[n, t, d] = pos_p[t, d]
     x.with_shape([tokens.shape[0], tokens.shape[1], dim])
     return x
 
@@ -194,6 +195,8 @@ def flash_transformer(
     moe_experts: int = 0,
     moe_k: int = 2,
     tie_embeddings: bool = False,
+    rope: bool = False,
+    rope_base: float = 10000.0,
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
     the flagship DSL transformer.  ``opt`` overrides the default
@@ -220,6 +223,12 @@ def flash_transformer(
     ``moe_k`` routed mixture-of-experts FFN (``layers.moe_ffn``, extern
     forward+backward — the sparse-FFN LM family).
 
+    ``rope=True`` replaces the learned position table with rotary
+    position embeddings (rotate-half, applied to q/k after projection —
+    layers.attention.rope): relative-position attention, no pos
+    parameter, and FlashLMServer rotates by absolute cache position when
+    serving.  ``max_seq`` stays the declared serving context cap.
+
     ``tie_embeddings=True`` shares ONE parameter between the input
     embedding table and the LM head (``logits = h @ embed.T``, the
     GPT-2/Gemma recipe, saving vocab x dim weights): the same tensor is
@@ -238,7 +247,7 @@ def flash_transformer(
         param([vocab, dim], init_range=rng, name="embed")
         if tie_embeddings else None
     )
-    x = _embed(tokens, vocab, dim, max_seq, rng, emb=emb)
+    x = _embed(tokens, vocab, dim, max_seq, rng, emb=emb, pos=not rope)
 
     def marked(fun: Fun) -> Fun:
         return fun.remat() if remat else fun
@@ -247,6 +256,8 @@ def flash_transformer(
         att = multi_head_attention(
             marked(rms_norm(x, dim, rank=3)), dim, heads, causal=True,
             kv_heads=kv_heads, impl=impl, window=window,
+            rope_base=rope_base if rope else None,
+            rope_max_seq=max_seq if rope else 0,
         )
         x = _residual(att, x, f"blk{b}.att")
         if moe_experts > 0:

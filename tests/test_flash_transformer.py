@@ -180,3 +180,40 @@ def test_tied_embeddings_param_count_and_serving():
     logits, _ = server.prefill(toks, server.init_caches(3))
     got = np.asarray(jax.nn.softmax(logits, axis=-1))
     np.testing.assert_allclose(got, probs, atol=1e-5)
+
+
+def test_rope_matches_oracle_and_learns():
+    """Rotary flash_transformer: interp/jax agree through training (the
+    rotation + its derived backward are ordinary kernels), and the model
+    still learns the +1 cycle without any position table."""
+    mj = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2,
+                                   rope=True, eta=0.02), seed=0)
+    mi = compile(flash_transformer(vocab=VOCAB, dim=16, heads=2,
+                                   rope=True, eta=0.02),
+                 backend="interp", seed=0)
+    assert "pos" not in {
+        mj.program.tensors[t].name for t in mj.program.params
+    }
+    rng = np.random.default_rng(0)
+    args = _data(rng)
+    for m in (mj, mi):
+        m.epoch += 1
+        m.apply("train", args)
+    for tid in mj.params:
+        assert np.max(np.abs(
+            np.asarray(mj.params[tid]) - mi.params[tid]
+        )) < 1e-5
+
+    phase = rng.integers(0, VOCAB, 16)
+    toks = ((phase[:, None] + np.arange(8)[None, :]) % VOCAB).astype(
+        np.float32
+    )
+    labels = np.eye(VOCAB, dtype=np.float32)[
+        ((toks + 1) % VOCAB).astype(int)
+    ]
+    pat = {"tokens": toks, "labels": labels}
+    first = float(mj.call("loss", pat)[0])
+    for _ in range(40):
+        mj.epoch += 1
+        mj.apply("train", pat)
+    assert float(mj.call("loss", pat)[0]) < first * 0.5

@@ -678,3 +678,100 @@ def test_mesh_tensor_parallel_serving():
     q_tp = FlashLMServer(model, weight_dtype=jnp.int8, mesh=mesh)
     assert (np.asarray(q_solo.generate(prompt, n_new=12))
             == np.asarray(q_tp.generate(prompt, n_new=12))).all()
+
+
+def _trained_rope_model(steps=30, **kw):
+    model = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, eta=0.01,
+                          rope=True, **kw),
+        backend="jax", seed=0,
+    )
+    rng = np.random.default_rng(0)
+    phase = rng.integers(0, VOCAB, 16)
+    toks = ((phase[:, None] + np.arange(8)[None, :]) % VOCAB).astype(
+        np.float32
+    )
+    labels = np.eye(VOCAB, dtype=np.float32)[
+        ((toks + 1) % VOCAB).astype(int)
+    ]
+    for _ in range(steps):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return model
+
+
+def test_rope_prefill_matches_predict():
+    """Rotary model: the server reproduces the DSL program's rotation
+    exactly (prefill from an empty cache = absolute positions 0..t)."""
+    import jax
+
+    model = _trained_rope_model(steps=5)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    assert server.pos is None and server.rope_base == 10000.0
+    assert server.max_seq == 64  # rope_max_seq metadata
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, VOCAB, (3, 8)).astype(np.float32)
+    probs = np.asarray(model.call("predict", {"tokens": toks}))
+    logits, _ = server.prefill(toks, server.init_caches(3))
+    got = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(got, probs, atol=1e-5)
+
+
+def test_rope_incremental_decode_matches_prefill():
+    """Decode steps rotate by ABSOLUTE cache position — wrong offsets
+    would diverge from the all-at-once prefill immediately."""
+    model = _trained_rope_model(steps=5)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, VOCAB, (2, 8)).astype(np.float32)
+    full_logits, _ = server.prefill(toks, server.init_caches(2))
+    caches = server.init_caches(2)
+    steps = []
+    for t in range(8):
+        logits, caches = server.decode(toks[:, t:t + 1], caches)
+        steps.append(np.asarray(logits[:, 0]))
+    np.testing.assert_allclose(
+        np.stack(steps, axis=1), np.asarray(full_logits),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_rope_generate_matches_model_greedy_and_learns():
+    model = _trained_rope_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2.0, 3.0, 4.0]], np.float32)
+    got = np.asarray(server.generate(prompt, n_new=9))[0].astype(int)
+    toks = list(prompt[0].astype(int))
+    for _ in range(9):
+        window = np.asarray(toks, np.float32)[None, :]
+        probs = np.asarray(model.call("predict", {"tokens": window}))
+        toks.append(int(probs[0, -1].argmax()))
+    assert list(got) == toks[3:]
+    assert list(got)[:4] == [(2 + i) % VOCAB for i in range(3, 7)]
+
+
+def test_rope_ragged_matches_solo():
+    """Ragged rope batches rotate by TRUE per-sequence positions."""
+    model = _trained_rope_model(steps=10)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    width, lens = 8, [8, 5]
+    prompt = np.zeros((2, width), np.float32)
+    for i, ln in enumerate(lens):
+        prompt[i, :ln] = rng.integers(0, VOCAB, ln)
+    batch_out = np.asarray(server.generate(prompt, n_new=6, lengths=lens))
+    for i, ln in enumerate(lens):
+        solo = np.asarray(
+            server.generate(prompt[i : i + 1, :ln], n_new=6)
+        )
+        np.testing.assert_array_equal(batch_out[i], solo[0])
+
+
+def test_rope_composes_with_tied_and_quantized():
+    model = _trained_rope_model(steps=30, tie_embeddings=True)
+    full = FlashLMServer(model)
+    quant = FlashLMServer(model, weight_dtype=jnp.int8)
+    prompt = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+    a = np.asarray(full.generate(prompt, n_new=8))
+    b = np.asarray(quant.generate(prompt, n_new=8))
+    np.testing.assert_array_equal(a, b)
