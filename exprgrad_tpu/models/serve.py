@@ -31,10 +31,11 @@ class _Block(NamedTuple):
     wv: object      # [hkv, dim, hd]
     wo: object      # [h, hd, dim]
     ffn_g: object   # rms gamma before the FFN
-    w1: object      # [dim, hidden]
-    b1: object      # [hidden]
-    w2: object      # [hidden, dim]
-    b2: object      # [dim]
+    w1: object      # [dim, hidden]  (swiglu: the gate matrix ffn.wg)
+    b1: object      # [hidden]       (swiglu: None — no FFN biases)
+    w2: object      # [hidden, dim]  (swiglu: the down matrix ffn.wd)
+    b2: object      # [dim]          (swiglu: None)
+    w3: object = None  # [dim, hidden] swiglu up matrix ffn.wu
 
 
 class FlashLMServer:
@@ -90,13 +91,23 @@ class FlashLMServer:
 
         self.blocks: list[_Block] = []
         while len(seq) > 3:
-            self.blocks.append(_Block(
+            head = dict(
                 attn_g=take("rms.g"),
                 wq=take("wq"), wk=take("wk"), wv=take("wv"), wo=take("wo"),
                 ffn_g=take("rms.g"),
-                w1=take("weights"), b1=take("bias"),
-                w2=take("weights"), b2=take("bias"),
-            ))
+            )
+            if seq and seq[0][0] == "ffn.wg":  # gated SwiGLU block
+                head.update(
+                    w1=take("ffn.wg"), b1=None,
+                    w3=take("ffn.wu"),
+                    w2=take("ffn.wd"), b2=None,
+                )
+            else:
+                head.update(
+                    w1=take("weights"), b1=take("bias"),
+                    w2=take("weights"), b2=take("bias"),
+                )
+            self.blocks.append(_Block(**head))
         self.final_g = take("rms.g")
         if seq and seq[0][0] == "weights":
             self.w_head = take("weights")
@@ -182,6 +193,7 @@ class FlashLMServer:
                     wq=q(blk.wq, 1), wk=q(blk.wk, 1), wv=q(blk.wv, 1),
                     wo=q(blk.wo, (0, 1)),
                     w1=q(blk.w1, 0), w2=q(blk.w2, 0),
+                    w3=None if blk.w3 is None else q(blk.w3, 0),
                 )
                 for blk in self.blocks
             ]
@@ -219,7 +231,8 @@ class FlashLMServer:
         biases stay replicated.  Batches shard over ``data``."""
         p = self._place
         self.embed = p(self.embed, None, None)
-        self.pos = p(self.pos, None, None)
+        if self.pos is not None:  # rotary models carry no pos table
+            self.pos = p(self.pos, None, None)
         self.blocks = [
             blk._replace(
                 attn_g=p(blk.attn_g, None),
@@ -229,9 +242,10 @@ class FlashLMServer:
                 wo=p(blk.wo, "model", None, None),
                 ffn_g=p(blk.ffn_g, None),
                 w1=p(blk.w1, None, "model"),
-                b1=p(blk.b1, "model"),
+                b1=None if blk.b1 is None else p(blk.b1, "model"),
                 w2=p(blk.w2, "model", None),
-                b2=p(blk.b2, None),
+                b2=None if blk.b2 is None else p(blk.b2, None),
+                w3=None if blk.w3 is None else p(blk.w3, None, "model"),
             )
             for blk in self.blocks
         ]
@@ -283,8 +297,13 @@ class FlashLMServer:
                                    key_pos=key_pos, q_pos=q_pos)
             x = x + jnp.einsum("nhtd,hde->nte", att, dq(blk.wo))
             rn2 = self._rms(x, blk.ffn_g)
-            h = jnp.maximum(rn2 @ dq(blk.w1) + blk.b1, 0.0)
-            x = x + h @ dq(blk.w2) + blk.b2
+            if blk.w3 is not None:  # swiglu: silu(gate) * up, no biases
+                g = rn2 @ dq(blk.w1)
+                h = g / (1.0 + jnp.exp(-g)) * (rn2 @ dq(blk.w3))
+                x = x + h @ dq(blk.w2)
+            else:
+                h = jnp.maximum(rn2 @ dq(blk.w1) + blk.b1, 0.0)
+                x = x + h @ dq(blk.w2) + blk.b2
             new_caches.append(cache)
         logits = self._rms(x, self.final_g) @ dq(self.w_head) + self.b_head
         return logits, new_caches

@@ -169,6 +169,34 @@ def _embed(tokens: Fun, vocab: int, dim: int, max_seq: int, rng,
     return x
 
 
+def _swiglu(x: Fun, dim: int, hidden: int, rng, marked) -> Fun:
+    """Gated SwiGLU FFN: ``(silu(x @ wg) * (x @ wu)) @ wd`` with
+    silu(a) = a * sigmoid(a) = a / (1 + exp(-a)) written in scalar DSL
+    ops (exp/division), so the backward pass is derived symbolically.
+    Parameter names ffn.wg/ffn.wu/ffn.wd are part of the serving
+    contract (FlashLMServer discovers the gated block by them)."""
+    from ..expr import exp
+
+    wg = param([dim, hidden], init_range=rng, name="ffn.wg")
+    wu = param([dim, hidden], init_range=rng, name="ffn.wu")
+    wd = param([hidden, dim], init_range=rng, name="ffn.wd")
+    n, t, c, j = iters("n", "t", "c", "j")
+    g = Fun("ffn.gate")
+    g[n, t, j] = x[n, t, c] * wg[c, j]
+    n, t, c, j = iters("n", "t", "c", "j")
+    u = Fun("ffn.up")
+    u[n, t, j] = x[n, t, c] * wu[c, j]
+    n, t, j = iters("n", "t", "j")
+    h = Fun("ffn.h")
+    gv = g[n, t, j]
+    h[n, t, j] = gv / (1.0 + exp(-gv)) * u[n, t, j]
+    h = marked(h)
+    n, t, j, d = iters("n", "t", "j", "d")
+    out = Fun("ffn.down")
+    out[n, t, d] = h[n, t, j] * wd[j, d]
+    return out
+
+
 def _residual(a: Fun, b: Fun, name: str) -> Fun:
     n, t, d = iters("n", "t", "d")
     out = Fun(name)
@@ -197,6 +225,7 @@ def flash_transformer(
     tie_embeddings: bool = False,
     rope: bool = False,
     rope_base: float = 10000.0,
+    ffn: str = "relu",
 ) -> Fun:
     """Pre-norm causal LM built from the rank-polymorphic layer library —
     the flagship DSL transformer.  ``opt`` overrides the default
@@ -228,6 +257,14 @@ def flash_transformer(
     layers.attention.rope): relative-position attention, no pos
     parameter, and FlashLMServer rotates by absolute cache position when
     serving.  ``max_seq`` stays the declared serving context cap.
+
+    ``ffn="swiglu"`` swaps the relu MLP for the gated SwiGLU block
+    (LLaMA recipe, no FFN biases): ``down((gate * sigmoid(gate)) * up)``
+    with three matrices ffn.wg/ffn.wu/ffn.wd — silu is expressed in
+    scalar DSL ops, so the gradient through the gate falls out of the
+    symbolic autodiff.  ``rope=True, ffn="swiglu", tie_embeddings=True``
+    together give the full modern-LM block (rms_norm is already the
+    default norm).
 
     ``tie_embeddings=True`` shares ONE parameter between the input
     embedding table and the LM head (``logits = h @ embed.T``, the
@@ -266,12 +303,19 @@ def flash_transformer(
                 n_experts=moe_experts, k=moe_k, init=init,
                 prefix=f"blk{b}.",
             )
-        else:
+        elif ffn == "swiglu":
+            ff = _swiglu(marked(rms_norm(x, dim, rank=3)), dim, hidden,
+                         rng, marked)
+        elif ffn == "relu":
             ff = dense(
                 marked(relu(marked(dense(
                     marked(rms_norm(x, dim, rank=3)), dim, hidden, rank=3
                 )))),
                 hidden, dim, rank=3,
+            )
+        else:
+            raise ValueError(
+                f"ffn must be 'relu' or 'swiglu', got {ffn!r}"
             )
         x = _residual(ff, x, f"blk{b}.ff")
 

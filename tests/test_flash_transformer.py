@@ -217,3 +217,85 @@ def test_rope_matches_oracle_and_learns():
         mj.epoch += 1
         mj.apply("train", pat)
     assert float(mj.call("loss", pat)[0]) < first * 0.5
+
+
+def test_swiglu_matches_oracle_and_learns():
+    """ffn='swiglu': silu gating written in scalar DSL ops — interp/jax
+    parity through a training step, and the gated model learns."""
+    kw = dict(vocab=VOCAB, dim=16, heads=2, hidden=16, ffn="swiglu",
+              eta=0.02)
+    mj = compile(flash_transformer(**kw), seed=0)
+    mi = compile(flash_transformer(**kw), backend="interp", seed=0)
+    rng = np.random.default_rng(0)
+    args = _data(rng)
+    for m in (mj, mi):
+        m.epoch += 1
+        m.apply("train", args)
+    for tid in mj.params:
+        assert np.max(np.abs(
+            np.asarray(mj.params[tid]) - mi.params[tid]
+        )) < 1e-5
+
+    phase = rng.integers(0, VOCAB, 16)
+    toks = ((phase[:, None] + np.arange(8)[None, :]) % VOCAB).astype(
+        np.float32
+    )
+    labels = np.eye(VOCAB, dtype=np.float32)[
+        ((toks + 1) % VOCAB).astype(int)
+    ]
+    pat = {"tokens": toks, "labels": labels}
+    first = float(mj.call("loss", pat)[0])
+    for _ in range(40):
+        mj.epoch += 1
+        mj.apply("train", pat)
+    assert float(mj.call("loss", pat)[0]) < first * 0.5
+
+    with pytest.raises(ValueError, match="swiglu"):
+        flash_transformer(vocab=VOCAB, ffn="gelu")
+
+
+def test_llama_style_block_serves():
+    """The full modern stack — rope + swiglu + tied embeddings +
+    rms_norm — trains and serves (quantized too) with exact greedy
+    agreement."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.models.serve import FlashLMServer
+
+    model = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, hidden=16,
+                          rope=True, ffn="swiglu", tie_embeddings=True,
+                          eta=0.01),
+        seed=0,
+    )
+    rng = np.random.default_rng(0)
+    phase = rng.integers(0, VOCAB, 16)
+    toks = ((phase[:, None] + np.arange(8)[None, :]) % VOCAB).astype(
+        np.float32
+    )
+    labels = np.eye(VOCAB, dtype=np.float32)[
+        ((toks + 1) % VOCAB).astype(int)
+    ]
+    for _ in range(40):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    assert server.blocks[0].w3 is not None and server.blocks[0].b1 is None
+    probs = np.asarray(model.call("predict", {"tokens": toks[:2]}))
+    import jax
+
+    logits, _ = server.prefill(toks[:2], server.init_caches(2))
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(logits, -1)), probs, atol=1e-5
+    )
+
+    prompt = toks[:1, :4]
+    out = np.asarray(server.generate(prompt, n_new=10))
+    quant = FlashLMServer(model, weight_dtype=jnp.int8,
+                          cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(quant.generate(prompt, n_new=10)), out
+    )
+    cont = np.concatenate([prompt, out], axis=1)
+    assert (cont[:, 1:] == (cont[:, :-1] + 1) % VOCAB).mean() > 0.9

@@ -775,3 +775,26 @@ def test_rope_composes_with_tied_and_quantized():
     a = np.asarray(full.generate(prompt, n_new=8))
     b = np.asarray(quant.generate(prompt, n_new=8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_serving_rope_swiglu():
+    """Regression: mesh sharding with a rotary (pos-free) SwiGLU model
+    (shard_weights used to crash on the missing pos table / None FFN
+    biases)."""
+    import jax
+
+    from exprgrad_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, hidden=16,
+                          rope=True, ffn="swiglu"), seed=0
+    )
+    solo = FlashLMServer(model)
+    tp = FlashLMServer(model, mesh=make_mesh(8, model=2))
+    prompt = np.asarray([[1.0, 2.0, 3.0]], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(tp.generate(prompt, n_new=8)),
+        np.asarray(solo.generate(prompt, n_new=8)),
+    )
