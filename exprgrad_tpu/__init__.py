@@ -74,6 +74,7 @@ from .fun import (
 from .registry import register_extern
 from .model import Model, compile, load_compiled
 from .quant import QuantW, dequantize, quantize_weight
+from .train import classification_accuracy, evaluate, train
 from .autotune import TuneReport
 from .tensor import (
     Tensor,
