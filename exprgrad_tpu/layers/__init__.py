@@ -35,6 +35,7 @@ from .attention import (
     fused_attention,
     multi_head_attention,
     multi_head_cross_attention,
+    rope,
 )
 from .schedules import (
     cosine_decay,
@@ -72,6 +73,7 @@ __all__ = [
     "l1_loss", "lion",
     "moe_ffn",
     "momentum", "multi_head_attention", "multi_head_cross_attention",
+    "rope",
     "leaky_relu", "lora_dense", "matmul", "maximum_elems", "maxpool2",
     "merge_lora", "minimum_elems",
     "layer_norm",

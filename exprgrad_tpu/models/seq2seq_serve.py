@@ -64,13 +64,14 @@ class Seq2SeqServer:
                  "ffn2.weights", "ffn2.bias"]
 
     def __init__(self, model, cache_dtype=None, eps: float = 1e-5,
-                 weight_dtype=None):
+                 weight_dtype=None, mesh=None):
         import jax.numpy as jnp
 
         self._jnp = jnp
         self.eps = eps
         self.cache_dtype = cache_dtype or jnp.float32
         self.weight_dtype = weight_dtype
+        self.mesh = mesh
 
         from ._quant import QuantW
 
@@ -160,6 +161,48 @@ class Seq2SeqServer:
                         blk[key] = q(blk[key], 0)
             self.p["head.weights"] = q(self.p["head.weights"], 0)
 
+        if mesh is not None:
+            self._shard_weights()
+
+    def _shard_weights(self) -> None:
+        """Megatron-style tensor parallelism for encoder-decoder serving
+        (same recipe as FlashLMServer): attention by head, FFN by hidden
+        column/row, LM head by vocab; embeddings/norms/biases replicated;
+        batches and caches shard over ``data`` (init_caches)."""
+        from ._mesh import place
+
+        axes = {
+            "wq": ("model", None, None), "wk": ("model", None, None),
+            "wv": ("model", None, None), "wo": ("model", None, None),
+            "ffn1.weights": (None, "model"), "ffn1.bias": ("model",),
+            "ffn2.weights": ("model", None), "ffn2.bias": (None,),
+        }
+        for blk in self.enc + self.dec:
+            for key in list(blk):
+                tail = key.rsplit(".", 1)[-1]
+                spec = axes.get(key) or axes.get(tail)
+                if spec is None:  # rms gammas
+                    spec = (None,) * np.ndim(blk[key])
+                blk[key] = place(self.mesh, blk[key], spec)
+        for name in self._TOP:
+            if name == "head.weights":
+                spec = (None, "model")
+            elif name == "head.bias":
+                spec = ("model",)
+            else:
+                spec = (None,) * np.ndim(self.p[name])
+            self.p[name] = place(self.mesh, self.p[name], spec)
+
+    def _tokens(self, x):
+        """Entry placement: shard request batches over ``data``."""
+        x = self._jnp.asarray(x)
+        if self.mesh is not None and x.ndim >= 1:
+            from ._mesh import place
+
+            return place(self.mesh, x,
+                         ("data",) + (None,) * (x.ndim - 1))
+        return x
+
     # -- forward pieces (must mirror models/seq2seq.py exactly) ----------
     def _rms(self, x, gamma):
         jnp = self._jnp
@@ -200,7 +243,7 @@ class Seq2SeqServer:
         alone at its true length."""
         jnp = self._jnp
         p = self.p
-        ids = jnp.asarray(src).astype(jnp.int32)
+        ids = self._tokens(src).astype(jnp.int32)
         s_len = ids.shape[1]
         kv_mask = None
         if lengths is not None:
@@ -240,9 +283,24 @@ class Seq2SeqServer:
         from ..ops.decode import init_cache
 
         capacity = capacity or self.max_tgt
-        return [init_cache(batch, self.heads, capacity, self.head_dim,
-                           dtype=self.cache_dtype)
-                for _ in self.dec]
+        caches = [init_cache(batch, self.heads, capacity, self.head_dim,
+                             dtype=self.cache_dtype)
+                  for _ in self.dec]
+        if self.mesh is not None:
+            from ._mesh import place
+
+            caches = [
+                c._replace(
+                    k=place(self.mesh, c.k, ("data", "model", None, None)),
+                    v=place(self.mesh, c.v, ("data", "model", None, None)),
+                    k_scale=place(self.mesh, c.k_scale,
+                                  ("data", "model", None)),
+                    v_scale=place(self.mesh, c.v_scale,
+                                  ("data", "model", None)),
+                )
+                for c in caches
+            ]
+        return caches
 
     def _step(self, tokens, enc: _Enc, caches):
         """Forward ``t`` fresh target tokens; returns (logits, caches)."""
@@ -306,7 +364,7 @@ class Seq2SeqServer:
         import jax
 
         jnp = self._jnp
-        src = jnp.asarray(src)
+        src = self._tokens(src)
         batch, s_len = src.shape
         if n_new + 1 > self.max_tgt:
             raise ModelRuntimeError(
@@ -390,7 +448,7 @@ class Seq2SeqServer:
         import jax
 
         jnp = self._jnp
-        src = jnp.asarray(src)
+        src = self._tokens(src)
         batch, s_len = src.shape
         V = self.vocab
         if not 1 <= beams <= V:
@@ -457,7 +515,7 @@ class Seq2SeqServer:
         from ._spec import check_spec_args, speculative_loop
 
         jnp = self._jnp
-        src = jnp.asarray(src)
+        src = self._tokens(src)
         batch, s_len = src.shape
         check_spec_args(batch, self.vocab, draft.vocab, k, n_new,
                         ModelRuntimeError)
@@ -523,8 +581,8 @@ class Seq2SeqServer:
         import jax
 
         jnp = self._jnp
-        src = jnp.asarray(src)
-        tgt = jnp.asarray(tgt)
+        src = self._tokens(src)
+        tgt = self._tokens(tgt)
         batch, t = tgt.shape
         if t + 1 > self.max_tgt:
             raise ModelRuntimeError(

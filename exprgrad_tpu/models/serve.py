@@ -204,24 +204,10 @@ class FlashLMServer:
 
     # -- multi-device serving (tensor-parallel weights, dp batches) ------
     def _place(self, w, *axis_names):
-        """device_put onto the mesh with one axis name (or None) per dim;
-        a name is dropped where the dim doesn't divide the mesh axis
-        (GQA kv heads, size-1 scale dims).  QuantW shards codes and
-        scales alike."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        """See models/_mesh.place (shared with Seq2SeqServer)."""
+        from ._mesh import place
 
-        from ._quant import QuantW
-
-        if isinstance(w, QuantW):
-            return QuantW(self._place(w.codes, *axis_names),
-                          self._place(w.scale, *axis_names))
-        spec = []
-        for size, name in zip(w.shape, axis_names):
-            n = self.mesh.shape.get(name, 1) if name else 1
-            spec.append(name if name and n > 1 and size % n == 0
-                        and size >= n else None)
-        return jax.device_put(w, NamedSharding(self.mesh, P(*spec)))
+        return place(self.mesh, w, axis_names)
 
     def _shard_weights(self) -> None:
         """Megatron-style tensor parallelism over the mesh's ``model``

@@ -346,3 +346,41 @@ def test_weight_only_int8_quantization(trained):
 
     with pytest.raises(ModelRuntimeError):
         Seq2SeqServer(trained, weight_dtype=jnp.float16)
+
+
+def test_mesh_tensor_parallel_seq2seq_serving(trained):
+    """Encoder-decoder serving on a (data x model) mesh: greedy, beam,
+    and score match the single-device server; composes with int8
+    weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, model=2)
+    solo = Seq2SeqServer(trained)
+    tp = Seq2SeqServer(trained, mesh=mesh, weight_dtype=jnp.int8)
+    ref = Seq2SeqServer(trained, weight_dtype=jnp.int8)
+
+    blk = tp.dec[0]
+    assert blk["self.wq"].codes.sharding.shard_shape(
+        blk["self.wq"].codes.shape
+    )[0] == blk["self.wq"].codes.shape[0] // 2
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(1, 8, (4, 6)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(tp.generate(src, n_new=6)),
+        np.asarray(ref.generate(src, n_new=6)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(solo.generate(src, n_new=6)),
+        np.asarray(ref.generate(src, n_new=6)),
+    )
+    b_tp, s_tp = tp.generate_beam(src[:2], n_new=5, beams=3)
+    b_ref, s_ref = ref.generate_beam(src[:2], n_new=5, beams=3)
+    np.testing.assert_array_equal(np.asarray(b_tp), np.asarray(b_ref))
+    np.testing.assert_allclose(np.asarray(s_tp), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-5)
