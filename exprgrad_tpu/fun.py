@@ -836,12 +836,29 @@ def rand(fun: Fun, random_range: tuple[float, float]) -> Fun:
     return out
 
 
-def cache(of: Fun, name: str = "") -> Fun:
-    """Persistent state tensor shaped like ``of`` (optimizer state)."""
+def cache(of: Fun, name: str = "", shape: Optional[Sequence] = None) -> Fun:
+    """Persistent state tensor shaped like ``of`` (optimizer state).
+
+    ``shape`` overrides the shape-copy default with an explicit dims
+    constraint — state tensors smaller than their parameter (Adafactor's
+    factored second moments, per-row statistics).  The tensor still
+    belongs to ``of`` for checkpointing and sharding purposes; only its
+    extent changes.  (Reference caches are always full-shape,
+    parser.nim:795-798 — this extends that seam.)
+    """
     inner = Fun(name, FunKind.CACHE)
     inner.cache_of = of
     out = Fun(name, FunKind.EFFECT)
     out.effect = inner
+    if shape is not None:
+        # USER-priority dims constraint attached to the EFFECT node:
+        # flatten() reads shape_constr off EFFECT nodes and the effect
+        # shares the cache's tensor id, so this beats the inferred COPY
+        # constraint in sort_shape_constraints.
+        nodes = [as_index(d).node for d in shape]
+        out.shape_constr = _ShapeConstrBuilder("dims", dims=nodes)
+        for node in nodes:
+            _collect_children(node, out)
     return out
 
 

@@ -7,6 +7,7 @@ first-class citizens.
 
 from .base import (
     add,
+    adafactor,
     adam,
     adamw,
     binary_cross_entropy,
@@ -66,7 +67,7 @@ from .dnn import (
 from .moe import moe_ffn
 
 __all__ = [
-    "adam", "adamw", "add", "avgpool2", "binary_cross_entropy", "conv2",
+    "adafactor", "adam", "adamw", "add", "avgpool2", "binary_cross_entropy", "conv2",
     "cross_entropy", "decayed_gradient_descent", "dense", "depthwise_conv2",
     "div_scalar",
     "dropout", "fused_attention", "gradient_descent", "huber",

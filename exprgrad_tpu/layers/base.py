@@ -240,6 +240,126 @@ def lion(
     param.raw[it] = -eta * (s + weight_decay * param.raw[it])
 
 
+def adafactor(
+    param: Fun,
+    grad: Fun,
+    eta: float | None = None,
+    eps1: float = 1e-30,
+    eps2: float = 1e-3,
+    clip_threshold: float = 1.0,
+    decay_power: float = 0.8,
+    weight_decay: float = 0.0,
+    factored: bool = True,
+    scale_by_param: bool | None = None,
+) -> None:
+    """Shazeer & Stern, "Adafactor: Adaptive Learning Rates with Sublinear
+    Memory Cost", 2018 — the TPU-classic memory-frugal optimizer.
+
+    For a rank>=2 parameter the second moment is FACTORED into per-row and
+    per-column leaky means over the trailing two dims (``vr``/``vc`` cache
+    tensors via :func:`exprgrad_tpu.cache`'s explicit-shape seam), so the
+    optimizer state is O(R+C) instead of O(R*C); ``v_hat = vr*vc/mean(vr)``
+    reconstructs the rank-1 estimate (Alg. 4 of the paper, mean form).
+    Rank<2 parameters (and ``factored=False``) keep a full-shape moment.
+    Everything else follows the paper's defaults: decay
+    ``rho_t = 1 - t^-decay_power`` with ``t = epoch()``, update clipping by
+    ``max(1, RMS(u)/clip_threshold)``, relative step size
+    ``min(1e-2, 1/sqrt(t))`` when ``eta`` is None, scaled by
+    ``max(eps2, RMS(param))`` (``scale_by_param``, default: on exactly when
+    the relative step is used).
+
+    The whole update — factored moments, three scalar reductions, the
+    parameter write — compiles into the one-jit training program like any
+    other optimizer in this zoo (cache recurrences + dataflow ordering;
+    see :func:`adam`).  Beyond the reference's gd/adam pair
+    (layers/base.nim:33-53).
+    """
+    if scale_by_param is None:
+        scale_by_param = eta is None
+    p_node = getattr(param, "effect", None)
+    shape = list(getattr(p_node, "param_shape", None) or [])
+    total = 1
+    for d in shape:
+        total *= d
+
+    def rho_m1():
+        # rho_t - 1 = -t^-decay_power; fresh nodes per kernel statement
+        return -pow_(to_scalar(epoch()), -decay_power)
+
+    u = Fun()
+    if factored and len(shape) >= 2:
+        n = len(shape)
+        r_count, c_count = float(shape[-2]), float(shape[-1])
+        vr = cache(param, "adafactor.vr", shape=shape[:-1])
+        vc = cache(param, "adafactor.vc", shape=shape[:-2] + [shape[-1]])
+
+        def axes():
+            idx = iters(*[f"i{k}" for k in range(n)])
+            idx = idx if isinstance(idx, tuple) else (idx,)
+            return idx, idx[:-2], idx[-2], idx[-1]
+
+        # vr <- rho*vr + (1-rho) * mean_c(g^2 + eps1)   (write accumulates
+        # over the c loop; the old-value decay term is split across it)
+        idx, lead, r, c = axes()
+        d = rho_m1()
+        g2 = sq(grad[idx]) + eps1
+        vr[lead + (r,)] = (vr[lead + (r,)] * d - d * g2) / c_count
+
+        idx, lead, r, c = axes()
+        d = rho_m1()
+        g2 = sq(grad[idx]) + eps1
+        vc[lead + (c,)] = (vc[lead + (c,)] * d - d * g2) / r_count
+
+        # mean over rows of the fresh vr (writers order before readers)
+        vrm = Fun()
+        idx, lead, r, c = axes()
+        vrm[lead if lead else (0,)] = vr[lead + (r,)] / r_count
+
+        idx, lead, r, c = axes()
+        v_hat = (
+            vr[lead + (r,)] * vc[lead + (c,)]
+            / vrm[lead if lead else (0,)]
+        )
+        u[idx] = grad[idx] / sqrt(v_hat)
+    else:
+        v = cache(param, "adafactor.v")
+        it = iters("it")
+        d = rho_m1()
+        v.raw[it] = v.raw[it] * d - d * (sq(grad.raw[it]) + eps1)
+        it = iters("it")
+        u.raw[it] = grad.raw[it] / sqrt(v.raw[it])
+
+    # scalar reductions: RMS of the update and of the parameter
+    usq = Fun()
+    it = iters("it")
+    usq[0] = sq(u.raw[it]) / float(total or 1)
+    if scale_by_param:
+        # read the underlying PARAM node (same tensor id as the effect):
+        # reading the effect from a separate kernel would make the effect
+        # a child of psq AND psq a child of the effect — a flatten cycle
+        p_read = p_node if p_node is not None else param
+        psq = Fun()
+        it = iters("it")
+        psq[0] = sq(p_read.raw[it]) / float(total or 1)
+        # psq reads nothing on the loss path, so flatten would emit its
+        # kernel BEFORE the backwards generator — where autodiff would try
+        # to differentiate it.  An explicit dependency on the gradient
+        # orders it after the backward pass (numerically inert: psq still
+        # reads the pre-update parameter, which only this optimizer writes).
+        psq.children.insert(0, grad)
+
+    it = iters("it")
+    if eta is None:
+        lr = minimum(0.01, 1.0 / sqrt(to_scalar(epoch())))
+    else:
+        lr = eta
+    alpha = maximum(sqrt(psq.raw[0]), eps2) * lr if scale_by_param else lr
+    denom = maximum(sqrt(usq.raw[0]) / clip_threshold, 1.0)
+    param.raw[it] = -alpha * (
+        u.raw[it] / denom + weight_decay * param.raw[it]
+    )
+
+
 def clip_gradients(opt, bound: float):
     """Wrap any bound optimizer with elementwise gradient clipping to
     ``[-bound, bound]``: the clipped gradient is an ordinary intermediate

@@ -137,8 +137,14 @@ class ShardedExecutor:
                 )
             if tdef.kind in (ir.TensorKind.PARAM, ir.TensorKind.CACHE):
                 if tdef.kind == ir.TensorKind.CACHE:
-                    # caches follow their parameter's layout decisions
+                    # caches follow their parameter's layout decisions —
+                    # unless the cache's shape diverges from the param's
+                    # (factored Adafactor moments), where the param's
+                    # last-dim divisibility says nothing about the
+                    # cache's own axes: such state uses its own shape
                     tdef_p = program.tensors[tdef.cache_of]
+                    if list(shape) != list(self.shapes.get(tdef.cache_of, tdef_p.shape)):
+                        tdef_p = tdef
                 else:
                     tdef_p = tdef
                 spec = [None] * len(shape)

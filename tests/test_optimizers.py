@@ -430,3 +430,114 @@ def test_xor_converges_with_new_optimizers():
         model.apply("train", {"x": x, "y": y})
     pred = np.asarray(model.call("predict", {"x": x})).reshape(-1)
     assert np.abs(pred - np.asarray([0, 1, 1, 0])).max() < 0.2
+
+
+# --- adafactor ------------------------------------------------------------
+
+def _adafactor_oracle(w0, xs, eta=None, eps1=1e-30, eps2=1e-3, clip=1.0,
+                      p=0.8, wd=0.0, factored=True):
+    """Exact numpy replica of layers.adafactor on loss sum((w-x)^2)."""
+    w = w0.copy()
+    if factored and w.ndim >= 2:
+        vr = np.zeros(w.shape[:-1])
+        vc = np.zeros(w.shape[:-2] + w.shape[-1:])
+    else:
+        v = np.zeros_like(w)
+    out = []
+    for t, xv in enumerate(xs, start=1):
+        g = 2.0 * (w - xv)
+        rho = 1 - t ** -p
+        if factored and w.ndim >= 2:
+            vr = rho * vr + (1 - rho) * np.mean(g * g + eps1, axis=-1)
+            vc = rho * vc + (1 - rho) * np.mean(g * g + eps1, axis=-2)
+            vhat = (vr[..., :, None] * vc[..., None, :]
+                    / np.mean(vr, axis=-1)[..., None, None])
+            u = g / np.sqrt(vhat)
+        else:
+            v = rho * v + (1 - rho) * (g * g + eps1)
+            u = g / np.sqrt(v)
+        denom = max(1.0, np.sqrt(np.mean(u * u)) / clip)
+        if eta is None:
+            lr = min(0.01, 1 / np.sqrt(t))
+            alpha = max(eps2, np.sqrt(np.mean(w * w))) * lr
+        else:
+            alpha = eta
+        w = w - alpha * (u / denom + wd * w)
+        out.append(w.copy())
+    return out
+
+
+def _model2(opt, backend="jax"):
+    """Rank-2 param model: loss = sum((w - x)^2) over w[2, 3]."""
+    x = input("x")
+    y, c = iters("y", "c")
+    w = param([2, 3], init_range=(0.4, 0.6), name="w")
+    loss = Fun()
+    loss[0] = sq(w[y, c] - x[y, c])
+    net = loss.target("loss").backprop(opt).target("train")
+    model = compile(net, dtype="float64", backend=backend)
+    wid = next(iter(model.params))
+    return model, wid
+
+
+XS2 = [np.arange(6, dtype=np.float64).reshape(2, 3) * 0.1,
+       np.full((2, 3), 0.3), np.full((2, 3), -0.2),
+       np.arange(6, dtype=np.float64).reshape(2, 3) * -0.05]
+
+
+@pytest.mark.parametrize("backend", ["interp", "jax"])
+def test_adafactor_factored_matches_numpy(backend):
+    from exprgrad_tpu.layers import adafactor
+
+    model, wid = _model2(make_opt(adafactor), backend=backend)
+    w0 = np.asarray(model.params[wid]).copy()
+    want = _adafactor_oracle(w0, XS2)
+    got = _drive(model, wid, XS2)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    # the point of adafactor: factored second moments are O(R + C)
+    cache_shapes = sorted(
+        np.asarray(model.caches[tid]).shape for tid in model.caches
+    )
+    assert cache_shapes == [(2,), (3,)]
+
+
+def test_adafactor_unfactored_matches_numpy():
+    """Rank-1 params always take the full-shape moment path."""
+    from exprgrad_tpu.layers import adafactor
+
+    model, wid = _model(make_opt(adafactor))
+    w0 = np.asarray(model.params[wid]).copy()
+    want = _adafactor_oracle(w0, XS, factored=False)
+    got = _drive(model, wid, XS)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    (tid,) = [t for t in model.caches]
+    assert np.asarray(model.caches[tid]).shape == (4,)
+
+
+def test_adafactor_fixed_eta_and_weight_decay():
+    """eta given: constant step, no parameter-scale multiplier."""
+    from exprgrad_tpu.layers import adafactor
+
+    model, wid = _model2(make_opt(adafactor, eta=0.05, weight_decay=0.1))
+    w0 = np.asarray(model.params[wid]).copy()
+    want = _adafactor_oracle(w0, XS2, eta=0.05, wd=0.1)
+    got = _drive(model, wid, XS2)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_adafactor_checkpoint_resume(tmp_path):
+    """Factored vr/vc caches ride checkpoints like any other state."""
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.layers import adafactor
+
+    model, wid = _model2(make_opt(adafactor))
+    _drive(model, wid, XS2[:2])
+    path = str(tmp_path / "af.ckpt")
+    save_model(model, path)
+    resumed = load_model(path, backend="jax")
+    a = _drive(model, wid, XS2[2:])
+    b = _drive(resumed, wid, XS2[2:])
+    np.testing.assert_allclose(a[-1], b[-1], rtol=1e-12)

@@ -314,3 +314,50 @@ def test_fsdp_param_sharding():
         np.testing.assert_allclose(
             results[True][tid], results[False][tid], rtol=1e-6, atol=1e-7
         )
+
+
+def test_zero_sharding_with_factored_adafactor_state():
+    """Adafactor's vr/vc caches have shapes DIFFERENT from their param
+    (factored second moments): the cache-follows-param sharding rule must
+    not apply the param's model-axis layout to them.  One tp+zero step on
+    the flagship must match the replicated layout."""
+    from exprgrad_tpu import compile as eg_compile, make_opt, one_hot
+    from exprgrad_tpu.layers import adafactor
+    from exprgrad_tpu.models import flash_transformer
+
+    mesh = make_mesh(4, model=2)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 6, (4, 8)).astype(np.float32)
+    labels = one_hot(rng.integers(0, 6, 32), 6).reshape(4, 8, 6)
+
+    results = {}
+    for shard in (False, True):
+        model = eg_compile(
+            flash_transformer(vocab=6, dim=16, heads=2,
+                              opt=make_opt(adafactor, eta=0.05)),
+            seed=0,
+        )
+        if shard:
+            ex = ShardedExecutor(
+                model, "train", {"tokens": [4, 8], "labels": [4, 8, 6]},
+                mesh, batch_inputs=["tokens", "labels"], zero=True,
+            )
+            ex.run({"tokens": toks, "labels": labels}, epoch=1, seed=0)
+        else:
+            model.epoch = 1
+            model.apply("train", {"tokens": toks, "labels": labels})
+        results[shard] = {
+            tid: np.asarray(v) for tid, v in model.params.items()
+        }
+        if shard:
+            # factored state exists and kept its reduced shape
+            factored = [
+                np.asarray(v)
+                for tid, v in model.caches.items()
+                if model.program.tensors[tid].name == "adafactor.vr"
+            ]
+            assert factored, "no factored adafactor state found"
+    for tid in results[False]:
+        np.testing.assert_allclose(
+            results[True][tid], results[False][tid], rtol=2e-5, atol=1e-6
+        )
