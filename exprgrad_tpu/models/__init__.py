@@ -10,5 +10,6 @@ from .transformer import flash_transformer, tiny_transformer
 from .mixer import tiny_mixer
 from .mobile import mobile_cnn
 from .serve import FlashLMServer
+from .batcher import ContinuousBatcher
 
-__all__ = ["FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["ContinuousBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

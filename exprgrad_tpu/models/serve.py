@@ -253,12 +253,15 @@ class FlashLMServer:
         ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
         return x / jnp.sqrt(ms + self.eps) * gamma
 
-    def _step(self, x, caches, pos_offset, key_pos=None, q_pos=None):
+    def _step(self, x, caches, pos_offset, key_pos=None, q_pos=None,
+              row_starts=None):
         """One forward pass of ``t`` fresh tokens (already embedded) with
         their K/V appended to the caches.  Returns (logits, caches).
         ``key_pos``/``q_pos`` activate ragged-batch position masking
-        (see ops.decode.decode_attention)."""
-        from ..ops.decode import append, decode_attention
+        (see ops.decode.decode_attention).  ``row_starts`` [b] writes the
+        fresh K/V at PER-ROW slot offsets instead of the batch-global
+        cursor (continuous batching)."""
+        from ..ops.decode import append, append_at, decode_attention
         from ._quant import dequantize as dq
 
         jnp = self._jnp
@@ -277,7 +280,10 @@ class FlashLMServer:
                     )
                 q = self._rope_rotate(q, rot_pos)
                 k = self._rope_rotate(k, rot_pos)
-            cache = append(cache, k, v)
+            if row_starts is None:
+                cache = append(cache, k, v)
+            else:
+                cache = append_at(cache, k, v, row_starts)
             att = decode_attention(q, cache, sm_scale=self.scale,
                                    window=self.window,
                                    key_pos=key_pos, q_pos=q_pos)
@@ -705,37 +711,10 @@ class FlashLMServer:
             )
         caches = self.init_caches(batch, capacity)
 
-        if top_p is not None and not 0.0 < top_p <= 1.0:
-            raise ModelRuntimeError(
-                f"top_p must lie in (0, 1] (got {top_p})"
-            )
+        from ._sample import check_top_p, make_picker
 
-        def pick(logits, key):
-            if temperature <= 0.0:
-                return jnp.argmax(logits, axis=-1)
-            logits = logits / jnp.float32(temperature)
-            need_sort = (top_k is not None and top_k < self.vocab) or (
-                top_p is not None and top_p < 1.0
-            )
-            if need_sort:
-                sl = jnp.sort(logits, axis=-1)[:, ::-1]  # one descending
-            if top_k is not None and top_k < self.vocab:
-                logits = jnp.where(
-                    logits >= sl[:, top_k - 1][:, None], logits, -jnp.inf
-                )
-                sl = jnp.where(
-                    jnp.arange(sl.shape[-1])[None, :] < top_k, sl, -jnp.inf
-                )
-            if top_p is not None and top_p < 1.0:
-                # nucleus: keep the smallest descending-prob prefix with
-                # cumulative mass >= top_p; the cutoff is the SMALLEST
-                # kept logit (the top token always stays)
-                probs = jax.nn.softmax(sl, axis=-1)
-                keep = jnp.cumsum(probs, axis=-1) - probs < top_p
-                kth = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1,
-                              keepdims=True)
-                logits = jnp.where(logits >= kth, logits, -jnp.inf)
-            return jax.random.categorical(key, logits, axis=-1)
+        check_top_p(top_p)
+        pick = make_picker(self.vocab, temperature, top_k, top_p)
 
         def freeze(nxt, done):
             """Carry the stop token forward on finished rows."""

@@ -45,15 +45,14 @@ def init_cache(batch: int, kv_heads: int, capacity: int, head_dim: int,
                dtype=jnp.bfloat16) -> KVCache:
     shape = (batch, kv_heads, capacity, head_dim)
     quantized = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
-    scale = (
-        jnp.ones(shape[:3], jnp.float32) if quantized else None
-    )
+    # k_scale/v_scale must be DISTINCT buffers: serving paths donate the
+    # cache pytree, and aliased buffers break donation
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.int32(0),
-        k_scale=scale,
-        v_scale=scale,
+        k_scale=jnp.ones(shape[:3], jnp.float32) if quantized else None,
+        v_scale=jnp.ones(shape[:3], jnp.float32) if quantized else None,
     )
 
 
@@ -91,6 +90,39 @@ def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
         v=jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype),
                                        start),
         length=cache.length + jnp.int32(k_new.shape[2]),
+    )
+
+
+def append_at(cache: KVCache, k_new: jax.Array, v_new: jax.Array,
+              row_starts: jax.Array) -> KVCache:
+    """Write ``t`` new positions PER ROW at per-row slot offsets
+    ``row_starts`` [b] — the continuous-batching primitive: every batch
+    row owns an independent fill cursor, so sequences at different depths
+    share one cache array.  ``cache.length`` (the batch-global cursor) is
+    meaningless under per-row cursors and is left unchanged; callers
+    track per-row lengths and pass ``key_pos``/``q_pos`` to
+    :func:`decode_attention` (which ignores ``length`` on that path)."""
+    starts = row_starts.astype(jnp.int32)
+    zero = jnp.int32(0)
+
+    def put(buf, new, st):  # [hkv, cap, d] <- [hkv, t, d] at slot st
+        return jax.lax.dynamic_update_slice(buf, new, (zero, st, zero))
+
+    def put_scale(buf, new, st):  # [hkv, cap] <- [hkv, t]
+        return jax.lax.dynamic_update_slice(buf, new, (zero, st))
+
+    if cache.k_scale is not None:
+        kq, ks = _quantize(k_new)
+        vq, vs = _quantize(v_new)
+        return cache._replace(
+            k=jax.vmap(put)(cache.k, kq, starts),
+            v=jax.vmap(put)(cache.v, vq, starts),
+            k_scale=jax.vmap(put_scale)(cache.k_scale, ks, starts),
+            v_scale=jax.vmap(put_scale)(cache.v_scale, vs, starts),
+        )
+    return cache._replace(
+        k=jax.vmap(put)(cache.k, k_new.astype(cache.k.dtype), starts),
+        v=jax.vmap(put)(cache.v, v_new.astype(cache.v.dtype), starts),
     )
 
 

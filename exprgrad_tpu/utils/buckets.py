@@ -55,14 +55,19 @@ class JitCache:
         self._cache: dict = {}
         self._limit = limit
 
-    def get(self, key, build):
+    def get(self, key, build, donate_argnums=None):
         fn = self._cache.get(key)
         if fn is None:
             import jax
 
             if len(self._cache) >= self._limit:
                 self._cache.pop(next(iter(self._cache)))
-            fn = jax.jit(build())
+            if donate_argnums is None:
+                fn = jax.jit(build())
+            else:
+                # donation matters for serving caches: the KV buffers are
+                # rewritten every step and must update in place
+                fn = jax.jit(build(), donate_argnums=donate_argnums)
             self._cache[key] = fn
         return fn
 

@@ -1,0 +1,196 @@
+"""Continuous batching (models/batcher.py): iteration-level scheduling
+over FlashLMServer with per-row cache cursors.
+
+Oracle: greedy outputs must be BIT-EQUAL to serving each prompt alone
+with server.generate — through slot reuse, staggered submission,
+prompt-width buckets, int8 caches, and sliding windows.
+"""
+
+import numpy as np
+import pytest
+
+import exprgrad_tpu as eg
+from exprgrad_tpu.errors import ModelRuntimeError
+from exprgrad_tpu.models import (
+    ContinuousBatcher,
+    FlashLMServer,
+    flash_transformer,
+)
+
+
+def _trained_model(window=None, rope=False, vocab=32, seed=0):
+    model = eg.compile(
+        flash_transformer(vocab=vocab, dim=16, heads=2, max_seq=64,
+                          window=window, rope=rope),
+        backend="jax", seed=seed,
+    )
+    rng = np.random.default_rng(seed)
+    toks = rng.integers(0, vocab, (4, 16)).astype(np.float32)
+    labels = eg.one_hot(rng.integers(0, vocab, 64), vocab).reshape(
+        4, 16, vocab)
+    for _ in range(3):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return model
+
+
+def _prompts(rng, sizes, vocab=32):
+    return [rng.integers(0, vocab, n).astype(np.float32) for n in sizes]
+
+
+def _solo(server, prompts, max_new):
+    return [np.asarray(server.generate(p[None, :], n_new=mn))[0]
+            for p, mn in zip(prompts, max_new)]
+
+
+def test_greedy_equals_solo_with_slot_reuse():
+    """More requests than slots: outputs stay bit-equal to solo serving
+    while slots are reused across requests."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(1)
+    prompts = _prompts(rng, (5, 9, 3, 12, 7))
+    max_new = [6, 4, 8, 3, 5]
+    solo = _solo(srv, prompts, max_new)
+
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    assert len(done) == len(rids)
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    # batching actually batched: all five requests in far fewer decode
+    # iterations than serving them one after another would take
+    assert b.stats["decode_steps"] < sum(max_new)
+
+
+def test_staggered_submission_mid_flight():
+    """Requests submitted while others decode still match solo outputs —
+    admission into freed slots cannot perturb resident sequences."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(2)
+    prompts = _prompts(rng, (4, 11, 6))
+    max_new = [10, 5, 7]
+    solo = _solo(srv, prompts, max_new)
+
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    r0 = b.submit(prompts[0], max_new[0])
+    out = {}
+    for _ in range(3):
+        for rid, toks in b.step():
+            out[rid] = toks
+    r1 = b.submit(prompts[1], max_new[1])
+    for _ in range(2):
+        for rid, toks in b.step():
+            out[rid] = toks
+    r2 = b.submit(prompts[2], max_new[2])
+    out.update(b.run())
+    for rid, ref in zip((r0, r1, r2), solo):
+        np.testing.assert_array_equal(out[rid], ref.astype(np.int64))
+
+
+def test_stop_token_frees_slot_early():
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(3)
+    prompts = _prompts(rng, (5, 7))
+    # discover each prompt's greedy stream, pick a token from it as stop
+    ref = _solo(srv, prompts, [12, 12])
+    stop = int(ref[0][2])  # appears at index 2 of request 0's stream
+    b = ContinuousBatcher(srv, slots=2, capacity=64, stop_token=stop)
+    rids = [b.submit(p, 12) for p in prompts]
+    done = b.run()
+    got0 = done[rids[0]]
+    # truncated at (and including) the stop token
+    assert got0[-1] == stop
+    assert len(got0) <= 12
+    np.testing.assert_array_equal(
+        got0, ref[0][:len(got0)].astype(np.int64))
+    # request 1: identical stream up to ITS stop/stream end
+    got1 = done[rids[1]]
+    np.testing.assert_array_equal(
+        got1, ref[1][:len(got1)].astype(np.int64))
+
+
+def test_int8_cache_parity():
+    """Per-row int8 quantization (append_at) matches the solo int8 path
+    bit for bit under greedy decoding."""
+    import jax.numpy as jnp
+
+    srv = FlashLMServer(_trained_model(), cache_dtype=jnp.int8)
+    rng = np.random.default_rng(4)
+    prompts = _prompts(rng, (6, 10))
+    max_new = [5, 5]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_window_and_rope_parity():
+    """Sliding-window + rotary models serve identically through the
+    batcher (positions ride q_pos/key_pos, not slot indices)."""
+    srv = FlashLMServer(_trained_model(window=8, rope=True))
+    rng = np.random.default_rng(5)
+    prompts = _prompts(rng, (14, 4))
+    max_new = [6, 9]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_sampled_decoding_is_well_formed():
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(6)
+    prompts = _prompts(rng, (5, 8, 3))
+    b = ContinuousBatcher(srv, slots=2, capacity=64, temperature=0.8,
+                          top_k=8, top_p=0.9, seed=7)
+    rids = [b.submit(p, 6) for p in prompts]
+    done = b.run()
+    for rid in rids:
+        toks = done[rid]
+        assert toks.shape == (6,)
+        assert toks.min() >= 0 and toks.max() < 32
+
+
+def test_submit_validation():
+    srv = FlashLMServer(_trained_model())
+    b = ContinuousBatcher(srv, slots=2, capacity=32)
+    with pytest.raises(ModelRuntimeError, match="empty"):
+        b.submit([], 4)
+    with pytest.raises(ModelRuntimeError, match="max_new"):
+        b.submit([1.0], 0)
+    with pytest.raises(ModelRuntimeError, match="capacity"):
+        b.submit(np.zeros(20), 20)  # 20 + 20 - 1 > 32
+
+
+def test_append_at_matches_per_row_appends():
+    """ops.decode.append_at == appending to each row's own cache."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops.decode import append, append_at, init_cache
+
+    rng = np.random.default_rng(8)
+    b, hkv, cap, d, t = 3, 2, 16, 4, 2
+    for dtype in (jnp.bfloat16, jnp.int8):
+        big = init_cache(b, hkv, cap, d, dtype=dtype)
+        k_new = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((b, hkv, t, d)), jnp.float32)
+        starts = jnp.asarray([0, 5, 9], jnp.int32)
+        got = append_at(big, k_new, v_new, starts)
+        for row in range(b):
+            solo = init_cache(1, hkv, cap, d, dtype=dtype)
+            # position the row's own cursor, then append
+            solo = solo._replace(length=starts[row])
+            solo = append(solo, k_new[row:row + 1], v_new[row:row + 1])
+            np.testing.assert_array_equal(
+                np.asarray(got.k[row]), np.asarray(solo.k[0]))
+            np.testing.assert_array_equal(
+                np.asarray(got.v[row]), np.asarray(solo.v[0]))
+            if dtype == jnp.int8:
+                np.testing.assert_array_equal(
+                    np.asarray(got.k_scale[row]),
+                    np.asarray(solo.k_scale[0]))
