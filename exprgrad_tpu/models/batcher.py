@@ -82,6 +82,9 @@ class ContinuousBatcher:
         stop_token: Optional[int] = None,
         seed: int = 0,
         prompt_buckets: Optional[Sequence[int]] = None,
+        paged: bool = False,
+        page_size: int = 16,
+        pool_pages: Optional[int] = None,
     ):
         import jax
 
@@ -112,7 +115,38 @@ class ContinuousBatcher:
 
         self._pick = make_picker(server.vocab, temperature, top_k, top_p)
         self._key = jax.random.PRNGKey(seed)
-        self.caches = server.init_caches(self.slots, self.capacity)
+        self.paged = bool(paged)
+        if self.paged:
+            # vLLM-style paged KV cache: a shared page pool + per-slot
+            # page tables; ``pool_pages`` usable pages (default: the
+            # dense equivalent) + one reserved trash page (id 0) that
+            # inactive rows scribble on.  Pages allocate on demand and
+            # pool exhaustion preempts by RECOMPUTE (requeue the victim
+            # with its generated prefix — greedy output is unchanged).
+            from ..ops.paged import init_pool
+
+            self.page_size = int(page_size)
+            if self.page_size < 1:
+                raise ModelRuntimeError("page_size must be >= 1")
+            self.pages_per_slot = -(-self.capacity // self.page_size)
+            usable = (pool_pages if pool_pages is not None
+                      else self.slots * self.pages_per_slot)
+            if usable < 1:
+                raise ModelRuntimeError("pool_pages must be >= 1")
+            self.pool_pages = int(usable)
+            self.caches = [
+                init_pool(self.pool_pages + 1, server.kv_heads,
+                          self.page_size, server.head_dim,
+                          dtype=server.cache_dtype)
+                for _ in server.blocks
+            ]
+            self.free_pages = list(range(1, self.pool_pages + 1))
+            self.slot_pages: list[list[int]] = [[] for _ in range(slots)]
+            self.page_table = np.zeros(
+                (self.slots, self.pages_per_slot), np.int32)
+            self._preempts = 0
+        else:
+            self.caches = server.init_caches(self.slots, self.capacity)
         self.pos = np.zeros(self.slots, np.int32)     # cached tokens/slot
         self.last = np.zeros(self.slots, np.float32)  # next token to feed
         self.active = np.zeros(self.slots, bool)
@@ -203,6 +237,137 @@ class ContinuousBatcher:
             build, donate_argnums=(2,),
         )
 
+    def _admit_paged_fn(self, width: int, n_pages: int):
+        """Paged admission: batch-1 prefill on a scratch dense cache,
+        pick the first token, then copy the first ``n_pages`` page-sized
+        regions into the allocated pool pages (static page count —
+        jitted per (width, n_pages))."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        from ..ops.paged import write_prefill
+
+        pg = self.page_size
+        cap = -(-width // pg) * pg
+
+        def build():
+            def run(prompt, length, page_ids, pools, key):
+                mini = srv.init_caches(1, cap)
+                lens = length[None]
+                pos_ids, key_pos = srv._ragged_positions(lens, width, cap)
+                x = srv._embed_at(prompt, pos_ids)
+                logits, mini = srv._step(x, mini, 0, key_pos=key_pos,
+                                         q_pos=pos_ids)
+                first = self._pick(
+                    jnp.take_along_axis(
+                        logits, (lens[:, None, None] - 1).astype(jnp.int32),
+                        axis=1,
+                    )[:, 0],
+                    key,
+                )[0]
+                pools = [write_prefill(pool, m, page_ids)
+                         for pool, m in zip(pools, mini)]
+                return first, pools
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_admit_paged", width, n_pages, self.pool_pages,
+             self.page_size, self.temperature, self.top_k, self.top_p),
+            build, donate_argnums=(3,),
+        )
+
+    def _decode_paged_fn(self):
+        """One paged decode step for every slot: gather each row's pages
+        into a dense attention view, write fresh K/V at host-chosen
+        (page, offset) coordinates."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        from ..ops.paged import gather_view, write_token
+
+        virtual = self.pages_per_slot * self.page_size
+
+        def build():
+            def run(tok, pos, pools, page_table, wpid, woff, key):
+                slot_ids = jnp.arange(virtual, dtype=jnp.int32)
+                key_pos = jnp.where(
+                    slot_ids[None, :] <= pos[:, None], slot_ids[None, :],
+                    jnp.int32(-1),
+                )
+
+                class _PagedIO:
+                    @staticmethod
+                    def append(pool, k, v):
+                        return write_token(pool, k, v, wpid, woff)
+
+                    @staticmethod
+                    def view(pool):
+                        return gather_view(pool, page_table)
+
+                x = srv._embed_at(tok[:, None], pos[:, None])
+                logits, pools = srv._step(
+                    x, pools, 0, key_pos=key_pos, q_pos=pos[:, None],
+                    cache_io=_PagedIO,
+                )
+                nxt = self._pick(logits[:, -1], key)
+                return nxt, pools
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_decode_paged", self.slots, self.pages_per_slot,
+             self.pool_pages, self.page_size, self.temperature,
+             self.top_k, self.top_p),
+            build, donate_argnums=(2,),
+        )
+
+    # -- paged bookkeeping ---------------------------------------------
+    def _pages_for(self, n_rows: int) -> int:
+        return -(-n_rows // self.page_size)
+
+    def _free_slot_pages(self, slot) -> None:
+        self.free_pages.extend(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.page_table[slot, :] = 0
+
+    def _preempt_one(self, protect: int) -> bool:
+        """Evict the active slot (other than ``protect``) with the
+        fewest generated tokens: requeue it FRONT as a recompute
+        continuation (prompt + generated prefix), free its pages.
+        Greedy decoding makes the recompute emit the same stream."""
+        victims = [s for s in range(self.slots)
+                   if self.active[s] and s != protect]
+        if not victims:
+            return False
+        victim = min(victims, key=lambda s: len(self._req[s].out))
+        req = self._req[victim]
+        req.tokens = np.concatenate(
+            [req.tokens, np.asarray(req.out, np.float32)])
+        self.queue.appendleft(req)
+        self.active[victim] = False
+        self._req[victim] = None
+        self._free_slot_pages(victim)
+        self._preempts += 1
+        return True
+
+    def _ensure_page(self, slot) -> bool:
+        """Allocate pages until ``slot`` owns the page its next write
+        lands in; preempt others if the pool is dry."""
+        page_idx = int(self.pos[slot]) // self.page_size
+        while len(self.slot_pages[slot]) <= page_idx:
+            while not self.free_pages:
+                if not self._preempt_one(protect=slot):
+                    raise ModelRuntimeError(
+                        "page pool exhausted with a single resident "
+                        "request; this cannot happen when submit()'s "
+                        "feasibility check passed"
+                    )
+            pid = self.free_pages.pop()
+            self.slot_pages[slot].append(pid)
+            self.page_table[slot, len(self.slot_pages[slot]) - 1] = pid
+        return True
+
     # -- public API ----------------------------------------------------
     def submit(self, prompt, max_new: int, rid=None):
         """Queue a request; returns its id.  Admission happens inside
@@ -223,6 +388,12 @@ class ContinuousBatcher:
                 f"prompt_len + max_new - 1 = {need} exceeds the model's "
                 f"max_seq {self.server.max_seq} position embeddings"
             )
+        if self.paged and self._pages_for(need) > self.pool_pages:
+            raise ModelRuntimeError(
+                f"request needs {self._pages_for(need)} pages but the "
+                f"pool holds {self.pool_pages}; even preempting every "
+                "other request could not fit it"
+            )
         if rid is None:
             rid = self._next_rid
         self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
@@ -240,6 +411,8 @@ class ContinuousBatcher:
         req = self._req[slot]
         self.active[slot] = False
         self._req[slot] = None
+        if self.paged:
+            self._free_slot_pages(slot)
         return (req.rid, np.asarray(req.out, np.int64))
 
     def _emit(self, slot, token: int) -> bool:
@@ -263,17 +436,37 @@ class ContinuousBatcher:
                 break
             if self.active[slot]:
                 continue
-            req = self.queue.popleft()
+            req = self.queue[0]
             width = self._bucket(req.tokens.size)
+            if self.paged:
+                n_pages = self._pages_for(req.tokens.size)
+                if len(self.free_pages) < n_pages:
+                    break  # pool full: wait for frees (no admission thrash)
+                self.queue.popleft()
+                pages = [self.free_pages.pop() for _ in range(n_pages)]
+                self.slot_pages[slot] = pages
+                self.page_table[slot, :] = 0
+                self.page_table[slot, :n_pages] = pages
+            else:
+                self.queue.popleft()
             prompt = np.zeros((1, width), np.float32)
             prompt[0, :req.tokens.size] = req.tokens
-            first, self.caches = self._admit_fn(width)(
-                prompt,
-                np.int32(req.tokens.size),
-                np.int32(slot),
-                self.caches,
-                self._split(),
-            )
+            if self.paged:
+                first, self.caches = self._admit_paged_fn(width, n_pages)(
+                    prompt,
+                    np.int32(req.tokens.size),
+                    np.asarray(pages, np.int32),
+                    self.caches,
+                    self._split(),
+                )
+            else:
+                first, self.caches = self._admit_fn(width)(
+                    prompt,
+                    np.int32(req.tokens.size),
+                    np.int32(slot),
+                    self.caches,
+                    self._split(),
+                )
             self._req[slot] = req
             self.active[slot] = True
             self.pos[slot] = req.tokens.size
@@ -284,9 +477,27 @@ class ContinuousBatcher:
         # 2) one decode step for the whole slot batch
         if self.active.any():
             self._steps += 1
-            nxt, self.caches = self._decode_fn()(
-                self.last.copy(), self.pos.copy(), self.caches, self._split()
-            )
+            if self.paged:
+                for slot in range(self.slots):
+                    if self.active[slot]:
+                        self._ensure_page(slot)
+                wpid = np.zeros(self.slots, np.int32)  # 0 = trash page
+                woff = np.zeros(self.slots, np.int32)
+                for slot in range(self.slots):
+                    if self.active[slot]:
+                        p = int(self.pos[slot])
+                        wpid[slot] = self.slot_pages[slot][
+                            p // self.page_size]
+                        woff[slot] = p % self.page_size
+                nxt, self.caches = self._decode_paged_fn()(
+                    self.last.copy(), self.pos.copy(), self.caches,
+                    self.page_table.copy(), wpid, woff, self._split()
+                )
+            else:
+                nxt, self.caches = self._decode_fn()(
+                    self.last.copy(), self.pos.copy(), self.caches,
+                    self._split()
+                )
             nxt = np.asarray(nxt)
             for slot in range(self.slots):
                 if not self.active[slot]:
@@ -310,8 +521,13 @@ class ContinuousBatcher:
     @property
     def stats(self) -> dict:
         """Scheduler counters: decode iterations run and occupancy now."""
-        return {
+        out = {
             "decode_steps": self._steps,
             "active": int(self.active.sum()),
             "queued": len(self.queue),
         }
+        if self.paged:
+            out["free_pages"] = len(self.free_pages)
+            out["pool_pages"] = self.pool_pages
+            out["preemptions"] = self._preempts
+        return out

@@ -254,13 +254,16 @@ class FlashLMServer:
         return x / jnp.sqrt(ms + self.eps) * gamma
 
     def _step(self, x, caches, pos_offset, key_pos=None, q_pos=None,
-              row_starts=None):
+              row_starts=None, cache_io=None):
         """One forward pass of ``t`` fresh tokens (already embedded) with
         their K/V appended to the caches.  Returns (logits, caches).
         ``key_pos``/``q_pos`` activate ragged-batch position masking
         (see ops.decode.decode_attention).  ``row_starts`` [b] writes the
         fresh K/V at PER-ROW slot offsets instead of the batch-global
-        cursor (continuous batching)."""
+        cursor (continuous batching).  ``cache_io`` overrides cache
+        storage entirely: an object with ``append(cache, k, v) -> cache``
+        and ``view(cache) -> KVCache`` (paged attention gathers a dense
+        view per block; dense caches are their own view)."""
         from ..ops.decode import append, append_at, decode_attention
         from ._quant import dequantize as dq
 
@@ -280,11 +283,14 @@ class FlashLMServer:
                     )
                 q = self._rope_rotate(q, rot_pos)
                 k = self._rope_rotate(k, rot_pos)
-            if row_starts is None:
-                cache = append(cache, k, v)
+            if cache_io is not None:
+                cache = cache_io.append(cache, k, v)
+                view = cache_io.view(cache)
+            elif row_starts is None:
+                cache = view = append(cache, k, v)
             else:
-                cache = append_at(cache, k, v, row_starts)
-            att = decode_attention(q, cache, sm_scale=self.scale,
+                cache = view = append_at(cache, k, v, row_starts)
+            att = decode_attention(q, view, sm_scale=self.scale,
                                    window=self.window,
                                    key_pos=key_pos, q_pos=q_pos)
             x = x + jnp.einsum("nhtd,hde->nte", att, dq(blk.wo))

@@ -194,3 +194,68 @@ def test_append_at_matches_per_row_appends():
                 np.testing.assert_array_equal(
                     np.asarray(got.k_scale[row]),
                     np.asarray(solo.k_scale[0]))
+
+
+# --- paged KV cache -------------------------------------------------------
+
+def test_paged_matches_solo_and_recycles_pages():
+    """Paged attention (shared page pool + page tables): greedy outputs
+    bit-equal to solo serving; every page returns to the free list."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(9)
+    prompts = _prompts(rng, (5, 9, 3, 13))
+    max_new = [6, 4, 8, 5]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_paged_preemption_recompute_is_exact():
+    """A pool too small for both residents forces recompute preemption;
+    the victim's regenerated stream is identical (greedy determinism)."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(10)
+    prompts = _prompts(rng, (9, 8))
+    max_new = [8, 8]
+    solo = _solo(srv, prompts, max_new)
+    # each request needs ceil((9+8-1)/4) = 4 pages; pool of 5 cannot
+    # hold both fully -> preemption must fire
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=5)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    assert b.stats["preemptions"] > 0
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_paged_int8_window_rope():
+    """Paged pools compose with int8 quantization and window+rope
+    models (scales ride the pages; positions ride q_pos/key_pos)."""
+    import jax.numpy as jnp
+
+    srv = FlashLMServer(_trained_model(window=8, rope=True),
+                        cache_dtype=jnp.int8)
+    rng = np.random.default_rng(11)
+    prompts = _prompts(rng, (11, 6))
+    max_new = [5, 7]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=8)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_paged_submit_rejects_oversized_request():
+    srv = FlashLMServer(_trained_model())
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=3)
+    with pytest.raises(ModelRuntimeError, match="pool"):
+        b.submit(np.zeros(10), 10)  # needs ceil(19/4)=5 > 3 pages
