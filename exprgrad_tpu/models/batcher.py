@@ -145,6 +145,11 @@ class ContinuousBatcher:
             self.page_table = np.zeros(
                 (self.slots, self.pages_per_slot), np.int32)
             self._preempts = 0
+            # prefix cache: registered (tokens, pinned pages) entries
+            # whose K/V pages are SHARED read-only by matching prompts
+            self._prefixes: list[tuple[np.ndarray, list[int]]] = []
+            self._slot_pinned = np.zeros(self.slots, np.int64)
+            self._prefix_hits = 0
         else:
             self.caches = server.init_caches(self.slots, self.capacity)
         self.pos = np.zeros(self.slots, np.int32)     # cached tokens/slot
@@ -322,14 +327,115 @@ class ContinuousBatcher:
             build, donate_argnums=(2,),
         )
 
+    def _register_prefix_fn(self, length: int, n_pages: int):
+        """Prefill ``length`` tokens (batch-1, full width) and pin their
+        K/V into ``n_pages`` pool pages."""
+        srv = self.server
+
+        from ..ops.paged import write_prefill
+
+        def build():
+            def run(prompt, page_ids, pools):
+                mini = srv.init_caches(1, n_pages * self.page_size)
+                _, mini = srv.prefill(prompt, mini)
+                return [write_prefill(pool, m, page_ids)
+                        for pool, m in zip(pools, mini)]
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_prefix_reg", length, n_pages, self.pool_pages,
+             self.page_size),
+            build, donate_argnums=(2,),
+        )
+
+    def _admit_prefix_fn(self, prefix_len: int, width_s: int, n_own: int):
+        """Prefix-cached admission: gather the pinned prefix pages as the
+        front of a scratch dense cache, prefill only the SUFFIX against
+        it, pick the first token, and copy the suffix's pages out."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        from ..ops.decode import KVCache
+        from ..ops.paged import gather_rows, write_prefill
+
+        pg = self.page_size
+        cap_s = -(-width_s // pg) * pg
+        p_pre = prefix_len // pg
+
+        def build():
+            def run(suffix, s_len, pre_pages, own_pages, pools, key):
+                minis = []
+                for pool in pools:
+                    kp, vp, kps, vps = gather_rows(pool, pre_pages)
+                    pad = jnp.zeros(
+                        (1, kp.shape[1], cap_s, kp.shape[3]), pool.k.dtype)
+                    minis.append(KVCache(
+                        k=jnp.concatenate([kp, pad], axis=2),
+                        v=jnp.concatenate([vp, pad], axis=2),
+                        length=jnp.int32(prefix_len),
+                        k_scale=None if kps is None else jnp.concatenate(
+                            [kps, jnp.ones((1, kp.shape[1], cap_s),
+                                           jnp.float32)], axis=2),
+                        v_scale=None if vps is None else jnp.concatenate(
+                            [vps, jnp.ones((1, kp.shape[1], cap_s),
+                                           jnp.float32)], axis=2),
+                    ))
+                total = prefix_len + s_len
+                pos_ids = (prefix_len + jnp.minimum(
+                    jnp.arange(width_s, dtype=jnp.int32), s_len - 1
+                ))[None]
+                slot = jnp.arange(prefix_len + cap_s, dtype=jnp.int32)
+                key_pos = jnp.where(slot < total, slot, jnp.int32(-1))[None]
+                x = srv._embed_at(suffix, pos_ids)
+                logits, minis = srv._step(x, minis, 0, key_pos=key_pos,
+                                          q_pos=pos_ids)
+                first = self._pick(
+                    jnp.take_along_axis(
+                        logits, (s_len[None, None, None] - 1).astype(
+                            jnp.int32), axis=1,
+                    )[:, 0],
+                    key,
+                )[0]
+                pools = [
+                    write_prefill(pool, m, own_pages, src_offset=prefix_len)
+                    for pool, m in zip(pools, minis)
+                ]
+                return first, pools
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_admit_prefix", prefix_len, width_s, n_own,
+             self.pool_pages, self.page_size, self.temperature,
+             self.top_k, self.top_p),
+            build, donate_argnums=(4,),
+        )
+
     # -- paged bookkeeping ---------------------------------------------
     def _pages_for(self, n_rows: int) -> int:
         return -(-n_rows // self.page_size)
 
     def _free_slot_pages(self, slot) -> None:
-        self.free_pages.extend(self.slot_pages[slot])
+        pinned = int(self._slot_pinned[slot])
+        self.free_pages.extend(self.slot_pages[slot][pinned:])
         self.slot_pages[slot] = []
+        self._slot_pinned[slot] = 0
         self.page_table[slot, :] = 0
+
+    def _match_prefix(self, tokens: np.ndarray):
+        """Longest registered prefix usable for this prompt (>= 1 token
+        must remain as suffix): (aligned length, pinned page ids)."""
+        pg = self.page_size
+        best_len, best_pages = 0, None
+        limit = (tokens.size - 1) // pg * pg
+        for arr, pages in self._prefixes:
+            use = min(arr.size, limit)
+            if use <= best_len or use < pg:
+                continue
+            if np.array_equal(tokens[:use], arr[:use]):
+                best_len, best_pages = use, pages[:use // pg]
+        return best_len, best_pages
 
     def _preempt_one(self, protect: int) -> bool:
         """Evict the active slot (other than ``protect``) with the
@@ -369,6 +475,64 @@ class ContinuousBatcher:
         return True
 
     # -- public API ----------------------------------------------------
+    def register_prefix(self, tokens) -> int:
+        """Pin a shared prompt prefix (system prompt) into pool pages:
+        every later ``submit`` whose prompt starts with it reuses the
+        pinned K/V pages read-only — no recomputation, no per-request
+        copies.  Only whole pages are shared; returns the page-aligned
+        length actually cached.  Paged mode only."""
+        if not self.paged:
+            raise ModelRuntimeError(
+                "prefix caching requires ContinuousBatcher(paged=True)")
+        tokens = np.asarray(tokens, np.float32).reshape(-1)
+        aligned = tokens.size // self.page_size * self.page_size
+        if aligned < self.page_size:
+            raise ModelRuntimeError(
+                f"prefix must span at least one page "
+                f"({self.page_size} tokens; got {tokens.size})"
+            )
+        if self.server.pos is not None and aligned > self.server.max_seq:
+            raise ModelRuntimeError(
+                f"prefix length {aligned} exceeds max_seq "
+                f"{self.server.max_seq}"
+            )
+        tokens = tokens[:aligned]
+        for arr, pages in self._prefixes:
+            if arr.size == aligned and np.array_equal(arr, tokens):
+                return aligned  # already registered
+        n = aligned // self.page_size
+        if len(self.free_pages) < n:
+            raise ModelRuntimeError(
+                f"prefix needs {n} pages but only {len(self.free_pages)} "
+                "are free"
+            )
+        pages = [self.free_pages.pop() for _ in range(n)]
+        self.caches = self._register_prefix_fn(aligned, n)(
+            tokens[None, :], np.asarray(pages, np.int32), self.caches
+        )
+        self._prefixes.append((tokens, pages))
+        return aligned
+
+    def release_prefix(self, tokens) -> None:
+        """Unpin a registered prefix and return its pages to the pool.
+        Raises while any resident request still shares the pages."""
+        tokens = np.asarray(tokens, np.float32).reshape(-1)
+        aligned = tokens.size // self.page_size * self.page_size
+        for i, (arr, pages) in enumerate(self._prefixes):
+            if arr.size != aligned or not np.array_equal(
+                    arr, tokens[:aligned]):
+                continue
+            held = set(pages)
+            for slot in range(self.slots):
+                if self.active[slot] and held & set(
+                        self.slot_pages[slot][:int(self._slot_pinned[slot])]):
+                    raise ModelRuntimeError(
+                        "prefix is in use by a resident request")
+            self.free_pages.extend(pages)
+            del self._prefixes[i]
+            return
+        raise ModelRuntimeError("prefix is not registered")
+
     def submit(self, prompt, max_new: int, rid=None):
         """Queue a request; returns its id.  Admission happens inside
         ``step()`` when a slot frees up."""
@@ -437,36 +601,58 @@ class ContinuousBatcher:
             if self.active[slot]:
                 continue
             req = self.queue[0]
-            width = self._bucket(req.tokens.size)
             if self.paged:
-                n_pages = self._pages_for(req.tokens.size)
-                if len(self.free_pages) < n_pages:
+                pre_len, pre_pages = self._match_prefix(req.tokens)
+                n_own = self._pages_for(req.tokens.size - pre_len)
+                if len(self.free_pages) < n_own:
                     break  # pool full: wait for frees (no admission thrash)
                 self.queue.popleft()
-                pages = [self.free_pages.pop() for _ in range(n_pages)]
+                own = [self.free_pages.pop() for _ in range(n_own)]
+                pages = list(pre_pages or []) + own
                 self.slot_pages[slot] = pages
+                self._slot_pinned[slot] = len(pages) - n_own
                 self.page_table[slot, :] = 0
-                self.page_table[slot, :n_pages] = pages
+                self.page_table[slot, :len(pages)] = pages
             else:
                 self.queue.popleft()
-            prompt = np.zeros((1, width), np.float32)
-            prompt[0, :req.tokens.size] = req.tokens
-            if self.paged:
-                first, self.caches = self._admit_paged_fn(width, n_pages)(
-                    prompt,
-                    np.int32(req.tokens.size),
-                    np.asarray(pages, np.int32),
+            if self.paged and pre_len:
+                self._prefix_hits += 1
+                s = req.tokens.size - pre_len
+                width_s = self._bucket(s)
+                suffix = np.zeros((1, width_s), np.float32)
+                suffix[0, :s] = req.tokens[pre_len:]
+                first, self.caches = self._admit_prefix_fn(
+                    pre_len, width_s, n_own,
+                )(
+                    suffix,
+                    np.int32(s),
+                    np.asarray(pages[:len(pages) - n_own], np.int32),
+                    np.asarray(own, np.int32),
                     self.caches,
                     self._split(),
                 )
             else:
-                first, self.caches = self._admit_fn(width)(
-                    prompt,
-                    np.int32(req.tokens.size),
-                    np.int32(slot),
-                    self.caches,
-                    self._split(),
-                )
+                width = self._bucket(req.tokens.size)
+                prompt = np.zeros((1, width), np.float32)
+                prompt[0, :req.tokens.size] = req.tokens
+                if self.paged:
+                    first, self.caches = self._admit_paged_fn(
+                        width, n_own,
+                    )(
+                        prompt,
+                        np.int32(req.tokens.size),
+                        np.asarray(own, np.int32),
+                        self.caches,
+                        self._split(),
+                    )
+                else:
+                    first, self.caches = self._admit_fn(width)(
+                        prompt,
+                        np.int32(req.tokens.size),
+                        np.int32(slot),
+                        self.caches,
+                        self._split(),
+                    )
             self._req[slot] = req
             self.active[slot] = True
             self.pos[slot] = req.tokens.size
@@ -530,4 +716,6 @@ class ContinuousBatcher:
             out["free_pages"] = len(self.free_pages)
             out["pool_pages"] = self.pool_pages
             out["preemptions"] = self._preempts
+            out["prefixes"] = len(self._prefixes)
+            out["prefix_hits"] = self._prefix_hits
         return out

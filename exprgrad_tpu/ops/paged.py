@@ -92,14 +92,15 @@ def write_token(pool: PagedKVPool, k_new: jax.Array, v_new: jax.Array,
     )
 
 
-def write_prefill(pool: PagedKVPool, cache: KVCache,
-                  page_ids: jax.Array) -> PagedKVPool:
-    """Copy a batch-1 dense prefill cache (capacity = P*page rows) into
-    ``P = len(page_ids)`` pool pages.  P is static (bucketed prompt
-    widths); each copy is one dynamic_update_slice at a traced page id.
-    Dense-cache quantization (``ops.decode.append``) and pool
-    quantization agree bit for bit, so a paged prefill equals a dense
-    prefill exactly."""
+def write_prefill(pool: PagedKVPool, cache: KVCache, page_ids: jax.Array,
+                  src_offset: int = 0) -> PagedKVPool:
+    """Copy a batch-1 dense prefill cache into ``P = len(page_ids)``
+    pool pages, starting at dense row ``src_offset`` (page-aligned;
+    prefix-cached admissions copy only the suffix region).  P is static
+    (bucketed prompt widths); each copy is one dynamic_update_slice at a
+    traced page id.  Dense-cache quantization (``ops.decode.append``)
+    and pool quantization agree bit for bit, so a paged prefill equals a
+    dense prefill exactly."""
     pg = pool.page_size
     zero = jnp.int32(0)
     k, v = pool.k, pool.v
@@ -107,7 +108,7 @@ def write_prefill(pool: PagedKVPool, cache: KVCache,
     n = int(page_ids.shape[0])
     for p in range(n):
         pid = page_ids[p].astype(jnp.int32)
-        sl = slice(p * pg, (p + 1) * pg)
+        sl = slice(src_offset + p * pg, src_offset + (p + 1) * pg)
         k = jax.lax.dynamic_update_slice(
             k, cache.k[0, :, sl][None].astype(k.dtype),
             (pid, zero, zero, zero),
@@ -122,6 +123,28 @@ def write_prefill(pool: PagedKVPool, cache: KVCache,
             vs = jax.lax.dynamic_update_slice(
                 vs, cache.v_scale[0, :, sl][None], (pid, zero, zero))
     return pool._replace(k=k, v=v, k_scale=ks, v_scale=vs)
+
+
+def gather_rows(pool: PagedKVPool, page_ids: jax.Array):
+    """Dense batch-1 rows of the given pages: ``(k, v, k_scale,
+    v_scale)`` with k/v ``[1, hkv, P*page, d]`` — the prefix half of a
+    prefix-cached admission's scratch cache."""
+    pt = page_ids.astype(jnp.int32)
+    P = pt.shape[0]
+    hkv, pg, d = pool.k.shape[1], pool.k.shape[2], pool.k.shape[3]
+
+    def dense(buf):
+        return buf[pt].transpose(1, 0, 2, 3).reshape(1, hkv, P * pg, d)
+
+    def dense_scale(buf):
+        return buf[pt].transpose(1, 0, 2).reshape(1, hkv, P * pg)
+
+    return (
+        dense(pool.k),
+        dense(pool.v),
+        None if pool.k_scale is None else dense_scale(pool.k_scale),
+        None if pool.v_scale is None else dense_scale(pool.v_scale),
+    )
 
 
 def gather_view(pool: PagedKVPool, page_table: jax.Array) -> KVCache:

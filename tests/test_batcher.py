@@ -259,3 +259,97 @@ def test_paged_submit_rejects_oversized_request():
                           page_size=4, pool_pages=3)
     with pytest.raises(ModelRuntimeError, match="pool"):
         b.submit(np.zeros(10), 10)  # needs ceil(19/4)=5 > 3 pages
+
+
+# --- prefix caching -------------------------------------------------------
+
+def test_prefix_caching_matches_solo():
+    """Registered prefixes: matching prompts reuse pinned K/V pages and
+    still emit solo-identical greedy streams; non-matching prompts are
+    untouched; release returns the pinned pages."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(12)
+    system = rng.integers(0, 32, 19).astype(np.float32)
+    withpre = [np.concatenate([system, p])
+               for p in _prompts(rng, (5, 9))]
+    plain = _prompts(rng, (6,))
+    prompts = withpre + plain
+    max_new = [6, 4, 7]
+    solo = _solo(srv, prompts, max_new)
+
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=8)
+    cached = b.register_prefix(system)
+    assert cached == 16  # page-aligned down from 19
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["prefix_hits"] == 2
+    assert b.stats["free_pages"] == b.stats["pool_pages"] - cached // 8
+    b.release_prefix(system)
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_prefix_with_preemption_recompute():
+    """A preempted prefix-sharing request re-matches the prefix on
+    readmission and still reproduces the solo stream."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(13)
+    system = rng.integers(0, 32, 16).astype(np.float32)
+    prompts = [np.concatenate([system, p])
+               for p in _prompts(rng, (6, 5))]
+    max_new = [8, 8]
+    solo = _solo(srv, prompts, max_new)
+    # own-page demand: ceil((22+8-1-16)/4) = 4 pages each; prefix 4
+    # pages; pool 4 + 6 makes the second resident preempt the first
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=10)
+    b.register_prefix(system)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["prefix_hits"] >= 2  # re-matched after any preempt
+
+
+def test_prefix_int8_pool():
+    import jax.numpy as jnp
+
+    srv = FlashLMServer(_trained_model(), cache_dtype=jnp.int8)
+    rng = np.random.default_rng(14)
+    system = rng.integers(0, 32, 16).astype(np.float32)
+    prompts = [np.concatenate([system, p]) for p in _prompts(rng, (4, 7))]
+    max_new = [5, 5]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=8)
+    b.register_prefix(system)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["prefix_hits"] == 2
+
+
+def test_prefix_validation():
+    srv = FlashLMServer(_trained_model())
+    dense = ContinuousBatcher(srv, slots=2, capacity=64)
+    with pytest.raises(ModelRuntimeError, match="paged"):
+        dense.register_prefix(np.zeros(16))
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=8)
+    with pytest.raises(ModelRuntimeError, match="page"):
+        b.register_prefix(np.zeros(5))   # shorter than one page
+    with pytest.raises(ModelRuntimeError, match="not registered"):
+        b.release_prefix(np.zeros(16))
+    # releasing while a matching request is resident fails
+    rng = np.random.default_rng(15)
+    system = rng.integers(0, 32, 8).astype(np.float32)
+    b.register_prefix(system)
+    b.submit(np.concatenate([system, np.asarray([1.0, 2.0])]), 12)
+    b.step()  # admit (request stays resident, budget not exhausted)
+    with pytest.raises(ModelRuntimeError, match="in use"):
+        b.release_prefix(system)
+    b.run()
+    b.release_prefix(system)  # fine once drained
