@@ -89,6 +89,26 @@ def main() -> None:
     w8_out = np.asarray(w8.generate(prompt, n_new=10))
     print("w8a16 agrees:", bool(np.array_equal(w8_out, greedy)))
 
+    # continuous batching + paged KV cache + prefix caching: the
+    # production scheduler — requests of any length admit into slots of
+    # a shared page pool the moment one frees; a pinned system prompt
+    # is prefilled once and shared read-only by every matching request
+    from exprgrad_tpu.models import ContinuousBatcher
+
+    system = np.asarray([7, 6, 5, 4, 3, 2, 1, 0], np.float32)
+    cb = ContinuousBatcher(server, slots=2, capacity=64, paged=True,
+                           page_size=8, pool_pages=12)
+    cb.register_prefix(system)
+    reqs = {
+        cb.submit(np.concatenate([system, [1, 2, 3]]), max_new=8): "chat0",
+        cb.submit(np.concatenate([system, [5, 6]]), max_new=6): "chat1",
+        cb.submit([2, 4, 6], max_new=10): "plain",
+    }
+    results = cb.run()
+    for rid, name in reqs.items():
+        print(f"batched {name} :", results[rid].tolist())
+    print("scheduler   :", cb.stats)
+
     # multi-device: tensor-parallel weights + dp batches when the host
     # exposes a mesh (8 virtual devices under tests/conftest.py)
     import jax

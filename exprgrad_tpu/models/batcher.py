@@ -85,10 +85,15 @@ class ContinuousBatcher:
         paged: bool = False,
         page_size: int = 16,
         pool_pages: Optional[int] = None,
+        decode_chunk: int = 1,
     ):
         import jax
 
         check_top_p(top_p)
+        if decode_chunk < 1:
+            raise ModelRuntimeError(
+                f"decode_chunk must be >= 1 (got {decode_chunk})")
+        self.decode_chunk = int(decode_chunk)
         self._jax = jax
         self.server = server
         self.slots = int(slots)
@@ -159,6 +164,7 @@ class ContinuousBatcher:
         self.queue: deque[_Request] = deque()
         self._next_rid = 0
         self._steps = 0
+        self._dispatches = 0
 
     # -- jitted pieces -------------------------------------------------
     def _split(self):
@@ -327,6 +333,83 @@ class ContinuousBatcher:
             build, donate_argnums=(2,),
         )
 
+    def _decode_chunk_fn(self, chunk: int):
+        """``chunk`` decode steps in ONE dispatch (a lax.scan): the
+        multi-step scheduling move — host round-trip and dispatch
+        overhead amortize over the chunk, which is what makes a
+        host-driven scheduler viable on a TPU (or through a high-RTT
+        tunnel).  Rows advance only while below their per-row
+        ``stop_at`` budget; spent rows park (paged: write to the trash
+        page; dense: overwrite their own stale row, position-masked
+        either way)."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        pg = getattr(self, "page_size", 0) if self.paged else 0
+        if self.paged:
+            from ..ops.paged import gather_view, write_token
+
+            virtual = self.pages_per_slot * self.page_size
+        else:
+            virtual = self.capacity
+
+        def build():
+            def run(tok, pos, stop_at, caches, page_table, key):
+                slot_ids = jnp.arange(virtual, dtype=jnp.int32)
+
+                def body(carry, sub):
+                    tok, pos, caches = carry
+                    alive = pos < stop_at
+                    key_pos = jnp.where(
+                        slot_ids[None, :] <= pos[:, None],
+                        slot_ids[None, :], jnp.int32(-1),
+                    )
+                    x = srv._embed_at(tok[:, None], pos[:, None])
+                    if self.paged:
+                        wpid = jnp.take_along_axis(
+                            page_table, (pos // pg)[:, None].astype(
+                                jnp.int32), axis=1)[:, 0]
+                        wpid = jnp.where(alive, wpid, jnp.int32(0))
+                        woff = (pos % pg).astype(jnp.int32)
+
+                        class _IO:
+                            @staticmethod
+                            def append(pool, k, v):
+                                return write_token(pool, k, v, wpid, woff)
+
+                            @staticmethod
+                            def view(pool):
+                                return gather_view(pool, page_table)
+
+                        logits, caches = srv._step(
+                            x, caches, 0, key_pos=key_pos,
+                            q_pos=pos[:, None], cache_io=_IO,
+                        )
+                    else:
+                        logits, caches = srv._step(
+                            x, caches, 0, key_pos=key_pos,
+                            q_pos=pos[:, None], row_starts=pos,
+                        )
+                    nxt = self._pick(logits[:, -1], sub).astype(tok.dtype)
+                    tok = jnp.where(alive, nxt, tok)
+                    pos = pos + alive.astype(pos.dtype)
+                    return (tok, pos, caches), nxt
+
+                keys = jax.random.split(key, chunk)
+                (tok, pos, caches), toks = jax.lax.scan(
+                    body, (tok, pos, caches), keys)
+                return toks, caches  # toks [chunk, slots]
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_chunk", chunk, self.paged, self.slots,
+             self.pages_per_slot if self.paged else self.capacity,
+             self.pool_pages if self.paged else 0,
+             pg, self.temperature, self.top_k, self.top_p),
+            build, donate_argnums=(3,),
+        )
+
     def _register_prefix_fn(self, length: int, n_pages: int):
         """Prefill ``length`` tokens (batch-1, full width) and pin their
         K/V into ``n_pages`` pool pages."""
@@ -460,7 +543,10 @@ class ContinuousBatcher:
     def _ensure_page(self, slot) -> bool:
         """Allocate pages until ``slot`` owns the page its next write
         lands in; preempt others if the pool is dry."""
-        page_idx = int(self.pos[slot]) // self.page_size
+        return self._ensure_pages_upto(slot, int(self.pos[slot]))
+
+    def _ensure_pages_upto(self, slot, upto: int) -> bool:
+        page_idx = upto // self.page_size
         while len(self.slot_pages[slot]) <= page_idx:
             while not self.free_pages:
                 if not self._preempt_one(protect=slot):
@@ -660,9 +746,49 @@ class ContinuousBatcher:
             if self._emit(slot, int(first)):
                 finished.append(self._finish(slot))
 
-        # 2) one decode step for the whole slot batch
+        # 2) decode for the whole slot batch
+        if self.active.any() and self.decode_chunk > 1:
+            chunk = self.decode_chunk
+            # per-row budget fences; pages for every step of the chunk
+            if self.paged:
+                for slot in range(self.slots):
+                    if self.active[slot]:
+                        rem = (self._req[slot].max_new
+                               - len(self._req[slot].out))
+                        upto = int(self.pos[slot]) + min(chunk, rem) - 1
+                        self._ensure_pages_upto(slot, upto)
+            stop_at = self.pos.copy()
+            for slot in range(self.slots):
+                if self.active[slot]:  # preemption above may have parked
+                    rem = (self._req[slot].max_new
+                           - len(self._req[slot].out))
+                    stop_at[slot] = self.pos[slot] + rem
+            pt = (self.page_table.copy() if self.paged
+                  else np.zeros((self.slots, 1), np.int32))
+            self._steps += chunk
+            self._dispatches += 1
+            toks, self.caches = self._decode_chunk_fn(chunk)(
+                self.last.copy(), self.pos.copy(), stop_at,
+                self.caches, pt, self._split()
+            )
+            toks = np.asarray(toks)
+            for slot in range(self.slots):
+                if not self.active[slot]:
+                    continue
+                taken = min(chunk, int(stop_at[slot]) - int(self.pos[slot]))
+                for i in range(taken):
+                    tok = int(toks[i, slot])
+                    self.pos[slot] += 1
+                    self.last[slot] = float(tok)
+                    if self._emit(slot, tok):
+                        finished.append(self._finish(slot))
+                        break
+            return finished
+
+        # single-step decode
         if self.active.any():
             self._steps += 1
+            self._dispatches += 1
             if self.paged:
                 for slot in range(self.slots):
                     if self.active[slot]:
@@ -709,6 +835,7 @@ class ContinuousBatcher:
         """Scheduler counters: decode iterations run and occupancy now."""
         out = {
             "decode_steps": self._steps,
+            "dispatches": self._dispatches,
             "active": int(self.active.sum()),
             "queued": len(self.queue),
         }

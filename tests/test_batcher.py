@@ -353,3 +353,61 @@ def test_prefix_validation():
         b.release_prefix(system)
     b.run()
     b.release_prefix(system)  # fine once drained
+
+
+# --- multi-step scheduling (decode_chunk) --------------------------------
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_chunked_decode_matches_solo(paged):
+    """decode_chunk scans N steps per dispatch (multi-step scheduling):
+    same greedy streams, ~N-fold fewer dispatches."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(16)
+    prompts = _prompts(rng, (5, 9, 3, 12))
+    max_new = [6, 4, 8, 5]
+    solo = _solo(srv, prompts, max_new)
+    kw = dict(paged=True, page_size=4) if paged else {}
+    b = ContinuousBatcher(srv, slots=2, capacity=64, decode_chunk=4, **kw)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["dispatches"] * 4 == b.stats["decode_steps"]
+    if paged:
+        assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_chunked_with_prefix_and_tight_pool():
+    """Chunked decode composes with prefix caching and preemption."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(17)
+    system = rng.integers(0, 32, 16).astype(np.float32)
+    prompts = [np.concatenate([system, p]) for p in _prompts(rng, (6, 5))]
+    max_new = [8, 8]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=10, decode_chunk=3)
+    b.register_prefix(system)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_chunked_stop_token():
+    """Stop tokens fire mid-chunk: surplus chunk tokens are discarded
+    and the slot frees for the queue."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(18)
+    prompts = _prompts(rng, (5, 7, 4))
+    ref = _solo(srv, prompts, [12, 12, 12])
+    stop = int(ref[0][2])
+    b = ContinuousBatcher(srv, slots=2, capacity=64, stop_token=stop,
+                          decode_chunk=5)
+    rids = [b.submit(p, 12) for p in prompts]
+    done = b.run()
+    for rid, r in zip(rids, ref):
+        got = done[rid]
+        if stop in r[:len(got)].astype(np.int64):
+            assert got[-1] == stop
+        np.testing.assert_array_equal(got, r[:len(got)].astype(np.int64))
