@@ -44,13 +44,16 @@ from ._sample import check_top_p, make_picker
 
 
 class _Request:
-    __slots__ = ("rid", "tokens", "max_new", "out")
+    __slots__ = ("rid", "tokens", "max_new", "out", "consumed", "absorbed")
 
     def __init__(self, rid, tokens, max_new):
         self.rid = rid
         self.tokens = tokens
         self.max_new = max_new
         self.out: list[int] = []
+        self.consumed = 0   # prompt tokens already in cache (admission)
+        self.absorbed = 0   # out tokens already folded into the prompt
+                            # by a recompute preemption
 
 
 class ContinuousBatcher:
@@ -86,6 +89,7 @@ class ContinuousBatcher:
         page_size: int = 16,
         pool_pages: Optional[int] = None,
         decode_chunk: int = 1,
+        prefill_chunk: Optional[int] = None,
     ):
         import jax
 
@@ -94,6 +98,17 @@ class ContinuousBatcher:
             raise ModelRuntimeError(
                 f"decode_chunk must be >= 1 (got {decode_chunk})")
         self.decode_chunk = int(decode_chunk)
+        if prefill_chunk is not None:
+            if not paged:
+                raise ModelRuntimeError(
+                    "prefill_chunk requires ContinuousBatcher(paged=True)")
+            if prefill_chunk < 1 or prefill_chunk % int(page_size):
+                raise ModelRuntimeError(
+                    f"prefill_chunk must be a positive multiple of "
+                    f"page_size {page_size} (got {prefill_chunk})"
+                )
+        self.prefill_chunk = (
+            None if prefill_chunk is None else int(prefill_chunk))
         self._jax = jax
         self.server = server
         self.slots = int(slots)
@@ -248,46 +263,6 @@ class ContinuousBatcher:
             build, donate_argnums=(2,),
         )
 
-    def _admit_paged_fn(self, width: int, n_pages: int):
-        """Paged admission: batch-1 prefill on a scratch dense cache,
-        pick the first token, then copy the first ``n_pages`` page-sized
-        regions into the allocated pool pages (static page count —
-        jitted per (width, n_pages))."""
-        jax, srv = self._jax, self.server
-        import jax.numpy as jnp
-
-        from ..ops.paged import write_prefill
-
-        pg = self.page_size
-        cap = -(-width // pg) * pg
-
-        def build():
-            def run(prompt, length, page_ids, pools, key):
-                mini = srv.init_caches(1, cap)
-                lens = length[None]
-                pos_ids, key_pos = srv._ragged_positions(lens, width, cap)
-                x = srv._embed_at(prompt, pos_ids)
-                logits, mini = srv._step(x, mini, 0, key_pos=key_pos,
-                                         q_pos=pos_ids)
-                first = self._pick(
-                    jnp.take_along_axis(
-                        logits, (lens[:, None, None] - 1).astype(jnp.int32),
-                        axis=1,
-                    )[:, 0],
-                    key,
-                )[0]
-                pools = [write_prefill(pool, m, page_ids)
-                         for pool, m in zip(pools, mini)]
-                return first, pools
-
-            return run
-
-        return self.server._jit_cache.get(
-            ("cb_admit_paged", width, n_pages, self.pool_pages,
-             self.page_size, self.temperature, self.top_k, self.top_p),
-            build, donate_argnums=(3,),
-        )
-
     def _decode_paged_fn(self):
         """One paged decode step for every slot: gather each row's pages
         into a dense attention view, write fresh K/V at host-chosen
@@ -432,43 +407,62 @@ class ContinuousBatcher:
             build, donate_argnums=(2,),
         )
 
-    def _admit_prefix_fn(self, prefix_len: int, width_s: int, n_own: int):
-        """Prefix-cached admission: gather the pinned prefix pages as the
-        front of a scratch dense cache, prefill only the SUFFIX against
-        it, pick the first token, and copy the suffix's pages out."""
-        jax, srv = self._jax, self.server
+    def _scratch_caches(self, pools, page_table_row, pre_len, extra):
+        """Batch-1 scratch dense caches whose front is the slot's pages
+        gathered in position order, cursor at the TRACED ``pre_len`` —
+        the shared mechanism of prefix-cached admission and chunked
+        prefill.  ``extra`` spare rows follow the gathered region (the
+        worst case needs them when ``pre_len`` reaches the table's
+        virtual capacity)."""
         import jax.numpy as jnp
 
         from ..ops.decode import KVCache
-        from ..ops.paged import gather_rows, write_prefill
+        from ..ops.paged import gather_rows
+
+        minis = []
+        for pool in pools:
+            kp, vp, kps, vps = gather_rows(pool, page_table_row)
+            pad = jnp.zeros(
+                (1, kp.shape[1], extra, kp.shape[3]), pool.k.dtype)
+            minis.append(KVCache(
+                k=jnp.concatenate([kp, pad], axis=2),
+                v=jnp.concatenate([vp, pad], axis=2),
+                length=pre_len.astype(jnp.int32),
+                k_scale=None if kps is None else jnp.concatenate(
+                    [kps, jnp.ones((1, kp.shape[1], extra),
+                                   jnp.float32)], axis=2),
+                v_scale=None if vps is None else jnp.concatenate(
+                    [vps, jnp.ones((1, kp.shape[1], extra),
+                                   jnp.float32)], axis=2),
+            ))
+        return minis
+
+    def _admit_prefix_fn(self, width_s: int, n_own: int):
+        """Prefix-cached admission TAIL: gather the slot's pages so far
+        (pinned prefix + any chunk-prefilled pages) as the front of a
+        scratch cache, prefill the remaining suffix against it at a
+        TRACED offset, pick the first token, and copy the suffix's pages
+        out.  One compile per (suffix bucket, page count) — independent
+        of the prefix length."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        from ..ops.paged import write_prefill_at
 
         pg = self.page_size
         cap_s = -(-width_s // pg) * pg
-        p_pre = prefix_len // pg
+        virtual = self.pages_per_slot * pg
 
         def build():
-            def run(suffix, s_len, pre_pages, own_pages, pools, key):
-                minis = []
-                for pool in pools:
-                    kp, vp, kps, vps = gather_rows(pool, pre_pages)
-                    pad = jnp.zeros(
-                        (1, kp.shape[1], cap_s, kp.shape[3]), pool.k.dtype)
-                    minis.append(KVCache(
-                        k=jnp.concatenate([kp, pad], axis=2),
-                        v=jnp.concatenate([vp, pad], axis=2),
-                        length=jnp.int32(prefix_len),
-                        k_scale=None if kps is None else jnp.concatenate(
-                            [kps, jnp.ones((1, kp.shape[1], cap_s),
-                                           jnp.float32)], axis=2),
-                        v_scale=None if vps is None else jnp.concatenate(
-                            [vps, jnp.ones((1, kp.shape[1], cap_s),
-                                           jnp.float32)], axis=2),
-                    ))
-                total = prefix_len + s_len
-                pos_ids = (prefix_len + jnp.minimum(
+            def run(suffix, s_len, pre_len, page_table_row, own_pages,
+                    pools, key):
+                minis = self._scratch_caches(
+                    pools, page_table_row, pre_len, cap_s)
+                total = pre_len + s_len
+                pos_ids = (pre_len + jnp.minimum(
                     jnp.arange(width_s, dtype=jnp.int32), s_len - 1
                 ))[None]
-                slot = jnp.arange(prefix_len + cap_s, dtype=jnp.int32)
+                slot = jnp.arange(virtual + cap_s, dtype=jnp.int32)
                 key_pos = jnp.where(slot < total, slot, jnp.int32(-1))[None]
                 x = srv._embed_at(suffix, pos_ids)
                 logits, minis = srv._step(x, minis, 0, key_pos=key_pos,
@@ -481,7 +475,7 @@ class ContinuousBatcher:
                     key,
                 )[0]
                 pools = [
-                    write_prefill(pool, m, own_pages, src_offset=prefix_len)
+                    write_prefill_at(pool, m, own_pages, pre_len)
                     for pool, m in zip(pools, minis)
                 ]
                 return first, pools
@@ -489,9 +483,46 @@ class ContinuousBatcher:
             return run
 
         return self.server._jit_cache.get(
-            ("cb_admit_prefix", prefix_len, width_s, n_own,
+            ("cb_admit_prefix", width_s, n_own, self.pages_per_slot,
              self.pool_pages, self.page_size, self.temperature,
              self.top_k, self.top_p),
+            build, donate_argnums=(5,),
+        )
+
+    def _prefill_chunk_fn(self, chunk: int):
+        """One page-aligned prompt chunk: append ``chunk`` tokens' K/V
+        at the slot's TRACED depth and write them into freshly allocated
+        pages.  No token is picked — the final (ragged) tail goes
+        through :meth:`_admit_prefix_fn`."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        from ..ops.paged import write_prefill_at
+
+        pg = self.page_size
+        virtual = self.pages_per_slot * pg
+
+        def build():
+            def run(tokens, pre_len, page_table_row, new_pages, pools):
+                minis = self._scratch_caches(
+                    pools, page_table_row, pre_len, chunk)
+                pos_ids = (pre_len + jnp.arange(chunk, dtype=jnp.int32))[None]
+                slot = jnp.arange(virtual + chunk, dtype=jnp.int32)
+                key_pos = jnp.where(slot < pre_len + chunk, slot,
+                                    jnp.int32(-1))[None]
+                x = srv._embed_at(tokens, pos_ids)
+                _, minis = srv._step(x, minis, 0, key_pos=key_pos,
+                                     q_pos=pos_ids)
+                return [
+                    write_prefill_at(pool, m, new_pages, pre_len)
+                    for pool, m in zip(pools, minis)
+                ]
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_prefill_chunk", chunk, self.pages_per_slot,
+             self.pool_pages, self.page_size),
             build, donate_argnums=(4,),
         )
 
@@ -521,18 +552,36 @@ class ContinuousBatcher:
         return best_len, best_pages
 
     def _preempt_one(self, protect: int) -> bool:
-        """Evict the active slot (other than ``protect``) with the
-        fewest generated tokens: requeue it FRONT as a recompute
-        continuation (prompt + generated prefix), free its pages.
-        Greedy decoding makes the recompute emit the same stream."""
+        """Evict a resident slot (other than ``protect``) and requeue it
+        FRONT as a recompute continuation; free its pages.  Mid-prefill
+        slots go first (least invested, by consumed tokens), then the
+        active slot with the fewest generated tokens.  Greedy decoding
+        makes the recompute emit the same stream."""
+        pre = [s for s in range(self.slots)
+               if s != protect and not self.active[s]
+               and self._req[s] is not None]
+        if pre:
+            victim = min(pre, key=lambda s: self._req[s].consumed)
+            req = self._req[victim]
+            req.consumed = 0
+            self.queue.appendleft(req)
+            self._req[victim] = None
+            self._free_slot_pages(victim)
+            self._preempts += 1
+            return True
         victims = [s for s in range(self.slots)
                    if self.active[s] and s != protect]
         if not victims:
             return False
         victim = min(victims, key=lambda s: len(self._req[s].out))
         req = self._req[victim]
+        # fold only the not-yet-absorbed output into the continuation
+        # prompt: the total footprint stays prompt+max_new-1 across any
+        # number of preemptions
         req.tokens = np.concatenate(
-            [req.tokens, np.asarray(req.out, np.float32)])
+            [req.tokens, np.asarray(req.out[req.absorbed:], np.float32)])
+        req.absorbed = len(req.out)
+        req.consumed = 0
         self.queue.appendleft(req)
         self.active[victim] = False
         self._req[victim] = None
@@ -547,7 +596,13 @@ class ContinuousBatcher:
 
     def _ensure_pages_upto(self, slot, upto: int) -> bool:
         page_idx = upto // self.page_size
-        while len(self.slot_pages[slot]) <= page_idx:
+        self._alloc_pages(slot, page_idx + 1 - len(self.slot_pages[slot]))
+        return True
+
+    def _alloc_pages(self, slot, n: int) -> None:
+        """Append ``n`` fresh pages to the slot's table, preempting
+        other residents if the pool is dry."""
+        for _ in range(max(0, n)):
             while not self.free_pages:
                 if not self._preempt_one(protect=slot):
                     raise ModelRuntimeError(
@@ -558,7 +613,6 @@ class ContinuousBatcher:
             pid = self.free_pages.pop()
             self.slot_pages[slot].append(pid)
             self.page_table[slot, len(self.slot_pages[slot]) - 1] = pid
-        return True
 
     # -- public API ----------------------------------------------------
     def register_prefix(self, tokens) -> int:
@@ -610,7 +664,7 @@ class ContinuousBatcher:
                 continue
             held = set(pages)
             for slot in range(self.slots):
-                if self.active[slot] and held & set(
+                if self._req[slot] is not None and held & set(
                         self.slot_pages[slot][:int(self._slot_pinned[slot])]):
                     raise ModelRuntimeError(
                         "prefix is in use by a resident request")
@@ -657,6 +711,57 @@ class ContinuousBatcher:
                 return b
         return self.capacity
 
+    def _progress_admission(self, slot, allow_preempt: bool = False):
+        """One admission unit for a reserved paged slot: a page-aligned
+        prompt chunk (``prefill_chunk``), or the final ragged tail which
+        prefills against everything cached so far and picks the first
+        token.  Returns a finished (rid, tokens) pair when the first
+        token already completes the request, else None (including when
+        the unit must WAIT for free pages)."""
+        req = self._req[slot]
+        size = req.tokens.size
+        chunk = self.prefill_chunk
+        if chunk and size - req.consumed - 1 >= chunk:
+            if (len(self.free_pages) < chunk // self.page_size
+                    and not allow_preempt):
+                return None  # wait for decoders to free pages
+            self._alloc_pages(slot, chunk // self.page_size)
+            new_pages = self.slot_pages[slot][-(chunk // self.page_size):]
+            self.caches = self._prefill_chunk_fn(chunk)(
+                req.tokens[None, req.consumed:req.consumed + chunk],
+                np.int32(req.consumed),
+                self.page_table[slot].copy(),
+                np.asarray(new_pages, np.int32),
+                self.caches,
+            )
+            req.consumed += chunk
+            return None  # next chunk (or the tail) next step
+        # final tail: 1..bucket tokens
+        s = size - req.consumed
+        width_s = self._bucket(s)
+        n_own = self._pages_for(s)
+        if len(self.free_pages) < n_own and not allow_preempt:
+            return None  # wait for decoders to free pages
+        self._alloc_pages(slot, n_own)
+        own = self.slot_pages[slot][-n_own:]
+        suffix = np.zeros((1, width_s), np.float32)
+        suffix[0, :s] = req.tokens[req.consumed:]
+        first, self.caches = self._admit_prefix_fn(width_s, n_own)(
+            suffix,
+            np.int32(s),
+            np.int32(req.consumed),
+            self.page_table[slot].copy(),
+            np.asarray(own, np.int32),
+            self.caches,
+            self._split(),
+        )
+        self.active[slot] = True
+        self.pos[slot] = size
+        self.last[slot] = float(first)
+        if self._emit(slot, int(first)):
+            return self._finish(slot)
+        return None
+
     def _finish(self, slot) -> tuple:
         req = self._req[slot]
         self.active[slot] = False
@@ -680,71 +785,61 @@ class ContinuousBatcher:
         ``(request_id, tokens)`` pairs that completed this iteration."""
         finished = []
 
-        # 1) admission
+        # 1) reserve free slots for queued requests
         for slot in range(self.slots):
             if not self.queue:
                 break
-            if self.active[slot]:
+            if self.active[slot] or self._req[slot] is not None:
                 continue
-            req = self.queue[0]
+            req = self.queue.popleft()
+            self._req[slot] = req
             if self.paged:
                 pre_len, pre_pages = self._match_prefix(req.tokens)
-                n_own = self._pages_for(req.tokens.size - pre_len)
-                if len(self.free_pages) < n_own:
-                    break  # pool full: wait for frees (no admission thrash)
-                self.queue.popleft()
-                own = [self.free_pages.pop() for _ in range(n_own)]
-                pages = list(pre_pages or []) + own
+                req.consumed = pre_len
+                if pre_len:
+                    self._prefix_hits += 1
+                pages = list(pre_pages or [])
                 self.slot_pages[slot] = pages
-                self._slot_pinned[slot] = len(pages) - n_own
+                self._slot_pinned[slot] = len(pages)
                 self.page_table[slot, :] = 0
                 self.page_table[slot, :len(pages)] = pages
-            else:
-                self.queue.popleft()
-            if self.paged and pre_len:
-                self._prefix_hits += 1
-                s = req.tokens.size - pre_len
-                width_s = self._bucket(s)
-                suffix = np.zeros((1, width_s), np.float32)
-                suffix[0, :s] = req.tokens[pre_len:]
-                first, self.caches = self._admit_prefix_fn(
-                    pre_len, width_s, n_own,
-                )(
-                    suffix,
-                    np.int32(s),
-                    np.asarray(pages[:len(pages) - n_own], np.int32),
-                    np.asarray(own, np.int32),
-                    self.caches,
-                    self._split(),
-                )
             else:
                 width = self._bucket(req.tokens.size)
                 prompt = np.zeros((1, width), np.float32)
                 prompt[0, :req.tokens.size] = req.tokens
-                if self.paged:
-                    first, self.caches = self._admit_paged_fn(
-                        width, n_own,
-                    )(
-                        prompt,
-                        np.int32(req.tokens.size),
-                        np.asarray(own, np.int32),
-                        self.caches,
-                        self._split(),
-                    )
-                else:
-                    first, self.caches = self._admit_fn(width)(
-                        prompt,
-                        np.int32(req.tokens.size),
-                        np.int32(slot),
-                        self.caches,
-                        self._split(),
-                    )
-            self._req[slot] = req
-            self.active[slot] = True
-            self.pos[slot] = req.tokens.size
-            self.last[slot] = float(first)
-            if self._emit(slot, int(first)):
-                finished.append(self._finish(slot))
+                first, self.caches = self._admit_fn(width)(
+                    prompt,
+                    np.int32(req.tokens.size),
+                    np.int32(slot),
+                    self.caches,
+                    self._split(),
+                )
+                self.active[slot] = True
+                self.pos[slot] = req.tokens.size
+                self.last[slot] = float(first)
+                if self._emit(slot, int(first)):
+                    finished.append(self._finish(slot))
+
+        # 1b) progress paged admissions one unit each (a prompt chunk,
+        # or the final tail which picks the first token).  Admission
+        # WAITS for free pages rather than stealing from decoders —
+        # except that when nothing is active at all, the first reserved
+        # slot may preempt other reserved slots so the system always
+        # makes progress.
+        if self.paged:
+            privileged = None
+            if not self.active.any():
+                for slot in range(self.slots):
+                    if self._req[slot] is not None:
+                        privileged = slot
+                        break
+            for slot in range(self.slots):
+                if self._req[slot] is None or self.active[slot]:
+                    continue
+                done = self._progress_admission(
+                    slot, allow_preempt=(slot == privileged))
+                if done is not None:
+                    finished.append(done)
 
         # 2) decode for the whole slot batch
         if self.active.any() and self.decode_chunk > 1:
@@ -825,7 +920,8 @@ class ContinuousBatcher:
         """Drive ``step()`` until every queued and active request is
         done; returns ``{request_id: np.ndarray of generated tokens}``."""
         out = {}
-        while self.queue or self.active.any():
+        while (self.queue or self.active.any()
+               or any(r is not None for r in self._req)):
             for rid, toks in self.step():
                 out[rid] = toks
         return out

@@ -125,6 +125,41 @@ def write_prefill(pool: PagedKVPool, cache: KVCache, page_ids: jax.Array,
     return pool._replace(k=k, v=v, k_scale=ks, v_scale=vs)
 
 
+def write_prefill_at(pool: PagedKVPool, cache: KVCache, page_ids: jax.Array,
+                     src_offset) -> PagedKVPool:
+    """Like :func:`write_prefill` but the dense source offset is a
+    TRACED (page-aligned) scalar — one compiled program serves every
+    prefix depth (prefix-cached admission tails, chunked prefill)."""
+    pg = pool.page_size
+    hkv, d = pool.k.shape[1], pool.k.shape[3]
+    zero = jnp.int32(0)
+    off = jnp.asarray(src_offset, jnp.int32)
+    k, v = pool.k, pool.v
+    ks, vs = pool.k_scale, pool.v_scale
+    n = int(page_ids.shape[0])
+    for p in range(n):
+        pid = page_ids[p].astype(jnp.int32)
+        at = off + jnp.int32(p * pg)
+        src_k = jax.lax.dynamic_slice(
+            cache.k, (zero, zero, at, zero), (1, hkv, pg, d))
+        src_v = jax.lax.dynamic_slice(
+            cache.v, (zero, zero, at, zero), (1, hkv, pg, d))
+        k = jax.lax.dynamic_update_slice(
+            k, src_k.astype(k.dtype), (pid, zero, zero, zero))
+        v = jax.lax.dynamic_update_slice(
+            v, src_v.astype(v.dtype), (pid, zero, zero, zero))
+        if ks is not None:
+            ks = jax.lax.dynamic_update_slice(
+                ks, jax.lax.dynamic_slice(
+                    cache.k_scale, (zero, zero, at), (1, hkv, pg)),
+                (pid, zero, zero))
+            vs = jax.lax.dynamic_update_slice(
+                vs, jax.lax.dynamic_slice(
+                    cache.v_scale, (zero, zero, at), (1, hkv, pg)),
+                (pid, zero, zero))
+    return pool._replace(k=k, v=v, k_scale=ks, v_scale=vs)
+
+
 def gather_rows(pool: PagedKVPool, page_ids: jax.Array):
     """Dense batch-1 rows of the given pages: ``(k, v, k_scale,
     v_scale)`` with k/v ``[1, hkv, P*page, d]`` — the prefix half of a

@@ -411,3 +411,71 @@ def test_chunked_stop_token():
         if stop in r[:len(got)].astype(np.int64):
             assert got[-1] == stop
         np.testing.assert_array_equal(got, r[:len(got)].astype(np.int64))
+
+
+# --- chunked prefill + scheduler-policy regressions ----------------------
+
+def test_tight_pool_no_admission_thrash():
+    """Regression: admission must WAIT for pages, not steal them from
+    decoders (livelock), and repeated preemption must not duplicate
+    absorbed output tokens into the continuation prompt (footprint
+    inflation).  Two 4-page requests on a 5-page pool used to thrash to
+    an 'exhausted' error; they must now finish with solo streams."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(10)
+    prompts = _prompts(rng, (9, 8))
+    solo = _solo(srv, prompts, [8, 8])
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=5)
+    rids = [b.submit(p, 8) for p in prompts]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+@pytest.mark.parametrize("chunk", [8, 16])
+def test_chunked_prefill_matches_solo(chunk):
+    """prefill_chunk splits long-prompt admission into page-aligned
+    chunk dispatches interleaved with decode steps; streams unchanged."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(19)
+    prompts = _prompts(rng, (37, 6, 23))
+    max_new = [5, 9, 7]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, prefill_chunk=chunk)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_chunked_prefill_with_prefix_and_decode_chunk():
+    """The full scheduler: pinned prefix + chunked prefill of the rest
+    + multi-step decode, on a tight pool."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(20)
+    system = rng.integers(0, 32, 16).astype(np.float32)
+    prompts = [np.concatenate([system, p])
+               for p in _prompts(rng, (21, 9))]
+    max_new = [6, 8]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, prefill_chunk=8, decode_chunk=3,
+                          pool_pages=12)
+    b.register_prefix(system)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_prefill_chunk_validation():
+    srv = FlashLMServer(_trained_model())
+    with pytest.raises(ModelRuntimeError, match="paged"):
+        ContinuousBatcher(srv, slots=2, capacity=64, prefill_chunk=8)
+    with pytest.raises(ModelRuntimeError, match="multiple"):
+        ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, prefill_chunk=6)
