@@ -56,6 +56,39 @@ class _Request:
                             # by a recompute preemption
 
 
+def _scratch_caches(pools, page_table_row, pre_len, extra):
+    """Batch-1 scratch dense caches whose front is the slot's pages
+    gathered in position order, cursor at the TRACED ``pre_len`` — the
+    shared mechanism of prefix-cached admission and chunked prefill.
+    ``extra`` spare rows follow the gathered region (the worst case
+    needs them when ``pre_len`` reaches the table's virtual capacity).
+    Module-level on purpose: it is called inside jitted closures, which
+    must not capture the batcher (its KV pools would be pinned in the
+    server's shared JitCache)."""
+    import jax.numpy as jnp
+
+    from ..ops.decode import KVCache
+    from ..ops.paged import gather_rows
+
+    minis = []
+    for pool in pools:
+        kp, vp, kps, vps = gather_rows(pool, page_table_row)
+        pad = jnp.zeros(
+            (1, kp.shape[1], extra, kp.shape[3]), pool.k.dtype)
+        minis.append(KVCache(
+            k=jnp.concatenate([kp, pad], axis=2),
+            v=jnp.concatenate([vp, pad], axis=2),
+            length=pre_len.astype(jnp.int32),
+            k_scale=None if kps is None else jnp.concatenate(
+                [kps, jnp.ones((1, kp.shape[1], extra),
+                               jnp.float32)], axis=2),
+            v_scale=None if vps is None else jnp.concatenate(
+                [vps, jnp.ones((1, kp.shape[1], extra),
+                               jnp.float32)], axis=2),
+        ))
+    return minis
+
+
 class ContinuousBatcher:
     """Iteration-level scheduler over a :class:`FlashLMServer`.
 
@@ -113,7 +146,7 @@ class ContinuousBatcher:
         self.server = server
         self.slots = int(slots)
         self.capacity = int(capacity or server.max_seq)
-        if self.capacity > server.max_seq and server.pos is not None:
+        if self.capacity > server.max_seq:
             raise ModelRuntimeError(
                 f"capacity {self.capacity} exceeds the model's max_seq "
                 f"{server.max_seq} position embeddings"
@@ -122,16 +155,12 @@ class ContinuousBatcher:
         self.top_k = top_k
         self.top_p = top_p
         self.stop_token = stop_token
-        if prompt_buckets is None:
-            prompt_buckets = []
-            w = 1
-            while w < self.capacity:
-                prompt_buckets.append(w)
-                w *= 2
-            prompt_buckets.append(self.capacity)
-        self.prompt_buckets = sorted(set(int(b) for b in prompt_buckets))
-        if self.prompt_buckets[-1] < self.capacity:
-            self.prompt_buckets.append(self.capacity)
+        from ..utils.buckets import normalize_buckets
+
+        self.prompt_buckets = normalize_buckets(
+            "pow2" if prompt_buckets is None else prompt_buckets,
+            "prompt bucket",
+        )
 
         self._pick = make_picker(server.vocab, temperature, top_k, top_p)
         self._key = jax.random.PRNGKey(seed)
@@ -190,6 +219,7 @@ class ContinuousBatcher:
         """Prefill a [1, width] padded prompt on a scratch cache, pick the
         first token, and write the K/V region into the slot's rows."""
         jax, srv = self._jax, self.server
+        pick = self._pick
         import jax.numpy as jnp
 
         def build():
@@ -200,7 +230,7 @@ class ContinuousBatcher:
                 x = srv._embed_at(prompt, pos_ids)
                 logits, mini = srv._step(x, mini, 0, key_pos=key_pos,
                                          q_pos=pos_ids)
-                first = self._pick(
+                first = pick(
                     jnp.take_along_axis(
                         logits, (lens[:, None, None] - 1).astype(jnp.int32),
                         axis=1,
@@ -238,11 +268,13 @@ class ContinuousBatcher:
         """One decode step for every slot: feed each slot's pending token
         at its own position, write K/V at its own cursor, pick the next."""
         jax, srv = self._jax, self.server
+        pick = self._pick
+        capacity = self.capacity
         import jax.numpy as jnp
 
         def build():
             def run(tok, pos, caches, key):
-                slot_ids = jnp.arange(self.capacity, dtype=jnp.int32)
+                slot_ids = jnp.arange(capacity, dtype=jnp.int32)
                 key_pos = jnp.where(
                     slot_ids[None, :] <= pos[:, None], slot_ids[None, :],
                     jnp.int32(-1),
@@ -252,7 +284,7 @@ class ContinuousBatcher:
                     x, caches, 0, key_pos=key_pos, q_pos=pos[:, None],
                     row_starts=pos,
                 )
-                nxt = self._pick(logits[:, -1], key)
+                nxt = pick(logits[:, -1], key)
                 return nxt, caches
 
             return run
@@ -268,6 +300,7 @@ class ContinuousBatcher:
         into a dense attention view, write fresh K/V at host-chosen
         (page, offset) coordinates."""
         jax, srv = self._jax, self.server
+        pick = self._pick
         import jax.numpy as jnp
 
         from ..ops.paged import gather_view, write_token
@@ -296,7 +329,7 @@ class ContinuousBatcher:
                     x, pools, 0, key_pos=key_pos, q_pos=pos[:, None],
                     cache_io=_PagedIO,
                 )
-                nxt = self._pick(logits[:, -1], key)
+                nxt = pick(logits[:, -1], key)
                 return nxt, pools
 
             return run
@@ -318,6 +351,8 @@ class ContinuousBatcher:
         page; dense: overwrite their own stale row, position-masked
         either way)."""
         jax, srv = self._jax, self.server
+        pick = self._pick
+        paged = self.paged
         import jax.numpy as jnp
 
         pg = getattr(self, "page_size", 0) if self.paged else 0
@@ -340,7 +375,7 @@ class ContinuousBatcher:
                         slot_ids[None, :], jnp.int32(-1),
                     )
                     x = srv._embed_at(tok[:, None], pos[:, None])
-                    if self.paged:
+                    if paged:
                         wpid = jnp.take_along_axis(
                             page_table, (pos // pg)[:, None].astype(
                                 jnp.int32), axis=1)[:, 0]
@@ -365,7 +400,7 @@ class ContinuousBatcher:
                             x, caches, 0, key_pos=key_pos,
                             q_pos=pos[:, None], row_starts=pos,
                         )
-                    nxt = self._pick(logits[:, -1], sub).astype(tok.dtype)
+                    nxt = pick(logits[:, -1], sub).astype(tok.dtype)
                     tok = jnp.where(alive, nxt, tok)
                     pos = pos + alive.astype(pos.dtype)
                     return (tok, pos, caches), nxt
@@ -389,12 +424,13 @@ class ContinuousBatcher:
         """Prefill ``length`` tokens (batch-1, full width) and pin their
         K/V into ``n_pages`` pool pages."""
         srv = self.server
+        pg = self.page_size
 
         from ..ops.paged import write_prefill
 
         def build():
             def run(prompt, page_ids, pools):
-                mini = srv.init_caches(1, n_pages * self.page_size)
+                mini = srv.init_caches(1, n_pages * pg)
                 _, mini = srv.prefill(prompt, mini)
                 return [write_prefill(pool, m, page_ids)
                         for pool, m in zip(pools, mini)]
@@ -407,36 +443,6 @@ class ContinuousBatcher:
             build, donate_argnums=(2,),
         )
 
-    def _scratch_caches(self, pools, page_table_row, pre_len, extra):
-        """Batch-1 scratch dense caches whose front is the slot's pages
-        gathered in position order, cursor at the TRACED ``pre_len`` —
-        the shared mechanism of prefix-cached admission and chunked
-        prefill.  ``extra`` spare rows follow the gathered region (the
-        worst case needs them when ``pre_len`` reaches the table's
-        virtual capacity)."""
-        import jax.numpy as jnp
-
-        from ..ops.decode import KVCache
-        from ..ops.paged import gather_rows
-
-        minis = []
-        for pool in pools:
-            kp, vp, kps, vps = gather_rows(pool, page_table_row)
-            pad = jnp.zeros(
-                (1, kp.shape[1], extra, kp.shape[3]), pool.k.dtype)
-            minis.append(KVCache(
-                k=jnp.concatenate([kp, pad], axis=2),
-                v=jnp.concatenate([vp, pad], axis=2),
-                length=pre_len.astype(jnp.int32),
-                k_scale=None if kps is None else jnp.concatenate(
-                    [kps, jnp.ones((1, kp.shape[1], extra),
-                                   jnp.float32)], axis=2),
-                v_scale=None if vps is None else jnp.concatenate(
-                    [vps, jnp.ones((1, kp.shape[1], extra),
-                                   jnp.float32)], axis=2),
-            ))
-        return minis
-
     def _admit_prefix_fn(self, width_s: int, n_own: int):
         """Prefix-cached admission TAIL: gather the slot's pages so far
         (pinned prefix + any chunk-prefilled pages) as the front of a
@@ -445,6 +451,7 @@ class ContinuousBatcher:
         out.  One compile per (suffix bucket, page count) — independent
         of the prefix length."""
         jax, srv = self._jax, self.server
+        pick = self._pick
         import jax.numpy as jnp
 
         from ..ops.paged import write_prefill_at
@@ -456,7 +463,7 @@ class ContinuousBatcher:
         def build():
             def run(suffix, s_len, pre_len, page_table_row, own_pages,
                     pools, key):
-                minis = self._scratch_caches(
+                minis = _scratch_caches(
                     pools, page_table_row, pre_len, cap_s)
                 total = pre_len + s_len
                 pos_ids = (pre_len + jnp.minimum(
@@ -467,7 +474,7 @@ class ContinuousBatcher:
                 x = srv._embed_at(suffix, pos_ids)
                 logits, minis = srv._step(x, minis, 0, key_pos=key_pos,
                                           q_pos=pos_ids)
-                first = self._pick(
+                first = pick(
                     jnp.take_along_axis(
                         logits, (s_len[None, None, None] - 1).astype(
                             jnp.int32), axis=1,
@@ -504,7 +511,7 @@ class ContinuousBatcher:
 
         def build():
             def run(tokens, pre_len, page_table_row, new_pages, pools):
-                minis = self._scratch_caches(
+                minis = _scratch_caches(
                     pools, page_table_row, pre_len, chunk)
                 pos_ids = (pre_len + jnp.arange(chunk, dtype=jnp.int32))[None]
                 slot = jnp.arange(virtual + chunk, dtype=jnp.int32)
@@ -614,6 +621,18 @@ class ContinuousBatcher:
             self.slot_pages[slot].append(pid)
             self.page_table[slot, len(self.slot_pages[slot]) - 1] = pid
 
+    def _pinned_total(self) -> int:
+        return sum(len(p) for _, p in self._prefixes) if self.paged else 0
+
+    def _own_pages_needed(self, tokens: np.ndarray, remaining: int) -> int:
+        """Worst-case pages a request must ALLOCATE itself: full
+        footprint minus the pages the currently registered prefixes
+        cover (matching can only improve by later registrations, and
+        release_prefix re-validates, so this bound holds at admission)."""
+        need = tokens.size + remaining - 1
+        _, pages = self._match_prefix(tokens)
+        return self._pages_for(need) - (len(pages) if pages else 0)
+
     # -- public API ----------------------------------------------------
     def register_prefix(self, tokens) -> int:
         """Pin a shared prompt prefix (system prompt) into pool pages:
@@ -646,6 +665,19 @@ class ContinuousBatcher:
                 f"prefix needs {n} pages but only {len(self.free_pages)} "
                 "are free"
             )
+        # pinning must not strand any admitted request: every resident
+        # or queued request must still fit in the shrunken unpinned pool
+        # (its own match, if any, is counted — the new prefix only helps)
+        avail = self.pool_pages - self._pinned_total() - n
+        for req in list(self.queue) + [r for r in self._req if r]:
+            own = self._own_pages_needed(
+                req.tokens, req.max_new - len(req.out))
+            if own > avail:
+                raise ModelRuntimeError(
+                    f"pinning this prefix ({n} pages) would leave only "
+                    f"{avail} unpinned pages — too few for an admitted "
+                    f"request needing {own}"
+                )
         pages = [self.free_pages.pop() for _ in range(n)]
         self.caches = self._register_prefix_fn(aligned, n)(
             tokens[None, :], np.asarray(pages, np.int32), self.caches
@@ -656,6 +688,9 @@ class ContinuousBatcher:
     def release_prefix(self, tokens) -> None:
         """Unpin a registered prefix and return its pages to the pool.
         Raises while any resident request still shares the pages."""
+        if not self.paged:
+            raise ModelRuntimeError(
+                "prefix caching requires ContinuousBatcher(paged=True)")
         tokens = np.asarray(tokens, np.float32).reshape(-1)
         aligned = tokens.size // self.page_size * self.page_size
         for i, (arr, pages) in enumerate(self._prefixes):
@@ -668,8 +703,20 @@ class ContinuousBatcher:
                         self.slot_pages[slot][:int(self._slot_pinned[slot])]):
                     raise ModelRuntimeError(
                         "prefix is in use by a resident request")
-            self.free_pages.extend(pages)
+            # queued (incl. preempted-continuation) requests may have
+            # been accepted counting on this prefix's pages
             del self._prefixes[i]
+            avail = self.pool_pages - self._pinned_total()
+            for req in self.queue:
+                own = self._own_pages_needed(
+                    req.tokens, req.max_new - len(req.out))
+                if own > avail:
+                    self._prefixes.insert(i, (arr, pages))
+                    raise ModelRuntimeError(
+                        "a queued request depends on this prefix's "
+                        "pages; drain it before releasing"
+                    )
+            self.free_pages.extend(pages)
             return
         raise ModelRuntimeError("prefix is not registered")
 
@@ -687,17 +734,22 @@ class ContinuousBatcher:
                 f"prompt_len + max_new - 1 = {need} exceeds cache "
                 f"capacity {self.capacity}"
             )
-        if self.server.pos is not None and need > self.server.max_seq:
+        if need > self.server.max_seq:
             raise ModelRuntimeError(
                 f"prompt_len + max_new - 1 = {need} exceeds the model's "
                 f"max_seq {self.server.max_seq} position embeddings"
             )
-        if self.paged and self._pages_for(need) > self.pool_pages:
-            raise ModelRuntimeError(
-                f"request needs {self._pages_for(need)} pages but the "
-                f"pool holds {self.pool_pages}; even preempting every "
-                "other request could not fit it"
-            )
+        if self.paged:
+            avail = self.pool_pages - self._pinned_total()
+            own = self._own_pages_needed(tokens, int(max_new))
+            if own > avail:
+                raise ModelRuntimeError(
+                    f"request needs {own} pages beyond any pinned-prefix "
+                    f"reuse but only {avail} are unpinned "
+                    f"({self.pool_pages} pool minus {self._pinned_total()} "
+                    "pinned); even preempting every other request could "
+                    "not fit it"
+                )
         if rid is None:
             rid = self._next_rid
         self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
@@ -706,10 +758,10 @@ class ContinuousBatcher:
         return rid
 
     def _bucket(self, width: int) -> int:
-        for b in self.prompt_buckets:
-            if b >= width:
-                return b
-        return self.capacity
+        from ..utils.buckets import bucket_for
+
+        # bucket widths never exceed the cache (a user bucket list may)
+        return min(bucket_for(self.prompt_buckets, width), self.capacity)
 
     def _progress_admission(self, slot, allow_preempt: bool = False):
         """One admission unit for a reserved paged slot: a page-aligned

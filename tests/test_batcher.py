@@ -479,3 +479,80 @@ def test_prefill_chunk_validation():
     with pytest.raises(ModelRuntimeError, match="multiple"):
         ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
                           page_size=4, prefill_chunk=6)
+
+
+# --- review-pass regressions ---------------------------------------------
+
+def test_rope_models_validate_max_seq():
+    """Rope models (no pos table) must get the same length validation
+    solo generate enforces."""
+    srv = FlashLMServer(_trained_model(rope=True))
+    with pytest.raises(ModelRuntimeError, match="max_seq"):
+        ContinuousBatcher(srv, slots=2, capacity=srv.max_seq + 1)
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    with pytest.raises(ModelRuntimeError, match="capacity|max_seq"):
+        b.submit(np.zeros(40), 40)  # 40 + 40 - 1 > 64
+
+
+def test_oversized_user_bucket_is_clamped():
+    """A bucket wider than the cache must clamp, not crash admission."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(21)
+    p = rng.integers(0, 32, 5).astype(np.float32)
+    ref = np.asarray(srv.generate(p[None], n_new=4))[0]
+    b = ContinuousBatcher(srv, slots=2, capacity=64,
+                          prompt_buckets=(100,))
+    rid = b.submit(p, 4)
+    np.testing.assert_array_equal(b.run()[rid], ref.astype(np.int64))
+    with pytest.raises(ModelRuntimeError, match="bucket"):
+        ContinuousBatcher(srv, slots=2, capacity=64, prompt_buckets=(0,))
+
+
+def test_release_prefix_requires_paged():
+    srv = FlashLMServer(_trained_model())
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    with pytest.raises(ModelRuntimeError, match="paged"):
+        b.release_prefix(np.zeros(16))
+
+
+def test_pinned_pages_count_against_feasibility():
+    """A prefix pin shrinks the pool for NON-matching requests; matching
+    requests still fit because their reuse is counted."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(22)
+    system = rng.integers(0, 32, 16).astype(np.float32)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=10)
+    b.register_prefix(system)   # pins 4 pages -> 6 unpinned
+    # non-matching: needs ceil((20+10-1)/4) = 8 own pages > 6 -> reject
+    with pytest.raises(ModelRuntimeError, match="unpinned"):
+        b.submit(rng.integers(0, 32, 20).astype(np.float32), 10)
+    # matching: needs 8 - 4 shared = 4 own pages -> accepted and correct
+    p = np.concatenate([system, rng.integers(0, 32, 4).astype(np.float32)])
+    ref = np.asarray(srv.generate(p[None], n_new=10))[0]
+    rid = b.submit(p, 10)
+    np.testing.assert_array_equal(b.run()[rid], ref.astype(np.int64))
+    # registering a prefix that would strand a queued request is refused
+    rid2 = b.submit(p, 10)
+    big = rng.integers(0, 32, 24).astype(np.float32)
+    with pytest.raises(ModelRuntimeError, match="unpinned pages"):
+        b.register_prefix(big)  # +6 pages would leave 0 unpinned
+    b.run()
+
+
+def test_jit_closures_do_not_pin_the_batcher():
+    """Jitted scheduler programs live in the server's shared JitCache;
+    they must not capture the batcher (its KV pools would leak)."""
+    import gc
+    import weakref
+
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(23)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=8, decode_chunk=2, prefill_chunk=8)
+    rid = b.submit(rng.integers(0, 32, 20).astype(np.float32), 5)
+    b.run()
+    ref = weakref.ref(b)
+    del b
+    gc.collect()
+    assert ref() is None, "a jitted closure still references the batcher"
