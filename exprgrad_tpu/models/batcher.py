@@ -44,9 +44,12 @@ from ._sample import check_top_p, make_picker
 
 
 class _Request:
-    __slots__ = ("rid", "tokens", "max_new", "out", "consumed", "absorbed")
+    __slots__ = ("rid", "tokens", "max_new", "out", "consumed", "absorbed",
+                 "submitted", "first_token_at", "finished_at", "preempted")
 
     def __init__(self, rid, tokens, max_new):
+        import time
+
         self.rid = rid
         self.tokens = tokens
         self.max_new = max_new
@@ -54,6 +57,10 @@ class _Request:
         self.consumed = 0   # prompt tokens already in cache (admission)
         self.absorbed = 0   # out tokens already folded into the prompt
                             # by a recompute preemption
+        self.submitted = time.perf_counter()
+        self.first_token_at: float | None = None
+        self.finished_at: float | None = None
+        self.preempted = 0
 
 
 def _scratch_caches(pools, page_table_row, pre_len, extra):
@@ -209,6 +216,7 @@ class ContinuousBatcher:
         self._next_rid = 0
         self._steps = 0
         self._dispatches = 0
+        self._metrics: list[dict] = []
 
     # -- jitted pieces -------------------------------------------------
     def _split(self):
@@ -571,6 +579,7 @@ class ContinuousBatcher:
             victim = min(pre, key=lambda s: self._req[s].consumed)
             req = self._req[victim]
             req.consumed = 0
+            req.preempted += 1
             self.queue.appendleft(req)
             self._req[victim] = None
             self._free_slot_pages(victim)
@@ -589,6 +598,7 @@ class ContinuousBatcher:
             [req.tokens, np.asarray(req.out[req.absorbed:], np.float32)])
         req.absorbed = len(req.out)
         req.consumed = 0
+        req.preempted += 1
         self.queue.appendleft(req)
         self.active[victim] = False
         self._req[victim] = None
@@ -815,7 +825,18 @@ class ContinuousBatcher:
         return None
 
     def _finish(self, slot) -> tuple:
+        import time
+
         req = self._req[slot]
+        req.finished_at = time.perf_counter()
+        self._metrics.append({
+            "rid": req.rid,
+            "prompt_tokens": int(req.tokens.size) - req.absorbed,
+            "generated_tokens": len(req.out),
+            "ttft_s": req.first_token_at - req.submitted,
+            "latency_s": req.finished_at - req.submitted,
+            "preemptions": req.preempted,
+        })
         self.active[slot] = False
         self._req[slot] = None
         if self.paged:
@@ -824,7 +845,11 @@ class ContinuousBatcher:
 
     def _emit(self, slot, token: int) -> bool:
         """Record one generated token; True when the request is done."""
+        import time
+
         req = self._req[slot]
+        if req.first_token_at is None:
+            req.first_token_at = time.perf_counter()
         req.out.append(token)
         if self.stop_token is not None and token == self.stop_token:
             return True
@@ -976,6 +1001,17 @@ class ContinuousBatcher:
                or any(r is not None for r in self._req)):
             for rid, toks in self.step():
                 out[rid] = toks
+        return out
+
+    def request_metrics(self, reset: bool = False) -> list:
+        """Per-finished-request records, in completion order: request
+        id, prompt/generated token counts, time to first token
+        (``ttft_s``: submit -> first emitted token), total ``latency_s``,
+        and how often the request was preempted.  The raw material for
+        serving SLO dashboards; ``reset=True`` drains the list."""
+        out = list(self._metrics)
+        if reset:
+            self._metrics.clear()
         return out
 
     @property

@@ -556,3 +556,42 @@ def test_jit_closures_do_not_pin_the_batcher():
     del b
     gc.collect()
     assert ref() is None, "a jitted closure still references the batcher"
+
+
+# --- metrics + mesh composition ------------------------------------------
+
+def test_request_metrics():
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(24)
+    prompts = _prompts(rng, (5, 9))
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    rids = [b.submit(p, 6) for p in prompts]
+    b.run()
+    m = b.request_metrics()
+    assert sorted(r["rid"] for r in m) == sorted(rids)
+    for r in m:
+        assert r["generated_tokens"] == 6
+        assert r["prompt_tokens"] in (5, 9)
+        assert 0 < r["ttft_s"] <= r["latency_s"]
+        assert r["preemptions"] == 0
+    assert b.request_metrics(reset=True) and not b.request_metrics()
+
+
+def test_batcher_over_tensor_parallel_mesh():
+    """The scheduler composes with mesh tensor-parallel serving: a
+    sharded server under the batcher still emits solo streams."""
+    from exprgrad_tpu.parallel import make_mesh
+
+    model = _trained_model()
+    solo = FlashLMServer(model)
+    tp = FlashLMServer(model, mesh=make_mesh(8, model=2))
+    rng = np.random.default_rng(25)
+    prompts = _prompts(rng, (5, 9, 3))
+    max_new = [6, 4, 8]
+    refs = _solo(solo, prompts, max_new)
+    b = ContinuousBatcher(tp, slots=2, capacity=64, paged=True,
+                          page_size=8, decode_chunk=2)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, refs):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
