@@ -280,8 +280,8 @@ def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
 
 
 def bench_continuous_batching(vocab=2048, dim=512, heads=4, hidden=2048,
-                              blocks=2, slots=8, capacity=320, chunk=16,
-                              n_requests=16):
+                              blocks=2, slots=8, capacity=320, chunk=32,
+                              n_requests=12):
     """Continuous batching under a staggered request mix: paged KV pool
     at HALF the dense reservation, multi-step scheduling (``chunk``
     decode steps per dispatch), varied prompt lengths and budgets.
@@ -311,7 +311,7 @@ def bench_continuous_batching(vocab=2048, dim=512, heads=4, hidden=2048,
             page_size=32,
             pool_pages=slots * (capacity // 32) // 2,
             decode_chunk=chunk,
-            prompt_buckets=(64, 128, 192),
+            prompt_buckets=(192,),
         )
         # stagger: half up front, the rest trickle in while decoding
         for i in range(n_requests // 2):
@@ -788,29 +788,6 @@ def main() -> None:
         details["serving_error"] = str(err)
 
     _flush_details()
-    _log("bench: continuous batching (paged + chunked) ...")
-    try:
-        cb_tok, cb_req, cb_gen, cb_stats = bench_continuous_batching()
-        details["continuous_batching"] = {
-            "config": "vocab2048 dim512 blocks2 slots8 cap320 page32 "
-                      "pool=dense/2 chunk16; 16 staggered requests, "
-                      "prompts 48-160, budgets 32-96",
-            "tokens_per_s": round(cb_tok, 1),
-            "requests_per_s": round(cb_req, 2),
-            "generated_tokens": cb_gen,
-            "scheduler": cb_stats,
-            "impl": "ContinuousBatcher(paged=True, decode_chunk=16): "
-                    "page-pool KV at half the dense reservation, "
-                    "multi-step scan dispatches; greedy == solo",
-            "note": "aligned-batch ceiling for this model is "
-                    "serving_decode",
-        }
-        _log(f"bench: continuous batching {cb_tok:.0f} tokens/s, "
-             f"{cb_req:.2f} req/s ({cb_stats})")
-    except Exception as err:
-        details["continuous_batching_error"] = str(err)
-
-    _flush_details()
     _log("bench: speculative decoding ...")
     try:
         plain_tok, spec_tok, vsteps = bench_speculative()
@@ -925,6 +902,30 @@ def main() -> None:
              f"{tok_s:.0f} tokens/s, attn {impls}")
     except Exception as err:
         details["transformer_error"] = str(err)
+
+    _flush_details()
+    _log("bench: continuous batching (paged + chunked) ...")
+    try:
+        cb_tok, cb_req, cb_gen, cb_stats = bench_continuous_batching()
+        details["continuous_batching"] = {
+            "config": "vocab2048 dim512 blocks2 slots8 cap320 page32 "
+                      "pool=dense/2 chunk32; 12 staggered requests, "
+                      "prompts 48-160, budgets 32-96",
+            "tokens_per_s": round(cb_tok, 1),
+            "requests_per_s": round(cb_req, 2),
+            "generated_tokens": cb_gen,
+            "scheduler": cb_stats,
+            "impl": "ContinuousBatcher(paged=True, decode_chunk=32): "
+                    "page-pool KV at half the dense reservation, "
+                    "multi-step scan dispatches; greedy == solo",
+            "note": "aligned-batch ceiling for this model is "
+                    "serving_decode",
+        }
+        _log(f"bench: continuous batching {cb_tok:.0f} tokens/s, "
+             f"{cb_req:.2f} req/s ({cb_stats})")
+    except Exception as err:
+        details["continuous_batching_error"] = str(err)
+
 
     roofline = 197e12  # v5e MXU, bf16 multiply / f32 accumulate
     target_gflops = 0.6 * roofline / 1e9  # BASELINE.md north star
