@@ -1003,6 +1003,25 @@ class ContinuousBatcher:
                 out[rid] = toks
         return out
 
+    def cancel(self, rid) -> bool:
+        """Abort a request (client disconnect): drop it from the queue,
+        or free its slot/pages immediately if resident.  Returns whether
+        anything was cancelled; already-finished requests return False.
+        Cancelled requests produce no result and no metrics record."""
+        for i, req in enumerate(self.queue):
+            if req.rid == rid:
+                del self.queue[i]
+                return True
+        for slot in range(self.slots):
+            req = self._req[slot]
+            if req is not None and req.rid == rid:
+                self.active[slot] = False
+                self._req[slot] = None
+                if self.paged:
+                    self._free_slot_pages(slot)
+                return True
+        return False
+
     def request_metrics(self, reset: bool = False) -> list:
         """Per-finished-request records, in completion order: request
         id, prompt/generated token counts, time to first token

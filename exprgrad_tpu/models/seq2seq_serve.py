@@ -351,10 +351,14 @@ class Seq2SeqServer:
 
     def generate(self, src, n_new: int, bos: int = 0,
                  temperature: float = 0.0, seed: int = 0,
-                 stop_token: Optional[int] = None, lengths=None):
+                 stop_token: Optional[int] = None, lengths=None,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None):
         """Encode ``src`` [batch, s] once, then generate ``n_new`` target
         tokens with O(1)-per-token decoding (one ``lax.scan`` program).
-        ``temperature > 0`` samples; 0 is greedy.  ``stop_token`` freezes
+        ``temperature > 0`` samples — restricted to the ``top_k`` most
+        likely tokens and/or the smallest ``top_p`` nucleus when given
+        (the same filters, same implementation, as FlashLMServer);
+        0 is greedy.  ``stop_token`` freezes
         a sequence once it emits that token (the scan still runs the
         fixed ``n_new`` steps — static shapes — finished rows carry the
         stop token forward).  ``lengths`` ([batch] ints) serves a RAGGED
@@ -362,6 +366,8 @@ class Seq2SeqServer:
         encoder and cross attention, so greedy output matches serving
         each source alone.  Returns [batch, n_new] int32 ids."""
         import jax
+
+        from ._sample import check_top_p, make_picker
 
         jnp = self._jnp
         src = self._tokens(src)
@@ -376,10 +382,12 @@ class Seq2SeqServer:
                 f"source length {s_len} exceeds max_src {self.max_src}"
             )
         self._check_lengths(lengths, batch, s_len)
+        check_top_p(top_p)
         greedy = temperature <= 0.0
         ragged = lengths is not None
         key = ("gen", batch, s_len, n_new, greedy,
-               float(temperature), stop_token, bos, ragged)
+               float(temperature), stop_token, bos, ragged, top_k, top_p)
+        picker = make_picker(self.vocab, temperature, top_k, top_p)
 
         def build():
             def run(src, rng_key, lens):
@@ -388,12 +396,7 @@ class Seq2SeqServer:
                 tok = jnp.full((batch, 1), bos, jnp.int32)
 
                 def pick(logits, k):
-                    last = logits[:, -1]
-                    if greedy:
-                        return jnp.argmax(last, axis=-1).astype(jnp.int32)
-                    return jax.random.categorical(
-                        k, last / temperature, axis=-1
-                    ).astype(jnp.int32)
+                    return picker(logits[:, -1], k).astype(jnp.int32)
 
                 def body(carry, k):
                     tok, caches, done = carry

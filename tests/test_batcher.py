@@ -595,3 +595,24 @@ def test_batcher_over_tensor_parallel_mesh():
     done = b.run()
     for rid, ref in zip(rids, refs):
         np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+
+
+def test_cancel():
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(26)
+    prompts = _prompts(rng, (5, 9, 3))
+    ref2 = np.asarray(srv.generate(prompts[2][None], n_new=8))[0]
+    b = ContinuousBatcher(srv, slots=1, capacity=64, paged=True,
+                          page_size=8)
+    r0 = b.submit(prompts[0], 6)
+    r1 = b.submit(prompts[1], 40)
+    r2 = b.submit(prompts[2], 8)
+    b.step()                      # r0 resident
+    assert b.cancel(r0)           # cancel the RESIDENT request
+    assert b.cancel(r1)           # cancel a QUEUED request
+    assert not b.cancel(12345)    # unknown id
+    done = b.run()                # only r2 remains and completes
+    assert set(done) == {r2}
+    np.testing.assert_array_equal(done[r2], ref2.astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+    assert not b.cancel(r2)       # finished: nothing to cancel

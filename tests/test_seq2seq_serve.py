@@ -114,6 +114,28 @@ def test_sampling_temperature_runs(model):
     assert (a >= 0).all() and (a < 8).all()
 
 
+def test_sampling_top_k_top_p(model):
+    """Shared-picker filters: top-k=1 sampling must equal greedy; top-p
+    draws stay deterministic per seed and in-vocab."""
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 8, (2, 8)).astype(np.float32)
+    server = Seq2SeqServer(model)
+    greedy = np.asarray(server.generate(src, n_new=5))
+    k1 = np.asarray(server.generate(src, n_new=5, temperature=0.7,
+                                    top_k=1, seed=3))
+    np.testing.assert_array_equal(k1, greedy)
+    a = np.asarray(server.generate(src, n_new=5, temperature=1.0,
+                                   top_p=0.9, seed=4))
+    b = np.asarray(server.generate(src, n_new=5, temperature=1.0,
+                                   top_p=0.9, seed=4))
+    np.testing.assert_array_equal(a, b)
+    assert (a >= 0).all() and (a < 8).all()
+    from exprgrad_tpu.errors import ModelRuntimeError
+    import pytest as _pytest
+    with _pytest.raises(ModelRuntimeError, match="top_p"):
+        server.generate(src, n_new=3, temperature=1.0, top_p=1.5)
+
+
 def test_rejects_wrong_model_family():
     m = compile(flash_transformer(vocab=8, dim=16, heads=2, hidden=32,
                                   max_seq=16), seed=0)
