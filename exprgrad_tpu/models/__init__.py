@@ -9,7 +9,9 @@ from .seq2seq_serve import Seq2SeqServer
 from .transformer import flash_transformer, tiny_transformer
 from .mixer import tiny_mixer
 from .mobile import mobile_cnn
+from .diffusion import (ddpm_sample, ddpm_schedule, diffusion_train_batch,
+                        tiny_diffusion)
 from .serve import FlashLMServer
 from .batcher import ContinuousBatcher
 
-__all__ = ["ContinuousBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["ContinuousBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "ddpm_sample", "ddpm_schedule", "diffusion_train_batch", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_diffusion", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

@@ -190,3 +190,12 @@ def test_serving_suite_example(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "int8 agrees : True" in out
     assert "exact=True" in out
+
+
+def test_diffusion_example(monkeypatch, capsys):
+    import diffusion
+
+    monkeypatch.setattr(diffusion, "STEPS", 20)
+    diffusion.main()
+    out = capsys.readouterr().out
+    assert "sample mean" in out and "loss" in out
