@@ -130,10 +130,30 @@ class ContinuousBatcher:
         pool_pages: Optional[int] = None,
         decode_chunk: int = 1,
         prefill_chunk: Optional[int] = None,
+        draft=None,
+        spec_k: int = 4,
     ):
         import jax
 
         check_top_p(top_p)
+        if draft is not None:
+            # speculative continuous batching: greedy-exact only, and
+            # the spec round IS the multi-step mechanism
+            if temperature > 0.0:
+                raise ModelRuntimeError(
+                    "speculative batching is greedy-only (temperature=0)")
+            if decode_chunk != 1:
+                raise ModelRuntimeError(
+                    "draft= and decode_chunk are mutually exclusive "
+                    "(the spec round already amortizes dispatches)")
+            if draft.vocab != server.vocab:
+                raise ModelRuntimeError(
+                    f"draft vocab {draft.vocab} != target vocab "
+                    f"{server.vocab}")
+            if spec_k < 1:
+                raise ModelRuntimeError(f"spec_k must be >= 1 (got {spec_k})")
+        self.draft = draft
+        self.spec_k = int(spec_k)
         if decode_chunk < 1:
             raise ModelRuntimeError(
                 f"decode_chunk must be >= 1 (got {decode_chunk})")
@@ -217,6 +237,14 @@ class ContinuousBatcher:
         self._steps = 0
         self._dispatches = 0
         self._metrics: list[dict] = []
+        if self.draft is not None:
+            # the draft's KV state is always a DENSE per-slot cache
+            # (small model: its cache HBM is minor even when the target
+            # pages); per-row cursors mirror the target's positions
+            self.draft_caches = self.draft.init_caches(
+                self.slots, self.capacity)
+            self._spec_emitted = 0
+            self._spec_rounds = 0
 
     # -- jitted pieces -------------------------------------------------
     def _split(self):
@@ -426,6 +454,136 @@ class ContinuousBatcher:
              self.pool_pages if self.paged else 0,
              pg, self.temperature, self.top_k, self.top_p),
             build, donate_argnums=(3,),
+        )
+
+    def _draft_admit_fn(self, width: int):
+        """Prefill the DRAFT model's dense per-slot cache for a freshly
+        admitted prompt (no token is picked — the target's admission
+        already did)."""
+        jax, draft = self._jax, self.draft
+        import jax.numpy as jnp
+
+        def build():
+            def run(prompt, length, slot, caches):
+                mini = draft.init_caches(1, width)
+                lens = length[None]
+                pos_ids, key_pos = draft._ragged_positions(
+                    lens, width, width)
+                x = draft._embed_at(prompt, pos_ids)
+                _, mini = draft._step(x, mini, 0, key_pos=key_pos,
+                                      q_pos=pos_ids)
+                zero = jnp.int32(0)
+                out = []
+                for big, m in zip(caches, mini):
+                    big = big._replace(
+                        k=jax.lax.dynamic_update_slice(
+                            big.k, m.k, (slot, zero, zero, zero)),
+                        v=jax.lax.dynamic_update_slice(
+                            big.v, m.v, (slot, zero, zero, zero)),
+                    )
+                    if big.k_scale is not None:
+                        big = big._replace(
+                            k_scale=jax.lax.dynamic_update_slice(
+                                big.k_scale, m.k_scale, (slot, zero, zero)),
+                            v_scale=jax.lax.dynamic_update_slice(
+                                big.v_scale, m.v_scale, (slot, zero, zero)),
+                        )
+                    out.append(big)
+                return out
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_draft_admit", width, self.slots, self.capacity,
+             id(self.draft)),
+            build, donate_argnums=(3,),
+        )
+
+    def _spec_round_fn(self):
+        """One speculative round for the whole slot batch, ONE dispatch:
+        the draft greedily proposes ``spec_k`` tokens per row (scan), the
+        target verifies all ``spec_k + 1`` positions in a single forward,
+        and per-row acceptance counts come back.  No cache rewind
+        anywhere: rejected rows' K/V are position-masked and then
+        OVERWRITTEN by the next round's writes (slot index == position).
+        The draft also runs one extra write-only step so its cache has no
+        hole when every proposal is accepted."""
+        jax, srv, draft = self._jax, self.server, self.draft
+        pick_k = self.spec_k
+        paged = self.paged
+        capacity = self.capacity
+        virtual = (self.pages_per_slot * self.page_size if paged
+                   else capacity)
+        import jax.numpy as jnp
+
+        if paged:
+            from ..ops.paged import gather_view, write_token
+
+        def build():
+            def run(tok, pos, tcaches, dcaches, page_table, wpid, woff):
+                d_slots = jnp.arange(capacity, dtype=jnp.int32)
+
+                def dbody(carry, _):
+                    dt, dpos, dc = carry
+                    key_pos = jnp.where(
+                        d_slots[None, :] <= dpos[:, None],
+                        d_slots[None, :], jnp.int32(-1),
+                    )
+                    x = draft._embed_at(dt[:, None], dpos[:, None])
+                    logits, dc = draft._step(
+                        x, dc, 0, key_pos=key_pos, q_pos=dpos[:, None],
+                        row_starts=dpos,
+                    )
+                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(
+                        dt.dtype)
+                    return (nxt, dpos + 1, dc), nxt
+
+                # k proposals + one write-only step (fills the draft
+                # cache row the all-accepted case needs next round)
+                (_, _, dcaches), outs = jax.lax.scan(
+                    dbody, (tok, pos, dcaches), None, length=pick_k + 1)
+                props = jnp.swapaxes(outs[:pick_k], 0, 1)  # [b, k]
+
+                seq = jnp.concatenate([tok[:, None], props], axis=1)
+                qp = pos[:, None] + jnp.arange(
+                    pick_k + 1, dtype=jnp.int32)[None, :]
+                t_slots = jnp.arange(virtual, dtype=jnp.int32)
+                key_pos = jnp.where(
+                    t_slots[None, :] <= pos[:, None] + pick_k,
+                    t_slots[None, :], jnp.int32(-1),
+                )
+                x = srv._embed_at(seq, qp)
+                if paged:
+                    class _IO:
+                        @staticmethod
+                        def append(pool, k, v):
+                            return write_token(pool, k, v, wpid, woff)
+
+                        @staticmethod
+                        def view(pool):
+                            return gather_view(pool, page_table)
+
+                    logits, tcaches = srv._step(
+                        x, tcaches, 0, key_pos=key_pos, q_pos=qp,
+                        cache_io=_IO,
+                    )
+                else:
+                    logits, tcaches = srv._step(
+                        x, tcaches, 0, key_pos=key_pos, q_pos=qp,
+                        row_starts=pos,
+                    )
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = props.astype(jnp.int32) == greedy[:, :pick_k]
+                accept = jnp.sum(
+                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+                return greedy, accept, tcaches, dcaches
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_spec_round", pick_k, paged, self.slots, self.capacity,
+             self.pages_per_slot if paged else 0, id(self.draft)),
+            build, donate_argnums=(2, 3),
         )
 
     def _register_prefix_fn(self, length: int, n_pages: int):
@@ -739,6 +897,9 @@ class ContinuousBatcher:
         if max_new < 1:
             raise ModelRuntimeError(f"max_new must be >= 1 (got {max_new})")
         need = tokens.size + max_new - 1
+        if self.draft is not None:
+            # a verify round writes spec_k rows beyond the fed position
+            need += self.spec_k
         if need > self.capacity:
             raise ModelRuntimeError(
                 f"prompt_len + max_new - 1 = {need} exceeds cache "
@@ -772,6 +933,17 @@ class ContinuousBatcher:
 
         # bucket widths never exceed the cache (a user bucket list may)
         return min(bucket_for(self.prompt_buckets, width), self.capacity)
+
+    def _admit_draft(self, slot) -> None:
+        """Prefill the draft's cache row for a just-activated slot."""
+        req = self._req[slot]
+        width = self._bucket(req.tokens.size)
+        prompt = np.zeros((1, width), np.float32)
+        prompt[0, :req.tokens.size] = req.tokens
+        self.draft_caches = self._draft_admit_fn(width)(
+            prompt, np.int32(req.tokens.size), np.int32(slot),
+            self.draft_caches,
+        )
 
     def _progress_admission(self, slot, allow_preempt: bool = False):
         """One admission unit for a reserved paged slot: a page-aligned
@@ -820,6 +992,8 @@ class ContinuousBatcher:
         self.active[slot] = True
         self.pos[slot] = size
         self.last[slot] = float(first)
+        if self.draft is not None:
+            self._admit_draft(slot)
         if self._emit(slot, int(first)):
             return self._finish(slot)
         return None
@@ -894,6 +1068,8 @@ class ContinuousBatcher:
                 self.active[slot] = True
                 self.pos[slot] = req.tokens.size
                 self.last[slot] = float(first)
+                if self.draft is not None:
+                    self._admit_draft(slot)
                 if self._emit(slot, int(first)):
                     finished.append(self._finish(slot))
 
@@ -918,7 +1094,55 @@ class ContinuousBatcher:
                 if done is not None:
                     finished.append(done)
 
-        # 2) decode for the whole slot batch
+        # 2) speculative round: draft proposes, target verifies, per-row
+        # acceptance advances each slot by 1..spec_k+1 tokens
+        if self.active.any() and self.draft is not None:
+            k = self.spec_k
+            if self.paged:
+                for slot in range(self.slots):
+                    if self.active[slot]:
+                        self._ensure_pages_upto(
+                            slot, int(self.pos[slot]) + k)
+                wpid = np.zeros((self.slots, k + 1), np.int32)
+                woff = np.zeros((self.slots, k + 1), np.int32)
+                for slot in range(self.slots):
+                    if self.active[slot]:
+                        for i in range(k + 1):
+                            p = int(self.pos[slot]) + i
+                            wpid[slot, i] = self.slot_pages[slot][
+                                p // self.page_size]
+                            woff[slot, i] = p % self.page_size
+                pt = self.page_table.copy()
+            else:
+                pt = np.zeros((self.slots, 1), np.int32)
+                wpid = np.zeros((self.slots, k + 1), np.int32)
+                woff = np.zeros((self.slots, k + 1), np.int32)
+            self._dispatches += 1
+            self._spec_rounds += 1
+            greedy, accept, self.caches, self.draft_caches = (
+                self._spec_round_fn()(
+                    self.last.copy(), self.pos.copy(), self.caches,
+                    self.draft_caches, pt, wpid, woff,
+                )
+            )
+            greedy = np.asarray(greedy)
+            accept = np.asarray(accept)
+            for slot in range(self.slots):
+                if not self.active[slot]:
+                    continue
+                take = int(accept[slot]) + 1
+                self._steps += take
+                for i in range(take):
+                    tok = int(greedy[slot, i])
+                    self.pos[slot] += 1
+                    self.last[slot] = float(tok)
+                    self._spec_emitted += 1
+                    if self._emit(slot, tok):
+                        finished.append(self._finish(slot))
+                        break
+            return finished
+
+        # 2b) chunked decode for the whole slot batch
         if self.active.any() and self.decode_chunk > 1:
             chunk = self.decode_chunk
             # per-row budget fences; pages for every step of the chunk
@@ -1042,6 +1266,9 @@ class ContinuousBatcher:
             "active": int(self.active.sum()),
             "queued": len(self.queue),
         }
+        if self.draft is not None:
+            out["spec_rounds"] = self._spec_rounds
+            out["spec_emitted"] = self._spec_emitted
         if self.paged:
             out["free_pages"] = len(self.free_pages)
             out["pool_pages"] = self.pool_pages

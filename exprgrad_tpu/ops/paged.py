@@ -67,16 +67,19 @@ def init_pool(n_pages: int, kv_heads: int, page_size: int, head_dim: int,
 
 def write_token(pool: PagedKVPool, k_new: jax.Array, v_new: jax.Array,
                 page_ids: jax.Array, offsets: jax.Array) -> PagedKVPool:
-    """Write ONE fresh position per batch row: ``k_new``/``v_new``
-    [b, hkv, 1, d] land at ``(page_ids[b], offsets[b])``.  Rows must own
-    distinct pages (the host scheduler guarantees it), so the batched
-    scatter has no write conflicts."""
+    """Write ``t`` fresh positions per batch row: ``k_new``/``v_new``
+    [b, hkv, t, d] land at ``(page_ids[b, t], offsets[b, t])`` ([b]
+    accepted for t = 1 — the plain decode step).  Rows must own distinct
+    pages (the host scheduler guarantees it) and a row's t coordinates
+    are distinct positions, so the batched scatter has no write
+    conflicts."""
     hkv = pool.k.shape[1]
-    pid = page_ids.astype(jnp.int32)[:, None]          # [b, 1]
-    off = offsets.astype(jnp.int32)[:, None]           # [b, 1]
-    head = jnp.arange(hkv, dtype=jnp.int32)[None, :]   # [1, hkv]
-    kn = k_new[:, :, 0, :]                             # [b, hkv, d]
-    vn = v_new[:, :, 0, :]
+    t = k_new.shape[2]
+    pid = page_ids.astype(jnp.int32).reshape(-1, t)[:, None, :]  # [b,1,t]
+    off = offsets.astype(jnp.int32).reshape(-1, t)[:, None, :]   # [b,1,t]
+    head = jnp.arange(hkv, dtype=jnp.int32)[None, :, None]       # [1,hkv,1]
+    kn = k_new                                                   # [b,hkv,t,d]
+    vn = v_new
     if pool.k_scale is not None:
         kq, ks = _quantize(kn)
         vq, vs = _quantize(vn)

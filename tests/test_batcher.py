@@ -616,3 +616,102 @@ def test_cancel():
     np.testing.assert_array_equal(done[r2], ref2.astype(np.int64))
     assert b.stats["free_pages"] == b.stats["pool_pages"]
     assert not b.cancel(r2)       # finished: nothing to cancel
+
+
+# --- speculative continuous batching -------------------------------------
+
+def _draft_server(vocab=32, seed=0):
+    model = eg.compile(
+        flash_transformer(vocab=vocab, dim=16, heads=2, max_seq=64),
+        backend="jax", seed=seed,
+    )
+    rng = np.random.default_rng(seed)
+    toks = rng.integers(0, vocab, (4, 16)).astype(np.float32)
+    labels = eg.one_hot(rng.integers(0, vocab, 64), vocab).reshape(
+        4, 16, vocab)
+    for _ in range(3):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return FlashLMServer(model)
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_speculative_batching_exact(paged):
+    """Draft proposes, target verifies, per-row acceptance — every
+    stream bit-equal to solo target greedy, through slot reuse."""
+    target = FlashLMServer(_trained_model())
+    draft = _draft_server(seed=0)  # same data: correlated but imperfect
+    rng = np.random.default_rng(27)
+    prompts = _prompts(rng, (5, 9, 3, 12))
+    max_new = [8, 5, 10, 6]
+    solo = _solo(target, prompts, max_new)
+    kw = dict(paged=True, page_size=8) if paged else {}
+    b = ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
+                          spec_k=3, **kw)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["spec_rounds"] == b.stats["dispatches"]
+    if paged:
+        assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_speculative_perfect_draft_accepts_everything():
+    """Draft == target: every proposal accepted, so each round emits
+    spec_k+1 tokens (pins the all-accepted draft-cache-hole fix)."""
+    target = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(28)
+    prompts = _prompts(rng, (6, 9))
+    max_new = [9, 9]
+    solo = _solo(target, prompts, max_new)
+    b = ContinuousBatcher(target, slots=2, capacity=64, draft=target,
+                          spec_k=2)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    # 8 post-admission tokens per request at 3/round -> 3 rounds each,
+    # run concurrently: exactly ceil(8/3) = 3 rounds total
+    assert b.stats["spec_rounds"] == 3
+    assert b.stats["spec_emitted"] == 16
+
+
+def test_speculative_with_prefix_and_stop():
+    target = FlashLMServer(_trained_model())
+    draft = _draft_server(seed=0)
+    rng = np.random.default_rng(29)
+    system = rng.integers(0, 32, 16).astype(np.float32)
+    prompts = [np.concatenate([system, p]) for p in _prompts(rng, (6, 4))]
+    ref = _solo(target, prompts, [12, 12])
+    stop = int(ref[0][3])
+    b = ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
+                          spec_k=4, paged=True, page_size=8,
+                          stop_token=stop)
+    b.register_prefix(system)
+    rids = [b.submit(p, 12) for p in prompts]
+    done = b.run()
+    for rid, r in zip(rids, ref):
+        got = done[rid]
+        np.testing.assert_array_equal(got, r[:len(got)].astype(np.int64))
+        r64 = r.astype(np.int64)
+        if stop in r64:
+            assert got[-1] == stop and len(got) == list(r64).index(stop) + 1
+
+
+def test_speculative_validation():
+    target = FlashLMServer(_trained_model())
+    draft = _draft_server(seed=0)
+    with pytest.raises(ModelRuntimeError, match="greedy"):
+        ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
+                          temperature=0.5)
+    with pytest.raises(ModelRuntimeError, match="decode_chunk"):
+        ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
+                          decode_chunk=4)
+    other = _draft_server(vocab=16, seed=1)
+    with pytest.raises(ModelRuntimeError, match="vocab"):
+        ContinuousBatcher(target, slots=2, capacity=64, draft=other)
+    b = ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
+                          spec_k=4)
+    with pytest.raises(ModelRuntimeError, match="capacity"):
+        b.submit(np.zeros(30), 32)  # 30+32-1+4 > 64
