@@ -21,6 +21,22 @@ VOCAB = 32
 
 
 @pytest.fixture(scope="module")
+def draft_server():
+    model = eg.compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, max_seq=96),
+        backend="jax", seed=1,
+    )
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, VOCAB, (4, 24)).astype(np.float32)
+    labels = eg.one_hot(rng.integers(0, VOCAB, 96), VOCAB).reshape(
+        4, 24, VOCAB)
+    for _ in range(2):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return FlashLMServer(model)
+
+
+@pytest.fixture(scope="module")
 def server():
     model = eg.compile(
         flash_transformer(vocab=VOCAB, dim=16, heads=2, max_seq=96),
@@ -36,24 +52,28 @@ def server():
     return FlashLMServer(model)
 
 
-def run_one(server, seed):
+def run_one(server, seed, draft=None):
     rng = np.random.default_rng(seed)
     slots = int(rng.integers(1, 4))
     capacity = 96
     paged = bool(rng.integers(0, 2))
     kw = {}
+    spec = draft is not None and bool(rng.integers(0, 2))
+    if spec:
+        kw["draft"] = draft
+        kw["spec_k"] = int(rng.integers(1, 5))
     if paged:
         page_size = int(rng.choice([4, 8, 16]))
         pages_per_slot = -(-capacity // page_size)
         dense_pages = slots * pages_per_slot
-        kw = dict(
+        kw.update(
             paged=True, page_size=page_size,
             pool_pages=int(rng.integers(
                 max(4, pages_per_slot), dense_pages + 1)),
         )
         if rng.integers(0, 2):
             kw["prefill_chunk"] = page_size * int(rng.integers(1, 4))
-    if rng.integers(0, 2):
+    if not spec and rng.integers(0, 2):
         kw["decode_chunk"] = int(rng.integers(2, 6))
     b = ContinuousBatcher(server, slots=slots, capacity=capacity, **kw)
 
@@ -75,9 +95,10 @@ def run_one(server, seed):
         if system is not None and rng.integers(0, 2):
             base = np.concatenate([system, base])
         max_new = int(rng.integers(1, 12))
-        need = base.size + max_new - 1
+        margin = kw.get("spec_k", 0)
+        need = base.size + max_new - 1 + margin
         if need > capacity:
-            base = base[:capacity - max_new + 1]
+            base = base[:capacity - max_new + 1 - margin]
         reqs.append((base, max_new))
 
     solo = [np.asarray(server.generate(p[None], n_new=mn))[0]
@@ -122,3 +143,8 @@ def run_one(server, seed):
 @pytest.mark.parametrize("seed", range(8))
 def test_scheduler_fuzz(server, seed):
     run_one(server, seed)
+
+
+@pytest.mark.parametrize("seed", range(200, 205))
+def test_scheduler_fuzz_speculative(server, draft_server, seed):
+    run_one(server, seed, draft=draft_server)
