@@ -1,10 +1,13 @@
-"""IO: model checkpoints and dataset formats (IDX, PPM, CSV)."""
+"""IO: model checkpoints, dataset formats (IDX, PPM, CSV), and text
+tokenization (byte-level BPE)."""
 
+from .tokenizer import BPETokenizer
 from .serialize import load_model, load_program, save_model, save_program
 from .idx import load_idx, save_idx
 from .ppm import load_ppm, save_ppm
 
 __all__ = [
+    "BPETokenizer",
     "load_idx",
     "load_model",
     "load_ppm",
