@@ -2,12 +2,15 @@
 tokenization (byte-level BPE)."""
 
 from .tokenizer import BPETokenizer
-from .serialize import load_model, load_program, save_model, save_program
+from .serialize import (export_params_npz, import_params_npz, load_model,
+                        load_program, save_model, save_program)
 from .idx import load_idx, save_idx
 from .ppm import load_ppm, save_ppm
 
 __all__ = [
     "BPETokenizer",
+    "export_params_npz",
+    "import_params_npz",
     "load_idx",
     "load_model",
     "load_ppm",

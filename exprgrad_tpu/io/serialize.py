@@ -525,6 +525,58 @@ def load_program(path: str) -> ir.Program:
         return read_program(Reader(f))
 
 
+def export_params_npz(model, path: str) -> None:
+    """Interop export: every parameter (and cache) as a named array in a
+    standard ``.npz`` — loadable by plain numpy/torch/jax with no
+    exprgrad dependency.  Names are ``"<name>#<tensor id>"`` (the id
+    disambiguates repeated layer names); caches are prefixed
+    ``"cache:"``.  The checkpoint format (``save_model``) remains the
+    round-trip path — this is the one-way door OUT of the framework."""
+    import numpy as np
+
+    from ..quant import QuantW
+
+    arrays = {}
+    for tid, val in model.params.items():
+        if isinstance(val, QuantW):
+            raise ModelRuntimeError(
+                "cannot export quantized weights to npz; export the "
+                "full-precision model before quantize_weights()"
+            )
+        name = model.program.tensors[tid].name or "param"
+        arrays[f"{name}#{tid}"] = np.asarray(val)
+    for tid, val in model.caches.items():
+        name = model.program.tensors[tid].name or "cache"
+        arrays[f"cache:{name}#{tid}"] = np.asarray(val)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def import_params_npz(model, path: str) -> None:
+    """Load arrays exported by :func:`export_params_npz` back into a
+    model compiled from the SAME program (names+ids and shapes must
+    match; shape mismatches raise instead of serving garbage)."""
+    import numpy as np
+
+    with np.load(path) as data:
+        for key in data.files:
+            name, _, tid_s = key.rpartition("#")
+            tid = int(tid_s)
+            table = model.caches if name.startswith("cache:") else model.params
+            if tid not in table:
+                raise ModelRuntimeError(
+                    f"npz entry {key!r} has no matching tensor in this "
+                    "model (was it compiled from the same program?)"
+                )
+            want = np.asarray(table[tid]).shape
+            if tuple(data[key].shape) != want:
+                raise ModelRuntimeError(
+                    f"npz entry {key!r} has shape {data[key].shape}, "
+                    f"model expects {want}"
+                )
+            table[tid] = data[key].astype(np.asarray(table[tid]).dtype)
+
+
 def save_model(model, path: str) -> None:
     """Checkpoint = source program + params + caches + epoch, closed by
     a CRC32 trailer of the payload (integrity check at load)."""

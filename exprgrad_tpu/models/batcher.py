@@ -132,6 +132,7 @@ class ContinuousBatcher:
         prefill_chunk: Optional[int] = None,
         draft=None,
         spec_k: int = 4,
+        stream_tokens: bool = False,
     ):
         import jax
 
@@ -237,6 +238,8 @@ class ContinuousBatcher:
         self._steps = 0
         self._dispatches = 0
         self._metrics: list[dict] = []
+        self.stream_tokens = bool(stream_tokens)
+        self._stream: list[tuple] = []
         if self.draft is not None:
             # the draft's KV state is always a DENSE per-slot cache
             # (small model: its cache HBM is minor even when the target
@@ -1025,6 +1028,8 @@ class ContinuousBatcher:
         if req.first_token_at is None:
             req.first_token_at = time.perf_counter()
         req.out.append(token)
+        if self.stream_tokens:
+            self._stream.append((req.rid, token))
         if self.stop_token is not None and token == self.stop_token:
             return True
         return len(req.out) >= req.max_new
@@ -1245,6 +1250,20 @@ class ContinuousBatcher:
                     self._free_slot_pages(slot)
                 return True
         return False
+
+    def drain_tokens(self) -> list:
+        """Tokens emitted since the last drain, in emission order, as
+        ``(request_id, token_id)`` pairs — the hook for streaming
+        responses to clients token by token (SSE-style) instead of
+        waiting for completion.  Requires ``stream_tokens=True`` (off by
+        default so an undrained buffer cannot grow unbounded)."""
+        if not self.stream_tokens:
+            raise ModelRuntimeError(
+                "token streaming is off; construct with "
+                "ContinuousBatcher(..., stream_tokens=True)")
+        out = self._stream
+        self._stream = []
+        return out
 
     def request_metrics(self, reset: bool = False) -> list:
         """Per-finished-request records, in completion order: request

@@ -715,3 +715,28 @@ def test_speculative_validation():
                           spec_k=4)
     with pytest.raises(ModelRuntimeError, match="capacity"):
         b.submit(np.zeros(30), 32)  # 30+32-1+4 > 64
+
+
+def test_token_streaming():
+    """drain_tokens() delivers every token in emission order; the
+    concatenation per request equals the final result."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(30)
+    prompts = _prompts(rng, (5, 9, 3))
+    b = ContinuousBatcher(srv, slots=2, capacity=64, stream_tokens=True,
+                          paged=True, page_size=8)
+    rids = [b.submit(p, 7) for p in prompts]
+    streamed = {rid: [] for rid in rids}
+    done = {}
+    while len(done) < 3:
+        for rid, toks in b.step():
+            done[rid] = toks
+        for rid, tok in b.drain_tokens():
+            streamed[rid].append(tok)
+    for rid in rids:
+        np.testing.assert_array_equal(
+            np.asarray(streamed[rid], np.int64), done[rid])
+    assert not b.drain_tokens()
+    plain = ContinuousBatcher(srv, slots=2, capacity=64)
+    with pytest.raises(ModelRuntimeError, match="stream"):
+        plain.drain_tokens()

@@ -133,3 +133,47 @@ def test_canvas_svg(tmp_path):
     img = Canvas(60, 60)
     img.image(0, 0, 60, 60, np.arange(64, dtype=np.uint8).reshape(8, 8))
     assert "data:image/x-portable-pixmap" in img.to_svg()
+
+
+def test_export_import_params_npz(tmp_path):
+    """Interop: params/caches round-trip through a standard .npz that
+    plain numpy can read without the framework."""
+    import numpy as np
+
+    from exprgrad_tpu import Tensor, compile, make_opt
+    from exprgrad_tpu.io import export_params_npz, import_params_npz
+    from exprgrad_tpu.layers import adam
+    from exprgrad_tpu.models import xor_mlp
+    from exprgrad_tpu.errors import ModelRuntimeError
+    import pytest
+
+    model = compile(xor_mlp(opt=make_opt(adam)), backend="jax", seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0.0, 1, 1, 0])
+    for _ in range(3):
+        model.epoch += 1
+        model.apply("train", {"x": x, "y": y})
+    ref = np.asarray(model.call("predict", {"x": x}))
+
+    p = str(tmp_path / "params.npz")
+    export_params_npz(model, p)
+    with np.load(p) as data:  # plain numpy reads it
+        assert len(data.files) == len(model.params) + len(model.caches)
+        assert any(k.startswith("cache:adam.m#") for k in data.files)
+
+    fresh = compile(xor_mlp(opt=make_opt(adam)), backend="jax", seed=99)
+    assert not np.allclose(
+        np.asarray(fresh.call("predict", {"x": x})), ref)
+    import_params_npz(fresh, p)
+    np.testing.assert_allclose(
+        np.asarray(fresh.call("predict", {"x": x})), ref, rtol=1e-6)
+
+    from exprgrad_tpu import input as eg_input
+    from exprgrad_tpu.layers import dense, leaky_relu, mse, sigmoid
+    net5 = (eg_input("x").pipe(dense, 2, 5).pipe(leaky_relu)
+            .pipe(dense, 5, 1).pipe(sigmoid).target("predict")
+            .pipe(mse, eg_input("y")).target("loss")
+            .backprop(make_opt(adam)).target("train"))
+    other = compile(net5, backend="jax")
+    with pytest.raises(ModelRuntimeError, match="shape|matching"):
+        import_params_npz(other, p)
