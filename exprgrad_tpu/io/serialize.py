@@ -560,7 +560,12 @@ def import_params_npz(model, path: str) -> None:
 
     with np.load(path) as data:
         for key in data.files:
-            name, _, tid_s = key.rpartition("#")
+            name, sep, tid_s = key.rpartition("#")
+            if not sep or not tid_s.isdigit():
+                raise ModelRuntimeError(
+                    f"npz entry {key!r} was not written by "
+                    "export_params_npz (expected '<name>#<tensor id>')"
+                )
             tid = int(tid_s)
             table = model.caches if name.startswith("cache:") else model.params
             if tid not in table:

@@ -96,6 +96,31 @@ def _scratch_caches(pools, page_table_row, pre_len, extra):
     return minis
 
 
+def _write_slot_rows(jax, caches, minis, slot):
+    """Copy a batch-1 scratch cache's rows into row ``slot`` of the big
+    dense caches (shared by target and draft admission)."""
+    import jax.numpy as jnp
+
+    zero = jnp.int32(0)
+    out = []
+    for big, m in zip(caches, minis):
+        big = big._replace(
+            k=jax.lax.dynamic_update_slice(
+                big.k, m.k, (slot, zero, zero, zero)),
+            v=jax.lax.dynamic_update_slice(
+                big.v, m.v, (slot, zero, zero, zero)),
+        )
+        if big.k_scale is not None:
+            big = big._replace(
+                k_scale=jax.lax.dynamic_update_slice(
+                    big.k_scale, m.k_scale, (slot, zero, zero)),
+                v_scale=jax.lax.dynamic_update_slice(
+                    big.v_scale, m.v_scale, (slot, zero, zero)),
+            )
+        out.append(big)
+    return out
+
+
 class ContinuousBatcher:
     """Iteration-level scheduler over a :class:`FlashLMServer`.
 
@@ -179,6 +204,13 @@ class ContinuousBatcher:
                 f"capacity {self.capacity} exceeds the model's max_seq "
                 f"{server.max_seq} position embeddings"
             )
+        if draft is not None and self.capacity > draft.max_seq:
+            # the spec round feeds the draft the same positions; silent
+            # clamping would just collapse acceptance to zero
+            raise ModelRuntimeError(
+                f"capacity {self.capacity} exceeds the DRAFT model's "
+                f"max_seq {draft.max_seq}"
+            )
         self.temperature = temperature
         self.top_k = top_k
         self.top_p = top_p
@@ -237,7 +269,9 @@ class ContinuousBatcher:
         self._next_rid = 0
         self._steps = 0
         self._dispatches = 0
-        self._metrics: list[dict] = []
+        # bounded: a long-running server must not leak one record per
+        # request (drain with request_metrics(reset=True) to keep all)
+        self._metrics: deque = deque(maxlen=4096)
         self.stream_tokens = bool(stream_tokens)
         self._stream: list[tuple] = []
         if self.draft is not None:
@@ -276,24 +310,7 @@ class ContinuousBatcher:
                     )[:, 0],
                     key,
                 )[0]
-                zero = jnp.int32(0)
-                out = []
-                for big, m in zip(caches, mini):
-                    big = big._replace(
-                        k=jax.lax.dynamic_update_slice(
-                            big.k, m.k, (slot, zero, zero, zero)),
-                        v=jax.lax.dynamic_update_slice(
-                            big.v, m.v, (slot, zero, zero, zero)),
-                    )
-                    if big.k_scale is not None:
-                        big = big._replace(
-                            k_scale=jax.lax.dynamic_update_slice(
-                                big.k_scale, m.k_scale, (slot, zero, zero)),
-                            v_scale=jax.lax.dynamic_update_slice(
-                                big.v_scale, m.v_scale, (slot, zero, zero)),
-                        )
-                    out.append(big)
-                return first, out
+                return first, _write_slot_rows(jax, caches, mini, slot)
 
             return run
 
@@ -475,24 +492,7 @@ class ContinuousBatcher:
                 x = draft._embed_at(prompt, pos_ids)
                 _, mini = draft._step(x, mini, 0, key_pos=key_pos,
                                       q_pos=pos_ids)
-                zero = jnp.int32(0)
-                out = []
-                for big, m in zip(caches, mini):
-                    big = big._replace(
-                        k=jax.lax.dynamic_update_slice(
-                            big.k, m.k, (slot, zero, zero, zero)),
-                        v=jax.lax.dynamic_update_slice(
-                            big.v, m.v, (slot, zero, zero, zero)),
-                    )
-                    if big.k_scale is not None:
-                        big = big._replace(
-                            k_scale=jax.lax.dynamic_update_slice(
-                                big.k_scale, m.k_scale, (slot, zero, zero)),
-                            v_scale=jax.lax.dynamic_update_slice(
-                                big.v_scale, m.v_scale, (slot, zero, zero)),
-                        )
-                    out.append(big)
-                return out
+                return _write_slot_rows(jax, caches, mini, slot)
 
             return run
 
@@ -797,10 +797,14 @@ class ContinuousBatcher:
 
     def _own_pages_needed(self, tokens: np.ndarray, remaining: int) -> int:
         """Worst-case pages a request must ALLOCATE itself: full
-        footprint minus the pages the currently registered prefixes
-        cover (matching can only improve by later registrations, and
-        release_prefix re-validates, so this bound holds at admission)."""
+        footprint (speculative rounds write ``spec_k`` rows past the fed
+        position, so that margin counts) minus the pages the currently
+        registered prefixes cover (matching can only improve by later
+        registrations, and release_prefix re-validates, so this bound
+        holds at admission)."""
         need = tokens.size + remaining - 1
+        if self.draft is not None:
+            need += self.spec_k
         _, pages = self._match_prefix(tokens)
         return self._pages_for(need) - (len(pages) if pages else 0)
 
@@ -900,13 +904,15 @@ class ContinuousBatcher:
         if max_new < 1:
             raise ModelRuntimeError(f"max_new must be >= 1 (got {max_new})")
         need = tokens.size + max_new - 1
+        margin = ""
         if self.draft is not None:
             # a verify round writes spec_k rows beyond the fed position
             need += self.spec_k
+            margin = f" + spec_k {self.spec_k}"
         if need > self.capacity:
             raise ModelRuntimeError(
-                f"prompt_len + max_new - 1 = {need} exceeds cache "
-                f"capacity {self.capacity}"
+                f"prompt_len + max_new - 1{margin} = {need} exceeds "
+                f"cache capacity {self.capacity}"
             )
         if need > self.server.max_seq:
             raise ModelRuntimeError(
@@ -1274,7 +1280,7 @@ class ContinuousBatcher:
         out = list(self._metrics)
         if reset:
             self._metrics.clear()
-        return out
+        return out  # bounded FIFO: at most the newest 4096 records
 
     @property
     def stats(self) -> dict:

@@ -740,3 +740,24 @@ def test_token_streaming():
     plain = ContinuousBatcher(srv, slots=2, capacity=64)
     with pytest.raises(ModelRuntimeError, match="stream"):
         plain.drain_tokens()
+
+
+def test_spec_margin_counts_in_paged_feasibility():
+    """Regression: the paged own-pages bound must include the spec_k
+    write margin, and the draft's max_seq must cover capacity."""
+    target = FlashLMServer(_trained_model())
+    draft = _draft_server(seed=0)
+    b = ContinuousBatcher(target, slots=2, capacity=64, paged=True,
+                          page_size=16, pool_pages=2, draft=draft,
+                          spec_k=4)
+    # need = 20 + 13 - 1 + 4 = 36 rows -> 3 pages > 2-page pool
+    with pytest.raises(ModelRuntimeError, match="unpinned"):
+        b.submit(np.zeros(20), 13)
+    # draft with smaller max_seq than capacity must be rejected
+    short = eg.compile(
+        flash_transformer(vocab=32, dim=16, heads=2, max_seq=32),
+        backend="jax", seed=2,
+    )
+    with pytest.raises(ModelRuntimeError, match="DRAFT"):
+        ContinuousBatcher(target, slots=2, capacity=64,
+                          draft=FlashLMServer(short), spec_k=4)
