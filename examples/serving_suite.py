@@ -109,6 +109,23 @@ def main() -> None:
         print(f"batched {name} :", results[rid].tolist())
     print("scheduler   :", cb.stats)
 
+    # speculative continuous batching: the draft proposes 4 tokens per
+    # slot per dispatch, the target verifies them in one forward —
+    # streams stay bit-equal to solo greedy
+    sb = ContinuousBatcher(server, slots=2, capacity=64, draft=draft,
+                           spec_k=4, stream_tokens=True)
+    srid = sb.submit(np.asarray([1, 2, 3], np.float32), max_new=10)
+    streamed = []
+    while True:
+        fin = sb.step()
+        streamed += [t for r, t in sb.drain_tokens() if r == srid]
+        if fin:
+            break
+    print("spec batched:", streamed,
+          f"(== greedy: {streamed == greedy[0].tolist()}; "
+          f"{sb.stats['spec_emitted']} tokens in "
+          f"{sb.stats['spec_rounds']} verify dispatches)")
+
     # multi-device: tensor-parallel weights + dp batches when the host
     # exposes a mesh (8 virtual devices under tests/conftest.py)
     import jax
