@@ -59,6 +59,7 @@ from .dnn import (
     relu,
     rms_norm,
     sigmoid,
+    silu,
     sin_layer,
     softmax,
     tanh,
@@ -79,7 +80,7 @@ __all__ = [
     "merge_lora", "minimum_elems",
     "layer_norm",
     "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
-    "sin_layer", "smoothed_cross_entropy", "softmax", "sub",
+    "silu", "sin_layer", "smoothed_cross_entropy", "softmax", "sub",
     "tanh", "transpose", "upsample2",
     "clip_by_global_norm", "clip_gradients",
     "cosine_decay", "exponential_decay", "step_decay", "warmup",

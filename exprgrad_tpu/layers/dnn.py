@@ -180,6 +180,19 @@ def sigmoid(inp: Fun) -> Fun:
 
 
 @layer
+def silu(inp: Fun) -> Fun:
+    """SiLU / swish: ``x * sigmoid(x)`` (the modern default activation;
+    the gated form lives fused inside flash_transformer's SwiGLU FFN).
+    Clamped like :func:`sigmoid` so large negatives don't overflow."""
+    from ..expr import minimum
+
+    it = iters("it")
+    out = Fun()
+    out.raw[it] = inp.raw[it] / (1.0 + exp(minimum(-inp.raw[it], 30.0)))
+    return out
+
+
+@layer
 def tanh(inp: Fun) -> Fun:
     """tanh via clamped exponentials: the reference form (dnn.nim:36-40)
     evaluates exp(x) directly and returns NaN (inf/inf) for |x| > ~88."""

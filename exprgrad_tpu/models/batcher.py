@@ -96,6 +96,26 @@ def _scratch_caches(pools, page_table_row, pre_len, extra):
     return minis
 
 
+def _cursor_key_pos(n, pos, extra=0):
+    """Per-row slot validity for cursor-based caches: [b, n] of the slot
+    index where ``slot <= pos + extra``, else -1 (the decode_attention
+    masking convention).  One definition for every decode/verify path."""
+    import jax.numpy as jnp
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where(ids[None, :] <= pos[:, None] + extra,
+                     ids[None, :], jnp.int32(-1))
+
+
+def _pick_first(pick, logits, length, key):
+    """First token of a batch-1 prefill: pick from the logits row at
+    (length - 1) (shared by plain and prefix-cached admission)."""
+    import jax.numpy as jnp
+
+    idx = jnp.reshape(length - 1, (1, 1, 1)).astype(jnp.int32)
+    return pick(jnp.take_along_axis(logits, idx, axis=1)[:, 0], key)[0]
+
+
 def _write_slot_rows(jax, caches, minis, slot):
     """Copy a batch-1 scratch cache's rows into row ``slot`` of the big
     dense caches (shared by target and draft admission)."""
@@ -303,13 +323,7 @@ class ContinuousBatcher:
                 x = srv._embed_at(prompt, pos_ids)
                 logits, mini = srv._step(x, mini, 0, key_pos=key_pos,
                                          q_pos=pos_ids)
-                first = pick(
-                    jnp.take_along_axis(
-                        logits, (lens[:, None, None] - 1).astype(jnp.int32),
-                        axis=1,
-                    )[:, 0],
-                    key,
-                )[0]
+                first = _pick_first(pick, logits, length, key)
                 return first, _write_slot_rows(jax, caches, mini, slot)
 
             return run
@@ -330,11 +344,7 @@ class ContinuousBatcher:
 
         def build():
             def run(tok, pos, caches, key):
-                slot_ids = jnp.arange(capacity, dtype=jnp.int32)
-                key_pos = jnp.where(
-                    slot_ids[None, :] <= pos[:, None], slot_ids[None, :],
-                    jnp.int32(-1),
-                )
+                key_pos = _cursor_key_pos(capacity, pos)
                 x = srv._embed_at(tok[:, None], pos[:, None])
                 logits, caches = srv._step(
                     x, caches, 0, key_pos=key_pos, q_pos=pos[:, None],
@@ -365,11 +375,7 @@ class ContinuousBatcher:
 
         def build():
             def run(tok, pos, pools, page_table, wpid, woff, key):
-                slot_ids = jnp.arange(virtual, dtype=jnp.int32)
-                key_pos = jnp.where(
-                    slot_ids[None, :] <= pos[:, None], slot_ids[None, :],
-                    jnp.int32(-1),
-                )
+                key_pos = _cursor_key_pos(virtual, pos)
 
                 class _PagedIO:
                     @staticmethod
@@ -421,15 +427,10 @@ class ContinuousBatcher:
 
         def build():
             def run(tok, pos, stop_at, caches, page_table, key):
-                slot_ids = jnp.arange(virtual, dtype=jnp.int32)
-
                 def body(carry, sub):
                     tok, pos, caches = carry
                     alive = pos < stop_at
-                    key_pos = jnp.where(
-                        slot_ids[None, :] <= pos[:, None],
-                        slot_ids[None, :], jnp.int32(-1),
-                    )
+                    key_pos = _cursor_key_pos(virtual, pos)
                     x = srv._embed_at(tok[:, None], pos[:, None])
                     if paged:
                         wpid = jnp.take_along_axis(
@@ -524,14 +525,9 @@ class ContinuousBatcher:
 
         def build():
             def run(tok, pos, tcaches, dcaches, page_table, wpid, woff):
-                d_slots = jnp.arange(capacity, dtype=jnp.int32)
-
                 def dbody(carry, _):
                     dt, dpos, dc = carry
-                    key_pos = jnp.where(
-                        d_slots[None, :] <= dpos[:, None],
-                        d_slots[None, :], jnp.int32(-1),
-                    )
+                    key_pos = _cursor_key_pos(capacity, dpos)
                     x = draft._embed_at(dt[:, None], dpos[:, None])
                     logits, dc = draft._step(
                         x, dc, 0, key_pos=key_pos, q_pos=dpos[:, None],
@@ -550,11 +546,7 @@ class ContinuousBatcher:
                 seq = jnp.concatenate([tok[:, None], props], axis=1)
                 qp = pos[:, None] + jnp.arange(
                     pick_k + 1, dtype=jnp.int32)[None, :]
-                t_slots = jnp.arange(virtual, dtype=jnp.int32)
-                key_pos = jnp.where(
-                    t_slots[None, :] <= pos[:, None] + pick_k,
-                    t_slots[None, :], jnp.int32(-1),
-                )
+                key_pos = _cursor_key_pos(virtual, pos, extra=pick_k)
                 x = srv._embed_at(seq, qp)
                 if paged:
                     class _IO:
@@ -643,13 +635,7 @@ class ContinuousBatcher:
                 x = srv._embed_at(suffix, pos_ids)
                 logits, minis = srv._step(x, minis, 0, key_pos=key_pos,
                                           q_pos=pos_ids)
-                first = pick(
-                    jnp.take_along_axis(
-                        logits, (s_len[None, None, None] - 1).astype(
-                            jnp.int32), axis=1,
-                    )[:, 0],
-                    key,
-                )[0]
+                first = _pick_first(pick, logits, s_len, key)
                 pools = [
                     write_prefill_at(pool, m, own_pages, pre_len)
                     for pool, m in zip(pools, minis)
@@ -1026,6 +1012,22 @@ class ContinuousBatcher:
             self._free_slot_pages(slot)
         return (req.rid, np.asarray(req.out, np.int64))
 
+    def _apply_tokens(self, slot, tokens, finished) -> int:
+        """Advance a slot through emitted tokens (pos/last bookkeeping),
+        finishing on budget or stop; returns how many were applied —
+        the one harvest loop behind the single-step, chunked, and
+        speculative decode paths."""
+        applied = 0
+        for tok in tokens:
+            tok = int(tok)
+            self.pos[slot] += 1
+            self.last[slot] = float(tok)
+            applied += 1
+            if self._emit(slot, tok):
+                finished.append(self._finish(slot))
+                break
+        return applied
+
     def _emit(self, slot, token: int) -> bool:
         """Record one generated token; True when the request is done."""
         import time
@@ -1143,14 +1145,8 @@ class ContinuousBatcher:
                     continue
                 take = int(accept[slot]) + 1
                 self._steps += take
-                for i in range(take):
-                    tok = int(greedy[slot, i])
-                    self.pos[slot] += 1
-                    self.last[slot] = float(tok)
-                    self._spec_emitted += 1
-                    if self._emit(slot, tok):
-                        finished.append(self._finish(slot))
-                        break
+                self._spec_emitted += self._apply_tokens(
+                    slot, greedy[slot, :take], finished)
             return finished
 
         # 2b) chunked decode for the whole slot batch
@@ -1183,13 +1179,7 @@ class ContinuousBatcher:
                 if not self.active[slot]:
                     continue
                 taken = min(chunk, int(stop_at[slot]) - int(self.pos[slot]))
-                for i in range(taken):
-                    tok = int(toks[i, slot])
-                    self.pos[slot] += 1
-                    self.last[slot] = float(tok)
-                    if self._emit(slot, tok):
-                        finished.append(self._finish(slot))
-                        break
+                self._apply_tokens(slot, toks[:taken, slot], finished)
             return finished
 
         # single-step decode
@@ -1219,13 +1209,8 @@ class ContinuousBatcher:
                 )
             nxt = np.asarray(nxt)
             for slot in range(self.slots):
-                if not self.active[slot]:
-                    continue
-                self.pos[slot] += 1
-                tok = int(nxt[slot])
-                self.last[slot] = float(tok)
-                if self._emit(slot, tok):
-                    finished.append(self._finish(slot))
+                if self.active[slot]:
+                    self._apply_tokens(slot, nxt[slot:slot + 1], finished)
         return finished
 
     def run(self) -> dict:

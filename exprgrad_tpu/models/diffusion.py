@@ -20,7 +20,7 @@ import numpy as np
 
 from ..expr import cos, irange, iters, pow_, select, sin, sqrt, to_scalar
 from ..fun import Fun, cond, input_, make_opt
-from ..layers import adam, dense, mse
+from ..layers import adam, dense, mse, silu
 
 
 def tiny_diffusion(
@@ -73,9 +73,9 @@ def tiny_diffusion(
 
     net = (
         h.pipe(dense, data_dim + 2 * emb, hidden)
-        .pipe(_silu)
+        .pipe(silu)
         .pipe(dense, hidden, hidden)
-        .pipe(_silu)
+        .pipe(silu)
         .pipe(dense, hidden, data_dim)
     )
     pred = net.target("predict")
@@ -84,14 +84,6 @@ def tiny_diffusion(
         opt = make_opt(adam, eta=eta)
     return loss.backprop(opt).target("train")
 
-
-def _silu(x: Fun) -> Fun:
-    from ..expr import exp
-
-    it = iters("it")
-    out = Fun()
-    out.raw[it] = x.raw[it] / (1.0 + exp(-x.raw[it]))
-    return out
 
 
 def ddpm_schedule(steps: int = 50, beta_lo: float = 1e-4,
