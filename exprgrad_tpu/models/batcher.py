@@ -274,6 +274,7 @@ class ContinuousBatcher:
             self.page_table = np.zeros(
                 (self.slots, self.pages_per_slot), np.int32)
             self._preempts = 0
+            self._window_evicted = 0
             # prefix cache: registered (tokens, pinned pages) entries
             # whose K/V pages are SHARED read-only by matching prompts
             self._prefixes: list[tuple[np.ndarray, list[int]]] = []
@@ -694,7 +695,9 @@ class ContinuousBatcher:
 
     def _free_slot_pages(self, slot) -> None:
         pinned = int(self._slot_pinned[slot])
-        self.free_pages.extend(self.slot_pages[slot][pinned:])
+        # 0 entries are window-evicted placeholders, already in the pool
+        self.free_pages.extend(
+            p for p in self.slot_pages[slot][pinned:] if p)
         self.slot_pages[slot] = []
         self._slot_pinned[slot] = 0
         self.page_table[slot, :] = 0
@@ -788,11 +791,25 @@ class ContinuousBatcher:
         registered prefixes cover (matching can only improve by later
         registrations, and release_prefix re-validates, so this bound
         holds at admission)."""
+        margin = max(self.spec_k if self.draft is not None else 0,
+                     self.decode_chunk)
         need = tokens.size + remaining - 1
         if self.draft is not None:
             need += self.spec_k
         _, pages = self._match_prefix(tokens)
-        return self._pages_for(need) - (len(pages) if pages else 0)
+        shared = len(pages) if pages else 0
+        full = self._pages_for(need) - shared
+        window = self.server.window
+        if window is None:
+            return full
+        # window models evict pages behind the attention band, so the
+        # worst-case SIMULTANEOUS residency is the larger of the prefill
+        # burst (the whole prompt lands before the first eviction) and
+        # the steady-state band plus the biggest between-eviction write
+        # run (a decode chunk / spec round)
+        prefill = self._pages_for(tokens.size) - shared
+        steady = self._pages_for(int(window) + margin + 1) + 1
+        return min(full, max(prefill, steady))
 
     # -- public API ----------------------------------------------------
     def register_prefix(self, tokens) -> int:
@@ -987,6 +1004,7 @@ class ContinuousBatcher:
         self.active[slot] = True
         self.pos[slot] = size
         self.last[slot] = float(first)
+        self._evict_window_pages(slot)
         if self.draft is not None:
             self._admit_draft(slot)
         if self._emit(slot, int(first)):
@@ -1012,6 +1030,27 @@ class ContinuousBatcher:
             self._free_slot_pages(slot)
         return (req.rid, np.asarray(req.out, np.int64))
 
+    def _evict_window_pages(self, slot) -> None:
+        """Sliding-window models never attend positions at or below
+        ``pos - window``, so pages wholly outside the band are returned
+        to the pool (table entries become the trash page; the stale rows
+        were window-masked already).  Cache memory per slot becomes
+        O(window) instead of O(sequence length) — the long-context
+        payoff of paging.  Pinned prefix pages are shared and stay."""
+        window = self.server.window
+        if window is None:
+            return
+        keep_from = int(self.pos[slot]) - int(window) + 1
+        pages = self.slot_pages[slot]
+        pinned = int(self._slot_pinned[slot])
+        for idx in range(pinned, len(pages)):
+            pid = pages[idx]
+            if pid and (idx + 1) * self.page_size <= keep_from:
+                self.free_pages.append(pid)
+                pages[idx] = 0
+                self.page_table[slot, idx] = 0
+                self._window_evicted += 1
+
     def _apply_tokens(self, slot, tokens, finished) -> int:
         """Advance a slot through emitted tokens (pos/last bookkeeping),
         finishing on budget or stop; returns how many were applied —
@@ -1026,6 +1065,9 @@ class ContinuousBatcher:
             if self._emit(slot, tok):
                 finished.append(self._finish(slot))
                 break
+        else:
+            if self.paged and applied:
+                self._evict_window_pages(slot)
         return applied
 
     def _emit(self, slot, token: int) -> bool:
@@ -1283,6 +1325,7 @@ class ContinuousBatcher:
             out["free_pages"] = len(self.free_pages)
             out["pool_pages"] = self.pool_pages
             out["preemptions"] = self._preempts
+            out["window_evicted"] = self._window_evicted
             out["prefixes"] = len(self._prefixes)
             out["prefix_hits"] = self._prefix_hits
         return out

@@ -761,3 +761,41 @@ def test_spec_margin_counts_in_paged_feasibility():
     with pytest.raises(ModelRuntimeError, match="DRAFT"):
         ContinuousBatcher(target, slots=2, capacity=64,
                           draft=FlashLMServer(short), spec_k=4)
+
+
+def test_window_page_eviction_bounds_cache_memory():
+    """Sliding-window models release pages behind the attention band:
+    resident pages per slot stay O(window) while streams remain solo-
+    identical — including under speculative decoding."""
+    srv = FlashLMServer(_trained_model(window=8))
+    rng = np.random.default_rng(31)
+    prompts = _prompts(rng, (20, 6))
+    max_new = [30, 40]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    peak = 0
+    done = {}
+    while len(done) < 2:
+        for rid, toks in b.step():
+            done[rid] = toks
+        peak = max(peak, max(
+            sum(1 for p in b.slot_pages[s] if p) for s in range(2)))
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["window_evicted"] > 0
+    # band of 8 tokens = 2 pages, +1 boundary, +1 write-ahead
+    assert peak <= 4, peak
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+    # speculative rounds evict identically
+    draft = _draft_server(seed=0)
+    b2 = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                           page_size=4, draft=draft, spec_k=3)
+    rids2 = [b2.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done2 = b2.run()
+    for rid, ref in zip(rids2, solo):
+        np.testing.assert_array_equal(done2[rid], ref.astype(np.int64))
+    assert b2.stats["window_evicted"] > 0
+    assert b2.stats["free_pages"] == b2.stats["pool_pages"]
