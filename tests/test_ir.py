@@ -254,3 +254,15 @@ def test_golden_scheduled_pool():
     program = to_program(out.target("out"))
     compile_program(program)
     check_golden("scheduled_pool", fmt_program(program))
+
+
+def test_golden_diffusion_train():
+    """The DDPM program: pins cond routing (computed x_t for train, a
+    runtime input for predict), the irange time embedding with its
+    index-expression frequencies, offset-write concat, and the derived
+    backward pass through all of it."""
+    from exprgrad_tpu.models.diffusion import tiny_diffusion
+
+    program = to_program(tiny_diffusion(data_dim=2, hidden=4, emb=2))
+    compile_program(program)
+    check_golden("diffusion_train", fmt_program(program))
