@@ -26,6 +26,7 @@ from .base import (
     momentum,
     mse,
     mul_scalar,
+    muon,
     rmsprop,
     smoothed_cross_entropy,
     sub,
@@ -79,7 +80,7 @@ __all__ = [
     "leaky_relu", "lora_dense", "matmul", "maximum_elems", "maxpool2",
     "merge_lora", "minimum_elems",
     "layer_norm",
-    "mse", "mul_scalar", "relu", "rms_norm", "rmsprop", "sigmoid",
+    "mse", "mul_scalar", "muon", "relu", "rms_norm", "rmsprop", "sigmoid",
     "silu", "sin_layer", "smoothed_cross_entropy", "softmax", "sub",
     "tanh", "transpose", "upsample2",
     "clip_by_global_norm", "clip_gradients",

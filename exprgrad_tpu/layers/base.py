@@ -360,6 +360,89 @@ def adafactor(
     )
 
 
+def muon(
+    param: Fun,
+    grad: Fun,
+    eta: float = 0.02,
+    mu: float = 0.95,
+    nesterov: bool = True,
+    ns_steps: int = 5,
+    eps: float = 1e-7,
+) -> None:
+    """Jordan et al., "Muon: MomentUm Orthogonalized by Newton-Schulz"
+    (2024) — the matmul-native optimizer: the momentum buffer of a
+    rank-2 parameter is approximately ORTHOGONALIZED by ``ns_steps``
+    quintic Newton-Schulz iterations before the update, all expressed as
+    DSL matmul kernels the compiler lowers onto the MXU like any other
+    contraction (A = X X^T, B = b A + c A^2, X <- a X + B X).
+
+    Rank-2 parameters get the full treatment (orthogonalizing over the
+    SMALLER side when rows > cols, update scaled by sqrt(max(1, R/C)));
+    other ranks fall back to plain (Nesterov) momentum — the standard
+    Muon deployment recipe (embeddings/norms/biases use a conventional
+    optimizer).  Step-exact against a numpy replica
+    (tests/test_optimizers.py).
+    """
+    a_c, b_c, c_c = 3.4445, -4.7750, 2.0315
+    m = cache(param, "muon.m")
+    it = iters("it")
+    m.raw[it] = m.raw[it] * (mu - 1.0) + grad.raw[it]
+    shape = list(getattr(getattr(param, "effect", None), "param_shape",
+                         None) or [])
+    if len(shape) != 2:
+        it = iters("it")
+        if nesterov:
+            param.raw[it] = -eta * (grad.raw[it] + mu * m.raw[it])
+        else:
+            param.raw[it] = -eta * m.raw[it]
+        return
+
+    rows, cols = shape
+    flip = rows > cols  # orthogonalize over the smaller dimension
+    n = cols if flip else rows  # X is [n, k] with n <= k
+
+    def mat(write_fn):
+        out = Fun()
+        write_fn(out)
+        return out
+
+    # g_used, laid out as X's [n, k] (transposed when flip)
+    def read_g(i, j):
+        gi, gj = (j, i) if flip else (i, j)
+        if nesterov:
+            return grad[gi, gj] + mu * m[gi, gj]
+        return m[gi, gj]
+
+    i, j = iters("i", "j")
+    nrm = Fun()
+    nrm[0] = sq(read_g(i, j))
+    i, j = iters("i", "j")
+    x = Fun()
+    x[i, j] = read_g(i, j) / (sqrt(nrm.raw[0]) + eps)
+    x.with_shape([n, shape[0] if flip else shape[1]])
+
+    for _ in range(ns_steps):
+        i, j, k = iters("i", "j", "k")
+        a = mat(lambda o: o.__setitem__((i, j), x[i, k] * x[j, k]))
+        i, j, k = iters("i", "j", "k")
+        aa = mat(lambda o: o.__setitem__((i, j), a[i, k] * a[k, j]))
+        i, j = iters("i", "j")
+        b = mat(lambda o: o.__setitem__(
+            (i, j), b_c * a[i, j] + c_c * aa[i, j]))
+        i, j, k = iters("i", "j", "k")
+        bx = mat(lambda o: o.__setitem__((i, j), b[i, k] * x[k, j]))
+        i, j = iters("i", "j")
+        x = mat(lambda o: o.__setitem__(
+            (i, j), a_c * x[i, j] + bx[i, j]))
+
+    scale = eta * max(1.0, rows / cols) ** 0.5
+    i, j = iters("i", "j")
+    if flip:
+        param[i, j] = -scale * x[j, i]
+    else:
+        param[i, j] = -scale * x[i, j]
+
+
 def clip_gradients(opt, bound: float):
     """Wrap any bound optimizer with elementwise gradient clipping to
     ``[-bound, bound]``: the clipped gradient is an ordinary intermediate

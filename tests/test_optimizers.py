@@ -541,3 +541,89 @@ def test_adafactor_checkpoint_resume(tmp_path):
     a = _drive(model, wid, XS2[2:])
     b = _drive(resumed, wid, XS2[2:])
     np.testing.assert_allclose(a[-1], b[-1], rtol=1e-12)
+
+
+# --- muon -----------------------------------------------------------------
+
+def _muon_oracle(w0, xs, eta=0.05, mu=0.95, nesterov=True, steps=5,
+                 eps=1e-7):
+    """Exact numpy replica of layers.muon on loss sum((w-x)^2)."""
+    w = w0.copy()
+    m = np.zeros_like(w)
+    out = []
+    for xv in xs:
+        g = 2.0 * (w - xv)
+        m = mu * m + g
+        gu = g + mu * m if nesterov else m
+        if w.ndim == 2:
+            rows, cols = w.shape
+            x = gu.T if rows > cols else gu
+            x = x / (np.linalg.norm(x) + eps)
+            for _ in range(steps):
+                a = x @ x.T
+                b = -4.7750 * a + 2.0315 * (a @ a)
+                x = 3.4445 * x + b @ x
+            upd = x.T if rows > cols else x
+            w = w - eta * max(1.0, rows / cols) ** 0.5 * upd
+        else:
+            w = w - eta * gu
+        out.append(w.copy())
+    return out
+
+
+def _muon_model(shape, backend="jax", **kw):
+    from exprgrad_tpu.layers import muon
+
+    x = input("x")
+    idx = iters(*[f"d{k}" for k in range(len(shape))])
+    idx = idx if isinstance(idx, tuple) else (idx,)
+    w = param(shape, init_range=(0.4, 0.6), name="w")
+    loss = Fun()
+    loss[0] = sq(w[idx] - x[idx])
+    model = compile(loss.target("loss").backprop(
+        make_opt(muon, eta=0.05, **kw)).target("train"),
+        dtype="float64", backend=backend)
+    return model, next(iter(model.params))
+
+
+@pytest.mark.parametrize("shape", [(2, 3), (5, 2), (4,)])
+@pytest.mark.parametrize("backend", ["interp", "jax"])
+def test_muon_matches_numpy_ns5(shape, backend):
+    """Wide (direct), tall (transposed orthogonalization + sqrt(R/C)
+    scaling), and rank-1 (momentum fallback) parameters, both backends."""
+    model, wid = _muon_model(shape, backend=backend)
+    w0 = np.asarray(model.params[wid]).copy()
+    rng = np.random.default_rng(1)
+    xs = [rng.random(shape) for _ in range(4)]
+    want = _muon_oracle(w0, xs)
+    got = _drive(model, wid, xs)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_muon_plain_momentum_variant():
+    model, wid = _muon_model((3, 3), nesterov=False)
+    w0 = np.asarray(model.params[wid]).copy()
+    rng = np.random.default_rng(2)
+    xs = [rng.random((3, 3)) for _ in range(3)]
+    want = _muon_oracle(w0, xs, nesterov=False)
+    got = _drive(model, wid, xs)
+    np.testing.assert_allclose(got[-1], want[-1], rtol=1e-10)
+
+
+def test_xor_converges_under_muon():
+    """End to end: the orthogonalized update actually trains (dense
+    weights via NS5, biases via the momentum fallback)."""
+    from exprgrad_tpu import Tensor
+    from exprgrad_tpu.layers import muon as muon_opt
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(opt=make_opt(muon_opt, eta=0.05)),
+                    backend="jax", seed=0)
+    x = Tensor.new([4, 2], [0, 0, 0, 1, 1, 0, 1, 1])
+    y = Tensor.new([4, 1], [0.0, 1, 1, 0])
+    for _ in range(300):
+        model.epoch += 1
+        model.apply("train", {"x": x, "y": y})
+    pred = np.asarray(model.call("predict", {"x": x})).reshape(-1)
+    assert np.abs(pred - np.asarray([0, 1, 1, 0])).max() < 0.25
