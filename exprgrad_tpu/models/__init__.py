@@ -11,7 +11,8 @@ from .mixer import tiny_mixer
 from .mobile import mobile_cnn
 from .diffusion import (ddpm_sample, ddpm_schedule, diffusion_train_batch,
                         tiny_diffusion)
+from .vae import tiny_vae, vae_sample, vae_train_batch
 from .serve import FlashLMServer
 from .batcher import ContinuousBatcher
 
-__all__ = ["ContinuousBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "ddpm_sample", "ddpm_schedule", "diffusion_train_batch", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_diffusion", "tiny_seq2seq", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["ContinuousBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "ddpm_sample", "ddpm_schedule", "diffusion_train_batch", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_diffusion", "tiny_seq2seq", "tiny_vae", "vae_sample", "vae_train_batch", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
