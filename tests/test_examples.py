@@ -199,3 +199,12 @@ def test_diffusion_example(monkeypatch, capsys):
     diffusion.main()
     out = capsys.readouterr().out
     assert "sample mean" in out and "loss" in out
+
+
+def test_vae_example(monkeypatch, capsys):
+    import vae
+
+    monkeypatch.setattr(vae, "STEPS", 20)
+    vae.main()
+    out = capsys.readouterr().out
+    assert "reconstruction mse" in out and "elbo" in out
