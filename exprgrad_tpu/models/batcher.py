@@ -275,6 +275,7 @@ class ContinuousBatcher:
                 (self.slots, self.pages_per_slot), np.int32)
             self._preempts = 0
             self._window_evicted = 0
+            self._evict_cursor = np.zeros(self.slots, np.int64)
             # prefix cache: registered (tokens, pinned pages) entries
             # whose K/V pages are SHARED read-only by matching prompts
             self._prefixes: list[tuple[np.ndarray, list[int]]] = []
@@ -690,10 +691,22 @@ class ContinuousBatcher:
         )
 
     # -- paged bookkeeping ---------------------------------------------
+    def _admit_chunk(self):
+        """Admission chunk size: the user's prefill_chunk, or — for
+        window models, which rely on between-chunk eviction to bound
+        their prefill burst — an implicit band-sized chunk."""
+        if self.prefill_chunk:
+            return self.prefill_chunk
+        window = self.server.window
+        if window is None:
+            return None
+        return -(-int(window) // self.page_size) * self.page_size             + self.page_size
+
     def _pages_for(self, n_rows: int) -> int:
         return -(-n_rows // self.page_size)
 
     def _free_slot_pages(self, slot) -> None:
+        self._evict_cursor[slot] = 0
         pinned = int(self._slot_pinned[slot])
         # 0 entries are window-evicted placeholders, already in the pool
         self.free_pages.extend(
@@ -802,14 +815,15 @@ class ContinuousBatcher:
         window = self.server.window
         if window is None:
             return full
-        # window models evict pages behind the attention band, so the
-        # worst-case SIMULTANEOUS residency is the larger of the prefill
-        # burst (the whole prompt lands before the first eviction) and
-        # the steady-state band plus the biggest between-eviction write
-        # run (a decode chunk / spec round)
-        prefill = self._pages_for(tokens.size) - shared
-        steady = self._pages_for(int(window) + margin + 1) + 1
-        return min(full, max(prefill, steady))
+        # window models evict pages behind the attention band — during
+        # admission too (between prefill chunks) — so the worst-case
+        # SIMULTANEOUS residency is the band plus the biggest
+        # between-eviction write run: one admission chunk, a decode
+        # chunk, or a speculative round.  This holds for ANY prompt
+        # length, including preemption-grown continuation prompts.
+        burst = max(margin, self._admit_chunk() or 0)
+        steady = self._pages_for(int(window) + burst + 1) + 2
+        return min(full, steady)
 
     # -- public API ----------------------------------------------------
     def register_prefix(self, tokens) -> int:
@@ -966,7 +980,7 @@ class ContinuousBatcher:
         the unit must WAIT for free pages)."""
         req = self._req[slot]
         size = req.tokens.size
-        chunk = self.prefill_chunk
+        chunk = self._admit_chunk()
         if chunk and size - req.consumed - 1 >= chunk:
             if (len(self.free_pages) < chunk // self.page_size
                     and not allow_preempt):
@@ -981,6 +995,11 @@ class ContinuousBatcher:
                 self.caches,
             )
             req.consumed += chunk
+            # window models evict behind the band between chunks, which
+            # is what keeps the prefill burst at O(window + chunk) and
+            # the windowed feasibility bound honest for ANY prompt
+            # length (preemption-grown continuations included)
+            self._evict_window_pages(slot, frontier=req.consumed)
             return None  # next chunk (or the tail) next step
         # final tail: 1..bucket tokens
         s = size - req.consumed
@@ -1030,26 +1049,35 @@ class ContinuousBatcher:
             self._free_slot_pages(slot)
         return (req.rid, np.asarray(req.out, np.int64))
 
-    def _evict_window_pages(self, slot) -> None:
+    def _evict_window_pages(self, slot, frontier=None) -> None:
         """Sliding-window models never attend positions at or below
-        ``pos - window``, so pages wholly outside the band are returned
-        to the pool (table entries become the trash page; the stale rows
-        were window-masked already).  Cache memory per slot becomes
-        O(window) instead of O(sequence length) — the long-context
-        payoff of paging.  Pinned prefix pages are shared and stay."""
+        ``frontier - window`` (``frontier`` defaults to the slot's
+        cursor; mid-admission it is the tokens-consumed count), so pages
+        wholly outside the band are returned to the pool (table entries
+        become the trash page; the stale rows were window-masked
+        already).  Cache memory per slot becomes O(window) instead of
+        O(sequence length) — the long-context payoff of paging.  Pinned
+        prefix pages are shared and stay.  ``_evict_cursor`` remembers
+        the first possibly-live index so repeated calls are O(newly
+        evictable), not O(pages_per_slot) (single-core host)."""
         window = self.server.window
         if window is None:
             return
-        keep_from = int(self.pos[slot]) - int(window) + 1
+        if frontier is None:
+            frontier = int(self.pos[slot])
+        keep_from = int(frontier) - int(window) + 1
         pages = self.slot_pages[slot]
-        pinned = int(self._slot_pinned[slot])
-        for idx in range(pinned, len(pages)):
+        idx = max(int(self._evict_cursor[slot]),
+                  int(self._slot_pinned[slot]))
+        while idx < len(pages) and (idx + 1) * self.page_size <= keep_from:
             pid = pages[idx]
-            if pid and (idx + 1) * self.page_size <= keep_from:
+            if pid:
                 self.free_pages.append(pid)
                 pages[idx] = 0
                 self.page_table[slot, idx] = 0
                 self._window_evicted += 1
+            idx += 1
+        self._evict_cursor[slot] = idx
 
     def _apply_tokens(self, slot, tokens, finished) -> int:
         """Advance a slot through emitted tokens (pos/last bookkeeping),

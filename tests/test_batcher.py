@@ -799,3 +799,25 @@ def test_window_page_eviction_bounds_cache_memory():
         np.testing.assert_array_equal(done2[rid], ref.astype(np.int64))
     assert b2.stats["window_evicted"] > 0
     assert b2.stats["free_pages"] == b2.stats["pool_pages"]
+
+
+def test_window_continuation_survives_tight_pool():
+    """Regression: a preempted window-model request's continuation
+    prompt grows past the original prompt; admission must not burst
+    past the windowed feasibility bound (window models admit in
+    band-sized chunks with between-chunk eviction).  Long budgets on a
+    pool far below the dense footprint must finish with solo streams."""
+    srv = FlashLMServer(_trained_model(window=8))
+    rng = np.random.default_rng(32)
+    prompts = _prompts(rng, (6, 9))
+    max_new = [40, 35]
+    solo = _solo(srv, prompts, max_new)
+    # dense footprint would be ceil(45/4)+ceil(43/4) = 23 pages
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=9)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["window_evicted"] > 0
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
