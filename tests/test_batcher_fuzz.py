@@ -37,6 +37,23 @@ def draft_server():
 
 
 @pytest.fixture(scope="module")
+def window_server():
+    model = eg.compile(
+        flash_transformer(vocab=VOCAB, dim=16, heads=2, max_seq=96,
+                          window=8),
+        backend="jax", seed=2,
+    )
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, VOCAB, (4, 24)).astype(np.float32)
+    labels = eg.one_hot(rng.integers(0, VOCAB, 96), VOCAB).reshape(
+        4, 24, VOCAB)
+    for _ in range(2):
+        model.epoch += 1
+        model.apply("train", {"tokens": toks, "labels": labels})
+    return FlashLMServer(model)
+
+
+@pytest.fixture(scope="module")
 def server():
     model = eg.compile(
         flash_transformer(vocab=VOCAB, dim=16, heads=2, max_seq=96),
@@ -148,3 +165,10 @@ def test_scheduler_fuzz(server, seed):
 @pytest.mark.parametrize("seed", range(200, 205))
 def test_scheduler_fuzz_speculative(server, draft_server, seed):
     run_one(server, seed, draft=draft_server)
+
+
+@pytest.mark.parametrize("seed", range(400, 405))
+def test_scheduler_fuzz_windowed(window_server, seed):
+    """Window models: band eviction, chunked window admission, tight
+    pools — every stream still equals solo serving."""
+    run_one(window_server, seed)
