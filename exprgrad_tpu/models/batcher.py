@@ -183,11 +183,14 @@ class ContinuousBatcher:
 
         check_top_p(top_p)
         if draft is not None:
-            # speculative continuous batching: greedy-exact only, and
-            # the spec round IS the multi-step mechanism
-            if temperature > 0.0:
+            # speculative continuous batching: greedy (exact streams) or
+            # temperature sampling (exact rejection scheme, solo
+            # distributions); the spec round IS the multi-step mechanism
+            if top_k is not None or top_p is not None:
                 raise ModelRuntimeError(
-                    "speculative batching is greedy-only (temperature=0)")
+                    "speculative batching supports greedy or plain "
+                    "temperature sampling; top_k/top_p filters are not "
+                    "part of the rejection scheme")
             if decode_chunk != 1:
                 raise ModelRuntimeError(
                     "draft= and decode_chunk are mutually exclusive "
@@ -507,9 +510,12 @@ class ContinuousBatcher:
 
     def _spec_round_fn(self):
         """One speculative round for the whole slot batch, ONE dispatch:
-        the draft greedily proposes ``spec_k`` tokens per row (scan), the
-        target verifies all ``spec_k + 1`` positions in a single forward,
-        and per-row acceptance counts come back.  No cache rewind
+        the draft proposes ``spec_k`` tokens per row (scan; greedy, or
+        sampled at the batcher's temperature), the target verifies all
+        ``spec_k + 1`` positions in a single forward, and per-row
+        acceptance counts come back — greedy matching, or the exact
+        rejection scheme whose output distribution equals plain target
+        sampling.  No cache rewind
         anywhere: rejected rows' K/V are position-masked and then
         OVERWRITTEN by the next round's writes (slot index == position).
         The draft also runs one extra write-only step so its cache has no
@@ -525,9 +531,15 @@ class ContinuousBatcher:
         if paged:
             from ..ops.paged import gather_view, write_token
 
+        temperature = float(self.temperature)
+        sampled = temperature > 0.0
+
         def build():
-            def run(tok, pos, tcaches, dcaches, page_table, wpid, woff):
-                def dbody(carry, _):
+            def run(tok, pos, tcaches, dcaches, page_table, wpid, woff,
+                    key):
+                kd, ka, kr, kb = jax.random.split(key, 4)
+
+                def dbody(carry, dk):
                     dt, dpos, dc = carry
                     key_pos = _cursor_key_pos(capacity, dpos)
                     x = draft._embed_at(dt[:, None], dpos[:, None])
@@ -535,15 +547,24 @@ class ContinuousBatcher:
                         x, dc, 0, key_pos=key_pos, q_pos=dpos[:, None],
                         row_starts=dpos,
                     )
-                    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(
-                        dt.dtype)
-                    return (nxt, dpos + 1, dc), nxt
+                    row = logits[:, -1].astype(jnp.float32)
+                    if sampled:
+                        row = row / temperature
+                        nxt = jax.random.categorical(dk, row, axis=-1)
+                        q = jax.nn.softmax(row, axis=-1)
+                    else:
+                        nxt = jnp.argmax(row, axis=-1)
+                        q = jnp.zeros((row.shape[0], 1), jnp.float32)
+                    return (nxt.astype(dt.dtype), dpos + 1, dc), (
+                        nxt.astype(dt.dtype), q)
 
                 # k proposals + one write-only step (fills the draft
                 # cache row the all-accepted case needs next round)
-                (_, _, dcaches), outs = jax.lax.scan(
-                    dbody, (tok, pos, dcaches), None, length=pick_k + 1)
+                (_, _, dcaches), (outs, qs) = jax.lax.scan(
+                    dbody, (tok, pos, dcaches),
+                    jax.random.split(kd, pick_k + 1))
                 props = jnp.swapaxes(outs[:pick_k], 0, 1)  # [b, k]
+                qs = jnp.swapaxes(qs[:pick_k], 0, 1)       # [b, k, V?]
 
                 seq = jnp.concatenate([tok[:, None], props], axis=1)
                 qp = pos[:, None] + jnp.arange(
@@ -569,17 +590,53 @@ class ContinuousBatcher:
                         x, tcaches, 0, key_pos=key_pos, q_pos=qp,
                         row_starts=pos,
                     )
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                match = props.astype(jnp.int32) == greedy[:, :pick_k]
-                accept = jnp.sum(
-                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-                return greedy, accept, tcaches, dcaches
+                pr = props.astype(jnp.int32)
+                if not sampled:
+                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    match = pr == greedy[:, :pick_k]
+                    accept = jnp.sum(jnp.cumprod(
+                        match.astype(jnp.int32), axis=1), axis=1)
+                    return greedy, accept, tcaches, dcaches
+
+                # exact rejection scheme (the solo _spec.py math, per
+                # row): accept proposal i while u_i < p_t(d_i)/p_d(d_i);
+                # first rejection samples the correction from
+                # normalize(relu(p_t - p_d)); full acceptance samples
+                # the bonus from position k's target distribution
+                b_rows = jnp.arange(pr.shape[0])
+                p = jax.nn.softmax(
+                    logits.astype(jnp.float32) / temperature, axis=-1
+                )                                    # [b, k+1, V]
+                pt_d = p[b_rows[:, None],
+                         jnp.arange(pick_k)[None, :], pr]      # [b, k]
+                qd_d = qs[b_rows[:, None],
+                          jnp.arange(pick_k)[None, :], pr]
+                ratio = pt_d / jnp.maximum(qd_d, 1e-30)
+                acc = (jax.random.uniform(ka, ratio.shape)
+                       < ratio).astype(jnp.int32)
+                a = jnp.sum(jnp.cumprod(acc, axis=1), axis=1)  # 0..k
+                rej = jnp.minimum(a, pick_k - 1)
+                resid = jnp.maximum(p[b_rows, rej] - qs[b_rows, rej], 0.0)
+                rs = jnp.sum(resid, axis=1, keepdims=True)
+                resid = jnp.where(rs > 1e-30, resid / rs, p[b_rows, rej])
+                corr = jax.random.categorical(
+                    kr, jnp.log(jnp.maximum(resid, 1e-38)), axis=-1)
+                bonus = jax.random.categorical(
+                    kb, jnp.log(jnp.maximum(p[:, pick_k], 1e-38)),
+                    axis=-1)
+                final = jnp.where(a == pick_k, bonus, corr).astype(
+                    jnp.int32)
+                emit = jnp.concatenate(
+                    [pr, jnp.zeros((pr.shape[0], 1), jnp.int32)], axis=1)
+                emit = emit.at[b_rows, a].set(final)
+                return emit, a, tcaches, dcaches
 
             return run
 
         return self.server._jit_cache.get(
             ("cb_spec_round", pick_k, paged, self.slots, self.capacity,
-             self.pages_per_slot if paged else 0, id(self.draft)),
+             self.pages_per_slot if paged else 0, temperature,
+             id(self.draft)),
             build, donate_argnums=(2, 3),
         )
 
@@ -1205,7 +1262,7 @@ class ContinuousBatcher:
             greedy, accept, self.caches, self.draft_caches = (
                 self._spec_round_fn()(
                     self.last.copy(), self.pos.copy(), self.caches,
-                    self.draft_caches, pt, wpid, woff,
+                    self.draft_caches, pt, wpid, woff, self._split(),
                 )
             )
             greedy = np.asarray(greedy)

@@ -702,9 +702,9 @@ def test_speculative_with_prefix_and_stop():
 def test_speculative_validation():
     target = FlashLMServer(_trained_model())
     draft = _draft_server(seed=0)
-    with pytest.raises(ModelRuntimeError, match="greedy"):
+    with pytest.raises(ModelRuntimeError, match="top_k|rejection"):
         ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
-                          temperature=0.5)
+                          temperature=0.5, top_k=4)
     with pytest.raises(ModelRuntimeError, match="decode_chunk"):
         ContinuousBatcher(target, slots=2, capacity=64, draft=draft,
                           decode_chunk=4)
@@ -821,3 +821,40 @@ def test_window_continuation_survives_tight_pool():
         np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
     assert b.stats["window_evicted"] > 0
     assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_sampled_speculative_distribution_matches_plain():
+    """Sampled spec rounds implement the exact rejection scheme: over
+    many seeds, the batcher's first-two-token distribution must match
+    plain temperature sampling on the target (solo _spec.py guarantee,
+    batched)."""
+    target = FlashLMServer(_trained_model(vocab=8))
+    draft = _draft_server(vocab=8, seed=1)
+    rng = np.random.default_rng(33)
+    prompt = rng.integers(0, 8, 5).astype(np.float32)
+    n_seeds, temp = 400, 1.0
+
+    def freqs(gen):
+        counts = {}
+        for s in range(n_seeds):
+            pair = tuple(gen(s))
+            counts[pair] = counts.get(pair, 0) + 1
+        return {k: v / n_seeds for k, v in counts.items()}
+
+    plain = freqs(lambda s: np.asarray(
+        target.generate(prompt[None], n_new=2, temperature=temp,
+                        seed=s))[0].astype(int))
+
+    def spec(s):
+        b = ContinuousBatcher(target, slots=1, capacity=64, draft=draft,
+                              spec_k=2, temperature=temp, seed=s)
+        rid = b.submit(prompt, 2)
+        return b.run()[rid][:2]
+
+    specf = freqs(spec)
+    keys = set(plain) | set(specf)
+    l1 = sum(abs(plain.get(k, 0.0) - specf.get(k, 0.0)) for k in keys)
+    # total variation distance between two 400-sample empiricals of the
+    # same distribution concentrates well below this
+    assert l1 < 0.45, (l1, sorted(plain.items())[:5],
+                       sorted(specf.items())[:5])
