@@ -854,7 +854,8 @@ def test_sampled_speculative_distribution_matches_plain():
     specf = freqs(spec)
     keys = set(plain) | set(specf)
     l1 = sum(abs(plain.get(k, 0.0) - specf.get(k, 0.0)) for k in keys)
-    # total variation distance between two 400-sample empiricals of the
-    # same distribution concentrates well below this
-    assert l1 < 0.45, (l1, sorted(plain.items())[:5],
-                       sorted(specf.items())[:5])
+    # L1 distance between two 400-sample empiricals of the SAME
+    # distribution concentrates around ~0.4 here (64 outcomes); a wrong
+    # scheme (e.g. skipping the correction sample) lands far above
+    assert l1 < 0.7, (l1, sorted(plain.items())[:5],
+                      sorted(specf.items())[:5])
