@@ -40,12 +40,13 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..errors import ModelRuntimeError
-from ._sample import check_top_p, make_picker
+from ._sample import check_top_p, make_picker, make_row_picker
 
 
 class _Request:
     __slots__ = ("rid", "tokens", "max_new", "out", "consumed", "absorbed",
-                 "submitted", "first_token_at", "finished_at", "preempted")
+                 "submitted", "first_token_at", "finished_at", "preempted",
+                 "temp", "top_k", "top_p")
 
     def __init__(self, rid, tokens, max_new):
         import time
@@ -61,6 +62,9 @@ class _Request:
         self.first_token_at: float | None = None
         self.finished_at: float | None = None
         self.preempted = 0
+        self.temp = 0.0      # per-request sampling params (submit())
+        self.top_k = 0
+        self.top_p = 1.0
 
 
 def _scratch_caches(pools, page_table_row, pre_len, extra):
@@ -107,13 +111,18 @@ def _cursor_key_pos(n, pos, extra=0):
                      ids[None, :], jnp.int32(-1))
 
 
-def _pick_first(pick, logits, length, key):
-    """First token of a batch-1 prefill: pick from the logits row at
-    (length - 1) (shared by plain and prefix-cached admission)."""
+def _pick_first(pick, logits, length, key, temp, top_k, top_p):
+    """First token of a batch-1 prefill: per-request-parameterized pick
+    from the logits row at (length - 1) (shared by plain and
+    prefix-cached admission)."""
     import jax.numpy as jnp
 
     idx = jnp.reshape(length - 1, (1, 1, 1)).astype(jnp.int32)
-    return pick(jnp.take_along_axis(logits, idx, axis=1)[:, 0], key)[0]
+    return pick(
+        jnp.take_along_axis(logits, idx, axis=1)[:, 0], key,
+        jnp.reshape(temp, (1,)), jnp.reshape(top_k, (1,)),
+        jnp.reshape(top_p, (1,)),
+    )[0]
 
 
 def _write_slot_rows(jax, caches, minis, slot):
@@ -246,6 +255,12 @@ class ContinuousBatcher:
         )
 
         self._pick = make_picker(server.vocab, temperature, top_k, top_p)
+        self._row_pick = make_row_picker(server.vocab)
+        # per-slot sampling params (per-request values land here at
+        # reservation; traced into ONE compiled program for any mix)
+        self.req_temp = np.zeros(self.slots, np.float32)
+        self.req_topk = np.full(self.slots, server.vocab, np.int32)
+        self.req_topp = np.ones(self.slots, np.float32)
         self._key = jax.random.PRNGKey(seed)
         self.paged = bool(paged)
         if self.paged:
@@ -317,25 +332,24 @@ class ContinuousBatcher:
         """Prefill a [1, width] padded prompt on a scratch cache, pick the
         first token, and write the K/V region into the slot's rows."""
         jax, srv = self._jax, self.server
-        pick = self._pick
+        pick = self._row_pick
         import jax.numpy as jnp
 
         def build():
-            def run(prompt, length, slot, caches, key):
+            def run(prompt, length, slot, caches, key, temp, tk, tp):
                 mini = srv.init_caches(1, width)
                 lens = length[None]
                 pos_ids, key_pos = srv._ragged_positions(lens, width, width)
                 x = srv._embed_at(prompt, pos_ids)
                 logits, mini = srv._step(x, mini, 0, key_pos=key_pos,
                                          q_pos=pos_ids)
-                first = _pick_first(pick, logits, length, key)
+                first = _pick_first(pick, logits, length, key, temp, tk, tp)
                 return first, _write_slot_rows(jax, caches, mini, slot)
 
             return run
 
         return self.server._jit_cache.get(
-            ("cb_admit", width, self.slots, self.capacity,
-             self.temperature, self.top_k, self.top_p),
+            ("cb_admit", width, self.slots, self.capacity),
             build, donate_argnums=(3,),
         )
 
@@ -343,26 +357,25 @@ class ContinuousBatcher:
         """One decode step for every slot: feed each slot's pending token
         at its own position, write K/V at its own cursor, pick the next."""
         jax, srv = self._jax, self.server
-        pick = self._pick
+        pick = self._row_pick
         capacity = self.capacity
         import jax.numpy as jnp
 
         def build():
-            def run(tok, pos, caches, key):
+            def run(tok, pos, caches, key, temp, tk, tp):
                 key_pos = _cursor_key_pos(capacity, pos)
                 x = srv._embed_at(tok[:, None], pos[:, None])
                 logits, caches = srv._step(
                     x, caches, 0, key_pos=key_pos, q_pos=pos[:, None],
                     row_starts=pos,
                 )
-                nxt = pick(logits[:, -1], key)
+                nxt = pick(logits[:, -1], key, temp, tk, tp)
                 return nxt, caches
 
             return run
 
         return self.server._jit_cache.get(
-            ("cb_decode", self.slots, self.capacity, self.temperature,
-             self.top_k, self.top_p),
+            ("cb_decode", self.slots, self.capacity),
             build, donate_argnums=(2,),
         )
 
@@ -371,7 +384,7 @@ class ContinuousBatcher:
         into a dense attention view, write fresh K/V at host-chosen
         (page, offset) coordinates."""
         jax, srv = self._jax, self.server
-        pick = self._pick
+        pick = self._row_pick
         import jax.numpy as jnp
 
         from ..ops.paged import gather_view, write_token
@@ -379,7 +392,8 @@ class ContinuousBatcher:
         virtual = self.pages_per_slot * self.page_size
 
         def build():
-            def run(tok, pos, pools, page_table, wpid, woff, key):
+            def run(tok, pos, pools, page_table, wpid, woff, key,
+                    temp, tk, tp):
                 key_pos = _cursor_key_pos(virtual, pos)
 
                 class _PagedIO:
@@ -396,15 +410,14 @@ class ContinuousBatcher:
                     x, pools, 0, key_pos=key_pos, q_pos=pos[:, None],
                     cache_io=_PagedIO,
                 )
-                nxt = pick(logits[:, -1], key)
+                nxt = pick(logits[:, -1], key, temp, tk, tp)
                 return nxt, pools
 
             return run
 
         return self.server._jit_cache.get(
             ("cb_decode_paged", self.slots, self.pages_per_slot,
-             self.pool_pages, self.page_size, self.temperature,
-             self.top_k, self.top_p),
+             self.pool_pages, self.page_size),
             build, donate_argnums=(2,),
         )
 
@@ -418,7 +431,7 @@ class ContinuousBatcher:
         page; dense: overwrite their own stale row, position-masked
         either way)."""
         jax, srv = self._jax, self.server
-        pick = self._pick
+        pick = self._row_pick
         paged = self.paged
         import jax.numpy as jnp
 
@@ -431,7 +444,8 @@ class ContinuousBatcher:
             virtual = self.capacity
 
         def build():
-            def run(tok, pos, stop_at, caches, page_table, key):
+            def run(tok, pos, stop_at, caches, page_table, key,
+                    temp, tk, tp):
                 def body(carry, sub):
                     tok, pos, caches = carry
                     alive = pos < stop_at
@@ -462,7 +476,8 @@ class ContinuousBatcher:
                             x, caches, 0, key_pos=key_pos,
                             q_pos=pos[:, None], row_starts=pos,
                         )
-                    nxt = pick(logits[:, -1], sub).astype(tok.dtype)
+                    nxt = pick(logits[:, -1], sub, temp, tk, tp).astype(
+                        tok.dtype)
                     tok = jnp.where(alive, nxt, tok)
                     pos = pos + alive.astype(pos.dtype)
                     return (tok, pos, caches), nxt
@@ -477,8 +492,7 @@ class ContinuousBatcher:
         return self.server._jit_cache.get(
             ("cb_chunk", chunk, self.paged, self.slots,
              self.pages_per_slot if self.paged else self.capacity,
-             self.pool_pages if self.paged else 0,
-             pg, self.temperature, self.top_k, self.top_p),
+             self.pool_pages if self.paged else 0, pg),
             build, donate_argnums=(3,),
         )
 
@@ -671,7 +685,7 @@ class ContinuousBatcher:
         out.  One compile per (suffix bucket, page count) — independent
         of the prefix length."""
         jax, srv = self._jax, self.server
-        pick = self._pick
+        pick = self._row_pick
         import jax.numpy as jnp
 
         from ..ops.paged import write_prefill_at
@@ -682,7 +696,7 @@ class ContinuousBatcher:
 
         def build():
             def run(suffix, s_len, pre_len, page_table_row, own_pages,
-                    pools, key):
+                    pools, key, temp, tk, tp):
                 minis = _scratch_caches(
                     pools, page_table_row, pre_len, cap_s)
                 total = pre_len + s_len
@@ -694,7 +708,8 @@ class ContinuousBatcher:
                 x = srv._embed_at(suffix, pos_ids)
                 logits, minis = srv._step(x, minis, 0, key_pos=key_pos,
                                           q_pos=pos_ids)
-                first = _pick_first(pick, logits, s_len, key)
+                first = _pick_first(pick, logits, s_len, key, temp, tk,
+                                    tp)
                 pools = [
                     write_prefill_at(pool, m, own_pages, pre_len)
                     for pool, m in zip(pools, minis)
@@ -705,8 +720,7 @@ class ContinuousBatcher:
 
         return self.server._jit_cache.get(
             ("cb_admit_prefix", width_s, n_own, self.pages_per_slot,
-             self.pool_pages, self.page_size, self.temperature,
-             self.top_k, self.top_p),
+             self.pool_pages, self.page_size),
             build, donate_argnums=(5,),
         )
 
@@ -969,9 +983,25 @@ class ContinuousBatcher:
             return
         raise ModelRuntimeError("prefix is not registered")
 
-    def submit(self, prompt, max_new: int, rid=None):
+    def submit(self, prompt, max_new: int, rid=None,
+               temperature=None, top_k=None, top_p=None):
         """Queue a request; returns its id.  Admission happens inside
-        ``step()`` when a slot frees up."""
+        ``step()`` when a slot frees up.
+
+        ``temperature``/``top_k``/``top_p`` override the batcher-level
+        sampling settings FOR THIS REQUEST — per-request values are
+        traced, so a greedy request, a nucleus-sampled request, and a
+        top-k request share the same compiled programs.  (Speculative
+        mode keeps batcher-level settings: the rejection scheme is
+        specialized on the round's temperature.)"""
+        if (self.draft is not None
+                and (temperature is not None or top_k is not None
+                     or top_p is not None)):
+            raise ModelRuntimeError(
+                "per-request sampling overrides are not available in "
+                "speculative mode (the rejection scheme is built for "
+                "the batcher-level temperature)")
+        check_top_p(top_p)
         tokens = np.asarray(prompt, np.float32).reshape(-1)
         if tokens.size < 1:
             raise ModelRuntimeError("empty prompt")
@@ -1008,7 +1038,16 @@ class ContinuousBatcher:
             rid = self._next_rid
         self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
                              else self._next_rid) + 1
-        self.queue.append(_Request(rid, tokens, int(max_new)))
+        req = _Request(rid, tokens, int(max_new))
+        req.temp = float(self.temperature if temperature is None
+                         else temperature)
+        tk = top_k if top_k is not None else self.top_k
+        if tk is not None and tk < 1:
+            raise ModelRuntimeError(f"top_k must be >= 1 (got {tk})")
+        req.top_k = int(self.server.vocab if tk is None else tk)
+        tp = top_p if top_p is not None else self.top_p
+        req.top_p = float(1.0 if tp is None else tp)
+        self.queue.append(req)
         return rid
 
     def _bucket(self, width: int) -> int:
@@ -1076,6 +1115,9 @@ class ContinuousBatcher:
             np.asarray(own, np.int32),
             self.caches,
             self._split(),
+            np.float32(req.temp),
+            np.int32(req.top_k),
+            np.float32(req.top_p),
         )
         self.active[slot] = True
         self.pos[slot] = size
@@ -1184,6 +1226,9 @@ class ContinuousBatcher:
                 continue
             req = self.queue.popleft()
             self._req[slot] = req
+            self.req_temp[slot] = req.temp
+            self.req_topk[slot] = req.top_k
+            self.req_topp[slot] = req.top_p
             if self.paged:
                 pre_len, pre_pages = self._match_prefix(req.tokens)
                 req.consumed = pre_len
@@ -1204,6 +1249,9 @@ class ContinuousBatcher:
                     np.int32(slot),
                     self.caches,
                     self._split(),
+                    np.float32(req.temp),
+                    np.int32(req.top_k),
+                    np.float32(req.top_p),
                 )
                 self.active[slot] = True
                 self.pos[slot] = req.tokens.size
@@ -1299,7 +1347,9 @@ class ContinuousBatcher:
             self._dispatches += 1
             toks, self.caches = self._decode_chunk_fn(chunk)(
                 self.last.copy(), self.pos.copy(), stop_at,
-                self.caches, pt, self._split()
+                self.caches, pt, self._split(),
+                self.req_temp.copy(), self.req_topk.copy(),
+                self.req_topp.copy(),
             )
             toks = np.asarray(toks)
             for slot in range(self.slots):
@@ -1327,12 +1377,16 @@ class ContinuousBatcher:
                         woff[slot] = p % self.page_size
                 nxt, self.caches = self._decode_paged_fn()(
                     self.last.copy(), self.pos.copy(), self.caches,
-                    self.page_table.copy(), wpid, woff, self._split()
+                    self.page_table.copy(), wpid, woff, self._split(),
+                    self.req_temp.copy(), self.req_topk.copy(),
+                    self.req_topp.copy(),
                 )
             else:
                 nxt, self.caches = self._decode_fn()(
                     self.last.copy(), self.pos.copy(), self.caches,
-                    self._split()
+                    self._split(),
+                    self.req_temp.copy(), self.req_topk.copy(),
+                    self.req_topp.copy(),
                 )
             nxt = np.asarray(nxt)
             for slot in range(self.slots):

@@ -859,3 +859,46 @@ def test_sampled_speculative_distribution_matches_plain():
     # scheme (e.g. skipping the correction sample) lands far above
     assert l1 < 0.7, (l1, sorted(plain.items())[:5],
                       sorted(specf.items())[:5])
+
+
+def test_per_request_sampling_params():
+    """One compiled program serves a MIX of per-request sampling
+    configs: a greedy row, a top_k=1 row (== greedy), and sampled rows
+    with their own temperature/top_p — all concurrent."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(34)
+    prompts = _prompts(rng, (5, 7, 9, 4))
+    refs = _solo(srv, prompts[:2], [6, 6])
+    b = ContinuousBatcher(srv, slots=4, capacity=64, paged=True,
+                          page_size=8, seed=3)
+    r_greedy = b.submit(prompts[0], 6)                      # default greedy
+    r_k1 = b.submit(prompts[1], 6, temperature=0.9, top_k=1)  # == greedy
+    r_hot = b.submit(prompts[2], 6, temperature=1.2, top_p=0.9)
+    r_warm = b.submit(prompts[3], 6, temperature=0.6, top_k=5)
+    done = b.run()
+    np.testing.assert_array_equal(done[r_greedy],
+                                  refs[0].astype(np.int64))
+    np.testing.assert_array_equal(done[r_k1], refs[1].astype(np.int64))
+    for rid in (r_hot, r_warm):
+        toks = done[rid]
+        assert toks.shape == (6,)
+        assert toks.min() >= 0 and toks.max() < 32
+    # the jit cache gained no per-config entries: same fns serve all
+    n_entries = len(srv._jit_cache)
+    b2 = ContinuousBatcher(srv, slots=4, capacity=64, paged=True,
+                           page_size=8, seed=4, temperature=0.7,
+                           top_k=3)
+    b2.submit(prompts[0], 4)
+    b2.run()
+    assert len(srv._jit_cache) == n_entries, "per-config retrace"
+    # determinism per seed with per-request sampling
+    def run_once(seed):
+        bb = ContinuousBatcher(srv, slots=1, capacity=64, seed=seed)
+        rid = bb.submit(prompts[2], 5, temperature=1.0, top_p=0.8)
+        return tuple(bb.run()[rid])
+    assert run_once(9) == run_once(9)
+    # spec mode rejects per-request overrides
+    draft = _draft_server(seed=0)
+    bs = ContinuousBatcher(srv, slots=2, capacity=64, draft=draft)
+    with pytest.raises(ModelRuntimeError, match="per-request"):
+        bs.submit(prompts[0], 4, temperature=0.5)
