@@ -123,10 +123,17 @@ def run_one(server, seed, draft=None):
 
     out, rids, i = {}, [], 0
     while len(out) < n_req:
-        # random interleaving of submits and steps
+        # random interleaving of submits and steps; some requests carry
+        # per-request sampling overrides that stay greedy-deterministic
+        # (top_k=1 == argmax at any temperature), keeping the solo
+        # oracle exact while the traced-params path is exercised
         while i < n_req and rng.integers(0, 2):
+            kw_req = {}
+            if not spec and rng.integers(0, 2):
+                kw_req = dict(temperature=float(rng.uniform(0.2, 1.5)),
+                              top_k=1)
             try:
-                rids.append(b.submit(reqs[i][0], reqs[i][1]))
+                rids.append(b.submit(reqs[i][0], reqs[i][1], **kw_req))
             except Exception:
                 # infeasible under this pool/pin config: drop the
                 # request from the oracle set
