@@ -13,6 +13,6 @@ from .diffusion import (ddpm_sample, ddpm_schedule, diffusion_train_batch,
                         tiny_diffusion)
 from .vae import tiny_vae, vae_sample, vae_train_batch
 from .serve import FlashLMServer
-from .batcher import ContinuousBatcher
+from .batcher import ContinuousBatcher, Seq2SeqBatcher
 
-__all__ = ["ContinuousBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "ddpm_sample", "ddpm_schedule", "diffusion_train_batch", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_diffusion", "tiny_seq2seq", "tiny_vae", "vae_sample", "vae_train_batch", "tiny_transformer", "xor_from_scratch", "xor_mlp"]
+__all__ = ["ContinuousBatcher", "Seq2SeqBatcher", "FlashLMServer", "Seq2SeqServer", "conv_autoencoder", "ddpm_sample", "ddpm_schedule", "diffusion_train_batch", "fashion_mnist_cnn", "flash_transformer", "greedy_decode", "mnist_gan", "mobile_cnn", "tiny_mixer", "tiny_diffusion", "tiny_seq2seq", "tiny_vae", "vae_sample", "vae_train_batch", "tiny_transformer", "xor_from_scratch", "xor_mlp"]

@@ -1468,3 +1468,294 @@ class ContinuousBatcher:
             out["prefixes"] = len(self._prefixes)
             out["prefix_hits"] = self._prefix_hits
         return out
+
+
+class Seq2SeqBatcher:
+    """Continuous batching for encoder-decoder serving
+    (:class:`Seq2SeqServer`) — the scheduler's seq2seq sibling.
+
+    Each request ENCODES once at admission (ragged to the shared
+    ``max_src`` width; pad positions masked by the server's existing
+    kv_mask machinery) and its encoder memory + precomputed cross K/V
+    land in per-slot arrays; decoding then runs ONE jitted step for the
+    whole slot batch with per-row cursors on the decoder self-attention
+    caches (``ops.decode.append_at`` + position masking), exactly the
+    decoder-only batcher's mechanism.  Greedy streams are bit-equal to
+    ``Seq2SeqServer.generate`` on the ragged path; sampling knobs are
+    per request and TRACED (shared compiled programs).
+    """
+
+    def __init__(self, server, slots: int = 8, max_src=None,
+                 capacity=None, temperature: float = 0.0, top_k=None,
+                 top_p=None, stop_token=None, bos: int = 0, seed: int = 0,
+                 stream_tokens: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        check_top_p(top_p)
+        self._jax = jax
+        self.server = server
+        self.slots = int(slots)
+        self.max_src = int(max_src or server.max_src)
+        if self.max_src > server.max_src:
+            raise ModelRuntimeError(
+                f"max_src {self.max_src} exceeds the model's "
+                f"{server.max_src} source positions")
+        self.capacity = int(capacity or server.max_tgt)
+        if self.capacity > server.max_tgt:
+            raise ModelRuntimeError(
+                f"capacity {self.capacity} exceeds the model's max_tgt "
+                f"{server.max_tgt} target positions")
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self.stop_token = stop_token
+        self.bos = int(bos)
+        self.stream_tokens = bool(stream_tokens)
+        self._stream: list[tuple] = []
+        self._row_pick = make_row_picker(server.vocab)
+        self._key = jax.random.PRNGKey(seed)
+
+        n_dec = len(server.dec)
+        h, hd, dim = server.heads, server.head_dim, server.dim
+        self.enc_mem = jnp.zeros((self.slots, self.max_src, dim),
+                                 jnp.float32)
+        self.enc_ck = [jnp.zeros((self.slots, h, self.max_src, hd),
+                                 jnp.float32) for _ in range(n_dec)]
+        self.enc_cv = [jnp.zeros((self.slots, h, self.max_src, hd),
+                                 jnp.float32) for _ in range(n_dec)]
+        self.enc_mask = jnp.zeros((self.slots, self.max_src), bool)
+        self.caches = server.init_caches(self.slots, self.capacity)
+
+        self.pos = np.zeros(self.slots, np.int32)
+        self.last = np.full(self.slots, float(bos), np.float32)
+        self.active = np.zeros(self.slots, bool)
+        self.req_temp = np.zeros(self.slots, np.float32)
+        self.req_topk = np.full(self.slots, server.vocab, np.int32)
+        self.req_topp = np.ones(self.slots, np.float32)
+        self._req: list = [None] * self.slots
+        self.queue: deque = deque()
+        self._next_rid = 0
+        self._steps = 0
+        self._dispatches = 0
+        self._metrics: deque = deque(maxlen=4096)
+
+    def _split(self):
+        self._key, sub = self._jax.random.split(self._key)
+        return sub
+
+    # -- jitted pieces -------------------------------------------------
+    def _admit_fn(self):
+        """Encode a batch-1 padded source and write its memory, cross
+        K/V, and validity mask into the slot's rows."""
+        jax, srv = self._jax, self.server
+        import jax.numpy as jnp
+
+        def build():
+            def run(src, length, slot, mem, cks, cvs, masks):
+                enc = srv.encode(src, lengths=length[None])
+                zero = jnp.int32(0)
+                mem = jax.lax.dynamic_update_slice(
+                    mem, enc.memory.astype(mem.dtype), (slot, zero, zero))
+                cks = [jax.lax.dynamic_update_slice(
+                    big, one.astype(big.dtype), (slot, zero, zero, zero))
+                    for big, one in zip(cks, enc.ck)]
+                cvs = [jax.lax.dynamic_update_slice(
+                    big, one.astype(big.dtype), (slot, zero, zero, zero))
+                    for big, one in zip(cvs, enc.cv)]
+                masks = jax.lax.dynamic_update_slice(
+                    masks, enc.kv_mask, (slot, zero))
+                return mem, cks, cvs, masks
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("s2s_cb_admit", self.slots, self.max_src),
+            build, donate_argnums=(3, 4, 5, 6),
+        )
+
+    def _decode_fn(self):
+        """One decode step for every slot: per-row cursor positions on
+        the decoder self-caches, cross-attention against the slot's
+        encoder state, per-request sampling."""
+        jax, srv = self._jax, self.server
+        pick = self._row_pick
+        capacity = self.capacity
+        import jax.numpy as jnp
+
+        from .seq2seq_serve import _Enc
+
+        def build():
+            def run(tok, pos, mem, cks, cvs, masks, caches, key,
+                    temp, tk, tp):
+                enc = _Enc(mem, tuple(cks), tuple(cvs), masks)
+                key_pos = _cursor_key_pos(capacity, pos)
+                logits, caches = srv._step(
+                    tok[:, None].astype(jnp.int32), enc, caches,
+                    q_pos=pos[:, None], key_pos=key_pos, row_starts=pos,
+                )
+                nxt = pick(logits[:, -1], key, temp, tk, tp)
+                return nxt, caches
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("s2s_cb_decode", self.slots, self.max_src, self.capacity),
+            build, donate_argnums=(6,),
+        )
+
+    # -- public API ----------------------------------------------------
+    def submit(self, src, max_new: int, rid=None, temperature=None,
+               top_k=None, top_p=None):
+        """Queue a source sequence; per-request sampling overrides as on
+        :class:`ContinuousBatcher`."""
+        check_top_p(top_p)
+        tokens = np.asarray(src, np.float32).reshape(-1)
+        if tokens.size < 1:
+            raise ModelRuntimeError("empty source")
+        if tokens.size > self.max_src:
+            raise ModelRuntimeError(
+                f"source length {tokens.size} exceeds max_src "
+                f"{self.max_src}")
+        if max_new < 1:
+            raise ModelRuntimeError(f"max_new must be >= 1 (got {max_new})")
+        if max_new > self.capacity:
+            raise ModelRuntimeError(
+                f"max_new {max_new} exceeds target capacity "
+                f"{self.capacity}")
+        if rid is None:
+            rid = self._next_rid
+        self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
+                             else self._next_rid) + 1
+        req = _Request(rid, tokens, int(max_new))
+        req.temp = float(self.temperature if temperature is None
+                         else temperature)
+        tk = top_k if top_k is not None else self.top_k
+        if tk is not None and tk < 1:
+            raise ModelRuntimeError(f"top_k must be >= 1 (got {tk})")
+        req.top_k = int(self.server.vocab if tk is None else tk)
+        tp = top_p if top_p is not None else self.top_p
+        req.top_p = float(1.0 if tp is None else tp)
+        self.queue.append(req)
+        return rid
+
+    def cancel(self, rid) -> bool:
+        for i, req in enumerate(self.queue):
+            if req.rid == rid:
+                del self.queue[i]
+                return True
+        for slot in range(self.slots):
+            req = self._req[slot]
+            if req is not None and req.rid == rid:
+                self.active[slot] = False
+                self._req[slot] = None
+                return True
+        return False
+
+    def _emit(self, slot, token: int) -> bool:
+        import time
+
+        req = self._req[slot]
+        if req.first_token_at is None:
+            req.first_token_at = time.perf_counter()
+        req.out.append(token)
+        if self.stream_tokens:
+            self._stream.append((req.rid, token))
+        if self.stop_token is not None and token == self.stop_token:
+            return True
+        return len(req.out) >= req.max_new
+
+    def _finish(self, slot):
+        import time
+
+        req = self._req[slot]
+        req.finished_at = time.perf_counter()
+        self._metrics.append({
+            "rid": req.rid,
+            "prompt_tokens": int(req.tokens.size),
+            "generated_tokens": len(req.out),
+            "ttft_s": req.first_token_at - req.submitted,
+            "latency_s": req.finished_at - req.submitted,
+            "preemptions": 0,
+        })
+        self.active[slot] = False
+        self._req[slot] = None
+        return (req.rid, np.asarray(req.out, np.int64))
+
+    def step(self):
+        """One scheduler iteration: encode-admit queued requests into
+        free slots, then one batched decode step; returns completed
+        ``(rid, tokens)`` pairs."""
+        finished = []
+        for slot in range(self.slots):
+            if not self.queue:
+                break
+            if self.active[slot]:
+                continue
+            req = self.queue.popleft()
+            src = np.zeros((1, self.max_src), np.float32)
+            src[0, :req.tokens.size] = req.tokens
+            (self.enc_mem, self.enc_ck, self.enc_cv,
+             self.enc_mask) = self._admit_fn()(
+                src, np.int32(req.tokens.size), np.int32(slot),
+                self.enc_mem, self.enc_ck, self.enc_cv, self.enc_mask,
+            )
+            self._req[slot] = req
+            self.active[slot] = True
+            self.pos[slot] = 0
+            self.last[slot] = float(self.bos)
+            self.req_temp[slot] = req.temp
+            self.req_topk[slot] = req.top_k
+            self.req_topp[slot] = req.top_p
+
+        if self.active.any():
+            self._steps += 1
+            self._dispatches += 1
+            nxt, self.caches = self._decode_fn()(
+                self.last.copy(), self.pos.copy(), self.enc_mem,
+                self.enc_ck, self.enc_cv, self.enc_mask, self.caches,
+                self._split(),
+                self.req_temp.copy(), self.req_topk.copy(),
+                self.req_topp.copy(),
+            )
+            nxt = np.asarray(nxt)
+            for slot in range(self.slots):
+                if not self.active[slot]:
+                    continue
+                self.pos[slot] += 1
+                tok = int(nxt[slot])
+                self.last[slot] = float(tok)
+                if self._emit(slot, tok):
+                    finished.append(self._finish(slot))
+        return finished
+
+    def run(self) -> dict:
+        out = {}
+        while self.queue or self.active.any():
+            for rid, toks in self.step():
+                out[rid] = toks
+        return out
+
+    def drain_tokens(self) -> list:
+        if not self.stream_tokens:
+            raise ModelRuntimeError(
+                "token streaming is off; construct with "
+                "Seq2SeqBatcher(..., stream_tokens=True)")
+        out = self._stream
+        self._stream = []
+        return out
+
+    def request_metrics(self, reset: bool = False) -> list:
+        out = list(self._metrics)
+        if reset:
+            self._metrics.clear()
+        return out
+
+    @property
+    def stats(self) -> dict:
+        return {
+            "decode_steps": self._steps,
+            "dispatches": self._dispatches,
+            "active": int(self.active.sum()),
+            "queued": len(self.queue),
+        }

@@ -302,16 +302,24 @@ class Seq2SeqServer:
             ]
         return caches
 
-    def _step(self, tokens, enc: _Enc, caches):
-        """Forward ``t`` fresh target tokens; returns (logits, caches)."""
-        from ..ops.decode import append, decode_attention
+    def _step(self, tokens, enc: _Enc, caches, q_pos=None, key_pos=None,
+              row_starts=None):
+        """Forward ``t`` fresh target tokens; returns (logits, caches).
+        ``q_pos``/``key_pos``/``row_starts`` activate PER-ROW cursor
+        semantics (positions, validity masking, per-row K/V writes) for
+        the continuous batcher, exactly as on FlashLMServer._step."""
+        from ..ops.decode import append, append_at, decode_attention
 
         jnp = self._jnp
         p = self.p
         ids = jnp.asarray(tokens).astype(jnp.int32)
         t = ids.shape[1]
-        pos = caches[0].length + jnp.arange(t, dtype=jnp.int32)
-        x = p["tgt.embed"][ids] + p["tgt.pos"][pos][None]
+        if q_pos is None:
+            pos = caches[0].length + jnp.arange(t, dtype=jnp.int32)
+            x = p["tgt.embed"][ids] + p["tgt.pos"][pos][None]
+        else:
+            x = p["tgt.embed"][ids] + p["tgt.pos"][
+                q_pos.astype(jnp.int32)]
 
         new_caches = []
         for blk, cache, ck, cv in zip(self.dec, caches, enc.ck, enc.cv):
@@ -320,8 +328,12 @@ class Seq2SeqServer:
             q = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["self.wq"]))
             k = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["self.wk"]))
             v = jnp.einsum("ntc,hcd->nhtd", rn, _dq(blk["self.wv"]))
-            cache = append(cache, k, v)
-            att = decode_attention(q, cache, sm_scale=self.scale)
+            if row_starts is None:
+                cache = append(cache, k, v)
+            else:
+                cache = append_at(cache, k, v, row_starts)
+            att = decode_attention(q, cache, sm_scale=self.scale,
+                                   key_pos=key_pos, q_pos=q_pos)
             x = x + jnp.einsum("nhtd,hde->nte", att, _dq(blk["self.wo"]))
 
             # cross-attention against the precomputed encoder K/V
