@@ -62,6 +62,22 @@ def main() -> None:
     acc_served = (served == src[:, ::-1].astype(np.int64)).mean()
     print(f"served reversal accuracy: {acc_served:.2f}")
 
+    # continuous batching: sources of any length admit into slots the
+    # moment one frees; encode-once, cursor decoding, greedy == solo
+    from exprgrad_tpu.models import Seq2SeqBatcher
+
+    b = Seq2SeqBatcher(server, slots=2)
+    rids = [b.submit(row[row > 0] if (row > 0).any() else row,
+                     max_new=src.shape[1]) for row in src]
+    results = b.run()
+    acc_b = np.mean([
+        (results[rid][: src.shape[1]]
+         == src[i, ::-1].astype(np.int64)).mean()
+        for i, rid in enumerate(rids)
+    ])
+    print("scheduler", b.stats)
+    print(f"batched reversal accuracy: {acc_b:.2f}")
+
 
 if __name__ == "__main__":
     main()
