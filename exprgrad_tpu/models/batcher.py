@@ -187,10 +187,26 @@ class ContinuousBatcher:
         draft=None,
         spec_k: int = 4,
         stream_tokens: bool = False,
+        attention: str = "gather",
     ):
         import jax
 
         check_top_p(top_p)
+        if attention not in ("gather", "flash"):
+            raise ModelRuntimeError(
+                f"attention must be 'gather' (dense view + XLA decode "
+                f"attention) or 'flash' (Pallas paged-attention kernel); "
+                f"got {attention!r}")
+        if attention == "flash":
+            if not paged:
+                raise ModelRuntimeError(
+                    "attention='flash' is the paged-attention kernel; it "
+                    "requires ContinuousBatcher(paged=True)")
+            if int(page_size) % 8:
+                raise ModelRuntimeError(
+                    f"attention='flash' needs page_size to be a multiple "
+                    f"of 8 (Mosaic sublane tile); got {page_size}")
+        self.attention = attention
         if draft is not None:
             # speculative continuous batching: greedy (exact streams) or
             # temperature sampling (exact rejection scheme, solo
@@ -328,6 +344,36 @@ class ContinuousBatcher:
         self._key, sub = self._jax.random.split(self._key)
         return sub
 
+    def _paged_io(self, page_table, wpid, woff):
+        """Cache-IO object for the paged decode paths: ``append`` writes
+        fresh K/V at host/trace-chosen (page, offset) coordinates;
+        attention either gathers a dense view (``attention='gather'``,
+        the XLA path) or attends against the pages IN PLACE through the
+        Pallas paged-attention kernel (``attention='flash'`` —
+        ops.paged_attention; the resident cache crosses HBM once per
+        step instead of twice)."""
+        from ..ops.paged import gather_view, write_token
+
+        class _IO:
+            @staticmethod
+            def append(pool, k, v):
+                return write_token(pool, k, v, wpid, woff)
+
+            @staticmethod
+            def view(pool):
+                return gather_view(pool, page_table)
+
+        if self.attention == "flash":
+            from ..ops.paged_attention import paged_decode_attention
+
+            def attend(q, pool, sm_scale, window, key_pos, q_pos):
+                return paged_decode_attention(
+                    q, pool, page_table, key_pos, q_pos,
+                    sm_scale=sm_scale, window=window)
+
+            _IO.attend = staticmethod(attend)
+        return _IO
+
     def _admit_fn(self, width: int):
         """Prefill a [1, width] padded prompt on a scratch cache, pick the
         first token, and write the K/V region into the slot's rows."""
@@ -387,28 +433,16 @@ class ContinuousBatcher:
         pick = self._row_pick
         import jax.numpy as jnp
 
-        from ..ops.paged import gather_view, write_token
-
         virtual = self.pages_per_slot * self.page_size
 
         def build():
             def run(tok, pos, pools, page_table, wpid, woff, key,
                     temp, tk, tp):
                 key_pos = _cursor_key_pos(virtual, pos)
-
-                class _PagedIO:
-                    @staticmethod
-                    def append(pool, k, v):
-                        return write_token(pool, k, v, wpid, woff)
-
-                    @staticmethod
-                    def view(pool):
-                        return gather_view(pool, page_table)
-
                 x = srv._embed_at(tok[:, None], pos[:, None])
                 logits, pools = srv._step(
                     x, pools, 0, key_pos=key_pos, q_pos=pos[:, None],
-                    cache_io=_PagedIO,
+                    cache_io=self._paged_io(page_table, wpid, woff),
                 )
                 nxt = pick(logits[:, -1], key, temp, tk, tp)
                 return nxt, pools
@@ -417,7 +451,7 @@ class ContinuousBatcher:
 
         return self.server._jit_cache.get(
             ("cb_decode_paged", self.slots, self.pages_per_slot,
-             self.pool_pages, self.page_size),
+             self.pool_pages, self.page_size, self.attention),
             build, donate_argnums=(2,),
         )
 
@@ -437,8 +471,6 @@ class ContinuousBatcher:
 
         pg = getattr(self, "page_size", 0) if self.paged else 0
         if self.paged:
-            from ..ops.paged import gather_view, write_token
-
             virtual = self.pages_per_slot * self.page_size
         else:
             virtual = self.capacity
@@ -457,19 +489,11 @@ class ContinuousBatcher:
                                 jnp.int32), axis=1)[:, 0]
                         wpid = jnp.where(alive, wpid, jnp.int32(0))
                         woff = (pos % pg).astype(jnp.int32)
-
-                        class _IO:
-                            @staticmethod
-                            def append(pool, k, v):
-                                return write_token(pool, k, v, wpid, woff)
-
-                            @staticmethod
-                            def view(pool):
-                                return gather_view(pool, page_table)
-
                         logits, caches = srv._step(
                             x, caches, 0, key_pos=key_pos,
-                            q_pos=pos[:, None], cache_io=_IO,
+                            q_pos=pos[:, None],
+                            cache_io=self._paged_io(page_table, wpid,
+                                                    woff),
                         )
                     else:
                         logits, caches = srv._step(
@@ -492,7 +516,7 @@ class ContinuousBatcher:
         return self.server._jit_cache.get(
             ("cb_chunk", chunk, self.paged, self.slots,
              self.pages_per_slot if self.paged else self.capacity,
-             self.pool_pages if self.paged else 0, pg),
+             self.pool_pages if self.paged else 0, pg, self.attention),
             build, donate_argnums=(3,),
         )
 
@@ -542,9 +566,6 @@ class ContinuousBatcher:
                    else capacity)
         import jax.numpy as jnp
 
-        if paged:
-            from ..ops.paged import gather_view, write_token
-
         temperature = float(self.temperature)
         sampled = temperature > 0.0
 
@@ -586,18 +607,9 @@ class ContinuousBatcher:
                 key_pos = _cursor_key_pos(virtual, pos, extra=pick_k)
                 x = srv._embed_at(seq, qp)
                 if paged:
-                    class _IO:
-                        @staticmethod
-                        def append(pool, k, v):
-                            return write_token(pool, k, v, wpid, woff)
-
-                        @staticmethod
-                        def view(pool):
-                            return gather_view(pool, page_table)
-
                     logits, tcaches = srv._step(
                         x, tcaches, 0, key_pos=key_pos, q_pos=qp,
-                        cache_io=_IO,
+                        cache_io=self._paged_io(page_table, wpid, woff),
                     )
                 else:
                     logits, tcaches = srv._step(
@@ -650,7 +662,7 @@ class ContinuousBatcher:
         return self.server._jit_cache.get(
             ("cb_spec_round", pick_k, paged, self.slots, self.capacity,
              self.pages_per_slot if paged else 0, temperature,
-             id(self.draft)),
+             id(self.draft), self.attention),
             build, donate_argnums=(2, 3),
         )
 

@@ -283,16 +283,24 @@ class FlashLMServer:
                     )
                 q = self._rope_rotate(q, rot_pos)
                 k = self._rope_rotate(k, rot_pos)
+            att = None
             if cache_io is not None:
                 cache = cache_io.append(cache, k, v)
-                view = cache_io.view(cache)
+                if hasattr(cache_io, "attend"):
+                    # paged flash path: attend against the pages in
+                    # place (ops.paged_attention) — no dense gather
+                    att = cache_io.attend(q, cache, self.scale,
+                                          self.window, key_pos, q_pos)
+                else:
+                    view = cache_io.view(cache)
             elif row_starts is None:
                 cache = view = append(cache, k, v)
             else:
                 cache = view = append_at(cache, k, v, row_starts)
-            att = decode_attention(q, view, sm_scale=self.scale,
-                                   window=self.window,
-                                   key_pos=key_pos, q_pos=q_pos)
+            if att is None:
+                att = decode_attention(q, view, sm_scale=self.scale,
+                                       window=self.window,
+                                       key_pos=key_pos, q_pos=q_pos)
             x = x + jnp.einsum("nhtd,hde->nte", att, dq(blk.wo))
             rn2 = self._rms(x, blk.ffn_g)
             if blk.w3 is not None:  # swiglu: silu(gate) * up, no biases

@@ -8,6 +8,7 @@ from .attention import (
 )
 from .decode import KVCache, append, decode_attention, init_cache
 from .matmul import pallas_matmul
+from .paged_attention import paged_decode_attention
 
 __all__ = [
     "KVCache",
@@ -17,5 +18,6 @@ __all__ = [
     "flash_attention_backward",
     "flash_attention_forward",
     "init_cache",
+    "paged_decode_attention",
     "pallas_matmul",
 ]

@@ -1,0 +1,248 @@
+"""Pallas paged-attention decode kernel: attend against KV *pages* in
+place, page table prefetched, no dense gather materialization.
+
+The XLA paged decode path (``ops.paged.gather_view`` +
+``ops.decode.decode_attention``) first copies every live page into a
+dense ``[b, hkv, P*page, d]`` array in HBM and then reads that copy —
+the whole resident cache crosses HBM twice per step, and decode is
+HBM-bandwidth-bound.  This kernel is the TPU-native shape of
+PagedAttention (Kwon et al., SOSP 2023): the grid walks ``(batch row,
+kv head, page slot)``, a scalar-prefetched page table drives the
+BlockSpec index map, and Mosaic's pipeline DMAs each KV page HBM→VMEM
+exactly once, straight into the flash-style online-softmax
+accumulation.  Pages never touch HBM a second time, and never-written /
+recycled pages are masked by true positions exactly like the gather
+path (reference for the serving discipline this slots into:
+``exprgrad/model.nim:392-406`` — the runtime keeps device state hot and
+the per-step dispatch thin).
+
+Semantics are bit-compatible with ``decode_attention(q,
+gather_view(pool, page_table), key_pos=..., q_pos=...)`` up to float
+reassociation: same position masking contract (``key_pos`` slots of
+``-1`` never attend; window band by true positions), same GQA/MQA
+grouping, f32 softmax accumulation.
+
+Mosaic layout notes (all checked statically by ``mosaic_check``):
+
+* KV blocks ``(1, 1, page, d)`` over ``[n_pages, hkv, page, d]`` — the
+  last two dims are full, always legal; the leading block index comes
+  from the prefetched page table (clamped at 0 for unallocated ``-1``
+  entries, whose compute is skipped).
+* ``key_pos`` rides as ``[b, P, page, 1]`` so its ``(1, 1, page, 1)``
+  block keeps the last two dims legal (page multiple of 8, trailing 1
+  full) — the same trick as the flash kernel's lse layout.
+* int8 pools: per-slot scales ride as ``[n_pages, hkv, page, 1]``
+  blocks selected by the same page-table index map; dequantization is
+  fused into the score/value matmuls in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mosaic_check import check_specs
+from .paged import PagedKVPool
+
+_NEG_INF = -1e30
+
+
+def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
+            m_s, l_s, acc_s, *, sm_scale: float, t: int, gt_pad: int,
+            num_pages: int, window: Optional[int], quant: bool,
+            ks_ref=None, vs_ref=None):
+    b_idx = pl.program_id(0)
+    p_idx = pl.program_id(2)
+
+    @pl.when(p_idx == 0)
+    def _init():
+        m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+        l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+        acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    # unallocated page table entries (-1) carry no live slots; skip the
+    # matmuls entirely (the DMA already fetched clamped page 0, cheap).
+    @pl.when(tbl_ref[b_idx, p_idx] >= 0)
+    def _run():
+        q = q_ref[0, 0]                     # [gt_pad, d] f32
+        k = k_ref[0, 0].astype(jnp.float32)  # [page, d]
+        v = v_ref[0, 0].astype(jnp.float32)
+        if quant:
+            k = k * ks_ref[0, 0]            # [page, 1] scales broadcast
+            v = v * vs_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [gt, page]
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        # position mask: key slot positions from key_pos (-1 = dead),
+        # query rows r <-> (group g = r // t, token tt = r % t) at true
+        # position qpos[b, tt] (scalar-prefetched, statically unrolled;
+        # padded rows r >= gt reuse r % t — their output is sliced off).
+        kp = kp_ref[0, 0, :, 0]             # [page] int32
+        qp_rows = jnp.stack(
+            [qpos_ref[b_idx, r % t] for r in range(gt_pad)]
+        )                                    # [gt_pad]
+        kp2 = kp[None, :]                    # [1, page]
+        qp2 = qp_rows[:, None]               # [gt_pad, 1]
+        keep = jnp.logical_and(kp2 >= 0, kp2 <= qp2)
+        if window is not None:
+            keep = jnp.logical_and(keep, kp2 > qp2 - jnp.int32(window))
+        s = jnp.where(keep, s, _NEG_INF)
+
+        m_prev = m_s[...]                    # [gt_pad, 128]
+        l_prev = l_s[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)      # [gt_pad, 1]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                  # [gt_pad, page]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_s[...] = m_next
+        l_s[...] = l_next
+        acc_s[...] = acc_s[...] * alpha[:, :1]
+        acc_s[...] += jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(p_idx == num_pages - 1)
+    def _store():
+        l = l_s[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    pool: PagedKVPool,
+    page_table: jax.Array,
+    key_pos: jax.Array,
+    q_pos: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attend ``q`` [b, h, t, d] against each row's pages in place.
+
+    ``page_table`` [b, P] holds pool page ids (``-1`` = unallocated);
+    ``key_pos`` [b, P*page] gives each virtual cache slot's true
+    position with ``-1`` marking dead slots; ``q_pos`` [b, t] the fresh
+    tokens' positions.  Masking contract identical to
+    ``ops.decode.decode_attention(..., key_pos=, q_pos=)``; returns
+    [b, h, t, d] in q's dtype.
+    """
+    b, h, t, d = q.shape
+    n_pages, hkv, page, dk = pool.k.shape
+    bt, P = page_table.shape
+    if dk != d:
+        raise ValueError(f"head_dim mismatch: q {d} vs pool {dk}")
+    if h % hkv:
+        raise ValueError(f"query heads ({h}) not a multiple of kv ({hkv})")
+    if bt != b:
+        raise ValueError(f"page_table batch {bt} != q batch {b}")
+    if key_pos.shape != (b, P * page):
+        raise ValueError(
+            f"key_pos shape {key_pos.shape} != {(b, P * page)}")
+    if q_pos.shape != (b, t):
+        raise ValueError(f"q_pos shape {q_pos.shape} != {(b, t)}")
+    if page % 8:
+        raise ValueError(f"page size {page} must be a multiple of 8")
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(d))
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    group = h // hkv
+    gt = group * t
+    gt_pad = max(8, ((gt + 7) // 8) * 8)
+    quant = pool.k_scale is not None
+
+    qg = q.reshape(b, hkv, gt, d).astype(jnp.float32)
+    if gt_pad != gt:  # align query rows to the f32 sublane tile
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gt_pad - gt), (0, 0)))
+    kp4 = key_pos.astype(jnp.int32).reshape(b, P, page, 1)
+    tbl = page_table.astype(jnp.int32)
+    qpos = q_pos.astype(jnp.int32)
+
+    grid = (b, hkv, P)
+
+    def q_map(bi, hi, pi, *_):
+        return (bi, hi, 0, 0)
+
+    def kv_map(bi, hi, pi, tbl_ref, qpos_ref):
+        return (jnp.maximum(tbl_ref[bi, pi], 0), hi, 0, 0)
+
+    def kp_map(bi, hi, pi, *_):
+        return (bi, pi, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, gt_pad, d), q_map),
+        pl.BlockSpec((1, 1, page, d), kv_map),
+        pl.BlockSpec((1, 1, page, d), kv_map),
+        pl.BlockSpec((1, 1, page, 1), kp_map),
+    ]
+    shapes = [qg.shape, pool.k.shape, pool.v.shape, kp4.shape]
+    operands = [qg, pool.k, pool.v, kp4]
+    if quant:
+        ks4 = pool.k_scale.reshape(n_pages, hkv, page, 1)
+        vs4 = pool.v_scale.reshape(n_pages, hkv, page, 1)
+        in_specs += [
+            pl.BlockSpec((1, 1, page, 1), kv_map),
+            pl.BlockSpec((1, 1, page, 1), kv_map),
+        ]
+        shapes += [ks4.shape, vs4.shape]
+        operands += [ks4, vs4]
+
+    out_specs = pl.BlockSpec((1, 1, gt_pad, d), q_map)
+    out_shape = jax.ShapeDtypeStruct((b, hkv, gt_pad, d), q.dtype)
+    scratch_shapes = [
+        pltpu.VMEM((gt_pad, 128), jnp.float32),
+        pltpu.VMEM((gt_pad, 128), jnp.float32),
+        pltpu.VMEM((gt_pad, d), jnp.float32),
+    ]
+    check_specs(in_specs, shapes, kernel="paged_decode")
+    check_specs([out_specs], [out_shape.shape],
+                kernel="paged_decode", kind="output")
+
+    static = dict(sm_scale=float(sm_scale), t=t, gt_pad=gt_pad,
+                  num_pages=P, window=window, quant=quant)
+    if quant:
+        def kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref,
+                   ks_ref, vs_ref, o_ref, m_s, l_s, acc_s):
+            _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref,
+                    o_ref, m_s, l_s, acc_s, ks_ref=ks_ref, vs_ref=vs_ref,
+                    **static)
+    else:
+        kernel = functools.partial(_kernel, **static)
+
+    resident = b * P * page  # virtual slots walked per head
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * hkv * gt * resident * d,
+            bytes_accessed=(2 * hkv * resident * d) * pool.k.dtype.itemsize
+            + 2 * b * h * t * d * 4,
+            transcendentals=hkv * gt * resident,
+        ),
+        interpret=interpret,
+    )(tbl, qpos, *operands)
+    return out[:, :, :gt].reshape(b, h, t, d).astype(q.dtype)
