@@ -14,7 +14,7 @@ while :; do
     i=$((i + 1))
     echo "=== validate attempt $i $(date -u +%H:%M:%S) ===" >> "$LOG"
     MARK=$(wc -c < "$LOG")
-    if PYTHONPATH=. timeout -s KILL 4200 \
+    if PYTHONPATH=. timeout -s KILL 4800 \
         python scripts/tpu_validate.py >> "$LOG" 2>&1; then
         echo "=== VALIDATE OK attempt $i ===" >> "$LOG"
         break

@@ -31,7 +31,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
-    signal.alarm(3900)  # ~16 on-chip compiles at tunnel-variable latency
+    signal.alarm(4400)  # ~20 on-chip compiles at tunnel-variable latency
 
     from exprgrad_tpu.ops.attention import flash_attention, xla_attention_vjp
 
@@ -278,6 +278,48 @@ def main() -> None:
     print(f"continuous batching on-chip: {time.time()-t0:.1f}s, "
           f"{cb.stats}", flush=True)
     print("SERVING SCHEDULER OK", flush=True)
+
+    # paged-attention Pallas kernel on-chip: (a) raw kernel vs the XLA
+    # gather oracle (the Mosaic-lowering proof interpret mode cannot
+    # give), (b) the flash-attention batcher stays token-equal to solo
+    from exprgrad_tpu.ops import paged_decode_attention
+    from exprgrad_tpu.ops.decode import decode_attention
+    from exprgrad_tpu.ops.paged import gather_view, init_pool
+
+    pool = init_pool(16, 2, 128, 128)
+    pool = pool._replace(
+        k=jnp.asarray(rng.normal(size=pool.k.shape), pool.k.dtype),
+        v=jnp.asarray(rng.normal(size=pool.v.shape), pool.v.dtype),
+    )
+    ptab = jnp.asarray([[3, 7, 11, -1], [1, 5, 9, 13]], jnp.int32)
+    kp = np.full((2, 512), -1, np.int32)
+    kp[0, :300] = np.arange(300)
+    kp[1, :512] = np.arange(512)
+    qp = jnp.asarray([[299], [511]], jnp.int32)
+    qq = jnp.asarray(rng.normal(size=(2, 4, 1, 128)), jnp.float32)
+    t0 = time.time()
+    got = paged_decode_attention(qq, pool, ptab, jnp.asarray(kp), qp,
+                                 interpret=False)
+    got = np.asarray(got)
+    print(f"paged kernel: {time.time()-t0:.1f}s", flush=True)
+    want = np.asarray(decode_attention(
+        qq, gather_view(pool, jnp.maximum(ptab, 0)),
+        key_pos=jnp.asarray(kp), q_pos=qp))
+    rel = np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+    print("paged kernel max rel err:", rel, flush=True)
+    assert rel < 2e-5, rel
+
+    t0 = time.time()
+    cbf = ContinuousBatcher(srv, slots=2, capacity=128, paged=True,
+                            page_size=16, decode_chunk=4,
+                            attention="flash")
+    rids = [cbf.submit(p, mn) for p, mn in zip(prompts, budgets)]
+    done = cbf.run()
+    for rid, ref in zip(rids, solo):
+        assert np.array_equal(done[rid], ref.astype(np.int64)), rid
+    print(f"flash-attention batcher on-chip: {time.time()-t0:.1f}s",
+          flush=True)
+    print("PAGED ATTENTION KERNEL OK", flush=True)
     print("ALL ON-CHIP VALIDATIONS PASSED", flush=True)
 
 
