@@ -481,6 +481,67 @@ def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
     return t_win, t_causal, t_causal / t_win
 
 
+def bench_paged_attention(b=8, hkv=8, group=1, d=128, page=128,
+                          pages_per_row=16, chain=16):
+    """Paged decode attention, gather path vs Pallas kernel, isolated
+    from the rest of the serving step (impl-attributable).
+
+    Every row attends one fresh query against ``pages_per_row * page``
+    resident cache tokens (bf16 pool).  The gather path materializes a
+    dense view (the resident cache crosses HBM twice); the kernel reads
+    pages in place.  ``chain`` data-dependent steps per dispatch
+    amortize tunnel RTT.  Returns (t_gather_s, t_flash_s, cache_gb,
+    ratio) — per step; cache_gb is the resident K+V read per step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops.decode import decode_attention
+    from exprgrad_tpu.ops.paged import gather_view, init_pool
+    from exprgrad_tpu.ops.paged_attention import paged_decode_attention
+
+    h = hkv * group
+    n_pages = b * pages_per_row + 1
+    resident = pages_per_row * page
+    rng = np.random.default_rng(0)
+    pool = init_pool(n_pages, hkv, page, d, dtype=jnp.bfloat16)
+    pool = pool._replace(
+        k=jnp.asarray(rng.normal(size=pool.k.shape) * 0.1, pool.k.dtype),
+        v=jnp.asarray(rng.normal(size=pool.v.shape) * 0.1, pool.v.dtype),
+    )
+    table = jnp.asarray(
+        1 + np.arange(b * pages_per_row, dtype=np.int32).reshape(
+            b, pages_per_row))
+    key_pos = jnp.asarray(
+        np.broadcast_to(np.arange(resident, dtype=np.int32), (b, resident)))
+    q_pos = jnp.full((b, 1), resident - 1, jnp.int32)
+    q0 = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
+
+    def timed(step):
+        def chained(q):
+            cur = q
+            for _ in range(chain):
+                # data-dependent q keeps the tunnel pipeline honest
+                cur = q0 + 1e-3 * step(cur)
+            return cur
+
+        jitted = jax.jit(chained)
+        _fetch(jitted(q0))
+        best = float("inf")
+        for _ in range(2):
+            t = time.perf_counter()
+            _fetch(jitted(q0))
+            best = min(best, time.perf_counter() - t)
+        return best / chain
+
+    t_gather = timed(lambda q: decode_attention(
+        q, gather_view(pool, table), key_pos=key_pos, q_pos=q_pos))
+    t_flash = timed(lambda q: paged_decode_attention(
+        q, pool, table, key_pos, q_pos))  # interpret auto: real on TPU
+    cache_gb = 2 * b * hkv * resident * d * 2 / 1e9  # K+V bf16
+    return t_gather, t_flash, cache_gb, t_gather / t_flash
+
+
 def bench_transformer_step(vocab=2048, dim=512, heads=4, hidden=2048,
                            blocks=2, batch=8, seq=512, chain=4):
     """Full flash_transformer training step (fwd + symbolic bwd + adam)
@@ -887,6 +948,27 @@ def main() -> None:
              f"{t_causal * 1e3:.1f}ms ({speedup:.2f}x)")
     except Exception as err:
         details["window_attention_error"] = str(err)
+
+    _flush_details()
+    _log("bench: paged decode attention gather vs kernel ...")
+    try:
+        t_g, t_f, cache_gb, ratio = bench_paged_attention()
+        details["paged_attention_decode"] = {
+            "config": "b8 hkv8 d128 page128 x16 pages/row (2048 resident "
+                      "tokens/row, bf16 pool)",
+            "gather_ms": round(t_g * 1e3, 3),
+            "flash_ms": round(t_f * 1e3, 3),
+            "gather_gbps": round(2 * cache_gb / t_g, 1),
+            "flash_gbps": round(cache_gb / t_f, 1),
+            "speedup": round(ratio, 2),
+            "impl": "gather = gather_view + XLA decode_attention (cache "
+                    "crosses HBM twice); flash = ops.paged_decode_"
+                    "attention Pallas kernel (pages read in place once)",
+        }
+        _log(f"bench: paged decode gather {t_g * 1e3:.2f}ms vs kernel "
+             f"{t_f * 1e3:.2f}ms ({ratio:.2f}x)")
+    except Exception as err:
+        details["paged_attention_error"] = str(err)
 
     _flush_details()
     _log("bench: flash_transformer train step ...")
