@@ -50,12 +50,58 @@ def _validate_kernel(kernel: Kernel) -> None:
             )
 
 
+def _same_index(a: LinearIndex, b: LinearIndex) -> bool:
+    return a.factors == b.factors and a.constant == b.constant
+
+
+def _check_self_reads(program: Program, kernel: Kernel) -> None:
+    """Reject SHIFTED self-reads of result tensors.
+
+    Both backends give every read a snapshot of the tensor's pre-kernel
+    contents (whole-array semantics).  For a freshly zeroed RESULT
+    tensor, ``h[i] = f(h[i - 1])`` therefore silently reads zeros — the
+    user almost certainly wanted a sequential recurrence, which this
+    compiler does not run inside one kernel (the reference's answer
+    would depend on loop order, i.e. on the schedule: passes.nim
+    reorderLoops).  Same-index self-reads (``w[i] = w[i] - lr * g[i]``)
+    and shifted reads of params/caches (Jacobi-style updates of live
+    state) stay legal: their snapshot semantics are well-defined and
+    backend-consistent.
+    """
+    if kernel.write is None:
+        return
+    wdef = program.tensors[kernel.write.tensor]
+    from ..ir import TensorKind
+
+    if wdef.kind != TensorKind.RESULT:
+        return
+    name = wdef.name or f"t{kernel.write.tensor}"
+    for read in kernel.reads:
+        if read.tensor != kernel.write.tensor:
+            continue
+        if len(read.dims) == len(kernel.write.dims) and all(
+            _same_index(r, w)
+            for r, w in zip(read.dims, kernel.write.dims)
+        ):
+            continue
+        raise ValidationError(
+            f"kernel reads its own output tensor {name!r} at an index "
+            f"different from the one it writes: reads observe the "
+            f"tensor's PRE-KERNEL contents (zeros for a fresh result), "
+            f"not a sequential recurrence. Compute the shifted source "
+            f"into a separate tensor first, or express the recurrence "
+            f"through an extern op (fun.extern) with a scan"
+        )
+
+
 def validate(program: Program) -> None:
     program.assert_pass("validate", preserves=ALL_STAGES)
     for target in program.targets.values():
         modes: dict[int, set[str]] = {}
         for kernel in target.kernels:
             _validate_kernel(kernel)
+            if kernel.generator.kind == ir.GenKind.NONE:
+                _check_self_reads(program, kernel)
             if kernel.write is not None:
                 modes.setdefault(kernel.write.tensor, set()).add(
                     kernel.write.accumulate

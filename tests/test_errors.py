@@ -268,3 +268,30 @@ def test_unsolvable_read_extents_name_the_tensors():
     res = m2.call("out", {"base": np.ones((16, 8), np.float32),
                           "t": np.ones((32, 8), np.float32)})
     np.testing.assert_allclose(np.asarray(res), np.full((16, 8), 2.0))
+
+
+def test_shifted_self_read_of_result_is_rejected():
+    """``h[i] = f(h[i-1])`` on a fresh result silently reads zeros (both
+    backends snapshot pre-kernel contents), so the validate pass rejects
+    it with a recurrence hint.  Same-index self-updates (optimizer
+    style) and shifted reads of OTHER tensors stay legal."""
+    import numpy as np
+
+    from exprgrad_tpu import Fun, compile, input, iters
+    from exprgrad_tpu.errors import ValidationError
+
+    i = iters("i")
+    h = Fun("h")
+    h[i] = input("x")[i] + h[i - 1]
+    h.copy_shape(input("x"))
+    with pytest.raises(ValidationError, match="own output.*'h'"):
+        compile(h.target("h"), backend="interp")
+
+    # same-index self-update is the optimizer idiom; must stay legal
+    i = iters("i")
+    w = Fun("w")
+    w[i] = w[i] + input("x2")[i]
+    w.copy_shape(input("x2"))
+    m = compile(w.target("w"), backend="interp")
+    got = np.asarray(m.call("w", {"x2": np.ones(4, np.float32)}))
+    np.testing.assert_allclose(got, np.ones(4))
