@@ -67,8 +67,10 @@ from .dnn import (
     upsample2,
 )
 from .moe import moe_ffn
+from .recurrent import gru, lstm, rnn_tanh
 
 __all__ = [
+    "gru", "lstm", "rnn_tanh",
     "adafactor", "adam", "adamw", "add", "avgpool2", "binary_cross_entropy", "conv2",
     "cross_entropy", "decayed_gradient_descent", "dense", "depthwise_conv2",
     "div_scalar",

@@ -212,3 +212,4 @@ register_extern("attention", 2, _jax_attention, _np_attention)
 register_extern("attention_grad", 3, _jax_attention_grad, _np_attention_grad)
 
 from . import moe as _moe  # noqa: E402,F401  (registers moe/moe_grad)
+from . import recurrent as _recurrent  # noqa: E402,F401  (lstm/gru/rnn)

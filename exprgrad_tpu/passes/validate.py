@@ -90,7 +90,8 @@ def _check_self_reads(program: Program, kernel: Kernel) -> None:
             f"tensor's PRE-KERNEL contents (zeros for a fresh result), "
             f"not a sequential recurrence. Compute the shifted source "
             f"into a separate tensor first, or express the recurrence "
-            f"through an extern op (fun.extern) with a scan"
+            f"through an extern scan (fun.extern; see layers.lstm/"
+            f"gru/rnn_tanh for the built-in recurrent family)"
         )
 
 
