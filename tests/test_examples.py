@@ -208,3 +208,12 @@ def test_vae_example(monkeypatch, capsys):
     vae.main()
     out = capsys.readouterr().out
     assert "reconstruction mse" in out and "elbo" in out
+
+
+def test_rnn_lm_example(monkeypatch, capsys):
+    import rnn_lm
+
+    monkeypatch.setattr(rnn_lm, "STEPS", 80)
+    rnn_lm.main()
+    out = capsys.readouterr().out
+    assert "generated:" in out
