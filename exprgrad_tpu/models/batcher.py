@@ -125,6 +125,41 @@ def _pick_first(pick, logits, length, key, temp, top_k, top_p):
     )[0]
 
 
+def _make_paged_io(attention: str, page_table, wpid, woff):
+    """Cache-IO object for the paged decode paths: ``append`` writes
+    fresh K/V at host/trace-chosen (page, offset) coordinates;
+    attention either gathers a dense view (``attention='gather'``, the
+    XLA path) or attends against the pages IN PLACE through the Pallas
+    paged-attention kernel (``attention='flash'`` — ops.paged_attention;
+    the resident cache crosses HBM once per step instead of twice).
+
+    Module-level on purpose: the returned class is captured by jitted
+    scheduler programs living in the server's shared JitCache, which
+    must never pin the batcher itself (its KV pools would leak — see
+    test_jit_closures_do_not_pin_the_batcher)."""
+    from ..ops.paged import gather_view, write_token
+
+    class _IO:
+        @staticmethod
+        def append(pool, k, v):
+            return write_token(pool, k, v, wpid, woff)
+
+        @staticmethod
+        def view(pool):
+            return gather_view(pool, page_table)
+
+    if attention == "flash":
+        from ..ops.paged_attention import paged_decode_attention
+
+        def attend(q, pool, sm_scale, window, key_pos, q_pos):
+            return paged_decode_attention(
+                q, pool, page_table, key_pos, q_pos,
+                sm_scale=sm_scale, window=window)
+
+        _IO.attend = staticmethod(attend)
+    return _IO
+
+
 def _write_slot_rows(jax, caches, minis, slot):
     """Copy a batch-1 scratch cache's rows into row ``slot`` of the big
     dense caches (shared by target and draft admission)."""
@@ -344,36 +379,6 @@ class ContinuousBatcher:
         self._key, sub = self._jax.random.split(self._key)
         return sub
 
-    def _paged_io(self, page_table, wpid, woff):
-        """Cache-IO object for the paged decode paths: ``append`` writes
-        fresh K/V at host/trace-chosen (page, offset) coordinates;
-        attention either gathers a dense view (``attention='gather'``,
-        the XLA path) or attends against the pages IN PLACE through the
-        Pallas paged-attention kernel (``attention='flash'`` —
-        ops.paged_attention; the resident cache crosses HBM once per
-        step instead of twice)."""
-        from ..ops.paged import gather_view, write_token
-
-        class _IO:
-            @staticmethod
-            def append(pool, k, v):
-                return write_token(pool, k, v, wpid, woff)
-
-            @staticmethod
-            def view(pool):
-                return gather_view(pool, page_table)
-
-        if self.attention == "flash":
-            from ..ops.paged_attention import paged_decode_attention
-
-            def attend(q, pool, sm_scale, window, key_pos, q_pos):
-                return paged_decode_attention(
-                    q, pool, page_table, key_pos, q_pos,
-                    sm_scale=sm_scale, window=window)
-
-            _IO.attend = staticmethod(attend)
-        return _IO
-
     def _admit_fn(self, width: int):
         """Prefill a [1, width] padded prompt on a scratch cache, pick the
         first token, and write the K/V region into the slot's rows."""
@@ -434,6 +439,7 @@ class ContinuousBatcher:
         import jax.numpy as jnp
 
         virtual = self.pages_per_slot * self.page_size
+        attention = self.attention
 
         def build():
             def run(tok, pos, pools, page_table, wpid, woff, key,
@@ -442,7 +448,8 @@ class ContinuousBatcher:
                 x = srv._embed_at(tok[:, None], pos[:, None])
                 logits, pools = srv._step(
                     x, pools, 0, key_pos=key_pos, q_pos=pos[:, None],
-                    cache_io=self._paged_io(page_table, wpid, woff),
+                    cache_io=_make_paged_io(attention, page_table, wpid,
+                                            woff),
                 )
                 nxt = pick(logits[:, -1], key, temp, tk, tp)
                 return nxt, pools
@@ -470,6 +477,7 @@ class ContinuousBatcher:
         import jax.numpy as jnp
 
         pg = getattr(self, "page_size", 0) if self.paged else 0
+        attention = self.attention
         if self.paged:
             virtual = self.pages_per_slot * self.page_size
         else:
@@ -492,8 +500,8 @@ class ContinuousBatcher:
                         logits, caches = srv._step(
                             x, caches, 0, key_pos=key_pos,
                             q_pos=pos[:, None],
-                            cache_io=self._paged_io(page_table, wpid,
-                                                    woff),
+                            cache_io=_make_paged_io(
+                                attention, page_table, wpid, woff),
                         )
                     else:
                         logits, caches = srv._step(
@@ -566,6 +574,7 @@ class ContinuousBatcher:
                    else capacity)
         import jax.numpy as jnp
 
+        attention = self.attention
         temperature = float(self.temperature)
         sampled = temperature > 0.0
 
@@ -609,7 +618,8 @@ class ContinuousBatcher:
                 if paged:
                     logits, tcaches = srv._step(
                         x, tcaches, 0, key_pos=key_pos, q_pos=qp,
-                        cache_io=self._paged_io(page_table, wpid, woff),
+                        cache_io=_make_paged_io(attention, page_table,
+                                                wpid, woff),
                     )
                 else:
                     logits, tcaches = srv._step(

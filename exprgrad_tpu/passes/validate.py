@@ -54,8 +54,9 @@ def _same_index(a: LinearIndex, b: LinearIndex) -> bool:
     return a.factors == b.factors and a.constant == b.constant
 
 
-def _check_self_reads(program: Program, kernel: Kernel) -> None:
-    """Reject SHIFTED self-reads of result tensors.
+def _check_self_reads(program: Program, kernel: Kernel,
+                      written: set) -> None:
+    """Reject SHIFTED self-reads of FRESH result tensors.
 
     Both backends give every read a snapshot of the tensor's pre-kernel
     contents (whole-array semantics).  For a freshly zeroed RESULT
@@ -63,10 +64,11 @@ def _check_self_reads(program: Program, kernel: Kernel) -> None:
     user almost certainly wanted a sequential recurrence, which this
     compiler does not run inside one kernel (the reference's answer
     would depend on loop order, i.e. on the schedule: passes.nim
-    reorderLoops).  Same-index self-reads (``w[i] = w[i] - lr * g[i]``)
-    and shifted reads of params/caches (Jacobi-style updates of live
-    state) stay legal: their snapshot semantics are well-defined and
-    backend-consistent.
+    reorderLoops).  Same-index self-reads (``w[i] = w[i] - lr * g[i]``),
+    shifted reads of params/caches (Jacobi-style updates of live
+    state), and shifted self-reads of a result an EARLIER kernel
+    already populated (``written``) stay legal: their snapshot
+    semantics are well-defined and backend-consistent.
     """
     if kernel.write is None:
         return
@@ -75,6 +77,8 @@ def _check_self_reads(program: Program, kernel: Kernel) -> None:
 
     if wdef.kind != TensorKind.RESULT:
         return
+    if kernel.write.tensor in written:
+        return  # snapshot of a prior kernel's output: deterministic
     name = wdef.name or f"t{kernel.write.tensor}"
     for read in kernel.reads:
         if read.tensor != kernel.write.tensor:
@@ -99,10 +103,13 @@ def validate(program: Program) -> None:
     program.assert_pass("validate", preserves=ALL_STAGES)
     for target in program.targets.values():
         modes: dict[int, set[str]] = {}
+        written: set[int] = set()
         for kernel in target.kernels:
             _validate_kernel(kernel)
             if kernel.generator.kind == ir.GenKind.NONE:
-                _check_self_reads(program, kernel)
+                _check_self_reads(program, kernel, written)
+            if kernel.write is not None:
+                written.add(kernel.write.tensor)
             if kernel.write is not None:
                 modes.setdefault(kernel.write.tensor, set()).add(
                     kernel.write.accumulate

@@ -548,14 +548,17 @@ def test_jit_closures_do_not_pin_the_batcher():
 
     srv = FlashLMServer(_trained_model())
     rng = np.random.default_rng(23)
-    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
-                          page_size=8, decode_chunk=2, prefill_chunk=8)
-    rid = b.submit(rng.integers(0, 32, 20).astype(np.float32), 5)
-    b.run()
-    ref = weakref.ref(b)
-    del b
-    gc.collect()
-    assert ref() is None, "a jitted closure still references the batcher"
+    for attention in ("gather", "flash"):
+        b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                              page_size=8, decode_chunk=2,
+                              prefill_chunk=8, attention=attention)
+        rid = b.submit(rng.integers(0, 32, 20).astype(np.float32), 5)
+        b.run()
+        ref = weakref.ref(b)
+        del b
+        gc.collect()
+        assert ref() is None, (
+            f"a jitted closure still references the batcher ({attention})")
 
 
 # --- metrics + mesh composition ------------------------------------------

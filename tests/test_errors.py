@@ -295,3 +295,21 @@ def test_shifted_self_read_of_result_is_rejected():
     m = compile(w.target("w"), backend="interp")
     got = np.asarray(m.call("w", {"x2": np.ones(4, np.float32)}))
     np.testing.assert_allclose(got, np.ones(4))
+
+    # a shifted self-read AFTER an earlier kernel populated the result
+    # is a deterministic snapshot of that kernel's output: stays legal,
+    # and both backends agree
+    x3 = input("x3")
+    i = iters("i")
+    y = Fun("y")
+    y[i] = x3[i] * 2.0
+    i = iters("i")
+    y[i] = y[i - 1]
+    y.copy_shape(x3)
+    xv = np.arange(4, dtype=np.float32)
+    outs = [
+        np.asarray(compile(y.target("y"), backend=be).call(
+            "y", {"x3": xv}))
+        for be in ("interp", "jax")
+    ]
+    np.testing.assert_allclose(outs[0], outs[1])
