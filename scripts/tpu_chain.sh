@@ -25,7 +25,10 @@ while :; do
         echo "=== VALIDATE PARTIAL (continuing) attempt $i ===" >> "$LOG"
         break
     fi
-    sleep 300
+    # the tunnel FLAPS during recovery: short windows open and close in
+    # minutes, so a 5-min sleep can straddle every window.  A failed
+    # registration exits in ~30s; retry at 2 min.
+    sleep 120
 done
 echo "=== calibrate $(date -u +%H:%M:%S) ===" >> "$LOG"
 PYTHONPATH=. timeout -s KILL 3600 \
