@@ -42,6 +42,7 @@ class BPETokenizer:
     def __init__(self, merges: Sequence[tuple[int, int]]):
         self.merges = [tuple(m) for m in merges]
         self._rank = {pair: i for i, pair in enumerate(self.merges)}
+        self._merge_arrays = None  # int32 (a, b) columns for the native path
         # byte expansion of every token id
         self._bytes: list[bytes] = [bytes([i]) for i in range(256)]
         for a, b in self.merges:
@@ -114,10 +115,28 @@ class BPETokenizer:
 
     def encode(self, text: str, dtype=np.float32) -> np.ndarray:
         """Token ids for ``text`` (float32 by default — the dtype the
-        compiled models take token inputs in)."""
+        compiled models take token inputs in).
+
+        Runs the merge loop in the native library when available
+        (native/egtpu_native.cpp egtpu_bpe_encode, bit-exact with the
+        Python loop) — tokenization is the serving stack's host-side
+        hot path and this host has one core."""
+        chunks = [c.encode("utf-8") for c in _SPLIT.findall(text)]
+        from ..utils.native import bpe_encode
+
+        if self.merges and chunks:
+            if self._merge_arrays is None:
+                m = np.asarray(self.merges, np.int32).reshape(-1, 2)
+                self._merge_arrays = (np.ascontiguousarray(m[:, 0]),
+                                      np.ascontiguousarray(m[:, 1]))
+            offs = np.zeros(len(chunks) + 1, np.int64)
+            np.cumsum([len(c) for c in chunks], out=offs[1:])
+            ids = bpe_encode(b"".join(chunks), offs, *self._merge_arrays)
+            if ids is not None:
+                return ids.astype(dtype)
         out: list[int] = []
-        for chunk in _SPLIT.findall(text):
-            out.extend(self._encode_chunk(chunk.encode("utf-8")))
+        for chunk in chunks:
+            out.extend(self._encode_chunk(chunk))
         return np.asarray(out, dtype)
 
     def decode(self, ids) -> str:

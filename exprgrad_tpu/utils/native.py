@@ -38,6 +38,16 @@ def _build() -> bool:
         return False
 
 
+_EXPECTED_VERSION = 2
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    try:
+        return ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+
 def native_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
@@ -45,9 +55,19 @@ def native_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+    lib = _load()
+    if lib is not None:
+        try:
+            lib.egtpu_version.restype = ctypes.c_int32
+            stale = lib.egtpu_version() != _EXPECTED_VERSION
+        except AttributeError:
+            stale = True
+        if stale:  # out-of-date .so on disk: rebuild once and reload
+            del lib
+            if not _build():
+                return None
+            lib = _load()
+    if lib is None:
         return None
     u8 = ctypes.POINTER(ctypes.c_uint8)
     i64 = ctypes.POINTER(ctypes.c_int64)
@@ -61,7 +81,13 @@ def native_lib() -> Optional[ctypes.CDLL]:
     lib.egtpu_shuffle_indices.argtypes = [i64, ctypes.c_int64, ctypes.c_uint64]
     lib.egtpu_crc32.argtypes = [u8, ctypes.c_int64, ctypes.c_uint32]
     lib.egtpu_crc32.restype = ctypes.c_uint32
-    if lib.egtpu_version() != 1:
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.egtpu_bpe_encode.argtypes = [
+        u8, i64, ctypes.c_int64, i32, i32, ctypes.c_int64, i32
+    ]
+    lib.egtpu_bpe_encode.restype = ctypes.c_int64
+    lib.egtpu_version.restype = ctypes.c_int32
+    if lib.egtpu_version() != _EXPECTED_VERSION:
         return None
     _lib = lib
     return _lib
@@ -140,3 +166,24 @@ def crc32(data: bytes, seed: int = 0) -> int:
         return zlib.crc32(data, seed)
     arr = np.frombuffer(data, dtype=np.uint8)
     return int(lib.egtpu_crc32(_ptr(arr, ctypes.c_uint8), arr.size, seed))
+
+
+def bpe_encode(data: bytes, chunk_offs: np.ndarray, merge_a: np.ndarray,
+               merge_b: np.ndarray) -> Optional[np.ndarray]:
+    """Byte-level BPE encode of pre-split chunks (io/tokenizer.py
+    semantics, bit-exact).  Returns int32 token ids, or ``None`` when
+    the native library is unavailable (caller falls back to Python)."""
+    lib = native_lib()
+    if lib is None or not data:
+        return np.zeros(0, np.int32) if lib is not None else None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offs = np.ascontiguousarray(chunk_offs, dtype=np.int64)
+    ma = np.ascontiguousarray(merge_a, dtype=np.int32)
+    mb = np.ascontiguousarray(merge_b, dtype=np.int32)
+    out = np.empty(buf.size, dtype=np.int32)
+    n = lib.egtpu_bpe_encode(
+        _ptr(buf, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        offs.size - 1, _ptr(ma, ctypes.c_int32), _ptr(mb, ctypes.c_int32),
+        ma.size, _ptr(out, ctypes.c_int32),
+    )
+    return out[:n].copy()

@@ -108,6 +108,82 @@ uint32_t egtpu_crc32(const uint8_t* data, int64_t count, uint32_t seed) {
     return ~crc;
 }
 
-int32_t egtpu_version() { return 1; }
+// --- tokenization ----------------------------------------------------------
+
+// Byte-level BPE encode (io/tokenizer.py semantics, bit-exact): within
+// each pre-tokenized chunk, repeatedly merge the LEFTMOST occurrence of
+// the LOWEST-RANK adjacent pair until no mergeable pair remains.  The
+// serving stack tokenizes on the host's single core, so this loop is the
+// text-side hot path.
+//
+// data          : concatenated utf-8 chunk bytes
+// chunk_offs    : n_chunks + 1 offsets into data
+// merge_a/b     : merge table (rank r merges (a[r], b[r]) -> 256 + r)
+// out           : caller-allocated, >= data_len entries
+// returns the number of token ids written.
+int64_t egtpu_bpe_encode(const uint8_t* data, const int64_t* chunk_offs,
+                         int64_t n_chunks, const int32_t* merge_a,
+                         const int32_t* merge_b, int64_t n_merges,
+                         int32_t* out) {
+    // open-addressed pair -> rank map (keys are (a << 21) | b: token ids
+    // stay far below 2^21 for any realistic vocab)
+    int64_t cap = 1;
+    while (cap < n_merges * 2 + 8) cap <<= 1;
+    uint64_t* keys = new uint64_t[cap];
+    int32_t* ranks = new int32_t[cap];
+    memset(keys, 0xff, cap * sizeof(uint64_t));
+    const uint64_t mask = (uint64_t)cap - 1;
+    for (int64_t r = 0; r < n_merges; ++r) {
+        uint64_t key = ((uint64_t)merge_a[r] << 21) | (uint64_t)merge_b[r];
+        uint64_t h = (key * 0x9e3779b97f4a7c15ull) & mask;
+        while (keys[h] != ~0ull) h = (h + 1) & mask;
+        keys[h] = key;
+        ranks[h] = (int32_t)r;
+    }
+    auto lookup = [&](int32_t a, int32_t b) -> int32_t {
+        uint64_t key = ((uint64_t)a << 21) | (uint64_t)b;
+        uint64_t h = (key * 0x9e3779b97f4a7c15ull) & mask;
+        while (keys[h] != ~0ull) {
+            if (keys[h] == key) return ranks[h];
+            h = (h + 1) & mask;
+        }
+        return -1;
+    };
+
+    int64_t written = 0;
+    int32_t buf[4096];
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        int64_t lo = chunk_offs[c], hi = chunk_offs[c + 1];
+        int64_t len = hi - lo;
+        int32_t* ids = buf;
+        bool heap = len > 4096;
+        if (heap) ids = new int32_t[len];
+        for (int64_t i = 0; i < len; ++i) ids[i] = data[lo + i];
+        while (len > 1) {
+            int32_t best_rank = -1;
+            int64_t best_at = -1;
+            for (int64_t i = 0; i + 1 < len; ++i) {
+                int32_t r = lookup(ids[i], ids[i + 1]);
+                if (r >= 0 && (best_rank < 0 || r < best_rank)) {
+                    best_rank = r;
+                    best_at = i;
+                }
+            }
+            if (best_rank < 0) break;
+            ids[best_at] = 256 + best_rank;
+            memmove(ids + best_at + 1, ids + best_at + 2,
+                    (len - best_at - 2) * sizeof(int32_t));
+            --len;
+        }
+        memcpy(out + written, ids, len * sizeof(int32_t));
+        written += len;
+        if (heap) delete[] ids;
+    }
+    delete[] keys;
+    delete[] ranks;
+    return written;
+}
+
+int32_t egtpu_version() { return 2; }
 
 }  // extern "C"

@@ -95,3 +95,28 @@ def test_lm_pipeline_end_to_end():
     out = np.asarray(srv.generate(prompt[None], n_new=8))[0]
     text = tok.decode(out)
     assert isinstance(text, str) and len(text) > 0
+
+
+def test_native_encode_matches_python():
+    """The C++ merge loop (native/egtpu_native.cpp) is bit-exact with
+    the Python reference loop, including multi-byte utf-8 and empty
+    input; falls back silently when the library is absent."""
+    import numpy as np
+
+    from exprgrad_tpu.io.tokenizer import _SPLIT, BPETokenizer
+    from exprgrad_tpu.utils.native import have_native
+
+    text = ("the quick brown fox — naïve café über 123 !!! \n" * 20
+            + "tokenizers tokenize tokens repeatedly " * 10)
+    tok = BPETokenizer.train(text, vocab_size=400)
+    fast = tok.encode(text, dtype=np.int64)
+    slow = []
+    for c in _SPLIT.findall(text):
+        slow.extend(tok._encode_chunk(c.encode("utf-8")))
+    assert np.array_equal(fast, np.asarray(slow))
+    assert tok.decode(fast) == text
+    assert tok.encode("").size == 0
+    if not have_native():  # toolchain-less host: fallback exercised above
+        import pytest
+
+        pytest.skip("native library unavailable (fallback verified)")
