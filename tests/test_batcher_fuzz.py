@@ -69,18 +69,19 @@ def server():
     return FlashLMServer(model)
 
 
-def run_one(server, seed, draft=None):
+def run_one(server, seed, draft=None, force_flash=False):
     rng = np.random.default_rng(seed)
     slots = int(rng.integers(1, 4))
     capacity = 96
-    paged = bool(rng.integers(0, 2))
+    paged = force_flash or bool(rng.integers(0, 2))
     kw = {}
     spec = draft is not None and bool(rng.integers(0, 2))
     if spec:
         kw["draft"] = draft
         kw["spec_k"] = int(rng.integers(1, 5))
     if paged:
-        page_size = int(rng.choice([4, 8, 16]))
+        page_size = int(rng.choice([8, 16] if force_flash
+                                   else [4, 8, 16]))
         pages_per_slot = -(-capacity // page_size)
         dense_pages = slots * pages_per_slot
         kw.update(
@@ -90,6 +91,9 @@ def run_one(server, seed, draft=None):
         )
         if rng.integers(0, 2):
             kw["prefill_chunk"] = page_size * int(rng.integers(1, 4))
+        if page_size % 8 == 0 and (force_flash or rng.integers(0, 2)):
+            # Pallas paged-attention kernel path (interpret mode on CPU)
+            kw["attention"] = "flash"
     if not spec and rng.integers(0, 2):
         kw["decode_chunk"] = int(rng.integers(2, 6))
     b = ContinuousBatcher(server, slots=slots, capacity=capacity, **kw)
@@ -179,3 +183,11 @@ def test_scheduler_fuzz_windowed(window_server, seed):
     """Window models: band eviction, chunked window admission, tight
     pools — every stream still equals solo serving."""
     run_one(window_server, seed)
+
+
+@pytest.mark.parametrize("seed", range(600, 604))
+def test_scheduler_fuzz_flash_attention(server, seed):
+    """Force the Pallas paged-attention kernel under the random config
+    mix (pools, prefixes, chunked decode/prefill, preemption); streams
+    still equal solo serving."""
+    run_one(server, seed, force_flash=True)

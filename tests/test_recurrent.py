@@ -157,3 +157,43 @@ def test_validation():
         tiny_recurrent_lm(layers=0)
     with pytest.raises(ValueError, match="hidden"):
         lstm(input("x"), 4, 0)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_recurrent_fuzz_shapes(seed):
+    """Random (batch, T, in, hidden, cell, stacking): forward + one
+    train step agree across backends — the shape-generalization net for
+    the scan externs and their BPTT."""
+    rng = np.random.default_rng(900 + seed)
+    n = int(rng.integers(1, 4))
+    T = int(rng.integers(1, 9))
+    din = int(rng.integers(1, 9))
+    hid = int(rng.integers(1, 12))
+    cell = str(rng.choice(sorted(CELLS)))
+
+    x = input("x")
+    t = input("t")
+    y = CELLS[cell](x, din, hid)
+    if rng.integers(0, 2):
+        y = CELLS[cell](y, hid, hid, prefix="l2.")
+    i, j, k = iters("i", "j", "k")
+    loss = Fun("loss")
+    loss[0] = (y[i, j, k] - t[i, j, k]) ** 2
+    g = (loss.target("loss").backwards()
+         .optimize(make_opt(adam, eta=0.03)).target("train"))
+    args = {"x": rng.normal(size=(n, T, din)).astype(np.float32),
+            "t": rng.normal(size=(n, T, hid)).astype(np.float32)}
+    mj = compile(g, backend="jax", seed=seed)
+    mi = compile(g, backend="interp", seed=seed)
+    np.testing.assert_allclose(
+        np.asarray(mj.call("loss", args)),
+        np.asarray(mi.call("loss", args)), atol=1e-5, rtol=1e-5)
+    mj.epoch += 1
+    mi.epoch += 1
+    mj.apply("train", args)
+    mi.apply("train", args)
+    for tid in mj.params:
+        np.testing.assert_allclose(
+            np.asarray(mj.params[tid]), np.asarray(mi.params[tid]),
+            atol=1e-5, err_msg=f"seed={seed} cell={cell} "
+            f"n={n} T={T} din={din} hid={hid}")
