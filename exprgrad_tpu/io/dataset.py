@@ -8,7 +8,9 @@ native/egtpu_native.cpp), which keeps the single host core feeding the TPU.
 
 from __future__ import annotations
 
-from typing import Iterator
+import queue
+import threading
+from typing import Iterator, Optional
 
 import numpy as np
 
@@ -57,9 +59,127 @@ class Batches:
                 yield {k: gather_rows(v, idx) for k, v in self.tensors.items()}
 
 
-def fit_epochs(model, target: str, batches: Batches, epochs: int = 1) -> None:
-    """Train ``target`` for several epochs over shuffled batches."""
+class Prefetcher:
+    """Async input pipeline: assemble + place the NEXT batch while the
+    device computes the CURRENT one.
+
+    A background thread pulls batches from any iterable of
+    ``{name: array}`` dicts, casts them to ``dtype`` and (when
+    ``to_device``) ``jax.device_put``\\ s them — onto ``placement`` (a
+    ``jax.Device`` or a ``jax.sharding.Sharding``, e.g. a dp-sharded
+    ``NamedSharding`` for mesh training) or the default device.  The
+    classic TPU double-buffering recipe: since JAX dispatch is async,
+    the host-side gather/cast/transfer of batch *k+1* overlaps the
+    device execution of batch *k* instead of serializing behind it
+    (the reference's fit loop is fully synchronous, model.nim:437-449;
+    on a single-core host feeding a network-tunneled TPU the overlap is
+    the difference between the chip idling and not).
+
+    ``depth`` bounds the queue: at most ``depth`` placed batches are
+    in flight, so host/device memory stays bounded for any dataset
+    size.  Exceptions in the producer re-raise at the consuming site;
+    abandoning the iterator mid-epoch stops the thread promptly.
+    """
+
+    _STOP = object()
+
+    def __init__(
+        self,
+        batches,
+        depth: int = 2,
+        dtype: Optional[np.dtype] = None,
+        placement=None,
+        to_device: bool = True,
+    ) -> None:
+        if depth < 1:
+            raise ValueError("prefetch depth must be >= 1")
+        self.batches = batches
+        self.depth = depth
+        self.dtype = dtype
+        self.placement = placement
+        self.to_device = to_device
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def _place(self, batch: dict[str, np.ndarray]) -> dict:
+        out = {}
+        for name, value in batch.items():
+            arr = np.ascontiguousarray(value, dtype=self.dtype)
+            if self.to_device:
+                import jax
+
+                if self.placement is not None:
+                    arr = jax.device_put(arr, self.placement)
+                else:
+                    arr = jax.device_put(arr)
+            out[name] = arr
+        return out
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer went away
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer() -> None:
+            try:
+                for batch in self.batches:
+                    if not put(self._place(batch)):
+                        return
+                put(self._STOP)
+            except BaseException as exc:  # re-raised at the consumer
+                put(exc)
+
+        thread = threading.Thread(
+            target=producer, name="egtpu-prefetch", daemon=True
+        )
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is self._STOP:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # free one slot so a producer blocked in put() can observe
+            # the stop flag and exit
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10.0)
+
+
+def fit_epochs(
+    model, target: str, batches: Batches, epochs: int = 1, prefetch: int = 0
+) -> None:
+    """Train ``target`` for several epochs over shuffled batches.
+
+    ``prefetch > 0`` drives the epoch through a :class:`Prefetcher` of
+    that depth: batch assembly and host->device transfer of the next
+    batch overlap the device step of the current one (jax backend; the
+    placed arrays feed the jitted executor without a host round trip).
+    """
+    dtype = np.dtype(model.program.scalar_type.value)
+    use_prefetch = prefetch > 0 and getattr(model, "backend", "jax") == "jax"
     for _ in range(epochs):
         model.epoch += 1
-        for batch in batches:
+        it = (
+            Prefetcher(batches, depth=prefetch, dtype=dtype)
+            if use_prefetch
+            else batches
+        )
+        for batch in it:
             model.apply(target, batch)

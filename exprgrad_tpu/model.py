@@ -518,7 +518,19 @@ class Model:
         tensors: dict[int, np.ndarray] = {}
         for name, value in args.items():
             tid = self.program.inputs[name]
-            tensors[tid] = np.ascontiguousarray(value, dtype=dtype)
+            if (
+                self.backend == "jax"
+                and not isinstance(value, np.ndarray)
+                and hasattr(value, "sharding")
+                and value.dtype == dtype
+            ):
+                # already a device-resident jax array of the right dtype
+                # (e.g. placed ahead of time by io.Prefetcher): feed it
+                # straight to the jitted executor — converting through
+                # numpy here would force a device->host round trip
+                tensors[tid] = value
+            else:
+                tensors[tid] = np.ascontiguousarray(value, dtype=dtype)
         tensors.update(self.params)
         tensors.update(self.caches)
 
