@@ -9,6 +9,7 @@ all-gather/reduce-scatter around sharded matmuls under tensor parallelism).
 """
 
 from .attention import sequence_parallel_attention
+from .checkpoint import SaveHandle, load_sharded, save_sharded
 from .mesh import ShardedExecutor, make_mesh, sharded_fit
 from .moe import MoEParams, init_moe, moe_layer, shard_moe_params
 from .pipeline import (
@@ -20,7 +21,10 @@ from .pipeline import (
 
 __all__ = [
     "MoEParams",
+    "SaveHandle",
     "ShardedExecutor",
+    "load_sharded",
+    "save_sharded",
     "init_moe",
     "make_mesh",
     "moe_layer",

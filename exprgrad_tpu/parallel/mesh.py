@@ -176,9 +176,20 @@ class ShardedExecutor:
             self.executor.run_fn, in_shardings=(self.in_shardings, None, None)
         )
 
-    def run(self, args: dict[str, np.ndarray], epoch: int = 0, seed: int = 0):
+    def run(
+        self,
+        args: dict[str, np.ndarray],
+        epoch: Optional[int] = None,
+        seed: int = 0,
+    ):
         """Execute one step; returns the executor's output tensor dict and
-        updates the model's params/caches in place."""
+        updates the model's params/caches in place.
+
+        ``epoch`` defaults to ``model.epoch``, matching ``Model.call`` —
+        adam-style bias correction divides by ``1 - beta**epoch``, so an
+        implicit epoch of 0 would silently produce NaN updates."""
+        if epoch is None:
+            epoch = self.model.epoch
         program = self.program
         dtype = np.dtype(program.scalar_type.value)
         tensors = {}
