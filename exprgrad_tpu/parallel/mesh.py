@@ -194,7 +194,20 @@ class ShardedExecutor:
         dtype = np.dtype(program.scalar_type.value)
         tensors = {}
         for name, value in args.items():
-            tensors[program.inputs[name]] = np.ascontiguousarray(value, dtype)
+            if (
+                not isinstance(value, np.ndarray)
+                and hasattr(value, "sharding")
+                and value.dtype == dtype
+            ):
+                # already a device-resident jax array (e.g. from
+                # io.Prefetcher): the device_put below reshards it
+                # device-to-device; converting here would bounce it
+                # through the host
+                tensors[program.inputs[name]] = value
+            else:
+                tensors[program.inputs[name]] = np.ascontiguousarray(
+                    value, dtype
+                )
         tensors.update(self.model.params)
         tensors.update(self.model.caches)
         # ALWAYS place onto the declared sharding: step outputs come back
