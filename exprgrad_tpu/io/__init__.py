@@ -3,6 +3,7 @@ tokenization (byte-level BPE)."""
 
 from .tokenizer import BPETokenizer
 from .dataset import Batches, Prefetcher, fit_epochs
+from .manager import CheckpointManager
 from .serialize import (export_params_npz, import_params_npz, load_model,
                         load_program, save_model, save_program)
 from .idx import load_idx, save_idx
@@ -11,6 +12,7 @@ from .ppm import load_ppm, save_ppm
 __all__ = [
     "BPETokenizer",
     "Batches",
+    "CheckpointManager",
     "Prefetcher",
     "fit_epochs",
     "export_params_npz",

@@ -90,6 +90,8 @@ def train(
     shuffle: bool = True,
     scan_batches: bool = False,
     log: Optional[Callable[[str], None]] = None,
+    checkpoint=None,
+    checkpoint_every: int = 1,
     **fit_kw,
 ) -> list[dict]:
     """Train for up to ``epochs`` epochs; returns the metrics history.
@@ -100,6 +102,11 @@ def train(
     stops after that many epochs without a ``min_delta`` improvement
     of the validation metric, and ``restore_best=True`` puts the
     best-epoch parameters/optimizer state back on the model.
+
+    ``checkpoint`` (an ``io.CheckpointManager``) saves the model every
+    ``checkpoint_every`` epochs and once more at the end (rotating,
+    resumable — restart training after ``checkpoint.restore()`` and the
+    epoch counter continues where the checkpoint left off).
     """
     if monitor not in model.program.targets:
         raise ModelRuntimeError(
@@ -143,8 +150,13 @@ def train(
         if log is not None:
             log(", ".join(f"{k}={v:.5g}" if isinstance(v, float) else
                           f"{k}={v}" for k, v in entry.items()))
+        if checkpoint is not None and (epoch + 1) % checkpoint_every == 0:
+            checkpoint.save(model)
         if patience is not None and stale >= patience:
             break
+    if checkpoint is not None:
+        checkpoint.save(model)
+        checkpoint.wait()
     if restore_best and best_state is not None:
         params, caches, epoch_at = best_state
         model.params.update(params)
