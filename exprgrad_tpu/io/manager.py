@@ -30,12 +30,10 @@ class CheckpointManager:
     ``sharded=True`` writes ``step_<n>/`` sharded directories (one file
     per mesh shard, async-save capable, elastic restore).
 
-    Resume determinism: params, optimizer caches, and the epoch counter
-    restore exactly, so a resumed run matches an uninterrupted one on
-    deterministic input order (``shuffle=False``).  The host RNG stream
-    (shuffle order, dropout seeds) is NOT part of a checkpoint — with
-    stochastic shuffling, resumed and uninterrupted runs are equal in
-    distribution, not bit-equal.
+    Resume determinism: params, optimizer caches, the epoch counter AND
+    the host RNG stream (shuffle order, dropout/per-call seeds) all
+    restore, so a resumed run is bit-identical to an uninterrupted one
+    even under stochastic shuffling (checkpoint format v8+).
     """
 
     def __init__(self, directory: str, keep: int = 3,

@@ -25,7 +25,8 @@ import numpy as np
 from .. import ir
 from ..errors import ModelRuntimeError
 
-MAGIC = b"EGTPU\x07\n"
+MAGIC = b"EGTPU\x08\n"
+_MAGIC_V7 = b"EGTPU\x07\n"  # pre-RNG-state format: still loadable
 _MAGIC_V6 = b"EGTPU\x06\n"  # pre-CRC format: rejected with a clear error
 
 
@@ -520,7 +521,10 @@ def save_program(program: ir.Program, path: str) -> None:
 
 def load_program(path: str) -> ir.Program:
     with open(path, "rb") as f:
-        if f.read(len(MAGIC)) != MAGIC:
+        head = f.read(len(MAGIC))
+        # program payloads are identical across v7/v8 (the bump only
+        # added the model checkpoint's RNG-state block)
+        if head not in (MAGIC, _MAGIC_V7):
             raise ModelRuntimeError(f"{path} is not an exprgrad-tpu file")
         return read_program(Reader(f))
 
@@ -603,6 +607,12 @@ def save_model(model, path: str) -> None:
             for tid in sorted(table):
                 w.i64(tid)
                 w.tensor(np.asarray(table[tid]))
+        # host RNG stream (shuffle order, per-call seeds): with it, a
+        # resumed run is bit-identical to an uninterrupted one even
+        # under stochastic shuffling/dropout
+        import json as _json
+
+        w.string(_json.dumps(model._rng.bit_generator.state))
         f.write(struct.pack("<I", cs.crc & 0xFFFFFFFF))
 
 
@@ -618,10 +628,11 @@ def load_model(path: str, backend: str = "jax"):
                 f"{path} is a v6 checkpoint (pre-CRC format); re-save it "
                 "with this version"
             )
-        if head != MAGIC:
+        if head not in (MAGIC, _MAGIC_V7):
             raise ModelRuntimeError(f"{path} is not an exprgrad-tpu file")
         cs = _CrcStream(f)
         r = Reader(cs)
+        rng_state = None
         try:
             source = read_program(r)
             epoch = r.i64()
@@ -632,6 +643,10 @@ def load_model(path: str, backend: str = "jax"):
                     tid = r.i64()
                     table[tid] = r.tensor()
                 tables.append(table)
+            if head == MAGIC:  # v8+: host RNG stream
+                import json as _json
+
+                rng_state = _json.loads(r.string())
         except (MemoryError, OverflowError, ValueError,
                 TypeError) as err:
             # a corrupted length/shape field can demand an absurd
@@ -657,4 +672,12 @@ def load_model(path: str, backend: str = "jax"):
         model.params[tid] = arr
     for tid, arr in tables[1].items():
         model.caches[tid] = arr
+    if rng_state is not None:
+        try:
+            model._rng.bit_generator.state = rng_state
+        except (ValueError, TypeError, KeyError) as err:
+            raise ModelRuntimeError(
+                f"{path} carries an RNG state this numpy cannot restore "
+                f"({type(err).__name__}: {err})"
+            ) from err
     return model

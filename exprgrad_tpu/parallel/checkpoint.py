@@ -194,6 +194,9 @@ def save_sharded(model, path: str, async_save: bool = False) -> SaveHandle:
         "version": _VERSION,
         "epoch": int(model.epoch),
         "program_crc": _program_crc(program),
+        # host RNG stream: restoring it makes stochastic-shuffle resume
+        # bit-identical to uninterrupted training
+        "rng_state": model._rng.bit_generator.state,
         "tensors": tensors_meta,
     }
     save_program(program, os.path.join(path, "program.bin"))
@@ -369,3 +372,12 @@ def load_sharded(path: str, model, mesh=None) -> None:
             shape, sharding, reader.read
         )
     model.epoch = int(manifest["epoch"])
+    rng_state = manifest.get("rng_state")
+    if rng_state is not None:
+        try:
+            model._rng.bit_generator.state = rng_state
+        except (ValueError, TypeError, KeyError) as err:
+            raise ModelRuntimeError(
+                "checkpoint carries an RNG state this numpy cannot "
+                f"restore ({type(err).__name__}: {err})"
+            ) from err

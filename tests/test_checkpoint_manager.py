@@ -124,3 +124,29 @@ def test_errors(tmp_path):
     mgr.save(m)
     with pytest.raises(ModelRuntimeError, match="not found"):
         mgr.restore(step=999)
+
+
+def test_stochastic_resume_bit_exact(tmp_path):
+    """shuffle=True resume == uninterrupted run: the checkpoint carries
+    the host RNG stream (format v8), so shuffle orders and per-call
+    seeds continue exactly where the save left off."""
+    data = _data()
+    straight = compile(_graph(), backend="jax", seed=9)
+    for _ in range(6):
+        straight.fit("train", data, batch_size=16, log_status=False,
+                     shuffle=True)
+
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    first = compile(_graph(), backend="jax", seed=9)
+    for _ in range(3):
+        first.fit("train", data, batch_size=16, log_status=False,
+                  shuffle=True)
+    mgr.save(first)
+    resumed = mgr.restore()
+    for _ in range(3):
+        resumed.fit("train", data, batch_size=16, log_status=False,
+                    shuffle=True)
+    for tid in straight.params:
+        a = np.asarray(straight.params[tid])
+        assert np.isfinite(a).all()
+        np.testing.assert_array_equal(a, np.asarray(resumed.params[tid]))

@@ -202,3 +202,21 @@ def test_corrupted_dtype_tag_gives_clean_error(tmp_path):
     path.write_bytes(bytes(data))
     with pytest.raises(ModelRuntimeError):
         load_model(str(path))
+
+
+def test_rng_state_roundtrips(tmp_path):
+    """v8 checkpoints carry the host RNG stream: the next random draws
+    after a reload equal the draws the saved model would have made —
+    the ingredient that makes stochastic-shuffle resume bit-exact."""
+    from exprgrad_tpu.io import load_model, save_model
+    from exprgrad_tpu.models import xor_mlp
+
+    model = compile(xor_mlp(), seed=123)
+    model._rng.integers(0, 1000, size=7)  # advance the stream
+    path = tmp_path / "m.bin"
+    save_model(model, str(path))
+    expected = model._rng.integers(0, 2**31 - 1, size=16)
+
+    loaded = load_model(str(path))
+    got = loaded._rng.integers(0, 2**31 - 1, size=16)
+    np.testing.assert_array_equal(expected, got)
