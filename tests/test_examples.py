@@ -217,3 +217,12 @@ def test_rnn_lm_example(monkeypatch, capsys):
     rnn_lm.main()
     out = capsys.readouterr().out
     assert "generated:" in out
+
+
+def test_production_training_example(tmp_path, monkeypatch, capsys):
+    import production_training
+
+    monkeypatch.chdir(tmp_path)
+    production_training.main(epochs=3)
+    out = capsys.readouterr().out
+    assert "resumed from epoch" in out and "ok" in out
