@@ -228,6 +228,19 @@ def main() -> None:
     assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
     print("FLASH TRANSFORMER TRAIN STEP OK", flush=True)
 
+    # async input pipeline on-chip: a Prefetcher-placed (device-resident)
+    # batch feeds the SAME compiled executor — no re-trace, no host bounce
+    from exprgrad_tpu.io import Batches, Prefetcher
+
+    pre_batch = next(iter(Prefetcher(
+        Batches(targs, 4, shuffle=False), depth=1,
+        dtype=np.dtype(ft.program.scalar_type.value))))
+    ft.epoch += 1
+    ft.apply("train", pre_batch)
+    l2 = float(ft.call("loss", targs)[0])
+    assert np.isfinite(l2) and l2 < l0
+    print("PREFETCHED DEVICE-RESIDENT STEP OK", flush=True)
+
     # remat memory effect on the TPU compiler (informational: the CPU
     # pipeline CSEs recomputes away — jax.checkpoint included — so this
     # can only be observed here)
