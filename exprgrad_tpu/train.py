@@ -76,6 +76,40 @@ def classification_accuracy(model, args: dict, labels: np.ndarray,
     return hits / max(total, 1)
 
 
+def _mesh_epoch(model, executor, args, batch_size, shuffle, monitor):
+    """One epoch through a ShardedExecutor; returns the monitor metric
+    on the first batch (mirroring ``Model.fit``'s monitor contract)."""
+    from .utils.native import gather_rows, shuffle_indices
+
+    first = next(iter(args.values()))
+    batch_count = first.shape[0] // batch_size
+    order = None
+    if shuffle:
+        order = shuffle_indices(
+            first.shape[0], int(model._rng.integers(0, 2**31 - 1))
+        )
+    model.epoch += 1
+    for batch in range(batch_count):
+        lo = batch * batch_size
+        if order is None:
+            batch_args = {
+                name: np.asarray(value)[lo : lo + batch_size]
+                for name, value in args.items()
+            }
+        else:
+            idx = order[lo : lo + batch_size]
+            batch_args = {
+                name: gather_rows(np.asarray(value), idx)
+                for name, value in args.items()
+            }
+        executor.run(batch_args)
+    return evaluate(
+        model, monitor,
+        {name: np.asarray(value)[:batch_size]
+         for name, value in args.items()},
+    )
+
+
 def train(
     model,
     target_name: str,
@@ -92,6 +126,8 @@ def train(
     log: Optional[Callable[[str], None]] = None,
     checkpoint=None,
     checkpoint_every: int = 1,
+    mesh=None,
+    mesh_options: Optional[dict] = None,
     **fit_kw,
 ) -> list[dict]:
     """Train for up to ``epochs`` epochs; returns the metrics history.
@@ -107,6 +143,13 @@ def train(
     ``checkpoint_every`` epochs and once more at the end (rotating,
     resumable — restart training after ``checkpoint.restore()`` and the
     epoch counter continues where the checkpoint left off).
+
+    ``mesh`` runs every training step through a
+    ``parallel.ShardedExecutor`` over that device mesh (dp, and
+    whatever ``mesh_options`` adds: ``model`` tp via the mesh shape,
+    ``fsdp=True``, ``zero=True``, ``input_specs=...``) — validation,
+    early stopping, best-restore, and checkpointing compose unchanged.
+    ``scan_batches`` does not apply under a mesh.
     """
     if monitor not in model.program.targets:
         raise ModelRuntimeError(
@@ -118,16 +161,38 @@ def train(
         raise ModelRuntimeError(
             "early stopping (patience) requires a validation set"
         )
+    mesh_exec = None
+    if mesh is not None:
+        if scan_batches:
+            raise ModelRuntimeError(
+                "scan_batches is not supported with mesh= (the sharded "
+                "executor dispatches per batch)"
+            )
+        from .parallel.mesh import ShardedExecutor
+
+        input_shapes = {
+            name: [batch_size] + list(np.shape(value)[1:])
+            for name, value in args.items()
+        }
+        mesh_exec = ShardedExecutor(
+            model, target_name, input_shapes, mesh, **(mesh_options or {})
+        )
+
     history: list[dict] = []
     best = (float("inf"), -1)  # (val metric, epoch index)
     best_state = None
     stale = 0
     for epoch in range(epochs):
-        train_metric = model.fit(
-            target_name, args, batch_size=batch_size, log_status=False,
-            shuffle=shuffle, scan_batches=scan_batches, monitor=monitor,
-            **fit_kw,
-        )
+        if mesh_exec is not None:
+            train_metric = _mesh_epoch(
+                model, mesh_exec, args, batch_size, shuffle, monitor
+            )
+        else:
+            train_metric = model.fit(
+                target_name, args, batch_size=batch_size, log_status=False,
+                shuffle=shuffle, scan_batches=scan_batches, monitor=monitor,
+                **fit_kw,
+            )
         entry = {"epoch": model.epoch,
                  f"train_{monitor}": float(train_metric)}
         if validation is not None:

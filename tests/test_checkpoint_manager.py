@@ -150,3 +150,51 @@ def test_stochastic_resume_bit_exact(tmp_path):
         a = np.asarray(straight.params[tid])
         assert np.isfinite(a).all()
         np.testing.assert_array_equal(a, np.asarray(resumed.params[tid]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_train_over_mesh_matches_single_device(tmp_path):
+    """train(mesh=...) = the same trajectory as single-device train()
+    (dp gradient psums are a layout choice, not an algorithm change),
+    with validation/early-stop/sharded-checkpointing composing."""
+    from exprgrad_tpu.parallel import make_mesh
+
+    data = _data(32)
+    val = _data(16, seed=5)
+
+    single = compile(_graph(), backend="jax", seed=11)
+    h1 = train(single, "train", data, epochs=4, batch_size=16,
+               validation=val, monitor="loss", shuffle=False)
+
+    mesh = make_mesh(8, model=2)
+    mgr = CheckpointManager(str(tmp_path), keep=2, sharded=True)
+    sharded = compile(_graph(), backend="jax", seed=11)
+    h2 = train(sharded, "train", data, epochs=4, batch_size=16,
+               validation=val, monitor="loss", shuffle=False,
+               mesh=mesh, mesh_options={"fsdp": True},
+               checkpoint=mgr)
+    assert mgr.steps() == [3, 4]
+    for tid in single.params:
+        a = np.asarray(single.params[tid])
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(
+            a, np.asarray(sharded.params[tid]), rtol=1e-6, atol=1e-9)
+    for e1, e2 in zip(h1, h2):
+        assert abs(e1["val_loss"] - e2["val_loss"]) < 1e-6
+
+    # restore the sharded checkpoint and keep training on the mesh
+    m2 = compile(_graph(), backend="jax", seed=70)
+    mgr.restore(model=m2, mesh=mesh)
+    assert m2.epoch == 4
+    train(m2, "train", data, epochs=1, batch_size=16, monitor="loss",
+          shuffle=False, mesh=mesh, mesh_options={"fsdp": True})
+    assert m2.epoch == 5
+
+
+def test_train_mesh_rejects_scan_batches():
+    from exprgrad_tpu.parallel import make_mesh
+
+    m = compile(_graph(), backend="jax", seed=0)
+    with pytest.raises(ModelRuntimeError, match="scan_batches"):
+        train(m, "train", _data(), epochs=1, batch_size=16,
+              monitor="loss", mesh=make_mesh(8), scan_batches=True)
