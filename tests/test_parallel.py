@@ -361,3 +361,53 @@ def test_zero_sharding_with_factored_adafactor_state():
         np.testing.assert_allclose(
             results[True][tid], results[False][tid], rtol=2e-5, atol=1e-6
         )
+
+
+def test_offload_opt_state_matches_device_resident():
+    """offload_opt_state=True parks adam state in pinned_host memory
+    between steps; the training trajectory is unchanged (a memory
+    placement, not an algorithm) and the cache arrays really live in
+    host memory after each step."""
+    from exprgrad_tpu import Fun, input, iters, make_opt, param
+    from exprgrad_tpu.layers import adam, mse
+    from exprgrad_tpu import ir
+
+    def graph():
+        y, x, it = iters("y", "x", "it")
+        w = param([8, 16], (-0.5, 0.5), name="w")
+        inp, lbl = input("inp"), input("lbl")
+        pred = Fun("pred")
+        pred[y, x] = inp[y, it] * w[it, x]
+        return (mse(pred, lbl).target("loss").backwards()
+                .optimize(make_opt(adam, eta=0.01)).target("train"))
+
+    rng = np.random.default_rng(0)
+    data = {"inp": rng.normal(size=(16, 8)),
+            "lbl": rng.normal(size=(16, 16))}
+    shapes = {"inp": [16, 8], "lbl": [16, 16]}
+    mesh = make_mesh(8, model=2)
+
+    base = compile(graph(), backend="jax", seed=13)
+    off = compile(graph(), backend="jax", seed=13)
+    ex_base = ShardedExecutor(base, "train", shapes, mesh, fsdp=True)
+    ex_off = ShardedExecutor(off, "train", shapes, mesh, fsdp=True,
+                             offload_opt_state=True)
+    for k in range(3):
+        base.epoch = off.epoch = k + 1
+        ex_base.run(data)
+        ex_off.run(data)
+
+    for tid in base.params:
+        a = np.asarray(base.params[tid])
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, np.asarray(off.params[tid]),
+                                   rtol=1e-6, atol=1e-9)
+    n_caches = 0
+    for tid, v in off.caches.items():
+        if off.program.tensors[tid].kind == ir.TensorKind.CACHE:
+            assert v.sharding.memory_kind == "pinned_host"
+            n_caches += 1
+    assert n_caches >= 2  # adam m and v at least
+    # params stayed in device memory
+    for tid, v in off.params.items():
+        assert v.sharding.memory_kind == "device"
