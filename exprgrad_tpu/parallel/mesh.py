@@ -95,10 +95,11 @@ class ShardedExecutor:
         ``offload_opt_state=True`` parks optimizer-state caches (adam
         m/v, momentum, EMA shadows) in ``pinned_host`` memory between
         steps (the ZeRO-Offload recipe, TPU-style): the jitted step
-        reads them from host memory and writes the updated state back
-        there, so their HBM footprint exists only transiently inside
-        the step.  Composes with ``zero``/``fsdp`` (the host copies
-        keep the same partition spec)."""
+        streams them into HBM at entry and ``run`` parks the updated
+        state back in host memory right after the step, so the state's
+        HBM footprint is transient per step instead of resident.
+        Composes with ``zero``/``fsdp`` (the host copies keep the same
+        partition spec)."""
         from ..quant import QuantW
 
         if any(
@@ -189,23 +190,35 @@ class ShardedExecutor:
         if offload_opt_state:
             # write the updated optimizer state straight back to host
             # memory inside the step — its HBM footprint is transient
-            host_out = {
+            self._host_out = {
                 tid: self.in_shardings[tid]
                 for tid in self.in_shardings
                 if program.tensors[tid].kind == ir.TensorKind.CACHE
             }
+            # same partition specs, but in device memory: the state is
+            # streamed into HBM at step entry (an in-jit device_put XLA
+            # can overlap with compute) and parked back in host memory
+            # right after the step, outside the jit — XLA's SPMD
+            # partitioner rejects replicated host-placement annotations
+            # on jit OUTPUTS, so the writeback is a plain transfer
+            dev_in = {
+                tid: NamedSharding(mesh, s.spec, memory_kind="device")
+                for tid, s in self._host_out.items()
+            }
             base_fn = run_fn
 
             def run_fn(inputs: dict, epoch, seed):
-                out = base_fn(inputs, epoch, seed)
-                return {
+                inputs = {
                     tid: (
-                        jax.device_put(v, host_out[tid])
-                        if tid in host_out
+                        jax.device_put(v, dev_in[tid])
+                        if tid in dev_in
                         else v
                     )
-                    for tid, v in out.items()
+                    for tid, v in inputs.items()
                 }
+                return base_fn(inputs, epoch, seed)
+        else:
+            self._host_out = {}
 
         self._fn = jax.jit(
             run_fn, in_shardings=(self.in_shardings, None, None)
@@ -254,6 +267,9 @@ class ShardedExecutor:
             for tid in self.executor.input_tids
         }
         result = self._fn(inputs, epoch, seed)
+        for tid, sharding in self._host_out.items():
+            if tid in result:
+                result[tid] = jax.device_put(result[tid], sharding)
         for tid in self.model.params:
             if tid in result:
                 self.model.params[tid] = result[tid]
