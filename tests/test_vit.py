@@ -87,3 +87,31 @@ def test_vit_lowering_is_mxu_friendly():
     assert stats.get("einsum", 0) >= 20
     assert stats.get("extern:attention", 0) == 4  # q,k,v,o per block x 2
     assert stats.get("general-scatter") is None
+
+
+def test_vit_trains_on_mesh():
+    """The ViT train step runs under the dp x tp sharded executor: the
+    patchify gather, position-table accumulation, and non-causal
+    attention extern all partition; params match the solo step."""
+    from exprgrad_tpu.parallel import ShardedExecutor, make_mesh
+
+    rng = np.random.default_rng(4)
+    x, labels = _task(rng, n=16)
+    shapes = {"x": [16, IMAGE, IMAGE], "labels": [16, CLASSES]}
+
+    solo = compile(tiny_vit(blocks=1), backend="jax", seed=6)
+    solo.epoch = 1
+    solo.apply("train", {"x": x, "labels": labels})
+
+    mesh_model = compile(tiny_vit(blocks=1), backend="jax", seed=6)
+    ex = ShardedExecutor(
+        mesh_model, "train", shapes, make_mesh(8, model=2),
+        batch_inputs=["x", "labels"],
+    )
+    ex.run({"x": x, "labels": labels}, epoch=1, seed=0)
+
+    for tid in solo.params:
+        np.testing.assert_allclose(
+            np.asarray(solo.params[tid]), np.asarray(mesh_model.params[tid]),
+            rtol=2e-5, atol=1e-7,
+        )
