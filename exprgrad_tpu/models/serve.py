@@ -653,6 +653,7 @@ class FlashLMServer:
         seed: int = 0,
         lengths=None,
         stop_token: Optional[int] = None,
+        stop_seq=None,
     ):
         """Continue ``prompt`` ([batch, t] float ids) by ``n_new`` tokens.
 
@@ -676,6 +677,15 @@ class FlashLMServer:
         its later outputs are the stop token itself (the scan still runs
         the fixed ``n_new`` steps — static shapes — finished rows just
         carry the stop token forward).
+
+        ``stop_seq`` (a list of token ids) generalizes that to a
+        MULTI-TOKEN stop sequence: a rolling window of the last
+        ``len(stop_seq)`` emitted tokens rides the scan carry, and a row
+        freezes the step its window equals the sequence (later outputs
+        carry the sequence's final token forward).  Only generated
+        tokens count — a stop sequence straddling the prompt/generation
+        boundary does not fire, matching the usual serving-API contract.
+        Mutually exclusive with ``stop_token``.
         """
         import jax
 
@@ -730,13 +740,45 @@ class FlashLMServer:
         check_top_p(top_p)
         pick = make_picker(self.vocab, temperature, top_k, top_p)
 
-        def freeze(nxt, done):
+        if stop_seq is not None:
+            if stop_token is not None:
+                raise ModelRuntimeError(
+                    "stop_token and stop_seq are mutually exclusive"
+                )
+            stop_seq = [int(s) for s in stop_seq]
+            if not stop_seq or any(
+                s < 0 or s >= self.vocab for s in stop_seq
+            ):
+                raise ModelRuntimeError(
+                    f"stop_seq must be non-empty token ids in [0, "
+                    f"{self.vocab}); got {stop_seq}"
+                )
+        seq_len = len(stop_seq) if stop_seq is not None else 0
+
+        def init_stop(shape, dtype):
+            """done flags, plus the rolling emitted-token window when a
+            multi-token stop sequence is armed (-1 never matches)."""
+            done = jnp.zeros(shape, bool)
+            if not seq_len:
+                return done
+            return done, jnp.full(shape + (seq_len,), -1.0, dtype)
+
+        def freeze(nxt, state):
             """Carry the stop token forward on finished rows."""
+            if seq_len:
+                done, recent = state
+                want = jnp.asarray(stop_seq, nxt.dtype)
+                nxt = jnp.where(done, want[-1], nxt)
+                recent = jnp.concatenate(
+                    [recent[:, 1:], nxt[:, None]], axis=1
+                )
+                done = jnp.logical_or(done, (recent == want).all(-1))
+                return nxt, (done, recent)
             if stop_token is None:
-                return nxt, jnp.zeros(nxt.shape, bool)
+                return nxt, state
             stop = jnp.asarray(stop_token, nxt.dtype)
-            nxt = jnp.where(done, stop, nxt)
-            return nxt, jnp.logical_or(done, nxt == stop)
+            nxt = jnp.where(state, stop, nxt)
+            return nxt, jnp.logical_or(state, nxt == stop)
 
         if lengths is None:
           def build():
@@ -744,7 +786,9 @@ class FlashLMServer:
                 logits, caches = self.prefill(prompt, caches)
                 key, sub = jax.random.split(key)
                 first = pick(logits[:, -1], sub).astype(prompt.dtype)
-                first, done = freeze(first, jnp.zeros(first.shape, bool))
+                first, done = freeze(
+                    first, init_stop(first.shape, first.dtype)
+                )
 
                 def body(carry, _):
                     tok, caches, key, done = carry
@@ -765,7 +809,9 @@ class FlashLMServer:
 
             return run
 
-          key = ("gen", n_new, stop_token, temperature, top_k, top_p)
+          key = ("gen", n_new, stop_token,
+                 tuple(stop_seq) if seq_len else None, temperature,
+                 top_k, top_p)
           return self._jitted(key, build)(
               prompt, caches, jax.random.PRNGKey(seed)
           )
@@ -787,7 +833,7 @@ class FlashLMServer:
                 logits, (lens[:, None, None] - 1).astype(jnp.int32), axis=1
             )[:, 0]
             first = pick(last, sub).astype(prompt.dtype)
-            first, done = freeze(first, jnp.zeros(first.shape, bool))
+            first, done = freeze(first, init_stop(first.shape, first.dtype))
 
             def body(carry, _):
                 tok, caches, key, key_pos, cur, done = carry
@@ -814,7 +860,9 @@ class FlashLMServer:
 
           return run_ragged
 
-        key = ("gen_ragged", n_new, stop_token, temperature, top_k, top_p)
+        key = ("gen_ragged", n_new, stop_token,
+               tuple(stop_seq) if seq_len else None, temperature, top_k,
+               top_p)
         return self._jitted(key, build_ragged)(
             prompt, caches, jax.random.PRNGKey(seed), lens
         )

@@ -798,3 +798,61 @@ def test_mesh_serving_rope_swiglu():
         np.asarray(tp.generate(prompt, n_new=8)),
         np.asarray(solo.generate(prompt, n_new=8)),
     )
+
+
+def test_generate_stop_seq_freezes_rows():
+    """A multi-token stop sequence freezes a row the step its rolling
+    window of emitted tokens matches; later outputs carry the final
+    sequence token; non-matching rows decode untouched."""
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2.0, 3.0, 4.0], [0.0, 1.0, 2.0]], np.float32)
+    free = np.asarray(server.generate(prompt, n_new=8))
+    seq = [int(free[0, 1]), int(free[0, 2])]
+
+    got = np.asarray(server.generate(prompt, n_new=8, stop_seq=seq))
+    np.testing.assert_array_equal(got[0, :3], free[0, :3])
+    assert (got[0, 2:] == seq[-1]).all()
+    # the +1-cycle model emits the same pair in row 1 at its own offset
+    fr = list(free[1].astype(int))
+    hit = next(i for i in range(1, 8)
+               if fr[i - 1] == seq[0] and fr[i] == seq[1])
+    np.testing.assert_array_equal(got[1, :hit + 1], free[1, :hit + 1])
+    assert (got[1, hit:] == seq[-1]).all()
+
+    # a sequence that never appears leaves decoding untouched
+    noseq = np.asarray(server.generate(prompt, n_new=8,
+                                       stop_seq=[seq[0], seq[0]]))
+    never = ~np.asarray([
+        any(fr2[i - 1] == seq[0] and fr2[i] == seq[0]
+            for i in range(1, 8))
+        for fr2 in [list(free[0].astype(int)), list(free[1].astype(int))]
+    ])
+    for row in np.nonzero(never)[0]:
+        np.testing.assert_array_equal(noseq[row], free[row])
+
+    # a single-token sequence behaves exactly like stop_token
+    stop = int(free[0, 1])
+    a = np.asarray(server.generate(prompt, n_new=8, stop_seq=[stop]))
+    b = np.asarray(server.generate(prompt, n_new=8, stop_token=stop))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_stop_seq_ragged_and_validation():
+    model = _trained_model(steps=30)
+    server = FlashLMServer(model, cache_dtype=jnp.float32)
+    prompt = np.asarray([[2.0, 3.0, 4.0], [0.0, 1.0, 0.0]], np.float32)
+    free = np.asarray(server.generate(prompt, n_new=6, lengths=[3, 2]))
+    seq = [int(free[0, 1]), int(free[0, 2])]
+    got = np.asarray(
+        server.generate(prompt, n_new=6, lengths=[3, 2], stop_seq=seq)
+    )
+    np.testing.assert_array_equal(got[0, :3], free[0, :3])
+    assert (got[0, 2:] == seq[-1]).all()
+
+    with pytest.raises(ModelRuntimeError, match="mutually exclusive"):
+        server.generate(prompt, n_new=2, stop_token=1, stop_seq=[1, 2])
+    with pytest.raises(ModelRuntimeError, match="stop_seq"):
+        server.generate(prompt, n_new=2, stop_seq=[])
+    with pytest.raises(ModelRuntimeError, match="stop_seq"):
+        server.generate(prompt, n_new=2, stop_seq=[0, VOCAB])
