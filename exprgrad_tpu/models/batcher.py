@@ -46,7 +46,7 @@ from ._sample import check_top_p, make_picker, make_row_picker
 class _Request:
     __slots__ = ("rid", "tokens", "max_new", "out", "consumed", "absorbed",
                  "submitted", "first_token_at", "finished_at", "preempted",
-                 "temp", "top_k", "top_p")
+                 "temp", "top_k", "top_p", "stop_seq")
 
     def __init__(self, rid, tokens, max_new):
         import time
@@ -65,6 +65,29 @@ class _Request:
         self.temp = 0.0      # per-request sampling params (submit())
         self.top_k = 0
         self.top_p = 1.0
+        self.stop_seq: tuple | None = None  # per-request stop sequence
+
+
+def _check_stop_seq(stop_seq, vocab):
+    """Validate a per-request stop sequence (token ids in [0, vocab))."""
+    if stop_seq is None:
+        return None
+    seq = tuple(int(t) for t in stop_seq)
+    if not seq or any(t < 0 or t >= vocab for t in seq):
+        raise ModelRuntimeError(
+            f"stop_seq must be non-empty token ids in [0, {vocab}); "
+            f"got {list(seq)}"
+        )
+    return seq
+
+
+def _stop_seq_hit(req) -> bool:
+    """True when the request's emitted tail equals its stop sequence.
+    Host-side (the scheduler finishes requests outside the compiled
+    step), so per-request sequences of any length share one program."""
+    seq = req.stop_seq
+    return (seq is not None and len(req.out) >= len(seq)
+            and tuple(req.out[-len(seq):]) == seq)
 
 
 def _scratch_caches(pools, page_table_row, pre_len, extra):
@@ -1006,9 +1029,15 @@ class ContinuousBatcher:
         raise ModelRuntimeError("prefix is not registered")
 
     def submit(self, prompt, max_new: int, rid=None,
-               temperature=None, top_k=None, top_p=None):
+               temperature=None, top_k=None, top_p=None, stop_seq=None):
         """Queue a request; returns its id.  Admission happens inside
         ``step()`` when a slot frees up.
+
+        ``stop_seq`` (a list of token ids) finishes THIS request once
+        its emitted tail equals the sequence — matched host-side by the
+        scheduler, so sequences of any length and content share the
+        compiled programs.  Composes with the batcher-level
+        ``stop_token`` (whichever fires first).
 
         ``temperature``/``top_k``/``top_p`` override the batcher-level
         sampling settings FOR THIS REQUEST — per-request values are
@@ -1061,6 +1090,7 @@ class ContinuousBatcher:
         self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
                              else self._next_rid) + 1
         req = _Request(rid, tokens, int(max_new))
+        req.stop_seq = _check_stop_seq(stop_seq, self.server.vocab)
         req.temp = float(self.temperature if temperature is None
                          else temperature)
         tk = top_k if top_k is not None else self.top_k
@@ -1229,6 +1259,8 @@ class ContinuousBatcher:
         req.out.append(token)
         if self.stream_tokens:
             self._stream.append((req.rid, token))
+        if _stop_seq_hit(req):
+            return True
         if self.stop_token is not None and token == self.stop_token:
             return True
         return len(req.out) >= req.max_new
@@ -1628,9 +1660,9 @@ class Seq2SeqBatcher:
 
     # -- public API ----------------------------------------------------
     def submit(self, src, max_new: int, rid=None, temperature=None,
-               top_k=None, top_p=None):
-        """Queue a source sequence; per-request sampling overrides as on
-        :class:`ContinuousBatcher`."""
+               top_k=None, top_p=None, stop_seq=None):
+        """Queue a source sequence; per-request sampling overrides and
+        ``stop_seq`` as on :class:`ContinuousBatcher`."""
         check_top_p(top_p)
         tokens = np.asarray(src, np.float32).reshape(-1)
         if tokens.size < 1:
@@ -1650,6 +1682,7 @@ class Seq2SeqBatcher:
         self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
                              else self._next_rid) + 1
         req = _Request(rid, tokens, int(max_new))
+        req.stop_seq = _check_stop_seq(stop_seq, self.server.vocab)
         req.temp = float(self.temperature if temperature is None
                          else temperature)
         tk = top_k if top_k is not None else self.top_k
@@ -1683,6 +1716,8 @@ class Seq2SeqBatcher:
         req.out.append(token)
         if self.stream_tokens:
             self._stream.append((req.rid, token))
+        if _stop_seq_hit(req):
+            return True
         if self.stop_token is not None and token == self.stop_token:
             return True
         return len(req.out) >= req.max_new

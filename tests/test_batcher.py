@@ -905,3 +905,32 @@ def test_per_request_sampling_params():
     bs = ContinuousBatcher(srv, slots=2, capacity=64, draft=draft)
     with pytest.raises(ModelRuntimeError, match="per-request"):
         bs.submit(prompts[0], 4, temperature=0.5)
+
+
+def test_per_request_stop_seq():
+    """Per-request multi-token stop sequences finish a request the step
+    its emitted tail matches; other requests are untouched; validation
+    rejects bad sequences."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(9)
+    prompts = _prompts(rng, (5, 7, 4))
+    ref = _solo(srv, prompts, [12, 12, 12])
+    seq = [int(ref[0][2]), int(ref[0][3])]  # tail-matches at step 3
+
+    b = ContinuousBatcher(srv, slots=2, capacity=64)
+    rids = [
+        b.submit(prompts[0], 12, stop_seq=seq),
+        b.submit(prompts[1], 12),  # no stop: full stream
+        b.submit(prompts[2], 12, stop_seq=[31, 31, 31]),  # never fires
+    ]
+    done = b.run()
+    got0 = done[rids[0]]
+    assert len(got0) == 4 and list(got0[-2:]) == seq
+    np.testing.assert_array_equal(got0, ref[0][:4].astype(np.int64))
+    np.testing.assert_array_equal(done[rids[1]], ref[1].astype(np.int64))
+    np.testing.assert_array_equal(done[rids[2]], ref[2].astype(np.int64))
+
+    with pytest.raises(ModelRuntimeError, match="stop_seq"):
+        b.submit(prompts[0], 4, stop_seq=[])
+    with pytest.raises(ModelRuntimeError, match="stop_seq"):
+        b.submit(prompts[0], 4, stop_seq=[0, 32])

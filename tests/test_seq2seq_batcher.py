@@ -112,3 +112,22 @@ def test_validation_and_cancel(server):
     assert b.cancel(r0)
     done = b.run()
     assert set(done) == {r1}
+
+
+def test_per_request_stop_seq(server):
+    """Multi-token stop sequences finish an encoder-decoder request the
+    step its emitted tail matches the sequence."""
+    rng = np.random.default_rng(7)
+    srcs = [rng.integers(0, VOCAB, n).astype(np.float32) for n in (6, 9)]
+    ref = _solo(server, srcs, [10, 10])
+    seq = [int(ref[0][1]), int(ref[0][2])]
+
+    b = Seq2SeqBatcher(server, slots=2, max_src=16, capacity=16)
+    rids = [b.submit(srcs[0], 10, stop_seq=seq), b.submit(srcs[1], 10)]
+    done = b.run()
+    got0 = done[rids[0]]
+    assert len(got0) == 3 and list(got0[-2:]) == seq
+    np.testing.assert_array_equal(got0, ref[0][:3].astype(np.int64))
+    np.testing.assert_array_equal(done[rids[1]], ref[1].astype(np.int64))
+    with pytest.raises(ModelRuntimeError, match="stop_seq"):
+        b.submit(srcs[0], 4, stop_seq=[VOCAB])
