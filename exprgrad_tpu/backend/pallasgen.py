@@ -51,6 +51,21 @@ def _round_down(x: int, m: int) -> int:
     return max(m, (x // m) * m)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_to(arr, shape: tuple):
+    """Zero-pad ``arr`` up to ``shape`` (no-op when already that shape)."""
+    import jax.numpy as jnp
+
+    if tuple(arr.shape) == tuple(shape):
+        return arr
+    return jnp.pad(
+        arr, [(0, p - s) for s, p in zip(arr.shape, shape)]
+    )
+
+
 def is_scheduled(kernel: Kernel) -> bool:
     """True when the user attached any schedule directive to the kernel."""
     return any(
@@ -81,14 +96,23 @@ def _best_block_aligned(size: int, cap: int, align: int) -> int:
     return size
 
 
-# elementwise ops the block evaluator supports (index-typed arithmetic,
-# arrays, epoch and debug ops stay on the XLA paths)
+# elementwise ops the block evaluator supports (arrays, epoch and debug
+# ops stay on the XLA paths)
 _ELEMENTWISE_OPS = {
     Op.SCALAR, Op.BOOL, Op.ADD, Op.SUB, Op.MUL, Op.DIV, Op.NEG,
     Op.SIN, Op.COS, Op.EXP, Op.POW, Op.SQRT,
     Op.LOG, Op.LOG10, Op.LOG2, Op.LN,
     Op.EQ, Op.LT, Op.LE, Op.AND, Op.OR, Op.SELECT,
 }
+
+# additionally allowed in PallasMapReduce expressions: index arithmetic on
+# loop iterators (materialized as broadcasted_iota blocks) for
+# index-dependent masks — triangular/banded kernels and friends.  The
+# epilogue folding keeps the narrower _ELEMENTWISE_OPS set.
+_ITER_OPS = {
+    Op.IDX, Op.TO_SCALAR, Op.TO_INDEX, Op.IDX_DIV, Op.MOD, Op.WRAP,
+}
+_MAPREDUCE_OPS = _ELEMENTWISE_OPS | _ITER_OPS
 
 
 def eval_elementwise(instrs, res, env: dict):
@@ -98,6 +122,8 @@ def eval_elementwise(instrs, res, env: dict):
     checked every op is in _ELEMENTWISE_OPS and every arg is defined."""
     import jax.numpy as jnp
 
+    from .jaxeval import _trunc_div, _trunc_mod
+
     dtype = jnp.float32
     for instr in instrs:
         op = instr.op
@@ -106,6 +132,27 @@ def eval_elementwise(instrs, res, env: dict):
             value = dtype(instr.scalar_lit)
         elif op == Op.BOOL:
             value = instr.bool_lit
+        elif op == Op.IDX:
+            value = instr.index_lit
+        elif op == Op.TO_SCALAR:
+            value = jnp.asarray(a[0]).astype(dtype)
+        elif op == Op.TO_INDEX:
+            value = jnp.trunc(jnp.asarray(a[0])).astype(jnp.int32)
+        elif op == Op.IDX_DIV:
+            if isinstance(a[0], int) and isinstance(a[1], int):
+                q = abs(a[0]) // abs(a[1])
+                value = -q if (a[0] < 0) != (a[1] < 0) else q
+            else:
+                value = _trunc_div(a[0], a[1])
+        elif op == Op.MOD:
+            if isinstance(a[0], int) and isinstance(a[1], int):
+                q = abs(a[0]) // abs(a[1])
+                q = -q if (a[0] < 0) != (a[1] < 0) else q
+                value = a[0] - q * a[1]
+            else:
+                value = _trunc_mod(a[0], a[1])
+        elif op == Op.WRAP:
+            value = jnp.mod(a[0], a[1])
         elif op == Op.ADD:
             value = a[0] + a[1]
         elif op == Op.SUB:
@@ -247,47 +294,74 @@ class PallasMatmul:
         )
         self.m, self.n, self.k = m, n, kk
 
-        # block sizes: user tile_size when given, else MXU-friendly defaults
-        def tile_for(axis: int, default: int, extent: int, align: int) -> int:
+        # block sizes: user tile_size when given, else MXU-friendly defaults.
+        # Tiles that do not divide the extent (or are Mosaic-misaligned) no
+        # longer decline: the operands are zero-padded up to aligned tile
+        # multiples and the result is sliced back — the TPU analog of the
+        # reference's bounds guards on non-divisible shapes
+        # (passes.nim:2402-2569, golden-tested at test_gpu.nim:252-266).
+        # Zero padding is exact for a contraction (pad rows/cols are sliced
+        # away; pad k contributes 0 to every dot product).
+        def tile_for(
+            axis: int, default: int, extent: int, align: int
+        ) -> tuple[int, int]:
+            """Return (block, padded_extent) for one problem dim."""
             loop = next(l for l in kernel.loops if low.axis_of_reg[l.iter_reg] == axis)
             if loop.schedule.share_cache:
                 # whole extent stays VMEM-resident, shared by every grid
                 # program along this axis (the _matmul_impl VMEM budget may
                 # still halve it to fit the 16MB scratchpad)
-                return extent
+                return extent, extent
             size = loop.schedule.tile_size if loop.schedule.tile else default
-            size = min(size, extent)
-            if extent % size != 0:
-                return 0  # require divisibility; else fall back
-            if size < extent and size % align != 0:
-                return 0  # Mosaic rejects misaligned partial blocks
-            return size
+            size = max(1, min(size, extent))
+            if extent % size == 0 and (size == extent or size % align == 0):
+                return size, extent  # exact: no padding
+            aligned_extent = _round_up(extent, align)
+            if loop.schedule.tile:
+                # honor the user's tile as closely as Mosaic allows
+                size = min(_round_up(size, align), aligned_extent)
+            else:
+                # no explicit tile on a ragged extent: prefer one padded
+                # whole-dim block when it is within the default budget
+                size = (
+                    aligned_extent
+                    if aligned_extent <= max(default, align)
+                    else _round_up(default, align)
+                )
+            return size, _round_up(extent, size)
 
         dtype_name = np.dtype(self.low.dtype).name
         sub = _SUBLANE.get(dtype_name, 8)
         # alignment by the dim's position in the operand/output blocks:
         # bm is a sublane dim of A/out (lane of out when transposed), bn a
-        # lane dim of B/out, bk the lane dim of A — partial blocks on a
-        # lane dim must be 128-aligned, on a sublane dim 8/16-aligned.
+        # lane dim of B/out, bk the lane dim of A — blocks on a lane dim
+        # must be 128-aligned, on a sublane dim 8/16-aligned.
         m_align = 128 if self.transposed else sub
-        self.bm = tile_for(y_axis, _round_down(min(m, 512), sub), m, m_align)
-        self.bn = tile_for(x_axis, _round_down(min(n, 512), 128), n, 128)
-        self.bk = tile_for(k, _round_down(min(kk, 512), 128), kk, 128)
-        if not (self.bm and self.bn and self.bk) or (
-            self.m % self.bm or self.n % self.bn or self.k % self.bk
-        ):
-            return self._decline(
-                f"tile sizes must divide the problem ({m}x{n}x{kk}) and be "
-                f"Mosaic-aligned on partial dims"
-            )
+        self.bm, self.pm = tile_for(
+            y_axis, _round_down(min(m, 512), sub), m, m_align
+        )
+        self.bn, self.pn = tile_for(x_axis, _round_down(min(n, 512), 128), n, 128)
+        self.bk, self.pk = tile_for(k, _round_down(min(kk, 512), 128), kk, 128)
         return True
+
+    def _operands(self, tensors: dict):
+        """Fetch A/B, zero-padded to the aligned tile multiples."""
+        a = _pad_to(tensors[self.a_read.tensor], (self.pm, self.pk))
+        b = _pad_to(tensors[self.b_read.tensor], (self.pk, self.pn))
+        return a, b
+
+    def _slice_out(self, value):
+        """Cut the padded product back to the true output shape."""
+        want = (self.n, self.m) if self.transposed else (self.m, self.n)
+        if tuple(value.shape) != want:
+            value = value[: want[0], : want[1]]
+        return value
 
     def lower(self, tensors: dict):
         from ..ops.matmul import _matmul_impl
 
         low = self.low
-        a = tensors[self.a_read.tensor]
-        b = tensors[self.b_read.tensor]
+        a, b = self._operands(tensors)
         value = _matmul_impl(
             a,
             b,
@@ -299,7 +373,7 @@ class PallasMatmul:
         )
         write = self.kernel.write
         assert write is not None
-        return tensors[write.tensor] + value
+        return tensors[write.tensor] + self._slice_out(value)
 
     def lower_fused(self, tensors: dict, epilogue: "PallasEpilogueChain"):
         """Lower matmul + the folded consumer chain as ONE Pallas kernel:
@@ -309,13 +383,20 @@ class PallasMatmul:
         from ..ops.matmul import _matmul_impl
 
         low = self.low
-        a = tensors[self.a_read.tensor]
-        b = tensors[self.b_read.tensor]
-        extra = [
-            (epilogue.prepare(tensors[tid], pat), pat)
-            for tid, pat in epilogue.extra
-        ]
-        return _matmul_impl(
+        a, b = self._operands(tensors)
+        # epilogue frame [rows, cols] padded alongside the product
+        pr, pc = (self.pn, self.pm) if self.transposed else (self.pm, self.pn)
+        extra = []
+        for tid, pat in epilogue.extra:
+            arr = epilogue.prepare(tensors[tid], pat)
+            if pat == "row":
+                arr = _pad_to(arr, (1, pc))
+            elif pat == "col":
+                arr = _pad_to(arr, (pr, 1))
+            else:
+                arr = _pad_to(arr, (pr, pc))
+            extra.append((arr, pat))
+        value = _matmul_impl(
             a,
             b,
             block_m=self.bm,
@@ -326,6 +407,7 @@ class PallasMatmul:
             extra=tuple(extra),
             transpose_out=self.transposed,
         )
+        return self._slice_out(value)
 
 
 # elementwise ops an epilogue may contain (everything index-typed, tensor
@@ -770,13 +852,29 @@ class PallasMapReduce:
             self.read_axes[read.data] = axes
             self.read_plans[read.data] = plans
 
-        # expression: pure elementwise over the read registers
+        # expression: elementwise over the read registers; references to
+        # loop iterators are allowed — they materialize in the kernel as
+        # broadcasted_iota index blocks offset by the grid position
+        # (index-dependent masks: triangular/banded kernels, clgen.nim
+        # emits any computed body at clgen.nim:249-257)
         defined = set(self.read_axes)
+        self.iter_axes: dict[int, int] = {}  # expr register -> loop axis
+        self.used_reads: set[int] = set()
         for instr in kernel.expr.instrs:
-            if instr.op not in _ELEMENTWISE_OPS:
+            if instr.op not in _MAPREDUCE_OPS:
                 return self._decline(f"unsupported op {instr.op.value}")
-            if any(arg not in defined for arg in instr.args):
-                return self._decline("expression uses loop iterators")
+            for arg in instr.args:
+                if arg in self.read_axes:
+                    self.used_reads.add(arg)
+                if arg not in defined:
+                    axis = low.axis_of_reg.get(arg)
+                    if axis is None:
+                        return self._decline(
+                            "expression uses a register defined outside "
+                            "the kernel"
+                        )
+                    self.iter_axes[arg] = axis
+                    defined.add(arg)
             if instr.res is not None:
                 defined.add(instr.res)
         if kernel.expr.res not in defined:
@@ -850,26 +948,49 @@ class PallasMapReduce:
                     need = p * align_of(a)
                     req[a] = req[a] * need // gcd(req[a], need)
 
+        def _iter_only(axis: int) -> bool:
+            """Every read covering ``axis`` reads it as a plain iterator."""
+            for data, axes in self.read_axes.items():
+                for a, (kind, _p, _c) in zip(axes, self.read_plans[data]):
+                    if a == axis and kind != "iter":
+                        return False
+            return True
+
+        self.pad_sizes = list(sizes)
         user_tiled: set[int] = set()
         shared: set[int] = set()
         for axis, loop in enumerate(loops):
             if loop.schedule.share_cache:
                 shared.add(axis)  # whole extent stays resident
                 continue
-            if loop.schedule.tile:
-                t = min(loop.schedule.tile_size, sizes[axis])
-                if sizes[axis] % t != 0:
-                    return self._decline(
-                        f"tile size {loop.schedule.tile_size} does not divide "
-                        f"extent {sizes[axis]}"
-                    )
-                if t < sizes[axis] and t % req[axis] != 0:
-                    return self._decline(
-                        f"tile size {t} on loop {axis} is not Mosaic-aligned "
-                        f"(needs a multiple of {req[axis]} on this dim)"
-                    )
+            if not loop.schedule.tile:
+                continue
+            t = min(loop.schedule.tile_size, sizes[axis])
+            if sizes[axis] % t == 0 and (
+                t == sizes[axis] or t % req[axis] == 0
+            ):
                 block[axis] = t
                 user_tiled.add(axis)
+                continue
+            # masked path for non-divisible/misaligned tiles: pad the
+            # extent up to aligned tile multiples, guard the padded
+            # positions in the kernel (identity-masked reductions) and
+            # slice the output — the TPU analog of the reference's
+            # bounds guards on non-divisible shapes (passes.nim:2402-2569,
+            # golden-tested at test_gpu.nim:252-266).  Needs plain-
+            # iterator reads on the axis (strided/grouped read plans
+            # would need their own padding arithmetic).
+            if not _iter_only(axis):
+                return self._decline(
+                    f"tile size {t} does not divide extent {sizes[axis]} "
+                    f"on a strided/grouped read axis (no mask support)"
+                )
+            t = min(
+                _round_up(t, req[axis]), _round_up(sizes[axis], req[axis])
+            )
+            block[axis] = t
+            self.pad_sizes[axis] = _round_up(sizes[axis], t)
+            user_tiled.add(axis)
 
         # at most one reduction axis may be gridded (VMEM accumulator with
         # first/last-step predicates); pick the largest non-phantom one
@@ -997,14 +1118,16 @@ class PallasMapReduce:
             return tuple(shape)
 
         # grid: output axes with >1 block, then the gridded reduction axis
-        grid_axes = [a for a in self.out_axes if sizes[a] // block[a] > 1]
+        # (extents padded up to block multiples for masked ragged tiles)
+        psizes = self.pad_sizes
+        grid_axes = [a for a in self.out_axes if psizes[a] // block[a] > 1]
         red_gridded = (
             self.red_grid_axis is not None
-            and sizes[self.red_grid_axis] // block[self.red_grid_axis] > 1
+            and psizes[self.red_grid_axis] // block[self.red_grid_axis] > 1
         )
         if red_gridded:
             grid_axes.append(self.red_grid_axis)
-        grid = tuple(sizes[a] // block[a] for a in grid_axes) or (1,)
+        grid = tuple(psizes[a] // block[a] for a in grid_axes) or (1,)
         grid_pos = {a: i for i, a in enumerate(grid_axes)}
 
         def index_map_for(axes: list[int]):
@@ -1029,24 +1152,28 @@ class PallasMapReduce:
         for read in kernel.reads:
             axes = self.read_axes[read.data]
             plans = self.read_plans[read.data]
-            extents, blocks, transforms = [], [], []
+            extents, pextents, blocks, transforms = [], [], [], []
             for a, (kind, p, c) in zip(axes, plans):
                 if kind == "stride":
                     # input block covers the s-wide window band; the
                     # kernel takes the phase-c strided slice
                     extents.append(sizes[a] * p)
+                    pextents.append(sizes[a] * p)
                     blocks.append(block[a] * p)
                     transforms.append((a + pad, "stride", p, c))
                 elif kind == "div":
                     # input block is 1/k of the output block; the kernel
                     # repeats each element k times
                     extents.append(sizes[a] // p)
+                    pextents.append(sizes[a] // p)
                     blocks.append(max(1, block[a] // p))
                     transforms.append((a + pad, "div", p, 0))
                 else:
                     extents.append(sizes[a])
+                    pextents.append(psizes[a])
                     blocks.append(block[a])
             arr = tensors[read.tensor].reshape(embed_shape(axes, extents))
+            arr = _pad_to(arr, embed_shape(axes, pextents))
             operands.append(arr)
             in_specs.append(
                 pl.BlockSpec(embed_shape(axes, blocks), index_map_for(axes))
@@ -1054,7 +1181,7 @@ class PallasMapReduce:
             read_transforms.append(transforms)
         out_block = embed_shape(self.out_axes, [block[a] for a in self.out_axes])
         out_embed = embed_shape(
-            self.out_axes, [sizes[a] for a in self.out_axes]
+            self.out_axes, [psizes[a] for a in self.out_axes]
         )
         out_spec = pl.BlockSpec(out_block, index_map_for(self.out_axes))
 
@@ -1062,9 +1189,20 @@ class PallasMapReduce:
         identity = accumulation_identity(mode)
         n_reads = len(kernel.reads)
         red_dim = grid_pos.get(self.red_grid_axis) if red_gridded else None
+        masked_red = [a for a in self.red_axes if psizes[a] != sizes[a]]
+        iter_items = sorted(self.iter_axes.items())
 
         def body(*refs):
             o_ref = refs[n_reads]
+
+            def gidx(axis):
+                """Global loop index along ``axis`` as an int32 block."""
+                shape = embed_shape([axis], [block[axis]])
+                idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis + pad)
+                if axis in grid_pos:
+                    idx = idx + pl.program_id(grid_pos[axis]) * block[axis]
+                return idx
+
             env = {}
             for read, ref, transforms in zip(
                 kernel.reads, refs[:n_reads], read_transforms
@@ -1080,10 +1218,25 @@ class PallasMapReduce:
                     else:  # div: expand each input element k times
                         val = jnp.repeat(val, p, axis=pos)
                 env[read.data] = val
+            for reg, axis in iter_items:
+                env[reg] = gidx(axis)
             value = eval_elementwise(kernel.expr.instrs, kernel.expr.res, env)
             value = jnp.asarray(value, jnp.float32)
             if value.ndim != rank:
                 value = jnp.broadcast_to(value, (1,) * rank)
+            # guard padded reduction positions with the accumulation
+            # identity (the bounds-guard analog); broadcast first so a
+            # value constant along the axis is masked per-position, not
+            # phantom-multiplied by the padded block size below
+            for a in masked_red:
+                p = a + pad
+                if value.shape[p] == 1:
+                    shp = list(value.shape)
+                    shp[p] = block[a]
+                    value = jnp.broadcast_to(value, shp)
+                value = jnp.where(
+                    gidx(a) < sizes[a], value, jnp.float32(identity)
+                )
             # reduce the in-block reduction extents
             for p in red_positions:
                 if value.shape[p] > 1:
@@ -1136,7 +1289,11 @@ class PallasMapReduce:
             ),
             interpret=interpret,
         )(*operands)
-        value = value.reshape([sizes[a] for a in self.out_axes])
+        value = value.reshape([psizes[a] for a in self.out_axes])
+        if any(psizes[a] != sizes[a] for a in self.out_axes):
+            value = value[
+                tuple(slice(0, sizes[a]) for a in self.out_axes)
+            ]
 
         prev = tensors[write.tensor]
         if mode == "add":

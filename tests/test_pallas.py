@@ -42,8 +42,10 @@ def test_pallas_matmul_matches_einsum():
     assert ex.stats.get("pallas") == 1
 
 
-def test_pallas_fallback_on_indivisible():
-    """Non-divisible tile sizes fall back to the einsum path, still correct."""
+def test_pallas_masked_indivisible():
+    """Non-divisible tile sizes run through Pallas with padded blocks and
+    masked bounds (the reference's bounds-guard behavior on non-divisible
+    shapes, test_gpu.nim:252-266) — oracle parity on the 30x70x50 case."""
     rng = np.random.default_rng(1)
     av = rng.normal(size=(30, 50)).astype(np.float32)
     bv = rng.normal(size=(50, 70)).astype(np.float32)
@@ -52,7 +54,22 @@ def test_pallas_fallback_on_indivisible():
     out = model.call("c", {"a": av, "b": bv})
     np.testing.assert_allclose(out, av @ bv, rtol=1e-4)
     ex = next(iter(model._executors.values()))
-    assert ex.stats.get("pallas") is None
+    assert ex.stats.get("pallas") == 1
+
+
+def test_pallas_masked_indivisible_all_dims():
+    """Ragged tiles on every dim at once (tile does not divide m, n or k)."""
+    rng = np.random.default_rng(11)
+    av = rng.normal(size=(37, 211)).astype(np.float32)
+    bv = rng.normal(size=(211, 93)).astype(np.float32)
+    graph, a, b = _matmul_graph(
+        {"tile": {"y": 16, "x": 48, "it": 100}, "parallel": ["y", "x"]}
+    )
+    model = compile(graph, backend="jax", schedule_mode="force")
+    out = model.call("c", {"a": av, "b": bv})
+    np.testing.assert_allclose(out, av @ bv, rtol=1e-4, atol=1e-4)
+    ex = next(iter(model._executors.values()))
+    assert ex.stats.get("pallas") == 1
 
 
 def test_schedule_survives_cache_tensor_hint():

@@ -208,8 +208,10 @@ def test_no_fusion_when_extra_operand_written_after_matmul():
 
 
 def test_matmul_decline_reason_reports_real_cause():
-    """A scheduled matmul with an indivisible tile must warn with the
-    matmul emitter's reason, not map-reduce's 'it is a contraction'."""
+    """A scheduled matmul the emitter declines (transposed operand
+    layout) must warn with the matmul emitter's reason, not map-reduce's
+    'it is a contraction'.  (Indivisible tiles no longer decline — they
+    lower through the masked/padded Pallas path.)"""
     import pytest as _pytest
 
     from exprgrad_tpu import ScheduleWarning
@@ -217,14 +219,45 @@ def test_matmul_decline_reason_reports_real_cause():
     y, x, it = iters("y", "x", "it")
     a, b = input("a"), input("b")
     c = Fun("c")
-    c[y, x] = a[y, it] * b[it, x]
+    c[y, x] = a[it, y] * b[it, x]  # A transposed: einsum path handles it
     c.schedule(tile={"y": 16, "x": 16, "it": 16})
     graph = c.target("c")
     rng = np.random.default_rng(8)
     args = {
-        "a": rng.normal(size=(30, 70)).astype(np.float32),
-        "b": rng.normal(size=(70, 50)).astype(np.float32),
+        "a": rng.normal(size=(64, 32)).astype(np.float32),
+        "b": rng.normal(size=(64, 48)).astype(np.float32),
     }
     model = compile(graph, backend="jax", schedule_mode="force")
-    with _pytest.warns(ScheduleWarning, match="tile sizes must divide"):
-        model.call("c", args)
+    with _pytest.warns(ScheduleWarning, match="transposed"):
+        got = model.call("c", args)
+    np.testing.assert_allclose(
+        got, args["a"].T @ args["b"], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_matmul_indivisible_tile_fuses_masked():
+    """Ragged-shape dense+bias+relu still fuses into ONE padded Pallas
+    kernel (epilogue chain over masked blocks)."""
+    y, x, it = iters("y", "x", "it")
+    a, b, bias = input("a"), input("b"), input("bias")
+    mm = Fun("mm")
+    mm[y, x] = a[y, it] * b[it, x]
+    mm.schedule(tile={"y": 16, "x": 128, "it": 128}, parallel=["y", "x"])
+    y2, x2 = iters("y2", "x2")
+    biased = Fun("biased")
+    biased[y2, x2] = mm[y2, x2] + bias[x2]
+    y3, x3 = iters("y3", "x3")
+    out = Fun("out")
+    out[y3, x3] = maximum(biased[y3, x3], 0.0)
+    graph = out.target("out")
+    rng = np.random.default_rng(9)
+    args = {
+        "a": rng.normal(size=(30, 70)).astype(np.float32),
+        "b": rng.normal(size=(70, 50)).astype(np.float32),
+        "bias": rng.normal(size=(50,)).astype(np.float32),
+    }
+    model = compile(graph, backend="jax", schedule_mode="force")
+    got = model.call("out", args)
+    want = np.maximum(args["a"] @ args["b"] + args["bias"], 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert _stats(model).get("pallas-fused") == 1

@@ -392,21 +392,21 @@ def test_shifted_read_declines():
     assert _stats(model).get("pallas-mapreduce") is None
 
 
-def test_misaligned_lane_tile_declines_with_mosaic_reason():
+def test_misaligned_lane_tile_rounds_to_mosaic_alignment():
     """A user tile that would produce a Mosaic-illegal partial block on
-    the lane dim (not 128-aligned) is declined — with the reason — instead
-    of shipping a kernel the chip rejects (the round-2 failure mode)."""
+    the lane dim (not 128-aligned) is rounded up to the alignment and
+    still lowers through Pallas (instead of shipping a kernel the chip
+    rejects — the round-2 failure mode — or declining outright)."""
     inp = input("inp")
     out = Fun("out")
     y, x = iters("y", "x")
     out[y, x] = exp(inp[y, x])
-    out.schedule(tile={"x": 64})  # partial 64 over 128 lanes: illegal
-    v = np.linspace(-1, 1, 32 * 128).reshape(32, 128).astype(np.float32)
+    out.schedule(tile={"x": 64})  # partial 64 over 256 lanes: rounds to 128
+    v = np.linspace(-1, 1, 32 * 256).reshape(32, 256).astype(np.float32)
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
-    with pytest.warns(ScheduleWarning, match="Mosaic-aligned"):
-        got = model.call("out", {"inp": v})
+    got = model.call("out", {"inp": v})
     np.testing.assert_allclose(got, np.exp(v), rtol=1e-6)
-    assert _stats(model).get("pallas-mapreduce") is None
+    assert _stats(model).get("pallas-mapreduce") == 1
 
 
 def test_partial_read_reduction():
@@ -424,4 +424,93 @@ def test_partial_read_reduction():
     got = model.call("out", {"a": av, "b": bv})
     want = (np.exp(av) + bv[:, None]).sum(axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+# ---------------------------------------------------------------------------
+# iterator-referencing expressions (broadcasted_iota blocks) + masked
+# ragged tiles (padded blocks with identity-guarded reductions)
+# ---------------------------------------------------------------------------
+
+
+def test_scheduled_causal_mask_kernel():
+    """An index-dependent mask (select on loop iterators) lowers through
+    Pallas: the iterators materialize as broadcasted_iota blocks offset by
+    the grid position."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = select(x <= y, inp[y, x], 0.0)
+    out.schedule(tile={"y": 64})
+    rng = np.random.default_rng(21)
+    v = rng.normal(size=(256, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    rows = np.arange(256)[:, None]
+    cols = np.arange(128)[None, :]
+    np.testing.assert_allclose(got, np.where(cols <= rows, v, 0.0))
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_banded_reduction_with_iterators():
+    """Iterator masks combined with an in-kernel reduction: a causal row
+    sum out[y] += select(x <= y, a[y, x], 0)."""
+    a = input("a")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y] = select(x <= y, a[y, x], 0.0)
+    out.schedule(tile={"y": 32})
+    rng = np.random.default_rng(22)
+    av = rng.normal(size=(128, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    want = np.tril(av).sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_masked_ragged_output_tile():
+    """A user tile that does not divide the output extent pads the blocks
+    and slices the result (no decline, no fallback)."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = exp(inp[y, x])
+    out.schedule(tile={"y": 48})  # 100 % 48 != 0 -> masked/padded
+    v = np.linspace(-1, 1, 100 * 128).reshape(100, 128).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.exp(v), rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_masked_ragged_reduction_identity_add():
+    """A padded reduction axis masks the pad positions to the additive
+    identity — exp(0)=1 from zero padding must NOT leak into the sums."""
+    a = input("a")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y] = exp(a[y, x])
+    out.schedule(tile={"x": 100})  # lane axis: rounds to 128, pads 200->256
+    rng = np.random.default_rng(23)
+    av = rng.normal(size=(16, 200)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    np.testing.assert_allclose(got, np.exp(av).sum(axis=1), rtol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_masked_ragged_reduction_identity_max():
+    """Max-mode masked reduction: zero padding would corrupt an all-
+    negative row; the pad positions must read as -inf."""
+    a = input("a")
+    mx = Fun("mx")
+    y, x = iters("y", "x")
+    mx.maximize[y] = a[y, x]
+    mx.schedule(tile={"x": 96})  # 200 % 96 != 0 on the lane axis
+    rng = np.random.default_rng(24)
+    av = (-1.0 - np.abs(rng.normal(size=(16, 200)))).astype(np.float32)
+    model = compile(mx.target("mx"), backend="jax", schedule_mode="force")
+    got = model.call("mx", {"a": av})
+    np.testing.assert_allclose(got, av.max(axis=1), rtol=1e-6)
     assert _stats(model).get("pallas-mapreduce") == 1
