@@ -32,6 +32,19 @@ def _fetch(x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+def _spread(samples: list) -> dict:
+    """min/median/max summary for repeated measurements — the r->r drift
+    classifier (VERDICT r3 #9: headline entries carry spread so tunnel
+    noise is distinguishable from regressions)."""
+    s = sorted(samples)
+    return {
+        "min": round(s[0], 2),
+        "median": round(s[len(s) // 2], 2),
+        "max": round(s[-1], 2),
+        "samples": [round(v, 2) for v in s],
+    }
+
+
 def bench_matmul(n: int = 8192, dtype: str = "float32",
                  precision: str = "default", chain: int = 30):
     """Time the DSL-compiled matmul kernel on device."""
@@ -61,17 +74,24 @@ def bench_matmul(n: int = 8192, dtype: str = "float32",
         return executor._fn({a_id: lhs, b_id: b}, 0, 0)[out_id]
 
     _fetch(step(a))  # compile + warmup
-    t = time.perf_counter()
-    cur = a
-    for _ in range(chain):
-        cur = step(cur)  # data-dependent chain, no host sync
-    _fetch(cur)
-    elapsed = (time.perf_counter() - t) / chain
-    return 2 * n**3 / elapsed / 1e9, elapsed
+    rates = []
+    elapsed = []
+    for _ in range(3):
+        t = time.perf_counter()
+        cur = a
+        for _ in range(chain):
+            cur = step(cur)  # data-dependent chain, no host sync
+        _fetch(cur)
+        dt = (time.perf_counter() - t) / chain
+        elapsed.append(dt)
+        rates.append(2 * n**3 / dt / 1e9)
+    rates_sorted = sorted(rates)
+    med = rates_sorted[len(rates_sorted) // 2]
+    return med, sorted(elapsed)[len(elapsed) // 2], rates
 
 
 def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
-                dtype="float32", chains=(10, 50)):
+                dtype="float32", chains=(10, 50), reps=7):
     """Compute-bound conv characterization (honest MFU).
 
     Each measurement is ONE dispatch running a data-dependent feedback
@@ -145,31 +165,57 @@ def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
         final, _ = jax.lax.scan(body, images, None, length=n)
         return jnp.sum(final.astype(jnp.float32))
 
-    def time_pair(fn, reps: int = 3):
+    def make_pair(fn):
         short = jax.jit(functools.partial(fn, n=chains[0]))
         long = jax.jit(functools.partial(fn, n=chains[1]))
         float(short(images, filters))  # compile + warmup
         float(long(images, filters))
+        return short, long
 
-        def best(f):
-            times = []
-            for _ in range(reps):
-                t = time.perf_counter()
-                float(f(images, filters))
-                times.append(time.perf_counter() - t)
-            return min(times)
+    def timed(f):
+        t = time.perf_counter()
+        float(f(images, filters))
+        return time.perf_counter() - t
 
-        t_short, t_long = best(short), best(long)
-        diff = t_long - t_short
+    # interleave compiled/raw reps round-robin so slow tunnel drift hits
+    # both paths equally — the r2->r3 "compiler overhead" swing (-15.9%
+    # -> +6.8% on identical code) was exactly this drift
+    cl_s, cl_l = make_pair(chain_compiled)
+    raw_s, raw_l = make_pair(chain_raw)
+    times: dict[str, list] = {"cs": [], "cl": [], "rs": [], "rl": []}
+    for _ in range(reps):
+        times["cs"].append(timed(cl_s))
+        times["rs"].append(timed(raw_s))
+        times["cl"].append(timed(cl_l))
+        times["rl"].append(timed(raw_l))
+
+    span = chains[1] - chains[0]
+
+    def per_step(short_key, long_key):
+        diff = min(times[long_key]) - min(times[short_key])
         if diff <= 0:  # timing noise swamped the difference (tiny shapes)
-            return t_long / chains[1]
-        return diff / (chains[1] - chains[0])
+            return min(times[long_key]) / chains[1], []
+        samples = [
+            (l - s) / span
+            for s, l in zip(times[short_key], times[long_key])
+            if l > s
+        ]
+        return diff / span, samples
 
-    per_conv = time_pair(chain_compiled)
-    per_conv_raw = time_pair(chain_raw)
+    per_conv, conv_samples = per_step("cs", "cl")
+    per_conv_raw, raw_samples = per_step("rs", "rl")
     out_hw = size - k + 1
     flops = 2 * batch * out_hw * out_hw * cout * k * k * cin
-    return flops / per_conv / 1e9, per_conv, flops / per_conv_raw / 1e9
+    spread = {
+        "compiled_gflops": _spread(
+            [flops / t / 1e9 for t in conv_samples] or [flops / per_conv / 1e9]
+        ),
+        "raw_gflops": _spread(
+            [flops / t / 1e9 for t in raw_samples]
+            or [flops / per_conv_raw / 1e9]
+        ),
+    }
+    return flops / per_conv / 1e9, per_conv, flops / per_conv_raw / 1e9, spread
 
 
 def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
@@ -207,7 +253,7 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
 
     flash = functools.partial(flash_attention, causal=causal)
 
-    def timed(fn):
+    def prep(fn):
         def chained(q, k, v):
             cur = q
             for _ in range(chain):
@@ -216,17 +262,25 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
 
         jitted = jax.jit(chained)
         _fetch(jitted(q, k, v))  # compile + warmup
-        best = float("inf")
-        for _ in range(2):
-            t = time.perf_counter()
-            _fetch(jitted(q, k, v))
-            best = min(best, time.perf_counter() - t)
-        return best / chain
+        return jitted
+
+    def timed(jitted):
+        t = time.perf_counter()
+        _fetch(jitted(q, k, v))
+        return (time.perf_counter() - t) / chain
 
     flops = 4 * b * h * s * s * d * (0.5 if causal else 1.0)
-    t_flash = timed(flash)
-    t_xla = timed(xla_attn)
-    return flops / t_flash / 1e9, flops / t_xla / 1e9
+    # interleaved reps: drift hits both impls equally
+    jf, jx = prep(flash), prep(xla_attn)
+    fl, xl = [], []
+    for _ in range(3):
+        fl.append(timed(jf))
+        xl.append(timed(jx))
+    spread = {
+        "flash_gflops": _spread([flops / t / 1e9 for t in fl]),
+        "xla_gflops": _spread([flops / t / 1e9 for t in xl]),
+    }
+    return flops / min(fl) / 1e9, flops / min(xl) / 1e9, spread
 
 
 def bench_serving(vocab=2048, dim=512, heads=4, hidden=2048, blocks=2,
@@ -336,6 +390,53 @@ def bench_continuous_batching(vocab=2048, dim=512, heads=4, hidden=2048,
     return generated / dt, n_requests / dt, generated, stats
 
 
+def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
+                          blocks=2, slots=8, capacity=320, prompt_len=64,
+                          budget=224, chunks=(1, 8, 32)):
+    """Steady-state continuous-batching overhead (VERDICT r3 #8): every
+    slot saturated, queue empty, NO admissions inside the timed window —
+    the per-decode-step cost is pure scheduler + dispatch overhead over
+    the solo aligned-batch ceiling (``serving_decode``'s
+    ms_per_decode_step).  Swept over ``decode_chunk`` to justify the
+    default.  Returns {chunk: (tokens_per_s, ms_per_step)}."""
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.models import (
+        ContinuousBatcher, FlashLMServer, flash_transformer,
+    )
+
+    model = eg_compile(
+        flash_transformer(vocab=vocab, dim=dim, heads=heads, hidden=hidden,
+                          blocks=blocks, max_seq=capacity),
+        seed=0, precision="default",
+    )
+    server = FlashLMServer(model)
+    rng = np.random.default_rng(0)
+    out = {}
+    for chunk in chunks:
+        b = ContinuousBatcher(
+            server, slots=slots, capacity=capacity, paged=True,
+            page_size=32, pool_pages=slots * (capacity // 32),
+            decode_chunk=chunk,
+        )
+        for _ in range(slots):
+            b.submit(
+                rng.integers(0, vocab, prompt_len).astype(np.float32),
+                budget,
+            )
+        b.step()  # admissions + prefill + first dispatch (compiles)
+        b.step()  # settle: every program compiled, all slots decoding
+        window = max(2, 64 // chunk)
+        steps0 = b.stats["decode_steps"]
+        t = time.perf_counter()
+        for _ in range(window):
+            b.step()
+        dt = time.perf_counter() - t
+        steps = b.stats["decode_steps"] - steps0
+        toks = slots * steps
+        out[chunk] = (toks / dt, dt / steps * 1e3)
+    return out
+
+
 def bench_speculative(vocab=2048, dim=512, heads=4, hidden=2048,
                       blocks=2, prompt_len=64, n_new=128, k=4, reps=3):
     """Speculative decoding wall time vs plain greedy (batch 1).
@@ -383,6 +484,77 @@ def bench_speculative(vocab=2048, dim=512, heads=4, hidden=2048,
 
     t_spec = timed(spec)
     return n_new / t_plain, n_new / t_spec, steps_holder["steps"]
+
+
+def bench_speculative_trained(prompt_len=64, n_new=128, k=4, reps=3):
+    """Speculative decoding with the committed TRAINED draft
+    (benchmarks/spec_pair, produced by scripts/train_spec_pair.py): both
+    models learned the same deterministic successor task, so greedy
+    agreement ~1 and acceptance approaches the ceiling — the measured
+    BEST case, alongside bench_speculative's random-draft worst-case
+    floor.  Returns (plain_tok_s, spec_tok_s, verify_steps,
+    accepted_per_round)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.io import import_params_npz
+    from exprgrad_tpu.models import FlashLMServer, flash_transformer
+
+    # MUST match scripts/train_spec_pair.py TARGET_CFG/DRAFT_CFG (same
+    # program => same tensor ids for the npz import); do not import that
+    # module here — it pins jax to CPU at import time.
+    vocab, max_seq = 256, 256
+    target_model = eg_compile(
+        flash_transformer(vocab=vocab, dim=256, heads=4, hidden=1024,
+                          blocks=2, max_seq=max_seq, eta=0.01),
+        seed=0, precision="default",
+    )
+    draft_model = eg_compile(
+        flash_transformer(vocab=vocab, dim=64, heads=4, hidden=256,
+                          blocks=1, max_seq=max_seq, eta=0.01),
+        seed=1, precision="default",
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    import_params_npz(
+        target_model, os.path.join(here, "benchmarks/spec_pair/target.npz")
+    )
+    import_params_npz(
+        draft_model, os.path.join(here, "benchmarks/spec_pair/draft.npz")
+    )
+    target = FlashLMServer(target_model)
+    draft = FlashLMServer(draft_model)
+
+    # prompt follows the training task's successor chain (fixed seed 7,
+    # scripts/train_spec_pair.py make_perm) so generation is on-task
+    perm = np.random.default_rng(7).permutation(vocab)
+    chain_toks = np.empty(prompt_len, np.int64)
+    chain_toks[0] = 3
+    for t in range(1, prompt_len):
+        chain_toks[t] = perm[chain_toks[t - 1]]
+    prompt = chain_toks[None, :].astype(np.float32)
+
+    def timed(fn):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t_plain = timed(lambda: _fetch(target.generate(prompt, n_new=n_new)))
+    holder = {}
+
+    def spec():
+        out, steps = target.generate_speculative(draft, prompt,
+                                                 n_new=n_new, k=k)
+        holder["steps"] = int(steps)
+        _fetch(out)
+
+    t_spec = timed(spec)
+    steps = holder["steps"]
+    accepted = (n_new - steps) / max(1, steps)  # extra tokens per round
+    return n_new / t_plain, n_new / t_spec, steps, accepted
 
 
 def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
@@ -733,8 +905,8 @@ def main() -> None:
     roofline0 = 197e12
     _log("bench: matmul 8192^3 f32 ...")
 
-    mm_gflops, mm_t = bench_matmul()
-    _log(f"bench: matmul f32 {mm_gflops:.0f} GFLOP/s")
+    mm_gflops, mm_t, mm_samples = bench_matmul()
+    _log(f"bench: matmul f32 {mm_gflops:.0f} GFLOP/s (median of 3)")
     _RESULT.update(
         metric="matmul8192_f32_gflops",
         value=round(mm_gflops, 1),
@@ -742,7 +914,8 @@ def main() -> None:
         vs_baseline=round(mm_gflops / (0.6 * roofline0 / 1e9), 3),
     )
     details["matmul8192_f32_default"] = {
-        "gflops": round(mm_gflops, 1), "seconds_per_matmul": mm_t
+        "gflops": round(mm_gflops, 1), "seconds_per_matmul": mm_t,
+        "spread": _spread(mm_samples),
     }
 
     # the TPU-native dtype: bf16 operands, f32 accumulation on the MXU
@@ -750,10 +923,11 @@ def main() -> None:
     _flush_details()
     _log("bench: matmul 8192^3 bf16 ...")
     try:
-        bf_gflops, bf_t = bench_matmul(dtype="bfloat16")
-        _log(f"bench: matmul bf16 {bf_gflops:.0f} GFLOP/s")
+        bf_gflops, bf_t, bf_samples = bench_matmul(dtype="bfloat16")
+        _log(f"bench: matmul bf16 {bf_gflops:.0f} GFLOP/s (median of 3)")
         details["matmul8192_bf16"] = {
-            "gflops": round(bf_gflops, 1), "seconds_per_matmul": bf_t
+            "gflops": round(bf_gflops, 1), "seconds_per_matmul": bf_t,
+            "spread": _spread(bf_samples),
         }
         if bf_gflops > best_gflops:
             best_gflops, best_name = bf_gflops, "matmul8192_bf16_gflops"
@@ -769,7 +943,7 @@ def main() -> None:
     _flush_details()
     _log("bench: conv2 ...")
     try:
-        conv_gflops, conv_t, raw_gflops = bench_conv2()
+        conv_gflops, conv_t, raw_gflops, conv_spread = bench_conv2()
         details["conv2_b32_64x64x128_k3x128"] = {
             "gflops": round(conv_gflops, 1),
             "seconds_per_conv": conv_t,
@@ -778,10 +952,15 @@ def main() -> None:
             "compiler_overhead_pct": round(
                 (raw_gflops / conv_gflops - 1.0) * 100, 2
             ),
+            "spread": conv_spread,
             "methodology": "per-conv time = (T(chain=50) - T(chain=10)) / "
                            "40 of a data-dependent conv->pad->conv feedback "
                            "chain in ONE dispatch; tunnel RTT and dispatch "
-                           "overhead cancel in the difference",
+                           "overhead cancel in the difference; compiled and "
+                           "raw reps interleaved round-robin (7 each) so "
+                           "slow drift hits both paths equally — the r2->r3 "
+                           "overhead swing (-15.9% -> +6.8% on identical "
+                           "code) was drift, not a lowering change",
         }
         _log(
             f"bench: conv2 {conv_gflops:.0f} GFLOP/s compiled vs "
@@ -805,10 +984,11 @@ def main() -> None:
     _flush_details()
     _log("bench: attention flash vs xla ...")
     try:
-        fl_gflops, xl_gflops = bench_attention()
+        fl_gflops, xl_gflops, attn_spread = bench_attention()
         details["attention_b8_h4_s2048_d128_causal"] = {
             "flash_gflops": round(fl_gflops, 1),
             "xla_gflops": round(xl_gflops, 1),
+            "spread": attn_spread,
             "note": "forward; the measured basis for the attention impl "
                     "routing (policy.attention)",
         }
@@ -867,6 +1047,29 @@ def main() -> None:
              f"tokens/s ({vsteps} verify steps for 128 tokens)")
     except Exception as err:
         details["speculative_error"] = str(err)
+
+    _flush_details()
+    _log("bench: speculative decoding (trained draft) ...")
+    try:
+        pl_tok, sp_tok, vsteps2, acc = bench_speculative_trained()
+        details["speculative_decoding_trained"] = {
+            "config": "target vocab256 dim256 blocks2; draft dim64 "
+                      "1-block; both TRAINED on the deterministic "
+                      "successor task (benchmarks/spec_pair; greedy "
+                      "agreement ~1.0) — best-case acceptance, the floor "
+                      "entry above keeps the random-draft worst case; "
+                      "batch1 prompt64 n_new128 k4",
+            "plain_tokens_per_s": round(pl_tok, 1),
+            "speculative_tokens_per_s": round(sp_tok, 1),
+            "target_verify_steps": vsteps2,
+            "accepted_per_round": round(acc, 2),
+            "speedup": round(sp_tok / pl_tok, 2),
+        }
+        _log(f"bench: trained speculative {sp_tok:.0f} vs plain "
+             f"{pl_tok:.0f} tokens/s ({vsteps2} verify steps, "
+             f"{acc:.2f} accepted/round, {sp_tok / pl_tok:.2f}x)")
+    except Exception as err:
+        details["speculative_trained_error"] = str(err)
 
     _flush_details()
     _log("bench: int8 KV-cache serving ...")
@@ -1007,6 +1210,40 @@ def main() -> None:
              f"{cb_req:.2f} req/s ({cb_stats})")
     except Exception as err:
         details["continuous_batching_error"] = str(err)
+
+    _flush_details()
+    _log("bench: continuous batching steady state (chunk sweep) ...")
+    try:
+        steady = bench_batching_steady()
+        solo_ms = details.get("serving_decode", {}).get(
+            "ms_per_decode_step"
+        )
+        entry = {
+            "config": "vocab2048 dim512 blocks2 slots8 prompt64; all "
+                      "slots saturated, no admissions in the timed "
+                      "window (pure decode dispatches)",
+            "per_chunk": {
+                str(c): {
+                    "tokens_per_s": round(tps, 1),
+                    "ms_per_decode_step": round(ms, 4),
+                    "overhead_ms_vs_solo": (
+                        round(ms - solo_ms, 4)
+                        if solo_ms is not None else None
+                    ),
+                }
+                for c, (tps, ms) in steady.items()
+            },
+            "solo_batch8_ms_per_step": solo_ms,
+            "note": "scheduler+dispatch overhead per decode step = "
+                    "steady ms/step minus serving_decode's solo "
+                    "ms/step (same batch size, aligned cache)",
+        }
+        details["continuous_batching_steady"] = entry
+        _log("bench: steady batching " + ", ".join(
+            f"chunk{c}={tps:.0f} tok/s ({ms:.3f}ms/step)"
+            for c, (tps, ms) in steady.items()))
+    except Exception as err:
+        details["continuous_batching_steady_error"] = str(err)
 
 
     roofline = 197e12  # v5e MXU, bf16 multiply / f32 accumulate
