@@ -77,15 +77,62 @@ def _mask_scores(s, q_idx, kv_idx, *, block_q, block_k, causal, window,
     return jnp.where(keep, s, _NEG_INF)
 
 
+def _kv_band(num_q: int, num_kv: int, block_q: int, block_k: int,
+             window: int) -> int:
+    """Widest per-q-tile band of live kv tiles for a causal window: the
+    banded grid extent.  Shrinking the GRID to the band (rather than
+    predicating with pl.when alone) is what makes windowed attention
+    O(S*W): a pl.when-skipped tile still pays its grid step and its
+    block DMA, which is why tile-skipping alone stalled at 1.31x of the
+    ~4x ideal at S=4096 W=512."""
+    width = 1
+    for i in range(num_q):
+        q_lo = i * block_q
+        q_hi = q_lo + block_q - 1
+        j_min = max(0, (q_lo - window + 1) // block_k)
+        j_max = min(num_kv - 1, q_hi // block_k)
+        width = max(width, j_max - j_min + 1)
+    return width
+
+
+def _q_band(num_q: int, num_kv: int, block_q: int, block_k: int,
+            window: int) -> int:
+    """Widest per-kv-tile band of live q tiles (the dkv kernel's grid)."""
+    width = 1
+    for j in range(num_kv):
+        k_lo = j * block_k
+        k_hi = k_lo + block_k - 1
+        i_min = k_lo // block_q
+        i_max = min(num_q - 1, (k_hi + window - 1) // block_q)
+        width = max(width, i_max - i_min + 1)
+    return width
+
+
+def _banded_kv_idx(q_idx, jpos, *, block_q, block_k, window):
+    """Absolute kv tile index for banded grids (kernel-side mirror of
+    the banded index maps)."""
+    j_min = jnp.maximum(0, (q_idx * block_q - window + 1) // block_k)
+    return j_min + jpos
+
+
+def _banded_q_idx(kv_idx, ipos, *, block_q, block_k):
+    return (kv_idx * block_k) // block_q + ipos
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_kv_blocks: int, window=None, offs_ref=None,
+    window=None, offs_ref=None, banded: bool = False,
 ):
-    kv_idx = pl.program_id(2)
+    jpos = pl.program_id(2)
     q_idx = pl.program_id(1)
+    if banded:
+        kv_idx = _banded_kv_idx(q_idx, jpos, block_q=block_q,
+                                block_k=block_k, window=window)
+    else:
+        kv_idx = jpos
 
-    @pl.when(kv_idx == 0)
+    @pl.when(jpos == 0)
     def _init():
         m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
@@ -124,7 +171,7 @@ def _fwd_kernel(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
-    @pl.when(kv_idx == num_kv_blocks - 1)
+    @pl.when(jpos == pl.num_programs(2) - 1)
     def _store():
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -140,12 +187,17 @@ def _fwd_kernel(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_kv_blocks: int, window=None, offs_ref=None,
+    window=None, offs_ref=None, banded: bool = False,
 ):
     q_idx = pl.program_id(1)
-    kv_idx = pl.program_id(2)
+    jpos = pl.program_id(2)
+    if banded:
+        kv_idx = _banded_kv_idx(q_idx, jpos, block_q=block_q,
+                                block_k=block_k, window=window)
+    else:
+        kv_idx = jpos
 
-    @pl.when(kv_idx == 0)
+    @pl.when(jpos == 0)
     def _init():
         dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
 
@@ -181,7 +233,7 @@ def _bwd_dq_kernel(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
-    @pl.when(kv_idx == num_kv_blocks - 1)
+    @pl.when(jpos == pl.num_programs(2) - 1)
     def _store():
         dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
 
@@ -190,18 +242,29 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    num_q_blocks: int, window=None, offs_ref=None,
+    num_q_blocks: int, window=None, offs_ref=None, banded: bool = False,
 ):
     kv_idx = pl.program_id(1)
-    q_idx = pl.program_id(2)
+    ipos = pl.program_id(2)
+    if banded:
+        q_idx = _banded_q_idx(kv_idx, ipos, block_q=block_q,
+                              block_k=block_k)
+    else:
+        q_idx = ipos
 
-    @pl.when(q_idx == 0)
+    @pl.when(ipos == 0)
     def _init():
         dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
         dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
 
     should_run = _tile_live(q_idx, kv_idx, block_q=block_q, block_k=block_k,
                             causal=causal, window=window, offs_ref=offs_ref)
+    if banded:
+        # band overshoot past the last q tile is causally LIVE (q > k) but
+        # the clamped index map would re-fetch a duplicate block — bound it
+        # (the fwd/dq kv overshoot needs no bound: kv_idx > q_hi//block_k
+        # is causally dead, and q_hi//block_k <= num_kv-1 when sq == skv)
+        should_run = jnp.logical_and(should_run, q_idx < num_q_blocks)
 
     @pl.when(should_run)
     def _run():
@@ -239,7 +302,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(q_idx == num_q_blocks - 1)
+    @pl.when(ipos == pl.num_programs(2) - 1)
     def _store():
         dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
@@ -327,15 +390,32 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
         q, k, v, sm_scale, block_q, block_k, interpret, causal, window
     )
     num_kv = skv // block_k
-    grid = (b * h, sq // block_q, num_kv)
+    num_q = sq // block_q
+    # banded grid: with a sliding window (and no runtime offsets, which
+    # would make the band data-dependent) the kv grid dim shrinks to the
+    # widest live band — dead tiles are never visited, not just skipped
+    banded = window is not None and offsets is None and sq == skv
+    if banded:
+        kv_extent = _kv_band(num_q, num_kv, block_q, block_k, window)
+
+        def kv_block(bh, i, j, *_):
+            j_min = jnp.maximum(0, (i * block_q - window + 1) // block_k)
+            return (bh // group, jnp.minimum(j_min + j, num_kv - 1), 0)
+    else:
+        kv_extent = num_kv
+
+        def kv_block(bh, i, j, *_):
+            return (bh // group, j, 0)
+
+    grid = (b * h, num_q, kv_extent)
 
     static = dict(
         sm_scale=sm_scale,
         causal=causal,
         block_q=block_q,
         block_k=block_k,
-        num_kv_blocks=num_kv,
         window=window,
+        banded=banded,
     )
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * (h // group), skv, d)
@@ -345,10 +425,8 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
     # each group of `group` consecutive query heads (GQA/MQA).
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
-        pl.BlockSpec((1, block_k, d),
-                     lambda bh, i, j, *_: (bh // group, j, 0)),
-        pl.BlockSpec((1, block_k, d),
-                     lambda bh, i, j, *_: (bh // group, j, 0)),
+        pl.BlockSpec((1, block_k, d), kv_block),
+        pl.BlockSpec((1, block_k, d), kv_block),
     ]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0)),
@@ -375,10 +453,10 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq * skv * d,
+            flops=4 * b * h * sq * (kv_extent * block_k) * d,
             bytes_accessed=(2 * b * h * sq * d + 2 * b * h * skv * d)
             * q.dtype.itemsize,
-            transcendentals=b * h * sq * skv,
+            transcendentals=b * h * sq * (kv_extent * block_k),
         ),
         interpret=interpret,
     )
@@ -496,6 +574,29 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0))
     row_spec = pl.BlockSpec((1, block_q, 1), lambda bh, i, j, *_: (bh, i, 0))
 
+    # banded grids (see _forward): dq walks the live kv band per q tile,
+    # dkv the live q band per kv tile — dead tiles are never visited
+    banded = window is not None and offsets is None and sq == skv
+    if banded:
+        kv_extent = _kv_band(num_q, num_kv, block_q, block_k, window)
+        q_extent = _q_band(num_q, num_kv, block_q, block_k, window)
+
+        def kv_block_dq(bh, i, j, *_):
+            j_min = jnp.maximum(0, (i * block_q - window + 1) // block_k)
+            return (bh // group, jnp.minimum(j_min + j, num_kv - 1), 0)
+
+        def qrow_dkv(bh, j, i, *_):
+            i_min = (j * block_k) // block_q
+            return (bh, jnp.minimum(i_min + i, num_q - 1), 0)
+    else:
+        kv_extent, q_extent = num_kv, num_q
+
+        def kv_block_dq(bh, i, j, *_):
+            return (bh // group, j, 0)
+
+        def qrow_dkv(bh, j, i, *_):
+            return (bh, i, 0)
+
     dq = call(
         _bwd_dq_kernel,
         dict(
@@ -503,16 +604,14 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
             causal=causal,
             block_q=block_q,
             block_k=block_k,
-            num_kv_blocks=num_kv,
             window=window,
+            banded=banded,
         ),
-        (b * h, num_q, num_kv),
+        (b * h, num_q, kv_extent),
         [
             q_spec,
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, i, j, *_: (bh // group, j, 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, i, j, *_: (bh // group, j, 0)),
+            pl.BlockSpec((1, block_k, d), kv_block_dq),
+            pl.BlockSpec((1, block_k, d), kv_block_dq),
             q_spec,
             row_spec,
             row_spec,
@@ -537,8 +636,16 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
         (1, block_k, d), lambda bh, j, i, *_: (bh // group, j, 0)
     )
     kv_spec = pl.BlockSpec((1, block_k, d), lambda bh, j, i, *_: (bh, j, 0))
-    qrow_spec = pl.BlockSpec((1, block_q, d), lambda bh, j, i, *_: (bh, i, 0))
-    row_spec2 = pl.BlockSpec((1, block_q, 1), lambda bh, j, i, *_: (bh, i, 0))
+    qrow_spec = pl.BlockSpec((1, block_q, d), qrow_dkv)
+    row_spec2 = pl.BlockSpec(
+        (1, block_q, 1),
+        (lambda bh, j, i, *_: (bh, i, 0)) if not banded else
+        (lambda bh, j, i, *_: (
+            bh,
+            jnp.minimum((j * block_k) // block_q + i, num_q - 1),
+            0,
+        )),
+    )
     dk, dv = call(
         _bwd_dkv_kernel,
         dict(
@@ -548,8 +655,9 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
             block_k=block_k,
             num_q_blocks=num_q,
             window=window,
+            banded=banded,
         ),
-        (b * h, num_kv, num_q),
+        (b * h, num_kv, q_extent),
         [
             qrow_spec,
             kv_read_spec,

@@ -7,14 +7,15 @@ dense ``[b, hkv, P*page, d]`` array in HBM and then reads that copy —
 the whole resident cache crosses HBM twice per step, and decode is
 HBM-bandwidth-bound.  This kernel is the TPU-native shape of
 PagedAttention (Kwon et al., SOSP 2023): the grid walks ``(batch row,
-kv head, page slot)``, a scalar-prefetched page table drives the
+head chunk, page slot)``, a scalar-prefetched page table drives the
 BlockSpec index map, and Mosaic's pipeline DMAs each KV page HBM→VMEM
-exactly once, straight into the flash-style online-softmax
-accumulation.  Pages never touch HBM a second time, and never-written /
-recycled pages are masked by true positions exactly like the gather
-path (reference for the serving discipline this slots into:
-``exprgrad/model.nim:392-406`` — the runtime keeps device state hot and
-the per-step dispatch thin).
+exactly once — ALL kv heads of the page in one block per grid step
+(chunked only when VMEM forces it), with a static head unroll inside —
+straight into the flash-style online-softmax accumulation.  Pages never
+touch HBM a second time, and never-written / recycled pages are masked
+by true positions exactly like the gather path (reference for the
+serving discipline this slots into: ``exprgrad/model.nim:392-406`` —
+the runtime keeps device state hot and the per-step dispatch thin).
 
 Semantics are bit-compatible with ``decode_attention(q,
 gather_view(pool, page_table), key_pos=..., q_pos=...)`` up to float
@@ -55,7 +56,7 @@ _NEG_INF = -1e30
 
 def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
             m_s, l_s, acc_s, *, sm_scale: float, t: int, gt_pad: int,
-            num_pages: int, window: Optional[int], quant: bool,
+            hkv: int, num_pages: int, window: Optional[int], quant: bool,
             ks_ref=None, vs_ref=None):
     b_idx = pl.program_id(0)
     p_idx = pl.program_id(2)
@@ -70,24 +71,11 @@ def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
     # matmuls entirely (the DMA already fetched clamped page 0, cheap).
     @pl.when(tbl_ref[b_idx, p_idx] >= 0)
     def _run():
-        q = q_ref[0, 0]                     # [gt_pad, d] f32
-        k = k_ref[0, 0].astype(jnp.float32)  # [page, d]
-        v = v_ref[0, 0].astype(jnp.float32)
-        if quant:
-            k = k * ks_ref[0, 0]            # [page, 1] scales broadcast
-            v = v * vs_ref[0, 0]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [gt, page]
-        if sm_scale != 1.0:
-            s = s * sm_scale
-
-        # position mask: key slot positions from key_pos (-1 = dead),
-        # query rows r <-> (group g = r // t, token tt = r % t) at true
-        # position qpos[b, tt] (scalar-prefetched, statically unrolled;
-        # padded rows r >= gt reuse r % t — their output is sliced off).
+        # position mask, shared by every kv head: key slot positions from
+        # key_pos (-1 = dead), query rows r <-> (group g = r // t, token
+        # tt = r % t) at true position qpos[b, tt] (scalar-prefetched,
+        # statically unrolled; padded rows r >= gt reuse r % t — their
+        # output is sliced off).
         kp = kp_ref[0, 0, :, 0]             # [page] int32
         qp_rows = jnp.stack(
             [qpos_ref[b_idx, r % t] for r in range(gt_pad)]
@@ -97,26 +85,47 @@ def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
         keep = jnp.logical_and(kp2 >= 0, kp2 <= qp2)
         if window is not None:
             keep = jnp.logical_and(keep, kp2 > qp2 - jnp.int32(window))
-        s = jnp.where(keep, s, _NEG_INF)
 
-        m_prev = m_s[...]                    # [gt_pad, 128]
-        l_prev = l_s[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)      # [gt_pad, 1]
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])                  # [gt_pad, page]
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        # all kv heads of the page arrive in ONE block/DMA per grid step
+        # (the per-(head, page) grid spent ~8x more grid steps on ~8x
+        # smaller DMAs and was per-step-overhead-bound: 0.56x the gather
+        # path at the r3 bench); the head loop is a static unroll.
+        for hi in range(hkv):
+            q = q_ref[0, hi]                      # [gt_pad, d] f32
+            k = k_ref[0, hi].astype(jnp.float32)  # [page, d]
+            v = v_ref[0, hi].astype(jnp.float32)
+            if quant:
+                k = k * ks_ref[0, hi]             # [page, 1] broadcast
+                v = v * vs_ref[0, hi]
 
-        m_s[...] = m_next
-        l_s[...] = l_next
-        acc_s[...] = acc_s[...] * alpha[:, :1]
-        acc_s[...] += jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [gt_pad, page]
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            s = jnp.where(keep, s, _NEG_INF)
+
+            m_prev = m_s[hi]                     # [gt_pad, 128]
+            l_prev = l_s[hi]
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # [gt_pad, 1]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])               # [gt_pad, page]
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+            m_s[hi] = m_next
+            l_s[hi] = l_next
+            acc_s[hi] = acc_s[hi] * alpha[:, :1] + jax.lax.dot(
+                p, v, preferred_element_type=jnp.float32
+            )
 
     @pl.when(p_idx == num_pages - 1)
     def _store():
-        l = l_s[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+        for hi in range(hkv):
+            l = l_s[hi][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, hi] = (acc_s[hi] * l_inv).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -172,21 +181,41 @@ def paged_decode_attention(
     tbl = page_table.astype(jnp.int32)
     qpos = q_pos.astype(jnp.int32)
 
-    grid = (b, hkv, P)
+    # grid over (batch row, head chunk, page slot): a CHUNK of kv heads
+    # rides in one (1, h_block, page, d) block — one big DMA per grid
+    # step and a static head unroll inside, instead of hkv x more grid
+    # steps on hkv x smaller blocks (per-step overhead dominated that
+    # shape: 0.56x the gather path at the r3 bench).  h_block shrinks
+    # from hkv only when the double-buffered blocks would blow VMEM.
+    item = pool.k.dtype.itemsize
 
-    def q_map(bi, hi, pi, *_):
-        return (bi, hi, 0, 0)
+    def vmem_bytes(hb: int) -> int:
+        kv = 2 * 2 * hb * page * d * item          # k+v double-buffered
+        if quant:
+            kv += 2 * 2 * 2 * hb * page * 4
+        qb = 2 * hb * gt_pad * d * 4 * 2           # q block + out block
+        scratch = hb * gt_pad * (128 + 128 + d) * 4
+        return kv + qb + scratch
 
-    def kv_map(bi, hi, pi, tbl_ref, qpos_ref):
-        return (jnp.maximum(tbl_ref[bi, pi], 0), hi, 0, 0)
+    h_block = hkv
+    while h_block > 1 and (vmem_bytes(h_block) > 12 * 2**20
+                           or hkv % h_block):
+        h_block //= 2
+    grid = (b, hkv // h_block, P)
 
-    def kp_map(bi, hi, pi, *_):
+    def q_map(bi, hc, pi, *_):
+        return (bi, hc, 0, 0)
+
+    def kv_map(bi, hc, pi, tbl_ref, qpos_ref):
+        return (jnp.maximum(tbl_ref[bi, pi], 0), hc, 0, 0)
+
+    def kp_map(bi, hc, pi, *_):
         return (bi, pi, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, gt_pad, d), q_map),
-        pl.BlockSpec((1, 1, page, d), kv_map),
-        pl.BlockSpec((1, 1, page, d), kv_map),
+        pl.BlockSpec((1, h_block, gt_pad, d), q_map),
+        pl.BlockSpec((1, h_block, page, d), kv_map),
+        pl.BlockSpec((1, h_block, page, d), kv_map),
         pl.BlockSpec((1, 1, page, 1), kp_map),
     ]
     shapes = [qg.shape, pool.k.shape, pool.v.shape, kp4.shape]
@@ -195,25 +224,25 @@ def paged_decode_attention(
         ks4 = pool.k_scale.reshape(n_pages, hkv, page, 1)
         vs4 = pool.v_scale.reshape(n_pages, hkv, page, 1)
         in_specs += [
-            pl.BlockSpec((1, 1, page, 1), kv_map),
-            pl.BlockSpec((1, 1, page, 1), kv_map),
+            pl.BlockSpec((1, h_block, page, 1), kv_map),
+            pl.BlockSpec((1, h_block, page, 1), kv_map),
         ]
         shapes += [ks4.shape, vs4.shape]
         operands += [ks4, vs4]
 
-    out_specs = pl.BlockSpec((1, 1, gt_pad, d), q_map)
+    out_specs = pl.BlockSpec((1, h_block, gt_pad, d), q_map)
     out_shape = jax.ShapeDtypeStruct((b, hkv, gt_pad, d), q.dtype)
     scratch_shapes = [
-        pltpu.VMEM((gt_pad, 128), jnp.float32),
-        pltpu.VMEM((gt_pad, 128), jnp.float32),
-        pltpu.VMEM((gt_pad, d), jnp.float32),
+        pltpu.VMEM((h_block, gt_pad, 128), jnp.float32),
+        pltpu.VMEM((h_block, gt_pad, 128), jnp.float32),
+        pltpu.VMEM((h_block, gt_pad, d), jnp.float32),
     ]
     check_specs(in_specs, shapes, kernel="paged_decode")
     check_specs([out_specs], [out_shape.shape],
                 kernel="paged_decode", kind="output")
 
     static = dict(sm_scale=float(sm_scale), t=t, gt_pad=gt_pad,
-                  num_pages=P, window=window, quant=quant)
+                  hkv=h_block, num_pages=P, window=window, quant=quant)
     if quant:
         def kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref,
                    ks_ref, vs_ref, o_ref, m_s, l_s, acc_s):
@@ -235,7 +264,7 @@ def paged_decode_attention(
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * hkv * gt * resident * d,

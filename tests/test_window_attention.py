@@ -233,3 +233,19 @@ def test_windowed_attrs_survive_checkpoint(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
     re_jax = load_model(path, backend="jax")
     assert FlashLMServer(re_jax).window == 4
+
+
+def test_banded_grid_extent_is_o_window():
+    """The windowed kernels shrink the GRID to the live band (dead tiles
+    are never visited — pl.when alone still pays the grid step + block
+    DMA): at S=4096 W=512 with 128-blocks the kv dim drops 32 -> ~6."""
+    from exprgrad_tpu.ops.attention import _kv_band, _q_band
+
+    s, w, bq, bk = 4096, 512, 128, 128
+    num_q, num_kv = s // bq, s // bk
+    band_kv = _kv_band(num_q, num_kv, bq, bk, w)
+    band_q = _q_band(num_q, num_kv, bq, bk, w)
+    assert band_kv <= (w + bq) // bk + 1, band_kv
+    assert band_q <= (w + bk) // bq + 1, band_q
+    assert band_kv < num_kv // 4
+    assert band_q < num_q // 4
