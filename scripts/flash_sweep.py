@@ -1,0 +1,161 @@
+"""Flash-attention block-size sweep at the bench shape (VERDICT r3 #3).
+
+Round 3 measured flash at 0.90x XLA on b8 h4 s2048 d128 causal with the
+default 128x128 blocks.  This sweeps block_q x block_k over the shape
+(forward and backward), plus the XLA reference, and writes
+``flash_block_sweep`` into BENCH_DETAILS.json — the measured basis for
+either new defaults or an honest policy crossover note.
+
+Run: ``PYTHONPATH=. timeout 3600 python scripts/flash_sweep.py``
+"""
+
+import json
+import os
+import signal
+import sys
+import time
+
+
+def _bail(_sig, _frm):
+    print("TIMEOUT", flush=True)
+    sys.exit(1)
+
+
+RESULTS: dict = {}
+
+
+def flush() -> None:
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "BENCH_DETAILS.json")
+    try:
+        with open(path) as f:
+            details = json.load(f)
+    except (OSError, ValueError):
+        details = {}
+    details["flash_block_sweep"] = RESULTS
+    with open(path, "w") as f:
+        json.dump(details, f, indent=1)
+
+
+def main() -> None:
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(420)
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    signal.alarm(3300)
+
+    from exprgrad_tpu.ops.attention import flash_attention
+
+    b, h, s, d = 8, 4, 2048, 128
+    causal = True
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(
+        rng.normal(size=(b, h, s, d)).astype(np.float32) * 0.1
+    )
+    q, k, v = mk(), mk(), mk()
+    g = mk()
+    flops = 4 * b * h * s * s * d * 0.5  # causal
+    chain = 10
+
+    def time_fwd(fn):
+        def chained(q, k, v):
+            cur = q
+            for _ in range(chain):
+                cur = fn(cur, k, v)
+            return cur
+
+        jitted = jax.jit(chained)
+        _ = float(jnp.sum(jitted(q, k, v)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(jitted(q, k, v)))
+            best = min(best, time.perf_counter() - t0)
+        return best / chain
+
+    def time_bwd(fn):
+        def loss(q, k, v):
+            cur = q
+            for _ in range(3):
+                cur = fn(cur, k, v)
+            return jnp.sum(cur * g)
+
+        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        _ = float(jnp.sum(grad(q, k, v)[0]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(grad(q, k, v)[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best / 3  # per fwd+bwd pass of the 3-chain
+
+    def xla_attn(q, k, v):
+        s_ = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (1.0 / np.sqrt(d))
+        rows = jax.lax.broadcasted_iota(jnp.int32, s_.shape[-2:], 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s_.shape[-2:], 1)
+        s_ = jnp.where(rows >= cols, s_, -1e30)
+        p = jax.nn.softmax(s_, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    t = time_fwd(xla_attn)
+    RESULTS["xla_fwd_gflops"] = round(flops / t / 1e9, 1)
+    print(f"xla fwd: {flops / t / 1e9:.0f} GFLOP/s", flush=True)
+    flush()
+    tb = time_bwd(xla_attn)
+    RESULTS["xla_fwdbwd_s"] = round(tb, 5)
+    print(f"xla fwd+bwd(3-chain): {tb * 1e3:.2f} ms", flush=True)
+    flush()
+
+    sweep = {}
+    sweep_bwd = {}
+    for bq in (128, 256, 512):
+        for bk in (128, 256, 512):
+            fn = functools.partial(
+                flash_attention, causal=causal, block_q=bq, block_k=bk
+            )
+            try:
+                t = time_fwd(fn)
+                sweep[f"{bq}x{bk}"] = round(flops / t / 1e9, 1)
+                print(f"flash {bq}x{bk} fwd: {flops / t / 1e9:.0f} "
+                      f"GFLOP/s", flush=True)
+            except Exception as err:
+                sweep[f"{bq}x{bk}"] = f"error: {err}"[:160]
+                print(f"flash {bq}x{bk} fwd ERROR: {err}", flush=True)
+            RESULTS["flash_fwd_gflops"] = sweep
+            flush()
+    # backward for the best two fwd configs + the default
+    ranked = sorted(
+        (kv for kv in sweep.items() if isinstance(kv[1], float)),
+        key=lambda kv: -kv[1],
+    )
+    keys = {k for k, _ in ranked[:2]} | {"128x128"}
+    for key in sorted(keys):
+        bq, bk = map(int, key.split("x"))
+        fn = functools.partial(
+            flash_attention, causal=causal, block_q=bq, block_k=bk
+        )
+        try:
+            tb = time_bwd(fn)
+            sweep_bwd[key] = round(tb, 5)
+            print(f"flash {key} fwd+bwd(3-chain): {tb * 1e3:.2f} ms",
+                  flush=True)
+        except Exception as err:
+            sweep_bwd[key] = f"error: {err}"[:160]
+        RESULTS["flash_fwdbwd_s"] = sweep_bwd
+        flush()
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
