@@ -119,20 +119,73 @@ def _banded_q_idx(kv_idx, ipos, *, block_q, block_k):
     return (kv_idx * block_k) // block_q + ipos
 
 
+def _tri_schedule(num_q: int, num_kv: int, block_q: int, block_k: int,
+                  major: str):
+    """Enumerate the LIVE causal tiles as one flat grid dimension.
+
+    A rectangular (q, kv) grid visits the dead upper triangle too —
+    pl.when skips its compute but still pays ~half the grid steps and
+    block DMAs.  Here the live (q_idx, kv_idx) pairs are precomputed and
+    ride as scalar-prefetch arrays driving the BlockSpec index maps (the
+    same mechanism as the paged-attention page table), so dead tiles are
+    never visited at all.
+
+    ``major="q"`` orders kv-innermost per q tile (fwd/dq accumulate over
+    kv); ``major="kv"`` orders q-innermost per kv tile (dkv).  Returns
+    (q_of, kv_of, first, last) int32 arrays over the flat tile index.
+    """
+    import numpy as np
+
+    q_of, kv_of, first, last = [], [], [], []
+    if major == "q":
+        for i in range(num_q):
+            j_max = min(num_kv - 1, (i * block_q + block_q - 1) // block_k)
+            for j in range(j_max + 1):
+                q_of.append(i)
+                kv_of.append(j)
+                first.append(1 if j == 0 else 0)
+                last.append(1 if j == j_max else 0)
+    else:
+        for j in range(num_kv):
+            i_min = (j * block_k) // block_q
+            for i in range(i_min, num_q):
+                q_of.append(i)
+                kv_of.append(j)
+                first.append(1 if i == i_min else 0)
+                last.append(1 if i == num_q - 1 else 0)
+    return (
+        np.asarray(q_of, np.int32),
+        np.asarray(kv_of, np.int32),
+        np.asarray(first, np.int32),
+        np.asarray(last, np.int32),
+    )
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    window=None, offs_ref=None, banded: bool = False,
+    window=None, offs_ref=None, banded: bool = False, tri_refs=None,
 ):
-    jpos = pl.program_id(2)
-    q_idx = pl.program_id(1)
-    if banded:
-        kv_idx = _banded_kv_idx(q_idx, jpos, block_q=block_q,
-                                block_k=block_k, window=window)
+    if tri_refs is not None:
+        # causal triangle enumeration: the flat grid walks only live
+        # tiles; the prefetched arrays give each step's coordinates
+        tpos = pl.program_id(1)
+        q_idx = tri_refs[0][tpos]
+        kv_idx = tri_refs[1][tpos]
+        is_first = tri_refs[2][tpos] == 1
+        is_last = tri_refs[3][tpos] == 1
     else:
-        kv_idx = jpos
+        jpos = pl.program_id(2)
+        q_idx = pl.program_id(1)
+        if banded:
+            kv_idx = _banded_kv_idx(q_idx, jpos, block_q=block_q,
+                                    block_k=block_k, window=window)
+        else:
+            kv_idx = jpos
+        is_first = jpos == 0
+        is_last = jpos == pl.num_programs(2) - 1
 
-    @pl.when(jpos == 0)
+    @pl.when(is_first)
     def _init():
         m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
@@ -171,7 +224,7 @@ def _fwd_kernel(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
-    @pl.when(jpos == pl.num_programs(2) - 1)
+    @pl.when(is_last)
     def _store():
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -187,17 +240,26 @@ def _fwd_kernel(
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
-    window=None, offs_ref=None, banded: bool = False,
+    window=None, offs_ref=None, banded: bool = False, tri_refs=None,
 ):
-    q_idx = pl.program_id(1)
-    jpos = pl.program_id(2)
-    if banded:
-        kv_idx = _banded_kv_idx(q_idx, jpos, block_q=block_q,
-                                block_k=block_k, window=window)
+    if tri_refs is not None:
+        tpos = pl.program_id(1)
+        q_idx = tri_refs[0][tpos]
+        kv_idx = tri_refs[1][tpos]
+        is_first = tri_refs[2][tpos] == 1
+        is_last = tri_refs[3][tpos] == 1
     else:
-        kv_idx = jpos
+        q_idx = pl.program_id(1)
+        jpos = pl.program_id(2)
+        if banded:
+            kv_idx = _banded_kv_idx(q_idx, jpos, block_q=block_q,
+                                    block_k=block_k, window=window)
+        else:
+            kv_idx = jpos
+        is_first = jpos == 0
+        is_last = jpos == pl.num_programs(2) - 1
 
-    @pl.when(jpos == 0)
+    @pl.when(is_first)
     def _init():
         dq_scratch[...] = jnp.zeros(dq_scratch.shape, jnp.float32)
 
@@ -233,7 +295,7 @@ def _bwd_dq_kernel(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
-    @pl.when(jpos == pl.num_programs(2) - 1)
+    @pl.when(is_last)
     def _store():
         dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
 
@@ -243,16 +305,26 @@ def _bwd_dkv_kernel(
     dk_scratch, dv_scratch,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
     num_q_blocks: int, window=None, offs_ref=None, banded: bool = False,
+    tri_refs=None,
 ):
-    kv_idx = pl.program_id(1)
-    ipos = pl.program_id(2)
-    if banded:
-        q_idx = _banded_q_idx(kv_idx, ipos, block_q=block_q,
-                              block_k=block_k)
+    if tri_refs is not None:
+        tpos = pl.program_id(1)
+        q_idx = tri_refs[0][tpos]
+        kv_idx = tri_refs[1][tpos]
+        is_first = tri_refs[2][tpos] == 1
+        is_last = tri_refs[3][tpos] == 1
     else:
-        q_idx = ipos
+        kv_idx = pl.program_id(1)
+        ipos = pl.program_id(2)
+        if banded:
+            q_idx = _banded_q_idx(kv_idx, ipos, block_q=block_q,
+                                  block_k=block_k)
+        else:
+            q_idx = ipos
+        is_first = ipos == 0
+        is_last = ipos == pl.num_programs(2) - 1
 
-    @pl.when(ipos == 0)
+    @pl.when(is_first)
     def _init():
         dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
         dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
@@ -302,7 +374,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(ipos == pl.num_programs(2) - 1)
+    @pl.when(is_last)
     def _store():
         dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
@@ -393,7 +465,11 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
     num_q = sq // block_q
     # banded grid: with a sliding window (and no runtime offsets, which
     # would make the band data-dependent) the kv grid dim shrinks to the
-    # widest live band — dead tiles are never visited, not just skipped
+    # widest live band — dead tiles are never visited, not just skipped.
+    # Plain causal uses the triangle enumeration instead (scalar-prefetch
+    # arrays drive the index maps over live tiles only).
+    tri = (causal and window is None and offsets is None and sq == skv
+           and num_q > 1)
     banded = window is not None and offsets is None and sq == skv
     if banded:
         kv_extent = _kv_band(num_q, num_kv, block_q, block_k, window)
@@ -460,7 +536,56 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
         ),
         interpret=interpret,
     )
-    if offsets is None:
+    if tri:
+        q_of, kv_of, first, last = _tri_schedule(
+            num_q, num_kv, block_q, block_k, "q"
+        )
+        n_live = len(q_of)
+
+        def q_map(bh, t, qof, kvof, fr, ls):
+            return (bh, qof[t], 0)
+
+        def kv_map(bh, t, qof, kvof, fr, ls):
+            return (bh // group, kvof[t], 0)
+
+        tri_in_specs = [
+            pl.BlockSpec((1, block_q, d), q_map),
+            pl.BlockSpec((1, block_k, d), kv_map),
+            pl.BlockSpec((1, block_k, d), kv_map),
+        ]
+        tri_out_specs = [
+            pl.BlockSpec((1, block_q, d), q_map),
+            pl.BlockSpec((1, block_q, 1), q_map),
+        ]
+
+        def kernel(qof, kvof, fr, ls, q_ref, k_ref, v_ref, o_ref,
+                   lse_ref, m_s, l_s, acc_s):
+            _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s,
+                        acc_s, tri_refs=(qof, kvof, fr, ls), **static)
+
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        )
+        params["cost_estimate"] = pl.CostEstimate(
+            flops=4 * b * h * n_live * block_q * block_k * d,
+            bytes_accessed=(2 * b * h * sq * d + 2 * b * h * skv * d)
+            * q.dtype.itemsize,
+            transcendentals=b * h * n_live * block_q * block_k,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(b * h, n_live),
+                in_specs=tri_in_specs,
+                out_specs=tri_out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            **params,
+        )(jnp.asarray(q_of), jnp.asarray(kv_of), jnp.asarray(first),
+          jnp.asarray(last), qf, kf, vf)
+    elif offsets is None:
         kernel = functools.partial(_fwd_kernel, **static)
         out, lse = pl.pallas_call(
             kernel,
@@ -530,7 +655,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
     lse = lse.reshape(b * h, sq, 1)
 
     def call(kernel_fn, static, grid, in_specs, out_specs, out_shape,
-             scratch_shapes, cost, operands):
+             scratch_shapes, cost, operands, tri_arrays=None):
         outs = out_shape if isinstance(out_shape, (list, tuple)) else [out_shape]
         ospecs = out_specs if isinstance(out_specs, (list, tuple)) else [out_specs]
         check_specs(in_specs, [o.shape for o in operands],
@@ -539,11 +664,28 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
                     kernel=kernel_fn.__name__, kind="output")
         params = dict(
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                dimension_semantics=("parallel",) * (len(grid) - 1)
+                + ("arbitrary",),
             ),
             cost_estimate=cost,
             interpret=interpret,
         )
+        if tri_arrays is not None:
+            def tri_wrapped(qof, kvof, fr, ls, *refs):
+                kernel_fn(*refs, tri_refs=(qof, kvof, fr, ls), **static)
+
+            return pl.pallas_call(
+                tri_wrapped,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=4,
+                    grid=grid,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                    scratch_shapes=scratch_shapes,
+                ),
+                out_shape=out_shape,
+                **params,
+            )(*[jnp.asarray(a) for a in tri_arrays], *operands)
         if offsets is None:
             return pl.pallas_call(
                 functools.partial(kernel_fn, **static),
@@ -573,6 +715,84 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda bh, i, j, *_: (bh, i, 0))
     row_spec = pl.BlockSpec((1, block_q, 1), lambda bh, i, j, *_: (bh, i, 0))
+
+    # triangle enumeration (see _forward): plain causal walks only the
+    # live tiles via scalar-prefetched coordinate arrays
+    tri = (causal and window is None and offsets is None and sq == skv
+           and num_q > 1)
+    if tri:
+        def q_map_t(bh, tt, qof, kvof, fr, ls):
+            return (bh, qof[tt], 0)
+
+        def kv_map_t(bh, tt, qof, kvof, fr, ls):
+            return (bh // group, kvof[tt], 0)
+
+        def kvout_map_t(bh, tt, qof, kvof, fr, ls):
+            return (bh, kvof[tt], 0)
+
+        q_spec_t = pl.BlockSpec((1, block_q, d), q_map_t)
+        row_spec_t = pl.BlockSpec((1, block_q, 1), q_map_t)
+        kv_read_t = pl.BlockSpec((1, block_k, d), kv_map_t)
+        base_static = dict(
+            sm_scale=sm_scale,
+            causal=causal,
+            block_q=block_q,
+            block_k=block_k,
+            window=window,
+        )
+        tq = _tri_schedule(num_q, num_kv, block_q, block_k, "q")
+        dq = call(
+            _bwd_dq_kernel,
+            base_static,
+            (b * h, len(tq[0])),
+            [q_spec_t, kv_read_t, kv_read_t, q_spec_t, row_spec_t,
+             row_spec_t],
+            q_spec_t,
+            jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            [pltpu.VMEM((block_q, d), jnp.float32)],
+            pl.CostEstimate(
+                flops=5 * b * h * len(tq[0]) * block_q * block_k * d,
+                bytes_accessed=(2 * b * h * sq * d + 2 * b * h * skv * d)
+                * q.dtype.itemsize,
+                transcendentals=b * h * len(tq[0]) * block_q * block_k,
+            ),
+            (qf, kf, vf, dof, lse, delta),
+            tri_arrays=tq,
+        )
+        tkv = _tri_schedule(num_q, num_kv, block_q, block_k, "kv")
+        kv_out_t = pl.BlockSpec((1, block_k, d), kvout_map_t)
+        dk, dv = call(
+            _bwd_dkv_kernel,
+            dict(num_q_blocks=num_q, **base_static),
+            (b * h, len(tkv[0])),
+            [q_spec_t, kv_read_t, kv_read_t, q_spec_t, row_spec_t,
+             row_spec_t],
+            [kv_out_t, kv_out_t],
+            [
+                jax.ShapeDtypeStruct((b * h, skv, d), k.dtype),
+                jax.ShapeDtypeStruct((b * h, skv, d), v.dtype),
+            ],
+            [
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            pl.CostEstimate(
+                flops=5 * b * h * len(tkv[0]) * block_q * block_k * d,
+                bytes_accessed=(2 * b * h * sq * d + 3 * b * h * skv * d)
+                * q.dtype.itemsize,
+                transcendentals=b * h * len(tkv[0]) * block_q * block_k,
+            ),
+            (qf, kf, vf, dof, lse, delta),
+            tri_arrays=tkv,
+        )
+        if group > 1:
+            dk = dk.reshape(b, h // group, group, skv, d).sum(axis=2)
+            dv = dv.reshape(b, h // group, group, skv, d).sum(axis=2)
+        return (
+            dq.reshape(q.shape),
+            dk.reshape(k.shape).astype(k.dtype),
+            dv.reshape(v.shape).astype(v.dtype),
+        )
 
     # banded grids (see _forward): dq walks the live kv band per q tile,
     # dkv the live q band per kv tile — dead tiles are never visited

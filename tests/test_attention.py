@@ -203,3 +203,23 @@ def test_flash_attention_bfloat16():
         np.testing.assert_allclose(
             np.asarray(g16, np.float32), np.asarray(g32), atol=6e-2
         )
+
+
+def test_tri_schedule_enumerates_exactly_the_live_tiles():
+    """Plain causal attention walks a flat grid of exactly the live
+    (q, kv) tiles (scalar-prefetch enumeration) — about half the
+    rectangular grid's steps and DMAs."""
+    from exprgrad_tpu.ops.attention import _tri_schedule
+
+    num_q = num_kv = 16
+    q_of, kv_of, first, last = _tri_schedule(num_q, num_kv, 128, 128, "q")
+    assert len(q_of) == num_q * (num_q + 1) // 2  # triangle, not square
+    # every enumerated tile is causally live; bands start/end correctly
+    for t in range(len(q_of)):
+        assert kv_of[t] <= q_of[t]
+        assert (kv_of[t] == 0) == bool(first[t])
+        assert (kv_of[t] == q_of[t]) == bool(last[t])
+    kq, kk, kf, kl = _tri_schedule(num_q, num_kv, 128, 128, "kv")
+    assert len(kq) == len(q_of)
+    for t in range(len(kq)):
+        assert kk[t] <= kq[t]
