@@ -971,6 +971,23 @@ def main() -> None:
         details["conv2_error"] = str(err)
 
     _flush_details()
+    _log("bench: conv2 bf16 ...")
+    try:
+        cg16, ct16, rg16, sp16 = bench_conv2(dtype="bfloat16", reps=5)
+        details["conv2_bf16"] = {
+            "gflops": round(cg16, 1),
+            "mfu_vs_197tflops": round(cg16 * 1e9 / roofline0, 4),
+            "raw_lax_conv_gflops": round(rg16, 1),
+            "spread": sp16,
+            "note": "same workload as conv2_b32... but bf16 operands "
+                    "(f32 accumulation) — the MXU-native dtype",
+        }
+        _log(f"bench: conv2 bf16 {cg16:.0f} GFLOP/s "
+             f"({cg16 * 100 / roofline0 * 1e9:.1f}% MFU)")
+    except Exception as err:
+        details["conv2_bf16_error"] = str(err)
+
+    _flush_details()
     _log("bench: mnist epoch ...")
     try:
         epoch_time, samples_per_s = bench_mnist_epoch()
