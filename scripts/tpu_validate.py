@@ -204,6 +204,54 @@ def main() -> None:
     assert ustats.get("pallas-mapreduce") == 1, ustats
     print("WINDOWED/STRIDED PALLAS FAMILY OK", flush=True)
 
+    # masked ragged tiles + iterator masks on REAL Mosaic (interpret
+    # mode cannot catch chip-side layout rejections): a non-dividing-
+    # tile matmul (padded blocks, sliced output), a ragged lane-axis
+    # reduction (identity-masked padding), and a causal iterator mask
+    # (broadcasted_iota blocks) — round-4 emitter features
+    from exprgrad_tpu import exp
+
+    y_, x_, it_ = _iters("y", "x", "it")
+    rc = Fun("rc")
+    av_in, bv_in = input("ra"), input("rb")
+    rc[y_, x_] = av_in[y_, it_] * bv_in[it_, x_]
+    rc.schedule(tile={"y": 16, "x": 48, "it": 100}, parallel=["y", "x"])
+    rm = compile(rc.target("rc"), backend="jax", schedule_mode="force")
+    rav = rng.normal(size=(37, 211)).astype(np.float32)
+    rbv = rng.normal(size=(211, 93)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(rm.call("rc", {"ra": rav, "rb": rbv}))
+    print(f"masked ragged matmul: {time.time()-t0:.1f}s", flush=True)
+    np.testing.assert_allclose(got, rav @ rbv, rtol=1e-4, atol=1e-4)
+    assert rm.lowering_stats("rc").get("pallas") == 1
+
+    y_, x_ = _iters("y", "x")
+    rr = Fun("rr")
+    rin = input("rin")
+    rr[y_] = exp(rin[y_, x_])
+    rr.schedule(tile={"x": 100})  # 200 -> 128-blocks, padded to 256
+    rrm = compile(rr.target("rr"), backend="jax", schedule_mode="force")
+    rv = rng.normal(size=(16, 200)).astype(np.float32)
+    got = np.asarray(rrm.call("rr", {"rin": rv}))
+    np.testing.assert_allclose(got, np.exp(rv).sum(axis=1), rtol=1e-5)
+    assert rrm.lowering_stats("rr").get("pallas-mapreduce") == 1
+
+    from exprgrad_tpu import select as _select
+
+    q_, k_ = _iters("q", "k")
+    cm = Fun("cm")
+    cin = input("cin")
+    cm[q_, k_] = _select(k_ <= q_, cin[q_, k_], 0.0)
+    cm.schedule(tile={"q": 64})
+    cmm = compile(cm.target("cm"), backend="jax", schedule_mode="force")
+    cv = rng.normal(size=(256, 128)).astype(np.float32)
+    got = np.asarray(cmm.call("cm", {"cin": cv}))
+    want = np.where(np.arange(128)[None, :] <= np.arange(256)[:, None],
+                    cv, 0.0)
+    np.testing.assert_allclose(got, want)
+    assert cmm.lowering_stats("cm").get("pallas-mapreduce") == 1
+    print("MASKED/ITERATOR PALLAS OK", flush=True)
+
     # flash_transformer: one real train step on-chip (extern fused
     # attention through the symbolic backward), finite + loss sane
     from exprgrad_tpu.models import flash_transformer
