@@ -42,6 +42,10 @@ _DEFAULTS = {
     "pallas_matmul_tflops": 2.0,
     "xla_elementwise_gbps": 600.0,
     "pallas_elementwise_gbps": 600.0,
+    # flash attention kernel rate, measured directly by the calibration
+    # (round-1 on-chip: ~6.4 TFLOP/s at the bench shape; the generic
+    # pallas_matmul rate is NOT representative of the flash kernels)
+    "flash_attention_tflops": 6.4,
     # per-pallas_call launch overhead observed through this platform
     "pallas_launch_us": 1000.0,
 }
@@ -166,7 +170,7 @@ class SchedulePolicy:
         )
         pallas_s = (
             c["pallas_launch_us"] * 1e-6
-            + flops / (c["pallas_matmul_tflops"] * 1e12)
+            + flops / (c["flash_attention_tflops"] * 1e12)
         )
         if pallas_s < xla_s:
             return Decision(

@@ -150,6 +150,25 @@ def main() -> None:
     constants["pallas_launch_us"] = float(launch_us)
     flush()
 
+    # --- flash attention rate (drives policy.attention) -----------------
+    from exprgrad_tpu.ops.attention import flash_attention
+
+    ab, ah, asq, ad = 8, 4, 1024, 128
+    qa = jnp.asarray(
+        rng.normal(size=(ab, ah, asq, ad)).astype(np.float32) * 0.1
+    )
+    t_fl = _time_chain(
+        lambda x: flash_attention(x, qa, qa, causal=True), qa
+    )
+    fl_flops = 4.0 * ab * ah * asq * asq * ad * 0.5  # causal
+    constants["flash_attention_tflops"] = float(fl_flops / t_fl / 1e12)
+    table.append({
+        "kernel": f"flash attention b{ab} h{ah} s{asq} d{ad} causal",
+        "flash_tflops": constants["flash_attention_tflops"],
+    })
+    print(table[-1], flush=True)
+    flush()
+
     # --- map/reduce family through the compiler -------------------------
     from exprgrad_tpu import Fun, compile, input as eg_input, iters, exp
 
