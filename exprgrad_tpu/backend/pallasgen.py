@@ -303,7 +303,8 @@ class PallasMatmul:
         # Zero padding is exact for a contraction (pad rows/cols are sliced
         # away; pad k contributes 0 to every dot product).
         def tile_for(
-            axis: int, default: int, extent: int, align: int
+            axis: int, default: int, extent: int, align: int,
+            cap: int = 512,
         ) -> tuple[int, int]:
             """Return (block, padded_extent) for one problem dim."""
             loop = next(l for l in kernel.loops if low.axis_of_reg[l.iter_reg] == axis)
@@ -321,11 +322,13 @@ class PallasMatmul:
                 # honor the user's tile as closely as Mosaic allows
                 size = min(_round_up(size, align), aligned_extent)
             else:
-                # no explicit tile on a ragged extent: prefer one padded
-                # whole-dim block when it is within the default budget
+                # no explicit tile on a ragged extent: one padded
+                # whole-dim block when it fits the block-size budget
+                # (e.g. 100 -> one 104-row block, not two 96-row blocks
+                # padded to 192), else the aligned default
                 size = (
                     aligned_extent
-                    if aligned_extent <= max(default, align)
+                    if aligned_extent <= cap
                     else _round_up(default, align)
                 )
             return size, _round_up(extent, size)
@@ -859,13 +862,10 @@ class PallasMapReduce:
         # emits any computed body at clgen.nim:249-257)
         defined = set(self.read_axes)
         self.iter_axes: dict[int, int] = {}  # expr register -> loop axis
-        self.used_reads: set[int] = set()
         for instr in kernel.expr.instrs:
             if instr.op not in _MAPREDUCE_OPS:
                 return self._decline(f"unsupported op {instr.op.value}")
             for arg in instr.args:
-                if arg in self.read_axes:
-                    self.used_reads.add(arg)
                 if arg not in defined:
                     axis = low.axis_of_reg.get(arg)
                     if axis is None:
