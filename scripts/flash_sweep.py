@@ -134,6 +134,42 @@ def main() -> None:
                 print(f"flash {bq}x{bk} fwd ERROR: {err}", flush=True)
             RESULTS["flash_fwd_gflops"] = sweep
             flush()
+    # bf16 operands on the best config so far (half the DMA bytes; the
+    # softmax still accumulates f32 in VMEM)
+    try:
+        best_key = max(
+            (kv for kv in sweep.items() if isinstance(kv[1], float)),
+            key=lambda kv: kv[1],
+        )[0]
+        bq, bk = map(int, best_key.split("x"))
+        q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+        def fn16(q_, k_, v_):
+            return flash_attention(q_, k_, v_, causal=causal,
+                                   block_q=bq, block_k=bk)
+
+        def chained16(q_, k_, v_):
+            cur = q_
+            for _ in range(chain):
+                cur = fn16(cur, k_, v_)
+            return cur
+
+        jitted = jax.jit(chained16)
+        _ = float(jnp.sum(jitted(q16, k16, v16).astype(jnp.float32)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(jitted(q16, k16, v16).astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        RESULTS["flash_bf16_gflops"] = {
+            best_key: round(flops / (best / chain) / 1e9, 1)
+        }
+        print(f"flash bf16 {best_key}: "
+              f"{flops / (best / chain) / 1e9:.0f} GFLOP/s", flush=True)
+    except Exception as err:
+        RESULTS["flash_bf16_gflops"] = f"error: {err}"[:160]
+    flush()
+
     # backward for the best two fwd configs + the default
     ranked = sorted(
         (kv for kv in sweep.items() if isinstance(kv[1], float)),
