@@ -15,19 +15,19 @@ from exprgrad_tpu import Fun, compile, exp, input, iters, maximum, select
 M, K, N = 64, 128, 128
 
 
-def _build_chain(rng):
+def _build_chain(rng, m=M, k=K, n=N):
     """Random scheduled matmul + 0-3 elementwise follow-up kernels."""
     y, x, it = iters("y", "x", "it")
     a, b = input("a"), input("b")
-    inputs = {"a": (M, K), "b": (K, N)}
+    inputs = {"a": (m, k), "b": (k, n)}
     c = Fun("c")
     transposed = rng.random() < 0.3
     if transposed:
         c[x, y] = a[y, it] * b[it, x]
-        rows, cols = N, M
+        rows, cols = n, m
     else:
         c[y, x] = a[y, it] * b[it, x]
-        rows, cols = M, N
+        rows, cols = m, n
     c.schedule(tile={"y": 32, "x": 128, "it": 128}, parallel=["y", "x"])
 
     # optionally a second accumulating writer (bias-style)
@@ -76,6 +76,31 @@ def _build_chain(rng):
 def test_fusion_chain_fuzz(seed):
     rng = np.random.default_rng(seed)
     graph, inputs = _build_chain(rng)
+    args = {
+        name: rng.normal(size=shape).astype(np.float32) * 0.5
+        for name, shape in inputs.items()
+    }
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        forced = compile(graph, backend="jax", schedule_mode="force")
+        plain = compile(graph, backend="jax", schedule_mode="ignore")
+        got = forced.call("out", args)
+        want = plain.call("out", args)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fusion_chain_fuzz_ragged(seed):
+    """Same chains over NON-tile-aligned problem shapes: the fused
+    kernel runs on padded blocks (masked matmul path) and must agree
+    with the pure-XLA lowering bit-for-tolerance."""
+    rng = np.random.default_rng(9000 + seed)
+    m = int(rng.choice([30, 57, 100]))
+    k = int(rng.choice([50, 130, 200]))
+    n = int(rng.choice([70, 93, 150]))
+    graph, inputs = _build_chain(rng, m, k, n)
     args = {
         name: rng.normal(size=shape).astype(np.float32) * 0.5
         for name, shape in inputs.items()
