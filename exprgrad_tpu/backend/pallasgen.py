@@ -790,20 +790,22 @@ class PallasMapReduce:
             return self._decline("write axes not in loop order")
 
         self.read_axes: dict[int, list[int]] = {}  # data reg -> axes
-        # data reg -> per-dim ("iter"|"stride"|"div", param, offset)
+        # data reg -> per-dim ("iter"|"stride"|"div"|"slice", param, off[, D])
         self.read_plans: dict[int, list[tuple]] = {}
+        # axes that must stay whole-in-block (shifted-slice reads)
+        self.whole_axes: set[int] = set()
         lane_axis = n - 1  # embedded lane dim (after rank-1 padding too)
         for read in kernel.reads:
             if read.is_raw:
                 return self._decline("raw read")
             shape = low.shapes[read.tensor]
             axes = []
-            plans = []  # per dim: ("iter", 1, 0) | ("stride", s, c) | ("div", k, 0)
+            plans = []  # per dim: (kind, param, offset, whole_D)
             for d, index in enumerate(read.dims):
                 axis = low._pure_iter(index)
                 if axis is not None and low._full_axis(axis, shape[d]):
                     axes.append(axis)
-                    plans.append(("iter", 1, 0))
+                    plans.append(("iter", 1, 0, 0))
                     continue
                 # windowed/strided read family: s*i + c (pool windows,
                 # shifted stencils) and i // k (upsampling) — the
@@ -816,10 +818,6 @@ class PallasMapReduce:
                         "read index is not a single-iterator form"
                     )
                 axis = next(iter(deps))
-                if axis == lane_axis:
-                    return self._decline(
-                        "transformed read on the lane axis"
-                    )
                 L = low.sizes[axis]
                 vec = low._static_dim_vector(index, axis)
                 if vec is None or vec.shape != (L,):
@@ -830,19 +828,41 @@ class PallasMapReduce:
                 c0 = int(vec[0])
                 s = int(vec[1] - vec[0]) if L > 1 else 1
                 if s >= 1 and np.array_equal(vec, np.arange(L) * s + c0):
-                    if not (0 <= c0 < s) or D != s * L:
-                        return self._decline(
-                            "affine read offset/extent is not "
-                            "block-coverable (needs 0 <= c < s, dim = s*L)"
-                        )
-                    axes.append(axis)
-                    plans.append(("stride", s, c0))
-                    continue
+                    if axis != lane_axis and 0 <= c0 < s and D == s * L:
+                        # block-coverable phase read (pool windows):
+                        # blocks cover the s-wide band, strided slice
+                        # in-kernel — the axis may still tile/grid
+                        axes.append(axis)
+                        plans.append(("stride", s, c0, 0))
+                        continue
+                    if c0 + s * (L - 1) < D and (
+                        axis != lane_axis or s == 1
+                    ):
+                        # general shifted stencil (blur: img[y, x + 1]):
+                        # the read keeps the WHOLE dim resident per
+                        # block and takes a static in-kernel slice; the
+                        # axis must not tile/grid (overlapping windows
+                        # cannot be expressed as disjoint blocks).  On
+                        # the lane axis only contiguous shifts (s == 1)
+                        # are attempted (strided lane slices are
+                        # Mosaic-hostile).
+                        axes.append(axis)
+                        plans.append(("slice", s, c0, D))
+                        self.whole_axes.add(axis)
+                        continue
+                    return self._decline(
+                        "affine read exceeds the tensor extent or is a "
+                        "strided lane-axis slice"
+                    )
+                if axis == lane_axis:
+                    return self._decline(
+                        "transformed read on the lane axis"
+                    )
                 if D >= 1 and L % D == 0 and np.array_equal(
                     vec, np.repeat(np.arange(D), L // D)
                 ):
                     axes.append(axis)
-                    plans.append(("div", L // D, 0))
+                    plans.append(("div", L // D, 0, 0))
                     continue
                 return self._decline(
                     "read index is neither affine (s*i + c) nor a "
@@ -908,7 +928,18 @@ class PallasMapReduce:
         if leaves is None or len(leaves) < 2:
             return False
         red = set(self.red_axes)
-        covering = sum(1 for reg in leaves if red & set(self.read_axes[reg]))
+
+        def covers_red_plainly(reg) -> bool:
+            # the einsum path only takes PLAIN iterator reads: a leaf
+            # covering the reduction through a transformed plan (shifted
+            # correlation a[y, x] * a[y, x+1]) is not routable there
+            return any(
+                a in red and plan[0] == "iter"
+                for a, plan in zip(self.read_axes[reg],
+                                   self.read_plans[reg])
+            )
+
+        covering = sum(1 for reg in leaves if covers_red_plainly(reg))
         return covering >= 2
 
     def _plan_blocks(self) -> bool:
@@ -943,7 +974,7 @@ class PallasMapReduce:
 
         req = {a: align_of(a) for a in range(n)}
         for data, axes in self.read_axes.items():
-            for a, (kind, p, _c) in zip(axes, self.read_plans[data]):
+            for a, (kind, p, _c, _D) in zip(axes, self.read_plans[data]):
                 if kind == "div":
                     need = p * align_of(a)
                     req[a] = req[a] * need // gcd(req[a], need)
@@ -951,7 +982,7 @@ class PallasMapReduce:
         def _iter_only(axis: int) -> bool:
             """Every read covering ``axis`` reads it as a plain iterator."""
             for data, axes in self.read_axes.items():
-                for a, (kind, _p, _c) in zip(axes, self.read_plans[data]):
+                for a, (kind, _p, _c, _D) in zip(axes, self.read_plans[data]):
                     if a == axis and kind != "iter":
                         return False
             return True
@@ -959,11 +990,21 @@ class PallasMapReduce:
         self.pad_sizes = list(sizes)
         user_tiled: set[int] = set()
         shared: set[int] = set()
+        shared.update(self.whole_axes)  # shifted-slice reads: overlapping
+        # windows cannot be expressed as disjoint blocks, so those axes
+        # stay whole-in-block (like share_cache)
         for axis, loop in enumerate(loops):
             if loop.schedule.share_cache:
                 shared.add(axis)  # whole extent stays resident
                 continue
             if not loop.schedule.tile:
+                continue
+            if axis in self.whole_axes:
+                if min(loop.schedule.tile_size, sizes[axis]) < sizes[axis]:
+                    return self._decline(
+                        f"loop {axis} carries a shifted-slice read and "
+                        f"cannot tile (overlapping windows)"
+                    )
                 continue
             t = min(loop.schedule.tile_size, sizes[axis])
             if sizes[axis] % t == 0 and (
@@ -1013,13 +1054,15 @@ class PallasMapReduce:
             total = 0
             for read in kernel.reads:
                 elems = 1
-                for a, (kind, p, _c) in zip(
+                for a, (kind, p, _c, D_) in zip(
                     self.read_axes[read.data], self.read_plans[read.data]
                 ):
                     if kind == "stride":
                         elems *= block[a] * p
                     elif kind == "div":
                         elems *= max(1, block[a] // p)
+                    elif kind == "slice":
+                        elems *= D_  # whole dim resident
                     else:
                         elems *= block[a]
                 # double-buffered DMA block + the f32 copy the kernel makes
@@ -1153,21 +1196,29 @@ class PallasMapReduce:
             axes = self.read_axes[read.data]
             plans = self.read_plans[read.data]
             extents, pextents, blocks, transforms = [], [], [], []
-            for a, (kind, p, c) in zip(axes, plans):
+            for a, (kind, p, c, D_) in zip(axes, plans):
                 if kind == "stride":
                     # input block covers the s-wide window band; the
                     # kernel takes the phase-c strided slice
                     extents.append(sizes[a] * p)
                     pextents.append(sizes[a] * p)
                     blocks.append(block[a] * p)
-                    transforms.append((a + pad, "stride", p, c))
+                    transforms.append((a + pad, "stride", p, c, 0))
                 elif kind == "div":
                     # input block is 1/k of the output block; the kernel
                     # repeats each element k times
                     extents.append(sizes[a] // p)
                     pextents.append(sizes[a] // p)
                     blocks.append(max(1, block[a] // p))
-                    transforms.append((a + pad, "div", p, 0))
+                    transforms.append((a + pad, "div", p, 0, 0))
+                elif kind == "slice":
+                    # shifted stencil: the whole dim rides in every
+                    # block; the kernel takes the static (offset c,
+                    # stride p) slice of loop-extent length
+                    extents.append(D_)
+                    pextents.append(D_)
+                    blocks.append(D_)
+                    transforms.append((a + pad, "slice", p, c, sizes[a]))
                 else:
                     extents.append(sizes[a])
                     pextents.append(psizes[a])
@@ -1208,11 +1259,16 @@ class PallasMapReduce:
                 kernel.reads, refs[:n_reads], read_transforms
             ):
                 val = ref[...].astype(jnp.float32)
-                for pos, kind, p, c in transforms:
+                for pos, kind, p, c, L in transforms:
                     if kind == "stride":
                         width = val.shape[pos] // p
                         val = jax.lax.slice_in_dim(
                             val, c, c + p * (width - 1) + 1, stride=p,
+                            axis=pos,
+                        )
+                    elif kind == "slice":
+                        val = jax.lax.slice_in_dim(
+                            val, c, c + p * (L - 1) + 1, stride=p,
                             axis=pos,
                         )
                     else:  # div: expand each input element k times

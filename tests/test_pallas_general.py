@@ -514,3 +514,83 @@ def test_masked_ragged_reduction_identity_max():
     got = model.call("mx", {"a": av})
     np.testing.assert_allclose(got, av.max(axis=1), rtol=1e-6)
     assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_shifted_stencil_blur_kernel():
+    """The reference's blur family: reads at shifted indices (x + c)
+    under an explicitly bounded iterator (test_model.py blur kernels).
+    The shifted axis stays whole-in-block and the kernel takes static
+    slices (clgen emits any computed body, clgen.nim:249-257)."""
+    from exprgrad_tpu import irange
+
+    img = input("img")
+    out = Fun("out")
+    y = iters("y")
+    x = irange("x", 0, img.shape[1] - 2)
+    out[y, x] = (img[y, x] + img[y, x + 1] + img[y, x + 2]) * (1.0 / 3.0)
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=(64, 130)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"img": v})
+    want = (v[:, :128] + v[:, 1:129] + v[:, 2:130]) / 3.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_shifted_stencil_sublane_axis():
+    """Shifted reads on a non-lane axis (y + c), with the shifted axis
+    whole and the lane axis tiled."""
+    from exprgrad_tpu import irange
+
+    img = input("img")
+    out = Fun("out")
+    y = irange("y", 0, img.shape[0] - 1)
+    x = iters("x")
+    out[y, x] = img[y, x] - img[y + 1, x]
+    out.schedule(tile={"x": 128})
+    rng = np.random.default_rng(32)
+    v = rng.normal(size=(33, 256)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"img": v})
+    np.testing.assert_allclose(got, v[:32] - v[1:33], rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_shifted_stencil_reduction():
+    """Shift + reduce: a 1-D correlation out[y] += a[y, x] * k-ish shifted
+    read combination (the shifted axis is the reduction)."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    out = Fun("out")
+    y = iters("y")
+    x = irange("x", 0, a.shape[1] - 1)
+    out[y] = a[y, x] * a[y, x + 1]
+    out.schedule(tile={"y": 8})
+    rng = np.random.default_rng(33)
+    v = rng.normal(size=(16, 129)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": v})
+    want = (v[:, :128] * v[:, 1:129]).sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_shifted_tile_on_shifted_axis_declines():
+    """Tiling the shifted axis is impossible (overlapping windows);
+    the schedule falls back with the reason."""
+    from exprgrad_tpu import irange
+
+    img = input("img")
+    out = Fun("out")
+    y = irange("y", 0, img.shape[0] - 1)
+    x = iters("x")
+    out[y, x] = img[y, x] + img[y + 1, x]
+    out.schedule(tile={"y": 8, "x": 128})
+    rng = np.random.default_rng(34)
+    v = rng.normal(size=(32, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning, match="shifted-slice"):
+        got = model.call("out", {"img": v})
+    np.testing.assert_allclose(got, v[:31] + v[1:32], rtol=1e-6)
