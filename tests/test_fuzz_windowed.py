@@ -36,12 +36,19 @@ def _build(rng):
         shape = []
         for a in range(3):
             kind = "iter" if a == 2 else rng.choice(
-                ["iter", "iter", "stride2", "stride3", "div2", "div4"]
+                ["iter", "iter", "stride2", "stride3", "div2", "div4",
+                 "shift1", "shift3"]
             )
             L = SIZES[a]
             if kind == "iter":
                 plans.append(("iter", 1))
                 shape.append(L)
+            elif kind == "shift1":
+                plans.append(("shift", 1))
+                shape.append(L + 1)
+            elif kind == "shift3":
+                plans.append(("shift", 3))
+                shape.append(L + 3)
             elif kind == "stride2":
                 plans.append(("stride", 2))
                 shape.append(2 * L)
@@ -63,6 +70,8 @@ def _build(rng):
             for a, (kind, p) in enumerate(plans):
                 if kind == "iter":
                     dims.append(its[a])
+                elif kind == "shift":
+                    dims.append(its[a] + p)
                 elif kind == "stride":
                     dims.append(its[a] * p + phases[a])
                 else:
