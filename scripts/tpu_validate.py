@@ -250,6 +250,25 @@ def main() -> None:
                     cv, 0.0)
     np.testing.assert_allclose(got, want)
     assert cmm.lowering_stats("cm").get("pallas-mapreduce") == 1
+    # shifted-stencil reads (blur family): lane-axis contiguous shift is
+    # the Mosaic-risky case (unaligned lane slice of a VMEM block)
+    from exprgrad_tpu import irange as _irange
+
+    bimg = input("bimg")
+    blur = Fun("blur")
+    y_ = _iters("y")
+    x_ = _irange("x", 0, bimg.shape[1] - 2)
+    blur[y_, x_] = (bimg[y_, x_] + bimg[y_, x_ + 1]
+                    + bimg[y_, x_ + 2]) * (1.0 / 3.0)
+    blur.schedule(tile={"y": 16})
+    bm = compile(blur.target("blur"), backend="jax", schedule_mode="force")
+    bv = rng.normal(size=(64, 514)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(bm.call("blur", {"bimg": bv}))
+    print(f"scheduled blur (lane shift): {time.time()-t0:.1f}s", flush=True)
+    want = (bv[:, :512] + bv[:, 1:513] + bv[:, 2:514]) / 3.0
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert bm.lowering_stats("blur").get("pallas-mapreduce") == 1
     print("MASKED/ITERATOR PALLAS OK", flush=True)
 
     # flash_transformer: one real train step on-chip (extern fused
