@@ -781,7 +781,14 @@ class PallasMapReduce:
         out_axes: list[int] = []
         for d, index in enumerate(write.dims):
             axis = low._pure_iter(index)
-            if axis is None or not low._full_axis(axis, out_shape[d]):
+            if axis is None:
+                # constant-0 position into a size-1 dim: the loss/scalar
+                # family (loss[0] = ...) — every loop axis reduces
+                if (not index.setup and not index.factors
+                        and index.constant == 0 and out_shape[d] == 1):
+                    continue
+                return self._decline("write index is not a full-range iterator")
+            if not low._full_axis(axis, out_shape[d]):
                 return self._decline("write index is not a full-range iterator")
             out_axes.append(axis)
         if len(set(out_axes)) != len(out_axes):
@@ -1350,6 +1357,9 @@ class PallasMapReduce:
             value = value[
                 tuple(slice(0, sizes[a]) for a in self.out_axes)
             ]
+        # constant-0 write dims (loss[0] = ...) re-expand to the tensor
+        # shape (size-1 dims the axis loop skipped)
+        value = value.reshape(low.shapes[write.tensor])
 
         prev = tensors[write.tensor]
         if mode == "add":

@@ -594,3 +594,38 @@ def test_shifted_tile_on_shifted_axis_declines():
     with pytest.warns(ScheduleWarning, match="shifted-slice"):
         got = model.call("out", {"img": v})
     np.testing.assert_allclose(got, v[:31] + v[1:32], rtol=1e-6)
+
+
+def test_scheduled_scalar_loss_kernel():
+    """The loss family: loss[0] = expr reduces every loop axis into a
+    size-1 output — scheduled, it lowers as an all-reduce Pallas kernel."""
+    a, b = input("a"), input("b")
+    loss = Fun("loss")
+    y, x = iters("y", "x")
+    loss[0] = sq(a[y, x] - b[y, x])
+    loss.schedule(tile={"y": 16})
+    rng = np.random.default_rng(41)
+    av = rng.normal(size=(64, 128)).astype(np.float32)
+    bv = rng.normal(size=(64, 128)).astype(np.float32)
+    model = compile(loss.target("loss"), backend="jax",
+                    schedule_mode="force")
+    got = model.call("loss", {"a": av, "b": bv})
+    np.testing.assert_allclose(
+        got, [((av - bv) ** 2).sum()], rtol=1e-5
+    )
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_scalar_max_kernel():
+    """Global max into a size-1 output through the masked identity."""
+    a = input("a")
+    mx = Fun("mx")
+    y, x = iters("y", "x")
+    mx.maximize[0] = a[y, x]
+    mx.schedule(tile={"x": 100})  # ragged lane tile too
+    rng = np.random.default_rng(42)
+    av = (-1 - np.abs(rng.normal(size=(16, 200)))).astype(np.float32)
+    model = compile(mx.target("mx"), backend="jax", schedule_mode="force")
+    got = model.call("mx", {"a": av})
+    np.testing.assert_allclose(got, [av.max()], rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
