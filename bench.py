@@ -90,6 +90,64 @@ def bench_matmul(n: int = 8192, dtype: str = "float32",
     return med, sorted(elapsed)[len(elapsed) // 2], rates
 
 
+def bench_matmul_scheduled(n: int = 4096, chain: int = 4, reps: int = 3):
+    """The schedule-driven Pallas matmul vs the einsum path at the SAME
+    size through the compiled executor (VERDICT r3 #1's done criterion:
+    scheduled within 2x of einsum, or the measured gap on record).
+
+    Returns (pallas_gflops, einsum_gflops, pallas_samples)."""
+    import jax
+
+    from exprgrad_tpu import Fun, compile, input, iters as dsl_iters
+    from exprgrad_tpu.backend.executor import JaxExecutor
+    from exprgrad_tpu.passes import infer_shapes
+
+    rng = np.random.default_rng(0)
+    scale = 1.0 / np.sqrt(n)
+    a = jax.device_put((rng.normal(size=(n, n)) * scale).astype(np.float32))
+    b = jax.device_put((rng.normal(size=(n, n)) * scale).astype(np.float32))
+
+    def build(schedule: bool):
+        y, x, it = dsl_iters("y", "x", "it")
+        c = Fun("c")
+        c[y, x] = input("a")[y, it] * input("b")[it, x]
+        if schedule:
+            c.schedule(tile={"y": 512, "x": 512, "it": 512},
+                       parallel=["y", "x"])
+        model = compile(c.target("c"),
+                        schedule_mode="force" if schedule else "ignore",
+                        precision="default")
+        program = model.program
+        a_id, b_id = program.inputs["a"], program.inputs["b"]
+        out_id = program.targets["c"].output
+        shapes = infer_shapes(program, "c",
+                              [(a_id, [n, n]), (b_id, [n, n])])
+        ex = JaxExecutor(program, "c", shapes, precision="default",
+                         schedule_mode="force" if schedule else "ignore")
+        return lambda lhs: ex._fn({a_id: lhs, b_id: b}, 0, 0)[out_id], ex
+
+    def rate(step):
+        _fetch(step(a))  # compile + warmup
+        samples = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            cur = a
+            for _ in range(chain):
+                cur = step(cur)
+            _fetch(cur)
+            samples.append(2 * n**3 / ((time.perf_counter() - t) / chain)
+                           / 1e9)
+        return samples
+
+    step_pl, ex_pl = build(True)
+    pl_samples = rate(step_pl)
+    assert ex_pl.stats.get("pallas") == 1, ex_pl.stats
+    step_xla, _ = build(False)
+    xla_samples = rate(step_xla)
+    med = lambda s: sorted(s)[len(s) // 2]
+    return med(pl_samples), med(xla_samples), pl_samples
+
+
 def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
                 dtype="float32", chains=(10, 50), reps=7):
     """Compute-bound conv characterization (honest MFU).
@@ -939,6 +997,24 @@ def main() -> None:
     except Exception as err:
         details["matmul_bf16_error"] = str(err)
     mm_gflops = best_gflops
+
+    _flush_details()
+    _log("bench: scheduled Pallas matmul vs einsum (4096^3) ...")
+    try:
+        pl_g, xla_g, pl_samples = bench_matmul_scheduled()
+        details["matmul4096_scheduled_pallas"] = {
+            "pallas_gflops": round(pl_g, 1),
+            "einsum_gflops": round(xla_g, 1),
+            "ratio_vs_einsum": round(pl_g / xla_g, 3),
+            "spread": _spread(pl_samples),
+            "config": "DSL matmul, schedule tile 512^3 via "
+                      "schedule_mode=force vs the same program on the "
+                      "einsum path; chained dispatches, median of 3",
+        }
+        _log(f"bench: scheduled pallas {pl_g:.0f} vs einsum {xla_g:.0f} "
+             f"GFLOP/s ({pl_g / xla_g:.2f}x)")
+    except Exception as err:
+        details["matmul_scheduled_error"] = str(err)
 
     _flush_details()
     _log("bench: conv2 ...")
