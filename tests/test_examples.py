@@ -226,3 +226,12 @@ def test_production_training_example(tmp_path, monkeypatch, capsys):
     production_training.main(epochs=3)
     out = capsys.readouterr().out
     assert "resumed from epoch" in out and "ok" in out
+
+
+def test_scheduled_kernels_example(capsys):
+    import scheduled_kernels
+
+    scheduled_kernels.main()
+    out = capsys.readouterr().out
+    assert "every scheduled kernel lowered through Pallas" in out
+    assert out.count("pallas") >= 6
