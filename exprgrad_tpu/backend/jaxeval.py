@@ -953,46 +953,45 @@ class KernelLowering:
             policy = SchedulePolicy("force")  # direct/legacy constructions
         fallback_reason = None
         if scheduled and policy.mode != "ignore":
-            if self.dynamic_axes:
-                fallback_reason = "dynamic loop bounds"
-            else:
-                pm = None
-                if not general_only:
-                    pm = PallasMatmul(self, self.kernel)
-                    if pm.ok:
-                        decision = policy.contraction(pm.m, pm.n, pm.k)
-                        if decision.use_pallas:
-                            path = "pallas"
-                            result = pm.lower(tensors)
-                        else:
-                            fallback_reason = decision.reason
-                if result is None and fallback_reason is None:
-                    pmr = PallasMapReduce(self, self.kernel)
-                    if pmr.ok:
-                        decision = policy.mapreduce(pmr.total_bytes)
-                        if decision.use_pallas:
-                            path = "pallas-mapreduce"
-                            result = pmr.lower(tensors)
-                        else:
-                            fallback_reason = decision.reason
+            pm = None
+            if not general_only:
+                pm = PallasMatmul(self, self.kernel)
+                if pm.ok:
+                    decision = policy.contraction(pm.m, pm.n, pm.k)
+                    if decision.use_pallas:
+                        path = "pallas"
+                        result = pm.lower(tensors)
                     else:
-                        # a matmul-shaped kernel that PallasMatmul declined
-                        # LATE (indivisible tile, transposed layout): report
-                        # that specific cause, not map-reduce's generic
-                        # "it's a contraction"
-                        why = pmr.why
-                        if (
-                            pm is not None
-                            and why.startswith("contraction")
-                            and (
-                                "tile sizes" in pm.why
-                                or "transposed" in pm.why
-                            )
-                        ):
-                            why = pm.why
-                        fallback_reason = (
-                            f"unsupported kernel shape ({why})"
+                        fallback_reason = decision.reason
+            if result is None and fallback_reason is None:
+                # the map/reduce emitter also covers dynamic (iterator-
+                # dependent) bounds via in-kernel hull masks
+                pmr = PallasMapReduce(self, self.kernel)
+                if pmr.ok:
+                    decision = policy.mapreduce(pmr.total_bytes)
+                    if decision.use_pallas:
+                        path = "pallas-mapreduce"
+                        result = pmr.lower(tensors)
+                    else:
+                        fallback_reason = decision.reason
+                else:
+                    # a matmul-shaped kernel that PallasMatmul declined
+                    # LATE (indivisible tile, transposed layout): report
+                    # that specific cause, not map-reduce's generic
+                    # "it's a contraction"
+                    why = pmr.why
+                    if (
+                        pm is not None
+                        and why.startswith("contraction")
+                        and (
+                            "tile sizes" in pm.why
+                            or "transposed" in pm.why
                         )
+                    ):
+                        why = pm.why
+                    fallback_reason = (
+                        f"unsupported kernel shape ({why})"
+                    )
         if result is None and not general_only:
             result = self._try_contraction(tensors)
         if result is None and not general_only:

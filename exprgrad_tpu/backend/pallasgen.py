@@ -743,8 +743,13 @@ class PallasMapReduce:
     Layout strategy: every operand is embedded into the full loop-axis rank
     (size-1 dims for axes it does not cover), so blocks broadcast against
     each other with plain jnp semantics and the lane dim is the innermost
-    loop.  Reads must visit axes in loop order (no in-kernel transposes);
-    anything else declines with a reason in ``self.why``.
+    loop.  Reads/writes whose axes are a *permutation* of loop order are
+    transposed into loop order outside the kernel (a cheap XLA pass that
+    usually fuses with the operand pad/copy); dynamic (iterator-dependent)
+    loop bounds iterate their static hull with in-kernel identity masks —
+    the same masked-compute form as the XLA general path (and the
+    reference's bounds guards, passes.nim:2402-2569).  Anything else
+    declines with a reason in ``self.why``.
     """
 
     def __init__(self, lowering, kernel: Kernel):
@@ -757,6 +762,28 @@ class PallasMapReduce:
         self.why = why
         return False
 
+    def _linear_terms(self, index) -> Optional[tuple]:
+        """Split a loop-bound LinearIndex into (const, [(axis, factor)...]).
+
+        Iterator factors stay symbolic (evaluated per grid point as iota
+        blocks in the kernel); everything else — setup registers (shape
+        queries etc.) and the constant — must fold to one exact static
+        int.  Returns None when it cannot."""
+        from ..passes.shapes import eval_linear_interval
+
+        low = self.low
+        terms: list[tuple[int, int]] = []
+        rest = ir.LinearIndex(setup=index.setup, constant=index.constant)
+        for reg, f in index.factors.items():
+            if reg in low.axis_of_reg:
+                terms.append((low.axis_of_reg[reg], f))
+            else:
+                rest.factors[reg] = f
+        iv = eval_linear_interval(rest, low.shapes, {})
+        if iv is None or iv.min != iv.max:
+            return None
+        return int(iv.min), terms
+
     def _classify(self) -> bool:
         low = self.low
         kernel = self.kernel
@@ -765,8 +792,20 @@ class PallasMapReduce:
             return self._decline("raw write")
         if kernel.setup:
             return self._decline("kernel-level setup instructions")
-        if low.dynamic_axes:
-            return self._decline("dynamic loop bounds")
+        # dynamic (iterator-dependent) bounds: iterate the static hull and
+        # mask points outside the true per-point [start, stop) with the
+        # accumulation identity inside the kernel (the masked-compute form
+        # of a triangular loop; reference bounds guards passes.nim:2402-2569)
+        self.dyn_bounds: list[tuple] = []  # (axis, lo_terms, hi_terms)
+        for a in low.dynamic_axes:
+            loop = kernel.loops[a]
+            lo = self._linear_terms(loop.start)
+            hi = self._linear_terms(loop.stop)
+            if lo is None or hi is None:
+                return self._decline(
+                    "dynamic loop bound is not affine in the iterators"
+                )
+            self.dyn_bounds.append((a, lo, hi))
         if not low._bounds_ok:
             return self._decline("empty loop range")
         if any(s != 0 for s in low.starts):
@@ -793,12 +832,18 @@ class PallasMapReduce:
             out_axes.append(axis)
         if len(set(out_axes)) != len(out_axes):
             return self._decline("repeated write iterator")
-        if out_axes != sorted(out_axes):
-            return self._decline("write axes not in loop order")
+        # write dims may visit the loop axes in any order: the kernel
+        # computes its output in loop order and lower() transposes the
+        # result into write-dim order (transpose-family kernels; the
+        # reference's clgen emits any computed body, clgen.nim:249-257)
+        self.write_axes = list(out_axes)
+        out_axes = sorted(out_axes)
 
         self.read_axes: dict[int, list[int]] = {}  # data reg -> axes
         # data reg -> per-dim ("iter"|"stride"|"div"|"slice", param, off[, D])
         self.read_plans: dict[int, list[tuple]] = {}
+        # data reg -> host-side transpose bringing the dims into loop order
+        self.read_perms: dict[int, tuple] = {}
         # axes that must stay whole-in-block (shifted-slice reads)
         self.whole_axes: set[int] = set()
         lane_axis = n - 1  # embedded lane dim (after rank-1 padding too)
@@ -878,7 +923,12 @@ class PallasMapReduce:
             if len(set(axes)) != len(axes):
                 return self._decline("repeated read iterator")
             if axes != sorted(axes):
-                return self._decline("read axes not in loop order")
+                # permuted read: transpose the operand into loop order
+                # outside the kernel (fuses with the operand pad/copy)
+                order = sorted(range(len(axes)), key=lambda i: axes[i])
+                self.read_perms[read.data] = tuple(order)
+                axes = [axes[i] for i in order]
+                plans = [plans[i] for i in order]
             self.read_axes[read.data] = axes
             self.read_plans[read.data] = plans
 
@@ -911,8 +961,11 @@ class PallasMapReduce:
         self.red_axes = [a for a in range(n) if a not in out_axes]
 
         # contraction-shaped kernels (pure product of >=2 reads sharing a
-        # reduction axis) belong on the MXU einsum/PallasMatmul paths
-        if write.accumulate == "add" and self._looks_contraction():
+        # reduction axis) belong on the MXU einsum/PallasMatmul paths —
+        # unless the bounds are dynamic (the MXU paths require static
+        # rectangular iteration; the emitter's hull masks handle it here)
+        if (write.accumulate == "add" and not self.dyn_bounds
+                and self._looks_contraction()):
             return self._decline("contraction (MXU einsum path)")
 
         return self._plan_blocks()
@@ -1078,6 +1131,12 @@ class PallasMapReduce:
             for a in self.out_axes:
                 out_elems *= block[a]
             total += out_elems * (item + 4)  # out block + f32 value
+            # the broadcast elementwise intermediate spans the full loop
+            # rank (out x reduction blocks) before the in-block reduction
+            value_elems = 1
+            for a in range(n):
+                value_elems *= block[a]
+            total += value_elems * 4
             if self.red_grid_axis is not None or any(
                 block[a] < sizes[a] for a in self.red_axes
             ):
@@ -1230,7 +1289,11 @@ class PallasMapReduce:
                     extents.append(sizes[a])
                     pextents.append(psizes[a])
                     blocks.append(block[a])
-            arr = tensors[read.tensor].reshape(embed_shape(axes, extents))
+            arr = tensors[read.tensor]
+            perm = self.read_perms.get(read.data)
+            if perm is not None:
+                arr = jnp.transpose(arr, perm)
+            arr = arr.reshape(embed_shape(axes, extents))
             arr = _pad_to(arr, embed_shape(axes, pextents))
             operands.append(arr)
             in_specs.append(
@@ -1249,6 +1312,7 @@ class PallasMapReduce:
         red_dim = grid_pos.get(self.red_grid_axis) if red_gridded else None
         masked_red = [a for a in self.red_axes if psizes[a] != sizes[a]]
         iter_items = sorted(self.iter_axes.items())
+        dyn_bounds = self.dyn_bounds
 
         def body(*refs):
             o_ref = refs[n_reads]
@@ -1299,6 +1363,25 @@ class PallasMapReduce:
                     value = jnp.broadcast_to(value, shp)
                 value = jnp.where(
                     gidx(a) < sizes[a], value, jnp.float32(identity)
+                )
+            # dynamic-bound masks: hull points outside the true per-point
+            # [start, stop) contribute the accumulation identity (the
+            # masked-compute form of a triangular loop)
+            for a, (lo_c, lo_t), (hi_c, hi_t) in dyn_bounds:
+                p = a + pad
+                if value.shape[p] == 1:
+                    shp = list(value.shape)
+                    shp[p] = block[a]
+                    value = jnp.broadcast_to(value, shp)
+                it = gidx(a)
+                lo = jnp.int32(lo_c)
+                for dep, f in lo_t:
+                    lo = lo + jnp.int32(f) * gidx(dep)
+                hi = jnp.int32(hi_c)
+                for dep, f in hi_t:
+                    hi = hi + jnp.int32(f) * gidx(dep)
+                value = jnp.where(
+                    (it >= lo) & (it < hi), value, jnp.float32(identity)
                 )
             # reduce the in-block reduction extents
             for p in red_positions:
@@ -1357,6 +1440,12 @@ class PallasMapReduce:
             value = value[
                 tuple(slice(0, sizes[a]) for a in self.out_axes)
             ]
+        # permuted write dims: the kernel output is in loop order;
+        # transpose back into write-dim order
+        if self.write_axes != self.out_axes:
+            value = value.transpose(
+                [self.out_axes.index(a) for a in self.write_axes]
+            )
         # constant-0 write dims (loss[0] = ...) re-expand to the tensor
         # shape (size-1 dims the axis loop skipped)
         value = value.reshape(low.shapes[write.tensor])

@@ -269,6 +269,35 @@ def main() -> None:
     want = (bv[:, :512] + bv[:, 1:513] + bv[:, 2:514]) / 3.0
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert bm.lowering_stats("blur").get("pallas-mapreduce") == 1
+
+    # dynamic (triangular) loop bounds: hull iteration + in-kernel
+    # identity masks; and a permuted write (transpose kernel) — the
+    # round-4 generality widenings, proven on real Mosaic
+    ta = input("ta")
+    ty_ = _iters("ty")
+    tx_ = _irange("tx", 0, ty_ + 1)
+    tri = Fun("tri")
+    tri[ty_] = ta[ty_, tx_]
+    tri.schedule(tile={"ty": 32})
+    tm = compile(tri.target("tri"), backend="jax", schedule_mode="force")
+    tv = rng.normal(size=(256, 256)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(tm.call("tri", {"ta": tv}))
+    print(f"scheduled triangular sum: {time.time()-t0:.1f}s", flush=True)
+    np.testing.assert_allclose(got, np.tril(tv).sum(axis=1), rtol=1e-4,
+                               atol=1e-4)
+    assert tm.lowering_stats("tri").get("pallas-mapreduce") == 1
+
+    pa = input("pa")
+    py_, px_ = _iters("py", "px")
+    per = Fun("per")
+    per[px_, py_] = pa[py_, px_] * 2.0
+    per.schedule(tile={"py": 32})
+    pm_ = compile(per.target("per"), backend="jax", schedule_mode="force")
+    pv = rng.normal(size=(64, 128)).astype(np.float32)
+    got = np.asarray(pm_.call("per", {"pa": pv}))
+    np.testing.assert_allclose(got, 2.0 * pv.T, rtol=1e-6)
+    assert pm_.lowering_stats("per").get("pallas-mapreduce") == 1
     print("MASKED/ITERATOR PALLAS OK", flush=True)
 
     # flash_transformer: one real train step on-chip (extern fused

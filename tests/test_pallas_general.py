@@ -629,3 +629,164 @@ def test_scheduled_scalar_max_kernel():
     got = model.call("mx", {"a": av})
     np.testing.assert_allclose(got, [av.max()], rtol=1e-6)
     assert _stats(model).get("pallas-mapreduce") == 1
+
+
+# ---------------------------------------------------------------------------
+# permuted reads/writes + dynamic (triangular) loop bounds
+# ---------------------------------------------------------------------------
+
+
+def test_scheduled_permuted_read():
+    """A read whose axes are a permutation of loop order is transposed
+    into loop order outside the kernel instead of declining."""
+    a, b = input("a"), input("b")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = a[y, x] + b[x, y]
+    out.schedule(tile={"y": 32})
+    rng = np.random.default_rng(51)
+    av = rng.normal(size=(64, 128)).astype(np.float32)
+    bv = rng.normal(size=(128, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av, "b": bv})
+    np.testing.assert_allclose(got, av + bv.T, rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_permuted_read_reduction():
+    """Permuted read feeding an in-kernel reduction."""
+    a, b = input("a"), input("b")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y] = exp(a[y, x]) + b[x, y]
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(52)
+    av = rng.normal(size=(32, 128)).astype(np.float32)
+    bv = rng.normal(size=(128, 32)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av, "b": bv})
+    np.testing.assert_allclose(
+        got, (np.exp(av) + bv.T).sum(axis=1), rtol=1e-5
+    )
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_transpose_kernel():
+    """Write dims out of loop order: a scheduled transpose kernel (the
+    kernel computes in loop order; the result is permuted back)."""
+    a = input("a")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[x, y] = a[y, x] * 2.0
+    out.schedule(tile={"y": 32})
+    rng = np.random.default_rng(53)
+    av = rng.normal(size=(64, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    np.testing.assert_allclose(got, 2.0 * av.T, rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_triangular_sum_pallas():
+    """Dynamic (iterator-dependent) loop bounds lower through Pallas:
+    the kernel iterates the static hull and masks points outside the true
+    per-point [start, stop) with the accumulation identity (reference
+    bounds guards, passes.nim:2402-2569)."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    y = iters("y")
+    x = irange("x", 0, y + 1)
+    out = Fun("out")
+    out[y] = a[y, x]
+    out.schedule(tile={"y": 32})
+    rng = np.random.default_rng(54)
+    av = rng.normal(size=(128, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    np.testing.assert_allclose(got, np.tril(av).sum(axis=1), rtol=1e-5,
+                               atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_triangular_max_pallas():
+    """Dynamic bound with a max reduction: masked positions take the max
+    identity (-inf), so padded/hull points never win."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    y = iters("y")
+    x = irange("x", 0, y + 1)
+    out = Fun("out")
+    out.maximize[y] = a[y, x]
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(55)
+    av = rng.normal(size=(64, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    want = np.array([av[i, : i + 1].max() for i in range(64)])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_dynamic_contraction_pallas():
+    """A contraction under dynamic bounds cannot take the MXU einsum path
+    (static rectangular iteration only) — the emitter keeps it and masks:
+    out[y] += a[y, x] * b[x] over x <= y."""
+    from exprgrad_tpu import irange
+
+    a, b = input("a"), input("b")
+    y = iters("y")
+    x = irange("x", 0, y + 1)
+    out = Fun("out")
+    out[y] = a[y, x] * b[x]
+    out.schedule(tile={"y": 32})
+    rng = np.random.default_rng(56)
+    av = rng.normal(size=(128, 128)).astype(np.float32)
+    bv = rng.normal(size=(128,)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av, "b": bv})
+    np.testing.assert_allclose(got, np.tril(av) @ bv, rtol=1e-4, atol=1e-4)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_dynamic_bound_with_shape_term():
+    """A dynamic stop mixing a shape query with an iterator
+    (x < n - y): the static part folds, the iterator part masks."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    y = irange("y", 0, a.shape[0])
+    x = irange("x", 0, a.shape[1] - y)
+    out = Fun("out")
+    out[y] = a[y, x]
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(57)
+    av = rng.normal(size=(64, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    want = np.array([av[i, : 64 - i].sum() for i in range(64)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_dynamic_oob_hull_declines():
+    """A dynamic kernel whose hull reads out of range (a[x + dx]) still
+    declines to the XLA hull-masked path — with the reason, not silently,
+    and with the right numbers."""
+    from exprgrad_tpu import irange
+
+    a = input("a")
+    x = irange("x", 0, a.shape[0])
+    dx = irange("dx", 0, a.shape[0] - x)
+    out = Fun("out")
+    out[x] = a[x + dx]
+    out.with_shape([a.shape[0]])
+    out.schedule(tile={"x": 8})
+    rng = np.random.default_rng(58)
+    av = rng.normal(size=(32,)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning):
+        got = model.call("out", {"a": av})
+    want = np.array([av[i:].sum() for i in range(32)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
