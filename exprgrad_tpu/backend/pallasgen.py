@@ -115,11 +115,97 @@ _ITER_OPS = {
 _MAPREDUCE_OPS = _ELEMENTWISE_OPS | _ITER_OPS
 
 
+_NOT_STATIC = object()
+
+
+def _eval_static_instr(instr, env: dict, shapes: dict):
+    """Evaluate one instruction to an exact static Python value given an
+    env of static values — the reference's in-expression shape-query /
+    compile-time-arithmetic surface (dsl.nim:109-133).  Returns
+    ``_NOT_STATIC`` when the op (or an argument) is not static."""
+    import math
+
+    from ..passes.shapes import trunc_div, trunc_mod
+
+    op = instr.op
+    if any(r not in env for r in instr.args):
+        return _NOT_STATIC
+    a = [env[r] for r in instr.args]
+    if op == Op.IDX:
+        return instr.index_lit
+    if op == Op.SCALAR:
+        return instr.scalar_lit
+    if op == Op.BOOL:
+        return instr.bool_lit
+    if op in (Op.SHAPE, Op.SHAPE_LEN, Op.LEN):
+        shape = shapes.get(instr.tensor)
+        if shape is None:
+            return _NOT_STATIC
+        if op == Op.SHAPE:
+            return shape[instr.dim]
+        if op == Op.SHAPE_LEN:
+            return len(shape)
+        return int(np.prod(shape, dtype=np.int64))
+    if op == Op.ADD:
+        return a[0] + a[1]
+    if op == Op.SUB:
+        return a[0] - a[1]
+    if op == Op.MUL:
+        return a[0] * a[1]
+    if op == Op.NEG:
+        return -a[0]
+    if op == Op.DIV:
+        return a[0] / a[1]
+    if op == Op.IDX_DIV:
+        return trunc_div(a[0], a[1])
+    if op == Op.MOD:
+        return trunc_mod(a[0], a[1])
+    if op == Op.WRAP:
+        return a[0] % a[1] if a[1] > 0 else _NOT_STATIC
+    if op == Op.TO_SCALAR:
+        return float(a[0])
+    if op == Op.TO_INDEX:
+        return int(a[0])
+    if op == Op.SQRT:
+        return math.sqrt(a[0])
+    if op == Op.EXP:
+        return math.exp(a[0])
+    if op == Op.LN:
+        return math.log(a[0])
+    if op == Op.LOG:
+        return math.log(a[0]) / math.log(a[1])
+    if op == Op.LOG2:
+        return math.log2(a[0])
+    if op == Op.LOG10:
+        return math.log10(a[0])
+    if op == Op.POW:
+        return a[0] ** a[1]
+    if op == Op.SIN:
+        return math.sin(a[0])
+    if op == Op.COS:
+        return math.cos(a[0])
+    if op == Op.EQ:
+        return a[0] == a[1]
+    if op == Op.LT:
+        return a[0] < a[1]
+    if op == Op.LE:
+        return a[0] <= a[1]
+    if op == Op.AND:
+        return a[0] and a[1]
+    if op == Op.OR:
+        return a[0] or a[1]
+    if op == Op.SELECT:
+        return a[1] if a[0] else a[2]
+    return _NOT_STATIC
+
+
 def eval_elementwise(instrs, res, env: dict):
     """Evaluate a scalar-expression instruction list on jnp blocks (f32).
 
     ``env`` maps read data registers to blocks; classification must have
-    checked every op is in _ELEMENTWISE_OPS and every arg is defined."""
+    checked every op is in _ELEMENTWISE_OPS and every arg is defined.
+    Instructions whose result register is pre-seeded in ``env`` (statically
+    folded shape queries) are skipped."""
     import jax.numpy as jnp
 
     from .jaxeval import _trunc_div, _trunc_mod
@@ -127,6 +213,8 @@ def eval_elementwise(instrs, res, env: dict):
     dtype = jnp.float32
     for instr in instrs:
         op = instr.op
+        if instr.res is not None and instr.res in env:
+            continue
         a = [env[x] for x in instr.args]
         if op == Op.SCALAR:
             value = dtype(instr.scalar_lit)
@@ -762,6 +850,21 @@ class PallasMapReduce:
         self.why = why
         return False
 
+    def _static_setup(self) -> Optional[dict]:
+        """Evaluate kernel-level setup instructions to exact static
+        values (shape queries and arithmetic on them — the reference's
+        in-expression ``t.shape[d]``/``len`` surface, dsl.nim:109-133).
+        Returns reg -> python value, or None when any instruction is not
+        statically evaluable (epoch, arrays, debug stay on XLA paths)."""
+        env: dict[int, object] = {}
+        for instr in self.kernel.setup:
+            v = _eval_static_instr(instr, env, self.low.shapes)
+            if v is _NOT_STATIC:
+                return None
+            if instr.res is not None:
+                env[instr.res] = v
+        return env
+
     def _linear_terms(self, index) -> Optional[tuple]:
         """Split a loop-bound LinearIndex into (const, [(axis, factor)...]).
 
@@ -790,8 +893,14 @@ class PallasMapReduce:
         write = kernel.write
         if write is None or write.is_raw:
             return self._decline("raw write")
+        self.setup_env: dict[int, object] = {}
         if kernel.setup:
-            return self._decline("kernel-level setup instructions")
+            env = self._static_setup()
+            if env is None:
+                return self._decline(
+                    "kernel-level setup instructions are not static"
+                )
+            self.setup_env = env
         # dynamic (iterator-dependent) bounds: iterate the static hull and
         # mask points outside the true per-point [start, stop) with the
         # accumulation identity inside the kernel (the masked-compute form
@@ -937,9 +1046,19 @@ class PallasMapReduce:
         # broadcasted_iota index blocks offset by the grid position
         # (index-dependent masks: triangular/banded kernels, clgen.nim
         # emits any computed body at clgen.nim:249-257)
-        defined = set(self.read_axes)
+        defined = set(self.read_axes) | set(self.setup_env)
         self.iter_axes: dict[int, int] = {}  # expr register -> loop axis
+        static_env = dict(self.setup_env)
         for instr in kernel.expr.instrs:
+            # static subexpressions (shape queries and arithmetic over
+            # them) fold to constants seeded into the kernel env — the
+            # mean family out[y] = a[y, x] / n (dsl.nim:109-133)
+            v = _eval_static_instr(instr, static_env, low.shapes)
+            if v is not _NOT_STATIC and instr.res is not None:
+                static_env[instr.res] = v
+                self.setup_env[instr.res] = v
+                defined.add(instr.res)
+                continue
             if instr.op not in _MAPREDUCE_OPS:
                 return self._decline(f"unsupported op {instr.op.value}")
             for arg in instr.args:
@@ -1313,6 +1432,16 @@ class PallasMapReduce:
         masked_red = [a for a in self.red_axes if psizes[a] != sizes[a]]
         iter_items = sorted(self.iter_axes.items())
         dyn_bounds = self.dyn_bounds
+        # static setup registers (shape queries etc.) enter the kernel as
+        # plain scalar constants (python ints keep the static index-op
+        # paths in eval_elementwise; np.float32 pins scalar precision;
+        # jnp arrays would be rejected as captured consts by pallas_call)
+        setup_items = [
+            (reg, bool(v) if isinstance(v, bool)
+             else int(v) if isinstance(v, (int, np.integer))
+             else np.float32(v))
+            for reg, v in sorted(self.setup_env.items())
+        ]
 
         def body(*refs):
             o_ref = refs[n_reads]
@@ -1347,6 +1476,8 @@ class PallasMapReduce:
                 env[read.data] = val
             for reg, axis in iter_items:
                 env[reg] = gidx(axis)
+            for reg, v in setup_items:
+                env[reg] = v
             value = eval_elementwise(kernel.expr.instrs, kernel.expr.res, env)
             value = jnp.asarray(value, jnp.float32)
             if value.ndim != rank:

@@ -790,3 +790,56 @@ def test_scheduled_dynamic_oob_hull_declines():
         got = model.call("out", {"a": av})
     want = np.array([av[i:].sum() for i in range(32)])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_scheduled_shape_query_in_expression():
+    """Static setup instructions (shape queries in the expression —
+    dsl.nim:109-133) fold to scalar constants inside the kernel: the
+    mean family out[y] = a[y, x] / n."""
+    from exprgrad_tpu import to_scalar
+
+    a = input("a")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y] = a[y, x] / to_scalar(a.shape[1])
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(59)
+    av = rng.normal(size=(64, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    np.testing.assert_allclose(got, av.mean(axis=1), rtol=1e-5, atol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_shape_arith_in_expression():
+    """Arithmetic over shape queries in setup (1/sqrt(n) scaling)."""
+    from exprgrad_tpu import sqrt, to_scalar
+
+    a = input("a")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = a[y, x] / sqrt(to_scalar(a.shape[0] * a.shape[1]))
+    out.schedule(tile={"y": 32})
+    rng = np.random.default_rng(60)
+    av = rng.normal(size=(64, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"a": av})
+    np.testing.assert_allclose(
+        got, av / np.sqrt(64.0 * 128.0), rtol=1e-5, atol=1e-7
+    )
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_epoch_still_declines():
+    """epoch() is per-call dynamic — it must fall back with the reason,
+    never bake in a stale constant."""
+    from exprgrad_tpu import epoch, param, to_scalar
+
+    w = param([16, 128], name="w")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = w[y, x] * to_scalar(epoch())
+    out.schedule(tile={"y": 8})
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    with pytest.warns(ScheduleWarning, match="epoch"):
+        model.call("out", {})
