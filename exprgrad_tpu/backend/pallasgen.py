@@ -891,8 +891,10 @@ class PallasMapReduce:
         low = self.low
         kernel = self.kernel
         write = kernel.write
-        if write is None or write.is_raw:
-            return self._decline("raw write")
+        if write is None:
+            return self._decline("no write")
+        if write.is_raw and len(write.dims) != 1:
+            return self._decline("multi-dim raw write")
         self.setup_env: dict[int, object] = {}
         if kernel.setup:
             env = self._static_setup()
@@ -926,6 +928,11 @@ class PallasMapReduce:
 
         n = low.nloops
         out_shape = low.shapes[write.tensor]
+        if write.is_raw:
+            # flat `{i}` access (the activation family, dnn.nim:26-43):
+            # the output is its row-major flattened 1-D view; lower()'s
+            # final reshape restores the true shape
+            out_shape = [int(np.prod(out_shape, dtype=np.int64))]
         out_axes: list[int] = []
         for d, index in enumerate(write.dims):
             axis = low._pure_iter(index)
@@ -955,11 +962,16 @@ class PallasMapReduce:
         self.read_perms: dict[int, tuple] = {}
         # axes that must stay whole-in-block (shifted-slice reads)
         self.whole_axes: set[int] = set()
+        # data regs read through flat `{i}` access (1-D flattened view)
+        self.flat_reads: set[int] = set()
         lane_axis = n - 1  # embedded lane dim (after rank-1 padding too)
         for read in kernel.reads:
-            if read.is_raw:
-                return self._decline("raw read")
             shape = low.shapes[read.tensor]
+            if read.is_raw:
+                if len(read.dims) != 1:
+                    return self._decline("multi-dim raw read")
+                shape = [int(np.prod(shape, dtype=np.int64))]
+                self.flat_reads.add(read.data)
             axes = []
             plans = []  # per dim: (kind, param, offset, whole_D)
             for d, index in enumerate(read.dims):
@@ -1409,6 +1421,8 @@ class PallasMapReduce:
                     pextents.append(psizes[a])
                     blocks.append(block[a])
             arr = tensors[read.tensor]
+            if read.data in self.flat_reads:
+                arr = arr.reshape(-1)
             perm = self.read_perms.get(read.data)
             if perm is not None:
                 arr = jnp.transpose(arr, perm)

@@ -843,3 +843,41 @@ def test_scheduled_epoch_still_declines():
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
     with pytest.warns(ScheduleWarning, match="epoch"):
         model.call("out", {})
+
+
+def test_scheduled_raw_activation_kernel():
+    """Flat `.raw[it]` kernels (the activation family, dnn.nim:26-43)
+    lower as 1-D Pallas map kernels over the flattened view."""
+    inp = input("inp")
+    out = Fun("out")
+    it = iters("it")
+    out.raw[it] = select(inp.raw[it] >= 0.0, inp.raw[it], 0.0)
+    out.schedule(tile={"it": 256})
+    rng = np.random.default_rng(61)
+    v = rng.normal(size=(64, 100)).astype(np.float32)  # ragged flat 6400
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, np.maximum(v, 0.0))
+    assert _stats(model).get("pallas-mapreduce") == 1
+
+
+def test_scheduled_raw_matches_oracle():
+    """Raw flat kernel with mixed expression vs the interp oracle."""
+    a, b = input("a"), input("b")
+    out = Fun("out")
+    it = iters("it")
+    out.raw[it] = exp(a.raw[it] * 0.3) + b.raw[it]
+    out.schedule(tile={"it": 128})
+    rng = np.random.default_rng(62)
+    av = rng.normal(size=(8, 16, 32)).astype(np.float32)
+    bv = rng.normal(size=(8, 16, 32)).astype(np.float32)
+    graph = out.target("out")
+    mj = compile(graph, backend="jax", schedule_mode="force")
+    got = np.asarray(mj.call("out", {"a": av, "b": bv}))
+    want = np.asarray(
+        compile(graph, backend="interp").call("out", {"a": av, "b": bv})
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got, np.exp(av * 0.3) + bv, rtol=2e-5,
+                               atol=1e-5)
+    assert _stats(mj).get("pallas-mapreduce") == 1
