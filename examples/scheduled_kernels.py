@@ -70,7 +70,7 @@ def main() -> None:
     sm.schedule(tile={"y": 64})
     v = rng.normal(size=(256, 512)).astype(np.float32)
     e = np.exp(v - v.max(axis=1, keepdims=True))
-    show("scheduled softmax (3 kernels)",
+    show("scheduled softmax (3 kernels -> ONE fused row-chain kernel)",
          compile(sm.target("sm"), schedule_mode="force"),
          "sm", {"inp": v}, e / e.sum(axis=1, keepdims=True))
 

@@ -58,12 +58,22 @@ class JaxExecutor:
 
         # matmul+epilogue fusion plan: scheduled matmuls whose sole
         # elementwise consumer folds into the Pallas flush step
-        from .pallasgen import plan_epilogue_fusions
+        from .pallasgen import plan_epilogue_fusions, plan_rowchain_fusions
 
         self.fused, self._skip_kernels, fused_away = plan_epilogue_fusions(
             program, self.target, shapes, self.dtype, self.precision,
             self.policy,
         )
+        # map/reduce row-chain fusion plan: scheduled row-op chains
+        # (softmax/layer-norm families) fused into ONE Pallas kernel with
+        # VMEM-resident intermediates (one HBM read instead of 2-3)
+        self.row_fused, row_skip, row_away = plan_rowchain_fusions(
+            program, self.target, shapes, self.dtype, self.precision,
+            self.policy,
+            consumed=self._skip_kernels | set(self.fused),
+        )
+        self._skip_kernels = self._skip_kernels | row_skip
+        fused_away = fused_away | row_away
 
         # jit outputs: ONLY the state the runtime reads back (updated
         # params/caches) and the target's result.  Intermediate RESULT
@@ -159,6 +169,14 @@ class JaxExecutor:
                     )
                     self.stats["pallas-fused"] = (
                         self.stats.get("pallas-fused", 0) + 1
+                    )
+                    continue
+                if i in self.row_fused:
+                    chain = self.row_fused[i]
+                    t2 = chain.kernels[-1].write.tensor
+                    tensors[t2] = chain.lower(tensors)
+                    self.stats["pallas-rowchain"] = (
+                        self.stats.get("pallas-rowchain", 0) + 1
                     )
                     continue
                 KernelLowering(

@@ -1609,3 +1609,553 @@ def _acc_reduce_jnp(vals, axis: int, mode: str):
     if mode == "max":
         return vals.max(axis=axis, keepdims=True)
     return vals.min(axis=axis, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# row-chain fusion: consecutive map/reduce kernels fused into ONE Pallas
+# kernel with VMEM-resident intermediates (softmax: max -> sum -> normalize)
+# ---------------------------------------------------------------------------
+
+
+class PallasRowChain:
+    """A chain of map/reduce kernels fused into one Pallas kernel.
+
+    The canonical case is the reference's two/three-kernel softmax
+    (dnn.nim:90: row max, exp-sum, normalize) — XLA lowers those as 2-3
+    HBM passes over the input; fused, the row block is read ONCE into
+    VMEM, every intermediate (row max, row sums) lives in registers, and
+    only the final result is written back.  Row-family chains (softmax,
+    layer_norm, rms_norm) are bandwidth-bound, so halving the HBM traffic
+    is the schedule-driven win the emitter exists for (the TPU analog of
+    the reference's shared-memory cached fusion, passes.nim:2173-2323).
+
+    Constraints (checked by ``plan_rowchain_fusions``): every member
+    classifies as PallasMapReduce over the SAME loop-size vector; every
+    axis reduced by any member stays whole-in-block (the fused grid runs
+    over row blocks only); intermediates are written once and read only
+    inside the chain.
+    """
+
+    def __init__(self, members: list, member_kernels: list,
+                 slot_of: dict, operands_meta: list, final_idx: int,
+                 block: list, psizes: list, grid_axes: list):
+        self.members = members              # PallasMapReduce per member
+        self.kernels = member_kernels       # ir.Kernel per member
+        self.slot_of = slot_of              # (member_i, data_reg) -> slot
+        self.operands_meta = operands_meta  # per slot: (tid, axes, plans, perm, flat)
+        self.final_idx = final_idx
+        self.block = block
+        self.psizes = psizes
+        self.grid_axes = grid_axes
+        low = members[0].low
+        self.total_bytes = sum(
+            int(np.prod(low.shapes[tid], dtype=np.int64))
+            for tid, _a, _p, _pm, _f in operands_meta
+        ) * np.dtype(low.dtype).itemsize + int(
+            np.prod(low.shapes[member_kernels[-1].write.tensor],
+                    dtype=np.int64)
+        ) * np.dtype(low.dtype).itemsize
+
+    # ------------------------------------------------------------------
+    def lower(self, tensors: dict):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+
+        from ..interp import accumulation_identity
+        from ..ops.mosaic_check import check_specs
+
+        members = self.members
+        final = members[self.final_idx]
+        low = members[0].low
+        n = low.nloops
+        sizes = low.sizes
+        block = self.block
+        psizes = self.psizes
+
+        pad = 1 if n == 1 else 0
+        rank = n + pad
+
+        def embed_shape(axes, extents):
+            shape = [1] * rank
+            for a, e in zip(axes, extents):
+                shape[a + pad] = e
+            return tuple(shape)
+
+        grid = tuple(psizes[a] // block[a] for a in self.grid_axes) or (1,)
+        grid_pos = {a: i for i, a in enumerate(self.grid_axes)}
+
+        def index_map_for(axes):
+            covered = set(axes)
+
+            def index_map(*gids):
+                out = []
+                for d in range(rank):
+                    axis = d - pad
+                    if axis in covered and axis in grid_pos:
+                        out.append(gids[grid_pos[axis]])
+                    else:
+                        out.append(0)
+                return tuple(out)
+
+            return index_map
+
+        # operand arrays + BlockSpecs + in-kernel transforms, one per slot
+        in_specs, operands, slot_transforms = [], [], []
+        for tid, axes, plans, perm, flat in self.operands_meta:
+            extents, pextents, blocks, transforms = [], [], [], []
+            for a, (kind, p, c, D_) in zip(axes, plans):
+                if kind == "stride":
+                    extents.append(sizes[a] * p)
+                    pextents.append(sizes[a] * p)
+                    blocks.append(block[a] * p)
+                    transforms.append((a + pad, "stride", p, c, 0))
+                elif kind == "div":
+                    extents.append(sizes[a] // p)
+                    pextents.append(sizes[a] // p)
+                    blocks.append(max(1, block[a] // p))
+                    transforms.append((a + pad, "div", p, 0, 0))
+                elif kind == "slice":
+                    extents.append(D_)
+                    pextents.append(D_)
+                    blocks.append(D_)
+                    transforms.append((a + pad, "slice", p, c, sizes[a]))
+                else:
+                    extents.append(sizes[a])
+                    pextents.append(psizes[a])
+                    blocks.append(block[a])
+            arr = tensors[tid]
+            if flat:
+                arr = arr.reshape(-1)
+            if perm is not None:
+                arr = jnp.transpose(arr, perm)
+            arr = arr.reshape(embed_shape(axes, extents))
+            arr = _pad_to(arr, embed_shape(axes, pextents))
+            operands.append(arr)
+            in_specs.append(
+                pl.BlockSpec(embed_shape(axes, blocks), index_map_for(axes))
+            )
+            slot_transforms.append(transforms)
+
+        out_block = embed_shape(final.out_axes,
+                                [block[a] for a in final.out_axes])
+        out_embed = embed_shape(final.out_axes,
+                                [psizes[a] for a in final.out_axes])
+        out_spec = pl.BlockSpec(out_block, index_map_for(final.out_axes))
+        n_slots = len(operands)
+        final_i = self.final_idx
+        slot_of = self.slot_of
+        group_tids = {
+            k.write.tensor for k in self.kernels[:-1]
+        }
+        # member evaluation plans captured for the traced body
+        member_plans = []
+        for mi, (m, kern) in enumerate(zip(members, self.kernels)):
+            setup_items = [
+                (reg, bool(v) if isinstance(v, bool)
+                 else int(v) if isinstance(v, (int, np.integer))
+                 else np.float32(v))
+                for reg, v in sorted(m.setup_env.items())
+            ]
+            member_plans.append((
+                m, kern, sorted(m.iter_axes.items()), setup_items,
+                [a + pad for a in m.red_axes],
+                accumulation_identity(kern.write.accumulate),
+                kern.write.accumulate,
+            ))
+
+        def body(*refs):
+            o_ref = refs[n_slots]
+
+            def gidx(axis):
+                shape = embed_shape([axis], [block[axis]])
+                idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis + pad)
+                if axis in grid_pos:
+                    idx = idx + pl.program_id(grid_pos[axis]) * block[axis]
+                return idx
+
+            slot_vals = []
+            for ref, transforms in zip(refs[:n_slots], slot_transforms):
+                val = ref[...].astype(jnp.float32)
+                for pos, kind, p, c, L in transforms:
+                    if kind == "stride":
+                        width = val.shape[pos] // p
+                        val = jax.lax.slice_in_dim(
+                            val, c, c + p * (width - 1) + 1, stride=p,
+                            axis=pos,
+                        )
+                    elif kind == "slice":
+                        val = jax.lax.slice_in_dim(
+                            val, c, c + p * (L - 1) + 1, stride=p,
+                            axis=pos,
+                        )
+                    else:
+                        val = jnp.repeat(val, p, axis=pos)
+                slot_vals.append(val)
+
+            locals_: dict[int, object] = {}  # intermediate tid -> value
+            for mi, (m, kern, iter_items, setup_items, red_positions,
+                     identity, mode) in enumerate(member_plans):
+                env = {}
+                for read in kern.reads:
+                    if read.tensor in locals_:
+                        env[read.data] = locals_[read.tensor]
+                    else:
+                        env[read.data] = slot_vals[slot_of[(mi, read.data)]]
+                for reg, axis in iter_items:
+                    env[reg] = gidx(axis)
+                for reg, v in setup_items:
+                    env[reg] = v
+                value = eval_elementwise(
+                    kern.expr.instrs, kern.expr.res, env
+                )
+                value = jnp.asarray(value, jnp.float32)
+                if value.ndim != rank:
+                    value = jnp.broadcast_to(value, (1,) * rank)
+                for p in red_positions:
+                    if value.shape[p] > 1:
+                        value = _acc_reduce_jnp(value, p, mode)
+                    elif mode == "add" and sizes[p - pad] > 1:
+                        value = value * jnp.float32(sizes[p - pad])
+                if mi == final_i:
+                    value = jnp.broadcast_to(value, out_block)
+                    o_ref[...] = value.astype(o_ref.dtype)
+                else:
+                    locals_[kern.write.tensor] = value
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        check_specs(in_specs, [o.shape for o in operands],
+                    kernel="pallas_row_chain")
+        check_specs([out_spec], [tuple(out_embed)],
+                    kernel="pallas_row_chain", kind="output")
+        from jax.experimental.pallas import tpu as pltpu
+
+        write = self.kernels[-1].write
+        value = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(out_embed, np.dtype(low.dtype)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",) * len(grid),
+            ),
+            interpret=interpret,
+        )(*operands)
+        value = value.reshape([psizes[a] for a in final.out_axes])
+        if any(psizes[a] != sizes[a] for a in final.out_axes):
+            value = value[
+                tuple(slice(0, sizes[a]) for a in final.out_axes)
+            ]
+        value = value.reshape(low.shapes[write.tensor])
+
+        prev = tensors[write.tensor]
+        mode = write.accumulate
+        if mode == "add":
+            return prev + value
+        if mode == "max":
+            return jnp.maximum(prev, value)
+        return jnp.minimum(prev, value)
+
+
+def plan_rowchain_fusions(program, target, shapes, dtype, precision,
+                          policy=None, consumed=frozenset()):
+    """Plan map/reduce row-chain fusions for one target.
+
+    Greedily groups maximal runs of consecutive kernels where: the head
+    is a scheduled PallasMapReduce-matched kernel writing a RESULT
+    tensor; each follower classifies too, reads at least one in-group
+    intermediate, and shares the head's loop-size vector with positional
+    axis correspondence; every intermediate is written exactly once and
+    read only inside the group.  Returns ``(fused, skipped_kernels,
+    skipped_tensors)`` like ``plan_epilogue_fusions`` — ``fused[i]`` is
+    the PallasRowChain for the head at kernel index ``i``.
+
+    ``consumed`` holds kernel indices already claimed by the epilogue
+    planner (matmul chains take precedence).
+    """
+    from .jaxeval import KernelLowering
+
+    kernels = target.kernels
+    reads_of: dict[int, list[int]] = {}
+    writes_of: dict[int, list[int]] = {}
+    for idx, kernel in enumerate(kernels):
+        for tid in kernel.input_tensors():
+            reads_of.setdefault(tid, []).append(idx)
+        if kernel.write is not None:
+            writes_of.setdefault(kernel.write.tensor, []).append(idx)
+
+    def member_for(kernel):
+        """Classify one kernel for chain membership, or None."""
+        if kernel.write is None or kernel.write.is_raw or kernel.remat:
+            return None
+        if kernel.extern:
+            return None
+        try:
+            low = KernelLowering(program, kernel, shapes, dtype, precision)
+        except Exception:
+            return None
+        if not low._bounds_ok or low.dynamic_axes:
+            return None
+        pmr = PallasMapReduce(low, kernel)
+        if not pmr.ok or pmr.dyn_bounds:
+            return None
+        if pmr.write_axes != pmr.out_axes:
+            return None
+        if len(kernel.write.dims) != len(pmr.out_axes):
+            return None  # constant-0 dims (loss family) stay single
+        return pmr
+
+    fused: dict[int, PallasRowChain] = {}
+    skipped_kernels: set[int] = set()
+    skipped_tensors: set[int] = set()
+
+    idx = 0
+    while idx < len(kernels) - 1:
+        kernel = kernels[idx]
+        if (idx in consumed or idx in skipped_kernels
+                or kernel.write is None or not is_scheduled(kernel)):
+            idx += 1
+            continue
+        t0 = kernel.write.tensor
+        if (program.tensors[t0].kind != ir.TensorKind.RESULT
+                or t0 == target.output):
+            idx += 1
+            continue
+        head = member_for(kernel)
+        if head is None:
+            idx += 1
+            continue
+        sizes = tuple(head.low.sizes)
+
+        members = [head]
+        member_kernels = [kernel]
+        member_idx = [idx]
+        produced = {t0: 0}  # tid -> member position
+        j = idx + 1
+        while j < len(kernels):
+            if j in consumed:
+                break
+            nxt = kernels[j]
+            if nxt.write is None:
+                break
+            in_group_reads = [
+                r for r in nxt.reads if r.tensor in produced
+            ]
+            if not in_group_reads:
+                break
+            m = member_for(nxt)
+            if m is None or tuple(m.low.sizes) != sizes:
+                break
+            # positional axis correspondence: in-group reads must visit
+            # the producer's out axes exactly (same loop-axis embedding)
+            corresponds = all(
+                m.read_axes[r.data]
+                == members[produced[r.tensor]].out_axes
+                and all(p[0] == "iter"
+                        for p in m.read_plans[r.data])
+                and r.data not in m.flat_reads
+                for r in in_group_reads
+            )
+            if not corresponds:
+                break
+            members.append(m)
+            member_kernels.append(nxt)
+            member_idx.append(j)
+            tw = nxt.write.tensor
+            if (program.tensors[tw].kind == ir.TensorKind.RESULT
+                    and tw != target.output):
+                produced[tw] = len(members) - 1
+            else:
+                break  # landed on a param/cache/output: chain ends here
+            j += 1
+
+        # shrink from the tail until every non-final intermediate is
+        # consumed exclusively in-group
+        def group_ok():
+            if len(members) < 2:
+                return False
+            group = set(member_idx)
+            for kern, pos in zip(member_kernels[:-1], member_idx[:-1]):
+                t = kern.write.tensor
+                if writes_of.get(t) != [pos]:
+                    return False
+                if not set(reads_of.get(t, ())) <= group:
+                    return False
+            return True
+
+        while len(members) >= 2 and not group_ok():
+            members.pop()
+            member_kernels.pop()
+            member_idx.pop()
+        if len(members) < 2:
+            idx += 1
+            continue
+
+        plan = _plan_rowchain_blocks(members, member_kernels)
+        if plan is None:
+            idx += 1
+            continue
+        slot_of, operands_meta, block, psizes, grid_axes = plan
+        chain = PallasRowChain(
+            members, member_kernels, slot_of, operands_meta,
+            len(members) - 1, block, psizes, grid_axes,
+        )
+        if policy is not None and not policy.mapreduce(
+            chain.total_bytes
+        ).use_pallas:
+            idx += 1
+            continue
+        fused[idx] = chain
+        skipped_kernels.update(member_idx[1:])
+        skipped_tensors.update(
+            k.write.tensor for k in member_kernels[:-1]
+        )
+        idx = member_idx[-1] + 1
+    return fused, skipped_kernels, skipped_tensors
+
+
+def _plan_rowchain_blocks(members, member_kernels):
+    """Block/grid plan for a row chain, or None when it cannot fuse.
+
+    Every axis reduced by any member (or carrying a transformed read)
+    stays whole-in-block; remaining row axes may tile/grid (masked to
+    padded multiples like the single-kernel planner).  The VMEM budget
+    counts every distinct operand block, the broadcast intermediates and
+    the out block; row blocks shrink (then the fusion declines) when it
+    does not fit."""
+    from math import gcd
+
+    low = members[0].low
+    n = low.nloops
+    sizes = list(low.sizes)
+
+    red_union: set[int] = set()
+    frozen: set[int] = set()  # axes that must stay whole
+    for m in members:
+        red_union.update(m.red_axes)
+        frozen.update(m.whole_axes)
+        for data, plans in m.read_plans.items():
+            for a, (kind, _p, _c, _D) in zip(m.read_axes[data], plans):
+                if kind != "iter":
+                    frozen.add(a)
+    frozen |= red_union
+    for m in members:
+        for axis, loop in enumerate(m.kernel.loops):
+            if loop.schedule.share_cache:
+                frozen.add(axis)
+
+    grid_axes = [a for a in range(n) if a not in frozen]
+    if not grid_axes:
+        return None  # nothing to grid: a single block would cover all
+
+    # operand slots (deduped across members)
+    slot_of: dict[tuple, int] = {}
+    operands_meta: list[tuple] = []
+    produced = {k.write.tensor for k in member_kernels[:-1]}
+    for mi, (m, kern) in enumerate(zip(members, member_kernels)):
+        for read in kern.reads:
+            if read.tensor in produced:
+                continue
+            key = (
+                read.tensor,
+                tuple(m.read_axes[read.data]),
+                tuple(m.read_plans[read.data]),
+                m.read_perms.get(read.data),
+                read.data in m.flat_reads,
+            )
+            if key not in slot_of:
+                slot_of[key] = len(operands_meta)
+                operands_meta.append(
+                    (read.tensor, list(m.read_axes[read.data]),
+                     list(m.read_plans[read.data]),
+                     m.read_perms.get(read.data),
+                     read.data in m.flat_reads)
+                )
+            slot_of[(mi, read.data)] = slot_of[key]
+
+    # alignment requirements (same rules as the single-kernel planner)
+    sub_req = _SUBLANE.get(str(np.dtype(low.dtype)), 8)
+    lane_axis = n - 1
+    sub_axis = n - 2 if n >= 2 else None
+
+    def align_of(a):
+        if a == lane_axis:
+            return 128
+        if a == sub_axis:
+            return sub_req
+        return 1
+
+    req = {a: align_of(a) for a in range(n)}
+    for _tid, axes, plans, _perm, _flat in operands_meta:
+        for a, (kind, p, _c, _D) in zip(axes, plans):
+            if kind == "div":
+                need = p * align_of(a)
+                req[a] = req[a] * need // gcd(req[a], need)
+
+    block = list(sizes)
+    psizes = list(sizes)
+    user_tiled: set[int] = set()
+    for a in grid_axes:
+        tiles = [
+            min(m.kernel.loops[a].schedule.tile_size, sizes[a])
+            for m in members
+            if m.kernel.loops[a].schedule.tile
+        ]
+        if not tiles:
+            continue
+        t = min(tiles)
+        user_tiled.add(a)
+        if sizes[a] % t == 0 and (t == sizes[a] or t % req[a] == 0):
+            block[a] = t
+        else:
+            t = min(_round_up(t, req[a]), _round_up(sizes[a], req[a]))
+            block[a] = t
+            psizes[a] = _round_up(sizes[a], t)
+
+    def block_bytes():
+        item = np.dtype(low.dtype).itemsize
+        total = 0
+        for _tid, axes, plans, _perm, _flat in operands_meta:
+            elems = 1
+            for a, (kind, p, _c, D_) in zip(axes, plans):
+                if kind == "stride":
+                    elems *= block[a] * p
+                elif kind == "div":
+                    elems *= max(1, block[a] // p)
+                elif kind == "slice":
+                    elems *= D_
+                else:
+                    elems *= block[a]
+            total += elems * (2 * item + 4)
+        value_elems = 1
+        for a in range(n):
+            value_elems *= block[a]
+        # one broadcast intermediate per member (conservative: they are
+        # live one at a time, but locals persist across members)
+        total += value_elems * 4 * len(members)
+        out_elems = 1
+        for a in members[-1].out_axes:
+            out_elems *= block[a]
+        total += out_elems * (item + 4)
+        return total
+
+    budget = 14 * 2**20
+    while block_bytes() > budget:
+        # user tile sizes are respected (decline over silently changing
+        # the schedule, same as the single-kernel planner)
+        cands = sorted(
+            (a for a in grid_axes if block[a] > 1 and a not in user_tiled),
+            key=lambda a: -block[a],
+        )
+        shrunk = False
+        for a in cands:
+            nb = _best_block_aligned(sizes[a], block[a] // 2, req[a])
+            if nb < block[a] and psizes[a] == sizes[a]:
+                block[a] = nb
+                shrunk = True
+                break
+        if not shrunk:
+            return None
+    grid_axes = [a for a in grid_axes if psizes[a] // block[a] > 1]
+    return slot_of, operands_meta, block, psizes, grid_axes

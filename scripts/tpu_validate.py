@@ -298,6 +298,32 @@ def main() -> None:
     got = np.asarray(pm_.call("per", {"pa": pv}))
     np.testing.assert_allclose(got, 2.0 * pv.T, rtol=1e-6)
     assert pm_.lowering_stats("per").get("pallas-mapreduce") == 1
+
+    # fused row-chain softmax (3 kernels -> ONE Pallas kernel with
+    # VMEM-resident row max/sums) on real Mosaic
+    sin_ = input("sin")
+    sy, sx = _iters("sy", "sx")
+    smx = Fun("smx")
+    smx.maximize[sy] = sin_[sy, sx]
+    smx.schedule(tile={"sy": 32})
+    sy, sx = _iters("sy", "sx")
+    ssum = Fun("ssum")
+    ssum[sy] = exp(sin_[sy, sx] - smx[sy])
+    ssum.schedule(tile={"sy": 32})
+    sy, sx = _iters("sy", "sx")
+    sout = Fun("sout")
+    sout[sy, sx] = exp(sin_[sy, sx] - smx[sy]) / ssum[sy]
+    sout.schedule(tile={"sy": 32})
+    sm_ = compile(sout.target("sout"), backend="jax",
+                  schedule_mode="force")
+    sv = (rng.normal(size=(256, 512)) * 8).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(sm_.call("sout", {"sin": sv}))
+    print(f"fused row-chain softmax: {time.time()-t0:.1f}s", flush=True)
+    es = np.exp(sv - sv.max(axis=1, keepdims=True))
+    np.testing.assert_allclose(got, es / es.sum(axis=1, keepdims=True),
+                               rtol=1e-5, atol=1e-6)
+    assert sm_.lowering_stats("sout").get("pallas-rowchain") == 1
     print("MASKED/ITERATOR PALLAS OK", flush=True)
 
     # flash_transformer: one real train step on-chip (extern fused

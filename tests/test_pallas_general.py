@@ -57,8 +57,9 @@ def _softmax_ref(v):
 
 
 def test_scheduled_softmax_lowers_to_pallas():
-    """All three softmax kernels (max-reduce, sum-reduce, elementwise) run
-    as Pallas map/reduce kernels and match numpy."""
+    """The three softmax kernels (max-reduce, sum-reduce, elementwise)
+    fuse into ONE Pallas row-chain kernel (VMEM-resident row max/sums;
+    one HBM read of the input) and match numpy."""
     rng = np.random.default_rng(0)
     v = (rng.normal(size=(64, 256)) * 10).astype(np.float32)
     graph = _softmax_graph(tile={"y": 32})
@@ -66,7 +67,7 @@ def test_scheduled_softmax_lowers_to_pallas():
     out = model.call("out", {"inp": v})
     np.testing.assert_allclose(out, _softmax_ref(v), rtol=1e-5, atol=1e-6)
     stats = _stats(model)
-    assert stats.get("pallas-mapreduce") == 3, stats
+    assert stats.get("pallas-rowchain") == 1, stats
 
 
 def test_scheduled_softmax_matches_oracle():
@@ -78,7 +79,7 @@ def test_scheduled_softmax_matches_oracle():
     a = mj.call("out", {"inp": v})
     b = compile(graph, backend="interp").call("out", {"inp": v})
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
-    assert _stats(mj).get("pallas-mapreduce") == 3
+    assert _stats(mj).get("pallas-rowchain") == 1
 
 
 def test_scheduled_layer_norm_shape():
@@ -116,7 +117,8 @@ def test_scheduled_layer_norm_shape():
     var = (xm**2).mean(axis=1, keepdims=True)
     want = xm / np.sqrt(var + 1e-5) * args["gamma"] + args["beta"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-    assert _stats(model).get("pallas-mapreduce") == 3
+    # mean -> var -> normalize fuses into one row-chain kernel
+    assert _stats(model).get("pallas-rowchain") == 1
 
 
 def test_gridded_reduction_axis():

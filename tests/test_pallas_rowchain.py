@@ -1,0 +1,195 @@
+"""Map/reduce row-chain fusion (backend/pallasgen.py PallasRowChain).
+
+The reference's softmax is a multi-kernel program (dnn.nim:90: row max,
+exp-sum, normalize); its GPU codegen stages each kernel through shared
+memory (passes.nim:2173-2323).  Here consecutive scheduled map/reduce
+kernels over the same loop nest fuse into ONE Pallas kernel: the row
+block is read once into VMEM, intermediates (row max, row sums) live in
+registers, and only the final result is written back — the
+bandwidth-halving schedule-driven win on a TPU.
+
+Fusion is only legal when intermediates are written once and read
+exclusively inside the chain: training targets (whose backward kernels
+read the forward intermediates) must fall back to per-kernel lowering
+with identical numbers.
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+from exprgrad_tpu import (
+    Fun,
+    compile,
+    exp,
+    input,
+    iters,
+    sq,
+    sqrt,
+)
+
+
+def _stats(model):
+    ex = next(iter(model._executors.values()))
+    return ex.stats
+
+
+def _softmax_graph(tile):
+    inp = input("inp")
+    y, x = iters("y", "x")
+    mx = Fun("mx")
+    mx.maximize[y] = inp[y, x]
+    mx.schedule(tile=tile)
+    y, x = iters("y", "x")
+    sums = Fun("sums")
+    sums[y] = exp(inp[y, x] - mx[y])
+    sums.schedule(tile=tile)
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = exp(inp[y, x] - mx[y]) / sums[y]
+    out.schedule(tile=tile)
+    return out.target("out")
+
+
+def _softmax_ref(v):
+    e = np.exp(v - v.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def test_softmax_chain_fuses():
+    rng = np.random.default_rng(0)
+    v = (rng.normal(size=(128, 256)) * 8).astype(np.float32)
+    model = compile(_softmax_graph({"y": 32}), backend="jax",
+                    schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    np.testing.assert_allclose(got, _softmax_ref(v), rtol=1e-5, atol=1e-6)
+    stats = _stats(model)
+    assert stats.get("pallas-rowchain") == 1, stats
+    assert "pallas-mapreduce" not in stats, stats
+
+
+def test_softmax_chain_matches_oracle_ragged_rows():
+    """A non-dividing row tile pads the row blocks; padded rows slice
+    off the fused output."""
+    rng = np.random.default_rng(1)
+    v = (rng.normal(size=(100, 256)) * 5).astype(np.float32)
+    graph = _softmax_graph({"y": 48})  # 100 % 48 != 0
+    mj = compile(graph, backend="jax", schedule_mode="force")
+    got = np.asarray(mj.call("out", {"inp": v}))
+    want = np.asarray(
+        compile(graph, backend="interp").call("out", {"inp": v})
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert _stats(mj).get("pallas-rowchain") == 1
+
+
+def test_rms_norm_chain_fuses():
+    """Two-kernel rms_norm chain (sum-of-squares -> normalize)."""
+    a = input("a")
+    ss = Fun("ss")
+    y, x = iters("y", "x")
+    ss[y] = sq(a[y, x]) * (1.0 / 128.0)
+    ss.schedule(tile={"y": 16})
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = a[y, x] / sqrt(ss[y] + 1e-6)
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(2)
+    av = rng.normal(size=(64, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = np.asarray(model.call("out", {"a": av}))
+    rms = np.sqrt((av**2).mean(axis=1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(got, av / rms, rtol=1e-4, atol=1e-5)
+    assert _stats(model).get("pallas-rowchain") == 1
+
+
+def test_chain_not_fused_when_intermediate_escapes():
+    """An intermediate read outside the chain keeps per-kernel lowering
+    (the fused kernel would drop a tensor someone needs)."""
+    inp = input("inp")
+    y, x = iters("y", "x")
+    mx = Fun("mx")
+    mx.maximize[y] = inp[y, x]
+    mx.schedule(tile={"y": 16})
+    y, x = iters("y", "x")
+    sums = Fun("sums")
+    sums[y] = exp(inp[y, x] - mx[y])
+    sums.schedule(tile={"y": 16})
+    esc = Fun("esc")
+    y2 = iters("y2")
+    esc[y2] = mx[y2] * 2.0  # second consumer of mx outside the chain
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = (exp(inp[y, x] - mx[y]) / sums[y]) + 0.001 * esc[y]
+    out.schedule(tile={"y": 16})
+    graph = out.target("out")
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=(32, 128)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model = compile(graph, backend="jax", schedule_mode="force")
+        got = np.asarray(model.call("out", {"inp": v}))
+    want = _softmax_ref(v) + 0.002 * v.max(axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    stats = _stats(model)
+    assert "pallas-rowchain" not in stats, stats
+
+
+def test_training_softmax_falls_back_per_kernel():
+    """A backwards target reads the forward intermediates from the
+    gradient kernels: the chain must not fuse, numbers must match the
+    oracle exactly."""
+    from exprgrad_tpu import param
+
+    w = param([32, 128], name="w")
+    y, x = iters("y", "x")
+    mx = Fun("mx")
+    mx.maximize[y] = w[y, x]
+    mx.schedule(tile={"y": 16})
+    y, x = iters("y", "x")
+    sums = Fun("sums")
+    sums[y] = exp(w[y, x] - mx[y])
+    sums.schedule(tile=None)
+    y, x = iters("y", "x")
+    sm = Fun("sm")
+    sm[y, x] = exp(w[y, x] - mx[y]) / sums[y]
+    it = iters("it")
+    loss = Fun("loss")
+    loss[0] = sq(sm.raw[it])
+    graph = loss.target("loss").backwards().grad(w).target("dw")
+    mj = compile(graph, backend="jax", schedule_mode="force")
+    mi = compile(graph, backend="interp")
+    wv = np.random.default_rng(4).normal(size=(32, 128)).astype(np.float32)
+    mj.params[next(iter(mj.params))] = wv
+    mi.params[next(iter(mi.params))] = wv
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gj = np.asarray(mj.call("dw", {}))
+    gi = np.asarray(mi.call("dw", {}))
+    np.testing.assert_allclose(gj, gi, rtol=2e-4, atol=2e-5)
+
+
+def test_chain_shares_input_operand():
+    """The chained kernels all read the same input tensor — the fused
+    kernel stages it once (one operand slot), and a whole-row sweep
+    (no tiles, grid of 1) still fuses."""
+    inp = input("inp")
+    y, x = iters("y", "x")
+    mx = Fun("mx")
+    mx.maximize[y] = inp[y, x]
+    mx.schedule(parallel=["y"])
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = inp[y, x] - mx[y]
+    out.schedule(parallel=["y"])
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(64, 128)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = np.asarray(model.call("out", {"inp": v}))
+    np.testing.assert_allclose(got, v - v.max(axis=1, keepdims=True))
+    stats = _stats(model)
+    assert stats.get("pallas-rowchain") == 1, stats
+    ex = next(iter(model._executors.values()))
+    chain = next(iter(ex.row_fused.values()))
+    assert len(chain.operands_meta) == 1, chain.operands_meta
