@@ -172,9 +172,10 @@ class JaxExecutor:
                     )
                     continue
                 if i in self.row_fused:
-                    chain = self.row_fused[i]
-                    t2 = chain.kernels[-1].write.tensor
-                    tensors[t2] = chain.lower(tensors)
+                    # final result + any escaping intermediates (tensors
+                    # read outside the chain) come out of ONE kernel
+                    for tid, val in self.row_fused[i].lower(tensors).items():
+                        tensors[tid] = val
                     self.stats["pallas-rowchain"] = (
                         self.stats.get("pallas-rowchain", 0) + 1
                     )

@@ -1638,7 +1638,8 @@ class PallasRowChain:
 
     def __init__(self, members: list, member_kernels: list,
                  slot_of: dict, operands_meta: list, final_idx: int,
-                 block: list, psizes: list, grid_axes: list):
+                 block: list, psizes: list, grid_axes: list,
+                 escaping: list = ()):
         self.members = members              # PallasMapReduce per member
         self.kernels = member_kernels       # ir.Kernel per member
         self.slot_of = slot_of              # (member_i, data_reg) -> slot
@@ -1647,6 +1648,9 @@ class PallasRowChain:
         self.block = block
         self.psizes = psizes
         self.grid_axes = grid_axes
+        # member positions whose intermediate is read outside the chain
+        # and must materialize as an extra pallas output
+        self.escaping = list(escaping)
         low = members[0].low
         self.total_bytes = sum(
             int(np.prod(low.shapes[tid], dtype=np.int64))
@@ -1737,11 +1741,18 @@ class PallasRowChain:
             )
             slot_transforms.append(transforms)
 
-        out_block = embed_shape(final.out_axes,
-                                [block[a] for a in final.out_axes])
-        out_embed = embed_shape(final.out_axes,
-                                [psizes[a] for a in final.out_axes])
-        out_spec = pl.BlockSpec(out_block, index_map_for(final.out_axes))
+        # outputs: the final result first, then escaping intermediates
+        # (read outside the chain — materialized from the same kernel)
+        out_members = [self.final_idx] + self.escaping
+        out_blocks, out_embeds, out_specs = [], [], []
+        for mi in out_members:
+            oa = members[mi].out_axes
+            out_blocks.append(embed_shape(oa, [block[a] for a in oa]))
+            out_embeds.append(embed_shape(oa, [psizes[a] for a in oa]))
+            out_specs.append(
+                pl.BlockSpec(out_blocks[-1], index_map_for(oa))
+            )
+        out_pos = {mi: i for i, mi in enumerate(out_members)}
         n_slots = len(operands)
         final_i = self.final_idx
         slot_of = self.slot_of
@@ -1765,7 +1776,7 @@ class PallasRowChain:
             ))
 
         def body(*refs):
-            o_ref = refs[n_slots]
+            o_refs = refs[n_slots:]
 
             def gidx(axis):
                 shape = embed_shape([axis], [block[axis]])
@@ -1817,45 +1828,55 @@ class PallasRowChain:
                         value = _acc_reduce_jnp(value, p, mode)
                     elif mode == "add" and sizes[p - pad] > 1:
                         value = value * jnp.float32(sizes[p - pad])
-                if mi == final_i:
-                    value = jnp.broadcast_to(value, out_block)
-                    o_ref[...] = value.astype(o_ref.dtype)
-                else:
+                if mi in out_pos:
+                    ref = o_refs[out_pos[mi]]
+                    ref[...] = jnp.broadcast_to(
+                        value, out_blocks[out_pos[mi]]
+                    ).astype(ref.dtype)
+                if mi != final_i:
                     locals_[kern.write.tensor] = value
 
         interpret = jax.default_backend() not in ("tpu", "axon")
         check_specs(in_specs, [o.shape for o in operands],
                     kernel="pallas_row_chain")
-        check_specs([out_spec], [tuple(out_embed)],
+        check_specs(out_specs, [tuple(e) for e in out_embeds],
                     kernel="pallas_row_chain", kind="output")
         from jax.experimental.pallas import tpu as pltpu
 
-        write = self.kernels[-1].write
-        value = pl.pallas_call(
+        values = pl.pallas_call(
             body,
             grid=grid,
             in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct(out_embed, np.dtype(low.dtype)),
+            out_specs=out_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct(tuple(e), np.dtype(low.dtype))
+                for e in out_embeds
+            ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",) * len(grid),
             ),
             interpret=interpret,
         )(*operands)
-        value = value.reshape([psizes[a] for a in final.out_axes])
-        if any(psizes[a] != sizes[a] for a in final.out_axes):
-            value = value[
-                tuple(slice(0, sizes[a]) for a in final.out_axes)
-            ]
-        value = value.reshape(low.shapes[write.tensor])
 
-        prev = tensors[write.tensor]
-        mode = write.accumulate
-        if mode == "add":
-            return prev + value
-        if mode == "max":
-            return jnp.maximum(prev, value)
-        return jnp.minimum(prev, value)
+        results: dict[int, object] = {}
+        for mi, value in zip(out_members, values):
+            m = members[mi]
+            write = self.kernels[mi].write
+            value = value.reshape([psizes[a] for a in m.out_axes])
+            if any(psizes[a] != sizes[a] for a in m.out_axes):
+                value = value[
+                    tuple(slice(0, sizes[a]) for a in m.out_axes)
+                ]
+            value = value.reshape(low.shapes[write.tensor])
+            prev = tensors[write.tensor]
+            mode = write.accumulate
+            if mode == "add":
+                results[write.tensor] = prev + value
+            elif mode == "max":
+                results[write.tensor] = jnp.maximum(prev, value)
+            else:
+                results[write.tensor] = jnp.minimum(prev, value)
+        return results
 
 
 def plan_rowchain_fusions(program, target, shapes, dtype, precision,
@@ -1970,19 +1991,18 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
                 break  # landed on a param/cache/output: chain ends here
             j += 1
 
-        # shrink from the tail until every non-final intermediate is
-        # consumed exclusively in-group
+        # shrink from the tail until every non-final intermediate has a
+        # single writer (its fused member); intermediates read OUTSIDE
+        # the group are legal — they become extra pallas outputs
+        # ("escaping": e.g. a training target's gradient kernels read
+        # the forward softmax's max/sums)
         def group_ok():
             if len(members) < 2:
                 return False
-            group = set(member_idx)
-            for kern, pos in zip(member_kernels[:-1], member_idx[:-1]):
-                t = kern.write.tensor
-                if writes_of.get(t) != [pos]:
-                    return False
-                if not set(reads_of.get(t, ())) <= group:
-                    return False
-            return True
+            return all(
+                writes_of.get(kern.write.tensor) == [pos]
+                for kern, pos in zip(member_kernels[:-1], member_idx[:-1])
+            )
 
         while len(members) >= 2 and not group_ok():
             members.pop()
@@ -1992,14 +2012,33 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
             idx += 1
             continue
 
+        group = set(member_idx)
+        escaping = [
+            mi
+            for mi, (kern, pos) in enumerate(
+                zip(member_kernels[:-1], member_idx[:-1])
+            )
+            if not set(reads_of.get(kern.write.tensor, ())) <= group
+        ]
+
         plan = _plan_rowchain_blocks(members, member_kernels)
         if plan is None:
             idx += 1
             continue
         slot_of, operands_meta, block, psizes, grid_axes = plan
+        # an escaping intermediate must be written exactly once per grid
+        # step (its out axes must cover every grid axis); a narrower
+        # output would be re-written by concurrent megacore programs
+        if any(
+            not set(grid_axes) <= set(members[mi].out_axes)
+            for mi in escaping
+        ):
+            idx += 1
+            continue
         chain = PallasRowChain(
             members, member_kernels, slot_of, operands_meta,
             len(members) - 1, block, psizes, grid_axes,
+            escaping=escaping,
         )
         if policy is not None and not policy.mapreduce(
             chain.total_bytes
@@ -2008,8 +2047,11 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
             continue
         fused[idx] = chain
         skipped_kernels.update(member_idx[1:])
+        esc_set = set(escaping)
         skipped_tensors.update(
-            k.write.tensor for k in member_kernels[:-1]
+            k.write.tensor
+            for mi, k in enumerate(member_kernels[:-1])
+            if mi not in esc_set  # escaping intermediates materialize
         )
         idx = member_idx[-1] + 1
     return fused, skipped_kernels, skipped_tensors

@@ -104,9 +104,10 @@ def test_rms_norm_chain_fuses():
     assert _stats(model).get("pallas-rowchain") == 1
 
 
-def test_chain_not_fused_when_intermediate_escapes():
-    """An intermediate read outside the chain keeps per-kernel lowering
-    (the fused kernel would drop a tensor someone needs)."""
+def test_escaping_intermediate_materializes():
+    """An intermediate read outside the chain STILL fuses — it comes out
+    of the same kernel as an extra pallas output (the training-target
+    case: gradient kernels read the forward max/sums)."""
     inp = input("inp")
     y, x = iters("y", "x")
     mx = Fun("mx")
@@ -133,13 +134,13 @@ def test_chain_not_fused_when_intermediate_escapes():
     want = _softmax_ref(v) + 0.002 * v.max(axis=1, keepdims=True)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     stats = _stats(model)
-    assert "pallas-rowchain" not in stats, stats
+    assert stats.get("pallas-rowchain") == 1, stats
 
 
-def test_training_softmax_falls_back_per_kernel():
+def test_training_softmax_fuses_with_escaping_outputs():
     """A backwards target reads the forward intermediates from the
-    gradient kernels: the chain must not fuse, numbers must match the
-    oracle exactly."""
+    gradient kernels: the forward chain still fuses (max/sums escape as
+    extra outputs) and the gradient matches the oracle exactly."""
     from exprgrad_tpu import param
 
     w = param([32, 128], name="w")
@@ -168,6 +169,7 @@ def test_training_softmax_falls_back_per_kernel():
         gj = np.asarray(mj.call("dw", {}))
     gi = np.asarray(mi.call("dw", {}))
     np.testing.assert_allclose(gj, gi, rtol=2e-4, atol=2e-5)
+    assert _stats(mj).get("pallas-rowchain", 0) >= 1, _stats(mj)
 
 
 def test_chain_shares_input_operand():
@@ -193,3 +195,31 @@ def test_chain_shares_input_operand():
     ex = next(iter(model._executors.values()))
     chain = next(iter(ex.row_fused.values()))
     assert len(chain.operands_meta) == 1, chain.operands_meta
+
+
+def test_two_writer_intermediate_declines():
+    """An intermediate accumulated by TWO kernels cannot fold into the
+    chain (its value is not complete at the member's slot) — per-kernel
+    lowering with the right numbers."""
+    inp = input("inp")
+    y, x = iters("y", "x")
+    ss = Fun("ss")
+    ss[y] = sq(inp[y, x])
+    ss.schedule(tile={"y": 16})
+    y2 = iters("y2")
+    ss[y2] = 1e-6  # second writer: accumulate the epsilon in-place
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = inp[y, x] / sqrt(ss[y])
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(6)
+    v = rng.normal(size=(32, 128)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model = compile(out.target("out"), backend="jax",
+                        schedule_mode="force")
+        got = np.asarray(model.call("out", {"inp": v}))
+    want = v / np.sqrt((v**2).sum(axis=1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    stats = _stats(model)
+    assert "pallas-rowchain" not in stats, stats
