@@ -26,6 +26,24 @@ def _lead(values: Fun, rank: Optional[int]) -> list:
     return [got] if len(names) == 1 else list(got)
 
 
+def _row_schedule(funs, inp: Fun, rank: Optional[int],
+                  row_tile: Optional[int]) -> None:
+    """Attach a row-tile schedule to every kernel of a row-family layer.
+
+    Marks the layer's kernels scheduled so the backend fuses the whole
+    chain (max/sum/normalize) into ONE Pallas kernel (PallasRowChain:
+    the input row block is read once, intermediates stay in VMEM).  The
+    tile lands on the innermost leading dim (the sublane dim)."""
+    if row_tile is None:
+        return
+    r = rank if rank is not None else (static_rank(inp) or 2)
+    if r < 1:
+        r = 2
+    name = "y" if r == 2 else f"b{r - 2}"
+    for f in funs:
+        f.schedule(tile={name: int(row_tile)})
+
+
 @layer
 def dense(values: Fun, inp: int, outp: int, has_bias: bool = True,
           rank: Optional[int] = None, prefix: str = "") -> Fun:
@@ -322,7 +340,8 @@ def upsample2(images: Fun) -> Fun:
 
 
 @layer
-def softmax(inp: Fun, rank: Optional[int] = None) -> Fun:
+def softmax(inp: Fun, rank: Optional[int] = None,
+            row_tile: Optional[int] = None) -> Fun:
     """Numerically exact softmax along the last dim, any leading dims.
 
     The row max is computed with a max-accumulation kernel (``maximize``, a
@@ -345,12 +364,14 @@ def softmax(inp: Fun, rank: Optional[int] = None) -> Fun:
     out[(*lead, x)] = (
         exp(inp[(*lead, x)] - row_max[tuple(lead)]) / sums[tuple(lead)]
     )
+    _row_schedule((row_max, sums, out), inp, rank, row_tile)
     return out
 
 
 @layer
 def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
-               init: float = 0.1, rank: Optional[int] = None) -> Fun:
+               init: float = 0.1, rank: Optional[int] = None,
+               row_tile: Optional[int] = None) -> Fun:
     """Layer normalization along the last dim (Ba et al. 2016) with
     learned scale/shift — beyond the reference's layer set (dnn.nim tops
     out at softmax).  Applies over any number of leading dims.
@@ -379,13 +400,14 @@ def layer_norm(inp: Fun, dim: int, eps: float = 1e-5,
         (inp[(*lead, x)] - n[tuple(lead)]) / sqrt(v[tuple(lead)] + eps)
         * gamma[x] + beta[x]
     )
+    _row_schedule((n, v, out), inp, rank, row_tile)
     return out
 
 
 @layer
 def rms_norm(inp: Fun, dim: int, eps: float = 1e-5,
              init: float = 0.1, rank: Optional[int] = None,
-             prefix: str = "") -> Fun:
+             prefix: str = "", row_tile: Optional[int] = None) -> Fun:
     """RMS normalization along the last dim (Zhang & Sennrich 2019):
     x / rms(x) * gamma, no mean subtraction — the norm used by modern LMs.
     Applies over any number of leading dims."""
@@ -402,6 +424,7 @@ def rms_norm(inp: Fun, dim: int, eps: float = 1e-5,
     x = iters("x")
     out = Fun("rms.out")
     out[(*lead, x)] = inp[(*lead, x)] / sqrt(ms[tuple(lead)] + eps) * gamma[x]
+    _row_schedule((ms, out), inp, rank, row_tile)
     return out
 
 

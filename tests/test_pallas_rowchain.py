@@ -223,3 +223,37 @@ def test_two_writer_intermediate_declines():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     stats = _stats(model)
     assert "pallas-rowchain" not in stats, stats
+
+
+def test_layer_softmax_row_tile_fuses():
+    """The stock layers.softmax with row_tile= fuses its three kernels
+    into one Pallas row-chain kernel."""
+    from exprgrad_tpu.layers import softmax as softmax_layer
+
+    inp = input("inp")
+    out = softmax_layer(inp, row_tile=32)
+    rng = np.random.default_rng(7)
+    v = (rng.normal(size=(64, 256)) * 6).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = np.asarray(model.call("out", {"inp": v}))
+    np.testing.assert_allclose(got, _softmax_ref(v), rtol=1e-5, atol=1e-6)
+    assert _stats(model).get("pallas-rowchain") == 1
+
+
+def test_layer_rms_norm_row_tile_fuses_rank3():
+    """rms_norm(row_tile=) over rank-3 activations: the tile lands on
+    the innermost leading dim and the two kernels fuse."""
+    from exprgrad_tpu.layers import rms_norm
+
+    inp = input("inp")
+    out = rms_norm(inp, 128, rank=3, row_tile=16)
+    rng = np.random.default_rng(8)
+    v = rng.normal(size=(4, 64, 128)).astype(np.float32)
+    graph = out.target("out")
+    mj = compile(graph, backend="jax", schedule_mode="force")
+    got = np.asarray(mj.call("out", {"inp": v}))
+    gamma = np.asarray(mj.params[next(iter(mj.params))])
+    ms = (v**2).mean(axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, v / np.sqrt(ms + 1e-5) * gamma,
+                               rtol=1e-4, atol=1e-5)
+    assert _stats(mj).get("pallas-rowchain") == 1
