@@ -1652,13 +1652,18 @@ class PallasRowChain:
         # and must materialize as an extra pallas output
         self.escaping = list(escaping)
         low = members[0].low
-        self.total_bytes = sum(
+        item = np.dtype(low.dtype).itemsize
+        self.operand_bytes = sum(
             int(np.prod(low.shapes[tid], dtype=np.int64))
             for tid, _a, _p, _pm, _f in operands_meta
-        ) * np.dtype(low.dtype).itemsize + int(
-            np.prod(low.shapes[member_kernels[-1].write.tensor],
-                    dtype=np.int64)
-        ) * np.dtype(low.dtype).itemsize
+        ) * item
+        out_tids = [member_kernels[-1].write.tensor] + [
+            member_kernels[mi].write.tensor for mi in self.escaping
+        ]
+        self.out_bytes = sum(
+            int(np.prod(low.shapes[t], dtype=np.int64)) for t in out_tids
+        ) * item
+        self.total_bytes = self.operand_bytes + self.out_bytes
 
     # ------------------------------------------------------------------
     def lower(self, tensors: dict):
@@ -2040,8 +2045,8 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
             len(members) - 1, block, psizes, grid_axes,
             escaping=escaping,
         )
-        if policy is not None and not policy.mapreduce(
-            chain.total_bytes
+        if policy is not None and not policy.rowchain(
+            chain.operand_bytes, chain.out_bytes, len(members)
         ).use_pallas:
             idx += 1
             continue

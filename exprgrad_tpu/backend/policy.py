@@ -42,6 +42,10 @@ _DEFAULTS = {
     "pallas_matmul_tflops": 2.0,
     "xla_elementwise_gbps": 600.0,
     "pallas_elementwise_gbps": 600.0,
+    # fused row-chain kernels (softmax/norm families): sustained GB/s of
+    # the ONE-kernel form; measured separately because the chain reads
+    # its operands once while XLA's per-kernel lowering re-reads them
+    "pallas_rowchain_gbps": 600.0,
     # flash attention kernel rate, measured directly by the calibration
     # (round-1 on-chip: ~6.4 TFLOP/s at the bench shape; the generic
     # pallas_matmul rate is NOT representative of the flash kernels)
@@ -140,6 +144,38 @@ class SchedulePolicy:
         return Decision(
             False,
             "cost model: XLA fusion path wins for elementwise/reduction"
+            + ("" if c["calibrated"] else " (uncalibrated defaults)"),
+        )
+
+    def rowchain(
+        self, operand_bytes: int, out_bytes: int, n_members: int
+    ) -> Decision:
+        """Fused row-chain kernel vs per-kernel XLA lowering.
+
+        XLA cannot carry VMEM-resident intermediates across reduction
+        boundaries, so the per-kernel path re-reads the chain's operands
+        roughly once per member (softmax: 3 passes over the input); the
+        fused kernel reads them once and pays one launch."""
+        if self.mode == "force":
+            return Decision(True, "schedule_mode=force")
+        if self.mode == "ignore":
+            return Decision(False, "schedule_mode=ignore")
+        c = self.constants
+        xla_s = (operand_bytes * n_members + out_bytes) / (
+            c["xla_elementwise_gbps"] * 1e9
+        )
+        pallas_s = c["pallas_launch_us"] * 1e-6 + (
+            operand_bytes + out_bytes
+        ) / (c["pallas_rowchain_gbps"] * 1e9)
+        if pallas_s < xla_s:
+            return Decision(
+                True,
+                f"cost model: fused chain {pallas_s * 1e6:.0f}us < "
+                f"{n_members}-kernel XLA {xla_s * 1e6:.0f}us",
+            )
+        return Decision(
+            False,
+            "cost model: XLA per-kernel path wins for this chain"
             + ("" if c["calibrated"] else " (uncalibrated defaults)"),
         )
 

@@ -190,10 +190,16 @@ def main() -> None:
                        schedule_mode=mode, precision="default")
 
     v = rng.normal(size=(4096, 4096)).astype(np.float32)
+    # under force the 3 scheduled kernels now fuse into ONE row-chain
+    # kernel (PallasRowChain) — this measures pallas_rowchain_gbps; the
+    # ignore run gives xla_elementwise_gbps (per-kernel XLA lowering)
     times = {}
     for mode in ("ignore", "force"):
         model = softmax_model(mode)
         model.call("out", {"inp": v})  # compile + stats
+        if mode == "force":
+            ex = next(iter(model._executors.values()))
+            assert ex.stats.get("pallas-rowchain") == 1, ex.stats
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -204,20 +210,64 @@ def main() -> None:
         times[mode] = best
         print(f"softmax 4096x4096 mode={mode}: {best * 1e3:.2f} ms",
               flush=True)
-    bytes_moved = v.nbytes * 4  # 3 kernels: ~2 reads + out + write
-    gbps = {m: bytes_moved / t / 1e9 for m, t in times.items()}
+    xla_bytes = v.nbytes * 4  # 3 kernels: ~2 reads + out + write
+    fused_bytes = v.nbytes * 2  # one read + one write
     table.append(
         {
-            "kernel": "softmax 4096x4096 (3 scheduled kernels)",
+            "kernel": "softmax 4096x4096 (3 kernels vs fused row chain)",
             "xla_ms": times["ignore"] * 1e3,
-            "pallas_ms": times["force"] * 1e3,
-            "xla_gbps": gbps["ignore"],
-            "pallas_gbps": gbps["force"],
+            "fused_ms": times["force"] * 1e3,
+            "xla_gbps": xla_bytes / times["ignore"] / 1e9,
+            "fused_gbps": fused_bytes / times["force"] / 1e9,
+            "fused_speedup": times["ignore"] / times["force"],
         }
     )
+    constants["xla_elementwise_gbps"] = float(
+        xla_bytes / times["ignore"] / 1e9
+    )
+    constants["pallas_rowchain_gbps"] = float(
+        fused_bytes / times["force"] / 1e9
+    )
+    print(table[-1], flush=True)
+    flush()
 
-    constants["xla_elementwise_gbps"] = float(gbps["ignore"])
-    constants["pallas_elementwise_gbps"] = float(gbps["force"])
+    # single (non-chaining) scheduled map/reduce kernel: a row reduction
+    # whose output is the target — nothing to fuse with
+    def rowsum_model(mode):
+        inp = eg_input("inp")
+        y, x = iters("y", "x")
+        out = Fun("out")
+        out[y] = exp(inp[y, x] * 0.25)
+        out.schedule(tile={"y": 256})
+        return compile(out.target("out"), backend="jax",
+                       schedule_mode=mode, precision="default")
+
+    times = {}
+    for mode in ("ignore", "force"):
+        model = rowsum_model(mode)
+        model.call("out", {"inp": v})
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                out = model.call("out", {"inp": v})
+            _ = float(np.asarray(out).ravel()[0])
+            best = min(best, (time.perf_counter() - t0) / 4)
+        times[mode] = best
+        print(f"rowsum 4096x4096 mode={mode}: {best * 1e3:.2f} ms",
+              flush=True)
+    bytes_moved = v.nbytes  # one read dominates
+    table.append(
+        {
+            "kernel": "exp-rowsum 4096x4096 (single scheduled kernel)",
+            "xla_ms": times["ignore"] * 1e3,
+            "pallas_ms": times["force"] * 1e3,
+            "pallas_gbps": bytes_moved / times["force"] / 1e9,
+        }
+    )
+    constants["pallas_elementwise_gbps"] = float(
+        bytes_moved / times["force"] / 1e9
+    )
     print("constants:", constants, flush=True)
     flush()
     if on_tpu:

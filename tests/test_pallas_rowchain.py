@@ -257,3 +257,20 @@ def test_layer_rms_norm_row_tile_fuses_rank3():
     np.testing.assert_allclose(got, v / np.sqrt(ms + 1e-5) * gamma,
                                rtol=1e-4, atol=1e-5)
     assert _stats(mj).get("pallas-rowchain") == 1
+
+
+def test_rowchain_policy_auto_routes_on_bandwidth():
+    """The auto-mode cost model credits the fused chain ONE pass over the
+    operands vs n_members passes for per-kernel XLA: a large calibrated
+    chain routes to Pallas, a tiny one falls back (launch-bound)."""
+    from exprgrad_tpu.backend.policy import SchedulePolicy
+
+    pol = SchedulePolicy("auto")
+    pol.constants = dict(pol.constants)
+    pol.constants.update(
+        xla_elementwise_gbps=600.0, pallas_rowchain_gbps=600.0,
+        pallas_launch_us=1000.0, calibrated=True,
+    )
+    gb = 2**30
+    assert pol.rowchain(gb, gb, 3).use_pallas
+    assert not pol.rowchain(1024, 1024, 3).use_pallas
