@@ -122,7 +122,17 @@ def _eval_static_instr(instr, env: dict, shapes: dict):
     """Evaluate one instruction to an exact static Python value given an
     env of static values — the reference's in-expression shape-query /
     compile-time-arithmetic surface (dsl.nim:109-133).  Returns
-    ``_NOT_STATIC`` when the op (or an argument) is not static."""
+    ``_NOT_STATIC`` when the op (or an argument) is not static, or when
+    the arithmetic itself faults (division by zero, domain/overflow
+    errors) — those values must take the runtime path, which computes
+    inf/nan under IEEE semantics instead of crashing compilation."""
+    try:
+        return _eval_static_instr_inner(instr, env, shapes)
+    except (ArithmeticError, ValueError, OverflowError):
+        return _NOT_STATIC
+
+
+def _eval_static_instr_inner(instr, env: dict, shapes: dict):
     import math
 
     from ..passes.shapes import trunc_div, trunc_mod
@@ -1671,7 +1681,6 @@ class PallasRowChain:
         import jax.numpy as jnp
         from jax.experimental import pallas as pl
 
-        from ..interp import accumulation_identity
         from ..ops.mosaic_check import check_specs
 
         members = self.members
@@ -1761,10 +1770,10 @@ class PallasRowChain:
         n_slots = len(operands)
         final_i = self.final_idx
         slot_of = self.slot_of
-        group_tids = {
-            k.write.tensor for k in self.kernels[:-1]
-        }
-        # member evaluation plans captured for the traced body
+        # member evaluation plans captured for the traced body.  NOTE:
+        # no identity masks are needed here — reduction axes are frozen
+        # whole-in-block (never padded); only row axes pad, and padded
+        # rows slice off the outputs.
         member_plans = []
         for mi, (m, kern) in enumerate(zip(members, self.kernels)):
             setup_items = [
@@ -1776,7 +1785,6 @@ class PallasRowChain:
             member_plans.append((
                 m, kern, sorted(m.iter_axes.items()), setup_items,
                 [a + pad for a in m.red_axes],
-                accumulation_identity(kern.write.accumulate),
                 kern.write.accumulate,
             ))
 
@@ -1811,7 +1819,7 @@ class PallasRowChain:
 
             locals_: dict[int, object] = {}  # intermediate tid -> value
             for mi, (m, kern, iter_items, setup_items, red_positions,
-                     identity, mode) in enumerate(member_plans):
+                     mode) in enumerate(member_plans):
                 env = {}
                 for read in kern.reads:
                     if read.tensor in locals_:
@@ -1902,6 +1910,11 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
     """
     from .jaxeval import KernelLowering
 
+    if policy is not None and policy.mode == "ignore":
+        # every chain would be declined at the decision point anyway;
+        # skip the per-kernel classification work (1-core host)
+        return {}, set(), set()
+
     kernels = target.kernels
     reads_of: dict[int, list[int]] = {}
     writes_of: dict[int, list[int]] = {}
@@ -1975,12 +1988,17 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
                 break
             # positional axis correspondence: in-group reads must visit
             # the producer's out axes exactly (same loop-axis embedding)
+            # a permuted (transposed) in-group read would receive the
+            # UN-transposed loop-order value from locals_ — reject
+            # (read_axes is already re-sorted for permuted reads, so the
+            # axes comparison alone cannot catch it)
             corresponds = all(
                 m.read_axes[r.data]
                 == members[produced[r.tensor]].out_axes
                 and all(p[0] == "iter"
                         for p in m.read_plans[r.data])
                 and r.data not in m.flat_reads
+                and r.data not in m.read_perms
                 for r in in_group_reads
             )
             if not corresponds:
@@ -2026,7 +2044,7 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
             if not set(reads_of.get(kern.write.tensor, ())) <= group
         ]
 
-        plan = _plan_rowchain_blocks(members, member_kernels)
+        plan = _plan_rowchain_blocks(members, member_kernels, escaping)
         if plan is None:
             idx += 1
             continue
@@ -2062,7 +2080,7 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
     return fused, skipped_kernels, skipped_tensors
 
 
-def _plan_rowchain_blocks(members, member_kernels):
+def _plan_rowchain_blocks(members, member_kernels, escaping=()):
     """Block/grid plan for a row chain, or None when it cannot fuse.
 
     Every axis reduced by any member (or carrying a transformed read)
@@ -2181,10 +2199,13 @@ def _plan_rowchain_blocks(members, member_kernels):
         # one broadcast intermediate per member (conservative: they are
         # live one at a time, but locals persist across members)
         total += value_elems * 4 * len(members)
-        out_elems = 1
-        for a in members[-1].out_axes:
-            out_elems *= block[a]
-        total += out_elems * (item + 4)
+        # output blocks: the final member plus every escaping
+        # intermediate materialized from the same kernel
+        for mi in [len(members) - 1, *escaping]:
+            out_elems = 1
+            for a in members[mi].out_axes:
+                out_elems *= block[a]
+            total += out_elems * (item + 4)
         return total
 
     budget = 14 * 2**20

@@ -37,8 +37,11 @@ def _row_schedule(funs, inp: Fun, rank: Optional[int],
     if row_tile is None:
         return
     r = rank if rank is not None else (static_rank(inp) or 2)
-    if r < 1:
-        r = 2
+    if r < 2:
+        raise ParserError(
+            "row_tile requires rank >= 2 (a rank-1 input has no row "
+            "dimension to tile)"
+        )
     name = "y" if r == 2 else f"b{r - 2}"
     for f in funs:
         f.schedule(tile={name: int(row_tile)})

@@ -274,3 +274,56 @@ def test_rowchain_policy_auto_routes_on_bandwidth():
     gb = 2**30
     assert pol.rowchain(gb, gb, 3).use_pallas
     assert not pol.rowchain(1024, 1024, 3).use_pallas
+
+
+def test_permuted_ingroup_read_declines():
+    """Review regression: a TRANSPOSED read of an in-group intermediate
+    would receive the un-transposed VMEM value — the chain must decline
+    and the per-kernel path must produce the right numbers."""
+    inp = input("inp")
+    y, x = iters("y", "x")
+    t = Fun("t")
+    t[y, x] = inp[y, x] * 2.0
+    t.schedule(tile={"y": 16})
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = t[x, y] + inp[y, x]  # transposed in-group read
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=(64, 64)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = np.asarray(model.call("out", {"inp": v}))
+    np.testing.assert_allclose(got, (2.0 * v).T + v, rtol=1e-6)
+    assert "pallas-rowchain" not in _stats(model), _stats(model)
+
+
+def test_static_fold_div_by_zero_falls_back():
+    """Review regression: a statically-foldable division by zero must
+    not crash compilation — the value takes the runtime (IEEE) path."""
+    from exprgrad_tpu import to_scalar
+
+    inp = input("inp")
+    y, x = iters("y", "x")
+    out = Fun("out")
+    out[y, x] = inp[y, x] * (
+        to_scalar(1) / to_scalar(inp.shape[1] - inp.shape[1])
+    )
+    out.schedule(tile={"y": 16})
+    v = np.ones((32, 128), dtype=np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model = compile(out.target("out"), backend="jax",
+                        schedule_mode="force")
+        got = np.asarray(model.call("out", {"inp": v}))
+    assert np.all(np.isinf(got)), got[:2, :2]
+
+
+def test_row_tile_rank1_raises():
+    """Review regression: row_tile on a rank-1 input has no row dim —
+    an explicit error, never a silently dropped schedule."""
+    from exprgrad_tpu import ParserError
+    from exprgrad_tpu.layers import softmax as softmax_layer
+
+    inp = input("inp")
+    with pytest.raises(ParserError, match="row_tile"):
+        softmax_layer(inp, rank=1, row_tile=32)
