@@ -296,6 +296,61 @@ def eval_elementwise(instrs, res, env: dict):
     return env[res]
 
 
+def _operand_layout(axes, plans, sizes, psizes, block, pad):
+    """Per-read operand layout shared by the single-kernel and row-chain
+    lowerings: (extents, padded extents, block shape entries, in-kernel
+    transforms) for each read-plan kind."""
+    extents, pextents, blocks, transforms = [], [], [], []
+    for a, (kind, p, c, D_) in zip(axes, plans):
+        if kind == "stride":
+            # input block covers the s-wide window band; the kernel
+            # takes the phase-c strided slice
+            extents.append(sizes[a] * p)
+            pextents.append(sizes[a] * p)
+            blocks.append(block[a] * p)
+            transforms.append((a + pad, "stride", p, c, 0))
+        elif kind == "div":
+            # input block is 1/k of the output block; the kernel
+            # repeats each element k times
+            extents.append(sizes[a] // p)
+            pextents.append(sizes[a] // p)
+            blocks.append(max(1, block[a] // p))
+            transforms.append((a + pad, "div", p, 0, 0))
+        elif kind == "slice":
+            # shifted stencil: the whole dim rides in every block; the
+            # kernel takes the static (offset c, stride p) slice of
+            # loop-extent length
+            extents.append(D_)
+            pextents.append(D_)
+            blocks.append(D_)
+            transforms.append((a + pad, "slice", p, c, sizes[a]))
+        else:
+            extents.append(sizes[a])
+            pextents.append(psizes[a])
+            blocks.append(block[a])
+    return extents, pextents, blocks, transforms
+
+
+def _apply_read_transforms(val, transforms):
+    """Apply a read's in-kernel transforms to its staged block."""
+    import jax
+    import jax.numpy as jnp
+
+    for pos, kind, p, c, L in transforms:
+        if kind == "stride":
+            width = val.shape[pos] // p
+            val = jax.lax.slice_in_dim(
+                val, c, c + p * (width - 1) + 1, stride=p, axis=pos,
+            )
+        elif kind == "slice":
+            val = jax.lax.slice_in_dim(
+                val, c, c + p * (L - 1) + 1, stride=p, axis=pos,
+            )
+        else:  # div: expand each input element k times
+            val = jnp.repeat(val, p, axis=pos)
+    return val
+
+
 class PallasMatmul:
     """Schedule-driven tiled matmul: out[y,x] += a[y,k] * b[k,x].
 
@@ -1402,34 +1457,9 @@ class PallasMapReduce:
         for read in kernel.reads:
             axes = self.read_axes[read.data]
             plans = self.read_plans[read.data]
-            extents, pextents, blocks, transforms = [], [], [], []
-            for a, (kind, p, c, D_) in zip(axes, plans):
-                if kind == "stride":
-                    # input block covers the s-wide window band; the
-                    # kernel takes the phase-c strided slice
-                    extents.append(sizes[a] * p)
-                    pextents.append(sizes[a] * p)
-                    blocks.append(block[a] * p)
-                    transforms.append((a + pad, "stride", p, c, 0))
-                elif kind == "div":
-                    # input block is 1/k of the output block; the kernel
-                    # repeats each element k times
-                    extents.append(sizes[a] // p)
-                    pextents.append(sizes[a] // p)
-                    blocks.append(max(1, block[a] // p))
-                    transforms.append((a + pad, "div", p, 0, 0))
-                elif kind == "slice":
-                    # shifted stencil: the whole dim rides in every
-                    # block; the kernel takes the static (offset c,
-                    # stride p) slice of loop-extent length
-                    extents.append(D_)
-                    pextents.append(D_)
-                    blocks.append(D_)
-                    transforms.append((a + pad, "slice", p, c, sizes[a]))
-                else:
-                    extents.append(sizes[a])
-                    pextents.append(psizes[a])
-                    blocks.append(block[a])
+            extents, pextents, blocks, transforms = _operand_layout(
+                axes, plans, sizes, psizes, block, pad
+            )
             arr = tensors[read.tensor]
             if read.data in self.flat_reads:
                 arr = arr.reshape(-1)
@@ -1482,22 +1512,9 @@ class PallasMapReduce:
             for read, ref, transforms in zip(
                 kernel.reads, refs[:n_reads], read_transforms
             ):
-                val = ref[...].astype(jnp.float32)
-                for pos, kind, p, c, L in transforms:
-                    if kind == "stride":
-                        width = val.shape[pos] // p
-                        val = jax.lax.slice_in_dim(
-                            val, c, c + p * (width - 1) + 1, stride=p,
-                            axis=pos,
-                        )
-                    elif kind == "slice":
-                        val = jax.lax.slice_in_dim(
-                            val, c, c + p * (L - 1) + 1, stride=p,
-                            axis=pos,
-                        )
-                    else:  # div: expand each input element k times
-                        val = jnp.repeat(val, p, axis=pos)
-                env[read.data] = val
+                env[read.data] = _apply_read_transforms(
+                    ref[...].astype(jnp.float32), transforms
+                )
             for reg, axis in iter_items:
                 env[reg] = gidx(axis)
             for reg, v in setup_items:
@@ -1721,27 +1738,9 @@ class PallasRowChain:
         # operand arrays + BlockSpecs + in-kernel transforms, one per slot
         in_specs, operands, slot_transforms = [], [], []
         for tid, axes, plans, perm, flat in self.operands_meta:
-            extents, pextents, blocks, transforms = [], [], [], []
-            for a, (kind, p, c, D_) in zip(axes, plans):
-                if kind == "stride":
-                    extents.append(sizes[a] * p)
-                    pextents.append(sizes[a] * p)
-                    blocks.append(block[a] * p)
-                    transforms.append((a + pad, "stride", p, c, 0))
-                elif kind == "div":
-                    extents.append(sizes[a] // p)
-                    pextents.append(sizes[a] // p)
-                    blocks.append(max(1, block[a] // p))
-                    transforms.append((a + pad, "div", p, 0, 0))
-                elif kind == "slice":
-                    extents.append(D_)
-                    pextents.append(D_)
-                    blocks.append(D_)
-                    transforms.append((a + pad, "slice", p, c, sizes[a]))
-                else:
-                    extents.append(sizes[a])
-                    pextents.append(psizes[a])
-                    blocks.append(block[a])
+            extents, pextents, blocks, transforms = _operand_layout(
+                axes, plans, sizes, psizes, block, pad
+            )
             arr = tensors[tid]
             if flat:
                 arr = arr.reshape(-1)
@@ -1798,24 +1797,10 @@ class PallasRowChain:
                     idx = idx + pl.program_id(grid_pos[axis]) * block[axis]
                 return idx
 
-            slot_vals = []
-            for ref, transforms in zip(refs[:n_slots], slot_transforms):
-                val = ref[...].astype(jnp.float32)
-                for pos, kind, p, c, L in transforms:
-                    if kind == "stride":
-                        width = val.shape[pos] // p
-                        val = jax.lax.slice_in_dim(
-                            val, c, c + p * (width - 1) + 1, stride=p,
-                            axis=pos,
-                        )
-                    elif kind == "slice":
-                        val = jax.lax.slice_in_dim(
-                            val, c, c + p * (L - 1) + 1, stride=p,
-                            axis=pos,
-                        )
-                    else:
-                        val = jnp.repeat(val, p, axis=pos)
-                slot_vals.append(val)
+            slot_vals = [
+                _apply_read_transforms(ref[...].astype(jnp.float32), tr)
+                for ref, tr in zip(refs[:n_slots], slot_transforms)
+            ]
 
             locals_: dict[int, object] = {}  # intermediate tid -> value
             for mi, (m, kern, iter_items, setup_items, red_positions,
