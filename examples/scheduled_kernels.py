@@ -112,6 +112,37 @@ def main() -> None:
          compile(loss.target("loss"), schedule_mode="force"),
          "loss", {"a": av, "b": bv}, [((av - bv) ** 2).sum()])
 
+    # 7. Triangular (dynamic) bounds: the hull iterates, out-of-bound
+    # points mask to the accumulation identity inside the kernel.
+    from exprgrad_tpu import irange as _ir
+
+    ta = input("ta")
+    y = iters("y")
+    x = _ir("x", 0, y + 1)
+    tri = Fun("tri")
+    tri[y] = ta[y, x]
+    tri.schedule(tile={"y": 32})
+    v = rng.normal(size=(128, 128)).astype(np.float32)
+    show("triangular (dynamic-bound) row sums",
+         compile(tri.target("tri"), schedule_mode="force"),
+         "tri", {"ta": v}, np.tril(v).sum(axis=1))
+
+    # 8. The stock row-family layers fuse whole: layers.rms_norm with
+    # row_tile= becomes ONE Pallas kernel (input read once, ms in VMEM).
+    from exprgrad_tpu.layers import rms_norm
+
+    rn_in = input("rn")
+    rn = rms_norm(rn_in, 256, row_tile=32)
+    v = rng.normal(size=(64, 256)).astype(np.float32)
+    m = compile(rn.target("rn_out"), schedule_mode="force")
+    got = np.asarray(m.call("rn_out", {"rn": v}))
+    gamma = np.asarray(m.params[next(iter(m.params))])
+    want = v / np.sqrt((v**2).mean(axis=1, keepdims=True) + 1e-5) * gamma
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    stats = next(iter(m._executors.values())).stats
+    assert stats.get("pallas-rowchain") == 1, stats
+    print(f"fused rms_norm layer (row-chain)        -> {stats}")
+
     print("every scheduled kernel lowered through Pallas and matched numpy")
 
 
