@@ -331,6 +331,20 @@ def _operand_layout(axes, plans, sizes, psizes, block, pad):
     return extents, pextents, blocks, transforms
 
 
+def _strided_phase(val, pos: int, p: int, c: int):
+    """Take elements ``[c::p]`` along ``pos`` via reshape-split + static
+    index.  Mosaic rejects strided vector slices outright
+    ('vector.extract_strided_slice expected strides confined to [1, 2)'),
+    but splitting the axis into (L, p) and statically indexing the phase
+    verifies — proven by AOT TPU lowering (tests/test_mosaic_aot.py)."""
+    import jax
+
+    shape = val.shape
+    L = shape[pos] // p
+    val = val.reshape(shape[:pos] + (L, p) + shape[pos + 1:])
+    return jax.lax.index_in_dim(val, c, axis=pos + 1, keepdims=False)
+
+
 def _apply_read_transforms(val, transforms):
     """Apply a read's in-kernel transforms to its staged block."""
     import jax
@@ -338,14 +352,22 @@ def _apply_read_transforms(val, transforms):
 
     for pos, kind, p, c, L in transforms:
         if kind == "stride":
-            width = val.shape[pos] // p
-            val = jax.lax.slice_in_dim(
-                val, c, c + p * (width - 1) + 1, stride=p, axis=pos,
-            )
+            if p > 1:
+                val = _strided_phase(val, pos, p, c)
+            # p == 1 with c == 0 is the identity
         elif kind == "slice":
-            val = jax.lax.slice_in_dim(
-                val, c, c + p * (L - 1) + 1, stride=p, axis=pos,
-            )
+            if p > 1:
+                # strided shifted stencil: stride-1 slice of the p*L
+                # band, then phase-split (classification guarantees
+                # c + p*L <= D)
+                val = jax.lax.slice_in_dim(
+                    val, c, c + p * L, stride=1, axis=pos,
+                )
+                val = _strided_phase(val, pos, p, 0)
+            else:
+                val = jax.lax.slice_in_dim(
+                    val, c, c + L, stride=1, axis=pos,
+                )
         else:  # div: expand each input element k times
             val = jnp.repeat(val, p, axis=pos)
     return val
@@ -1075,7 +1097,11 @@ class PallasMapReduce:
                         continue
                     if c0 + s * (L - 1) < D and (
                         axis != lane_axis or s == 1
-                    ):
+                    ) and (s == 1 or c0 + s * L <= D):
+                        # (the s > 1 form needs one extra trailing
+                        # element so the in-kernel stride-1 slice +
+                        # phase-split stays in range — Mosaic rejects
+                        # strided slices, see _strided_phase)
                         # general shifted stencil (blur: img[y, x + 1]):
                         # the read keeps the WHOLE dim resident per
                         # block and takes a static in-kernel slice; the
@@ -1590,7 +1616,9 @@ class PallasMapReduce:
             "arbitrary" if (red_dim is not None and i == red_dim) else "parallel"
             for i in range(len(grid))
         )
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..ops.mosaic_check import pallas_interpret
+
+        interpret = pallas_interpret()
         check_specs(in_specs, [o.shape for o in operands],
                     kernel="pallas_map_reduce")
         check_specs([out_spec], [tuple(out_embed)],
@@ -1834,7 +1862,9 @@ class PallasRowChain:
                 if mi != final_i:
                     locals_[kern.write.tensor] = value
 
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from ..ops.mosaic_check import pallas_interpret
+
+        interpret = pallas_interpret()
         check_specs(in_specs, [o.shape for o in operands],
                     kernel="pallas_row_chain")
         check_specs(out_specs, [tuple(e) for e in out_embeds],

@@ -442,7 +442,9 @@ def _resolve(q, k, v, sm_scale, block_q, block_k, interpret, causal=True,
         if window < 1:
             raise ValueError(f"window must be >= 1 (got {window})")
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from .mosaic_check import pallas_interpret
+
+        interpret = pallas_interpret()
     return float(sm_scale), block_q, block_k, bool(interpret)
 
 

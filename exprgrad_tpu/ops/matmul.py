@@ -88,7 +88,9 @@ def _matmul_impl(
             f"problem ({m},{n},{k})"
         )
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from .mosaic_check import pallas_interpret
+
+        interpret = pallas_interpret()
 
     def kernel(a_ref, b_ref, *rest):
         extra_refs = rest[: len(extra)]

@@ -22,6 +22,23 @@ CPU suite fails exactly where the chip would:
 
 from __future__ import annotations
 
+# Test hook: when True, pallas_interpret() reports False so AOT
+# cross-platform lowering (jax.jit(f).trace(...).lower(
+# lowering_platforms=("tpu",))) builds and VERIFIES the real Mosaic
+# kernels on a chip-less host — the full-strength version of the static
+# block checks below (tests/test_mosaic_aot.py).
+REAL_LOWERING = False
+
+
+def pallas_interpret() -> bool:
+    """Whether package pallas_calls should run in interpret mode."""
+    if REAL_LOWERING:
+        return False
+    import jax
+
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 from typing import Sequence, Tuple
 
 # Mosaic's minimum tile for the last two dims (float32; stricter dtypes

@@ -167,7 +167,9 @@ def paged_decode_attention(
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
     if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+        from .mosaic_check import pallas_interpret
+
+        interpret = pallas_interpret()
 
     group = h // hkv
     gt = group * t

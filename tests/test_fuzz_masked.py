@@ -106,6 +106,10 @@ def test_masked_fuzz_force_matches_oracle(seed):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
     stats = next(iter(mj._executors.values())).stats
     _PALLAS_HITS.append(stats.get("pallas-mapreduce", 0))
+    if seed % 3 == 0:  # every 3rd seed: AOT Mosaic verification (TPU)
+        from aot_util import lower_tpu
+
+        lower_tpu(graph, "out", inputs)
 
 
 def test_masked_fuzz_exercised_pallas():
