@@ -355,3 +355,17 @@ def test_paged_decode_attention_windowed_lowers():
         )
 
     _lower_fn(f, q, pk, pk, table, key_pos, q_pos)
+
+
+def test_flash_transformer_train_step_lowers():
+    """The flagship end-to-end program: a flash_transformer train target
+    (extern flash attention fwd + symbolic backward + adam updates, ~195
+    kernels in one jit) lowered for TPU in full."""
+    from exprgrad_tpu.models.transformer import flash_transformer
+
+    graphs = flash_transformer(vocab=64, dim=128, heads=2, hidden=256,
+                               blocks=2, max_seq=256, impl="flash")
+    ex = lower_tpu(graphs, "train",
+                   {"tokens": (4, 256), "labels": (4, 256, 64)})
+    assert ex.stats.get("attention-impl:flash") == 2, ex.stats
+    assert ex.stats.get("attention-grad-impl:flash") == 2, ex.stats
