@@ -974,6 +974,59 @@ class PallasMapReduce:
             return None
         return int(iv.min), terms
 
+    def _gather_dim(self, index, plain_info: dict) -> Optional[tuple]:
+        """Classify a data-dependent read-dim index (the gather family:
+        ``emb[to_index(tokens[n, t]), d]`` — clgen emits any computed
+        index, clgen.nim:249-257).
+
+        The index expression may reference loop iterators, statically
+        folded setup registers, and the data registers of *plain* reads
+        (all dims distinct full-range iterators) through the block-
+        evaluator op set.  Returns ``(sorted gather axes, index-source
+        data regs)`` — the loop axes the index varies over — or ``None``
+        when the dim is not of this family (no data dependence, or an
+        unsupported op/reg)."""
+        low = self.low
+        gaxes: set[int] = set()
+        srcs: set[int] = set()
+        static_env = dict(self.setup_env)
+        defined = set(self.setup_env)
+
+        def resolve(reg) -> bool:
+            if reg in defined:
+                return True
+            axis = low.axis_of_reg.get(reg)
+            if axis is not None:
+                gaxes.add(axis)
+                self.iter_axes[reg] = axis
+                defined.add(reg)
+                return True
+            if reg in plain_info:
+                srcs.add(reg)
+                gaxes.update(plain_info[reg])
+                defined.add(reg)
+                return True
+            return False
+
+        for instr in index.setup:
+            v = _eval_static_instr(instr, static_env, low.shapes)
+            if v is not _NOT_STATIC and instr.res is not None:
+                static_env[instr.res] = v
+                self.setup_env[instr.res] = v
+                defined.add(instr.res)
+                continue
+            if instr.op not in _MAPREDUCE_OPS:
+                return None
+            if not all(resolve(a) for a in instr.args):
+                return None
+            if instr.res is not None:
+                defined.add(instr.res)
+        if not all(resolve(r) for r in index.factors):
+            return None
+        if not srcs:
+            return None  # pure iterator arithmetic: not the gather family
+        return sorted(gaxes), srcs
+
     def _classify(self) -> bool:
         low = self.low
         kernel = self.kernel
@@ -1020,28 +1073,6 @@ class PallasMapReduce:
             # the output is its row-major flattened 1-D view; lower()'s
             # final reshape restores the true shape
             out_shape = [int(np.prod(out_shape, dtype=np.int64))]
-        out_axes: list[int] = []
-        for d, index in enumerate(write.dims):
-            axis = low._pure_iter(index)
-            if axis is None:
-                # constant-0 position into a size-1 dim: the loss/scalar
-                # family (loss[0] = ...) — every loop axis reduces
-                if (not index.setup and not index.factors
-                        and index.constant == 0 and out_shape[d] == 1):
-                    continue
-                return self._decline("write index is not a full-range iterator")
-            if not low._full_axis(axis, out_shape[d]):
-                return self._decline("write index is not a full-range iterator")
-            out_axes.append(axis)
-        if len(set(out_axes)) != len(out_axes):
-            return self._decline("repeated write iterator")
-        # write dims may visit the loop axes in any order: the kernel
-        # computes its output in loop order and lower() transposes the
-        # result into write-dim order (transpose-family kernels; the
-        # reference's clgen emits any computed body, clgen.nim:249-257)
-        self.write_axes = list(out_axes)
-        out_axes = sorted(out_axes)
-
         self.read_axes: dict[int, list[int]] = {}  # data reg -> axes
         # data reg -> per-dim ("iter"|"stride"|"div"|"slice", param, off[, D])
         self.read_plans: dict[int, list[tuple]] = {}
@@ -1051,6 +1082,98 @@ class PallasMapReduce:
         self.whole_axes: set[int] = set()
         # data regs read through flat `{i}` access (1-D flattened view)
         self.flat_reads: set[int] = set()
+        # expr register -> loop axis (iterator references in the expression
+        # or in gather index expressions; filled here and by the expr scan)
+        self.iter_axes: dict[int, int] = {}
+        # data reg -> gather plan for data-dependent (computed-index) reads:
+        # {"dim", "V", "gaxes", "order"} — the gathered dim rides whole in
+        # every block and the kernel gathers rows via a one-hot contraction
+        # (MXU-native; TPU rebuild of clgen's computed-index reads,
+        # clgen.nim:249-257)
+        self.gather_reads: dict[int, dict] = {}
+        # data-dependent write dim (the scatter-add family: embedding
+        # gradients grad_emb[to_index(tok[i]), d] += g[i, d]); the
+        # scattered dim rides whole in the out block and the kernel
+        # accumulates rows via a transposed one-hot contraction
+        self.scatter: Optional[dict] = None
+        # data regs of reads consumed by gather/scatter index expressions
+        self.index_src_regs: set[int] = set()
+        # plain reads (all dims distinct pure full-range iterators) are
+        # legal index sources for gather reads
+        plain_info: dict[int, list[int]] = {}
+        for r in kernel.reads:
+            if r.is_raw:
+                continue
+            shp = low.shapes[r.tensor]
+            ax = [low._pure_iter(ix) for ix in r.dims]
+            if (
+                all(a is not None for a in ax)
+                and len(set(ax)) == len(ax)
+                and all(
+                    low._full_axis(a, shp[i])  # type: ignore[arg-type]
+                    for i, a in enumerate(ax)
+                )
+            ):
+                plain_info[r.data] = ax  # type: ignore[assignment]
+
+        out_axes: list[int] = []
+        for d, index in enumerate(write.dims):
+            axis = low._pure_iter(index)
+            if axis is None:
+                # constant-0 position into a size-1 dim: the loss/scalar
+                # family (loss[0] = ...) — every loop axis reduces
+                if (not index.setup and not index.factors
+                        and index.constant == 0 and out_shape[d] == 1):
+                    continue
+                g = None if write.is_raw else self._gather_dim(
+                    index, plain_info
+                )
+                if g is not None:
+                    # data-dependent write dim (scatter-add)
+                    if write.accumulate != "add":
+                        return self._decline(
+                            "data-dependent write dim with non-add "
+                            "accumulation"
+                        )
+                    if self.scatter is not None:
+                        return self._decline(
+                            "more than one data-dependent write dim"
+                        )
+                    self.scatter = {
+                        "dim": d,
+                        "V": int(out_shape[d]),
+                        "gaxes": list(g[0]),
+                        "index": index,
+                    }
+                    self.index_src_regs.update(g[1])
+                    continue
+                return self._decline("write index is not a full-range iterator")
+            if not low._full_axis(axis, out_shape[d]):
+                return self._decline("write index is not a full-range iterator")
+            out_axes.append(axis)
+        if len(set(out_axes)) != len(out_axes):
+            return self._decline("repeated write iterator")
+        if self.scatter is not None:
+            if len(out_axes) + 1 != len(write.dims):
+                return self._decline(
+                    "constant write dims combined with a data-dependent dim"
+                )
+            sa = self.scatter["gaxes"]
+            if set(sa) & set(out_axes):
+                return self._decline(
+                    "scatter index depends on a directly written axis"
+                )
+            if out_axes and sa and max(sa) >= min(out_axes):
+                return self._decline(
+                    "scatter axes interleave the written iterator axes"
+                )
+        # write dims may visit the loop axes in any order: the kernel
+        # computes its output in loop order and lower() transposes the
+        # result into write-dim order (transpose-family kernels; the
+        # reference's clgen emits any computed body, clgen.nim:249-257)
+        self.write_axes = list(out_axes)
+        out_axes = sorted(out_axes)
+
         lane_axis = n - 1  # embedded lane dim (after rank-1 padding too)
         for read in kernel.reads:
             shape = low.shapes[read.tensor]
@@ -1061,11 +1184,26 @@ class PallasMapReduce:
                 self.flat_reads.add(read.data)
             axes = []
             plans = []  # per dim: (kind, param, offset, whole_D)
+            gplan: Optional[tuple] = None  # (tensor dim, extent, gaxes)
             for d, index in enumerate(read.dims):
                 axis = low._pure_iter(index)
                 if axis is not None and low._full_axis(axis, shape[d]):
                     axes.append(axis)
                     plans.append(("iter", 1, 0, 0))
+                    continue
+                # data-dependent (computed) index -> the gather family:
+                # emb[to_index(tokens[n, t]), d] and friends.  The gathered
+                # dim stays whole-resident per block; the kernel computes
+                # the index block and gathers rows via a one-hot dot.
+                g = None if read.is_raw else self._gather_dim(
+                    index, plain_info
+                )
+                if g is not None:
+                    if gplan is not None:
+                        return self._decline(
+                            "more than one data-dependent dim in one read"
+                        )
+                    gplan = (d, int(shape[d]), g)
                     continue
                 # windowed/strided read family: s*i + c (pool windows,
                 # shifted stencils) and i // k (upsampling) — the
@@ -1134,7 +1272,42 @@ class PallasMapReduce:
                 )
             if len(set(axes)) != len(axes):
                 return self._decline("repeated read iterator")
-            if axes != sorted(axes):
+            if gplan is not None:
+                gdim, V, (gaxes, src_regs) = gplan
+                if any(kind != "iter" for kind, _p, _c, _D in plans):
+                    return self._decline(
+                        "strided/grouped dims combined with a "
+                        "data-dependent dim"
+                    )
+                if set(gaxes) & set(axes):
+                    return self._decline(
+                        "gather index depends on the read's own "
+                        "iterator axes"
+                    )
+                if axes and gaxes and max(gaxes) >= min(axes):
+                    return self._decline(
+                        "gather axes interleave the read's iterator axes"
+                    )
+                # host-side transpose: gathered dim first, the iterator
+                # dims in ascending loop order
+                rest_dims = [d for d in range(len(read.dims)) if d != gdim]
+                order = [gdim] + [
+                    rest_dims[i]
+                    for i in sorted(
+                        range(len(rest_dims)), key=lambda i: axes[i]
+                    )
+                ]
+                self.gather_reads[read.data] = {
+                    "dim": gdim,
+                    "V": V,
+                    "gaxes": list(gaxes),
+                    "order": order,
+                    "index": read.dims[gdim],
+                }
+                self.index_src_regs.update(src_regs)
+                axes = sorted(axes)
+                plans = [("iter", 1, 0, 0)] * len(axes)
+            elif axes != sorted(axes):
                 # permuted read: transpose the operand into loop order
                 # outside the kernel (fuses with the operand pad/copy)
                 order = sorted(range(len(axes)), key=lambda i: axes[i])
@@ -1150,7 +1323,6 @@ class PallasMapReduce:
         # (index-dependent masks: triangular/banded kernels, clgen.nim
         # emits any computed body at clgen.nim:249-257)
         defined = set(self.read_axes) | set(self.setup_env)
-        self.iter_axes: dict[int, int] = {}  # expr register -> loop axis
         static_env = dict(self.setup_env)
         for instr in kernel.expr.instrs:
             # static subexpressions (shape queries and arithmetic over
@@ -1186,7 +1358,10 @@ class PallasMapReduce:
         # reduction axis) belong on the MXU einsum/PallasMatmul paths —
         # unless the bounds are dynamic (the MXU paths require static
         # rectangular iteration; the emitter's hull masks handle it here)
+        # or a gather read is involved (the einsum path takes only plain
+        # iterator reads)
         if (write.accumulate == "add" and not self.dyn_bounds
+                and not self.gather_reads and self.scatter is None
                 and self._looks_contraction()):
             return self._decline("contraction (MXU einsum path)")
 
@@ -1335,6 +1510,19 @@ class PallasMapReduce:
             item = np.dtype(low.dtype).itemsize
             total = 0
             for read in kernel.reads:
+                g = self.gather_reads.get(read.data)
+                if g is not None:
+                    # gathered dim whole-resident + one-hot [M, V] and
+                    # gathered-value [M, R] f32 intermediates
+                    R = 1
+                    for a in self.read_axes[read.data]:
+                        R *= block[a]
+                    M = 1
+                    for a in g["gaxes"]:
+                        M *= block[a]
+                    total += g["V"] * R * (2 * item + 4)
+                    total += M * g["V"] * 4 + M * R * 4
+                    continue
                 elems = 1
                 for a, (kind, p, _c, D_) in zip(
                     self.read_axes[read.data], self.read_plans[read.data]
@@ -1352,6 +1540,14 @@ class PallasMapReduce:
             out_elems = 1
             for a in self.out_axes:
                 out_elems *= block[a]
+            if self.scatter is not None:
+                # scattered dim rides whole in the out block, plus the
+                # one-hot [M, V] and pre-scatter [M, R] f32 intermediates
+                Ms = 1
+                for a in self.scatter["gaxes"]:
+                    Ms *= block[a]
+                total += Ms * self.scatter["V"] * 4 + Ms * out_elems * 4
+                out_elems *= self.scatter["V"]
             total += out_elems * (item + 4)  # out block + f32 value
             # the broadcast elementwise intermediate spans the full loop
             # rank (out x reduction blocks) before the in-block reduction
@@ -1483,6 +1679,33 @@ class PallasMapReduce:
         for read in kernel.reads:
             axes = self.read_axes[read.data]
             plans = self.read_plans[read.data]
+            g = self.gather_reads.get(read.data)
+            if g is not None:
+                # gathered operand: the data-dependent dim leads (whole-
+                # resident, extent V); iterator dims follow in loop order
+                arr = jnp.transpose(tensors[read.tensor], g["order"])
+                arr = arr.reshape(
+                    (g["V"],) + embed_shape(axes, [sizes[a] for a in axes])
+                )
+                arr = _pad_to(
+                    arr,
+                    (g["V"],) + embed_shape(axes, [psizes[a] for a in axes]),
+                )
+                operands.append(arr)
+                inner_map = index_map_for(axes)
+
+                def gather_map(*gids, _inner=inner_map):
+                    return (0,) + _inner(*gids)
+
+                in_specs.append(
+                    pl.BlockSpec(
+                        (g["V"],)
+                        + embed_shape(axes, [block[a] for a in axes]),
+                        gather_map,
+                    )
+                )
+                read_transforms.append(None)  # gathered in the body
+                continue
             extents, pextents, blocks, transforms = _operand_layout(
                 axes, plans, sizes, psizes, block, pad
             )
@@ -1499,13 +1722,28 @@ class PallasMapReduce:
                 pl.BlockSpec(embed_shape(axes, blocks), index_map_for(axes))
             )
             read_transforms.append(transforms)
+        scatter = self.scatter
         out_block = embed_shape(self.out_axes, [block[a] for a in self.out_axes])
         out_embed = embed_shape(
             self.out_axes, [psizes[a] for a in self.out_axes]
         )
-        out_spec = pl.BlockSpec(out_block, index_map_for(self.out_axes))
+        if scatter is not None:
+            # the scattered dim leads the out block, whole-resident
+            out_block = (scatter["V"],) + out_block
+            out_embed = (scatter["V"],) + out_embed
+            inner_out_map = index_map_for(self.out_axes)
 
-        red_positions = [a + pad for a in self.red_axes]
+            def scatter_out_map(*gids, _inner=inner_out_map):
+                return (0,) + _inner(*gids)
+
+            out_spec = pl.BlockSpec(out_block, scatter_out_map)
+        else:
+            out_spec = pl.BlockSpec(out_block, index_map_for(self.out_axes))
+
+        sa_set = set(scatter["gaxes"]) if scatter is not None else set()
+        # scatter axes reduce via the one-hot contraction, not the
+        # generic in-block reduce
+        red_positions = [a + pad for a in self.red_axes if a not in sa_set]
         identity = accumulation_identity(mode)
         n_reads = len(kernel.reads)
         red_dim = grid_pos.get(self.red_grid_axis) if red_gridded else None
@@ -1523,6 +1761,9 @@ class PallasMapReduce:
             for reg, v in sorted(self.setup_env.items())
         ]
 
+        gather_reads = self.gather_reads
+        read_axes_map = self.read_axes
+
         def body(*refs):
             o_ref = refs[n_reads]
 
@@ -1535,9 +1776,14 @@ class PallasMapReduce:
                 return idx
 
             env = {}
+            deferred = []  # gather reads: need the index-source blocks
             for read, ref, transforms in zip(
                 kernel.reads, refs[:n_reads], read_transforms
             ):
+                g = gather_reads.get(read.data)
+                if g is not None:
+                    deferred.append((read, ref, g))
+                    continue
                 env[read.data] = _apply_read_transforms(
                     ref[...].astype(jnp.float32), transforms
                 )
@@ -1545,6 +1791,46 @@ class PallasMapReduce:
                 env[reg] = gidx(axis)
             for reg, v in setup_items:
                 env[reg] = v
+            for read, ref, g in deferred:
+                # data-dependent gather: evaluate the index block, then
+                # select rows of the whole-resident gathered dim via a
+                # one-hot contraction (MXU; exact row selection, so
+                # precision=HIGHEST keeps it bit-identical to a take)
+                index = g["index"]
+                if index.setup:
+                    eval_elementwise(
+                        index.setup, index.setup[-1].res, env
+                    )
+                idxv = index.constant
+                for reg, f in index.factors.items():
+                    idxv = idxv + env[reg] * f
+                gaxes = g["gaxes"]
+                rest = read_axes_map[read.data]
+                M = 1
+                for a in gaxes:
+                    M *= block[a]
+                R = 1
+                for a in rest:
+                    R *= block[a]
+                gshape = embed_shape(gaxes, [block[a] for a in gaxes])
+                idx = jnp.asarray(idxv).astype(jnp.int32)
+                idx = jnp.broadcast_to(idx, gshape).reshape(M, 1)
+                onehot = (
+                    idx
+                    == jax.lax.broadcasted_iota(jnp.int32, (M, g["V"]), 1)
+                ).astype(jnp.float32)
+                src = ref[...].astype(jnp.float32).reshape(g["V"], R)
+                val = jnp.dot(
+                    onehot,
+                    src,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                env[read.data] = val.reshape(
+                    embed_shape(
+                        gaxes + rest, [block[a] for a in gaxes + rest]
+                    )
+                )
             value = eval_elementwise(kernel.expr.instrs, kernel.expr.res, env)
             value = jnp.asarray(value, jnp.float32)
             if value.ndim != rank:
@@ -1587,7 +1873,49 @@ class PallasMapReduce:
                     value = _acc_reduce_jnp(value, p, mode)
                 elif mode == "add" and block[p - pad] > 1:
                     value = value * jnp.float32(block[p - pad])
-            value = jnp.broadcast_to(value, out_block)
+            if scatter is not None:
+                # data-dependent write dim: route each scatter-axis
+                # position's value to its target row via a transposed
+                # one-hot contraction (MXU; grad_emb[tok[i], d] += g[i,d])
+                index = scatter["index"]
+                if index.setup:
+                    eval_elementwise(
+                        index.setup, index.setup[-1].res, env
+                    )
+                idxv = index.constant
+                for reg, f in index.factors.items():
+                    idxv = idxv + env[reg] * f
+                sgax = scatter["gaxes"]
+                Ms = 1
+                for a in sgax:
+                    Ms *= block[a]
+                Rs = 1
+                for a in self.out_axes:
+                    Rs *= block[a]
+                idx = jnp.asarray(idxv).astype(jnp.int32)
+                idx = jnp.broadcast_to(
+                    idx, embed_shape(sgax, [block[a] for a in sgax])
+                ).reshape(Ms, 1)
+                onehot = (
+                    idx
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (Ms, scatter["V"]), 1
+                    )
+                ).astype(jnp.float32)
+                full = embed_shape(
+                    sgax + self.out_axes,
+                    [block[a] for a in sgax + self.out_axes],
+                )
+                value = jnp.broadcast_to(value, full).reshape(Ms, Rs)
+                value = jax.lax.dot_general(
+                    onehot,
+                    value,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ).reshape(out_block)
+            else:
+                value = jnp.broadcast_to(value, out_block)
 
             if red_dim is None:
                 o_ref[...] = value.astype(o_ref.dtype)
@@ -1635,20 +1963,41 @@ class PallasMapReduce:
             ),
             interpret=interpret,
         )(*operands)
-        value = value.reshape([psizes[a] for a in self.out_axes])
-        if any(psizes[a] != sizes[a] for a in self.out_axes):
-            value = value[
-                tuple(slice(0, sizes[a]) for a in self.out_axes)
-            ]
-        # permuted write dims: the kernel output is in loop order;
-        # transpose back into write-dim order
-        if self.write_axes != self.out_axes:
-            value = value.transpose(
-                [self.out_axes.index(a) for a in self.write_axes]
+        if scatter is not None:
+            value = value.reshape(
+                [scatter["V"]] + [psizes[a] for a in self.out_axes]
             )
-        # constant-0 write dims (loss[0] = ...) re-expand to the tensor
-        # shape (size-1 dims the axis loop skipped)
-        value = value.reshape(low.shapes[write.tensor])
+            if any(psizes[a] != sizes[a] for a in self.out_axes):
+                value = value[
+                    (slice(None),)
+                    + tuple(slice(0, sizes[a]) for a in self.out_axes)
+                ]
+            # arrange [V, out axes ascending] into write-dim order
+            perm = []
+            for d, index in enumerate(write.dims):
+                if d == scatter["dim"]:
+                    perm.append(0)
+                else:
+                    axis = low._pure_iter(index)
+                    perm.append(1 + self.out_axes.index(axis))
+            if perm != list(range(len(perm))):
+                value = value.transpose(perm)
+            value = value.reshape(low.shapes[write.tensor])
+        else:
+            value = value.reshape([psizes[a] for a in self.out_axes])
+            if any(psizes[a] != sizes[a] for a in self.out_axes):
+                value = value[
+                    tuple(slice(0, sizes[a]) for a in self.out_axes)
+                ]
+            # permuted write dims: the kernel output is in loop order;
+            # transpose back into write-dim order
+            if self.write_axes != self.out_axes:
+                value = value.transpose(
+                    [self.out_axes.index(a) for a in self.write_axes]
+                )
+            # constant-0 write dims (loss[0] = ...) re-expand to the tensor
+            # shape (size-1 dims the axis loop skipped)
+            value = value.reshape(low.shapes[write.tensor])
 
         prev = tensors[write.tensor]
         if mode == "add":
@@ -1954,6 +2303,8 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
         pmr = PallasMapReduce(low, kernel)
         if not pmr.ok or pmr.dyn_bounds:
             return None
+        if pmr.gather_reads:
+            return None  # gather members stay single-kernel
         if pmr.write_axes != pmr.out_axes:
             return None
         if len(kernel.write.dims) != len(pmr.out_axes):

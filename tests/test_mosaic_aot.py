@@ -190,6 +190,39 @@ def test_scalar_loss_lowers():
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
 
 
+def test_gather_embedding_lookup_lowers():
+    """The data-dependent read family (emb[to_index(tok[n, t]), d]):
+    whole-resident table + one-hot MXU row selection."""
+    from exprgrad_tpu import to_index
+
+    tok, table = input("tokens"), input("emb")
+    out = Fun("out")
+    n, t, d = iters("n", "t", "d")
+    out[n, t, d] = table[to_index(tok[n, t]), d]
+    out.with_shape([tok.shape[0], tok.shape[1], table.shape[1]])
+    out.schedule(tile={"n": 2, "t": 8})
+    ex = lower_tpu(out.target("out"), "out",
+                   {"tokens": (8, 16), "emb": (32, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
+def test_scatter_add_embedding_grad_lowers():
+    """The data-dependent write family (demb[to_index(tok[i]), d] +=
+    v[i, d]): transposed one-hot contraction into a whole-resident out
+    block."""
+    from exprgrad_tpu import to_index
+
+    tok, v = input("tokens"), input("vals")
+    out = Fun("demb")
+    i, d = iters("i", "d")
+    out[to_index(tok[i]), d] = v[i, d]
+    out.with_shape([32, 128])
+    out.schedule(tile={"i": 16})
+    ex = lower_tpu(out.target("demb"), "demb",
+                   {"tokens": (64,), "vals": (64, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
 def test_rowchain_softmax_lowers():
     inp = input("inp")
     y, x = iters("y", "x")
