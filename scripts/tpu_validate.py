@@ -324,6 +324,43 @@ def main() -> None:
     np.testing.assert_allclose(got, es / es.sum(axis=1, keepdims=True),
                                rtol=1e-5, atol=1e-6)
     assert sm_.lowering_stats("sout").get("pallas-rowchain") == 1
+
+    # data-dependent gather + scatter-add (one-hot MXU contractions)
+    # on real Mosaic — the round-4 computed-index family
+    from exprgrad_tpu import to_index as _to_index
+
+    gn, gt, gd = _iters("gn", "gt", "gd")
+    gtok, gtab = input("gtok"), input("gtab")
+    glk = Fun("glk")
+    glk[gn, gt, gd] = gtab[_to_index(gtok[gn, gt]), gd]
+    glk.with_shape([gtok.shape[0], gtok.shape[1], gtab.shape[1]])
+    glk.schedule(tile={"gn": 4, "gt": 16})
+    gm = compile(glk.target("glk"), backend="jax", schedule_mode="force")
+    gtokv = rng.integers(0, 512, size=(8, 128)).astype(np.float32)
+    gtabv = rng.normal(size=(512, 256)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(gm.call("glk", {"gtok": gtokv, "gtab": gtabv}))
+    print(f"scheduled gather lookup: {time.time()-t0:.1f}s", flush=True)
+    np.testing.assert_allclose(got, gtabv[gtokv.astype(int)], rtol=1e-5,
+                               atol=1e-5)
+    assert gm.lowering_stats("glk").get("pallas-mapreduce") == 1
+
+    si_, sd_ = _iters("si", "sd")
+    stok, sval = input("stok"), input("sval")
+    sct = Fun("sct")
+    sct[_to_index(stok[si_]), sd_] = sval[si_, sd_]
+    sct.with_shape([512, 256])
+    sct.schedule(tile={"si": 64})
+    scm = compile(sct.target("sct"), backend="jax", schedule_mode="force")
+    stokv = rng.integers(0, 512, size=(1024,)).astype(np.float32)
+    svalv = rng.normal(size=(1024, 256)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(scm.call("sct", {"stok": stokv, "sval": svalv}))
+    print(f"scheduled scatter-add: {time.time()-t0:.1f}s", flush=True)
+    want = np.zeros((512, 256), np.float32)
+    np.add.at(want, stokv.astype(int), svalv)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert scm.lowering_stats("sct").get("pallas-mapreduce") == 1
     print("MASKED/ITERATOR PALLAS OK", flush=True)
 
     # flash_transformer: one real train step on-chip (extern fused
