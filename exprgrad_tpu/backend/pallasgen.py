@@ -974,7 +974,9 @@ class PallasMapReduce:
             return None
         return int(iv.min), terms
 
-    def _gather_dim(self, index, plain_info: dict) -> Optional[tuple]:
+    def _gather_dim(
+        self, index, plain_info: dict, allow_pure: bool = False
+    ) -> Optional[tuple]:
         """Classify a data-dependent read-dim index (the gather family:
         ``emb[to_index(tokens[n, t]), d]`` — clgen emits any computed
         index, clgen.nim:249-257).
@@ -985,7 +987,14 @@ class PallasMapReduce:
         evaluator op set.  Returns ``(sorted gather axes, index-source
         data regs)`` — the loop axes the index varies over — or ``None``
         when the dim is not of this family (no data dependence, or an
-        unsupported op/reg)."""
+        unsupported op/reg).
+
+        With ``allow_pure`` the index may be pure iterator arithmetic
+        with no data source — the computed-index fallback for non-affine
+        index expressions (``a[i * j]``, ``a[(i + j) mod n]``) after the
+        affine/stride/grouping analysis failed.  The same in-kernel
+        one-hot-contraction gather evaluates it (the indices come from
+        iota blocks alone)."""
         low = self.low
         gaxes: set[int] = set()
         srcs: set[int] = set()
@@ -1023,9 +1032,65 @@ class PallasMapReduce:
                 defined.add(instr.res)
         if not all(resolve(r) for r in index.factors):
             return None
-        if not srcs:
-            return None  # pure iterator arithmetic: not the gather family
+        if not srcs and not allow_pure:
+            return None  # pure iterator arithmetic: try affine forms first
+        if not gaxes:
+            return None  # constant index: stays on the XLA paths
         return sorted(gaxes), srcs
+
+    def _affine_dim_plan(self, index, D: int, lane_axis: int):
+        """Classify one read dim as an affine/strided/grouped plan.
+
+        Returns ``(axis, plan, whole_axis)`` on success or the decline
+        reason string when the dim is not of the single-iterator affine
+        family (the caller then falls back to the computed-index
+        gather)."""
+        low = self.low
+        deps = low._linear_deps(index)
+        if len(deps) != 1:
+            return "read index is not a single-iterator form"
+        axis = next(iter(deps))
+        L = low.sizes[axis]
+        vec = low._static_dim_vector(index, axis)
+        if vec is None or vec.shape != (L,):
+            return "read index is not statically affine"
+        c0 = int(vec[0])
+        s = int(vec[1] - vec[0]) if L > 1 else 1
+        if s >= 1 and np.array_equal(vec, np.arange(L) * s + c0):
+            if axis != lane_axis and 0 <= c0 < s and D == s * L:
+                # block-coverable phase read (pool windows): blocks
+                # cover the s-wide band, strided slice in-kernel — the
+                # axis may still tile/grid
+                return axis, ("stride", s, c0, 0), False
+            if c0 + s * (L - 1) < D and (
+                axis != lane_axis or s == 1
+            ) and (s == 1 or c0 + s * L <= D):
+                # (the s > 1 form needs one extra trailing element so
+                # the in-kernel stride-1 slice + phase-split stays in
+                # range — Mosaic rejects strided slices, see
+                # _strided_phase)
+                # general shifted stencil (blur: img[y, x + 1]): the
+                # read keeps the WHOLE dim resident per block and takes
+                # a static in-kernel slice; the axis must not tile/grid
+                # (overlapping windows cannot be expressed as disjoint
+                # blocks).  On the lane axis only contiguous shifts
+                # (s == 1) are attempted (strided lane slices are
+                # Mosaic-hostile).
+                return axis, ("slice", s, c0, D), True
+            return (
+                "affine read exceeds the tensor extent or is a "
+                "strided lane-axis slice"
+            )
+        if axis == lane_axis:
+            return "transformed read on the lane axis"
+        if D >= 1 and L % D == 0 and np.array_equal(
+            vec, np.repeat(np.arange(D), L // D)
+        ):
+            return axis, ("div", L // D, 0, 0), False
+        return (
+            "read index is neither affine (s*i + c) nor a "
+            "grouping (i // k)"
+        )
 
     def _classify(self) -> bool:
         low = self.low
@@ -1125,9 +1190,16 @@ class PallasMapReduce:
                 if (not index.setup and not index.factors
                         and index.constant == 0 and out_shape[d] == 1):
                     continue
-                g = None if write.is_raw else self._gather_dim(
-                    index, plain_info
-                )
+                g = None
+                if not write.is_raw:
+                    g = self._gather_dim(index, plain_info)
+                    if g is None and write.accumulate == "add":
+                        # non-affine pure-iterator write index
+                        # (out[(i*j) mod n] += v): the same one-hot
+                        # scatter-add routes it, indices from iota alone
+                        g = self._gather_dim(
+                            index, plain_info, allow_pure=True
+                        )
                 if g is not None:
                     # data-dependent write dim (scatter-add)
                     if write.accumulate != "add":
@@ -1198,78 +1270,50 @@ class PallasMapReduce:
                 g = None if read.is_raw else self._gather_dim(
                     index, plain_info
                 )
-                if g is not None:
-                    if gplan is not None:
-                        return self._decline(
-                            "more than one data-dependent dim in one read"
+                if g is None and not read.is_raw:
+                    # windowed/strided read family: s*i + c (pool
+                    # windows, shifted stencils) and i // k (upsampling)
+                    # — the reference's clgen emits any computed body
+                    # (clgen.nim:249-257); here the input block covers
+                    # the transformed extent and the kernel
+                    # slices/repeats it.
+                    got = self._affine_dim_plan(
+                        index, int(shape[d]), lane_axis
+                    )
+                    if isinstance(got, str):
+                        # non-affine pure iterator arithmetic (a[i*j],
+                        # a[(i+j) mod n]): the computed-index gather
+                        # evaluates the index from iota blocks alone
+                        g = self._gather_dim(
+                            index, plain_info, allow_pure=True
                         )
-                    gplan = (d, int(shape[d]), g)
-                    continue
-                # windowed/strided read family: s*i + c (pool windows,
-                # shifted stencils) and i // k (upsampling) — the
-                # reference's clgen emits any computed body
-                # (clgen.nim:249-257); here the input block covers the
-                # transformed extent and the kernel slices/repeats it.
-                deps = low._linear_deps(index)
-                if len(deps) != 1:
-                    return self._decline(
-                        "read index is not a single-iterator form"
-                    )
-                axis = next(iter(deps))
-                L = low.sizes[axis]
-                vec = low._static_dim_vector(index, axis)
-                if vec is None or vec.shape != (L,):
-                    return self._decline(
-                        "read index is not statically affine"
-                    )
-                D = int(shape[d])
-                c0 = int(vec[0])
-                s = int(vec[1] - vec[0]) if L > 1 else 1
-                if s >= 1 and np.array_equal(vec, np.arange(L) * s + c0):
-                    if axis != lane_axis and 0 <= c0 < s and D == s * L:
-                        # block-coverable phase read (pool windows):
-                        # blocks cover the s-wide band, strided slice
-                        # in-kernel — the axis may still tile/grid
+                        if g is None:
+                            return self._decline(got)
+                    else:
+                        axis, plan, whole = got
                         axes.append(axis)
-                        plans.append(("stride", s, c0, 0))
+                        plans.append(plan)
+                        if whole:
+                            self.whole_axes.add(axis)
                         continue
-                    if c0 + s * (L - 1) < D and (
-                        axis != lane_axis or s == 1
-                    ) and (s == 1 or c0 + s * L <= D):
-                        # (the s > 1 form needs one extra trailing
-                        # element so the in-kernel stride-1 slice +
-                        # phase-split stays in range — Mosaic rejects
-                        # strided slices, see _strided_phase)
-                        # general shifted stencil (blur: img[y, x + 1]):
-                        # the read keeps the WHOLE dim resident per
-                        # block and takes a static in-kernel slice; the
-                        # axis must not tile/grid (overlapping windows
-                        # cannot be expressed as disjoint blocks).  On
-                        # the lane axis only contiguous shifts (s == 1)
-                        # are attempted (strided lane slices are
-                        # Mosaic-hostile).
-                        axes.append(axis)
-                        plans.append(("slice", s, c0, D))
-                        self.whole_axes.add(axis)
-                        continue
-                    return self._decline(
-                        "affine read exceeds the tensor extent or is a "
-                        "strided lane-axis slice"
+                elif g is None:
+                    got = self._affine_dim_plan(
+                        index, int(shape[d]), lane_axis
                     )
-                if axis == lane_axis:
-                    return self._decline(
-                        "transformed read on the lane axis"
-                    )
-                if D >= 1 and L % D == 0 and np.array_equal(
-                    vec, np.repeat(np.arange(D), L // D)
-                ):
+                    if isinstance(got, str):
+                        return self._decline(got)
+                    axis, plan, whole = got
                     axes.append(axis)
-                    plans.append(("div", L // D, 0, 0))
+                    plans.append(plan)
+                    if whole:
+                        self.whole_axes.add(axis)
                     continue
-                return self._decline(
-                    "read index is neither affine (s*i + c) nor a "
-                    "grouping (i // k)"
-                )
+                if gplan is not None:
+                    return self._decline(
+                        "more than one data-dependent dim in one read"
+                    )
+                gplan = (d, int(shape[d]), g)
+                continue
             if len(set(axes)) != len(axes):
                 return self._decline("repeated read iterator")
             if gplan is not None:

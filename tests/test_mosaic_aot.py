@@ -223,6 +223,34 @@ def test_scatter_add_embedding_grad_lowers():
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
 
 
+def test_pure_iterator_computed_read_lowers():
+    """Non-affine pure-iterator read index (a[(i * j) % V]): the
+    computed-index gather (iota-built index + one-hot MXU selection)
+    must survive real Mosaic lowering."""
+    x, a = input("x"), input("a")
+    out = Fun("out")
+    i, j = iters("i", "j")
+    out[i, j] = x[i, j] + a[(i * j) % 96]
+    out.with_shape([x.shape[0], x.shape[1]])
+    out.schedule(tile={"i": 8})
+    ex = lower_tpu(out.target("out"), "out",
+                   {"x": (16, 128), "a": (96,)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
+def test_pure_iterator_computed_scatter_lowers():
+    """Non-affine pure-iterator WRITE index (out[(i * j) % V] += x[i, j])
+    through the transposed one-hot scatter-add under real Mosaic."""
+    x = input("x")
+    out = Fun("out")
+    i, j = iters("i", "j")
+    out[(i * j) % 48] = x[i, j]
+    out.with_shape([48])
+    out.schedule(tile={"j": 64})
+    ex = lower_tpu(out.target("out"), "out", {"x": (16, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
 def test_rowchain_softmax_lowers():
     inp = input("inp")
     y, x = iters("y", "x")

@@ -239,3 +239,104 @@ def test_gather_interp_jax_parity_unscheduled_unchanged():
     a = mj.call("g", {"tokens": tokens, "emb": emb})
     np.testing.assert_allclose(a, emb[tokens.astype(int)], rtol=1e-6)
     assert not _stats(mj).get("pallas-mapreduce")
+
+
+def test_pure_iterator_computed_read():
+    """Non-affine pure-iterator read index (a[(i * j) % 7]): the
+    computed-index gather evaluates the index from iota blocks alone —
+    no data source needed (clgen.nim:249-257 emits ANY computed index;
+    here it rides the one-hot gather instead of declining)."""
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(6, 8)).astype(np.float32)
+    a = rng.normal(size=(7,)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        xin = input("x")
+        ain = input("a")
+        out = Fun("out")
+        out[i, j] = xin[i, j] + ain[(i * j) % 7]
+        out.with_shape([xin.shape[0], xin.shape[1]])
+        out.schedule(tile={"i": 2})
+        return out.target("g")
+
+    mj = _force(graph())
+    got = mj.call("g", {"x": x, "a": a})
+    idx = (np.arange(6)[:, None] * np.arange(8)[None, :]) % 7
+    np.testing.assert_allclose(got, x + a[idx], rtol=1e-5, atol=1e-6)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_pure_iterator_quadratic_read_with_reduction():
+    """Quadratic index (b[i * i]) combined with a reduced iterator: the
+    gather axes and the in-block reduction coexist."""
+    rng = np.random.default_rng(7)
+    y = rng.normal(size=(5, 4)).astype(np.float32)
+    b = rng.normal(size=(26,)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        yin = input("y")
+        bin_ = input("b")
+        out = Fun("out")
+        out[i] = yin[i, j] * bin_[i * i]
+        out.with_shape([yin.shape[0]])
+        out.schedule(tile={"i": 1})
+        return out.target("g")
+
+    mj = _force(graph())
+    got = mj.call("g", {"y": y, "b": b})
+    exp = y.sum(axis=1) * b[np.arange(5) ** 2]
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_pure_iterator_computed_scatter_add():
+    """Non-affine pure-iterator WRITE index (out[(i * j) % 5] += x[i, j])
+    rides the transposed one-hot scatter-add, indices from iota alone."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(6, 8)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        xin = input("x")
+        out = Fun("out")
+        out[(i * j) % 5] = xin[i, j]
+        out.with_shape([5])
+        out.schedule(tile={"j": 4})
+        return out.target("s")
+
+    mj = _force(graph())
+    got = mj.call("s", {"x": x})
+    exp = np.zeros(5, np.float32)
+    for i in range(6):
+        for j in range(8):
+            exp[(i * j) % 5] += x[i, j]
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_pure_iterator_gather_interp_parity():
+    """interp oracle parity for the pure-iterator computed-index family
+    (both backends, same graph, bit-level agreement tolerance)."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(4, 6)).astype(np.float32)
+    a = rng.normal(size=(9,)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        xin = input("x")
+        ain = input("a")
+        out = Fun("out")
+        out[i, j] = xin[i, j] * ain[(i + 2 * j) % 9]
+        out.with_shape([xin.shape[0], xin.shape[1]])
+        out.schedule(tile={"i": 2, "j": 3})
+        return out.target("g")
+
+    mj = _force(graph())
+    a_jax = mj.call("g", {"x": x, "a": a})
+    b_interp = compile(graph(), backend="interp").call(
+        "g", {"x": x, "a": a}
+    )
+    np.testing.assert_allclose(a_jax, b_interp, rtol=1e-6, atol=1e-7)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
