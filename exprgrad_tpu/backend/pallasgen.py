@@ -1323,30 +1323,46 @@ class PallasMapReduce:
                         "strided/grouped dims combined with a "
                         "data-dependent dim"
                     )
-                if set(gaxes) & set(axes):
-                    return self._decline(
-                        "gather index depends on the read's own "
-                        "iterator axes"
-                    )
-                if axes and gaxes and max(gaxes) >= min(axes):
-                    return self._decline(
-                        "gather axes interleave the read's iterator axes"
-                    )
-                # host-side transpose: gathered dim first, the iterator
-                # dims in ascending loop order
                 rest_dims = [d for d in range(len(read.dims)) if d != gdim]
-                order = [gdim] + [
+                sorted_rest = [
                     rest_dims[i]
                     for i in sorted(
                         range(len(rest_dims)), key=lambda i: axes[i]
                     )
                 ]
+                # two in-kernel gather formulations:
+                # * "onehot" — one-hot [M, V] MXU contraction against the
+                #   whole-resident gathered dim.  Its output reshape
+                #   (M, R) -> embedded blocks is a pure sublane split ONLY
+                #   when the rest axes are exactly the lane axis — the
+                #   on-chip-validated shape class (any other class trips
+                #   Mosaic's infer-vector-layout "unsupported shape cast"
+                #   on real hardware; the AOT net does not run that pass).
+                # * "cmpred" — broadcast compare against a trailing-V iota
+                #   and reduce over the minor axis (where + sum picks
+                #   exactly one element, so it is as exact as the one-hot
+                #   dot).  No reshapes at all, so it is layout-safe for
+                #   every shape class: gathers on the lane axis, empty
+                #   rest, interleaved or self-referencing iterator axes.
+                if (
+                    axes == [lane_axis]
+                    and not (set(gaxes) & set(axes))
+                    and (not gaxes or max(gaxes) < lane_axis)
+                ):
+                    # gathered dim first (whole-resident), lane follows
+                    order = [gdim] + sorted_rest
+                    mode = "onehot"
+                else:
+                    # gathered dim LAST (trailing V), rest in loop order
+                    order = sorted_rest + [gdim]
+                    mode = "cmpred"
                 self.gather_reads[read.data] = {
                     "dim": gdim,
                     "V": V,
                     "gaxes": list(gaxes),
                     "order": order,
                     "index": read.dims[gdim],
+                    "mode": mode,
                 }
                 self.index_src_regs.update(src_regs)
                 axes = sorted(axes)
@@ -1539,6 +1555,13 @@ class PallasMapReduce:
         read_covered = set()
         for axes in self.read_axes.values():
             read_covered.update(axes)
+        # gather axes drive the in-kernel index blocks (gidx applies the
+        # grid offset), so a reduction axis consumed only through a
+        # computed index may still grid/shrink like a plain-read axis
+        for g in self.gather_reads.values():
+            read_covered.update(g["gaxes"])
+        if self.scatter is not None:
+            read_covered.update(self.scatter["gaxes"])
         candidates = [
             a for a in self.red_axes
             if a in read_covered and a not in shared
@@ -1564,6 +1587,17 @@ class PallasMapReduce:
                     M = 1
                     for a in g["gaxes"]:
                         M *= block[a]
+                    if g["mode"] == "cmpred":
+                        # staged [rest-blocks, V] operand + the compare/
+                        # select intermediate over the joint block x V
+                        E = 1
+                        for a in set(g["gaxes"]) | set(
+                            self.read_axes[read.data]
+                        ):
+                            E *= block[a]
+                        total += g["V"] * R * (2 * item + 4)
+                        total += E * g["V"] * 8
+                        continue
                     total += g["V"] * R * (2 * item + 4)
                     total += M * g["V"] * 4 + M * R * 4
                     continue
@@ -1724,7 +1758,7 @@ class PallasMapReduce:
             axes = self.read_axes[read.data]
             plans = self.read_plans[read.data]
             g = self.gather_reads.get(read.data)
-            if g is not None:
+            if g is not None and g["mode"] == "onehot":
                 # gathered operand: the data-dependent dim leads (whole-
                 # resident, extent V); iterator dims follow in loop order
                 arr = jnp.transpose(tensors[read.tensor], g["order"])
@@ -1746,6 +1780,34 @@ class PallasMapReduce:
                         (g["V"],)
                         + embed_shape(axes, [block[a] for a in axes]),
                         gather_map,
+                    )
+                )
+                read_transforms.append(None)  # gathered in the body
+                continue
+            if g is not None:
+                # cmpred: gathered dim TRAILS (whole-resident V on the
+                # minor axis), iterator dims lead in loop order — the
+                # compare-reduce gather never reshapes the block
+                arr = jnp.transpose(tensors[read.tensor], g["order"])
+                arr = arr.reshape(
+                    embed_shape(axes, [sizes[a] for a in axes]) + (g["V"],)
+                )
+                arr = _pad_to(
+                    arr,
+                    embed_shape(axes, [psizes[a] for a in axes])
+                    + (g["V"],),
+                )
+                operands.append(arr)
+                inner_map = index_map_for(axes)
+
+                def gather_map_t(*gids, _inner=inner_map):
+                    return _inner(*gids) + (0,)
+
+                in_specs.append(
+                    pl.BlockSpec(
+                        embed_shape(axes, [block[a] for a in axes])
+                        + (g["V"],),
+                        gather_map_t,
                     )
                 )
                 read_transforms.append(None)  # gathered in the body
@@ -1848,6 +1910,24 @@ class PallasMapReduce:
                 idxv = index.constant
                 for reg, f in index.factors.items():
                     idxv = idxv + env[reg] * f
+                if g["mode"] == "cmpred":
+                    # layout-safe gather: compare the index block against
+                    # a trailing-V iota and reduce the minor axis (where +
+                    # sum touches exactly one element per position, so it
+                    # is as exact as the one-hot selection; out-of-range
+                    # hull/padded indices match nothing and contribute 0,
+                    # masked to the identity below like the other
+                    # families)
+                    V = g["V"]
+                    idx = jnp.asarray(idxv).astype(jnp.int32)[..., None]
+                    vio = jax.lax.broadcasted_iota(
+                        jnp.int32, (1,) * rank + (V,), rank
+                    )
+                    src = ref[...].astype(jnp.float32)
+                    env[read.data] = jnp.where(
+                        idx == vio, src, jnp.float32(0)
+                    ).sum(axis=-1)
+                    continue
                 gaxes = g["gaxes"]
                 rest = read_axes_map[read.data]
                 M = 1

@@ -363,6 +363,81 @@ def main() -> None:
     assert scm.lowering_stats("sct").get("pallas-mapreduce") == 1
     print("MASKED/ITERATOR PALLAS OK", flush=True)
 
+    # pure-iterator computed indices (this session's widening): the
+    # compare-reduce gather (trailing-V iota select — NO reshapes, built
+    # precisely because the one-hot reshape trips infer-vector-layout
+    # "unsupported shape cast" outside the rest==[lane] class on real
+    # hardware) and the pure-iterator scatter-add
+    ci_, cj_ = _iters("ci", "cj")
+    cx_in, ca_in = input("cx"), input("ca")
+    cg = Fun("cg")
+    cg[ci_, cj_] = cx_in[ci_, cj_] + ca_in[(ci_ * cj_) % 96]
+    cg.with_shape([cx_in.shape[0], cx_in.shape[1]])
+    cg.schedule(tile={"ci": 8})
+    cgm = compile(cg.target("cg"), backend="jax", schedule_mode="force")
+    cxv = rng.normal(size=(16, 128)).astype(np.float32)
+    cav = rng.normal(size=(96,)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(cgm.call("cg", {"cx": cxv, "ca": cav}))
+    print(f"cmpred pure-iterator gather: {time.time()-t0:.1f}s",
+          flush=True)
+    cidx = (np.arange(16)[:, None] * np.arange(128)[None, :]) % 96
+    np.testing.assert_allclose(got, cxv + cav[cidx], rtol=1e-5, atol=1e-5)
+    assert cgm.lowering_stats("cg").get("pallas-mapreduce") == 1
+
+    # lane-axis grouped read (upsample x // 2) through cmpred
+    uy_, ux_ = _iters("uy", "ux")
+    uin = input("uin")
+    up = Fun("up")
+    up[uy_, ux_] = uin[uy_, ux_ // 2]
+    up.with_shape([uin.shape[0], uin.shape[1] * 2])
+    up.schedule(tile={"uy": 8})
+    upm = compile(up.target("up"), backend="jax", schedule_mode="force")
+    uv = rng.normal(size=(16, 64)).astype(np.float32)
+    got = np.asarray(upm.call("up", {"uin": uv}))
+    np.testing.assert_allclose(got, np.repeat(uv, 2, axis=1), rtol=1e-6)
+    assert upm.lowering_stats("up").get("pallas-mapreduce") == 1
+
+    # multi-iterator affine read over a dynamic hull (suffix sums:
+    # out[x] = sum_dx a[x + dx], dx < n - x) — cmpred + hull masks
+    sa_in = input("sa")
+    sx_ = _irange("sx", 0, sa_in.shape[0])
+    sdx_ = _irange("sdx", 0, sa_in.shape[0] - sx_)
+    suf = Fun("suf")
+    suf[sx_] = sa_in[sx_ + sdx_]
+    suf.with_shape([sa_in.shape[0]])
+    suf.schedule(tile={"sx": 32})
+    sufm = compile(suf.target("suf"), backend="jax",
+                   schedule_mode="force")
+    sav = rng.normal(size=(256,)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(sufm.call("suf", {"sa": sav}))
+    print(f"cmpred dynamic-hull suffix sum: {time.time()-t0:.1f}s",
+          flush=True)
+    want = np.array([sav[i:].sum() for i in range(256)], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert sufm.lowering_stats("suf").get("pallas-mapreduce") == 1
+
+    # pure-iterator scatter-add (out[(i*j) % V] += x[i, j]) — the
+    # transposed one-hot with an empty directly-written axis set
+    pi_, pj_ = _iters("pi", "pj")
+    px_in = input("px")
+    psc = Fun("psc")
+    psc[(pi_ * pj_) % 48] = px_in[pi_, pj_]
+    psc.with_shape([48])
+    psc.schedule(tile={"pj": 64})
+    pscm = compile(psc.target("psc"), backend="jax",
+                   schedule_mode="force")
+    pxv = rng.normal(size=(16, 128)).astype(np.float32)
+    got = np.asarray(pscm.call("psc", {"px": pxv}))
+    want = np.zeros(48, np.float32)
+    pidx = (np.arange(16)[:, None] * np.arange(128)[None, :]) % 48
+    np.add.at(want, pidx.reshape(-1), pxv.reshape(-1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert pscm.lowering_stats("psc").get("pallas-mapreduce") == 1
+    print("COMPUTED-INDEX (CMPRED) PALLAS OK", flush=True)
+
+
     # flash_transformer: one real train step on-chip (extern fused
     # attention through the symbolic backward), finite + loss sane
     from exprgrad_tpu.models import flash_transformer

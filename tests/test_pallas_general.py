@@ -230,24 +230,45 @@ def test_ignore_mode_is_silent():
     assert _stats(model).get("schedule-fallback") is None
 
 
-def test_unsupported_schedule_warns_in_force_mode():
-    """A scheduled kernel the emitters cannot map (a read dim mixing two
-    iterators) warns and falls back — never silently dropped.  (Grouped
-    ``y // 2`` reads used to be the example here; they are now a
-    supported read family.)"""
+def test_diagonal_band_read_via_cmpred_gather():
+    """A read dim mixing two iterators (inp[y + x, x] — a diagonal band,
+    self-referencing the read's own iterator axis) lowers through the
+    compare-reduce gather.  (This used to be the canonical unmappable
+    example; the computed-index family absorbed it.)"""
     inp = input("inp")
     out = Fun("out")
     y, x = iters("y", "x")
-    out[y, x] = inp[y + x, x]  # two iterators in one read dim
+    out[y, x] = inp[y + x, x]
     out.with_shape([inp.shape[1], inp.shape[1]])
     out.schedule(tile={"y": 16})
     rng = np.random.default_rng(6)
     v = rng.normal(size=(128, 64)).astype(np.float32)
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
+    got = model.call("out", {"inp": v})
+    exp = np.stack(
+        [v[yy + np.arange(64), np.arange(64)] for yy in range(64)]
+    )
+    np.testing.assert_allclose(got, exp, rtol=1e-6)
+    assert _stats(model).get("pallas-mapreduce") == 1, _stats(model)
+
+
+def test_unsupported_schedule_warns_in_force_mode():
+    """A scheduled kernel the emitters cannot map (a grouped dim combined
+    with a computed dim in ONE read) warns and falls back — never
+    silently dropped."""
+    inp = input("inp")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = inp[y + x, x // 2]  # computed dim + grouped dim
+    out.with_shape([inp.shape[1] * 2, inp.shape[1] * 2])
+    out.schedule(tile={"y": 16})
+    rng = np.random.default_rng(6)
+    v = rng.normal(size=(128, 32)).astype(np.float32)
+    model = compile(out.target("out"), backend="jax", schedule_mode="force")
     with pytest.warns(ScheduleWarning, match="unsupported kernel shape"):
         got = model.call("out", {"inp": v})
     want = v[np.arange(64)[:, None] + np.arange(64)[None, :],
-             np.arange(64)[None, :].repeat(64, 0)]
+             (np.arange(64) // 2)[None, :].repeat(64, 0)]
     np.testing.assert_allclose(got, want)
 
 
@@ -358,9 +379,10 @@ def test_scheduled_pool_gradient_shape():
     assert _stats(model).get("pallas-mapreduce") == 1
 
 
-def test_transformed_lane_read_declines():
-    """Strided/grouped reads on the LANE axis decline (Mosaic restriction)
-    with a reason rather than shipping a broken kernel."""
+def test_transformed_lane_read_via_cmpred_gather():
+    """A grouped read on the LANE axis (inp[y, x // 2]) — Mosaic rejects
+    strided/repeat slices there, but the layout-safe compare-reduce
+    gather (trailing-V iota select, no reshapes) lowers it to Pallas."""
     inp = input("inp")
     out = Fun("out")
     y, x = iters("y", "x")
@@ -370,10 +392,9 @@ def test_transformed_lane_read_declines():
     rng = np.random.default_rng(14)
     v = rng.normal(size=(16, 64)).astype(np.float32)
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
-    with pytest.warns(ScheduleWarning, match="lane axis"):
-        got = model.call("out", {"inp": v})
+    got = model.call("out", {"inp": v})
     np.testing.assert_allclose(got, np.repeat(v, 2, axis=1))
-    assert _stats(model).get("pallas-mapreduce") is None
+    assert _stats(model).get("pallas-mapreduce") == 1, _stats(model)
 
 
 def test_shifted_read_declines():
@@ -772,10 +793,11 @@ def test_scheduled_dynamic_bound_with_shape_term():
     assert _stats(model).get("pallas-mapreduce") == 1
 
 
-def test_scheduled_dynamic_oob_hull_declines():
-    """A dynamic kernel whose hull reads out of range (a[x + dx]) still
-    declines to the XLA hull-masked path — with the reason, not silently,
-    and with the right numbers."""
+def test_scheduled_dynamic_oob_hull_via_cmpred_gather():
+    """A dynamic kernel whose hull reads out of range (a[x + dx]): the
+    compare-reduce gather evaluates the multi-iterator index in-kernel
+    (hull positions past the extent match no iota value and contribute
+    the identity), so it stays on Pallas with the right numbers."""
     from exprgrad_tpu import irange
 
     a = input("a")
@@ -788,10 +810,10 @@ def test_scheduled_dynamic_oob_hull_declines():
     rng = np.random.default_rng(58)
     av = rng.normal(size=(32,)).astype(np.float32)
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
-    with pytest.warns(ScheduleWarning):
-        got = model.call("out", {"a": av})
+    got = model.call("out", {"a": av})
     want = np.array([av[i:].sum() for i in range(32)])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(model).get("pallas-mapreduce") == 1, _stats(model)
 
 
 def test_scheduled_shape_query_in_expression():
