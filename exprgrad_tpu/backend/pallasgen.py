@@ -1256,80 +1256,86 @@ class PallasMapReduce:
                 self.flat_reads.add(read.data)
             axes = []
             plans = []  # per dim: (kind, param, offset, whole_D)
-            gplan: Optional[tuple] = None  # (tensor dim, extent, gaxes)
+            # per dim: ("iter", axis) | ("affine", axis, plan, whole)
+            #        | ("computed", gaxes, src_regs)
+            dim_class: list[tuple] = []
             for d, index in enumerate(read.dims):
                 axis = low._pure_iter(index)
                 if axis is not None and low._full_axis(axis, shape[d]):
-                    axes.append(axis)
-                    plans.append(("iter", 1, 0, 0))
+                    dim_class.append(("iter", axis))
                     continue
                 # data-dependent (computed) index -> the gather family:
-                # emb[to_index(tokens[n, t]), d] and friends.  The gathered
-                # dim stays whole-resident per block; the kernel computes
-                # the index block and gathers rows via a one-hot dot.
+                # emb[to_index(tokens[n, t]), d] and friends.  The
+                # kernel computes the index block and gathers.
                 g = None if read.is_raw else self._gather_dim(
                     index, plain_info
                 )
-                if g is None and not read.is_raw:
-                    # windowed/strided read family: s*i + c (pool
-                    # windows, shifted stencils) and i // k (upsampling)
-                    # — the reference's clgen emits any computed body
-                    # (clgen.nim:249-257); here the input block covers
-                    # the transformed extent and the kernel
-                    # slices/repeats it.
-                    got = self._affine_dim_plan(
-                        index, int(shape[d]), lane_axis
-                    )
-                    if isinstance(got, str):
-                        # non-affine pure iterator arithmetic (a[i*j],
-                        # a[(i+j) mod n]): the computed-index gather
-                        # evaluates the index from iota blocks alone
-                        g = self._gather_dim(
-                            index, plain_info, allow_pure=True
-                        )
-                        if g is None:
-                            return self._decline(got)
-                    else:
-                        axis, plan, whole = got
-                        axes.append(axis)
-                        plans.append(plan)
-                        if whole:
-                            self.whole_axes.add(axis)
-                        continue
-                elif g is None:
-                    got = self._affine_dim_plan(
-                        index, int(shape[d]), lane_axis
-                    )
-                    if isinstance(got, str):
-                        return self._decline(got)
-                    axis, plan, whole = got
-                    axes.append(axis)
-                    plans.append(plan)
-                    if whole:
-                        self.whole_axes.add(axis)
+                if g is not None:
+                    dim_class.append(("computed",) + g)
                     continue
-                if gplan is not None:
-                    return self._decline(
-                        "more than one data-dependent dim in one read"
+                # windowed/strided read family: s*i + c (pool windows,
+                # shifted stencils) and i // k (upsampling) — the
+                # reference's clgen emits any computed body
+                # (clgen.nim:249-257); here the input block covers the
+                # transformed extent and the kernel slices/repeats it.
+                got = self._affine_dim_plan(
+                    index, int(shape[d]), lane_axis
+                )
+                if not isinstance(got, str):
+                    dim_class.append(("affine",) + got)
+                    continue
+                if not read.is_raw:
+                    # non-affine pure iterator arithmetic (a[i*j],
+                    # a[(i+j) mod n]): the computed-index gather
+                    # evaluates the index from iota blocks alone
+                    g = self._gather_dim(
+                        index, plain_info, allow_pure=True
                     )
-                gplan = (d, int(shape[d]), g)
-                continue
-            if len(set(axes)) != len(axes):
-                return self._decline("repeated read iterator")
-            if gplan is not None:
-                gdim, V, (gaxes, src_regs) = gplan
-                if any(kind != "iter" for kind, _p, _c, _D in plans):
-                    return self._decline(
-                        "strided/grouped dims combined with a "
-                        "data-dependent dim"
+                    if g is not None:
+                        dim_class.append(("computed",) + g)
+                        continue
+                return self._decline(got)
+            gds = [d for d, c in enumerate(dim_class) if c[0] == "computed"]
+            if gds:
+                # fold ALL non-plain dims into ONE flat computed gather
+                # over the row-major-flattened computed subspace: affine
+                # dims (strided/grouped/shifted) coexisting with a
+                # computed dim convert to computed form — their index
+                # expressions evaluate in-kernel like any other
+                for d, c in enumerate(dim_class):
+                    if c[0] != "affine":
+                        continue
+                    g = self._gather_dim(
+                        read.dims[d], plain_info, allow_pure=True
                     )
-                rest_dims = [d for d in range(len(read.dims)) if d != gdim]
-                sorted_rest = [
-                    rest_dims[i]
-                    for i in sorted(
-                        range(len(rest_dims)), key=lambda i: axes[i]
-                    )
+                    if g is None:
+                        return self._decline(
+                            "strided/grouped dims combined with a "
+                            "data-dependent dim"
+                        )
+                    dim_class[d] = ("computed",) + g
+                gds = [
+                    d for d, c in enumerate(dim_class) if c[0] == "computed"
                 ]
+                iter_ds = [
+                    d for d, c in enumerate(dim_class) if c[0] == "iter"
+                ]
+                axes = [dim_class[d][1] for d in iter_ds]
+                if len(set(axes)) != len(axes):
+                    return self._decline("repeated read iterator")
+                gaxes = sorted(set().union(*(dim_class[d][1] for d in gds)))
+                src_regs = set().union(*(dim_class[d][2] for d in gds))
+                V = 1
+                for d in gds:
+                    V *= int(shape[d])
+                strides = {}
+                s = 1
+                for d in reversed(gds):
+                    strides[d] = s
+                    s *= int(shape[d])
+                indices = [(read.dims[d], strides[d]) for d in gds]
+                sorted_iter = sorted(iter_ds, key=lambda d: dim_class[d][1])
+                axes = sorted(axes)
                 # two in-kernel gather formulations:
                 # * "onehot" — one-hot [M, V] MXU contraction against the
                 #   whole-resident gathered dim.  Its output reshape
@@ -1343,37 +1349,52 @@ class PallasMapReduce:
                 #   exactly one element, so it is as exact as the one-hot
                 #   dot).  No reshapes at all, so it is layout-safe for
                 #   every shape class: gathers on the lane axis, empty
-                #   rest, interleaved or self-referencing iterator axes.
+                #   rest, interleaved or self-referencing iterator axes,
+                #   multiple computed dims.
                 if (
-                    axes == [lane_axis]
+                    len(gds) == 1
+                    and axes == [lane_axis]
                     and not (set(gaxes) & set(axes))
                     and (not gaxes or max(gaxes) < lane_axis)
                 ):
                     # gathered dim first (whole-resident), lane follows
-                    order = [gdim] + sorted_rest
+                    order = gds + sorted_iter
                     mode = "onehot"
                 else:
-                    # gathered dim LAST (trailing V), rest in loop order
-                    order = sorted_rest + [gdim]
+                    # gathered dims LAST (trailing flat V), rest in loop
+                    # order
+                    order = sorted_iter + gds
                     mode = "cmpred"
                 self.gather_reads[read.data] = {
-                    "dim": gdim,
                     "V": V,
                     "gaxes": list(gaxes),
                     "order": order,
-                    "index": read.dims[gdim],
+                    "indices": indices,
                     "mode": mode,
                 }
                 self.index_src_regs.update(src_regs)
-                axes = sorted(axes)
                 plans = [("iter", 1, 0, 0)] * len(axes)
-            elif axes != sorted(axes):
-                # permuted read: transpose the operand into loop order
-                # outside the kernel (fuses with the operand pad/copy)
-                order = sorted(range(len(axes)), key=lambda i: axes[i])
-                self.read_perms[read.data] = tuple(order)
-                axes = [axes[i] for i in order]
-                plans = [plans[i] for i in order]
+            else:
+                for c in dim_class:
+                    if c[0] == "iter":
+                        axes.append(c[1])
+                        plans.append(("iter", 1, 0, 0))
+                    else:
+                        _, axis, plan, whole = c
+                        axes.append(axis)
+                        plans.append(plan)
+                        if whole:
+                            self.whole_axes.add(axis)
+                if len(set(axes)) != len(axes):
+                    return self._decline("repeated read iterator")
+                if axes != sorted(axes):
+                    # permuted read: transpose the operand into loop
+                    # order outside the kernel (fuses with the operand
+                    # pad/copy)
+                    order = sorted(range(len(axes)), key=lambda i: axes[i])
+                    self.read_perms[read.data] = tuple(order)
+                    axes = [axes[i] for i in order]
+                    plans = [plans[i] for i in order]
             self.read_axes[read.data] = axes
             self.read_plans[read.data] = plans
 
@@ -1898,18 +1919,21 @@ class PallasMapReduce:
             for reg, v in setup_items:
                 env[reg] = v
             for read, ref, g in deferred:
-                # data-dependent gather: evaluate the index block, then
-                # select rows of the whole-resident gathered dim via a
-                # one-hot contraction (MXU; exact row selection, so
-                # precision=HIGHEST keeps it bit-identical to a take)
-                index = g["index"]
-                if index.setup:
-                    eval_elementwise(
-                        index.setup, index.setup[-1].res, env
-                    )
-                idxv = index.constant
-                for reg, f in index.factors.items():
-                    idxv = idxv + env[reg] * f
+                # computed-index gather: evaluate each computed dim's
+                # index block and combine them into ONE flat index over
+                # the row-major-flattened gathered subspace, then select
+                # (one-hot MXU contraction or compare-reduce; both are
+                # exact row selections)
+                idxv = 0
+                for index, stride in g["indices"]:
+                    if index.setup:
+                        eval_elementwise(
+                            index.setup, index.setup[-1].res, env
+                        )
+                    t = index.constant
+                    for reg, f in index.factors.items():
+                        t = t + env[reg] * f
+                    idxv = idxv + t * stride
                 if g["mode"] == "cmpred":
                     # layout-safe gather: compare the index block against
                     # a trailing-V iota and reduce the minor axis (where +

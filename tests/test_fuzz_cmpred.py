@@ -53,10 +53,18 @@ def _build(rng):
     for r in range(int(rng.integers(1, 3))):
         name = f"g{r}"
         gidx = _index_expr(rng, its, sizes, V)
-        if rng.random() < 0.4:
+        roll = rng.random()
+        if roll < 0.3:
             trail = int(rng.choice([0, 1, 2]))
             inputs[name] = (V, sizes[trail])
             read = input(name)[gidx, its[trail]]
+        elif roll < 0.5:
+            # TWO computed dims in one read: they fold into one flat
+            # gather index over the flattened subspace
+            V2 = int(rng.integers(4, 20))
+            gidx2 = _index_expr(rng, its, sizes, V2)
+            inputs[name] = (V, V2)
+            read = input(name)[gidx, gidx2]
         else:
             inputs[name] = (V,)
             read = input(name)[gidx]

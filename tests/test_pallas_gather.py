@@ -193,9 +193,11 @@ def test_embedding_train_step_scatter_scheduled():
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
 
 
-def test_scheduled_gather_strided_lane_declines():
-    """A strided lane-axis dim in the same read as the gather dim mixes
-    families and falls back with a ScheduleWarning (never silently)."""
+def test_scheduled_gather_strided_lane_folds_flat():
+    """A strided lane-axis dim in the same read as a gather dim: both
+    dims fold into ONE flat computed index over the row-major-flattened
+    subspace (emb[to_index(tok[i]), 2*d] -> flat idx = tok[i]*W + 2*d),
+    gathered via compare-reduce."""
     rng = np.random.default_rng(4)
     tokens = rng.integers(0, 8, size=(4,)).astype(np.float32)
     emb = rng.normal(size=(8, 64)).astype(np.float32)
@@ -210,13 +212,43 @@ def test_scheduled_gather_strided_lane_declines():
         out.schedule(tile={"i": 2})
         return out.target("g")
 
-    mj = compile(graph(), backend="jax", schedule_mode="force")
-    with pytest.warns(ScheduleWarning):
-        a = mj.call("g", {"tokens": tokens, "emb": emb})
+    mj = _force(graph())
+    a = mj.call("g", {"tokens": tokens, "emb": emb})
     b = compile(graph(), backend="interp").call(
         "g", {"tokens": tokens, "emb": emb}
     )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        a, emb[tokens.astype(int)][:, ::2], rtol=1e-6
+    )
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_multi_computed_dims_fold_flat():
+    """TWO computed dims in one read (a[i + j, i - j + C] — rotated
+    coordinates) fold into one flat gather index."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(12, 16)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        ain = input("a")
+        out = Fun("out")
+        # + 16 keeps the index nonnegative: % is Nim-style TRUNCATED
+        # mod in the IR (sign of the dividend), not Python floor mod
+        out[i, j] = ain[i + j, (i - j + 16) % 16]
+        out.with_shape([6, 6])
+        out.schedule(tile={"i": 2})
+        return out.target("g")
+
+    mj = _force(graph())
+    got = mj.call("g", {"a": a})
+    oracle = compile(graph(), backend="interp").call("g", {"a": a})
+    ii, jj = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+    want = a[ii + jj, (ii - jj + 16) % 16]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, oracle, rtol=1e-6)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
 
 
 def test_gather_interp_jax_parity_unscheduled_unchanged():
