@@ -1182,6 +1182,8 @@ class PallasMapReduce:
                 plain_info[r.data] = ax  # type: ignore[assignment]
 
         out_axes: list[int] = []
+        const_dims = 0
+        sdims: list[tuple] = []  # (write dim, gaxes, src regs)
         for d, index in enumerate(write.dims):
             axis = low._pure_iter(index)
             if axis is None:
@@ -1189,14 +1191,15 @@ class PallasMapReduce:
                 # family (loss[0] = ...) — every loop axis reduces
                 if (not index.setup and not index.factors
                         and index.constant == 0 and out_shape[d] == 1):
+                    const_dims += 1
                     continue
                 g = None
                 if not write.is_raw:
                     g = self._gather_dim(index, plain_info)
                     if g is None and write.accumulate == "add":
                         # non-affine pure-iterator write index
-                        # (out[(i*j) mod n] += v): the same one-hot
-                        # scatter-add routes it, indices from iota alone
+                        # (out[(i*j) mod n] += v): the scatter-add
+                        # routes it, indices from iota alone
                         g = self._gather_dim(
                             index, plain_info, allow_pure=True
                         )
@@ -1207,17 +1210,7 @@ class PallasMapReduce:
                             "data-dependent write dim with non-add "
                             "accumulation"
                         )
-                    if self.scatter is not None:
-                        return self._decline(
-                            "more than one data-dependent write dim"
-                        )
-                    self.scatter = {
-                        "dim": d,
-                        "V": int(out_shape[d]),
-                        "gaxes": list(g[0]),
-                        "index": index,
-                    }
-                    self.index_src_regs.update(g[1])
+                    sdims.append((d, g[0], g[1]))
                     continue
                 return self._decline("write index is not a full-range iterator")
             if not low._full_axis(axis, out_shape[d]):
@@ -1225,20 +1218,48 @@ class PallasMapReduce:
             out_axes.append(axis)
         if len(set(out_axes)) != len(out_axes):
             return self._decline("repeated write iterator")
-        if self.scatter is not None:
-            if len(out_axes) + 1 != len(write.dims):
+        if sdims:
+            if const_dims:
                 return self._decline(
                     "constant write dims combined with a data-dependent dim"
                 )
-            sa = self.scatter["gaxes"]
-            if set(sa) & set(out_axes):
-                return self._decline(
-                    "scatter index depends on a directly written axis"
-                )
-            if out_axes and sa and max(sa) >= min(out_axes):
-                return self._decline(
-                    "scatter axes interleave the written iterator axes"
-                )
+            sd = [d for d, _g, _s in sdims]
+            sgaxes = sorted(set().union(*(g for _d, g, _s in sdims)))
+            for _d, _g, s in sdims:
+                self.index_src_regs.update(s)
+            extents = [int(out_shape[d]) for d in sd]
+            V = 1
+            for e in extents:
+                V *= e
+            strides = {}
+            s = 1
+            for d, e in zip(reversed(sd), reversed(extents)):
+                strides[d] = s
+                s *= e
+            so = sorted(out_axes)
+            # same mode split as reads: the transposed one-hot MXU
+            # contraction's (V, Rs) output is layout-safe only in the
+            # on-chip-validated out_axes == [lane] class; every other
+            # class uses the compare-reduce scatter (value masked by a
+            # trailing-V iota compare, scatter axes summed in place —
+            # no reshapes)
+            if (
+                len(sd) == 1
+                and so == [n - 1]
+                and not (set(sgaxes) & set(so))
+                and (not sgaxes or max(sgaxes) < n - 1)
+            ):
+                smode = "onehot"
+            else:
+                smode = "cmpred"
+            self.scatter = {
+                "dims": sd,
+                "extents": extents,
+                "V": V,
+                "gaxes": list(sgaxes),
+                "indices": [(write.dims[d], strides[d]) for d in sd],
+                "mode": smode,
+            }
         # write dims may visit the loop axes in any order: the kernel
         # computes its output in loop order and lower() transposes the
         # result into write-dim order (transpose-family kernels; the
@@ -1642,10 +1663,22 @@ class PallasMapReduce:
             if self.scatter is not None:
                 # scattered dim rides whole in the out block, plus the
                 # one-hot [M, V] and pre-scatter [M, R] f32 intermediates
+                # (onehot) or the joint-block x V masked intermediate
+                # (cmpred)
                 Ms = 1
                 for a in self.scatter["gaxes"]:
                     Ms *= block[a]
-                total += Ms * self.scatter["V"] * 4 + Ms * out_elems * 4
+                if self.scatter["mode"] == "cmpred":
+                    E = 1
+                    for a in set(self.scatter["gaxes"]) | set(
+                        self.out_axes
+                    ):
+                        E *= block[a]
+                    total += E * self.scatter["V"] * 8
+                else:
+                    total += (
+                        Ms * self.scatter["V"] * 4 + Ms * out_elems * 4
+                    )
                 out_elems *= self.scatter["V"]
             total += out_elems * (item + 4)  # out block + f32 value
             # the broadcast elementwise intermediate spans the full loop
@@ -1854,7 +1887,7 @@ class PallasMapReduce:
         out_embed = embed_shape(
             self.out_axes, [psizes[a] for a in self.out_axes]
         )
-        if scatter is not None:
+        if scatter is not None and scatter["mode"] == "onehot":
             # the scattered dim leads the out block, whole-resident
             out_block = (scatter["V"],) + out_block
             out_embed = (scatter["V"],) + out_embed
@@ -1864,6 +1897,17 @@ class PallasMapReduce:
                 return (0,) + _inner(*gids)
 
             out_spec = pl.BlockSpec(out_block, scatter_out_map)
+        elif scatter is not None:
+            # cmpred scatter: the flattened scattered subspace TRAILS the
+            # out block (whole-resident V on the minor axis; layout-safe)
+            out_block = out_block + (scatter["V"],)
+            out_embed = out_embed + (scatter["V"],)
+            inner_out_map = index_map_for(self.out_axes)
+
+            def scatter_out_map_t(*gids, _inner=inner_out_map):
+                return _inner(*gids) + (0,)
+
+            out_spec = pl.BlockSpec(out_block, scatter_out_map_t)
         else:
             out_spec = pl.BlockSpec(out_block, index_map_for(self.out_axes))
 
@@ -2022,46 +2066,77 @@ class PallasMapReduce:
                 elif mode == "add" and block[p - pad] > 1:
                     value = value * jnp.float32(block[p - pad])
             if scatter is not None:
-                # data-dependent write dim: route each scatter-axis
-                # position's value to its target row via a transposed
-                # one-hot contraction (MXU; grad_emb[tok[i], d] += g[i,d])
-                index = scatter["index"]
-                if index.setup:
-                    eval_elementwise(
-                        index.setup, index.setup[-1].res, env
-                    )
-                idxv = index.constant
-                for reg, f in index.factors.items():
-                    idxv = idxv + env[reg] * f
+                # data-dependent write dims: combine the computed dims'
+                # index blocks into ONE flat index over the row-major-
+                # flattened scattered subspace
+                idxv = 0
+                for index, stride in scatter["indices"]:
+                    if index.setup:
+                        eval_elementwise(
+                            index.setup, index.setup[-1].res, env
+                        )
+                    t = index.constant
+                    for reg, f in index.factors.items():
+                        t = t + env[reg] * f
+                    idxv = idxv + t * stride
                 sgax = scatter["gaxes"]
-                Ms = 1
-                for a in sgax:
-                    Ms *= block[a]
-                Rs = 1
-                for a in self.out_axes:
-                    Rs *= block[a]
-                idx = jnp.asarray(idxv).astype(jnp.int32)
-                idx = jnp.broadcast_to(
-                    idx, embed_shape(sgax, [block[a] for a in sgax])
-                ).reshape(Ms, 1)
-                onehot = (
-                    idx
-                    == jax.lax.broadcasted_iota(
-                        jnp.int32, (Ms, scatter["V"]), 1
+                if scatter["mode"] == "cmpred":
+                    # layout-safe scatter: mask the value by a trailing-V
+                    # iota compare and sum the non-written scatter axes
+                    # in place (each target row v collects exactly the
+                    # positions whose computed index equals v)
+                    V = scatter["V"]
+                    full = list(value.shape)
+                    for a in sgax:
+                        full[a + pad] = block[a]
+                    value = jnp.broadcast_to(value, full)
+                    idx = jnp.asarray(idxv).astype(jnp.int32)[..., None]
+                    vio = jax.lax.broadcasted_iota(
+                        jnp.int32, (1,) * rank + (V,), rank
                     )
-                ).astype(jnp.float32)
-                full = embed_shape(
-                    sgax + self.out_axes,
-                    [block[a] for a in sgax + self.out_axes],
-                )
-                value = jnp.broadcast_to(value, full).reshape(Ms, Rs)
-                value = jax.lax.dot_general(
-                    onehot,
-                    value,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                ).reshape(out_block)
+                    contrib = jnp.where(
+                        idx == vio, value[..., None], jnp.float32(0)
+                    )
+                    for a in sgax:
+                        if a + pad < len(contrib.shape) - 1 and (
+                            contrib.shape[a + pad] > 1
+                        ) and a not in set(self.out_axes):
+                            contrib = contrib.sum(
+                                axis=a + pad, keepdims=True
+                            )
+                    value = jnp.broadcast_to(contrib, out_block)
+                else:
+                    # route each scatter-axis position's value to its
+                    # target row via a transposed one-hot contraction
+                    # (MXU; grad_emb[tok[i], d] += g[i, d])
+                    Ms = 1
+                    for a in sgax:
+                        Ms *= block[a]
+                    Rs = 1
+                    for a in self.out_axes:
+                        Rs *= block[a]
+                    idx = jnp.asarray(idxv).astype(jnp.int32)
+                    idx = jnp.broadcast_to(
+                        idx, embed_shape(sgax, [block[a] for a in sgax])
+                    ).reshape(Ms, 1)
+                    onehot = (
+                        idx
+                        == jax.lax.broadcasted_iota(
+                            jnp.int32, (Ms, scatter["V"]), 1
+                        )
+                    ).astype(jnp.float32)
+                    full = embed_shape(
+                        sgax + self.out_axes,
+                        [block[a] for a in sgax + self.out_axes],
+                    )
+                    value = jnp.broadcast_to(value, full).reshape(Ms, Rs)
+                    value = jax.lax.dot_general(
+                        onehot,
+                        value,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    ).reshape(out_block)
             else:
                 value = jnp.broadcast_to(value, out_block)
 
@@ -2111,7 +2186,7 @@ class PallasMapReduce:
             ),
             interpret=interpret,
         )(*operands)
-        if scatter is not None:
+        if scatter is not None and scatter["mode"] == "onehot":
             value = value.reshape(
                 [scatter["V"]] + [psizes[a] for a in self.out_axes]
             )
@@ -2123,11 +2198,37 @@ class PallasMapReduce:
             # arrange [V, out axes ascending] into write-dim order
             perm = []
             for d, index in enumerate(write.dims):
-                if d == scatter["dim"]:
+                if d == scatter["dims"][0]:
                     perm.append(0)
                 else:
                     axis = low._pure_iter(index)
                     perm.append(1 + self.out_axes.index(axis))
+            if perm != list(range(len(perm))):
+                value = value.transpose(perm)
+            value = value.reshape(low.shapes[write.tensor])
+        elif scatter is not None:
+            # cmpred scatter: [out axes ascending, flat V]; split V back
+            # into the computed dims' extents, then arrange into
+            # write-dim order
+            value = value.reshape(
+                [psizes[a] for a in self.out_axes] + [scatter["V"]]
+            )
+            if any(psizes[a] != sizes[a] for a in self.out_axes):
+                value = value[
+                    tuple(slice(0, sizes[a]) for a in self.out_axes)
+                    + (slice(None),)
+                ]
+            value = value.reshape(
+                [sizes[a] for a in self.out_axes] + scatter["extents"]
+            )
+            n_out = len(self.out_axes)
+            perm = []
+            for d, index in enumerate(write.dims):
+                if d in scatter["dims"]:
+                    perm.append(n_out + scatter["dims"].index(d))
+                else:
+                    axis = low._pure_iter(index)
+                    perm.append(self.out_axes.index(axis))
             if perm != list(range(len(perm))):
                 value = value.transpose(perm)
             value = value.reshape(low.shapes[write.tensor])

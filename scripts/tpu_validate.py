@@ -437,6 +437,46 @@ def main() -> None:
     assert pscm.lowering_stats("psc").get("pallas-mapreduce") == 1
     print("COMPUTED-INDEX (CMPRED) PALLAS OK", flush=True)
 
+    # compare-reduce SCATTER classes (this session): self-referencing
+    # written axis, non-lane out axis, and a flat-folded two-dim
+    # computed write — all layout-safe by construction, proven on-chip
+    wi_, wj_ = _iters("wi", "wj")
+    wv_in = input("wv")
+    wsc = Fun("wsc")
+    wsc[wi_, (wi_ + wj_) % 96] = wv_in[wi_, wj_]
+    wsc.with_shape([16, 96])
+    wsc.schedule(tile={"wi": 8})
+    wscm = compile(wsc.target("wsc"), backend="jax",
+                   schedule_mode="force")
+    wvv = rng.normal(size=(16, 128)).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(wscm.call("wsc", {"wv": wvv}))
+    print(f"cmpred self-ref scatter: {time.time()-t0:.1f}s", flush=True)
+    want = np.zeros((16, 96), np.float32)
+    for i in range(16):
+        np.add.at(want[i], (i + np.arange(128)) % 96, wvv[i])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert wscm.lowering_stats("wsc").get("pallas-mapreduce") == 1
+
+    mi_, mj_ = _iters("mi", "mj")
+    mx_in = input("mx")
+    msc = Fun("msc")
+    msc[(2 * mi_) % 16, (mj_ * mj_) % 24] = mx_in[mi_, mj_]
+    msc.with_shape([16, 24])
+    msc.schedule(tile={"mi": 8})
+    mscm = compile(msc.target("msc"), backend="jax",
+                   schedule_mode="force")
+    mxv = rng.normal(size=(16, 128)).astype(np.float32)
+    got = np.asarray(mscm.call("msc", {"mx": mxv}))
+    want = np.zeros((16, 24), np.float32)
+    for i in range(16):
+        for j in range(128):
+            want[(2 * i) % 16, (j * j) % 24] += mxv[i, j]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert mscm.lowering_stats("msc").get("pallas-mapreduce") == 1
+    print("CMPRED SCATTER CLASSES OK", flush=True)
+
+
 
     # flash_transformer: one real train step on-chip (extern fused
     # attention through the symbolic backward), finite + loss sane

@@ -78,9 +78,20 @@ def _build(rng):
         # computed write index: out[(expr) % Vout, keep...] += value
         Vout = int(rng.integers(5, 40))
         widx = _index_expr(rng, its, sizes, Vout)
-        if rng.random() < 0.5:
+        roll = rng.random()
+        if roll < 0.3:
             out[widx, i2] = expr
             shape = [Vout, sizes[2]]
+        elif roll < 0.5:
+            # TWO computed write dims (flat-folded scatter)
+            Vout2 = int(rng.integers(4, 16))
+            widx2 = _index_expr(rng, its, sizes, Vout2)
+            out[widx, widx2] = expr
+            shape = [Vout, Vout2]
+        elif roll < 0.7:
+            # plain out axis that is NOT the lane axis (cmpred class)
+            out[widx, i0] = expr
+            shape = [Vout, sizes[0]]
         else:
             out[widx] = expr
             shape = [Vout]

@@ -251,6 +251,33 @@ def test_pure_iterator_computed_scatter_lowers():
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
 
 
+def test_cmpred_scatter_nonlane_lowers():
+    """Compare-reduce scatter (out axis != lane, trailing flat V) under
+    real Mosaic lowering."""
+    x = input("x")
+    out = Fun("out")
+    i0, i1, i2 = iters("i0", "i1", "i2")
+    out[(i1 * i2) % 40, i0] = x[i0, i1, i2]
+    out.with_shape([40, 16])
+    out.schedule(tile={"i0": 8})
+    ex = lower_tpu(out.target("out"), "out", {"x": (16, 8, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
+def test_multi_computed_read_write_lowers():
+    """Flat-folded multi-dim computed read + two-dim computed scatter
+    under real Mosaic lowering."""
+    a, x = input("a"), input("x")
+    out = Fun("out")
+    i, j = iters("i", "j")
+    out[(2 * i) % 16, (j * j) % 24] = x[i, j] * a[(i + j) % 40, (i * j) % 16]
+    out.with_shape([16, 24])
+    out.schedule(tile={"i": 8})
+    ex = lower_tpu(out.target("out"), "out",
+                   {"a": (40, 16), "x": (16, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
 def test_rowchain_softmax_lowers():
     inp = input("inp")
     y, x = iters("y", "x")

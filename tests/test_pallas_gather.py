@@ -372,3 +372,83 @@ def test_pure_iterator_gather_interp_parity():
     )
     np.testing.assert_allclose(a_jax, b_interp, rtol=1e-6, atol=1e-7)
     assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_multi_computed_write_dims_fold_flat():
+    """TWO computed write dims (out[(2*i) % 4, (j*j) % 5] += x[i, j])
+    fold into one flat scatter index (compare-reduce scatter)."""
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(6, 8)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        xin = input("x")
+        out = Fun("out")
+        out[(2 * i) % 4, (j * j) % 5] = xin[i, j]
+        out.with_shape([4, 5])
+        out.schedule(tile={"i": 2})
+        return out.target("s")
+
+    mj = _force(graph())
+    got = mj.call("s", {"x": x})
+    want = np.zeros((4, 5), np.float32)
+    for i in range(6):
+        for j in range(8):
+            want[(2 * i) % 4, (j * j) % 5] += x[i, j]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_scatter_self_referencing_written_axis():
+    """A scatter index depending on a directly-written axis
+    (out[i, (i + j) % W] += v[i, j]) — previously a decline, now the
+    compare-reduce scatter keeps the written axis in place."""
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=(6, 9)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        vin = input("v")
+        out = Fun("out")
+        out[i, (i + j) % 7] = vin[i, j]
+        out.with_shape([6, 7])
+        out.schedule(tile={"i": 2})
+        return out.target("s")
+
+    mj = _force(graph())
+    got = mj.call("s", {"v": v})
+    want = np.zeros((6, 7), np.float32)
+    for i in range(6):
+        for j in range(9):
+            want[i, (i + j) % 7] += v[i, j]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+    b = compile(graph(), backend="interp").call("s", {"v": v})
+    np.testing.assert_allclose(got, b, rtol=1e-6, atol=1e-7)
+
+
+def test_scatter_non_lane_out_axis():
+    """A scatter whose plain out axis is NOT the lane axis
+    (out[(i1 * i2) % 5, i0] += x[i0, i1, i2]) routes through the
+    compare-reduce scatter (the one-hot class requires out == [lane])."""
+    rng = np.random.default_rng(14)
+    x = rng.normal(size=(4, 5, 6)).astype(np.float32)
+
+    def graph():
+        i0, i1, i2 = iters("i0", "i1", "i2")
+        xin = input("x")
+        out = Fun("out")
+        out[(i1 * i2) % 5, i0] = xin[i0, i1, i2]
+        out.with_shape([5, 4])
+        out.schedule(tile={"i0": 2})
+        return out.target("s")
+
+    mj = _force(graph())
+    got = mj.call("s", {"x": x})
+    want = np.zeros((5, 4), np.float32)
+    for i0 in range(4):
+        for i1 in range(5):
+            for i2 in range(6):
+                want[(i1 * i2) % 5, i0] += x[i0, i1, i2]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
