@@ -315,6 +315,26 @@ def test_rowchain_escaping_output_lowers():
     assert ex.stats.get("pallas-rowchain") == 1, ex.stats
 
 
+def test_causal_softmax_rowchain_lowers():
+    """The causal-masked softmax row chain (iota mask blocks inside a
+    fused chain) under real Mosaic lowering."""
+    inp = input("inp")
+    q, k = iters("q", "k")
+    mx = Fun("mx")
+    mx.maximize[q] = select(k <= q, inp[q, k], -1e30)
+    mx.schedule(tile={"q": 32})
+    q, k = iters("q", "k")
+    sm = Fun("sm")
+    sm[q] = select(k <= q, exp(inp[q, k] - mx[q]), 0.0)
+    sm.schedule(tile={"q": 32})
+    q, k = iters("q", "k")
+    out = Fun("out")
+    out[q, k] = select(k <= q, exp(inp[q, k] - mx[q]) / sm[q], 0.0)
+    out.schedule(tile={"q": 32})
+    ex = lower_tpu(out.target("out"), "out", {"inp": (128, 128)})
+    assert ex.stats.get("pallas-rowchain") == 1, ex.stats
+
+
 def test_epilogue_fused_dense_lowers():
     a, b, bias = input("a"), input("b"), input("bias")
     c = Fun("c")

@@ -327,3 +327,38 @@ def test_row_tile_rank1_raises():
     inp = input("inp")
     with pytest.raises(ParserError, match="row_tile"):
         softmax_layer(inp, rank=1, row_tile=32)
+
+
+def test_causal_softmax_chain_fuses():
+    """Softmax with index arithmetic — the causal-masked max/sum/
+    normalize chain (select(k <= q, ...) members) fuses into ONE Pallas
+    row-chain kernel with iota mask blocks (VERDICT r3 example case)."""
+    from exprgrad_tpu import select
+
+    inp = input("inp")
+    q, k = iters("q", "k")
+    mx = Fun("mx")
+    mx.maximize[q] = select(k <= q, inp[q, k], -1e30)
+    mx.schedule(tile={"q": 32})
+    q, k = iters("q", "k")
+    sm = Fun("sm")
+    sm[q] = select(k <= q, exp(inp[q, k] - mx[q]), 0.0)
+    sm.schedule(tile={"q": 32})
+    q, k = iters("q", "k")
+    out = Fun("out")
+    out[q, k] = select(k <= q, exp(inp[q, k] - mx[q]) / sm[q], 0.0)
+    out.schedule(tile={"q": 32})
+
+    m = compile(out.target("out"), backend="jax", schedule_mode="force")
+    rng = np.random.default_rng(7)
+    v = (rng.normal(size=(128, 128)) * 4).astype(np.float32)
+    got = np.asarray(m.call("out", {"inp": v}))
+    mask = np.arange(128)[None, :] <= np.arange(128)[:, None]
+    e = np.where(
+        mask,
+        np.exp(v - np.where(mask, v, -1e30).max(1, keepdims=True)),
+        0.0,
+    )
+    want = e / e.sum(1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert _stats(m).get("pallas-rowchain") == 1, _stats(m)
