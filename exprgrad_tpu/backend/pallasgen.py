@@ -947,6 +947,9 @@ class PallasMapReduce:
         for instr in self.kernel.setup:
             v = _eval_static_instr(instr, env, self.low.shapes)
             if v is _NOT_STATIC:
+                if instr.op is Op.EPOCH and instr.res is not None:
+                    self.epoch_regs.add(instr.res)
+                    continue
                 return None
             if instr.res is not None:
                 env[instr.res] = v
@@ -1101,6 +1104,10 @@ class PallasMapReduce:
         if write.is_raw and len(write.dims) != 1:
             return self._decline("multi-dim raw write")
         self.setup_env: dict[int, object] = {}
+        # registers carrying the runtime epoch scalar (epoch() in LR
+        # schedules etc.) — seeded in the kernel from a (1,...,1) int32
+        # operand instead of declining
+        self.epoch_regs: set[int] = set()
         if kernel.setup:
             env = self._static_setup()
             if env is None:
@@ -1424,7 +1431,7 @@ class PallasMapReduce:
         # broadcasted_iota index blocks offset by the grid position
         # (index-dependent masks: triangular/banded kernels, clgen.nim
         # emits any computed body at clgen.nim:249-257)
-        defined = set(self.read_axes) | set(self.setup_env)
+        defined = set(self.read_axes) | set(self.setup_env) | self.epoch_regs
         static_env = dict(self.setup_env)
         for instr in kernel.expr.instrs:
             # static subexpressions (shape queries and arithmetic over
@@ -1435,6 +1442,11 @@ class PallasMapReduce:
                 static_env[instr.res] = v
                 self.setup_env[instr.res] = v
                 defined.add(instr.res)
+                continue
+            if instr.op is Op.EPOCH:
+                if instr.res is not None:
+                    self.epoch_regs.add(instr.res)
+                    defined.add(instr.res)
                 continue
             if instr.op not in _MAPREDUCE_OPS:
                 return self._decline(f"unsupported op {instr.op.value}")
@@ -1882,6 +1894,18 @@ class PallasMapReduce:
                 pl.BlockSpec(embed_shape(axes, blocks), index_map_for(axes))
             )
             read_transforms.append(transforms)
+        epoch_items = sorted(self.epoch_regs)
+        if epoch_items:
+            # the runtime epoch scalar rides as a (1,...,1) int32 operand
+            # (LR-schedule expressions: epoch() inside scheduled kernels)
+            operands.append(
+                jnp.asarray(self.low.epoch).astype(jnp.int32).reshape(
+                    (1,) * rank
+                )
+            )
+            in_specs.append(
+                pl.BlockSpec((1,) * rank, lambda *gids: (0,) * rank)
+            )
         scatter = self.scatter
         out_block = embed_shape(self.out_axes, [block[a] for a in self.out_axes])
         out_embed = embed_shape(
@@ -1917,6 +1941,7 @@ class PallasMapReduce:
         red_positions = [a + pad for a in self.red_axes if a not in sa_set]
         identity = accumulation_identity(mode)
         n_reads = len(kernel.reads)
+        n_ops = n_reads + (1 if epoch_items else 0)
         red_dim = grid_pos.get(self.red_grid_axis) if red_gridded else None
         masked_red = [a for a in self.red_axes if psizes[a] != sizes[a]]
         iter_items = sorted(self.iter_axes.items())
@@ -1936,7 +1961,7 @@ class PallasMapReduce:
         read_axes_map = self.read_axes
 
         def body(*refs):
-            o_ref = refs[n_reads]
+            o_ref = refs[n_ops]
 
             def gidx(axis):
                 """Global loop index along ``axis`` as an int32 block."""
@@ -1962,6 +1987,10 @@ class PallasMapReduce:
                 env[reg] = gidx(axis)
             for reg, v in setup_items:
                 env[reg] = v
+            if epoch_items:
+                ev = refs[n_reads][...]
+                for reg in epoch_items:
+                    env[reg] = ev
             for read, ref, g in deferred:
                 # computed-index gather: evaluate each computed dim's
                 # index block and combine them into ONE flat index over
@@ -2143,7 +2172,7 @@ class PallasMapReduce:
             if red_dim is None:
                 o_ref[...] = value.astype(o_ref.dtype)
                 return
-            acc_ref = refs[n_reads + 1]
+            acc_ref = refs[n_ops + 1]
 
             @pl.when(pl.program_id(red_dim) == 0)
             def _init():
@@ -2554,6 +2583,8 @@ def plan_rowchain_fusions(program, target, shapes, dtype, precision,
             return None
         if pmr.gather_reads:
             return None  # gather members stay single-kernel
+        if pmr.epoch_regs:
+            return None  # epoch operand plumbing is single-kernel only
         if pmr.write_axes != pmr.out_axes:
             return None
         if len(kernel.write.dims) != len(pmr.out_axes):

@@ -278,6 +278,20 @@ def test_multi_computed_read_write_lowers():
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
 
 
+def test_epoch_operand_kernel_lowers():
+    """The epoch() scalar operand ((1, 1) int32 block) under real Mosaic
+    lowering."""
+    from exprgrad_tpu import epoch, to_scalar
+
+    w = input("w")
+    out = Fun("out")
+    y, x = iters("y", "x")
+    out[y, x] = w[y, x] * to_scalar(epoch() + 1)
+    out.schedule(tile={"y": 8})
+    ex = lower_tpu(out.target("out"), "out", {"w": (16, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
 def test_rowchain_softmax_lowers():
     inp = input("inp")
     y, x = iters("y", "x")

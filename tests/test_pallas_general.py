@@ -854,9 +854,10 @@ def test_scheduled_shape_arith_in_expression():
     assert _stats(model).get("pallas-mapreduce") == 1
 
 
-def test_scheduled_epoch_still_declines():
-    """epoch() is per-call dynamic — it must fall back with the reason,
-    never bake in a stale constant."""
+def test_scheduled_epoch_kernel_stays_dynamic():
+    """epoch() is per-call dynamic — the scheduled kernel takes it as a
+    (1, 1) int32 operand (never a baked constant), so the Pallas route
+    tracks the stepped epoch exactly."""
     from exprgrad_tpu import epoch, param, to_scalar
 
     w = param([16, 128], name="w")
@@ -865,8 +866,13 @@ def test_scheduled_epoch_still_declines():
     out[y, x] = w[y, x] * to_scalar(epoch())
     out.schedule(tile={"y": 8})
     model = compile(out.target("out"), backend="jax", schedule_mode="force")
-    with pytest.warns(ScheduleWarning, match="epoch"):
-        model.call("out", {})
+    model.epoch = 3
+    a = np.asarray(model.call("out", {}))
+    model.epoch = 5
+    b = np.asarray(model.call("out", {}))
+    assert _stats(model).get("pallas-mapreduce") == 1, _stats(model)
+    m = np.abs(a) > 1e-8
+    np.testing.assert_allclose(b[m] / a[m], 5.0 / 3.0, rtol=1e-5)
 
 
 def test_scheduled_raw_activation_kernel():
