@@ -209,6 +209,36 @@ def _eval_static_instr_inner(instr, env: dict, shapes: dict):
     return _NOT_STATIC
 
 
+def _flat_fold(dims: list, shape) -> tuple:
+    """Row-major flat fold of a computed-dim group: (V, strides) where
+    ``V`` is the flattened extent and ``strides[d]`` the flat stride of
+    dim ``d`` (shared by the gather-read and scatter-write planners)."""
+    V = 1
+    for d in dims:
+        V *= int(shape[d])
+    strides = {}
+    s = 1
+    for d in reversed(dims):
+        strides[d] = s
+        s *= int(shape[d])
+    return V, strides
+
+
+def _eval_flat_index(indices, env):
+    """Combine per-dim LinearIndex blocks into ONE flat index value over
+    the row-major-flattened computed subspace (gather and scatter share
+    this in-kernel combine)."""
+    idxv = 0
+    for index, stride in indices:
+        if index.setup:
+            eval_elementwise(index.setup, index.setup[-1].res, env)
+        t = index.constant
+        for reg, f in index.factors.items():
+            t = t + env[reg] * f
+        idxv = idxv + t * stride
+    return idxv
+
+
 def eval_elementwise(instrs, res, env: dict):
     """Evaluate a scalar-expression instruction list on jnp blocks (f32).
 
@@ -1168,8 +1198,6 @@ class PallasMapReduce:
         # scattered dim rides whole in the out block and the kernel
         # accumulates rows via a transposed one-hot contraction
         self.scatter: Optional[dict] = None
-        # data regs of reads consumed by gather/scatter index expressions
-        self.index_src_regs: set[int] = set()
         # plain reads (all dims distinct pure full-range iterators) are
         # legal index sources for gather reads
         plain_info: dict[int, list[int]] = {}
@@ -1232,17 +1260,8 @@ class PallasMapReduce:
                 )
             sd = [d for d, _g, _s in sdims]
             sgaxes = sorted(set().union(*(g for _d, g, _s in sdims)))
-            for _d, _g, s in sdims:
-                self.index_src_regs.update(s)
             extents = [int(out_shape[d]) for d in sd]
-            V = 1
-            for e in extents:
-                V *= e
-            strides = {}
-            s = 1
-            for d, e in zip(reversed(sd), reversed(extents)):
-                strides[d] = s
-                s *= e
+            V, strides = _flat_fold(sd, out_shape)
             so = sorted(out_axes)
             # same mode split as reads: the transposed one-hot MXU
             # contraction's (V, Rs) output is layout-safe only in the
@@ -1253,7 +1272,6 @@ class PallasMapReduce:
             if (
                 len(sd) == 1
                 and so == [n - 1]
-                and not (set(sgaxes) & set(so))
                 and (not sgaxes or max(sgaxes) < n - 1)
             ):
                 smode = "onehot"
@@ -1353,14 +1371,7 @@ class PallasMapReduce:
                     return self._decline("repeated read iterator")
                 gaxes = sorted(set().union(*(dim_class[d][1] for d in gds)))
                 src_regs = set().union(*(dim_class[d][2] for d in gds))
-                V = 1
-                for d in gds:
-                    V *= int(shape[d])
-                strides = {}
-                s = 1
-                for d in reversed(gds):
-                    strides[d] = s
-                    s *= int(shape[d])
+                V, strides = _flat_fold(gds, shape)
                 indices = [(read.dims[d], strides[d]) for d in gds]
                 sorted_iter = sorted(iter_ds, key=lambda d: dim_class[d][1])
                 axes = sorted(axes)
@@ -1382,7 +1393,6 @@ class PallasMapReduce:
                 if (
                     len(gds) == 1
                     and axes == [lane_axis]
-                    and not (set(gaxes) & set(axes))
                     and (not gaxes or max(gaxes) < lane_axis)
                 ):
                     # gathered dim first (whole-resident), lane follows
@@ -1400,7 +1410,6 @@ class PallasMapReduce:
                     "indices": indices,
                     "mode": mode,
                 }
-                self.index_src_regs.update(src_regs)
                 plans = [("iter", 1, 0, 0)] * len(axes)
             else:
                 for c in dim_class:
@@ -1997,16 +2006,7 @@ class PallasMapReduce:
                 # the row-major-flattened gathered subspace, then select
                 # (one-hot MXU contraction or compare-reduce; both are
                 # exact row selections)
-                idxv = 0
-                for index, stride in g["indices"]:
-                    if index.setup:
-                        eval_elementwise(
-                            index.setup, index.setup[-1].res, env
-                        )
-                    t = index.constant
-                    for reg, f in index.factors.items():
-                        t = t + env[reg] * f
-                    idxv = idxv + t * stride
+                idxv = _eval_flat_index(g["indices"], env)
                 if g["mode"] == "cmpred":
                     # layout-safe gather: compare the index block against
                     # a trailing-V iota and reduce the minor axis (where +
@@ -2098,16 +2098,7 @@ class PallasMapReduce:
                 # data-dependent write dims: combine the computed dims'
                 # index blocks into ONE flat index over the row-major-
                 # flattened scattered subspace
-                idxv = 0
-                for index, stride in scatter["indices"]:
-                    if index.setup:
-                        eval_elementwise(
-                            index.setup, index.setup[-1].res, env
-                        )
-                    t = index.constant
-                    for reg, f in index.factors.items():
-                        t = t + env[reg] * f
-                    idxv = idxv + t * stride
+                idxv = _eval_flat_index(scatter["indices"], env)
                 sgax = scatter["gaxes"]
                 if scatter["mode"] == "cmpred":
                     # layout-safe scatter: mask the value by a trailing-V
@@ -2126,10 +2117,9 @@ class PallasMapReduce:
                     contrib = jnp.where(
                         idx == vio, value[..., None], jnp.float32(0)
                     )
+                    out_set = set(self.out_axes)
                     for a in sgax:
-                        if a + pad < len(contrib.shape) - 1 and (
-                            contrib.shape[a + pad] > 1
-                        ) and a not in set(self.out_axes):
+                        if contrib.shape[a + pad] > 1 and a not in out_set:
                             contrib = contrib.sum(
                                 axis=a + pad, keepdims=True
                             )
