@@ -17,6 +17,15 @@ took.
 
 import numpy as np
 
+try:  # fall back to CPU (interpret-mode Pallas) when no TPU is reachable
+    import jax
+
+    jax.devices()
+except Exception:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from exprgrad_tpu import (
     Fun, compile, exp, input, irange, iters, select, sq,
 )
@@ -142,6 +151,50 @@ def main() -> None:
     stats = next(iter(m._executors.values())).stats
     assert stats.get("pallas-rowchain") == 1, stats
     print(f"fused rms_norm layer (row-chain)        -> {stats}")
+
+    # 9. Computed indices: ANY index expression compiles into the kernel
+    # (clgen parity) — data-dependent lookups, pure-iterator arithmetic,
+    # diagonals, and scatter-add writes at computed positions.
+    from exprgrad_tpu import to_index
+
+    tok, table = input("tok"), input("table")
+    i, d = iters("i", "d")
+    emb = Fun("emb")
+    emb[i, d] = table[to_index(tok[i]), d]         # data-dependent gather
+    emb.with_shape([tok.shape[0], table.shape[1]])
+    emb.schedule(tile={"i": 8})
+    tokv = rng.integers(0, 32, 16).astype(np.float32)
+    tabv = rng.normal(size=(32, 128)).astype(np.float32)
+    show("embedding lookup (one-hot MXU gather)",
+         compile(emb.target("emb"), schedule_mode="force"),
+         "emb", {"tok": tokv, "table": tabv}, tabv[tokv.astype(int)])
+
+    ha, hx = input("ha"), input("hx")
+    y2, x2 = iters("y2", "x2")
+    hashed = Fun("hashed")
+    hashed[y2, x2] = hx[y2, x2] * ha[(y2 * x2) % 17]   # pure-iterator index
+    hashed.with_shape([hx.shape[0], hx.shape[1]])
+    hashed.schedule(tile={"y2": 8})
+    hv = rng.normal(size=(16, 64)).astype(np.float32)
+    av2 = rng.normal(size=(17,)).astype(np.float32)
+    idx = (np.arange(16)[:, None] * np.arange(64)[None, :]) % 17
+    show("hashed LUT read (compare-reduce gather)",
+         compile(hashed.target("hashed"), schedule_mode="force"),
+         "hashed", {"hx": hv, "ha": av2}, hv * av2[idx])
+
+    sv = input("sv")
+    si, sj = iters("si", "sj")
+    hist = Fun("hist")
+    hist[(si + sj) % 11] = sv[si, sj]          # computed scatter-add
+    hist.with_shape([11])
+    hist.schedule(tile={"si": 8})
+    svv = rng.normal(size=(16, 64)).astype(np.float32)
+    want = np.zeros(11, np.float32)
+    np.add.at(want, (np.arange(16)[:, None] + np.arange(64)[None, :]) % 11,
+              svv)
+    show("banded histogram (compare-reduce scatter)",
+         compile(hist.target("hist"), schedule_mode="force"),
+         "hist", {"sv": svv}, want)
 
     print("every scheduled kernel lowered through Pallas and matched numpy")
 
