@@ -968,7 +968,9 @@ class KernelLowering:
                 # dependent) bounds via in-kernel hull masks
                 pmr = PallasMapReduce(self, self.kernel)
                 if pmr.ok:
-                    decision = policy.mapreduce(pmr.total_bytes)
+                    decision = policy.mapreduce(
+                        pmr.total_bytes, pmr.gather_work * 4
+                    )
                     if decision.use_pallas:
                         path = "pallas-mapreduce"
                         result = pmr.lower(tensors)

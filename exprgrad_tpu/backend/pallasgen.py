@@ -1765,6 +1765,19 @@ class PallasMapReduce:
         ) * np.dtype(low.dtype).itemsize + int(
             np.prod(low.shapes[kernel.write.tensor], dtype=np.int64)
         ) * np.dtype(low.dtype).itemsize
+        # computed-index kernels touch V candidate values per loop
+        # position (compare-reduce select / one-hot MACs) — in-kernel
+        # work the HBM byte count does not see; the routing policy
+        # charges it against the Pallas side (policy.mapreduce)
+        loop_total = 1
+        for a in range(n):
+            loop_total *= int(self.pad_sizes[a])
+        work = 0
+        for g in self.gather_reads.values():
+            work += loop_total * g["V"]
+        if self.scatter is not None:
+            work += loop_total * self.scatter["V"]
+        self.gather_work = work
         return True
 
     # ------------------------------------------------------------------

@@ -122,13 +122,20 @@ class SchedulePolicy:
             + ("" if c["calibrated"] else " (uncalibrated defaults)"),
         )
 
-    def mapreduce(self, total_bytes: int) -> Decision:
+    def mapreduce(self, total_bytes: int, work_bytes: int = 0) -> Decision:
         """Scheduled elementwise/reduction kernel: Pallas vs XLA fusion.
 
         Both paths are HBM-bound; XLA additionally fuses the kernel with
         its neighbors inside the one-jit target, which the custom call
         forecloses, so Pallas must win on bandwidth alone.
-        """
+
+        ``work_bytes`` charges in-kernel element touches beyond the HBM
+        traffic — computed-index kernels select from V candidates per
+        loop position (the compare-reduce gather/scatter touches V
+        values; the one-hot form does V MACs), so their Pallas cost
+        scales with loop_space x V even though the HBM bytes do not.
+        XLA's native gather/scatter stays roughly bandwidth-bound, so
+        the charge applies to the Pallas side only (conservative)."""
         if self.mode == "force":
             return Decision(True, "schedule_mode=force")
         if self.mode == "ignore":
@@ -137,7 +144,8 @@ class SchedulePolicy:
         xla_s = total_bytes / (c["xla_elementwise_gbps"] * 1e9)
         pallas_s = (
             c["pallas_launch_us"] * 1e-6
-            + total_bytes / (c["pallas_elementwise_gbps"] * 1e9)
+            + (total_bytes + work_bytes)
+            / (c["pallas_elementwise_gbps"] * 1e9)
         )
         if pallas_s < xla_s:
             return Decision(True, "cost model: pallas bandwidth win")

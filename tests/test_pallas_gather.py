@@ -452,3 +452,24 @@ def test_scatter_non_lane_out_axis():
                 want[(i1 * i2) % 5, i0] += x[i0, i1, i2]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+
+
+def test_policy_charges_gather_work():
+    """Auto-mode routing charges computed-index kernels loop_space x V
+    work on the Pallas side: with calibrated equal-bandwidth constants a
+    plain map kernel routes to Pallas while the same-size gather kernel
+    (V candidate touches per position) falls back to XLA."""
+    from exprgrad_tpu.backend.policy import SchedulePolicy
+
+    pol = SchedulePolicy("auto")
+    pol.constants = dict(pol.constants)
+    pol.constants.update(
+        xla_elementwise_gbps=600.0, pallas_elementwise_gbps=900.0,
+        pallas_launch_us=1.0, calibrated=True,
+    )
+    nbytes = 64 * 2**20
+    assert pol.mapreduce(nbytes).use_pallas
+    assert pol.mapreduce(nbytes, work_bytes=0).use_pallas
+    # V = 4096 candidates per position: the compare work dwarfs the
+    # bandwidth edge
+    assert not pol.mapreduce(nbytes, work_bytes=nbytes * 64).use_pallas
