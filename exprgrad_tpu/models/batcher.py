@@ -68,6 +68,23 @@ class _Request:
         self.stop_seq: tuple | None = None  # per-request stop sequence
 
 
+def _host_key(jax, seed):
+    """An RNG key pinned to the host CPU device.
+
+    The batcher splits its key EAGERLY once per dispatch (_split); with
+    the key resident on the accelerator that eager op is a device round
+    trip — through this platform's network tunnel, ~25 ms *per decode
+    step*, dwarfing the step itself.  Threefry is deterministic across
+    backends, so splitting on host CPU preserves the exact stream; the
+    subkey rides into the compiled program with the other host args."""
+    key = jax.random.PRNGKey(seed)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return key
+    return jax.device_put(key, cpu)
+
+
 def _check_stop_seq(stop_seq, vocab):
     """Validate a per-request stop sequence (token ids in [0, vocab))."""
     if stop_seq is None:
@@ -335,7 +352,7 @@ class ContinuousBatcher:
         self.req_temp = np.zeros(self.slots, np.float32)
         self.req_topk = np.full(self.slots, server.vocab, np.int32)
         self.req_topp = np.ones(self.slots, np.float32)
-        self._key = jax.random.PRNGKey(seed)
+        self._key = _host_key(jax, seed)
         self.paged = bool(paged)
         if self.paged:
             # vLLM-style paged KV cache: a shared page pool + per-slot
@@ -399,8 +416,11 @@ class ContinuousBatcher:
 
     # -- jitted pieces -------------------------------------------------
     def _split(self):
+        # both arrays live on host CPU (_host_key) — no tunnel traffic;
+        # the subkey returns as numpy so it enters the compiled program
+        # like any other host argument
         self._key, sub = self._jax.random.split(self._key)
-        return sub
+        return np.asarray(sub)
 
     def _admit_fn(self, width: int):
         """Prefill a [1, width] padded prompt on a scratch cache, pick the
@@ -1568,7 +1588,7 @@ class Seq2SeqBatcher:
         self.stream_tokens = bool(stream_tokens)
         self._stream: list[tuple] = []
         self._row_pick = make_row_picker(server.vocab)
-        self._key = jax.random.PRNGKey(seed)
+        self._key = _host_key(jax, seed)
 
         n_dec = len(server.dec)
         h, hd, dim = server.heads, server.head_dim, server.dim
@@ -1595,8 +1615,11 @@ class Seq2SeqBatcher:
         self._metrics: deque = deque(maxlen=4096)
 
     def _split(self):
+        # both arrays live on host CPU (_host_key) — no tunnel traffic;
+        # the subkey returns as numpy so it enters the compiled program
+        # like any other host argument
         self._key, sub = self._jax.random.split(self._key)
-        return sub
+        return np.asarray(sub)
 
     # -- jitted pieces -------------------------------------------------
     def _admit_fn(self):
