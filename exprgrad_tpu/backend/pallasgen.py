@@ -46,6 +46,17 @@ from ..ir import Kernel, Op
 # minimal sublane alignment per dtype (lane dim is always 128)
 _SUBLANE = {"float32": 8, "bfloat16": 16, "float64": 8}
 
+# Mosaic's scoped-vmem cap for emitter kernels.  The default (16MB) is a
+# conservative fraction of the v5e's 128MB VMEM; the planner's own block
+# budget (14MB, block_bytes below) keeps working sets small enough to
+# double-buffer, but its estimate cannot model Mosaic's exact stack
+# accounting (layout padding, intermediate copies) — the on-chip
+# embedding scatter-add at n=16384 v=2048 d=512 compiled to a 24MB
+# working set off a <=14MB estimate (BENCH_DETAILS.json r4
+# scatter_add_error).  Raising the cap makes estimator error degrade
+# pipelining instead of killing compilation.
+VMEM_LIMIT_BYTES = 100 * 2**20
+
 
 def _round_down(x: int, m: int) -> int:
     return max(m, (x // m) * m)
@@ -1701,7 +1712,8 @@ class PallasMapReduce:
                         Ms * self.scatter["V"] * 4 + Ms * out_elems * 4
                     )
                 out_elems *= self.scatter["V"]
-            total += out_elems * (item + 4)  # out block + f32 value
+            # out block is double-buffered by the pipeline like the reads
+            total += out_elems * (2 * item + 4)
             # the broadcast elementwise intermediate spans the full loop
             # rank (out x reduction blocks) before the in-block reduction
             value_elems = 1
@@ -2215,6 +2227,7 @@ class PallasMapReduce:
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=semantics,
+                vmem_limit_bytes=VMEM_LIMIT_BYTES,
             ),
             interpret=interpret,
         )(*operands)
@@ -2512,6 +2525,7 @@ class PallasRowChain:
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",) * len(grid),
+                vmem_limit_bytes=VMEM_LIMIT_BYTES,
             ),
             interpret=interpret,
         )(*operands)

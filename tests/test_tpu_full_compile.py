@@ -126,6 +126,23 @@ def test_onehot_scatter_full_compile():
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
 
 
+def test_onehot_scatter_bench_shape_full_compile():
+    """The r4 on-chip failure (BENCH_DETAILS scatter_add_error): at the
+    bench shape n=16384 v=2048 d=512 the kernel's real working set
+    (24MB) exceeded Mosaic's default 16MB scoped-vmem cap while the
+    planner estimated <=14MB.  Pinned at the exact bench config —
+    toy shapes hid it."""
+    tok, v = input("tokens"), input("vals")
+    out = Fun("demb")
+    i, d = iters("i", "d")
+    out[to_index(tok[i]), d] = v[i, d]
+    out.with_shape([2048, 512])
+    out.schedule(tile={"i": 512, "x": 256})
+    ex = compile_tpu(out.target("demb"), "demb",
+                     {"tokens": (16384,), "vals": (16384, 512)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
 def test_flash_attention_fwd_bwd_full_compile():
     import jax
     import jax.numpy as jnp
