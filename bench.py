@@ -90,10 +90,15 @@ def bench_matmul(n: int = 8192, dtype: str = "float32",
     return med, sorted(elapsed)[len(elapsed) // 2], rates
 
 
-def bench_matmul_scheduled(n: int = 4096, chain: int = 4, reps: int = 3):
+def bench_matmul_scheduled(n: int = 4096, chain: int = 32, reps: int = 3):
     """The schedule-driven Pallas matmul vs the einsum path at the SAME
     size through the compiled executor (VERDICT r3 #1's done criterion:
     scheduled within 2x of einsum, or the measured gap on record).
+
+    chain=32 keeps the measurement compute-bound: at chain=4 a ~0.94ms
+    kernel rode a ~22ms fetch and the ratio measured the tunnel, not the
+    kernel (VERDICT r4 weak #2) — einsum must read >=100 TFLOP/s on this
+    harness for the ratio to mean anything.
 
     Returns (pallas_gflops, einsum_gflops, pallas_samples)."""
     import jax
@@ -286,7 +291,7 @@ def bench_softmax_fused(r: int = 8192, c: int = 8192, chain: int = 8,
 
 
 def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
-                dtype="float32", chains=(10, 50), reps=7):
+                dtype="float32", chains=(20, 120), reps=7):
     """Compute-bound conv characterization (honest MFU).
 
     Each measurement is ONE dispatch running a data-dependent feedback
@@ -390,10 +395,14 @@ def bench_conv2(batch=32, size=64, cin=128, cout=128, k=3,
         diff = min(times[long_key]) - min(times[short_key])
         if diff <= 0:  # timing noise swamped the difference (tiny shapes)
             return min(times[long_key]) / chains[1], []
+        # spread samples subtract min(short), NOT the paired short rep:
+        # pairing let one anomalously slow short rep manufacture a tiny
+        # difference and an above-roofline rate (r4: conv2_bf16 "raw"
+        # sample at 306 TFLOP/s > the 197 roofline).  Against min(short),
+        # a slow long rep reads as a LOW rate — noise can only deflate.
+        s_min = min(times[short_key])
         samples = [
-            (l - s) / span
-            for s, l in zip(times[short_key], times[long_key])
-            if l > s
+            (l - s_min) / span for l in times[long_key] if l > s_min
         ]
         return diff / span, samples
 

@@ -1242,20 +1242,17 @@ class PallasMapReduce:
                 g = None
                 if not write.is_raw:
                     g = self._gather_dim(index, plain_info)
-                    if g is None and write.accumulate == "add":
+                    if g is None:
                         # non-affine pure-iterator write index
-                        # (out[(i*j) mod n] += v): the scatter-add
+                        # (out[(i*j) mod n] += v): the scatter
                         # routes it, indices from iota alone
                         g = self._gather_dim(
                             index, plain_info, allow_pure=True
                         )
                 if g is not None:
-                    # data-dependent write dim (scatter-add)
-                    if write.accumulate != "add":
-                        return self._decline(
-                            "data-dependent write dim with non-add "
-                            "accumulation"
-                        )
+                    # data-dependent write dim (scatter-add, or
+                    # max/min-accumulating scatter: the cmpred combine
+                    # swaps sum for max/min with the matching identity)
                     sdims.append((d, g[0], g[1]))
                     continue
                 return self._decline("write index is not a full-range iterator")
@@ -1280,10 +1277,13 @@ class PallasMapReduce:
             # class uses the compare-reduce scatter (value masked by a
             # trailing-V iota compare, scatter axes summed in place —
             # no reshapes)
+            # the one-hot contraction is inherently additive; max/min
+            # scatters always take the compare-reduce form
             if (
                 len(sd) == 1
                 and so == [n - 1]
                 and (not sgaxes or max(sgaxes) < n - 1)
+                and write.accumulate == "add"
             ):
                 smode = "onehot"
             else:
@@ -2140,13 +2140,13 @@ class PallasMapReduce:
                         jnp.int32, (1,) * rank + (V,), rank
                     )
                     contrib = jnp.where(
-                        idx == vio, value[..., None], jnp.float32(0)
+                        idx == vio, value[..., None], jnp.float32(identity)
                     )
                     out_set = set(self.out_axes)
                     for a in sgax:
                         if contrib.shape[a + pad] > 1 and a not in out_set:
-                            contrib = contrib.sum(
-                                axis=a + pad, keepdims=True
+                            contrib = _acc_reduce_jnp(
+                                contrib, a + pad, mode
                             )
                     value = jnp.broadcast_to(contrib, out_block)
                 else:

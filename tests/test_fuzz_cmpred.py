@@ -75,25 +75,30 @@ def _build(rng):
     out = Fun("out")
     scatter = rng.random() < 0.35
     if scatter:
-        # computed write index: out[(expr) % Vout, keep...] += value
+        # computed write index: out[(expr) % Vout, keep...] += value;
+        # a third of the scatters accumulate max/min instead of add
+        # (the compare-reduce combine with the matching +-inf identity)
+        acc_roll = rng.random()
+        dst = (out.maximize if acc_roll < 1 / 6
+               else out.minimize if acc_roll < 1 / 3 else out)
         Vout = int(rng.integers(5, 40))
         widx = _index_expr(rng, its, sizes, Vout)
         roll = rng.random()
         if roll < 0.3:
-            out[widx, i2] = expr
+            dst[widx, i2] = expr
             shape = [Vout, sizes[2]]
         elif roll < 0.5:
             # TWO computed write dims (flat-folded scatter)
             Vout2 = int(rng.integers(4, 16))
             widx2 = _index_expr(rng, its, sizes, Vout2)
-            out[widx, widx2] = expr
+            dst[widx, widx2] = expr
             shape = [Vout, Vout2]
         elif roll < 0.7:
             # plain out axis that is NOT the lane axis (cmpred class)
-            out[widx, i0] = expr
+            dst[widx, i0] = expr
             shape = [Vout, sizes[0]]
         else:
-            out[widx] = expr
+            dst[widx] = expr
             shape = [Vout]
         out.with_shape(shape)
     else:

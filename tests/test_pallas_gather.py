@@ -454,6 +454,76 @@ def test_scatter_non_lane_out_axis():
     assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
 
 
+@pytest.mark.parametrize("mode", ["maximize", "minimize"])
+def test_scatter_max_min_accumulation(mode):
+    """Max/min-accumulating computed-index scatters
+    (out.maximize[to_index(tok[i]), d] = v[i, d]) route through the
+    compare-reduce scatter: the combine is max/min with the matching
+    +-inf identity, and rows no token maps to keep the identity —
+    matching the interp oracle's extreme-initialized results."""
+    rng = np.random.default_rng(15)
+    n, V, d = 48, 11, 24
+    toks = rng.integers(0, V, size=(n,)).astype(np.float32)
+    vals = rng.normal(size=(n, d)).astype(np.float32)
+
+    def graph():
+        i, x = iters("i", "x")
+        tok, g = input("tok"), input("g")
+        out = Fun("out")
+        getattr(out, mode)[to_index(tok[i]), x] = g[i, x]
+        out.with_shape([V, d])
+        out.schedule(tile={"i": 16})
+        return out.target("s")
+
+    mj = _force(graph())
+    got = np.asarray(mj.call("s", {"tok": toks, "g": vals}))
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+    ufunc = np.maximum if mode == "maximize" else np.minimum
+    ident = -np.inf if mode == "maximize" else np.inf
+    want = np.full((V, d), ident, np.float32)
+    ufunc.at(want, toks.astype(np.int64), vals)
+    np.testing.assert_array_equal(
+        np.isfinite(got), np.isfinite(want)
+    )
+    np.testing.assert_allclose(
+        np.where(np.isfinite(want), got, 0.0),
+        np.where(np.isfinite(want), want, 0.0),
+        rtol=1e-6, atol=1e-6,
+    )
+    interp = np.asarray(
+        compile(graph(), backend="interp").call(
+            "s", {"tok": toks, "g": vals}
+        )
+    )
+    np.testing.assert_array_equal(got, interp)
+
+
+def test_scatter_max_pure_iterator_index():
+    """Max scatter with a pure-iterator computed index
+    (out.maximize[(i * j) % 7] = x[i, j]) — the allow_pure fallback now
+    covers non-add accumulation too."""
+    rng = np.random.default_rng(16)
+    x = rng.normal(size=(6, 8)).astype(np.float32)
+
+    def graph():
+        i, j = iters("i", "j")
+        xin = input("x")
+        out = Fun("out")
+        out.maximize[(i * j) % 7] = xin[i, j]
+        out.with_shape([7])
+        out.schedule(tile={"j": 4})
+        return out.target("s")
+
+    mj = _force(graph())
+    got = np.asarray(mj.call("s", {"x": x}))
+    assert _stats(mj).get("pallas-mapreduce") == 1, _stats(mj)
+    want = np.full(7, -np.inf, np.float32)
+    for i in range(6):
+        for j in range(8):
+            want[(i * j) % 7] = max(want[(i * j) % 7], x[i, j])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_policy_charges_gather_work():
     """Auto-mode routing charges computed-index kernels loop_space x V
     work on the Pallas side: with calibrated equal-bandwidth constants a

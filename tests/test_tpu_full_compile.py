@@ -126,6 +126,18 @@ def test_onehot_scatter_full_compile():
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
 
 
+def test_cmpred_max_scatter_full_compile():
+    tok, v = input("tokens"), input("vals")
+    out = Fun("out")
+    i, d = iters("i", "d")
+    out.maximize[to_index(tok[i]), d] = v[i, d]
+    out.with_shape([16, 128])
+    out.schedule(tile={"i": 16})
+    ex = compile_tpu(out.target("out"), "out",
+                     {"tokens": (64,), "vals": (64, 128)})
+    assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
+
+
 def test_onehot_scatter_bench_shape_full_compile():
     """The r4 on-chip failure (BENCH_DETAILS scatter_add_error): at the
     bench shape n=16384 v=2048 d=512 the kernel's real working set
