@@ -595,14 +595,30 @@ def bench_continuous_batching(vocab=2048, dim=512, heads=4, hidden=2048,
 
 
 def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
-                          blocks=2, slots=8, capacity=320, prompt_len=64,
-                          budget=224, chunks=(1, 8, 32)):
-    """Steady-state continuous-batching overhead (VERDICT r3 #8): every
-    slot saturated, queue empty, NO admissions inside the timed window —
-    the per-decode-step cost is pure scheduler + dispatch overhead over
-    the solo aligned-batch ceiling (``serving_decode``'s
+                          blocks=2, slots=8, capacity=704, prompt_len=64,
+                          budget=576, chunks=(1, 8, 32, 128)):
+    """Steady-state continuous-batching overhead (VERDICT r3 #8, r4 #6):
+    every slot saturated, queue empty, NO admissions inside the timed
+    window — the per-decode-step cost is pure scheduler + dispatch
+    overhead over the solo aligned-batch ceiling (``serving_decode``'s
     ms_per_decode_step).  Swept over ``decode_chunk`` to justify the
-    default.  Returns {chunk: (tokens_per_s, ms_per_step)}."""
+    default.
+
+    r4 found the per-dispatch cost CONSTANT (~27.5ms) across chunk
+    sizes — i.e. one host round trip per dispatch (the scheduler must
+    read the chunk's tokens back for stop detection / page allocation),
+    not scheduler compute.  So the sweep now (a) extends to chunk=128,
+    which amortizes the round trip toward the solo ceiling, and (b)
+    decomposes the dispatch cost: a raw device->host round-trip probe
+    is measured on the same connection and reported alongside, so the
+    floor is attributed per component (rtt / device steps / host
+    scheduling remainder).
+
+    Returns ({chunk: (tokens_per_s, ms_per_step, ms_per_dispatch)},
+    rtt_probe_ms)."""
+    import jax
+    import jax.numpy as jnp
+
     from exprgrad_tpu import compile as eg_compile
     from exprgrad_tpu.models import (
         ContinuousBatcher, FlashLMServer, flash_transformer,
@@ -615,6 +631,21 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
     )
     server = FlashLMServer(model)
     rng = np.random.default_rng(0)
+
+    # raw round-trip probe: upload a few small arrays (the dispatch's
+    # host scalars) + fetch a tiny result — the per-dispatch floor that
+    # is connection latency, not batcher work
+    tiny = jax.jit(lambda a, b: (a + b)[:4])
+    _ = np.asarray(tiny(np.zeros(8, np.float32), np.ones(8, np.float32)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(
+            tiny(np.zeros(8, np.float32), np.ones(8, np.float32))
+        )
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
+
     out = {}
     for chunk in chunks:
         b = ContinuousBatcher(
@@ -631,14 +662,17 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
         b.step()  # settle: every program compiled, all slots decoding
         window = max(2, 64 // chunk)
         steps0 = b.stats["decode_steps"]
+        d0 = b.stats["dispatches"]
         t = time.perf_counter()
         for _ in range(window):
             b.step()
         dt = time.perf_counter() - t
         steps = b.stats["decode_steps"] - steps0
+        dispatches = max(1, b.stats["dispatches"] - d0)
         toks = slots * steps
-        out[chunk] = (toks / dt, dt / steps * 1e3)
-    return out
+        out[chunk] = (toks / dt, dt / steps * 1e3,
+                      dt / dispatches * 1e3)
+    return out, rtt_ms
 
 
 def bench_speculative(vocab=2048, dim=512, heads=4, hidden=2048,
@@ -690,14 +724,25 @@ def bench_speculative(vocab=2048, dim=512, heads=4, hidden=2048,
     return n_new / t_plain, n_new / t_spec, steps_holder["steps"]
 
 
-def bench_speculative_trained(prompt_len=64, n_new=128, k=4, reps=3):
+def bench_speculative_trained(prompt_len=64, n_new=128, ks=(4, 12),
+                              reps=3):
     """Speculative decoding with the committed TRAINED draft
     (benchmarks/spec_pair, produced by scripts/train_spec_pair.py): both
     models learned the same deterministic successor task, so greedy
     agreement ~1 and acceptance approaches the ceiling — the measured
     BEST case, alongside bench_speculative's random-draft worst-case
-    floor.  Returns (plain_tok_s, spec_tok_s, verify_steps,
-    accepted_per_round)."""
+    floor.
+
+    Sweeps ``k`` and measures the per-step COST SPLIT (VERDICT r4 #4):
+    at this scale every model pass is op-latency-bound, so the dim64
+    draft step costs a large fraction of the dim256 target step and k=4
+    cannot win even at perfect acceptance (round = 4*c_draft + c_verify
+    for <=4 tokens); a larger k amortizes the verify against the same
+    near-1 acceptance.  c_draft is measured directly (draft plain
+    generate); c_verify is implied (round cost - k*c_draft).
+
+    Returns (plain_tok_s, {k: (spec_tok_s, verify_steps, accepted)},
+    split_dict)."""
     import jax.numpy as jnp  # noqa: F401
 
     from exprgrad_tpu import compile as eg_compile
@@ -747,18 +792,39 @@ def bench_speculative_trained(prompt_len=64, n_new=128, k=4, reps=3):
         return best
 
     t_plain = timed(lambda: _fetch(target.generate(prompt, n_new=n_new)))
-    holder = {}
+    t_draft = timed(lambda: _fetch(draft.generate(prompt, n_new=n_new)))
+    per_k = {}
+    split = {
+        "plain_step_ms": round(t_plain / n_new * 1e3, 4),
+        "draft_step_ms": round(t_draft / n_new * 1e3, 4),
+        "draft_cost_ratio": round(t_draft / t_plain, 3),
+    }
+    for k in ks:
+        holder = {}
 
-    def spec():
-        out, steps = target.generate_speculative(draft, prompt,
-                                                 n_new=n_new, k=k)
-        holder["steps"] = int(steps)
-        _fetch(out)
+        def spec():
+            out, steps = target.generate_speculative(draft, prompt,
+                                                     n_new=n_new, k=k)
+            holder["steps"] = int(steps)
+            _fetch(out)
 
-    t_spec = timed(spec)
-    steps = holder["steps"]
-    accepted = (n_new - steps) / max(1, steps)  # extra tokens per round
-    return n_new / t_plain, n_new / t_spec, steps, accepted
+        t_spec = timed(spec)
+        steps = holder["steps"]
+        accepted = (n_new - steps) / max(1, steps)  # extra per round
+        per_k[k] = (n_new / t_spec, steps, accepted)
+        # implied verify cost: round = k*c_draft + c_verify + overhead
+        round_ms = t_spec / max(1, steps) * 1e3
+        split[f"k{k}_round_ms"] = round(round_ms, 4)
+        split[f"k{k}_verify_ms_implied"] = round(
+            round_ms - k * t_draft / n_new * 1e3, 4
+        )
+    # break-even draft cost at perfect acceptance: k*c_d + c_v < k*c_p
+    cv = split.get(f"k{ks[0]}_verify_ms_implied", 0.0)
+    cp = split["plain_step_ms"]
+    split["breakeven_draft_cost_ratio_at_k"] = {
+        k: round(max(0.0, (k * cp - cv) / (k * cp)), 3) for k in ks
+    }
+    return n_new / t_plain, per_k, split
 
 
 def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
@@ -1329,23 +1395,38 @@ def main() -> None:
     _flush_details()
     _log("bench: speculative decoding (trained draft) ...")
     try:
-        pl_tok, sp_tok, vsteps2, acc = bench_speculative_trained()
+        pl_tok, per_k, split = bench_speculative_trained()
+        best_k, (sp_tok, vsteps2, acc) = max(
+            per_k.items(), key=lambda kv: kv[1][0]
+        )
         details["speculative_decoding_trained"] = {
             "config": "target vocab256 dim256 blocks2; draft dim64 "
                       "1-block; both TRAINED on the deterministic "
                       "successor task (benchmarks/spec_pair; greedy "
                       "agreement ~1.0) — best-case acceptance, the floor "
                       "entry above keeps the random-draft worst case; "
-                      "batch1 prompt64 n_new128 k4",
+                      "batch1 prompt64 n_new128, k swept",
             "plain_tokens_per_s": round(pl_tok, 1),
+            "per_k": {
+                str(k): {
+                    "speculative_tokens_per_s": round(tok, 1),
+                    "target_verify_steps": steps,
+                    "accepted_per_round": round(a, 2),
+                    "speedup": round(tok / pl_tok, 2),
+                }
+                for k, (tok, steps, a) in per_k.items()
+            },
+            "best_k": best_k,
             "speculative_tokens_per_s": round(sp_tok, 1),
             "target_verify_steps": vsteps2,
             "accepted_per_round": round(acc, 2),
             "speedup": round(sp_tok / pl_tok, 2),
+            "cost_split": split,
         }
         _log(f"bench: trained speculative {sp_tok:.0f} vs plain "
-             f"{pl_tok:.0f} tokens/s ({vsteps2} verify steps, "
-             f"{acc:.2f} accepted/round, {sp_tok / pl_tok:.2f}x)")
+             f"{pl_tok:.0f} tokens/s (best k={best_k}, {vsteps2} verify "
+             f"steps, {acc:.2f} accepted/round, {sp_tok / pl_tok:.2f}x; "
+             f"draft step {split['draft_cost_ratio']:.2f}x plain)")
     except Exception as err:
         details["speculative_trained_error"] = str(err)
 
@@ -1492,34 +1573,43 @@ def main() -> None:
     _flush_details()
     _log("bench: continuous batching steady state (chunk sweep) ...")
     try:
-        steady = bench_batching_steady()
+        steady, rtt_ms = bench_batching_steady()
         solo_ms = details.get("serving_decode", {}).get(
             "ms_per_decode_step"
         )
         entry = {
-            "config": "vocab2048 dim512 blocks2 slots8 prompt64; all "
-                      "slots saturated, no admissions in the timed "
-                      "window (pure decode dispatches)",
+            "config": "vocab2048 dim512 blocks2 slots8 prompt64 "
+                      "capacity704; all slots saturated, no admissions "
+                      "in the timed window (pure decode dispatches)",
             "per_chunk": {
                 str(c): {
                     "tokens_per_s": round(tps, 1),
                     "ms_per_decode_step": round(ms, 4),
+                    "ms_per_dispatch": round(md, 4),
                     "overhead_ms_vs_solo": (
                         round(ms - solo_ms, 4)
                         if solo_ms is not None else None
                     ),
+                    "dispatch_minus_rtt_ms": round(md - rtt_ms, 4),
                 }
-                for c, (tps, ms) in steady.items()
+                for c, (tps, ms, md) in steady.items()
             },
             "solo_batch8_ms_per_step": solo_ms,
-            "note": "scheduler+dispatch overhead per decode step = "
-                    "steady ms/step minus serving_decode's solo "
-                    "ms/step (same batch size, aligned cache)",
+            "rtt_probe_ms": round(rtt_ms, 4),
+            "note": "per-dispatch cost decomposition: rtt_probe_ms is a "
+                    "raw upload+fetch round trip on the same "
+                    "connection; dispatch_minus_rtt_ms = device chunk "
+                    "work + host scheduling remainder.  The scheduler "
+                    "fetches the chunk's tokens every dispatch (stop "
+                    "detection / page allocation), so ONE round trip "
+                    "per dispatch is the structural floor — sizing "
+                    "decode_chunk >= rtt/step amortizes it",
         }
         details["continuous_batching_steady"] = entry
         _log("bench: steady batching " + ", ".join(
             f"chunk{c}={tps:.0f} tok/s ({ms:.3f}ms/step)"
-            for c, (tps, ms) in steady.items()))
+            for c, (tps, ms, _md) in steady.items())
+            + f"; rtt probe {rtt_ms:.1f}ms")
     except Exception as err:
         details["continuous_batching_steady_error"] = str(err)
 
