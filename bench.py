@@ -1499,12 +1499,20 @@ def main() -> None:
     _log("bench: sliding-window vs causal attention ...")
     try:
         t_win, t_causal, speedup = bench_window_attention()
+        from exprgrad_tpu.ops.attention import flash_tile_counts
+
+        tiles = flash_tile_counts(4096, 4096, 128, 128, causal=True,
+                                  window=512)
         details["window_attention_s4096_w512"] = {
             "window_ms": round(t_win * 1e3, 2),
             "causal_ms": round(t_causal * 1e3, 2),
             "speedup": round(speedup, 2),
-            "note": "tile-skip O(S*W) vs O(S^2/2); ideal ~4x at S=4096 "
-                    "W=512 (band 512*4096 vs triangle 4096^2/2)",
+            "tile_counts": tiles,
+            "bound_attained": round(speedup / tiles["tile_bound"], 3),
+            "note": "tile-skip O(S*W) vs O(S^2/2); tile_bound is the "
+                    "visited-tile ratio (the schedule-level ceiling); "
+                    "dead counts say the residual below it is per-step/"
+                    "per-row overhead, not dead tiles",
         }
         _log(f"bench: window {t_win * 1e3:.1f}ms vs causal "
              f"{t_causal * 1e3:.1f}ms ({speedup:.2f}x)")

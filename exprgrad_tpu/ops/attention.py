@@ -59,6 +59,51 @@ def _tile_live(q_idx, kv_idx, *, block_q, block_k, causal, window, offs_ref):
     return live
 
 
+def _tile_needs_mask(q_idx, kv_idx, *, block_q, block_k, causal, window,
+                     offs_ref):
+    """Traced predicate: can ANY element of this tile be masked?
+
+    Interior tiles of the causal triangle / sliding-window band are
+    fully live, yet `_mask_scores` would still build two iota planes,
+    compare, and select — pure VPU work comparable to the exp itself at
+    128-wide blocks.  The kernels trace a mask-free body for tiles where
+    this predicate is false (94% of causal-triangle steps, ~60% of
+    banded window steps at the bench shapes).  Returns the Python bool
+    False when no mask exists statically."""
+    if not causal and window is None:
+        return False
+    q_lo = q_idx * block_q
+    q_hi = q_lo + block_q - 1
+    k_lo = kv_idx * block_k
+    k_hi = k_lo + block_k - 1
+    if offs_ref is not None:
+        q_lo, q_hi = q_lo + offs_ref[0], q_hi + offs_ref[0]
+        k_lo, k_hi = k_lo + offs_ref[1], k_hi + offs_ref[1]
+    needs = False
+    if causal:
+        # a masked element (col > row) exists iff the tile's max col
+        # exceeds its min row
+        needs = k_hi > q_lo
+    if window is not None:
+        # a window-cut element (col <= row - window) exists iff the
+        # tile's min col reaches back past the max row's window
+        needs = jnp.logical_or(needs, k_lo <= q_hi - window)
+    return needs
+
+
+def _masked_dispatch(should_run, needs_mask, run_body):
+    """Invoke ``run_body(mask: bool)`` under ``pl.when(should_run)``,
+    splitting into a masked and a mask-free branch when ``needs_mask``
+    is a traced predicate (exactly one branch executes per step)."""
+    if needs_mask is False:
+        pl.when(should_run)(lambda: run_body(False))
+        return
+    pl.when(jnp.logical_and(should_run, needs_mask))(
+        lambda: run_body(True))
+    pl.when(jnp.logical_and(should_run, jnp.logical_not(needs_mask)))(
+        lambda: run_body(False))
+
+
 def _mask_scores(s, q_idx, kv_idx, *, block_q, block_k, causal, window,
                  offs_ref):
     """Apply the causal / sliding-window mask in GLOBAL coordinates."""
@@ -106,6 +151,74 @@ def _q_band(num_q: int, num_kv: int, block_q: int, block_k: int,
         i_max = min(num_q - 1, (k_hi + window - 1) // block_q)
         width = max(width, i_max - i_min + 1)
     return width
+
+
+def flash_tile_counts(sq: int, skv: int, block_q: int = 128,
+                      block_k: int = 128, causal: bool = True,
+                      window=None) -> dict:
+    """Static visited-vs-live tile accounting for the flash kernels.
+
+    For each kernel (fwd / dq / dkv) reports, per (batch*head) slice:
+      - ``visited``: grid steps the kernel actually executes (the causal
+        triangle enumeration or the windowed banded grid — matches the
+        grids built in `_forward`/`_backward` exactly),
+      - ``live``: tiles with at least one unmasked score (the ideal
+        minimum a tile-skipping schedule could visit),
+      - ``dead``: visited - live (band-clamp overshoot at the edges).
+    Plus ``full``: the naive rectangular grid, and (when windowed)
+    ``causal_visited``: what the plain-causal kernel visits at the same
+    blocks — ``causal_visited / visited`` is the tile-level upper bound
+    on the windowed-vs-causal speedup the chip can show; any measured
+    shortfall below that bound is per-step/per-row overhead, not dead
+    tiles.  Pure host arithmetic (no device), so benches and tests can
+    assert the schedule quality chip-lessly.
+    """
+    num_q, num_kv = sq // block_q, skv // block_k
+
+    def live_tiles(win):
+        n = 0
+        for i in range(num_q):
+            q_lo, q_hi = i * block_q, i * block_q + block_q - 1
+            for j in range(num_kv):
+                k_lo, k_hi = j * block_k, j * block_k + block_k - 1
+                if causal and k_lo > q_hi:
+                    continue
+                if win is not None and k_hi <= q_lo - win:
+                    continue
+                n += 1
+        return n
+
+    live = live_tiles(window)
+    full = num_q * num_kv
+    if causal and window is not None:
+        fwd_visited = num_q * _kv_band(num_q, num_kv, block_q, block_k,
+                                       window)
+        dkv_visited = num_kv * _q_band(num_q, num_kv, block_q, block_k,
+                                       window)
+        causal_visited = len(_tri_schedule(num_q, num_kv, block_q,
+                                           block_k, "q")[0])
+    elif causal and sq == skv and num_q > 1:
+        fwd_visited = len(_tri_schedule(num_q, num_kv, block_q, block_k,
+                                        "q")[0])
+        dkv_visited = len(_tri_schedule(num_q, num_kv, block_q, block_k,
+                                        "kv")[0])
+        causal_visited = fwd_visited
+    else:
+        fwd_visited = dkv_visited = full
+        causal_visited = live_tiles(None) if causal else full
+    out = {
+        "fwd": {"visited": fwd_visited, "live": live,
+                "dead": fwd_visited - live},
+        "dq": {"visited": fwd_visited, "live": live,
+               "dead": fwd_visited - live},
+        "dkv": {"visited": dkv_visited, "live": live,
+                "dead": dkv_visited - live},
+        "full": full,
+    }
+    if window is not None:
+        out["causal_visited"] = causal_visited
+        out["tile_bound"] = round(causal_visited / fwd_visited, 3)
+    return out
 
 
 def _banded_kv_idx(q_idx, jpos, *, block_q, block_k, window):
@@ -193,9 +306,11 @@ def _fwd_kernel(
 
     should_run = _tile_live(q_idx, kv_idx, block_q=block_q, block_k=block_k,
                             causal=causal, window=window, offs_ref=offs_ref)
+    needs_mask = _tile_needs_mask(q_idx, kv_idx, block_q=block_q,
+                                  block_k=block_k, causal=causal,
+                                  window=window, offs_ref=offs_ref)
 
-    @pl.when(should_run)
-    def _run():
+    def _run(mask):
         q = q_ref[0]  # [block_q, d]
         k = k_ref[0]  # [block_k, d]
         v = v_ref[0]  # [block_k, d]
@@ -205,8 +320,10 @@ def _fwd_kernel(
         )  # [block_q, block_k]
         if sm_scale != 1.0:
             s = s * sm_scale
-        s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
-                         causal=causal, window=window, offs_ref=offs_ref)
+        if mask:
+            s = _mask_scores(s, q_idx, kv_idx, block_q=block_q,
+                             block_k=block_k, causal=causal, window=window,
+                             offs_ref=offs_ref)
 
         m_prev = m_scratch[...]          # [block_q, 128]
         l_prev = l_scratch[...]
@@ -223,6 +340,8 @@ def _fwd_kernel(
         acc_scratch[...] += jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
+
+    _masked_dispatch(should_run, needs_mask, _run)
 
     @pl.when(is_last)
     def _store():
@@ -265,9 +384,11 @@ def _bwd_dq_kernel(
 
     should_run = _tile_live(q_idx, kv_idx, block_q=block_q, block_k=block_k,
                             causal=causal, window=window, offs_ref=offs_ref)
+    needs_mask = _tile_needs_mask(q_idx, kv_idx, block_q=block_q,
+                                  block_k=block_k, causal=causal,
+                                  window=window, offs_ref=offs_ref)
 
-    @pl.when(should_run)
-    def _run():
+    def _run(mask):
         q = q_ref[0]                     # [block_q, d]
         k = k_ref[0]                     # [block_k, d]
         v = v_ref[0]                     # [block_k, d]
@@ -280,8 +401,10 @@ def _bwd_dq_kernel(
         )
         if sm_scale != 1.0:
             s = s * sm_scale
-        s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
-                         causal=causal, window=window, offs_ref=offs_ref)
+        if mask:
+            s = _mask_scores(s, q_idx, kv_idx, block_q=block_q,
+                             block_k=block_k, causal=causal, window=window,
+                             offs_ref=offs_ref)
 
         p = jnp.exp(s - lse)             # [block_q, block_k]
         dp = jax.lax.dot_general(
@@ -294,6 +417,8 @@ def _bwd_dq_kernel(
         dq_scratch[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
+
+    _masked_dispatch(should_run, needs_mask, _run)
 
     @pl.when(is_last)
     def _store():
@@ -337,9 +462,11 @@ def _bwd_dkv_kernel(
         # (the fwd/dq kv overshoot needs no bound: kv_idx > q_hi//block_k
         # is causally dead, and q_hi//block_k <= num_kv-1 when sq == skv)
         should_run = jnp.logical_and(should_run, q_idx < num_q_blocks)
+    needs_mask = _tile_needs_mask(q_idx, kv_idx, block_q=block_q,
+                                  block_k=block_k, causal=causal,
+                                  window=window, offs_ref=offs_ref)
 
-    @pl.when(should_run)
-    def _run():
+    def _run(mask):
         q = q_ref[0]                     # [block_q, d]
         k = k_ref[0]                     # [block_k, d]
         v = v_ref[0]                     # [block_k, d]
@@ -352,8 +479,10 @@ def _bwd_dkv_kernel(
         )
         if sm_scale != 1.0:
             s = s * sm_scale
-        s = _mask_scores(s, q_idx, kv_idx, block_q=block_q, block_k=block_k,
-                         causal=causal, window=window, offs_ref=offs_ref)
+        if mask:
+            s = _mask_scores(s, q_idx, kv_idx, block_q=block_q,
+                             block_k=block_k, causal=causal, window=window,
+                             offs_ref=offs_ref)
 
         p = jnp.exp(s - lse)             # [block_q, block_k]
         # dv += p^T @ do
@@ -373,6 +502,8 @@ def _bwd_dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    _masked_dispatch(should_run, needs_mask, _run)
 
     @pl.when(is_last)
     def _store():

@@ -190,6 +190,70 @@ def main() -> None:
             sweep_bwd[key] = f"error: {err}"[:160]
         RESULTS["flash_fwdbwd_s"] = sweep_bwd
         flush()
+
+    # --- windowed sweep at the window-bench shape (VERDICT r4 #7) ---
+    # measures windowed-vs-causal per block config together with the
+    # static visited-tile bound: bound_attained says how much of the
+    # schedule-level ceiling the kernel realizes (the residual is
+    # per-step/per-row overhead, not dead tiles).
+    from exprgrad_tpu.ops.attention import flash_tile_counts
+
+    sw, ww = 4096, 512
+    qw, kw, vw = (jnp.asarray(
+        rng.normal(size=(b, h, sw, d)).astype(np.float32) * 0.1
+    ) for _ in range(3))
+
+    def time_cfg(window, bq, bk):
+        fn = functools.partial(flash_attention, causal=True, window=window,
+                               block_q=bq, block_k=bk)
+
+        def chained(q_, k_, v_):
+            cur = q_
+            for _ in range(chain):
+                cur = fn(cur, k_, v_)
+            return cur
+
+        jitted = jax.jit(chained)
+        _ = float(jnp.sum(jitted(qw, kw, vw)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(jitted(qw, kw, vw)))
+            best = min(best, time.perf_counter() - t0)
+        return best / chain
+
+    win_sweep = {}
+    causal_ts = {}
+    for bq, bk in ((128, 128), (128, 256), (128, 512), (256, 256),
+                   (256, 512), (512, 512)):
+        key = f"{bq}x{bk}"
+        try:
+            t_w = time_cfg(ww, bq, bk)
+            if key not in causal_ts:
+                causal_ts[key] = time_cfg(None, bq, bk)
+            tiles = flash_tile_counts(sw, sw, bq, bk, causal=True,
+                                      window=ww)
+            ratio = causal_ts[key] / t_w
+            win_sweep[key] = {
+                "window_ms": round(t_w * 1e3, 3),
+                "causal_ms": round(causal_ts[key] * 1e3, 3),
+                "speedup": round(ratio, 3),
+                "tile_bound": tiles["tile_bound"],
+                "bound_attained": round(ratio / tiles["tile_bound"], 3),
+            }
+            print(f"window {key}: {ratio:.2f}x of causal "
+                  f"(bound {tiles['tile_bound']:.2f})", flush=True)
+        except Exception as err:
+            win_sweep[key] = f"error: {err}"[:160]
+            print(f"window {key} ERROR: {err}", flush=True)
+        RESULTS["window_block_sweep_s4096_w512"] = win_sweep
+        flush()
+    good = [c for c in win_sweep.values() if isinstance(c, dict)]
+    if good:
+        best_w = min(c["window_ms"] for c in good)
+        best_c = min(c["causal_ms"] for c in good)
+        win_sweep["best_window_vs_best_causal"] = round(best_c / best_w, 3)
+        flush()
     print("DONE", flush=True)
 
 
