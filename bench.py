@@ -596,7 +596,9 @@ def bench_continuous_batching(vocab=2048, dim=512, heads=4, hidden=2048,
 
 def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
                           blocks=2, slots=8, capacity=704, prompt_len=64,
-                          budget=576, chunks=(1, 8, 32, 128)):
+                          budget=640,
+                          configs=((1, 0), (8, 0), (32, 0), (32, 4),
+                                   (128, 0), (128, 1))):
     """Steady-state continuous-batching overhead (VERDICT r3 #8, r4 #6):
     every slot saturated, queue empty, NO admissions inside the timed
     window — the per-decode-step cost is pure scheduler + dispatch
@@ -608,13 +610,18 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
     sizes — i.e. one host round trip per dispatch (the scheduler must
     read the chunk's tokens back for stop detection / page allocation),
     not scheduler compute.  So the sweep now (a) extends to chunk=128,
-    which amortizes the round trip toward the solo ceiling, and (b)
+    which amortizes the round trip toward the solo ceiling, (b)
     decomposes the dispatch cost: a raw device->host round-trip probe
     is measured on the same connection and reported alongside, so the
     floor is attributed per component (rtt / device steps / host
-    scheduling remainder).
+    scheduling remainder), and (c) sweeps ``pipeline=`` — pipelined
+    chunk dispatches chained device-side so the token readbacks of
+    consecutive chunks overlap instead of serializing one round trip
+    per dispatch.
 
-    Returns ({chunk: (tokens_per_s, ms_per_step, ms_per_dispatch)},
+    ``configs`` are (decode_chunk, pipeline) pairs; pipeline variants
+    reuse the chunk's compiled program (no extra compile).  Returns
+    ({"chunk[+pipeN]": (tokens_per_s, ms_per_step, ms_per_dispatch)},
     rtt_probe_ms)."""
     import jax
     import jax.numpy as jnp
@@ -647,11 +654,11 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
     rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
 
     out = {}
-    for chunk in chunks:
+    for chunk, pipeline in configs:
         b = ContinuousBatcher(
             server, slots=slots, capacity=capacity, paged=True,
             page_size=32, pool_pages=slots * (capacity // 32),
-            decode_chunk=chunk,
+            decode_chunk=chunk, pipeline=pipeline,
         )
         for _ in range(slots):
             b.submit(
@@ -660,7 +667,12 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
             )
         b.step()  # admissions + prefill + first dispatch (compiles)
         b.step()  # settle: every program compiled, all slots decoding
-        window = max(2, 64 // chunk)
+        for _ in range(pipeline):
+            b.step()  # fill the pipe before the timed window
+        # timed window: long enough to see overlap, short enough that no
+        # budget exhausts inside it (settle + fill already spent chunks)
+        window = min(max(2 + pipeline, 64 // chunk),
+                     budget // chunk - 2 - pipeline)
         steps0 = b.stats["decode_steps"]
         d0 = b.stats["dispatches"]
         t = time.perf_counter()
@@ -670,8 +682,9 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
         steps = b.stats["decode_steps"] - steps0
         dispatches = max(1, b.stats["dispatches"] - d0)
         toks = slots * steps
-        out[chunk] = (toks / dt, dt / steps * 1e3,
-                      dt / dispatches * 1e3)
+        key = f"{chunk}+pipe{pipeline}" if pipeline else str(chunk)
+        out[key] = (toks / dt, dt / steps * 1e3,
+                    dt / dispatches * 1e3)
     return out, rtt_ms
 
 

@@ -263,6 +263,7 @@ class ContinuousBatcher:
         spec_k: int = 4,
         stream_tokens: bool = False,
         attention: str = "gather",
+        pipeline: int = 0,
     ):
         import jax
 
@@ -307,6 +308,36 @@ class ContinuousBatcher:
             raise ModelRuntimeError(
                 f"decode_chunk must be >= 1 (got {decode_chunk})")
         self.decode_chunk = int(decode_chunk)
+        if pipeline < 0:
+            raise ModelRuntimeError(
+                f"pipeline must be >= 0 (got {pipeline})")
+        if pipeline and draft is not None:
+            raise ModelRuntimeError(
+                "pipeline= and draft= are mutually exclusive (the spec "
+                "round's acceptance is data-dependent per dispatch)")
+        if pipeline and decode_chunk < 2:
+            raise ModelRuntimeError(
+                "pipeline= requires decode_chunk >= 2 (pipelining "
+                "amortizes the per-dispatch round trip over chunks)")
+        # pipelined chunked decode: keep `pipeline` extra chunk
+        # dispatches in flight, chained DEVICE-side on the chunk
+        # program's returned (tok, pos) — the host never reads tokens
+        # back before issuing the next dispatch, so the per-dispatch
+        # host round trip overlaps across the pipe. Greedy streams are
+        # bit-equal to pipeline=0 (rows are independent; post-stop
+        # garbage is fenced/discarded). Stop detection lags up to
+        # `pipeline` chunks: a stopped row wastes at most that much
+        # device work, and its slot is released only once the pipe
+        # drains (in-flight dispatches still write its quarantined
+        # pages).
+        self.pipeline = int(pipeline)
+        self._pipe: deque = deque()
+        self._pending_release: list = []
+        self._deferred_finished: list = []
+        self._pipe_draining = False
+        self._dev_tok = None
+        self._dev_pos = None
+        self._shadow_pos = None
         if prefill_chunk is not None:
             if not paged:
                 raise ModelRuntimeError(
@@ -560,7 +591,10 @@ class ContinuousBatcher:
                 keys = jax.random.split(key, chunk)
                 (tok, pos, caches), toks = jax.lax.scan(
                     body, (tok, pos, caches), keys)
-                return toks, caches  # toks [chunk, slots]
+                # final (tok, pos) ride out so a pipelined scheduler can
+                # chain the next dispatch device-side without reading
+                # the chunk's tokens back first
+                return toks, tok, pos, caches  # toks [chunk, slots]
 
             return run
 
@@ -1215,9 +1249,15 @@ class ContinuousBatcher:
             "preemptions": req.preempted,
         })
         self.active[slot] = False
-        self._req[slot] = None
-        if self.paged:
-            self._free_slot_pages(slot)
+        if self._pipe_draining and self._pipe:
+            # in-flight pipelined dispatches still write this slot's
+            # pages (their page-table snapshots predate the finish):
+            # quarantine the slot until the pipe drains, then release
+            self._pending_release.append(slot)
+        else:
+            self._req[slot] = None
+            if self.paged:
+                self._free_slot_pages(slot)
         return (req.rid, np.asarray(req.out, np.int64))
 
     def _evict_window_pages(self, slot, frontier=None) -> None:
@@ -1285,12 +1325,135 @@ class ContinuousBatcher:
             return True
         return len(req.out) >= req.max_new
 
+    def _can_pipeline(self) -> bool:
+        """Speculative chunk dispatches may only be issued in steady
+        state: every resident slot decoding, nothing queued, nothing
+        quarantined — admissions and preemptions require a drained
+        pipe (they re-chain host-authoritative state)."""
+        return (not self.queue and not self._pending_release
+                and bool(self.active.any())
+                and all(self.active[s] or self._req[s] is None
+                        for s in range(self.slots)))
+
+    def _issue_chunk(self, chunk: int) -> bool:
+        """Issue one chunk dispatch chained on the previous dispatch's
+        device-side (tok, pos) — uploads only, no readback.  Returns
+        False (without issuing) when the page pool could not cover the
+        chunk span without preempting; the caller falls back to the
+        sequential path, which is allowed to preempt."""
+        start = (self._shadow_pos if self._pipe else self.pos
+                 ).astype(np.int32).copy()
+        stop_at = start.copy()
+        for slot in range(self.slots):
+            if self.active[slot]:
+                rem = (self._req[slot].max_new - len(self._req[slot].out))
+                # pos and len(out) advance in lockstep, so the absolute
+                # fence is constant across in-flight chunks
+                stop_at[slot] = self.pos[slot] + rem
+        if self.paged:
+            needed = 0
+            for slot in range(self.slots):
+                if self.active[slot]:
+                    upto = int(min(start[slot] + chunk,
+                                   stop_at[slot])) - 1
+                    page_idx = upto // self.page_size
+                    needed += max(
+                        0, page_idx + 1 - len(self.slot_pages[slot]))
+            if needed > len(self.free_pages):
+                return False
+            for slot in range(self.slots):
+                if self.active[slot]:
+                    upto = int(min(start[slot] + chunk,
+                                   stop_at[slot])) - 1
+                    self._ensure_pages_upto(slot, upto)
+            pt = self.page_table.copy()
+        else:
+            pt = np.zeros((self.slots, 1), np.int32)
+        if self._pipe:
+            tok_in, pos_in = self._dev_tok, self._dev_pos
+        else:
+            tok_in, pos_in = self.last.copy(), self.pos.copy()
+        self._steps += chunk
+        self._dispatches += 1
+        toks, tok, pos, self.caches = self._decode_chunk_fn(chunk)(
+            tok_in, pos_in, stop_at, self.caches, pt, self._split(),
+            self.req_temp.copy(), self.req_topk.copy(),
+            self.req_topp.copy(),
+        )
+        try:
+            toks.copy_to_host_async()  # start the transfer early; the
+            # drain's np.asarray is the reliable fence either way
+        except Exception:
+            pass
+        self._dev_tok, self._dev_pos = tok, pos
+        # exact kernel semantics: pos += 1 while pos < stop_at
+        self._shadow_pos = np.minimum(
+            start + chunk, np.maximum(start, stop_at)).astype(np.int32)
+        self._pipe.append(
+            {"toks": toks, "start": start, "stop_at": stop_at,
+             "active": self.active.copy()})
+        return True
+
+    def _pipelined_chunk_step(self, finished, issue: bool = True):
+        """Fill the pipe to ``1 + pipeline`` in-flight chunk dispatches,
+        then drain the OLDEST one (harvest its tokens: stop detection,
+        budget, metrics).  Returns ``finished``, or None when there is
+        nothing in flight and steady state does not hold — the caller
+        falls through to the sequential paths (admission, preemption,
+        single dispatch)."""
+        chunk = self.decode_chunk
+        while (issue and self._can_pipeline()
+               and len(self._pipe) < 1 + self.pipeline):
+            if not self._issue_chunk(chunk):
+                break
+        if not self._pipe:
+            return None
+        entry = self._pipe.popleft()
+        toks = np.asarray(entry["toks"])
+        self._pipe_draining = True
+        try:
+            for slot in range(self.slots):
+                if not (entry["active"][slot] and self.active[slot]):
+                    continue
+                taken = min(chunk, int(entry["stop_at"][slot])
+                            - int(entry["start"][slot]))
+                self._apply_tokens(slot, toks[:taken, slot], finished)
+        finally:
+            self._pipe_draining = False
+        if not self.active.any():
+            # nothing in flight is needed anymore (every row finished or
+            # cancelled): flush the speculative remainder NOW so the
+            # quarantined slots release without further step() calls.
+            # The np.asarray readback fences each dispatch — its writes
+            # to the quarantined pages are complete before reuse.
+            while self._pipe:
+                np.asarray(self._pipe.popleft()["toks"])
+        if not self._pipe:
+            for slot in self._pending_release:
+                self._req[slot] = None
+                if self.paged:
+                    self._free_slot_pages(slot)
+            self._pending_release.clear()
+            self._dev_tok = self._dev_pos = self._shadow_pos = None
+        return finished
+
     def step(self):
         """One scheduler iteration: admit queued requests into free
         slots (prefill + first token each), then run ONE batched decode
         step for every active slot.  Returns the list of
         ``(request_id, tokens)`` pairs that completed this iteration."""
         finished = []
+        if self._deferred_finished:
+            finished.extend(self._deferred_finished)
+            self._deferred_finished.clear()
+
+        # 0) with chunk dispatches in flight and steady state broken (a
+        # new submission arrived, or a slot finished and is quarantined)
+        # drain the pipe BEFORE admissions run: in-flight dispatches are
+        # chained on device-side state that admission would invalidate
+        if self._pipe and not self._can_pipeline():
+            self._pipelined_chunk_step(finished)
+            return finished
 
         # 1) reserve free slots for queued requests
         for slot in range(self.slots):
@@ -1398,6 +1561,14 @@ class ContinuousBatcher:
                     slot, greedy[slot, :take], finished)
             return finished
 
+        # 2a') pipelined chunked decode: keep `pipeline` extra chunk
+        # dispatches in flight (device-chained), drain the oldest
+        if (self.pipeline and self.draft is None and self.decode_chunk > 1
+                and self.active.any()):
+            res = self._pipelined_chunk_step(finished)
+            if res is not None:
+                return res
+
         # 2b) chunked decode for the whole slot batch
         if self.active.any() and self.decode_chunk > 1:
             chunk = self.decode_chunk
@@ -1419,7 +1590,7 @@ class ContinuousBatcher:
                   else np.zeros((self.slots, 1), np.int32))
             self._steps += chunk
             self._dispatches += 1
-            toks, self.caches = self._decode_chunk_fn(chunk)(
+            toks, _tok, _pos, self.caches = self._decode_chunk_fn(chunk)(
                 self.last.copy(), self.pos.copy(), stop_at,
                 self.caches, pt, self._split(),
                 self.req_temp.copy(), self.req_topk.copy(),
@@ -1490,6 +1661,15 @@ class ContinuousBatcher:
         for slot in range(self.slots):
             req = self._req[slot]
             if req is not None and req.rid == rid:
+                if self._pipe:
+                    # in-flight chunk dispatches still write this slot's
+                    # pages: drain the pipe first (requests that finish
+                    # during the forced drain surface on the next step())
+                    while self._pipe:
+                        self._pipelined_chunk_step(
+                            self._deferred_finished, issue=False)
+                    if self._req[slot] is None or self._req[slot].rid != rid:
+                        return False  # finished during the drain
                 self.active[slot] = False
                 self._req[slot] = None
                 if self.paged:

@@ -417,6 +417,7 @@ class FlashLMServer:
         capacity: Optional[int] = None,
         temperature: float = 0.0,
         seed: int = 0,
+        break_even: Optional[float] = None,
     ):
         """Speculative decoding: a small ``draft`` server proposes ``k``
         tokens per round, this (target) model verifies them in ONE
@@ -443,6 +444,14 @@ class FlashLMServer:
 
         Single sequence only (per-row acceptance lengths would make the
         batch ragged); draft and target must share the vocabulary.
+
+        ``break_even`` (tokens per verify round) warns when the measured
+        acceptance cannot pay for the draft: speculation only wins when
+        ``n_new / target_steps > 1 + k * t_draft / t_plain``.  The
+        measured split at the bench scale lives in ``BENCH_DETAILS.json
+        speculative_k_sweep`` (a latency-bound small draft costs a large
+        fraction of a target step, so small ``k`` cannot win even at
+        full acceptance — raise ``k`` or shrink the draft).
         """
         import jax
 
@@ -497,7 +506,20 @@ class FlashLMServer:
 
         key = ("spec", t, n_new, k, capacity, draft, sampled,
                float(temperature))
-        return self._jitted(key, build)(prompt, jax.random.PRNGKey(seed))
+        toks, steps = self._jitted(key, build)(
+            prompt, jax.random.PRNGKey(seed))
+        if break_even is not None:
+            import warnings
+
+            rate = float(n_new) / max(1, int(steps))
+            if rate < float(break_even):
+                warnings.warn(
+                    f"speculative acceptance {rate:.2f} tokens/round is "
+                    f"below the break-even {float(break_even):.2f}: this "
+                    f"draft costs more than it saves here (plain "
+                    f"generate() would be faster)", RuntimeWarning,
+                    stacklevel=2)
+        return toks, steps
 
     def generate_beam(
         self,

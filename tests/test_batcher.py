@@ -413,6 +413,124 @@ def test_chunked_stop_token():
         np.testing.assert_array_equal(got, r[:len(got)].astype(np.int64))
 
 
+# --- pipelined chunked decode (pipeline=) ---------------------------------
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_pipelined_decode_matches_solo(paged):
+    """pipeline=2 keeps extra chunk dispatches in flight chained on the
+    chunk program's device-side (tok, pos); greedy streams stay
+    bit-equal through slot reuse and the quarantined releases."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(26)
+    prompts = _prompts(rng, (5, 9, 3, 12, 6))
+    max_new = [6, 14, 8, 5, 11]
+    solo = _solo(srv, prompts, max_new)
+    kw = dict(paged=True, page_size=4) if paged else {}
+    b = ContinuousBatcher(srv, slots=2, capacity=64, decode_chunk=4,
+                          pipeline=2, **kw)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    if paged:
+        assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_pipelined_stop_token_mid_chunk():
+    """A stop token firing while later chunks are in flight: surplus
+    tokens (including whole speculative chunks) are discarded, the slot
+    releases only after the pipe drains, and the queue refills it."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(27)
+    prompts = _prompts(rng, (5, 7, 4, 8))
+    ref = _solo(srv, prompts, [12, 12, 12, 12])
+    stop = int(ref[0][2])
+    b = ContinuousBatcher(srv, slots=2, capacity=64, stop_token=stop,
+                          decode_chunk=3, pipeline=3, paged=True,
+                          page_size=4)
+    rids = [b.submit(p, 12) for p in prompts]
+    done = b.run()
+    for rid, r in zip(rids, ref):
+        got = done[rid]
+        if stop in r[:len(got)].astype(np.int64):
+            assert got[-1] == stop
+        np.testing.assert_array_equal(got, r[:len(got)].astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_pipelined_tight_pool_falls_back():
+    """When the page pool cannot cover a speculative chunk span without
+    preempting, issuing stops and the sequential path (which may
+    preempt) takes over — streams stay exact."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(28)
+    prompts = _prompts(rng, (6, 5, 7))
+    max_new = [10, 9, 8]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, pool_pages=9, decode_chunk=4,
+                          pipeline=2)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_pipelined_cancel_mid_flight():
+    """cancel() of a resident slot with dispatches in flight drains the
+    pipe first (no in-flight writer may touch freed pages); surviving
+    requests still match solo."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(29)
+    prompts = _prompts(rng, (5, 8))
+    solo = _solo(srv, prompts, [20, 20])
+    b = ContinuousBatcher(srv, slots=2, capacity=64, paged=True,
+                          page_size=4, decode_chunk=4, pipeline=2)
+    r0 = b.submit(prompts[0], 20)
+    r1 = b.submit(prompts[1], 20)
+    out = {}
+    for _ in range(2):
+        for rid, toks in b.step():
+            out[rid] = toks
+    assert b._pipe  # dispatches actually in flight
+    assert b.cancel(r0)
+    out.update(b.run())
+    assert r0 not in out
+    np.testing.assert_array_equal(out[r1], solo[1].astype(np.int64))
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_pipelined_admission_waits_for_drain():
+    """A submission arriving mid-pipeline drains before admission: the
+    newly admitted request still matches solo exactly."""
+    srv = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(30)
+    prompts = _prompts(rng, (4, 6, 9))
+    max_new = [8, 18, 7]
+    solo = _solo(srv, prompts, max_new)
+    b = ContinuousBatcher(srv, slots=2, capacity=64, decode_chunk=3,
+                          pipeline=2)
+    r0 = b.submit(prompts[0], max_new[0])
+    r1 = b.submit(prompts[1], max_new[1])
+    out = {}
+    for _ in range(2):
+        for rid, toks in b.step():
+            out[rid] = toks
+    r2 = b.submit(prompts[2], max_new[2])
+    out.update(b.run())
+    for rid, ref in zip((r0, r1, r2), solo):
+        np.testing.assert_array_equal(out[rid], ref.astype(np.int64))
+
+
+def test_pipeline_validation():
+    srv = FlashLMServer(_trained_model())
+    with pytest.raises(ModelRuntimeError, match="pipeline"):
+        ContinuousBatcher(srv, pipeline=-1, decode_chunk=4)
+    with pytest.raises(ModelRuntimeError, match="decode_chunk"):
+        ContinuousBatcher(srv, pipeline=2)
+
+
 # --- chunked prefill + scheduler-policy regressions ----------------------
 
 def test_tight_pool_no_admission_thrash():

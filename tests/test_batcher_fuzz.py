@@ -96,6 +96,11 @@ def run_one(server, seed, draft=None, force_flash=False):
             kw["attention"] = "flash"
     if not spec and rng.integers(0, 2):
         kw["decode_chunk"] = int(rng.integers(2, 6))
+        if rng.integers(0, 2):
+            # pipelined chunk dispatches: greedy streams must stay
+            # bit-equal and the end-of-run page-leak check must hold
+            # through quarantined releases
+            kw["pipeline"] = int(rng.integers(1, 4))
     b = ContinuousBatcher(server, slots=slots, capacity=capacity, **kw)
 
     system = None

@@ -483,6 +483,25 @@ def test_speculative_windowed_target():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_speculative_break_even_warning(bucket_model):
+    """break_even= warns when the measured acceptance rate (tokens per
+    verify round) falls below it, and stays silent above it."""
+    import warnings
+
+    target = FlashLMServer(bucket_model)
+    prompt = np.asarray([[2, 4, 1]], np.float32)
+    # self-draft accepts everything: rate = n_new / steps is maximal
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got, steps = target.generate_speculative(
+            target, prompt, n_new=12, k=4, break_even=1.5)
+    rate = 12.0 / int(steps)
+    assert rate > 1.5
+    with pytest.warns(RuntimeWarning, match="break-even"):
+        target.generate_speculative(
+            target, prompt, n_new=12, k=4, break_even=rate + 1.0)
+
+
 def test_speculative_validations(bucket_model):
     from exprgrad_tpu.errors import ModelRuntimeError
 
