@@ -937,16 +937,26 @@ def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
 
 
 def bench_paged_attention(b=8, hkv=8, group=1, d=128, page=128,
-                          pages_per_row=16, chain=16):
+                          pages_per_row=16, chain=128, head_mode=None):
     """Paged decode attention, gather path vs Pallas kernel, isolated
     from the rest of the serving step (impl-attributable).
 
     Every row attends one fresh query against ``pages_per_row * page``
     resident cache tokens (bf16 pool).  The gather path materializes a
     dense view (the resident cache crosses HBM twice); the kernel reads
-    pages in place.  ``chain`` data-dependent steps per dispatch
-    amortize tunnel RTT.  Returns (t_gather_s, t_flash_s, cache_gb,
-    ratio) — per step; cache_gb is the resident K+V read per step.
+    pages in place.
+
+    Harness honesty (r5): the chain is a ``fori_loop`` whose carry
+    includes the POOL, and every step writes one fresh token's K/V into
+    it — exactly what real decode does.  Without the loop-carried write
+    XLA hoists/CSEs ``gather_view(pool, table)`` out of the chain and
+    the "gather path" is measured gathering ONCE for the whole chain, a
+    regime no serving step ever sees.  ``chain=128`` in a fori_loop
+    compiles once and shrinks the tunnel-RTT floor per step to
+    ~rtt/128 (~0.2ms), so the numbers resolve the kernel body.
+
+    Returns (t_gather_s, t_flash_s, cache_gb, ratio) — per step;
+    cache_gb is the resident K+V read per step.
     """
     import jax
     import jax.numpy as jnp
@@ -973,26 +983,39 @@ def bench_paged_attention(b=8, hkv=8, group=1, d=128, page=128,
     q0 = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
 
     def timed(step):
-        def chained(q):
-            cur = q
-            for _ in range(chain):
+        def chained(q, pk, pv):
+            def body(i, carry):
+                cur, pk, pv = carry
+                # one fresh token's K/V lands in the cache every step
+                # (page 0 is the never-referenced scratch page, so the
+                # outputs are unchanged, but the pools are loop-carried:
+                # the gather cannot be hoisted out of the chain)
+                val = cur[:1, :hkv, :1, :].astype(pk.dtype)
+                pk = jax.lax.dynamic_update_slice(
+                    pk, val, (0, 0, jnp.mod(i, page), 0))
+                pv = jax.lax.dynamic_update_slice(
+                    pv, val, (0, 0, jnp.mod(i, page), 0))
+                out = step(cur, pk, pv)
                 # data-dependent q keeps the tunnel pipeline honest
-                cur = q0 + 1e-3 * step(cur)
-            return cur
+                return (q0 + 1e-3 * out, pk, pv)
+
+            return jax.lax.fori_loop(0, chain, body, (q, pk, pv))
 
         jitted = jax.jit(chained)
-        _fetch(jitted(q0))
+        _fetch(jitted(q0, pool.k, pool.v)[0])
         best = float("inf")
         for _ in range(2):
             t = time.perf_counter()
-            _fetch(jitted(q0))
+            _fetch(jitted(q0, pool.k, pool.v)[0])
             best = min(best, time.perf_counter() - t)
         return best / chain
 
-    t_gather = timed(lambda q: decode_attention(
-        q, gather_view(pool, table), key_pos=key_pos, q_pos=q_pos))
-    t_flash = timed(lambda q: paged_decode_attention(
-        q, pool, table, key_pos, q_pos))  # interpret auto: real on TPU
+    t_gather = timed(lambda q, pk, pv: decode_attention(
+        q, gather_view(pool._replace(k=pk, v=pv), table),
+        key_pos=key_pos, q_pos=q_pos))
+    t_flash = timed(lambda q, pk, pv: paged_decode_attention(
+        q, pool._replace(k=pk, v=pv), table, key_pos, q_pos,
+        head_mode=head_mode))  # interpret auto: real on TPU
     cache_gb = 2 * b * hkv * resident * d * 2 / 1e9  # K+V bf16
     return t_gather, t_flash, cache_gb, t_gather / t_flash
 
@@ -1538,15 +1561,18 @@ def main() -> None:
         t_g, t_f, cache_gb, ratio = bench_paged_attention()
         details["paged_attention_decode"] = {
             "config": "b8 hkv8 d128 page128 x16 pages/row (2048 resident "
-                      "tokens/row, bf16 pool)",
+                      "tokens/row, bf16 pool); fori_loop chain=128 with "
+                      "loop-carried per-step cache writes (real decode: "
+                      "the gather cannot be hoisted out of the chain)",
             "gather_ms": round(t_g * 1e3, 3),
             "flash_ms": round(t_f * 1e3, 3),
             "gather_gbps": round(2 * cache_gb / t_g, 1),
             "flash_gbps": round(cache_gb / t_f, 1),
             "speedup": round(ratio, 2),
             "impl": "gather = gather_view + XLA decode_attention (cache "
-                    "crosses HBM twice); flash = ops.paged_decode_"
-                    "attention Pallas kernel (pages read in place once)",
+                    "crosses HBM twice per step); flash = ops.paged_"
+                    "decode_attention Pallas kernel (pages read in place "
+                    "once; head_mode default)",
         }
         _log(f"bench: paged decode gather {t_g * 1e3:.2f}ms vs kernel "
              f"{t_f * 1e3:.2f}ms ({ratio:.2f}x)")

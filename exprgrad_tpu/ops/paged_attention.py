@@ -10,12 +10,12 @@ PagedAttention (Kwon et al., SOSP 2023): the grid walks ``(batch row,
 head chunk, page slot)``, a scalar-prefetched page table drives the
 BlockSpec index map, and Mosaic's pipeline DMAs each KV page HBM→VMEM
 exactly once — ALL kv heads of the page in one block per grid step
-(chunked only when VMEM forces it), with a static head unroll inside —
-straight into the flash-style online-softmax accumulation.  Pages never
-touch HBM a second time, and never-written / recycled pages are masked
-by true positions exactly like the gather path (reference for the
-serving discipline this slots into: ``exprgrad/model.nim:392-406`` —
-the runtime keeps device state hot and the per-step dispatch thin).
+(chunked only when VMEM forces it) — straight into the flash-style
+online-softmax accumulation.  Pages never touch HBM a second time, and
+never-written / recycled pages are masked by true positions exactly
+like the gather path (reference for the serving discipline this slots
+into: ``exprgrad/model.nim:392-406`` — the runtime keeps device state
+hot and the per-step dispatch thin).
 
 Semantics are bit-compatible with ``decode_attention(q,
 gather_view(pool, page_table), key_pos=..., q_pos=...)`` up to float
@@ -25,16 +25,25 @@ grouping, f32 softmax accumulation.
 
 Mosaic layout notes (all checked statically by ``mosaic_check``):
 
-* KV blocks ``(1, 1, page, d)`` over ``[n_pages, hkv, page, d]`` — the
-  last two dims are full, always legal; the leading block index comes
-  from the prefetched page table (clamped at 0 for unallocated ``-1``
-  entries, whose compute is skipped).
+* KV blocks ``(1, h_block, page, d)`` over ``[n_pages, hkv, page, d]``
+  — the last two dims are full, always legal; the leading block index
+  comes from the prefetched page table (clamped at 0 for unallocated
+  ``-1`` entries, whose compute is skipped).
 * ``key_pos`` rides as ``[b, P, page, 1]`` so its ``(1, 1, page, 1)``
   block keeps the last two dims legal (page multiple of 8, trailing 1
   full) — the same trick as the flash kernel's lse layout.
+* query positions ride as a precomputed ``[b, 1, gt_pad, 1]`` vector
+  operand (one VMEM load per grid step) instead of ``gt_pad`` unrolled
+  scalar-prefetch reads + a stack EVERY grid step.
 * int8 pools: per-slot scales ride as ``[n_pages, hkv, page, 1]``
   blocks selected by the same page-table index map; dequantization is
   fused into the score/value matmuls in VMEM.
+* ``head_mode="batched"`` computes all ``h_block`` kv heads in ONE
+  batched ``dot_general`` pair and one vectorized online-softmax
+  update; ``"unroll"`` is the per-head static unroll (the r3/r4
+  on-chip-validated shape).  Both lower through the full deviceless
+  XLA:TPU pipeline; the chip sweep (scripts/flash_sweep.py) picks the
+  default.
 """
 
 from __future__ import annotations
@@ -53,11 +62,15 @@ from .paged import PagedKVPool
 
 _NEG_INF = -1e30
 
+# chip-sweep-adjustable default (scripts/flash_sweep.py paged section);
+# "unroll" is the on-chip-validated r3/r4 shape.
+DEFAULT_HEAD_MODE = "batched"
 
-def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
-            m_s, l_s, acc_s, *, sm_scale: float, t: int, gt_pad: int,
-            hkv: int, num_pages: int, window: Optional[int], quant: bool,
-            ks_ref=None, vs_ref=None):
+
+def _kernel(tbl_ref, q_ref, qp_ref, k_ref, v_ref, kp_ref, o_ref,
+            m_s, l_s, acc_s, *, sm_scale: float, hkv: int,
+            num_pages: int, window: Optional[int], quant: bool,
+            head_mode: str, ks_ref=None, vs_ref=None):
     b_idx = pl.program_id(0)
     p_idx = pl.program_id(2)
 
@@ -71,17 +84,13 @@ def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
     # matmuls entirely (the DMA already fetched clamped page 0, cheap).
     @pl.when(tbl_ref[b_idx, p_idx] >= 0)
     def _run():
-        # position mask, shared by every kv head: key slot positions from
-        # key_pos (-1 = dead), query rows r <-> (group g = r // t, token
-        # tt = r % t) at true position qpos[b, tt] (scalar-prefetched,
-        # statically unrolled; padded rows r >= gt reuse r % t — their
-        # output is sliced off).
-        kp = kp_ref[0, 0, :, 0]             # [page] int32
-        qp_rows = jnp.stack(
-            [qpos_ref[b_idx, r % t] for r in range(gt_pad)]
-        )                                    # [gt_pad]
+        # position mask, shared by every kv head: key slot positions
+        # from key_pos (-1 = dead), query rows at their true positions
+        # (precomputed host-side; padded rows reuse r % t, their output
+        # is sliced off).
+        kp = kp_ref[0, 0, :, 0]              # [page] int32
+        qp2 = qp_ref[0, 0]                   # [gt_pad, 1] int32
         kp2 = kp[None, :]                    # [1, page]
-        qp2 = qp_rows[:, None]               # [gt_pad, 1]
         keep = jnp.logical_and(kp2 >= 0, kp2 <= qp2)
         if window is not None:
             keep = jnp.logical_and(keep, kp2 > qp2 - jnp.int32(window))
@@ -89,8 +98,39 @@ def _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref, o_ref,
         # all kv heads of the page arrive in ONE block/DMA per grid step
         # (the per-(head, page) grid spent ~8x more grid steps on ~8x
         # smaller DMAs and was per-step-overhead-bound: 0.56x the gather
-        # path at the r3 bench); the head loop is a static unroll.
-        for hi in range(hkv):
+        # path at the r3 bench).
+        if head_mode == "batched":
+            q = q_ref[0]                          # [hb, gt_pad, d] f32
+            k = k_ref[0].astype(jnp.float32)      # [hb, page, d]
+            v = v_ref[0].astype(jnp.float32)
+            if quant:
+                k = k * ks_ref[0]                 # [hb, page, 1] bcast
+                v = v * vs_ref[0]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                     # [hb, gt_pad, page]
+            if sm_scale != 1.0:
+                s = s * sm_scale
+            s = jnp.where(keep[None], s, _NEG_INF)
+
+            m_prev = m_s[...]                     # [hb, gt_pad, 128]
+            l_prev = l_s[...]
+            m_curr = jnp.max(s, axis=2, keepdims=True)  # [hb, gt_pad, 1]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[..., :1])      # [hb, gt_pad, page]
+            l_next = (alpha * l_prev
+                      + jnp.sum(p, axis=2, keepdims=True))
+            m_s[...] = m_next
+            l_s[...] = l_next
+            acc_s[...] = acc_s[...] * alpha[..., :1] + jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return
+
+        for hi in range(hkv):  # static unroll
             q = q_ref[0, hi]                      # [gt_pad, d] f32
             k = k_ref[0, hi].astype(jnp.float32)  # [page, d]
             v = v_ref[0, hi].astype(jnp.float32)
@@ -138,6 +178,8 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     window: Optional[int] = None,
     interpret: Optional[bool] = None,
+    head_mode: Optional[str] = None,
+    h_block: Optional[int] = None,
 ) -> jax.Array:
     """Attend ``q`` [b, h, t, d] against each row's pages in place.
 
@@ -147,6 +189,11 @@ def paged_decode_attention(
     tokens' positions.  Masking contract identical to
     ``ops.decode.decode_attention(..., key_pos=, q_pos=)``; returns
     [b, h, t, d] in q's dtype.
+
+    ``head_mode`` "batched" (one batched dot pair + vectorized softmax
+    update over the head chunk) or "unroll" (per-head static unroll);
+    ``h_block`` overrides the kv-head chunk per grid step (default: as
+    many as fit VMEM).  Both exist for the on-chip sweep.
     """
     b, h, t, d = q.shape
     n_pages, hkv, page, dk = pool.k.shape
@@ -170,6 +217,10 @@ def paged_decode_attention(
         from .mosaic_check import pallas_interpret
 
         interpret = pallas_interpret()
+    if head_mode is None:
+        head_mode = DEFAULT_HEAD_MODE
+    if head_mode not in ("batched", "unroll"):
+        raise ValueError(f"head_mode must be batched|unroll: {head_mode}")
 
     group = h // hkv
     gt = group * t
@@ -181,14 +232,18 @@ def paged_decode_attention(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gt_pad - gt), (0, 0)))
     kp4 = key_pos.astype(jnp.int32).reshape(b, P, page, 1)
     tbl = page_table.astype(jnp.int32)
-    qpos = q_pos.astype(jnp.int32)
+    # query-row true positions, precomputed once: row r <-> (group
+    # g = r // t, token tt = r % t) at q_pos[b, tt]; padded rows reuse
+    # r % t (their output is sliced off)
+    rows = np.arange(gt_pad) % t
+    qp4 = q_pos.astype(jnp.int32)[:, rows].reshape(b, 1, gt_pad, 1)
 
     # grid over (batch row, head chunk, page slot): a CHUNK of kv heads
     # rides in one (1, h_block, page, d) block — one big DMA per grid
-    # step and a static head unroll inside, instead of hkv x more grid
-    # steps on hkv x smaller blocks (per-step overhead dominated that
-    # shape: 0.56x the gather path at the r3 bench).  h_block shrinks
-    # from hkv only when the double-buffered blocks would blow VMEM.
+    # step, instead of hkv x more grid steps on hkv x smaller blocks
+    # (per-step overhead dominated that shape: 0.56x the gather path at
+    # the r3 bench).  h_block shrinks from hkv only when the double-
+    # buffered blocks would blow VMEM (or the sweep overrides it).
     item = pool.k.dtype.itemsize
 
     def vmem_bytes(hb: int) -> int:
@@ -199,29 +254,37 @@ def paged_decode_attention(
         scratch = hb * gt_pad * (128 + 128 + d) * 4
         return kv + qb + scratch
 
-    h_block = hkv
-    while h_block > 1 and (vmem_bytes(h_block) > 12 * 2**20
-                           or hkv % h_block):
-        h_block //= 2
+    if h_block is None:
+        h_block = hkv
+        while h_block > 1 and (vmem_bytes(h_block) > 12 * 2**20
+                               or hkv % h_block):
+            h_block //= 2
+    elif h_block < 1 or hkv % h_block:
+        raise ValueError(
+            f"h_block {h_block} must divide kv heads ({hkv})")
     grid = (b, hkv // h_block, P)
 
     def q_map(bi, hc, pi, *_):
         return (bi, hc, 0, 0)
 
-    def kv_map(bi, hc, pi, tbl_ref, qpos_ref):
+    def kv_map(bi, hc, pi, tbl_ref):
         return (jnp.maximum(tbl_ref[bi, pi], 0), hc, 0, 0)
 
     def kp_map(bi, hc, pi, *_):
         return (bi, pi, 0, 0)
 
+    def qp_map(bi, hc, pi, *_):
+        return (bi, 0, 0, 0)
+
     in_specs = [
         pl.BlockSpec((1, h_block, gt_pad, d), q_map),
+        pl.BlockSpec((1, 1, gt_pad, 1), qp_map),
         pl.BlockSpec((1, h_block, page, d), kv_map),
         pl.BlockSpec((1, h_block, page, d), kv_map),
         pl.BlockSpec((1, 1, page, 1), kp_map),
     ]
-    shapes = [qg.shape, pool.k.shape, pool.v.shape, kp4.shape]
-    operands = [qg, pool.k, pool.v, kp4]
+    shapes = [qg.shape, qp4.shape, pool.k.shape, pool.v.shape, kp4.shape]
+    operands = [qg, qp4, pool.k, pool.v, kp4]
     if quant:
         ks4 = pool.k_scale.reshape(n_pages, hkv, page, 1)
         vs4 = pool.v_scale.reshape(n_pages, hkv, page, 1)
@@ -243,12 +306,12 @@ def paged_decode_attention(
     check_specs([out_specs], [out_shape.shape],
                 kernel="paged_decode", kind="output")
 
-    static = dict(sm_scale=float(sm_scale), t=t, gt_pad=gt_pad,
-                  hkv=h_block, num_pages=P, window=window, quant=quant)
+    static = dict(sm_scale=float(sm_scale), hkv=h_block, num_pages=P,
+                  window=window, quant=quant, head_mode=head_mode)
     if quant:
-        def kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref,
+        def kernel(tbl_ref, q_ref, qp_ref, k_ref, v_ref, kp_ref,
                    ks_ref, vs_ref, o_ref, m_s, l_s, acc_s):
-            _kernel(tbl_ref, qpos_ref, q_ref, k_ref, v_ref, kp_ref,
+            _kernel(tbl_ref, q_ref, qp_ref, k_ref, v_ref, kp_ref,
                     o_ref, m_s, l_s, acc_s, ks_ref=ks_ref, vs_ref=vs_ref,
                     **static)
     else:
@@ -258,7 +321,7 @@ def paged_decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -275,5 +338,5 @@ def paged_decode_attention(
             transcendentals=hkv * gt * resident,
         ),
         interpret=interpret,
-    )(tbl, qpos, *operands)
+    )(tbl, *operands)
     return out[:, :, :gt].reshape(b, h, t, d).astype(q.dtype)

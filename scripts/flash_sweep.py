@@ -254,6 +254,86 @@ def main() -> None:
         best_c = min(c["causal_ms"] for c in good)
         win_sweep["best_window_vs_best_causal"] = round(best_c / best_w, 3)
         flush()
+
+    # --- paged-decode kernel sweep at the bench shape (VERDICT r4 #6:
+    # the kernel has never beaten the gather path) --- head_mode x
+    # h_block against the gather baseline, all through the honest
+    # loop-carried-pool fori_loop harness (see bench.bench_paged_
+    # attention: without the per-step cache write XLA hoists the gather
+    # out of the chain and the baseline is fiction).
+    from exprgrad_tpu.ops.decode import decode_attention
+    from exprgrad_tpu.ops.paged import gather_view, init_pool
+    from exprgrad_tpu.ops.paged_attention import paged_decode_attention
+
+    pb, phkv, pd, page, ppr, pchain = 8, 8, 128, 128, 16, 128
+    resident = ppr * page
+    pool = init_pool(pb * ppr + 1, phkv, page, pd, dtype=jnp.bfloat16)
+    pool = pool._replace(
+        k=jnp.asarray(rng.normal(size=pool.k.shape) * 0.1, pool.k.dtype),
+        v=jnp.asarray(rng.normal(size=pool.v.shape) * 0.1, pool.v.dtype),
+    )
+    ptable = jnp.asarray(
+        1 + np.arange(pb * ppr, dtype=np.int32).reshape(pb, ppr))
+    pkey_pos = jnp.asarray(np.broadcast_to(
+        np.arange(resident, dtype=np.int32), (pb, resident)))
+    pq_pos = jnp.full((pb, 1), resident - 1, jnp.int32)
+    pq0 = jnp.asarray(rng.normal(size=(pb, phkv, 1, pd)).astype(np.float32))
+
+    def time_paged(step):
+        def chained(q_, pk, pv):
+            def body(i, carry):
+                cur, pk, pv = carry
+                val = cur[:1, :phkv, :1, :].astype(pk.dtype)
+                pk = jax.lax.dynamic_update_slice(
+                    pk, val, (0, 0, jnp.mod(i, page), 0))
+                pv = jax.lax.dynamic_update_slice(
+                    pv, val, (0, 0, jnp.mod(i, page), 0))
+                return (pq0 + 1e-3 * step(cur, pk, pv), pk, pv)
+
+            return jax.lax.fori_loop(0, pchain, body, (q_, pk, pv))
+
+        jitted = jax.jit(chained)
+        _ = float(jnp.sum(jitted(pq0, pool.k, pool.v)[0]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(jitted(pq0, pool.k, pool.v)[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best / pchain
+
+    paged_sweep = {}
+    RESULTS["paged_decode_sweep"] = paged_sweep
+    try:
+        t_gather = time_paged(lambda q_, pk, pv: decode_attention(
+            q_, gather_view(pool._replace(k=pk, v=pv), ptable),
+            key_pos=pkey_pos, q_pos=pq_pos))
+        paged_sweep["gather_ms"] = round(t_gather * 1e3, 3)
+        print(f"paged gather baseline: {t_gather * 1e3:.3f} ms", flush=True)
+    except Exception as err:
+        paged_sweep["gather_ms"] = f"error: {err}"[:160]
+        t_gather = None
+        print(f"paged gather ERROR: {err}", flush=True)
+    flush()
+    for mode, hb in (("batched", 8), ("batched", 4), ("batched", 2),
+                     ("unroll", 8), ("unroll", 4), ("unroll", 2)):
+        key = f"{mode}_h{hb}"
+        try:
+            t_k = time_paged(
+                lambda q_, pk, pv, mode=mode, hb=hb: paged_decode_attention(
+                    q_, pool._replace(k=pk, v=pv), ptable, pkey_pos,
+                    pq_pos, head_mode=mode, h_block=hb))
+            paged_sweep[key] = {
+                "kernel_ms": round(t_k * 1e3, 3),
+                "vs_gather": (round(t_gather / t_k, 3)
+                              if t_gather else None),
+            }
+            print(f"paged {key}: {t_k * 1e3:.3f} ms"
+                  + (f" ({t_gather / t_k:.2f}x gather)" if t_gather
+                     else ""), flush=True)
+        except Exception as err:
+            paged_sweep[key] = f"error: {err}"[:160]
+            print(f"paged {key} ERROR: {err}", flush=True)
+        flush()
     print("DONE", flush=True)
 
 

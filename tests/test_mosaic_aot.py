@@ -432,9 +432,10 @@ def test_pallas_matmul_fwd_bwd_lowers():
     _lower_fn(jax.grad(f, argnums=(0, 1)), a, a)
 
 
-def test_paged_decode_attention_lowers():
+@pytest.mark.parametrize("head_mode", ["batched", "unroll"])
+def test_paged_decode_attention_lowers(head_mode):
     """The round-4 regridded (row, head-chunk, page) decode kernel with
-    scalar-prefetched page tables."""
+    scalar-prefetched page tables, both head-chunk compute modes."""
     import jax.numpy as jnp
 
     from exprgrad_tpu.ops.paged import PagedKVPool
@@ -452,7 +453,8 @@ def test_paged_decode_attention_lowers():
 
     def f(q, pk, pv, table, key_pos, q_pos):
         return paged_decode_attention(
-            q, PagedKVPool(k=pk, v=pv), table, key_pos, q_pos
+            q, PagedKVPool(k=pk, v=pv), table, key_pos, q_pos,
+            head_mode=head_mode,
         )
 
     _lower_fn(f, q, pool.k, pool.v, table, key_pos, q_pos)

@@ -57,6 +57,7 @@ def _random_case(rng, b, hkv, t, d, P, page, n_pages, dtype):
     return pool, table, key_pos, q_pos.astype(np.int32), lens
 
 
+@pytest.mark.parametrize("head_mode", ["batched", "unroll"])
 @pytest.mark.parametrize(
     "b,h,hkv,t,d,P,page,dtype,window",
     [
@@ -69,7 +70,8 @@ def _random_case(rng, b, hkv, t, d, P, page, n_pages, dtype):
         (2, 2, 2, 2, 32, 4, 16, "bfloat16", 24),     # bf16 pages, window
     ],
 )
-def test_matches_gather_oracle(b, h, hkv, t, d, P, page, dtype, window):
+def test_matches_gather_oracle(b, h, hkv, t, d, P, page, dtype, window,
+                               head_mode):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(hash((b, h, t, d, P, page)) % 2**31)
@@ -83,10 +85,32 @@ def test_matches_gather_oracle(b, h, hkv, t, d, P, page, dtype, window):
                             q_pos=jnp.asarray(q_pos))
     got = paged_decode_attention(q, pool, jnp.asarray(table),
                                  jnp.asarray(key_pos),
-                                 jnp.asarray(q_pos), window=window)
+                                 jnp.asarray(q_pos), window=window,
+                                 head_mode=head_mode)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-5, rtol=2e-5)
+
+
+def test_h_block_override_matches_default():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    pool, table, key_pos, q_pos, _ = _random_case(
+        rng, 2, 4, 1, 64, 4, 32, n_pages=16, dtype=jnp.float32)
+    q = jnp.asarray(rng.normal(size=(2, 4, 1, 64)), jnp.float32)
+    base = paged_decode_attention(q, pool, jnp.asarray(table),
+                                  jnp.asarray(key_pos), jnp.asarray(q_pos))
+    for hb, mode in [(1, "unroll"), (2, "batched"), (4, "unroll")]:
+        got = paged_decode_attention(
+            q, pool, jnp.asarray(table), jnp.asarray(key_pos),
+            jnp.asarray(q_pos), h_block=hb, head_mode=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=2e-5, rtol=2e-5)
+    with pytest.raises(ValueError, match="h_block"):
+        paged_decode_attention(q, pool, jnp.asarray(table),
+                               jnp.asarray(key_pos), jnp.asarray(q_pos),
+                               h_block=3)
 
 
 def test_mosaic_legality_at_serving_shapes():

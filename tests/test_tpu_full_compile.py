@@ -171,7 +171,8 @@ def test_flash_attention_fwd_bwd_full_compile():
     full_compile_fn(g, q, q, q)
 
 
-def test_paged_decode_attention_full_compile():
+@pytest.mark.parametrize("head_mode", ["batched", "unroll"])
+def test_paged_decode_attention_full_compile(head_mode):
     import jax.numpy as jnp
 
     from exprgrad_tpu.ops.paged import PagedKVPool
@@ -186,7 +187,34 @@ def test_paged_decode_attention_full_compile():
 
     def f(q, pk, pv, table, key_pos, q_pos):
         return paged_decode_attention(
-            q, PagedKVPool(k=pk, v=pv), table, key_pos, q_pos
+            q, PagedKVPool(k=pk, v=pv), table, key_pos, q_pos,
+            head_mode=head_mode,
+        )
+
+    full_compile_fn(f, q, pk, pk, table, key_pos, q_pos)
+
+
+@pytest.mark.parametrize("head_mode", ["batched", "unroll"])
+def test_paged_decode_attention_bench_shape_full_compile(head_mode):
+    """The exact BENCH shape (b8 hkv8 page128 x16 pages d128, bf16 pool)
+    through the complete deviceless v5e pipeline — the r4 scatter-add
+    lesson: toy shapes hide real-compiler rejections."""
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops.paged import PagedKVPool
+    from exprgrad_tpu.ops.paged_attention import paged_decode_attention
+
+    b, h, hkv, t, d, P, page = 8, 8, 8, 1, 128, 16, 128
+    q = jnp.zeros((b, h, t, d), jnp.float32)
+    pk = jnp.zeros((b * P + 1, hkv, page, d), jnp.bfloat16)
+    table = jnp.zeros((b, P), jnp.int32)
+    key_pos = jnp.zeros((b, P * page), jnp.int32)
+    q_pos = jnp.zeros((b, t), jnp.int32)
+
+    def f(q, pk, pv, table, key_pos, q_pos):
+        return paged_decode_attention(
+            q, PagedKVPool(k=pk, v=pv), table, key_pos, q_pos,
+            head_mode=head_mode,
         )
 
     full_compile_fn(f, q, pk, pk, table, key_pos, q_pos)
