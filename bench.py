@@ -840,6 +840,72 @@ def bench_speculative_trained(prompt_len=64, n_new=128, ks=(4, 12),
     return n_new / t_plain, per_k, split
 
 
+def bench_speculative_lookup(prompt_len=64, n_new=128, ks=(4, 8, 16),
+                             reps=3):
+    """Prompt-lookup speculative decoding (generate_lookup): DRAFT-FREE
+    proposals from the token history, verified k-wide — the speculation
+    variant whose per-round cost is ONE verify step, no draft model.
+
+    Uses the committed trained target (benchmarks/spec_pair): its task
+    is a permutation-successor chain, and the fixed permutation (seed 7)
+    has an 11-cycle — a prompt walking that cycle makes the greedy
+    continuation periodic, the regime lookup serves (repetitive /
+    templated / retrieval-copy text).  Acceptance ~1, so the measured
+    speedup isolates verify-vs-decode cost, the quantity the draft-model
+    variant could never win at serving scale (speculative_k_sweep:
+    the dim64 draft step costs a large fraction of a target step).
+
+    Returns (plain_tok_s, {k: (tok_s, verify_steps)})."""
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.io import import_params_npz
+    from exprgrad_tpu.models import FlashLMServer, flash_transformer
+
+    vocab, max_seq = 256, 256
+    target_model = eg_compile(
+        flash_transformer(vocab=vocab, dim=256, heads=4, hidden=1024,
+                          blocks=2, max_seq=max_seq, eta=0.01),
+        seed=0, precision="default",
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    import_params_npz(
+        target_model, os.path.join(here, "benchmarks/spec_pair/target.npz")
+    )
+    target = FlashLMServer(target_model)
+
+    # walk the permutation's 11-cycle (token 26; scripts/train_spec_pair
+    # make_perm seed 7): the prompt holds ~6 periods, generation
+    # continues the cycle, lookup matches every round
+    perm = np.random.default_rng(7).permutation(vocab)
+    chain_toks = np.empty(prompt_len, np.int64)
+    chain_toks[0] = 26
+    for t in range(1, prompt_len):
+        chain_toks[t] = perm[chain_toks[t - 1]]
+    prompt = chain_toks[None, :].astype(np.float32)
+
+    def timed(fn):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    t_plain = timed(lambda: _fetch(target.generate(prompt, n_new=n_new)))
+    per_k = {}
+    for k in ks:
+        holder = {}
+
+        def spec():
+            out, steps = target.generate_lookup(prompt, n_new=n_new, k=k)
+            holder["steps"] = int(steps)
+            _fetch(out)
+
+        t_spec = timed(spec)
+        per_k[k] = (n_new / t_spec, holder["steps"])
+    return n_new / t_plain, per_k
+
+
 def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
                           batch=8, src_len=64, n_new=64, reps=3,
                           measure_greedy=None):
@@ -1465,6 +1531,40 @@ def main() -> None:
              f"draft step {split['draft_cost_ratio']:.2f}x plain)")
     except Exception as err:
         details["speculative_trained_error"] = str(err)
+
+    _flush_details()
+    _log("bench: prompt-lookup speculative decoding ...")
+    try:
+        pl_tok, per_k = bench_speculative_lookup()
+        best_k, (lk_tok, lk_steps) = max(
+            per_k.items(), key=lambda kv: kv[1][0])
+        details["speculative_lookup"] = {
+            "config": "trained target vocab256 dim256 blocks2 "
+                      "(benchmarks/spec_pair); prompt walks the task "
+                      "permutation's 11-cycle (periodic continuation — "
+                      "the regime lookup serves); batch1 prompt64 "
+                      "n_new128, DRAFT-FREE history-match proposals",
+            "plain_tokens_per_s": round(pl_tok, 1),
+            "per_k": {
+                str(k): {
+                    "tokens_per_s": round(tok, 1),
+                    "target_verify_steps": steps,
+                    "speedup": round(tok / pl_tok, 2),
+                }
+                for k, (tok, steps) in per_k.items()
+            },
+            "best_k": best_k,
+            "speedup": round(lk_tok / pl_tok, 2),
+            "impl": "generate_lookup: propose k tokens after the most "
+                    "recent earlier occurrence of the last-ngram, ONE "
+                    "k-wide verify per round, zero draft cost; output "
+                    "exact greedy",
+        }
+        _log(f"bench: lookup speculative {lk_tok:.0f} vs plain "
+             f"{pl_tok:.0f} tokens/s (best k={best_k}, {lk_steps} verify "
+             f"steps for 128 tokens, {lk_tok / pl_tok:.2f}x)")
+    except Exception as err:
+        details["speculative_lookup_error"] = str(err)
 
     _flush_details()
     _log("bench: int8 KV-cache serving ...")

@@ -28,16 +28,27 @@ def speculative_loop(
     k: int,
     temperature: float,
     key0,
+    propose_fn: Optional[Callable] = None,
 ):
     """Run speculative rounds until ``n_new`` tokens are emitted.
 
     ``first`` [1] int32 is the already-chosen first token (its K/V NOT
     yet appended to either state).  Returns ``(tokens [1, n_new] int32,
-    target_steps int32)``."""
+    target_steps int32)``.
+
+    ``propose_fn(out, count, cur, key) -> props [k] int32`` replaces the
+    draft-model scan with DRAFT-FREE proposals (prompt lookup etc.);
+    ``draft_step`` / ``dstate`` are then unused (pass None) and greedy
+    acceptance is required (deterministic proposals carry no draft
+    distribution for the rejection scheme)."""
     import jax
     import jax.numpy as jnp
 
     sampled = temperature > 0.0
+    if propose_fn is not None and sampled:
+        raise ValueError("propose_fn requires greedy acceptance")
+    if propose_fn is not None and dstate is None:
+        dstate = jnp.int32(0)  # carry placeholder, never touched
     T = float(temperature) if sampled else 1.0
     buf_len = n_new + k
 
@@ -52,22 +63,26 @@ def speculative_loop(
         out, count, cur, tstate, dstate, steps, key = carry
         key, kd, ka, kr = jax.random.split(key, 4)
 
-        def dstep(dcarry, dk):
-            dst, tok = dcarry
-            dlogits, dst = draft_step(tok[:, None], dst)
-            row = dlogits[:, -1].astype(jnp.float32) / T
-            if sampled:
-                nxt = jax.random.categorical(dk, row, axis=-1).astype(
-                    jnp.int32
-                )
-            else:
-                nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
-            return (dst, nxt), (nxt, jax.nn.softmax(row, -1)[0])
+        if propose_fn is not None:
+            props = propose_fn(out, count, cur, kd)   # [k]
+            qs = None
+        else:
+            def dstep(dcarry, dk):
+                dst, tok = dcarry
+                dlogits, dst = draft_step(tok[:, None], dst)
+                row = dlogits[:, -1].astype(jnp.float32) / T
+                if sampled:
+                    nxt = jax.random.categorical(dk, row, axis=-1).astype(
+                        jnp.int32
+                    )
+                else:
+                    nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+                return (dst, nxt), (nxt, jax.nn.softmax(row, -1)[0])
 
-        (dstate, _), (props, qs) = jax.lax.scan(
-            dstep, (dstate, cur), jax.random.split(kd, k)
-        )
-        props = props[:, 0]                       # [k]
+            (dstate, _), (props, qs) = jax.lax.scan(
+                dstep, (dstate, cur), jax.random.split(kd, k)
+            )
+            props = props[:, 0]                   # [k]
 
         len0 = length_of(tstate)
         seq_in = jnp.concatenate(
@@ -108,7 +123,8 @@ def speculative_loop(
         out = jax.lax.dynamic_update_slice(out, emit, (count,))
         new_len = (len0 + n_emit).astype(jnp.int32)
         tstate = rewind(tstate, new_len)
-        dstate = rewind(dstate, new_len)
+        if propose_fn is None:
+            dstate = rewind(dstate, new_len)
         return (out, (count + n_emit).astype(jnp.int32), cur_next,
                 tstate, dstate, steps + jnp.int32(1), key)
 

@@ -521,6 +521,106 @@ class FlashLMServer:
                     stacklevel=2)
         return toks, steps
 
+    def generate_lookup(
+        self,
+        prompt,
+        n_new: int,
+        k: int = 8,
+        ngram: int = 2,
+        capacity: Optional[int] = None,
+    ):
+        """Prompt-lookup speculative decoding (draft-FREE): each round
+        proposes the ``k`` tokens that followed the most recent earlier
+        occurrence of the last ``ngram`` emitted tokens anywhere in
+        prompt + generation so far, and this model verifies them in ONE
+        ``k``-wide cached step — the same exact verify/accept/rewind
+        round as ``generate_speculative`` with the draft model's cost
+        replaced by a vectorized history match (a few VPU ops).
+
+        Output is ALWAYS this model's exact greedy sequence; the lookup
+        only changes how many target steps it takes.  On repetitive or
+        structured continuations (code, templated text, retrieval
+        copies) acceptance approaches 1 and the speedup approaches
+        ``tokens-per-round / (verify_cost / decode_cost)`` — with NO
+        draft to pay for, unlike ``generate_speculative`` whose small
+        draft is itself latency-bound at serving scale
+        (``BENCH_DETAILS.json speculative_k_sweep``).  On
+        non-repetitive text the proposals miss, every round emits >= 1
+        token, and the cost floor is one verify step per token.
+
+        Returns ``(tokens [1, n_new], target_steps)``.
+        """
+        import jax
+
+        from ._spec import check_spec_args, speculative_loop
+
+        jnp = self._jnp
+        prompt = self._tokens(prompt)
+        batch, t = prompt.shape
+        check_spec_args(batch, self.vocab, self.vocab, k, n_new,
+                        ModelRuntimeError)
+        if ngram < 1:
+            raise ModelRuntimeError(f"ngram must be >= 1 (got {ngram})")
+        if t + 1 < ngram:
+            raise ModelRuntimeError(
+                f"ngram {ngram} exceeds prompt_len + 1 = {t + 1}")
+        need = t + n_new - 1 + k
+        if need > self.max_seq:
+            raise ModelRuntimeError(
+                f"prompt_len + n_new - 1 + k = {need} exceeds max_seq "
+                f"({self.max_seq})"
+            )
+        capacity = capacity or need
+        if need > capacity:
+            raise ModelRuntimeError(
+                f"{need} cache rows needed, capacity {capacity}"
+            )
+
+        def build():
+          def run(prompt, key0):
+            tc = self.init_caches(1, capacity)
+            logits_t, tc = self.prefill(prompt, tc)
+            first = jnp.argmax(logits_t[:, -1], axis=-1).astype(jnp.int32)
+            prompt_i32 = prompt[0].astype(jnp.int32)      # [t]
+            L = t + n_new + k                              # hist length
+
+            def propose(out, count, cur, _key):
+                # known tokens: hist[:t + count] (prompt + emitted)
+                hist = jnp.concatenate([prompt_i32, out])  # [L]
+                pos = t + count
+                lastg = jax.lax.dynamic_slice(
+                    hist, (pos - ngram,), (ngram,))        # [ngram]
+                starts = jnp.arange(L, dtype=jnp.int32)
+                win_idx = jnp.minimum(
+                    starts[:, None] + jnp.arange(ngram)[None, :], L - 1)
+                wins = hist[win_idx]                       # [L, ngram]
+                match = jnp.all(wins == lastg[None, :], axis=1)
+                # window must END strictly before the query ngram does
+                match = jnp.logical_and(match, starts < pos - ngram)
+                best = jnp.max(jnp.where(match, starts, -1))
+                found = best >= 0
+                prop_idx = jnp.minimum(
+                    best + ngram + jnp.arange(k, dtype=jnp.int32),
+                    pos - 1)
+                return jnp.where(
+                    found, hist[prop_idx],
+                    jnp.broadcast_to(cur[0], (k,))).astype(jnp.int32)
+
+            return speculative_loop(
+                draft_step=None,
+                target_step=lambda toks, st: self.prefill(toks, st),
+                rewind=lambda st, ln: [c._replace(length=ln) for c in st],
+                length_of=lambda st: st[0].length,
+                dstate=None, tstate=tc, first=first,
+                n_new=n_new, k=k, temperature=0.0, key0=key0,
+                propose_fn=propose,
+            )
+
+          return run
+
+        key = ("lookup", t, n_new, k, ngram, capacity)
+        return self._jitted(key, build)(prompt, jax.random.PRNGKey(0))
+
     def generate_beam(
         self,
         prompt,

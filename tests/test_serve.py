@@ -483,6 +483,73 @@ def test_speculative_windowed_target():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def _cyclic_trained(vocab=32, period=6, dim=32, max_seq=128, seed=0,
+                    steps=60):
+    """A tiny LM trained on a fixed cyclic-successor task: generations
+    repeat with the cycle's period, the regime prompt lookup serves."""
+    rng = np.random.default_rng(seed)
+    cyc = rng.permutation(vocab)[:period]
+    succ = {int(cyc[i]): int(cyc[(i + 1) % period]) for i in range(period)}
+    m = compile(
+        flash_transformer(vocab=vocab, dim=dim, heads=2, max_seq=max_seq),
+        backend="jax", seed=seed)
+    seq, batch = 24, 8
+    for _ in range(steps):
+        starts = rng.integers(0, period, batch)
+        toks = np.empty((batch, seq + 1), np.int64)
+        toks[:, 0] = cyc[starts]
+        for t in range(seq):
+            toks[:, t + 1] = [succ[int(x)] for x in toks[:, t]]
+        m.epoch += 1
+        m.apply("train", {
+            "tokens": toks[:, :seq].astype(np.float32),
+            "labels": np.eye(vocab, dtype=np.float32)[toks[:, 1:]],
+        })
+    prompt = np.empty(18, np.int64)
+    prompt[0] = cyc[0]
+    for t in range(1, 18):
+        prompt[t] = succ[int(prompt[t - 1])]
+    return FlashLMServer(m), prompt[None].astype(np.float32)
+
+
+def test_lookup_exact_and_compresses_steps():
+    """Prompt-lookup speculation is exact greedy for any (k, ngram) and
+    compresses verify steps on repetitive continuations."""
+    srv, prompt = _cyclic_trained()
+    want = np.asarray(srv.generate(prompt, n_new=40))
+    for k, ng in [(4, 2), (8, 2), (8, 1), (3, 3)]:
+        got, steps = srv.generate_lookup(prompt, n_new=40, k=k, ngram=ng)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        assert int(steps) <= (40 + k - 1) // k + 3, (k, ng, int(steps))
+
+
+def test_lookup_exact_on_nonrepetitive_prompt(bucket_model):
+    """On arbitrary prompts lookup still returns the exact greedy
+    sequence — misses only cost steps, never correctness."""
+    srv = FlashLMServer(bucket_model)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, VOCAB, 9)[None].astype(np.float32)
+    want = np.asarray(srv.generate(prompt, n_new=17))
+    got, steps = srv.generate_lookup(prompt, n_new=17, k=4)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert 1 <= int(steps) <= 17
+
+
+def test_lookup_validations(bucket_model):
+    from exprgrad_tpu.errors import ModelRuntimeError
+
+    srv = FlashLMServer(bucket_model)
+    prompt = np.zeros((1, 4), np.float32)
+    with pytest.raises(ModelRuntimeError, match="ngram"):
+        srv.generate_lookup(prompt, n_new=4, ngram=0)
+    with pytest.raises(ModelRuntimeError, match="ngram"):
+        srv.generate_lookup(prompt, n_new=4, ngram=6)
+    with pytest.raises(ModelRuntimeError, match="one sequence"):
+        srv.generate_lookup(np.zeros((2, 4), np.float32), n_new=4)
+    with pytest.raises(ModelRuntimeError, match="max_seq"):
+        srv.generate_lookup(prompt, n_new=10_000)
+
+
 def test_speculative_break_even_warning(bucket_model):
     """break_even= warns when the measured acceptance rate (tokens per
     verify round) falls below it, and stays silent above it."""
