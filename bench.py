@@ -595,8 +595,8 @@ def bench_continuous_batching(vocab=2048, dim=512, heads=4, hidden=2048,
 
 
 def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
-                          blocks=2, slots=8, capacity=704, prompt_len=64,
-                          budget=640,
+                          blocks=2, slots=8, capacity=None, prompt_len=64,
+                          budget=1024,
                           configs=((1, 0), (8, 0), (32, 0), (32, 4),
                                    (128, 0), (128, 1))):
     """Steady-state continuous-batching overhead (VERDICT r3 #8, r4 #6):
@@ -654,10 +654,11 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
     rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
 
     out = {}
+    capacity = capacity or prompt_len + budget
     for chunk, pipeline in configs:
         b = ContinuousBatcher(
             server, slots=slots, capacity=capacity, paged=True,
-            page_size=32, pool_pages=slots * (capacity // 32),
+            page_size=32, pool_pages=slots * (-(-capacity // 32)),
             decode_chunk=chunk, pipeline=pipeline,
         )
         for _ in range(slots):
@@ -670,21 +671,28 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
         for _ in range(pipeline):
             b.step()  # fill the pipe before the timed window
         # timed window: long enough to see overlap, short enough that no
-        # budget exhausts inside it (settle + fill already spent chunks)
+        # budget exhausts inside it OR inside the speculative in-flight
+        # chunks issued during it (admission emitted 1 token; settle +
+        # fill spent (1 + pipeline) chunks; the pipe keeps up to
+        # `pipeline` extra chunks issued beyond the drained frontier)
         window = min(max(2 + pipeline, 64 // chunk),
-                     budget // chunk - 2 - pipeline)
+                     (budget - 1) // chunk - 1 - 2 * pipeline)
         steps0 = b.stats["decode_steps"]
         d0 = b.stats["dispatches"]
         t = time.perf_counter()
         for _ in range(window):
             b.step()
         dt = time.perf_counter() - t
+        # sized as above, no request finishes in the window and the pipe
+        # depth is constant across it, so issued == drained and
+        # slots*steps equals the tokens actually emitted
+        steady = bool(b.active.all())
         steps = b.stats["decode_steps"] - steps0
         dispatches = max(1, b.stats["dispatches"] - d0)
         toks = slots * steps
         key = f"{chunk}+pipe{pipeline}" if pipeline else str(chunk)
         out[key] = (toks / dt, dt / steps * 1e3,
-                    dt / dispatches * 1e3)
+                    dt / dispatches * 1e3, steady)
     return out, rtt_ms
 
 
@@ -852,7 +860,7 @@ def bench_speculative_lookup(prompt_len=64, n_new=128, ks=(4, 8, 16),
     continuation periodic, the regime lookup serves (repetitive /
     templated / retrieval-copy text).  Acceptance ~1, so the measured
     speedup isolates verify-vs-decode cost, the quantity the draft-model
-    variant could never win at serving scale (speculative_k_sweep:
+    variant could never win at serving scale (speculative_decoding_trained cost_split:
     the dim64 draft step costs a large fraction of a target step).
 
     Returns (plain_tok_s, {k: (tok_s, verify_steps)})."""
@@ -1726,8 +1734,9 @@ def main() -> None:
         )
         entry = {
             "config": "vocab2048 dim512 blocks2 slots8 prompt64 "
-                      "capacity704; all slots saturated, no admissions "
-                      "in the timed window (pure decode dispatches)",
+                      "budget1024; all slots saturated, no admissions "
+                      "in the timed window (pure decode dispatches); "
+                      "+pipeN = pipelined device-chained dispatches",
             "per_chunk": {
                 str(c): {
                     "tokens_per_s": round(tps, 1),
@@ -1738,8 +1747,9 @@ def main() -> None:
                         if solo_ms is not None else None
                     ),
                     "dispatch_minus_rtt_ms": round(md - rtt_ms, 4),
+                    "steady_window": ok,
                 }
-                for c, (tps, ms, md) in steady.items()
+                for c, (tps, ms, md, ok) in steady.items()
             },
             "solo_batch8_ms_per_step": solo_ms,
             "rtt_probe_ms": round(rtt_ms, 4),

@@ -50,12 +50,11 @@ _SUBLANE = {"float32": 8, "bfloat16": 16, "float64": 8}
 # conservative fraction of the v5e's 128MB VMEM; the planner's own block
 # budget (14MB, block_bytes below) keeps working sets small enough to
 # double-buffer, but its estimate cannot model Mosaic's exact stack
-# accounting (layout padding, intermediate copies) — the on-chip
-# embedding scatter-add at n=16384 v=2048 d=512 compiled to a 24MB
-# working set off a <=14MB estimate (BENCH_DETAILS.json r4
-# scatter_add_error).  Raising the cap makes estimator error degrade
-# pipelining instead of killing compilation.
-VMEM_LIMIT_BYTES = 100 * 2**20
+# accounting — the on-chip embedding scatter-add at n=16384 v=2048
+# d=512 compiled to a 24MB working set off a <=14MB estimate
+# (BENCH_DETAILS.json r4 scatter_add_error).  Shared with the ops
+# kernels; retune in mosaic_check only.
+from ..ops.mosaic_check import VMEM_LIMIT_BYTES  # noqa: F401
 
 
 def _round_down(x: int, m: int) -> int:

@@ -1335,37 +1335,47 @@ class ContinuousBatcher:
                 and all(self.active[s] or self._req[s] is None
                         for s in range(self.slots)))
 
-    def _issue_chunk(self, chunk: int) -> bool:
-        """Issue one chunk dispatch chained on the previous dispatch's
-        device-side (tok, pos) — uploads only, no readback.  Returns
-        False (without issuing) when the page pool could not cover the
-        chunk span without preempting; the caller falls back to the
-        sequential path, which is allowed to preempt."""
-        start = (self._shadow_pos if self._pipe else self.pos
-                 ).astype(np.int32).copy()
+    def _chunk_fence(self, start, chunk: int):
+        """Per-active-row absolute budget fence for a chunk dispatch
+        whose rows start at ``start``, plus each row's last written
+        position inside the chunk span.  ``pos`` and ``len(out)``
+        advance in lockstep, so the fence is identical for every
+        in-flight chunk of one request — the pipelined path's
+        bit-equality to the sequential path rides on both computing it
+        HERE."""
         stop_at = start.copy()
+        upto = {}
         for slot in range(self.slots):
             if self.active[slot]:
                 rem = (self._req[slot].max_new - len(self._req[slot].out))
-                # pos and len(out) advance in lockstep, so the absolute
-                # fence is constant across in-flight chunks
                 stop_at[slot] = self.pos[slot] + rem
+                upto[slot] = int(min(int(start[slot]) + chunk,
+                                     int(stop_at[slot]))) - 1
+        return stop_at, upto
+
+    def _issue_chunk(self, chunk: int) -> bool:
+        """Issue one chunk dispatch chained on the previous dispatch's
+        device-side (tok, pos) — uploads only, no readback.  Returns
+        False (without issuing) when every active row is already fully
+        fenced by in-flight chunks (nothing left to produce), or when
+        the page pool could not cover the chunk span without preempting;
+        the caller falls back to the sequential path, which is allowed
+        to preempt."""
+        start = (self._shadow_pos if self._pipe else self.pos
+                 ).astype(np.int32).copy()
+        stop_at, upto = self._chunk_fence(start, chunk)
+        if not any(int(stop_at[s]) > int(start[s])
+                   for s in range(self.slots) if self.active[s]):
+            return False  # all budget already covered in flight
         if self.paged:
             needed = 0
-            for slot in range(self.slots):
-                if self.active[slot]:
-                    upto = int(min(start[slot] + chunk,
-                                   stop_at[slot])) - 1
-                    page_idx = upto // self.page_size
-                    needed += max(
-                        0, page_idx + 1 - len(self.slot_pages[slot]))
+            for slot, u in upto.items():
+                needed += max(
+                    0, u // self.page_size + 1 - len(self.slot_pages[slot]))
             if needed > len(self.free_pages):
                 return False
-            for slot in range(self.slots):
-                if self.active[slot]:
-                    upto = int(min(start[slot] + chunk,
-                                   stop_at[slot])) - 1
-                    self._ensure_pages_upto(slot, upto)
+            for slot, u in upto.items():
+                self._ensure_pages_upto(slot, u)
             pt = self.page_table.copy()
         else:
             pt = np.zeros((self.slots, 1), np.int32)
@@ -1574,18 +1584,14 @@ class ContinuousBatcher:
             chunk = self.decode_chunk
             # per-row budget fences; pages for every step of the chunk
             if self.paged:
-                for slot in range(self.slots):
-                    if self.active[slot]:
-                        rem = (self._req[slot].max_new
-                               - len(self._req[slot].out))
-                        upto = int(self.pos[slot]) + min(chunk, rem) - 1
-                        self._ensure_pages_upto(slot, upto)
-            stop_at = self.pos.copy()
-            for slot in range(self.slots):
-                if self.active[slot]:  # preemption above may have parked
-                    rem = (self._req[slot].max_new
-                           - len(self._req[slot].out))
-                    stop_at[slot] = self.pos[slot] + rem
+                _, upto = self._chunk_fence(self.pos.copy(), chunk)
+                for slot, u in upto.items():
+                    if self.active[slot]:  # ensure may preempt mid-loop
+                        self._ensure_pages_upto(slot, u)
+            # recompute AFTER the page ensure: preemption may have parked
+            # rows, whose fence must stay pos (no advance) so the kernel
+            # never writes their freed pages
+            stop_at, _ = self._chunk_fence(self.pos.copy(), chunk)
             pt = (self.page_table.copy() if self.paged
                   else np.zeros((self.slots, 1), np.int32))
             self._steps += chunk
@@ -1644,7 +1650,8 @@ class ContinuousBatcher:
         done; returns ``{request_id: np.ndarray of generated tokens}``."""
         out = {}
         while (self.queue or self.active.any()
-               or any(r is not None for r in self._req)):
+               or any(r is not None for r in self._req)
+               or self._deferred_finished or self._pipe):
             for rid, toks in self.step():
                 out[rid] = toks
         return out

@@ -449,7 +449,7 @@ class FlashLMServer:
         acceptance cannot pay for the draft: speculation only wins when
         ``n_new / target_steps > 1 + k * t_draft / t_plain``.  The
         measured split at the bench scale lives in ``BENCH_DETAILS.json
-        speculative_k_sweep`` (a latency-bound small draft costs a large
+        speculative_decoding_trained`` cost_split (a latency-bound small draft costs a large
         fraction of a target step, so small ``k`` cannot win even at
         full acceptance — raise ``k`` or shrink the draft).
         """

@@ -18,7 +18,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mosaic_check import check_specs
+from .mosaic_check import VMEM_LIMIT_BYTES, check_specs
 
 
 def _matmul_impl(
@@ -170,10 +170,10 @@ def _matmul_impl(
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # headroom over the 16MB default scoped-vmem cap (v5e VMEM is
-            # 128MB); the block clamp keeps working sets small, the cap
-            # only guards against accounting-model error (see pallasgen)
-            vmem_limit_bytes=100 * 2**20,
+            # headroom over the 16MB default scoped-vmem cap: the block
+            # clamp keeps working sets small, the cap only guards
+            # against accounting-model error (see mosaic_check)
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,

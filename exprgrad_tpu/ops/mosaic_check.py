@@ -29,6 +29,16 @@ from __future__ import annotations
 # block checks below (tests/test_mosaic_aot.py).
 REAL_LOWERING = False
 
+# Scoped-VMEM cap shared by every package pallas_call (the emitter and
+# the hand-written ops kernels): a conservative fraction of the v5e's
+# 128MB VMEM, raised from Mosaic's 16MB default because block planners'
+# estimates cannot model Mosaic's exact stack accounting (layout
+# padding, intermediate copies) — r4's on-chip embedding scatter-add
+# compiled to a 24MB working set off a <=14MB estimate.  Raising the
+# cap makes estimator error degrade pipelining instead of killing
+# compilation.  Retune HERE only.
+VMEM_LIMIT_BYTES = 100 * 2**20
+
 
 def pallas_interpret() -> bool:
     """Whether package pallas_calls should run in interpret mode."""

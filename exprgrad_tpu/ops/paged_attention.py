@@ -62,9 +62,12 @@ from .paged import PagedKVPool
 
 _NEG_INF = -1e30
 
-# chip-sweep-adjustable default (scripts/flash_sweep.py paged section);
-# "unroll" is the on-chip-validated r3/r4 shape.
-DEFAULT_HEAD_MODE = "batched"
+# chip-sweep-adjustable default (scripts/flash_sweep.py paged section):
+# "unroll" is the on-chip-validated r3/r4 shape and STAYS the default
+# until the sweep measures "batched" faster on the real chip (this
+# platform's history: lowering-clean kernels have been rejected or slow
+# on the live chip — defaults follow measurements, not compiles).
+DEFAULT_HEAD_MODE = "unroll"
 
 
 def _kernel(tbl_ref, q_ref, qp_ref, k_ref, v_ref, kp_ref, o_ref,
