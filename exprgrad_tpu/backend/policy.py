@@ -18,9 +18,9 @@ XLA fusion with its neighbors.  So schedules are treated as *routed hints*:
 
 The model's constants are MEASURED, not guessed: scripts/pallas_calibrate.py
 runs both paths on the real chip and writes ``pallas_calibration.json`` next
-to this module; until a calibration exists the defaults are the round-1
-on-chip measurements (TODO.md: XLA dot 142 TFLOP/s f32 at 8192^3 vs 0.2-2
-TFLOP/s for Pallas kernels through this platform's custom-call path).
+to this module; until a calibration exists the defaults are the most recent
+committed on-chip measurements — the round-4 driver bench (BENCH_r04.json /
+BENCH_DETAILS.json), per-constant provenance on each default below.
 """
 
 from __future__ import annotations
@@ -34,23 +34,41 @@ from ..errors import ScheduleWarning
 
 _MODES = ("auto", "force", "ignore")
 
-# Round-1 on-chip measurements (see module docstring); overridden by
+# Latest committed on-chip measurements (round-4 driver bench,
+# BENCH_DETAILS.json — entry named per constant); overridden by
 # pallas_calibration.json when scripts/pallas_calibrate.py has run.
 _DEFAULTS = {
     # sustained rates through the compiled executor, per path
-    "xla_matmul_tflops": 142.0,
-    "pallas_matmul_tflops": 2.0,
-    "xla_elementwise_gbps": 600.0,
-    "pallas_elementwise_gbps": 600.0,
+    # matmul8192_f32_default median (145.75 TFLOP/s, spread ±0.1%)
+    "xla_matmul_tflops": 145.8,
+    # matmul4096_scheduled_pallas median (18.97 TFLOP/s at chain=4 —
+    # RTT-dominated, so a LOWER BOUND on the kernel-body rate; the
+    # conservative direction for routing: Pallas is only chosen when it
+    # wins even at this pessimistic rate)
+    "pallas_matmul_tflops": 19.0,
+    # softmax8192_rowchain_fused xla_gbps: effective chain-bytes/s of
+    # XLA's per-kernel softmax lowering at 8192^2 f32 (107.9 GB/s) —
+    # the bandwidth-bound regime these decisions are about
+    "xla_elementwise_gbps": 108.0,
+    # no isolated single-map Pallas measurement exists yet; assuming
+    # parity with XLA's rate means the launch overhead alone decides
+    # (XLA wins unless work_bytes says otherwise) — conservative
+    "pallas_elementwise_gbps": 108.0,
     # fused row-chain kernels (softmax/norm families): sustained GB/s of
-    # the ONE-kernel form; measured separately because the chain reads
-    # its operands once while XLA's per-kernel lowering re-reads them
-    "pallas_rowchain_gbps": 600.0,
-    # flash attention kernel rate, measured directly by the calibration
-    # (round-1 on-chip: ~6.4 TFLOP/s at the bench shape; the generic
-    # pallas_matmul rate is NOT representative of the flash kernels)
-    "flash_attention_tflops": 6.4,
-    # per-pallas_call launch overhead observed through this platform
+    # the ONE-kernel form; softmax8192_rowchain_fused fused_gbps median
+    # (143.8 GB/s = 1.33x the per-kernel XLA path on chip)
+    "pallas_rowchain_gbps": 143.8,
+    # attention rates at the bench shape, both sides measured end-to-end
+    # (attention_b8_h4_s2048_d128_causal: flash median 6.80, XLA median
+    # 7.20 TFLOP/s — the generic pallas_matmul rate is NOT
+    # representative of flash, and composing the XLA side from
+    # matmul+elementwise constants mispredicts it)
+    "flash_attention_tflops": 6.8,
+    "xla_attention_tflops": 7.2,
+    # per-pallas_call launch overhead through this platform's
+    # custom-call path: scripts/pallas_overhead.py has never gotten a
+    # chip window (VERDICT r4 weak #2), so this one is still the
+    # round-1 order-of-magnitude estimate
     "pallas_launch_us": 1000.0,
 }
 
@@ -202,16 +220,20 @@ class SchedulePolicy:
 
         When the weight matrix alone would exceed ~2 GB, flash is chosen
         regardless — the XLA path would OOM or page catastrophically.
+
+        Both sides are DIRECTLY measured end-to-end rates at the bench
+        shape (``xla_attention_tflops`` / ``flash_attention_tflops``) —
+        composing the XLA side from the matmul + elementwise constants
+        mispredicts it badly (the measured per-kernel bandwidth rate is
+        RTT-inflated at these sizes; r4 chip data: XLA attention 7.2 vs
+        flash 6.8 TFLOP/s, i.e. XLA wins at the bench shape).
         """
         c = self.constants
         flops = 4.0 * b * h * sq * skv * d
         s2_bytes = 4.0 * b * h * sq * skv  # scores kept f32
         if s2_bytes > 2e9:
             return Decision(True, "weight matrix too large for HBM path")
-        xla_s = (
-            flops / (c["xla_matmul_tflops"] * 1e12)
-            + 4.0 * s2_bytes / (c["xla_elementwise_gbps"] * 1e9)
-        )
+        xla_s = flops / (c["xla_attention_tflops"] * 1e12)
         pallas_s = (
             c["pallas_launch_us"] * 1e-6
             + flops / (c["flash_attention_tflops"] * 1e12)

@@ -150,21 +150,40 @@ def main() -> None:
     constants["pallas_launch_us"] = float(launch_us)
     flush()
 
-    # --- flash attention rate (drives policy.attention) -----------------
+    # --- attention rates, both sides (drive policy.attention) -----------
+    # measured END-TO-END at one shape: policy.attention compares these
+    # directly (composing the XLA side from matmul+elementwise constants
+    # mispredicts it — see the r4 bench: XLA 7.2 vs flash 6.8 TFLOP/s)
     from exprgrad_tpu.ops.attention import flash_attention
 
     ab, ah, asq, ad = 8, 4, 1024, 128
     qa = jnp.asarray(
         rng.normal(size=(ab, ah, asq, ad)).astype(np.float32) * 0.1
     )
+
+    def xla_attn(q):
+        s_ = jnp.einsum("bhqd,bhkd->bhqk", q, qa,
+                        preferred_element_type=jnp.float32) * (ad ** -0.5)
+        import jax.lax as lax
+        rows = lax.broadcasted_iota(jnp.int32, s_.shape[-2:], 0)
+        cols = lax.broadcasted_iota(jnp.int32, s_.shape[-2:], 1)
+        s_ = jnp.where(rows >= cols, s_, -1e30)
+        import jax.nn
+        p = jax.nn.softmax(s_, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), qa,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
     t_fl = _time_chain(
         lambda x: flash_attention(x, qa, qa, causal=True), qa
     )
+    t_xa = _time_chain(xla_attn, qa)
     fl_flops = 4.0 * ab * ah * asq * asq * ad * 0.5  # causal
     constants["flash_attention_tflops"] = float(fl_flops / t_fl / 1e12)
+    constants["xla_attention_tflops"] = float(fl_flops / t_xa / 1e12)
     table.append({
-        "kernel": f"flash attention b{ab} h{ah} s{asq} d{ad} causal",
+        "kernel": f"attention b{ab} h{ah} s{asq} d{ad} causal",
         "flash_tflops": constants["flash_attention_tflops"],
+        "xla_tflops": constants["xla_attention_tflops"],
     })
     print(table[-1], flush=True)
     flush()
