@@ -1765,7 +1765,7 @@ def main() -> None:
         details["continuous_batching_steady"] = entry
         _log("bench: steady batching " + ", ".join(
             f"chunk{c}={tps:.0f} tok/s ({ms:.3f}ms/step)"
-            for c, (tps, ms, _md) in steady.items())
+            for c, (tps, ms, _md, _ok) in steady.items())
             + f"; rtt probe {rtt_ms:.1f}ms")
     except Exception as err:
         details["continuous_batching_steady_error"] = str(err)
