@@ -677,6 +677,8 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
         # `pipeline` extra chunks issued beyond the drained frontier)
         window = min(max(2 + pipeline, 64 // chunk),
                      (budget - 1) // chunk - 1 - 2 * pipeline)
+        if window <= 0:  # config infeasible at this budget: skip, don't
+            continue     # divide by zero steps below
         steps0 = b.stats["decode_steps"]
         d0 = b.stats["dispatches"]
         t = time.perf_counter()
@@ -1032,57 +1034,18 @@ def bench_paged_attention(b=8, hkv=8, group=1, d=128, page=128,
     Returns (t_gather_s, t_flash_s, cache_gb, ratio) — per step;
     cache_gb is the resident K+V read per step.
     """
-    import jax
-    import jax.numpy as jnp
-
+    from benchmarks.paged_harness import paged_setup, time_paged_step
     from exprgrad_tpu.ops.decode import decode_attention
-    from exprgrad_tpu.ops.paged import gather_view, init_pool
+    from exprgrad_tpu.ops.paged import gather_view
     from exprgrad_tpu.ops.paged_attention import paged_decode_attention
 
-    h = hkv * group
-    n_pages = b * pages_per_row + 1
-    resident = pages_per_row * page
-    rng = np.random.default_rng(0)
-    pool = init_pool(n_pages, hkv, page, d, dtype=jnp.bfloat16)
-    pool = pool._replace(
-        k=jnp.asarray(rng.normal(size=pool.k.shape) * 0.1, pool.k.dtype),
-        v=jnp.asarray(rng.normal(size=pool.v.shape) * 0.1, pool.v.dtype),
-    )
-    table = jnp.asarray(
-        1 + np.arange(b * pages_per_row, dtype=np.int32).reshape(
-            b, pages_per_row))
-    key_pos = jnp.asarray(
-        np.broadcast_to(np.arange(resident, dtype=np.int32), (b, resident)))
-    q_pos = jnp.full((b, 1), resident - 1, jnp.int32)
-    q0 = jnp.asarray(rng.normal(size=(b, h, 1, d)).astype(np.float32))
+    pool, table, key_pos, q_pos, q0, resident = paged_setup(
+        b=b, hkv=hkv, group=group, d=d, page=page,
+        pages_per_row=pages_per_row)
 
     def timed(step):
-        def chained(q, pk, pv):
-            def body(i, carry):
-                cur, pk, pv = carry
-                # one fresh token's K/V lands in the cache every step
-                # (page 0 is the never-referenced scratch page, so the
-                # outputs are unchanged, but the pools are loop-carried:
-                # the gather cannot be hoisted out of the chain)
-                val = cur[:1, :hkv, :1, :].astype(pk.dtype)
-                pk = jax.lax.dynamic_update_slice(
-                    pk, val, (0, 0, jnp.mod(i, page), 0))
-                pv = jax.lax.dynamic_update_slice(
-                    pv, val, (0, 0, jnp.mod(i, page), 0))
-                out = step(cur, pk, pv)
-                # data-dependent q keeps the tunnel pipeline honest
-                return (q0 + 1e-3 * out, pk, pv)
-
-            return jax.lax.fori_loop(0, chain, body, (q, pk, pv))
-
-        jitted = jax.jit(chained)
-        _fetch(jitted(q0, pool.k, pool.v)[0])
-        best = float("inf")
-        for _ in range(2):
-            t = time.perf_counter()
-            _fetch(jitted(q0, pool.k, pool.v)[0])
-            best = min(best, time.perf_counter() - t)
-        return best / chain
+        return time_paged_step(step, q0, pool, hkv=hkv, page=page,
+                               chain=chain, reps=2)
 
     t_gather = timed(lambda q, pk, pv: decode_attention(
         q, gather_view(pool._replace(k=pk, v=pv), table),

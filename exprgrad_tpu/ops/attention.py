@@ -188,24 +188,40 @@ def flash_tile_counts(sq: int, skv: int, block_q: int = 128,
                 n += 1
         return n
 
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")  # mirror _resolve
     live = live_tiles(window)
     full = num_q * num_kv
-    if causal and window is not None:
+    # mirror the kernels' grid selection EXACTLY (offsets=None modeled):
+    # banding needs sq == skv (_forward/_backward: `banded = window is
+    # not None and offsets is None and sq == skv`); the triangle
+    # enumeration additionally needs num_q > 1.
+    banded = window is not None and sq == skv
+    tri = causal and window is None and sq == skv and num_q > 1
+    if banded:
         fwd_visited = num_q * _kv_band(num_q, num_kv, block_q, block_k,
                                        window)
         dkv_visited = num_kv * _q_band(num_q, num_kv, block_q, block_k,
                                        window)
-        causal_visited = len(_tri_schedule(num_q, num_kv, block_q,
-                                           block_k, "q")[0])
-    elif causal and sq == skv and num_q > 1:
+        # what the same kernel visits WITHOUT the window: the causal
+        # triangle when it applies, else the full grid
+        causal_visited = (
+            len(_tri_schedule(num_q, num_kv, block_q, block_k, "q")[0])
+            if num_q > 1 else full
+        )
+    elif tri:
         fwd_visited = len(_tri_schedule(num_q, num_kv, block_q, block_k,
                                         "q")[0])
         dkv_visited = len(_tri_schedule(num_q, num_kv, block_q, block_k,
                                         "kv")[0])
         causal_visited = fwd_visited
     else:
+        # rectangular grid (sq != skv, or windowed-with-offsets shapes):
+        # the kernels visit every tile; pl.when skips the dead compute
+        # but not the grid step, so visited == full — and the no-window
+        # baseline visits full too (tri needs sq == skv)
         fwd_visited = dkv_visited = full
-        causal_visited = live_tiles(None) if causal else full
+        causal_visited = full
     out = {
         "fwd": {"visited": fwd_visited, "live": live,
                 "dead": fwd_visited - live},

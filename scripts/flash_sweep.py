@@ -17,7 +17,17 @@ import time
 
 
 def _bail(_sig, _frm):
-    print("TIMEOUT", flush=True)
+    # Graceful on partial progress: every section flushes incrementally,
+    # so a timeout mid-sweep still leaves real numbers in
+    # BENCH_DETAILS.json.  Exit 0 then — the chain supervisor
+    # (scripts/tpu_chain_r5b.sh) marks the step done and moves on to
+    # bench.py instead of re-running the same partial sweep forever.
+    print("TIMEOUT" + (" (partial results flushed)" if RESULTS else ""),
+          flush=True)
+    if RESULTS:
+        RESULTS["timeout_partial"] = True
+        flush()
+        sys.exit(0)
     sys.exit(1)
 
 
@@ -48,7 +58,10 @@ def main() -> None:
     import numpy as np
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
-    signal.alarm(3300)
+    # ~33 jitted programs at 25s-5min per tunnel compile: use the whole
+    # supervisor budget (5400s minus teardown margin); _bail keeps
+    # whatever completed.
+    signal.alarm(5100)
 
     from exprgrad_tpu.ops.attention import flash_attention
 
@@ -261,45 +274,18 @@ def main() -> None:
     # loop-carried-pool fori_loop harness (see bench.bench_paged_
     # attention: without the per-step cache write XLA hoists the gather
     # out of the chain and the baseline is fiction).
+    from benchmarks.paged_harness import paged_setup, time_paged_step
     from exprgrad_tpu.ops.decode import decode_attention
-    from exprgrad_tpu.ops.paged import gather_view, init_pool
+    from exprgrad_tpu.ops.paged import gather_view
     from exprgrad_tpu.ops.paged_attention import paged_decode_attention
 
     pb, phkv, pd, page, ppr, pchain = 8, 8, 128, 128, 16, 128
-    resident = ppr * page
-    pool = init_pool(pb * ppr + 1, phkv, page, pd, dtype=jnp.bfloat16)
-    pool = pool._replace(
-        k=jnp.asarray(rng.normal(size=pool.k.shape) * 0.1, pool.k.dtype),
-        v=jnp.asarray(rng.normal(size=pool.v.shape) * 0.1, pool.v.dtype),
-    )
-    ptable = jnp.asarray(
-        1 + np.arange(pb * ppr, dtype=np.int32).reshape(pb, ppr))
-    pkey_pos = jnp.asarray(np.broadcast_to(
-        np.arange(resident, dtype=np.int32), (pb, resident)))
-    pq_pos = jnp.full((pb, 1), resident - 1, jnp.int32)
-    pq0 = jnp.asarray(rng.normal(size=(pb, phkv, 1, pd)).astype(np.float32))
+    pool, ptable, pkey_pos, pq_pos, pq0, _resident = paged_setup(
+        b=pb, hkv=phkv, d=pd, page=page, pages_per_row=ppr)
 
     def time_paged(step):
-        def chained(q_, pk, pv):
-            def body(i, carry):
-                cur, pk, pv = carry
-                val = cur[:1, :phkv, :1, :].astype(pk.dtype)
-                pk = jax.lax.dynamic_update_slice(
-                    pk, val, (0, 0, jnp.mod(i, page), 0))
-                pv = jax.lax.dynamic_update_slice(
-                    pv, val, (0, 0, jnp.mod(i, page), 0))
-                return (pq0 + 1e-3 * step(cur, pk, pv), pk, pv)
-
-            return jax.lax.fori_loop(0, pchain, body, (q_, pk, pv))
-
-        jitted = jax.jit(chained)
-        _ = float(jnp.sum(jitted(pq0, pool.k, pool.v)[0]))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(jitted(pq0, pool.k, pool.v)[0]))
-            best = min(best, time.perf_counter() - t0)
-        return best / pchain
+        return time_paged_step(step, pq0, pool, hkv=phkv, page=page,
+                               chain=pchain, reps=3)
 
     paged_sweep = {}
     RESULTS["paged_decode_sweep"] = paged_sweep

@@ -304,3 +304,31 @@ def test_mask_gating_branches_cover_band_edges():
                 assert not needs, (i, j)
             if intersects and any_masked:
                 assert needs, (i, j)
+
+
+def test_flash_tile_counts_mirror_kernel_grid_conditions():
+    """flash_tile_counts must report the grid the kernels actually
+    build (r5 review finding): banding needs sq == skv; off the square
+    shape the kernels walk the full rectangular grid even when
+    windowed, and the no-window baseline is the full grid when the
+    triangle enumeration doesn't apply."""
+    from exprgrad_tpu.ops.attention import flash_tile_counts
+
+    # windowed but sq != skv: the kernels do NOT band (banded requires
+    # sq == skv) — visited must be the full grid, tile_bound 1.0
+    t = flash_tile_counts(4096, 2048, 128, 128, causal=True, window=512)
+    full = (4096 // 128) * (2048 // 128)
+    for kern in ("fwd", "dq", "dkv"):
+        assert t[kern]["visited"] == full, t
+    assert t["causal_visited"] == full
+    assert t["tile_bound"] == 1.0
+
+    # non-causal windowed is rejected by flash_attention._resolve
+    # ("window requires causal=True"); the accounting mirrors the error
+    # instead of reporting counts for an unreachable config
+    with pytest.raises(ValueError, match="window requires causal"):
+        flash_tile_counts(4096, 4096, 128, 128, causal=False, window=512)
+
+    # causal square without window: triangle enumeration (unchanged pin)
+    c = flash_tile_counts(4096, 4096, 128, 128, causal=True)
+    assert c["fwd"]["visited"] == 528
