@@ -7,6 +7,9 @@ default 128x128 blocks.  This sweeps block_q x block_k over the shape
 either new defaults or an honest policy crossover note.
 
 Run: ``PYTHONPATH=. timeout 3600 python scripts/flash_sweep.py``
+
+``EG_DRY=1`` executes the whole body on CPU (pinned before backend init)
+with shrunk shapes; artifacts go to /tmp, not BENCH_DETAILS.json.
 """
 
 import json
@@ -14,6 +17,8 @@ import os
 import signal
 import sys
 import time
+
+DRY = os.environ.get("EG_DRY") == "1"
 
 
 def _bail(_sig, _frm):
@@ -35,8 +40,9 @@ RESULTS: dict = {}
 
 
 def flush() -> None:
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "BENCH_DETAILS.json")
+    path = ("/tmp/BENCH_DETAILS_DRY.json" if DRY else
+            os.path.join(os.path.dirname(__file__), "..",
+                         "BENCH_DETAILS.json"))
     try:
         with open(path) as f:
             details = json.load(f)
@@ -54,6 +60,10 @@ def main() -> None:
     import functools
 
     import jax
+
+    if DRY:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,7 +75,7 @@ def main() -> None:
 
     from exprgrad_tpu.ops.attention import flash_attention
 
-    b, h, s, d = 8, 4, 2048, 128
+    b, h, s, d = (1, 2, 256, 128) if DRY else (8, 4, 2048, 128)
     causal = True
     rng = np.random.default_rng(0)
     mk = lambda: jnp.asarray(
@@ -74,7 +84,7 @@ def main() -> None:
     q, k, v = mk(), mk(), mk()
     g = mk()
     flops = 4 * b * h * s * s * d * 0.5  # causal
-    chain = 10
+    chain = 2 if DRY else 10
 
     def time_fwd(fn):
         def chained(q, k, v):
@@ -211,7 +221,7 @@ def main() -> None:
     # per-step/per-row overhead, not dead tiles).
     from exprgrad_tpu.ops.attention import flash_tile_counts
 
-    sw, ww = 4096, 512
+    sw, ww = (512, 128) if DRY else (4096, 512)
     qw, kw, vw = (jnp.asarray(
         rng.normal(size=(b, h, sw, d)).astype(np.float32) * 0.1
     ) for _ in range(3))
@@ -279,7 +289,8 @@ def main() -> None:
     from exprgrad_tpu.ops.paged import gather_view
     from exprgrad_tpu.ops.paged_attention import paged_decode_attention
 
-    pb, phkv, pd, page, ppr, pchain = 8, 8, 128, 128, 16, 128
+    pb, phkv, pd, page, ppr, pchain = (
+        (2, 2, 64, 16, 2, 4) if DRY else (8, 8, 128, 128, 16, 128))
     pool, ptable, pkey_pos, pq_pos, pq0, _resident = paged_setup(
         b=pb, hkv=phkv, d=pd, page=page, pages_per_row=ppr)
 

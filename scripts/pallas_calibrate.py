@@ -13,6 +13,9 @@ Run on TPU hardware: ``PYTHONPATH=. python scripts/pallas_calibrate.py``
 (one TPU client at a time; see CLAUDE.md).  Timing uses chained
 data-dependent dispatches with a device->host fence to amortize the
 tunnel's ~25ms round trip.
+
+``EG_DRY=1`` executes the whole body on CPU (pinned before backend init)
+with shrunk shapes: flow proof only — constants are not written off-TPU.
 """
 
 import json
@@ -21,15 +24,20 @@ import signal
 import sys
 import time
 
+DRY = os.environ.get("EG_DRY") == "1"
+
 
 def _bail(_sig, _frm):
     print("TIMEOUT", flush=True)
     sys.exit(1)
 
 
-def _time_chain(fn, x, iters=8):
+def _time_chain(fn, x, iters=None):
     """Median-of-3 time for ``iters`` chained data-dependent applications."""
     import jax.numpy as jnp
+
+    if iters is None:
+        iters = 2 if DRY else 8
 
     def chain(x):
         for _ in range(iters):
@@ -55,6 +63,10 @@ def main() -> None:
     signal.alarm(420)
 
     import jax
+
+    if DRY:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -97,7 +109,7 @@ def main() -> None:
 
     # --- contraction: XLA dot vs Pallas tiled matmul -------------------
     mm_rates = {"xla": [], "pallas": []}
-    for size in (1024, 2048, 4096):
+    for size in (128, 256) if DRY else (1024, 2048, 4096):
         a = jnp.asarray(rng.normal(size=(size, size)).astype(np.float32))
         flops = 2.0 * size**3
 
@@ -107,9 +119,10 @@ def main() -> None:
             ),
             a,
         )
+        blk = min(512, size)
         t_pl = _time_chain(
             lambda x: pallas_matmul(
-                x, x, block_m=512, block_n=512, block_k=512
+                x, x, block_m=blk, block_n=blk, block_k=blk
             ),
             a,
         )
@@ -156,7 +169,7 @@ def main() -> None:
     # mispredicts it — see the r4 bench: XLA 7.2 vs flash 6.8 TFLOP/s)
     from exprgrad_tpu.ops.attention import flash_attention
 
-    ab, ah, asq, ad = 8, 4, 1024, 128
+    ab, ah, asq, ad = (2, 2, 256, 128) if DRY else (8, 4, 1024, 128)
     qa = jnp.asarray(
         rng.normal(size=(ab, ah, asq, ad)).astype(np.float32) * 0.1
     )
@@ -208,7 +221,8 @@ def main() -> None:
         return compile(out.target("out"), backend="jax",
                        schedule_mode=mode, precision="default")
 
-    v = rng.normal(size=(4096, 4096)).astype(np.float32)
+    shp = 512 if DRY else 4096
+    v = rng.normal(size=(shp, shp)).astype(np.float32)
     # under force the 3 scheduled kernels now fuse into ONE row-chain
     # kernel (PallasRowChain) — this measures pallas_rowchain_gbps; the
     # ignore run gives xla_elementwise_gbps (per-kernel XLA lowering)

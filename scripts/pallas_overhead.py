@@ -19,6 +19,9 @@ Writes everything into BENCH_DETAILS.json under
 ``pallas_overhead_experiment`` incrementally (tunnel windows are short).
 
 Run: ``PYTHONPATH=. timeout 3600 python scripts/pallas_overhead.py``
+
+``EG_DRY=1`` executes the whole body on CPU (pinned before backend init)
+with shrunk shapes; artifacts go to /tmp, not BENCH_DETAILS.json.
 """
 
 import json
@@ -26,6 +29,8 @@ import os
 import signal
 import sys
 import time
+
+DRY = os.environ.get("EG_DRY") == "1"
 
 
 def _bail(_sig, _frm):
@@ -37,8 +42,9 @@ RESULTS: dict = {}
 
 
 def flush() -> None:
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "BENCH_DETAILS.json")
+    path = ("/tmp/BENCH_DETAILS_DRY.json" if DRY else
+            os.path.join(os.path.dirname(__file__), "..",
+                         "BENCH_DETAILS.json"))
     try:
         with open(path) as f:
             details = json.load(f)
@@ -54,6 +60,10 @@ def main() -> None:
     signal.alarm(420)
 
     import jax
+
+    if DRY:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -84,12 +94,12 @@ def main() -> None:
         return best
 
     # (a) launch-vs-body split at 2048^3 f32
-    size = 2048
+    size = 256 if DRY else 2048
     a = jnp.asarray(
         (rng.normal(size=(size, size)) / np.sqrt(size)).astype(np.float32)
     )
     flops = 2.0 * size**3
-    ns = [1, 2, 4, 8, 16]
+    ns = [1, 2, 4] if DRY else [1, 2, 4, 8, 16]
     split = {}
     for name, fn in (
         ("pallas512", lambda x: pallas_matmul(x, x, 512, 512, 512)),
@@ -119,7 +129,7 @@ def main() -> None:
         flush()
 
     # (b) block-shape variants at 4096^3 (chained 6x)
-    size = 4096
+    size = 512 if DRY else 4096
     a4 = jnp.asarray(
         (rng.normal(size=(size, size)) / np.sqrt(size)).astype(np.float32)
     )
@@ -176,7 +186,7 @@ def main() -> None:
     from exprgrad_tpu.backend.executor import JaxExecutor
     from exprgrad_tpu.passes import infer_shapes
 
-    n = 4096
+    n = 512 if DRY else 4096
     y, x_, it = iters("y", "x", "it")
     c = Fun("c")
     c[y, x_] = eg_input("a")[y, it] * eg_input("b")[it, x_]
@@ -187,7 +197,12 @@ def main() -> None:
     a_id, b_id = program.inputs["a"], program.inputs["b"]
     out_id = program.targets["c"].output
     shapes = infer_shapes(program, "c", [(a_id, [n, n]), (b_id, [n, n])])
-    executor = JaxExecutor(program, "c", shapes, precision="default")
+    # schedule_mode must reach the EXECUTOR too: without it the cost
+    # model declines the schedule and this section silently measures the
+    # einsum path while labeling it "scheduled DSL" (caught by the
+    # EG_DRY run — stats said {'einsum': 1, 'schedule-fallback': 1})
+    executor = JaxExecutor(program, "c", shapes, precision="default",
+                           schedule_mode="force")
     bmat = jnp.asarray(
         (rng.normal(size=(n, n)) / np.sqrt(n)).astype(np.float32)
     )
@@ -199,6 +214,7 @@ def main() -> None:
     RESULTS["scheduled_dsl_tflops_4096_f32"] = round(
         2.0 * n**3 / t / 1e12, 2
     )
+    assert executor.stats.get("pallas") == 1, executor.stats
     RESULTS["scheduled_dsl_stats"] = dict(executor.stats)
     print(f"scheduled DSL 4096: {2.0 * n**3 / t / 1e12:.1f} TFLOP/s "
           f"(stats {executor.stats})", flush=True)

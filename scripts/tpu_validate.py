@@ -7,11 +7,22 @@ not), and the fused matmul+epilogue.  Exits non-zero on any mismatch or
 on watchdog timeout (the tunnel can wedge).
 
 Usage:  PYTHONPATH=. python scripts/tpu_validate.py
+
+``EG_DRY=1`` runs the ENTIRE script body on CPU (pinned before backend
+init so a tunnel-recovery window is never stolen): interpret-mode
+kernels, shrunk shapes, ~minutes.  Numerics are still asserted — the
+point is proving the script itself executes end to end, so the first
+real chip window is spent measuring, not debugging a NameError at line
+400 (every on-chip attempt this round died at backend init, so the
+newest sections had never run).
 """
 
+import os
 import signal
 import sys
 import time
+
+DRY = os.environ.get("EG_DRY") == "1"
 
 
 def _bail(_sig, _frm):
@@ -26,24 +37,33 @@ def main() -> None:
     # (CLAUDE.md: kill a hung initializing client promptly)
     signal.alarm(420)
 
-    import numpy as np
     import jax
+
+    if DRY:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
     import jax.numpy as jnp
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     signal.alarm(4400)  # ~20 on-chip compiles at tunnel-variable latency
+    # interpret=None resolves to interpret-mode off-TPU; on chip the
+    # explicit False keeps "accidentally interpreted" impossible
+    INTERP = None if DRY else False
 
     from exprgrad_tpu.ops.attention import flash_attention, xla_attention_vjp
 
     rng = np.random.default_rng(0)
     b, h, sq, skv, d = 2, 4, 1024, 1024, 128
+    if DRY:  # interpret-mode grids are python loops: shrink the seqs
+        sq = skv = 256
     mk = lambda s: jnp.asarray(rng.normal(size=s).astype(np.float32))
     q, k, v = mk((b, h, sq, d)), mk((b, h, skv, d)), mk((b, h, skv, d))
     g = mk((b, h, sq, d))
 
     for causal in (False, True):
         def fwd(q, k, v):
-            return flash_attention(q, k, v, causal=causal, interpret=False)
+            return flash_attention(q, k, v, causal=causal, interpret=INTERP)
 
         t0 = time.time()
         out, vjp_fn = jax.vjp(fwd, q, k, v)
@@ -61,10 +81,10 @@ def main() -> None:
     # GQA on-chip
     q4 = q
     k1, v1 = k[:, :1], v[:, :1]
-    out = flash_attention(q4, k1, v1, causal=True, interpret=False)
+    out = flash_attention(q4, k1, v1, causal=True, interpret=INTERP)
     ref = flash_attention(
         q4, jnp.repeat(k1, h, 1), jnp.repeat(v1, h, 1), causal=True,
-        interpret=False,
+        interpret=INTERP,
     )
     rel = float(jnp.max(jnp.abs(out - ref)))
     print("MQA max abs dev vs repeated heads:", rel, flush=True)
@@ -77,7 +97,7 @@ def main() -> None:
 
     def wfwd(q, k, v):
         return flash_attention(q, k, v, causal=True, window=W,
-                               interpret=False)
+                               interpret=INTERP)
 
     t0 = time.time()
     out, vjp_fn = jax.vjp(wfwd, q, k, v)
@@ -104,7 +124,7 @@ def main() -> None:
     dd = Fun("d")
     dd[y2, x2] = maximum(c[y2, x2] + bias[x2], 0.0)
     model = compile(dd.target("d"), backend="jax", schedule_mode="force")
-    m, kk, n = 1024, 2048, 1024
+    m, kk, n = (512, 512, 512) if DRY else (1024, 2048, 1024)
     args = {
         "a": rng.normal(size=(m, kk)).astype(np.float32),
         "b": rng.normal(size=(kk, n)).astype(np.float32),
@@ -142,7 +162,7 @@ def main() -> None:
     ee[y3, x3] = rr[y3, x3] + res2[y3, x3]
     chain_model = compile(ee.target("ee"), backend="jax",
                           schedule_mode="force")
-    m2_, k2_, n2_ = 1024, 1024, 1024
+    m2_, k2_, n2_ = (512, 512, 512) if DRY else (1024, 1024, 1024)
     cargs = {
         "a2": rng.normal(size=(m2_, k2_)).astype(np.float32),
         "b2": rng.normal(size=(k2_, n2_)).astype(np.float32),
@@ -520,7 +540,8 @@ def main() -> None:
     # can only be observed here)
     from exprgrad_tpu.passes import infer_shapes
 
-    for flag in (False, True):
+    for flag in () if DRY else (False, True):  # CPU memory_analysis
+        # CSEs the recompute away — chip-only observation
         mr = compile(
             flash_transformer(vocab=64, dim=256, heads=2, hidden=1024,
                               blocks=2, max_seq=128, remat=flag),
@@ -586,7 +607,7 @@ def main() -> None:
     qq = jnp.asarray(rng.normal(size=(2, 4, 1, 128)), jnp.float32)
     t0 = time.time()
     got = paged_decode_attention(qq, pool, ptab, jnp.asarray(kp), qp,
-                                 interpret=False)
+                                 interpret=INTERP)
     got = np.asarray(got)
     print(f"paged kernel: {time.time()-t0:.1f}s", flush=True)
     want = np.asarray(decode_attention(
