@@ -25,6 +25,13 @@ import time
 
 import numpy as np
 
+# EG_DRY=1: execute the ENTIRE bench (every entry + all of main()'s
+# report-building glue) on CPU with tiny shapes — flow proof only, so
+# the driver's one real-chip run cannot die on a Python-level bug in
+# code that never executed (this round's reworked entries had not).
+# Artifacts go to /tmp; the headline line still prints.
+DRY = os.environ.get("EG_DRY") == "1"
+
 
 def _fetch(x) -> float:
     import jax.numpy as jnp
@@ -117,7 +124,8 @@ def bench_matmul_scheduled(n: int = 4096, chain: int = 32, reps: int = 3):
         c = Fun("c")
         c[y, x] = input("a")[y, it] * input("b")[it, x]
         if schedule:
-            c.schedule(tile={"y": 512, "x": 512, "it": 512},
+            t = min(512, n)
+            c.schedule(tile={"y": t, "x": t, "it": t},
                        parallel=["y", "x"])
         model = compile(c.target("c"),
                         schedule_mode="force" if schedule else "ignore",
@@ -182,7 +190,7 @@ def bench_scatter_add(n: int = 16384, v: int = 2048, d: int = 512,
         out[to_index(tok[i]), x] = g[i, x]
         out.with_shape([v, d])
         if schedule:
-            out.schedule(tile={"i": 512, "x": 256})
+            out.schedule(tile={"i": min(512, n), "x": min(256, d)})
         model = compile(out.target("demb"),
                         schedule_mode="force" if schedule else "ignore",
                         precision="default")
@@ -631,6 +639,10 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
         ContinuousBatcher, FlashLMServer, flash_transformer,
     )
 
+    # resolve BEFORE the compile: max_seq=None crashed the whole section
+    # (caught by the EG_DRY run — the default invocation passes no
+    # capacity, so the driver's real-chip bench would have lost it too)
+    capacity = capacity or prompt_len + budget
     model = eg_compile(
         flash_transformer(vocab=vocab, dim=dim, heads=heads, hidden=hidden,
                           blocks=blocks, max_seq=capacity),
@@ -654,7 +666,6 @@ def bench_batching_steady(vocab=2048, dim=512, heads=4, hidden=2048,
     rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
 
     out = {}
-    capacity = capacity or prompt_len + budget
     for chunk, pipeline in configs:
         b = ContinuousBatcher(
             server, slots=slots, capacity=capacity, paged=True,
@@ -1182,8 +1193,9 @@ def _flush_details() -> None:
     must still leave every completed section's numbers on disk."""
     import json as _json
 
+    path = "/tmp/BENCH_DETAILS_DRY.json" if DRY else "BENCH_DETAILS.json"
     try:
-        with open("BENCH_DETAILS.json", "w") as f:
+        with open(path, "w") as f:
             _json.dump(_DETAILS, f, indent=2)
     except OSError:
         pass
@@ -1217,6 +1229,8 @@ def main() -> None:
     try:
         import jax
 
+        if DRY:
+            jax.config.update("jax_platforms", "cpu")
         _log(f"bench: devices {jax.devices()}")
         _watchdog()
     except RuntimeError as err:
@@ -1248,7 +1262,8 @@ def main() -> None:
     roofline0 = 197e12
     _log("bench: matmul 8192^3 f32 ...")
 
-    mm_gflops, mm_t, mm_samples = bench_matmul()
+    mm_gflops, mm_t, mm_samples = bench_matmul(
+        **(dict(n=256, chain=2) if DRY else {}))
     _log(f"bench: matmul f32 {mm_gflops:.0f} GFLOP/s (median of 3)")
     _RESULT.update(
         metric="matmul8192_f32_gflops",
@@ -1266,7 +1281,8 @@ def main() -> None:
     _flush_details()
     _log("bench: matmul 8192^3 bf16 ...")
     try:
-        bf_gflops, bf_t, bf_samples = bench_matmul(dtype="bfloat16")
+        bf_gflops, bf_t, bf_samples = bench_matmul(
+            dtype="bfloat16", **(dict(n=256, chain=2) if DRY else {}))
         _log(f"bench: matmul bf16 {bf_gflops:.0f} GFLOP/s (median of 3)")
         details["matmul8192_bf16"] = {
             "gflops": round(bf_gflops, 1), "seconds_per_matmul": bf_t,
@@ -1286,7 +1302,8 @@ def main() -> None:
     _flush_details()
     _log("bench: scheduled Pallas matmul vs einsum (4096^3) ...")
     try:
-        pl_g, xla_g, pl_samples = bench_matmul_scheduled()
+        pl_g, xla_g, pl_samples = bench_matmul_scheduled(
+            **(dict(n=256, chain=2, reps=2) if DRY else {}))
         details["matmul4096_scheduled_pallas"] = {
             "pallas_gflops": round(pl_g, 1),
             "einsum_gflops": round(xla_g, 1),
@@ -1304,7 +1321,8 @@ def main() -> None:
     _flush_details()
     _log("bench: embedding scatter-add Pallas vs XLA scatter ...")
     try:
-        sc_ms, sx_ms, sc_samples = bench_scatter_add()
+        sc_ms, sx_ms, sc_samples = bench_scatter_add(
+            **(dict(n=512, v=128, d=128, chain=2, reps=2) if DRY else {}))
         details["embedding_scatter_add"] = {
             "pallas_ms": round(sc_ms, 3),
             "xla_scatter_ms": round(sx_ms, 3),
@@ -1323,7 +1341,8 @@ def main() -> None:
     _flush_details()
     _log("bench: fused row-chain softmax vs XLA (8192x8192) ...")
     try:
-        f_g, x_g, f_samples = bench_softmax_fused()
+        f_g, x_g, f_samples = bench_softmax_fused(
+            **(dict(r=512, c=512, chain=2, reps=2) if DRY else {}))
         details["softmax8192_rowchain_fused"] = {
             "fused_gbps": round(f_g, 1),
             "xla_gbps": round(x_g, 1),
@@ -1343,7 +1362,9 @@ def main() -> None:
     _flush_details()
     _log("bench: conv2 ...")
     try:
-        conv_gflops, conv_t, raw_gflops, conv_spread = bench_conv2()
+        conv_gflops, conv_t, raw_gflops, conv_spread = bench_conv2(
+            **(dict(batch=2, size=16, cin=32, cout=32, chains=(2, 6),
+                    reps=2) if DRY else {}))
         details["conv2_b32_64x64x128_k3x128"] = {
             "gflops": round(conv_gflops, 1),
             "seconds_per_conv": conv_t,
@@ -1373,7 +1394,10 @@ def main() -> None:
     _flush_details()
     _log("bench: conv2 bf16 ...")
     try:
-        cg16, ct16, rg16, sp16 = bench_conv2(dtype="bfloat16", reps=5)
+        cg16, ct16, rg16, sp16 = bench_conv2(
+            dtype="bfloat16", **(dict(batch=2, size=16, cin=32, cout=32,
+                                      chains=(2, 6), reps=2)
+                                 if DRY else dict(reps=5)))
         details["conv2_bf16"] = {
             "gflops": round(cg16, 1),
             "mfu_vs_197tflops": round(cg16 * 1e9 / roofline0, 4),
@@ -1390,7 +1414,8 @@ def main() -> None:
     _flush_details()
     _log("bench: mnist epoch ...")
     try:
-        epoch_time, samples_per_s = bench_mnist_epoch()
+        epoch_time, samples_per_s = bench_mnist_epoch(
+            **(dict(n_samples=512, batch=128) if DRY else {}))
         details["fashion_mnist_epoch_8192"] = {
             "seconds": round(epoch_time, 3),
             "samples_per_s": round(samples_per_s, 1),
@@ -1401,7 +1426,8 @@ def main() -> None:
     _flush_details()
     _log("bench: attention flash vs xla ...")
     try:
-        fl_gflops, xl_gflops, attn_spread = bench_attention()
+        fl_gflops, xl_gflops, attn_spread = bench_attention(
+            **(dict(b=1, h=2, s=256, chain=2) if DRY else {}))
         details["attention_b8_h4_s2048_d128_causal"] = {
             "flash_gflops": round(fl_gflops, 1),
             "xla_gflops": round(xl_gflops, 1),
@@ -1416,10 +1442,13 @@ def main() -> None:
     except Exception as err:
         details["attention_error"] = str(err)
 
+    _SRV_DRY = (dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                     batch=2, prompt_len=16, n_lo=2, n_new=8, reps=1)
+                if DRY else {})
     _flush_details()
     _log("bench: KV-cache serving throughput ...")
     try:
-        tok_s, step_ms, t_lo, t_hi = bench_serving()
+        tok_s, step_ms, t_lo, t_hi = bench_serving(**_SRV_DRY)
         details["serving_decode"] = {
             "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 "
                       "prompt128 n_new128 bf16-cache",
@@ -1448,7 +1477,9 @@ def main() -> None:
     _flush_details()
     _log("bench: speculative decoding ...")
     try:
-        plain_tok, spec_tok, vsteps = bench_speculative()
+        plain_tok, spec_tok, vsteps = bench_speculative(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                    prompt_len=8, n_new=16, reps=1) if DRY else {}))
         details["speculative_decoding"] = {
             "config": "target vocab2048 dim512 blocks2; draft dim128 "
                       "1-block (random weights: worst-case acceptance); "
@@ -1468,7 +1499,8 @@ def main() -> None:
     _flush_details()
     _log("bench: speculative decoding (trained draft) ...")
     try:
-        pl_tok, per_k, split = bench_speculative_trained()
+        pl_tok, per_k, split = bench_speculative_trained(
+            **(dict(n_new=32, ks=(4,), reps=1) if DRY else {}))
         best_k, (sp_tok, vsteps2, acc) = max(
             per_k.items(), key=lambda kv: kv[1][0]
         )
@@ -1506,7 +1538,8 @@ def main() -> None:
     _flush_details()
     _log("bench: prompt-lookup speculative decoding ...")
     try:
-        pl_tok, per_k = bench_speculative_lookup()
+        pl_tok, per_k = bench_speculative_lookup(
+            **(dict(n_new=32, ks=(4,), reps=1) if DRY else {}))
         best_k, (lk_tok, lk_steps) = max(
             per_k.items(), key=lambda kv: kv[1][0])
         details["speculative_lookup"] = {
@@ -1540,7 +1573,7 @@ def main() -> None:
     _flush_details()
     _log("bench: int8 KV-cache serving ...")
     try:
-        tok8, step8, _, _ = bench_serving(cache_dtype="int8")
+        tok8, step8, _, _ = bench_serving(cache_dtype="int8", **_SRV_DRY)
         details["serving_decode_int8"] = {
             "config": "same as serving_decode but int8 KV cache "
                       "(per-slot symmetric quantization)",
@@ -1559,7 +1592,7 @@ def main() -> None:
     _log("bench: fully-quantized serving (int8 weights + int8 cache) ...")
     try:
         tokw, stepw, _, _ = bench_serving(cache_dtype="int8",
-                                          weight_dtype="int8")
+                                          weight_dtype="int8", **_SRV_DRY)
         details["serving_decode_w8a16_int8cache"] = {
             "config": "same as serving_decode but int8 weight-only "
                       "quantization (W8A16, per-output-channel scales) "
@@ -1579,7 +1612,10 @@ def main() -> None:
     _flush_details()
     _log("bench: seq2seq serving vs greedy_decode ...")
     try:
-        s2s_tok, greedy_tok, s2s_speedup = bench_seq2seq_serving()
+        s2s_tok, greedy_tok, s2s_speedup = bench_seq2seq_serving(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, batch=2,
+                    src_len=16, n_new=8, reps=1, measure_greedy=False)
+               if DRY else {}))
         details["seq2seq_serving"] = {
             "config": "vocab512 dim256 h4 ffn512 batch8 src64 n_new64",
             "served_tokens_per_s": round(s2s_tok, 1),
@@ -1605,7 +1641,9 @@ def main() -> None:
     _flush_details()
     _log("bench: sliding-window vs causal attention ...")
     try:
-        t_win, t_causal, speedup = bench_window_attention()
+        t_win, t_causal, speedup = bench_window_attention(
+            **(dict(b=1, h=2, s=512, d=64, window=128, chain=2)
+               if DRY else {}))
         from exprgrad_tpu.ops.attention import flash_tile_counts
 
         tiles = flash_tile_counts(4096, 4096, 128, 128, causal=True,
@@ -1629,7 +1667,9 @@ def main() -> None:
     _flush_details()
     _log("bench: paged decode attention gather vs kernel ...")
     try:
-        t_g, t_f, cache_gb, ratio = bench_paged_attention()
+        t_g, t_f, cache_gb, ratio = bench_paged_attention(
+            **(dict(b=2, hkv=2, d=64, page=16, pages_per_row=2, chain=4)
+               if DRY else {}))
         details["paged_attention_decode"] = {
             "config": "b8 hkv8 d128 page128 x16 pages/row (2048 resident "
                       "tokens/row, bf16 pool); fori_loop chain=128 with "
@@ -1653,7 +1693,9 @@ def main() -> None:
     _flush_details()
     _log("bench: flash_transformer train step ...")
     try:
-        step_s, tok_s, impls = bench_transformer_step()
+        step_s, tok_s, impls = bench_transformer_step(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                    batch=2, seq=32, chain=2) if DRY else {}))
         details["flash_transformer_train_step"] = {
             "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 seq512",
             "seconds_per_step": round(step_s, 4),
@@ -1668,7 +1710,9 @@ def main() -> None:
     _flush_details()
     _log("bench: continuous batching (paged + chunked) ...")
     try:
-        cb_tok, cb_req, cb_gen, cb_stats = bench_continuous_batching()
+        cb_tok, cb_req, cb_gen, cb_stats = bench_continuous_batching(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                    slots=2, n_requests=4) if DRY else {}))
         details["continuous_batching"] = {
             "config": "vocab2048 dim512 blocks2 slots8 cap320 page32 "
                       "pool=dense/2 chunk32; 12 staggered requests, "
@@ -1691,7 +1735,10 @@ def main() -> None:
     _flush_details()
     _log("bench: continuous batching steady state (chunk sweep) ...")
     try:
-        steady, rtt_ms = bench_batching_steady()
+        steady, rtt_ms = bench_batching_steady(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                    slots=2, prompt_len=16, budget=64,
+                    configs=((1, 0), (4, 1))) if DRY else {}))
         solo_ms = details.get("serving_decode", {}).get(
             "ms_per_decode_step"
         )
