@@ -1412,18 +1412,6 @@ def main() -> None:
         details["conv2_bf16_error"] = str(err)
 
     _flush_details()
-    _log("bench: mnist epoch ...")
-    try:
-        epoch_time, samples_per_s = bench_mnist_epoch(
-            **(dict(n_samples=512, batch=128) if DRY else {}))
-        details["fashion_mnist_epoch_8192"] = {
-            "seconds": round(epoch_time, 3),
-            "samples_per_s": round(samples_per_s, 1),
-        }
-    except Exception as err:
-        details["mnist_error"] = str(err)
-
-    _flush_details()
     _log("bench: attention flash vs xla ...")
     try:
         fl_gflops, xl_gflops, attn_spread = bench_attention(
@@ -1475,26 +1463,139 @@ def main() -> None:
         details["serving_error"] = str(err)
 
     _flush_details()
-    _log("bench: speculative decoding ...")
+    _log("bench: continuous batching steady state (chunk sweep) ...")
     try:
-        plain_tok, spec_tok, vsteps = bench_speculative(
+        steady, rtt_ms = bench_batching_steady(
             **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
-                    prompt_len=8, n_new=16, reps=1) if DRY else {}))
-        details["speculative_decoding"] = {
-            "config": "target vocab2048 dim512 blocks2; draft dim128 "
-                      "1-block (random weights: worst-case acceptance); "
-                      "batch1 prompt64 n_new128 k4",
-            "plain_tokens_per_s": round(plain_tok, 1),
-            "speculative_tokens_per_s": round(spec_tok, 1),
-            "target_verify_steps": vsteps,
-            "speedup": round(spec_tok / plain_tok, 2),
-            "impl": "generate_speculative: k-wide cached verify steps, "
-                    "exact greedy output",
+                    slots=2, prompt_len=16, budget=64,
+                    configs=((1, 0), (4, 1))) if DRY else {}))
+        solo_ms = details.get("serving_decode", {}).get(
+            "ms_per_decode_step"
+        )
+        entry = {
+            "config": "vocab2048 dim512 blocks2 slots8 prompt64 "
+                      "budget1024; all slots saturated, no admissions "
+                      "in the timed window (pure decode dispatches); "
+                      "+pipeN = pipelined device-chained dispatches",
+            "per_chunk": {
+                str(c): {
+                    "tokens_per_s": round(tps, 1),
+                    "ms_per_decode_step": round(ms, 4),
+                    "ms_per_dispatch": round(md, 4),
+                    "overhead_ms_vs_solo": (
+                        round(ms - solo_ms, 4)
+                        if solo_ms is not None else None
+                    ),
+                    "dispatch_minus_rtt_ms": round(md - rtt_ms, 4),
+                    "steady_window": ok,
+                }
+                for c, (tps, ms, md, ok) in steady.items()
+            },
+            "solo_batch8_ms_per_step": solo_ms,
+            "rtt_probe_ms": round(rtt_ms, 4),
+            "note": "per-dispatch cost decomposition: rtt_probe_ms is a "
+                    "raw upload+fetch round trip on the same "
+                    "connection; dispatch_minus_rtt_ms = device chunk "
+                    "work + host scheduling remainder.  The scheduler "
+                    "fetches the chunk's tokens every dispatch (stop "
+                    "detection / page allocation), so ONE round trip "
+                    "per dispatch is the structural floor — sizing "
+                    "decode_chunk >= rtt/step amortizes it",
         }
-        _log(f"bench: speculative {spec_tok:.0f} vs plain {plain_tok:.0f} "
-             f"tokens/s ({vsteps} verify steps for 128 tokens)")
+        details["continuous_batching_steady"] = entry
+        _log("bench: steady batching " + ", ".join(
+            f"chunk{c}={tps:.0f} tok/s ({ms:.3f}ms/step)"
+            for c, (tps, ms, _md, _ok) in steady.items())
+            + f"; rtt probe {rtt_ms:.1f}ms")
     except Exception as err:
-        details["speculative_error"] = str(err)
+        details["continuous_batching_steady_error"] = str(err)
+
+    _flush_details()
+    _log("bench: paged decode attention gather vs kernel ...")
+    try:
+        t_g, t_f, cache_gb, ratio = bench_paged_attention(
+            **(dict(b=2, hkv=2, d=64, page=16, pages_per_row=2, chain=4)
+               if DRY else {}))
+        details["paged_attention_decode"] = {
+            "config": "b8 hkv8 d128 page128 x16 pages/row (2048 resident "
+                      "tokens/row, bf16 pool); fori_loop chain=128 with "
+                      "loop-carried per-step cache writes (real decode: "
+                      "the gather cannot be hoisted out of the chain)",
+            "gather_ms": round(t_g * 1e3, 3),
+            "flash_ms": round(t_f * 1e3, 3),
+            "gather_gbps": round(2 * cache_gb / t_g, 1),
+            "flash_gbps": round(cache_gb / t_f, 1),
+            "speedup": round(ratio, 2),
+            "impl": "gather = gather_view + XLA decode_attention (cache "
+                    "crosses HBM twice per step); flash = ops.paged_"
+                    "decode_attention Pallas kernel (pages read in place "
+                    "once; head_mode default)",
+        }
+        _log(f"bench: paged decode gather {t_g * 1e3:.2f}ms vs kernel "
+             f"{t_f * 1e3:.2f}ms ({ratio:.2f}x)")
+    except Exception as err:
+        details["paged_attention_error"] = str(err)
+
+    _flush_details()
+    _log("bench: sliding-window vs causal attention ...")
+    try:
+        t_win, t_causal, speedup = bench_window_attention(
+            **(dict(b=1, h=2, s=512, d=64, window=128, chain=2)
+               if DRY else {}))
+        from exprgrad_tpu.ops.attention import flash_tile_counts
+
+        tiles = flash_tile_counts(4096, 4096, 128, 128, causal=True,
+                                  window=512)
+        details["window_attention_s4096_w512"] = {
+            "window_ms": round(t_win * 1e3, 2),
+            "causal_ms": round(t_causal * 1e3, 2),
+            "speedup": round(speedup, 2),
+            "tile_counts": tiles,
+            "bound_attained": round(speedup / tiles["tile_bound"], 3),
+            "note": "tile-skip O(S*W) vs O(S^2/2); tile_bound is the "
+                    "visited-tile ratio (the schedule-level ceiling); "
+                    "dead counts say the residual below it is per-step/"
+                    "per-row overhead, not dead tiles",
+        }
+        _log(f"bench: window {t_win * 1e3:.1f}ms vs causal "
+             f"{t_causal * 1e3:.1f}ms ({speedup:.2f}x)")
+    except Exception as err:
+        details["window_attention_error"] = str(err)
+
+    _flush_details()
+    _log("bench: prompt-lookup speculative decoding ...")
+    try:
+        pl_tok, per_k = bench_speculative_lookup(
+            **(dict(n_new=32, ks=(4,), reps=1) if DRY else {}))
+        best_k, (lk_tok, lk_steps) = max(
+            per_k.items(), key=lambda kv: kv[1][0])
+        details["speculative_lookup"] = {
+            "config": "trained target vocab256 dim256 blocks2 "
+                      "(benchmarks/spec_pair); prompt walks the task "
+                      "permutation's 11-cycle (periodic continuation — "
+                      "the regime lookup serves); batch1 prompt64 "
+                      "n_new128, DRAFT-FREE history-match proposals",
+            "plain_tokens_per_s": round(pl_tok, 1),
+            "per_k": {
+                str(k): {
+                    "tokens_per_s": round(tok, 1),
+                    "target_verify_steps": steps,
+                    "speedup": round(tok / pl_tok, 2),
+                }
+                for k, (tok, steps) in per_k.items()
+            },
+            "best_k": best_k,
+            "speedup": round(lk_tok / pl_tok, 2),
+            "impl": "generate_lookup: propose k tokens after the most "
+                    "recent earlier occurrence of the last-ngram, ONE "
+                    "k-wide verify per round, zero draft cost; output "
+                    "exact greedy",
+        }
+        _log(f"bench: lookup speculative {lk_tok:.0f} vs plain "
+             f"{pl_tok:.0f} tokens/s (best k={best_k}, {lk_steps} verify "
+             f"steps for 128 tokens, {lk_tok / pl_tok:.2f}x)")
+    except Exception as err:
+        details["speculative_lookup_error"] = str(err)
 
     _flush_details()
     _log("bench: speculative decoding (trained draft) ...")
@@ -1536,39 +1637,43 @@ def main() -> None:
         details["speculative_trained_error"] = str(err)
 
     _flush_details()
-    _log("bench: prompt-lookup speculative decoding ...")
+    _log("bench: flash_transformer train step ...")
     try:
-        pl_tok, per_k = bench_speculative_lookup(
-            **(dict(n_new=32, ks=(4,), reps=1) if DRY else {}))
-        best_k, (lk_tok, lk_steps) = max(
-            per_k.items(), key=lambda kv: kv[1][0])
-        details["speculative_lookup"] = {
-            "config": "trained target vocab256 dim256 blocks2 "
-                      "(benchmarks/spec_pair); prompt walks the task "
-                      "permutation's 11-cycle (periodic continuation — "
-                      "the regime lookup serves); batch1 prompt64 "
-                      "n_new128, DRAFT-FREE history-match proposals",
-            "plain_tokens_per_s": round(pl_tok, 1),
-            "per_k": {
-                str(k): {
-                    "tokens_per_s": round(tok, 1),
-                    "target_verify_steps": steps,
-                    "speedup": round(tok / pl_tok, 2),
-                }
-                for k, (tok, steps) in per_k.items()
-            },
-            "best_k": best_k,
-            "speedup": round(lk_tok / pl_tok, 2),
-            "impl": "generate_lookup: propose k tokens after the most "
-                    "recent earlier occurrence of the last-ngram, ONE "
-                    "k-wide verify per round, zero draft cost; output "
-                    "exact greedy",
+        step_s, tok_s, impls = bench_transformer_step(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                    batch=2, seq=32, chain=2) if DRY else {}))
+        details["flash_transformer_train_step"] = {
+            "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 seq512",
+            "seconds_per_step": round(step_s, 4),
+            "tokens_per_s": round(tok_s, 1),
+            "attention_impl": impls,
         }
-        _log(f"bench: lookup speculative {lk_tok:.0f} vs plain "
-             f"{pl_tok:.0f} tokens/s (best k={best_k}, {lk_steps} verify "
-             f"steps for 128 tokens, {lk_tok / pl_tok:.2f}x)")
+        _log(f"bench: transformer step {step_s * 1e3:.1f}ms, "
+             f"{tok_s:.0f} tokens/s, attn {impls}")
     except Exception as err:
-        details["speculative_lookup_error"] = str(err)
+        details["transformer_error"] = str(err)
+
+    _flush_details()
+    _log("bench: speculative decoding ...")
+    try:
+        plain_tok, spec_tok, vsteps = bench_speculative(
+            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
+                    prompt_len=8, n_new=16, reps=1) if DRY else {}))
+        details["speculative_decoding"] = {
+            "config": "target vocab2048 dim512 blocks2; draft dim128 "
+                      "1-block (random weights: worst-case acceptance); "
+                      "batch1 prompt64 n_new128 k4",
+            "plain_tokens_per_s": round(plain_tok, 1),
+            "speculative_tokens_per_s": round(spec_tok, 1),
+            "target_verify_steps": vsteps,
+            "speedup": round(spec_tok / plain_tok, 2),
+            "impl": "generate_speculative: k-wide cached verify steps, "
+                    "exact greedy output",
+        }
+        _log(f"bench: speculative {spec_tok:.0f} vs plain {plain_tok:.0f} "
+             f"tokens/s ({vsteps} verify steps for 128 tokens)")
+    except Exception as err:
+        details["speculative_error"] = str(err)
 
     _flush_details()
     _log("bench: int8 KV-cache serving ...")
@@ -1639,75 +1744,6 @@ def main() -> None:
         details["seq2seq_serving_error"] = str(err)
 
     _flush_details()
-    _log("bench: sliding-window vs causal attention ...")
-    try:
-        t_win, t_causal, speedup = bench_window_attention(
-            **(dict(b=1, h=2, s=512, d=64, window=128, chain=2)
-               if DRY else {}))
-        from exprgrad_tpu.ops.attention import flash_tile_counts
-
-        tiles = flash_tile_counts(4096, 4096, 128, 128, causal=True,
-                                  window=512)
-        details["window_attention_s4096_w512"] = {
-            "window_ms": round(t_win * 1e3, 2),
-            "causal_ms": round(t_causal * 1e3, 2),
-            "speedup": round(speedup, 2),
-            "tile_counts": tiles,
-            "bound_attained": round(speedup / tiles["tile_bound"], 3),
-            "note": "tile-skip O(S*W) vs O(S^2/2); tile_bound is the "
-                    "visited-tile ratio (the schedule-level ceiling); "
-                    "dead counts say the residual below it is per-step/"
-                    "per-row overhead, not dead tiles",
-        }
-        _log(f"bench: window {t_win * 1e3:.1f}ms vs causal "
-             f"{t_causal * 1e3:.1f}ms ({speedup:.2f}x)")
-    except Exception as err:
-        details["window_attention_error"] = str(err)
-
-    _flush_details()
-    _log("bench: paged decode attention gather vs kernel ...")
-    try:
-        t_g, t_f, cache_gb, ratio = bench_paged_attention(
-            **(dict(b=2, hkv=2, d=64, page=16, pages_per_row=2, chain=4)
-               if DRY else {}))
-        details["paged_attention_decode"] = {
-            "config": "b8 hkv8 d128 page128 x16 pages/row (2048 resident "
-                      "tokens/row, bf16 pool); fori_loop chain=128 with "
-                      "loop-carried per-step cache writes (real decode: "
-                      "the gather cannot be hoisted out of the chain)",
-            "gather_ms": round(t_g * 1e3, 3),
-            "flash_ms": round(t_f * 1e3, 3),
-            "gather_gbps": round(2 * cache_gb / t_g, 1),
-            "flash_gbps": round(cache_gb / t_f, 1),
-            "speedup": round(ratio, 2),
-            "impl": "gather = gather_view + XLA decode_attention (cache "
-                    "crosses HBM twice per step); flash = ops.paged_"
-                    "decode_attention Pallas kernel (pages read in place "
-                    "once; head_mode default)",
-        }
-        _log(f"bench: paged decode gather {t_g * 1e3:.2f}ms vs kernel "
-             f"{t_f * 1e3:.2f}ms ({ratio:.2f}x)")
-    except Exception as err:
-        details["paged_attention_error"] = str(err)
-
-    _flush_details()
-    _log("bench: flash_transformer train step ...")
-    try:
-        step_s, tok_s, impls = bench_transformer_step(
-            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
-                    batch=2, seq=32, chain=2) if DRY else {}))
-        details["flash_transformer_train_step"] = {
-            "config": "vocab2048 dim512 h4 ffn2048 blocks2 batch8 seq512",
-            "seconds_per_step": round(step_s, 4),
-            "tokens_per_s": round(tok_s, 1),
-            "attention_impl": impls,
-        }
-        _log(f"bench: transformer step {step_s * 1e3:.1f}ms, "
-             f"{tok_s:.0f} tokens/s, attn {impls}")
-    except Exception as err:
-        details["transformer_error"] = str(err)
-
-    _flush_details()
     _log("bench: continuous batching (paged + chunked) ...")
     try:
         cb_tok, cb_req, cb_gen, cb_stats = bench_continuous_batching(
@@ -1733,52 +1769,16 @@ def main() -> None:
         details["continuous_batching_error"] = str(err)
 
     _flush_details()
-    _log("bench: continuous batching steady state (chunk sweep) ...")
+    _log("bench: mnist epoch ...")
     try:
-        steady, rtt_ms = bench_batching_steady(
-            **(dict(vocab=128, dim=64, heads=2, hidden=128, blocks=1,
-                    slots=2, prompt_len=16, budget=64,
-                    configs=((1, 0), (4, 1))) if DRY else {}))
-        solo_ms = details.get("serving_decode", {}).get(
-            "ms_per_decode_step"
-        )
-        entry = {
-            "config": "vocab2048 dim512 blocks2 slots8 prompt64 "
-                      "budget1024; all slots saturated, no admissions "
-                      "in the timed window (pure decode dispatches); "
-                      "+pipeN = pipelined device-chained dispatches",
-            "per_chunk": {
-                str(c): {
-                    "tokens_per_s": round(tps, 1),
-                    "ms_per_decode_step": round(ms, 4),
-                    "ms_per_dispatch": round(md, 4),
-                    "overhead_ms_vs_solo": (
-                        round(ms - solo_ms, 4)
-                        if solo_ms is not None else None
-                    ),
-                    "dispatch_minus_rtt_ms": round(md - rtt_ms, 4),
-                    "steady_window": ok,
-                }
-                for c, (tps, ms, md, ok) in steady.items()
-            },
-            "solo_batch8_ms_per_step": solo_ms,
-            "rtt_probe_ms": round(rtt_ms, 4),
-            "note": "per-dispatch cost decomposition: rtt_probe_ms is a "
-                    "raw upload+fetch round trip on the same "
-                    "connection; dispatch_minus_rtt_ms = device chunk "
-                    "work + host scheduling remainder.  The scheduler "
-                    "fetches the chunk's tokens every dispatch (stop "
-                    "detection / page allocation), so ONE round trip "
-                    "per dispatch is the structural floor — sizing "
-                    "decode_chunk >= rtt/step amortizes it",
+        epoch_time, samples_per_s = bench_mnist_epoch(
+            **(dict(n_samples=512, batch=128) if DRY else {}))
+        details["fashion_mnist_epoch_8192"] = {
+            "seconds": round(epoch_time, 3),
+            "samples_per_s": round(samples_per_s, 1),
         }
-        details["continuous_batching_steady"] = entry
-        _log("bench: steady batching " + ", ".join(
-            f"chunk{c}={tps:.0f} tok/s ({ms:.3f}ms/step)"
-            for c, (tps, ms, _md, _ok) in steady.items())
-            + f"; rtt probe {rtt_ms:.1f}ms")
     except Exception as err:
-        details["continuous_batching_steady_error"] = str(err)
+        details["mnist_error"] = str(err)
 
 
     roofline = 197e12  # v5e MXU, bf16 multiply / f32 accumulate
