@@ -261,6 +261,8 @@ class ContinuousBatcher:
         prefill_chunk: Optional[int] = None,
         draft=None,
         spec_k: int = 4,
+        lookup: bool = False,
+        lookup_ngram: int = 2,
         stream_tokens: bool = False,
         attention: str = "gather",
         pipeline: int = 0,
@@ -302,7 +304,37 @@ class ContinuousBatcher:
                     f"{server.vocab}")
             if spec_k < 1:
                 raise ModelRuntimeError(f"spec_k must be >= 1 (got {spec_k})")
+        if lookup:
+            # prompt-lookup speculative batching (draft-FREE): per-slot
+            # proposals come from a host-side ngram match over the
+            # slot's prompt + emitted history (the host already holds it
+            # for stop detection — zero extra device state), verified
+            # k-wide in one dispatch.  Output is exact greedy, so
+            # sampling settings are rejected like the draft path's
+            # top-k/p are.
+            if draft is not None:
+                raise ModelRuntimeError(
+                    "lookup=True and draft= are mutually exclusive "
+                    "(lookup IS the draft-free speculation variant)")
+            if temperature != 0.0 or top_k is not None or top_p is not None:
+                raise ModelRuntimeError(
+                    "lookup speculation is exact-greedy only; it has no "
+                    "proposal distribution for the rejection scheme "
+                    "(use draft= for sampled speculation)")
+            if decode_chunk != 1:
+                raise ModelRuntimeError(
+                    "lookup=True and decode_chunk are mutually exclusive "
+                    "(the verify round already amortizes dispatches)")
+            if spec_k < 1:
+                raise ModelRuntimeError(
+                    f"spec_k must be >= 1 (got {spec_k})")
+            if lookup_ngram < 1:
+                raise ModelRuntimeError(
+                    f"lookup_ngram must be >= 1 (got {lookup_ngram})")
         self.draft = draft
+        self.lookup = bool(lookup)
+        self.lookup_ngram = int(lookup_ngram)
+        self._spec = draft is not None or self.lookup
         self.spec_k = int(spec_k)
         if decode_chunk < 1:
             raise ModelRuntimeError(
@@ -311,9 +343,9 @@ class ContinuousBatcher:
         if pipeline < 0:
             raise ModelRuntimeError(
                 f"pipeline must be >= 0 (got {pipeline})")
-        if pipeline and draft is not None:
+        if pipeline and (draft is not None or lookup):
             raise ModelRuntimeError(
-                "pipeline= and draft= are mutually exclusive (the spec "
+                "pipeline= and speculation are mutually exclusive (the spec "
                 "round's acceptance is data-dependent per dispatch)")
         if pipeline and decode_chunk < 2:
             raise ModelRuntimeError(
@@ -442,6 +474,7 @@ class ContinuousBatcher:
             # pages); per-row cursors mirror the target's positions
             self.draft_caches = self.draft.init_caches(
                 self.slots, self.capacity)
+        if self._spec:
             self._spec_emitted = 0
             self._spec_rounds = 0
 
@@ -753,6 +786,93 @@ class ContinuousBatcher:
             build, donate_argnums=(2, 3),
         )
 
+    def _lookup_props(self, slot) -> np.ndarray:
+        """Host-side prompt-lookup proposals for one slot: the ``spec_k``
+        tokens that followed the most recent earlier occurrence of the
+        last ``lookup_ngram`` tokens anywhere in prompt + generation so
+        far — the numpy mirror of ``FlashLMServer.generate_lookup``'s
+        in-graph ``propose`` (serve.py), running on the history the
+        scheduler already tracks for stop detection.  No match (or an
+        inactive slot) falls back to repeating the last token, exactly
+        like the solo variant's ``found=False`` branch."""
+        k, ngram = self.spec_k, self.lookup_ngram
+        req = self._req[slot]
+        if req is None or not self.active[slot]:
+            return np.zeros(k, np.int64)
+        # preemption folds out[:absorbed] into the continuation prompt
+        # (req.tokens), so only the unabsorbed tail may be appended here
+        hist = np.concatenate([req.tokens.astype(np.int64),
+                               np.asarray(req.out[req.absorbed:],
+                                          np.int64)])
+        pos = hist.size
+        last = hist[-1]
+        # windows may start at 0..pos-ngram-1 (must END strictly before
+        # the query ngram begins) — mirror of serve.py's starts mask
+        if pos - 1 < ngram:
+            return np.full(k, last, np.int64)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(hist[:pos - 1], ngram)
+        match = np.all(wins == hist[pos - ngram:pos][None, :], axis=1)
+        starts = np.nonzero(match)[0]
+        if not starts.size:
+            return np.full(k, last, np.int64)
+        best = int(starts[-1])
+        prop_idx = np.minimum(best + ngram + np.arange(k), pos - 1)
+        return hist[prop_idx]
+
+    def _lookup_round_fn(self):
+        """One draft-free verify round for the whole slot batch, ONE
+        dispatch: host-computed lookup proposals ride in as data, the
+        target verifies all ``spec_k + 1`` positions in a single
+        forward, and per-row greedy acceptance counts come back.  Same
+        no-rewind contract as ``_spec_round_fn``'s greedy branch (the
+        proposals only change how many steps the exact greedy stream
+        takes, never its tokens)."""
+        jax, srv = self._jax, self.server
+        pick_k = self.spec_k
+        paged = self.paged
+        capacity = self.capacity
+        virtual = (self.pages_per_slot * self.page_size if paged
+                   else capacity)
+        import jax.numpy as jnp
+
+        attention = self.attention
+
+        def build():
+            def run(tok, pos, tcaches, props, page_table, wpid, woff):
+                seq = jnp.concatenate(
+                    [tok[:, None], props.astype(tok.dtype)], axis=1)
+                qp = pos[:, None] + jnp.arange(
+                    pick_k + 1, dtype=jnp.int32)[None, :]
+                key_pos = _cursor_key_pos(virtual, pos, extra=pick_k)
+                x = srv._embed_at(seq, qp)
+                if paged:
+                    logits, tcaches = srv._step(
+                        x, tcaches, 0, key_pos=key_pos, q_pos=qp,
+                        cache_io=_make_paged_io(attention, page_table,
+                                                wpid, woff),
+                    )
+                else:
+                    logits, tcaches = srv._step(
+                        x, tcaches, 0, key_pos=key_pos, q_pos=qp,
+                        row_starts=pos,
+                    )
+                pr = props.astype(jnp.int32)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = pr == greedy[:, :pick_k]
+                accept = jnp.sum(jnp.cumprod(
+                    match.astype(jnp.int32), axis=1), axis=1)
+                return greedy, accept, tcaches
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("cb_lookup_round", pick_k, paged, self.slots, self.capacity,
+             self.pages_per_slot if paged else 0, self.attention),
+            build, donate_argnums=(2,),
+        )
+
     def _register_prefix_fn(self, length: int, n_pages: int):
         """Prefill ``length`` tokens (batch-1, full width) and pin their
         K/V into ``n_pages`` pool pages."""
@@ -974,10 +1094,10 @@ class ContinuousBatcher:
         registered prefixes cover (matching can only improve by later
         registrations, and release_prefix re-validates, so this bound
         holds at admission)."""
-        margin = max(self.spec_k if self.draft is not None else 0,
+        margin = max(self.spec_k if self._spec else 0,
                      self.decode_chunk)
         need = tokens.size + remaining - 1
-        if self.draft is not None:
+        if self._spec:
             need += self.spec_k
         _, pages = self._match_prefix(tokens)
         shared = len(pages) if pages else 0
@@ -1099,13 +1219,13 @@ class ContinuousBatcher:
         top-k request share the same compiled programs.  (Speculative
         mode keeps batcher-level settings: the rejection scheme is
         specialized on the round's temperature.)"""
-        if (self.draft is not None
+        if (self._spec
                 and (temperature is not None or top_k is not None
                      or top_p is not None)):
             raise ModelRuntimeError(
                 "per-request sampling overrides are not available in "
                 "speculative mode (the rejection scheme is built for "
-                "the batcher-level temperature)")
+                "the batcher-level temperature; lookup is exact-greedy)")
         check_top_p(top_p)
         tokens = np.asarray(prompt, np.float32).reshape(-1)
         if tokens.size < 1:
@@ -1114,7 +1234,7 @@ class ContinuousBatcher:
             raise ModelRuntimeError(f"max_new must be >= 1 (got {max_new})")
         need = tokens.size + max_new - 1
         margin = ""
-        if self.draft is not None:
+        if self._spec:
             # a verify round writes spec_k rows beyond the fed position
             need += self.spec_k
             margin = f" + spec_k {self.spec_k}"
@@ -1529,9 +1649,10 @@ class ContinuousBatcher:
                 if done is not None:
                     finished.append(done)
 
-        # 2) speculative round: draft proposes, target verifies, per-row
-        # acceptance advances each slot by 1..spec_k+1 tokens
-        if self.active.any() and self.draft is not None:
+        # 2) speculative round: the draft (or the host-side lookup
+        # match) proposes, the target verifies, per-row acceptance
+        # advances each slot by 1..spec_k+1 tokens
+        if self.active.any() and self._spec:
             k = self.spec_k
             if self.paged:
                 for slot in range(self.slots):
@@ -1554,12 +1675,20 @@ class ContinuousBatcher:
                 woff = np.zeros((self.slots, k + 1), np.int32)
             self._dispatches += 1
             self._spec_rounds += 1
-            greedy, accept, self.caches, self.draft_caches = (
-                self._spec_round_fn()(
-                    self.last.copy(), self.pos.copy(), self.caches,
-                    self.draft_caches, pt, wpid, woff, self._split(),
+            if self.draft is not None:
+                greedy, accept, self.caches, self.draft_caches = (
+                    self._spec_round_fn()(
+                        self.last.copy(), self.pos.copy(), self.caches,
+                        self.draft_caches, pt, wpid, woff, self._split(),
+                    )
                 )
-            )
+            else:
+                props = np.stack([self._lookup_props(s)
+                                  for s in range(self.slots)])
+                greedy, accept, self.caches = self._lookup_round_fn()(
+                    self.last.copy(), self.pos.copy(), self.caches,
+                    props.astype(np.float32), pt, wpid, woff,
+                )
             greedy = np.asarray(greedy)
             accept = np.asarray(accept)
             for slot in range(self.slots):
@@ -1718,7 +1847,7 @@ class ContinuousBatcher:
             "active": int(self.active.sum()),
             "queued": len(self.queue),
         }
-        if self.draft is not None:
+        if self._spec:
             out["spec_rounds"] = self._spec_rounds
             out["spec_emitted"] = self._spec_emitted
         if self.paged:

@@ -1052,3 +1052,97 @@ def test_per_request_stop_seq():
         b.submit(prompts[0], 4, stop_seq=[])
     with pytest.raises(ModelRuntimeError, match="stop_seq"):
         b.submit(prompts[0], 4, stop_seq=[0, 32])
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_lookup_batching_exact(paged):
+    """Prompt-lookup speculative batching (draft-FREE): host-side ngram
+    proposals, one k-wide verify dispatch per round — every stream
+    bit-equal to solo target greedy, through slot reuse."""
+    target = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(57)
+    prompts = _prompts(rng, (5, 9, 3, 12))
+    max_new = [8, 5, 10, 6]
+    solo = _solo(target, prompts, max_new)
+    kw = dict(paged=True, page_size=8) if paged else {}
+    b = ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          spec_k=3, **kw)
+    rids = [b.submit(p, mn) for p, mn in zip(prompts, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["spec_rounds"] == b.stats["dispatches"]
+    if paged:
+        assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_lookup_accepts_on_periodic_continuation():
+    """Greedy continuations that re-enter already-seen patterns must be
+    accepted multi-token.  An UNTRAINED model's greedy output collapses
+    into short cycles (deterministic given the seed), the regime lookup
+    serves — pinned: 30 tokens in <= 20 rounds (measured 14, ~2.1 per
+    round) where one-token-per-round would be 30."""
+    model = eg.compile(
+        flash_transformer(vocab=32, dim=16, heads=2, max_seq=96),
+        backend="jax", seed=0,
+    )
+    target = FlashLMServer(model)
+    rng = np.random.default_rng(58)
+    prompts = _prompts(rng, (8, 5))
+    solo = _solo(target, prompts, [16, 16])
+    b = ContinuousBatcher(target, slots=2, capacity=96, lookup=True,
+                          spec_k=4)
+    rids = [b.submit(p, 16) for p in prompts]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    assert b.stats["spec_emitted"] == 30
+    assert b.stats["spec_rounds"] <= 20, b.stats
+
+
+def test_lookup_stop_sequence_and_preemption_history():
+    """Multi-token stop sequences fire mid-round, and a preempted
+    request's continuation (prompt absorbs emitted tokens) must not
+    double-count history in the proposals (exactness pins it)."""
+    target = FlashLMServer(_trained_model())
+    rng = np.random.default_rng(59)
+    prompts = _prompts(rng, (6, 4, 9))
+    ref = _solo(target, prompts, [12, 12, 12])
+    stop_seq = [int(t) for t in ref[0][3:5]]
+    # tight pool: admission of later requests preempts by RECOMPUTE
+    b = ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          spec_k=4, paged=True, page_size=8,
+                          pool_pages=12)
+    rids = [b.submit(p, 12, stop_seq=stop_seq) for p in prompts]
+    done = b.run()
+    for rid, r in zip(rids, ref):
+        got = done[rid]
+        r64 = r.astype(np.int64)
+        np.testing.assert_array_equal(got, r64[:len(got)])
+    assert b.stats["free_pages"] == b.stats["pool_pages"]
+
+
+def test_lookup_validation():
+    target = FlashLMServer(_trained_model())
+    draft = _draft_server(seed=0)
+    with pytest.raises(ModelRuntimeError, match="mutually exclusive"):
+        ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          draft=draft)
+    with pytest.raises(ModelRuntimeError, match="greedy"):
+        ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          temperature=0.5)
+    with pytest.raises(ModelRuntimeError, match="decode_chunk"):
+        ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          decode_chunk=4)
+    with pytest.raises(ModelRuntimeError, match="speculation"):
+        ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          pipeline=1)
+    with pytest.raises(ModelRuntimeError, match="lookup_ngram"):
+        ContinuousBatcher(target, slots=2, capacity=64, lookup=True,
+                          lookup_ngram=0)
+    b = ContinuousBatcher(target, slots=2, capacity=64, lookup=True)
+    with pytest.raises(ModelRuntimeError, match="overrides"):
+        b.submit(np.zeros(4, np.float32), 4, temperature=0.7)
+    # spec_k margin counts against capacity exactly like draft mode
+    with pytest.raises(ModelRuntimeError, match="spec_k"):
+        b.submit(np.zeros(60, np.float32), 4)

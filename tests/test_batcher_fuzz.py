@@ -69,14 +69,22 @@ def server():
     return FlashLMServer(model)
 
 
-def run_one(server, seed, draft=None, force_flash=False):
+def run_one(server, seed, draft=None, force_flash=False, lookup=False):
     rng = np.random.default_rng(seed)
     slots = int(rng.integers(1, 4))
     capacity = 96
     paged = force_flash or bool(rng.integers(0, 2))
     kw = {}
     spec = draft is not None and bool(rng.integers(0, 2))
-    if spec:
+    if lookup:
+        # draft-free prompt-lookup speculation: same margins and
+        # exclusions as draft mode (spec gates the decode_chunk and
+        # per-request-override branches below)
+        spec = True
+        kw["lookup"] = True
+        kw["spec_k"] = int(rng.integers(1, 5))
+        kw["lookup_ngram"] = int(rng.integers(1, 4))
+    elif spec:
         kw["draft"] = draft
         kw["spec_k"] = int(rng.integers(1, 5))
     if paged:
@@ -196,3 +204,18 @@ def test_scheduler_fuzz_flash_attention(server, seed):
     mix (pools, prefixes, chunked decode/prefill, preemption); streams
     still equal solo serving."""
     run_one(server, seed, force_flash=True)
+
+
+@pytest.mark.parametrize("seed", range(800, 805))
+def test_scheduler_fuzz_lookup(server, seed):
+    """Draft-free prompt-lookup speculation under the random config
+    mix (paged pools, prefixes, tight pools, preemption): every greedy
+    stream equals solo serving, every page returns."""
+    run_one(server, seed, lookup=True)
+
+
+@pytest.mark.parametrize("seed", range(900, 903))
+def test_scheduler_fuzz_lookup_windowed(window_server, seed):
+    """Lookup speculation on sliding-window models: the spec margin
+    composes with band page eviction."""
+    run_one(window_server, seed, lookup=True)
