@@ -126,6 +126,23 @@ def main() -> None:
           f"{sb.stats['spec_emitted']} tokens in "
           f"{sb.stats['spec_rounds']} verify dispatches)")
 
+    # prompt-lookup speculation, solo AND batched: DRAFT-FREE — each
+    # round proposes the k tokens that followed the last-ngram's most
+    # recent earlier occurrence in the history, then one k-wide verify;
+    # output is always exact greedy
+    lk, lk_steps = server.generate_lookup(prompt, n_new=10, k=4)
+    print("lookup solo :", np.asarray(lk)[0].tolist(),
+          f"({int(lk_steps)} verify steps, exact="
+          f"{bool(np.array_equal(np.asarray(lk), greedy))})")
+    lb = ContinuousBatcher(server, slots=2, capacity=64, lookup=True,
+                           spec_k=4)
+    lrid = lb.submit(np.asarray([1, 2, 3], np.float32), max_new=10)
+    lout = lb.run()[lrid]
+    print("lookup batch:", lout.tolist(),
+          f"(== greedy: {lout.tolist() == greedy[0].tolist()}; "
+          f"{lb.stats['spec_emitted']} tokens in "
+          f"{lb.stats['spec_rounds']} verify dispatches)")
+
     # multi-device: tensor-parallel weights + dp batches when the host
     # exposes a mesh (8 virtual devices under tests/conftest.py)
     import jax
