@@ -98,6 +98,31 @@ def _check_stop_seq(stop_seq, vocab):
     return seq
 
 
+def _lookup_propose(hist: np.ndarray, k: int, ngram: int) -> np.ndarray:
+    """Prompt-lookup proposals over an int64 token history: the ``k``
+    tokens that followed the most recent earlier occurrence of the last
+    ``ngram`` tokens — the numpy mirror of
+    ``FlashLMServer.generate_lookup``'s in-graph ``propose`` (serve.py).
+    No match falls back to repeating the last token, exactly like the
+    solo variant's ``found=False`` branch."""
+    pos = hist.size
+    last = hist[-1]
+    # windows may start at 0..pos-ngram-1 (must END strictly before the
+    # query ngram begins) — mirror of serve.py's starts mask
+    if pos - 1 < ngram:
+        return np.full(k, last, np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(hist[:pos - 1], ngram)
+    match = np.all(wins == hist[pos - ngram:pos][None, :], axis=1)
+    starts = np.nonzero(match)[0]
+    if not starts.size:
+        return np.full(k, last, np.int64)
+    best = int(starts[-1])
+    prop_idx = np.minimum(best + ngram + np.arange(k), pos - 1)
+    return hist[prop_idx]
+
+
 def _stop_seq_hit(req) -> bool:
     """True when the request's emitted tail equals its stop sequence.
     Host-side (the scheduler finishes requests outside the compiled
@@ -804,22 +829,7 @@ class ContinuousBatcher:
         hist = np.concatenate([req.tokens.astype(np.int64),
                                np.asarray(req.out[req.absorbed:],
                                           np.int64)])
-        pos = hist.size
-        last = hist[-1]
-        # windows may start at 0..pos-ngram-1 (must END strictly before
-        # the query ngram begins) — mirror of serve.py's starts mask
-        if pos - 1 < ngram:
-            return np.full(k, last, np.int64)
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        wins = sliding_window_view(hist[:pos - 1], ngram)
-        match = np.all(wins == hist[pos - ngram:pos][None, :], axis=1)
-        starts = np.nonzero(match)[0]
-        if not starts.size:
-            return np.full(k, last, np.int64)
-        best = int(starts[-1])
-        prop_idx = np.minimum(best + ngram + np.arange(k), pos - 1)
-        return hist[prop_idx]
+        return _lookup_propose(hist, k, ngram)
 
     def _lookup_round_fn(self):
         """One draft-free verify round for the whole slot batch, ONE
@@ -1878,11 +1888,31 @@ class Seq2SeqBatcher:
     def __init__(self, server, slots: int = 8, max_src=None,
                  capacity=None, temperature: float = 0.0, top_k=None,
                  top_p=None, stop_token=None, bos: int = 0, seed: int = 0,
-                 stream_tokens: bool = False):
+                 stream_tokens: bool = False, lookup: bool = False,
+                 spec_k: int = 4, lookup_ngram: int = 2):
         import jax
         import jax.numpy as jnp
 
         check_top_p(top_p)
+        if lookup:
+            # draft-free prompt-lookup speculation for encoder-decoder
+            # serving: proposals match the last emitted ngram against
+            # SOURCE + generation — the grounded-generation copy regime
+            # (translation/summarization quoting the source) is exactly
+            # where lookup accepts.  Exact greedy only.
+            if temperature != 0.0 or top_k is not None or top_p is not None:
+                raise ModelRuntimeError(
+                    "lookup speculation is exact-greedy only (no "
+                    "proposal distribution for a rejection scheme)")
+            if spec_k < 1:
+                raise ModelRuntimeError(
+                    f"spec_k must be >= 1 (got {spec_k})")
+            if lookup_ngram < 1:
+                raise ModelRuntimeError(
+                    f"lookup_ngram must be >= 1 (got {lookup_ngram})")
+        self.lookup = bool(lookup)
+        self.spec_k = int(spec_k)
+        self.lookup_ngram = int(lookup_ngram)
         self._jax = jax
         self.server = server
         self.slots = int(slots)
@@ -1928,6 +1958,8 @@ class Seq2SeqBatcher:
         self._next_rid = 0
         self._steps = 0
         self._dispatches = 0
+        self._spec_rounds = 0
+        self._spec_emitted = 0
         self._metrics: deque = deque(maxlen=4096)
 
     def _split(self):
@@ -1997,6 +2029,60 @@ class Seq2SeqBatcher:
             build, donate_argnums=(6,),
         )
 
+    def _lookup_props(self, slot) -> np.ndarray:
+        """Lookup proposals over SOURCE + generation: the encoder-decoder
+        variant matches the last emitted ngram against the source too,
+        so copy-heavy outputs (translation quoting names, summaries
+        lifting spans) propose straight from the source text."""
+        req = self._req[slot]
+        if req is None or not self.active[slot]:
+            return np.zeros(self.spec_k, np.int64)
+        hist = np.concatenate([req.tokens.astype(np.int64),
+                               np.asarray(req.out, np.int64)])
+        return _lookup_propose(hist, self.spec_k, self.lookup_ngram)
+
+    def _lookup_round_fn(self):
+        """Draft-free verify round for the whole slot batch: host
+        lookup proposals ride in as data, the decoder verifies all
+        ``spec_k + 1`` positions in ONE forward (per-row cursors +
+        position masking — rejected rows' K/V are overwritten by the
+        next round's writes, no rewind), greedy acceptance counts come
+        back.  The encoder state is read-only throughout."""
+        jax, srv = self._jax, self.server
+        pick_k = self.spec_k
+        capacity = self.capacity
+        import jax.numpy as jnp
+
+        from .seq2seq_serve import _Enc
+
+        def build():
+            def run(tok, pos, mem, cks, cvs, masks, caches, props):
+                enc = _Enc(mem, tuple(cks), tuple(cvs), masks)
+                seq = jnp.concatenate(
+                    [tok[:, None], props.astype(tok.dtype)],
+                    axis=1).astype(jnp.int32)
+                qp = pos[:, None] + jnp.arange(
+                    pick_k + 1, dtype=jnp.int32)[None, :]
+                key_pos = _cursor_key_pos(capacity, pos, extra=pick_k)
+                logits, caches = srv._step(
+                    seq, enc, caches, q_pos=qp, key_pos=key_pos,
+                    row_starts=pos,
+                )
+                pr = props.astype(jnp.int32)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = pr == greedy[:, :pick_k]
+                accept = jnp.sum(jnp.cumprod(
+                    match.astype(jnp.int32), axis=1), axis=1)
+                return greedy, accept, caches
+
+            return run
+
+        return self.server._jit_cache.get(
+            ("s2s_cb_lookup", pick_k, self.slots, self.max_src,
+             self.capacity),
+            build, donate_argnums=(6,),
+        )
+
     # -- public API ----------------------------------------------------
     def submit(self, src, max_new: int, rid=None, temperature=None,
                top_k=None, top_p=None, stop_seq=None):
@@ -2012,10 +2098,17 @@ class Seq2SeqBatcher:
                 f"{self.max_src}")
         if max_new < 1:
             raise ModelRuntimeError(f"max_new must be >= 1 (got {max_new})")
-        if max_new > self.capacity:
+        margin = self.spec_k if self.lookup else 0
+        if max_new + margin > self.capacity:
+            extra = f" + spec_k {margin}" if margin else ""
             raise ModelRuntimeError(
-                f"max_new {max_new} exceeds target capacity "
+                f"max_new {max_new}{extra} exceeds target capacity "
                 f"{self.capacity}")
+        if self.lookup and (temperature is not None or top_k is not None
+                            or top_p is not None):
+            raise ModelRuntimeError(
+                "per-request sampling overrides are not available in "
+                "lookup mode (exact greedy only)")
         if rid is None:
             rid = self._next_rid
         self._next_rid = max(self._next_rid, rid if isinstance(rid, int)
@@ -2104,6 +2197,33 @@ class Seq2SeqBatcher:
             self.req_topk[slot] = req.top_k
             self.req_topp[slot] = req.top_p
 
+        if self.active.any() and self.lookup:
+            props = np.stack([self._lookup_props(s)
+                              for s in range(self.slots)])
+            self._dispatches += 1
+            self._spec_rounds += 1
+            greedy, accept, self.caches = self._lookup_round_fn()(
+                self.last.copy(), self.pos.copy(), self.enc_mem,
+                self.enc_ck, self.enc_cv, self.enc_mask, self.caches,
+                props.astype(np.float32),
+            )
+            greedy = np.asarray(greedy)
+            accept = np.asarray(accept)
+            for slot in range(self.slots):
+                if not self.active[slot]:
+                    continue
+                take = int(accept[slot]) + 1
+                self._steps += take
+                for tok in greedy[slot, :take]:
+                    self.pos[slot] += 1
+                    tok = int(tok)
+                    self.last[slot] = float(tok)
+                    self._spec_emitted += 1
+                    if self._emit(slot, tok):
+                        finished.append(self._finish(slot))
+                        break
+            return finished
+
         if self.active.any():
             self._steps += 1
             self._dispatches += 1
@@ -2149,9 +2269,13 @@ class Seq2SeqBatcher:
 
     @property
     def stats(self) -> dict:
-        return {
+        out = {
             "decode_steps": self._steps,
             "dispatches": self._dispatches,
             "active": int(self.active.sum()),
             "queued": len(self.queue),
         }
+        if self.lookup:
+            out["spec_rounds"] = self._spec_rounds
+            out["spec_emitted"] = self._spec_emitted
+        return out

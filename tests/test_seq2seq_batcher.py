@@ -131,3 +131,59 @@ def test_per_request_stop_seq(server):
     np.testing.assert_array_equal(done[rids[1]], ref[1].astype(np.int64))
     with pytest.raises(ModelRuntimeError, match="stop_seq"):
         b.submit(srcs[0], 4, stop_seq=[VOCAB])
+
+
+def test_lookup_greedy_equals_solo(server):
+    """Draft-free prompt-lookup speculation: proposals from SOURCE +
+    generation history, verified spec_k+1-wide in one dispatch — every
+    greedy stream bit-equal to solo serving through slot reuse.  The
+    fixture model was trained to copy its source, so generation quotes
+    the source and lookup accepts multi-token."""
+    rng = np.random.default_rng(11)
+    srcs = [rng.integers(0, VOCAB, n).astype(np.float32)
+            for n in (6, 11, 4, 9)]
+    max_new = [7, 5, 9, 6]
+    solo = _solo(server, srcs, max_new)
+    b = Seq2SeqBatcher(server, slots=2, max_src=16, capacity=16,
+                       lookup=True, spec_k=4)
+    rids = [b.submit(s, mn) for s, mn in zip(srcs, max_new)]
+    done = b.run()
+    for rid, ref in zip(rids, solo):
+        np.testing.assert_array_equal(done[rid], ref.astype(np.int64))
+    st = b.stats
+    assert st["spec_rounds"] == st["dispatches"]
+    # the copy model accepts: strictly fewer rounds than tokens
+    assert st["spec_rounds"] < st["spec_emitted"], st
+
+
+def test_lookup_stop_token_mid_round(server):
+    rng = np.random.default_rng(12)
+    srcs = [rng.integers(0, VOCAB, n).astype(np.float32) for n in (6, 9)]
+    ref = _solo(server, srcs, [10, 10])
+    stop = int(ref[0][2])
+    b = Seq2SeqBatcher(server, slots=2, max_src=16, capacity=16,
+                       stop_token=stop, lookup=True, spec_k=4)
+    rids = [b.submit(s, 10) for s in srcs]
+    done = b.run()
+    for rid, r in zip(rids, ref):
+        got = done[rid]
+        r64 = r.astype(np.int64)
+        np.testing.assert_array_equal(got, r64[:len(got)])
+        if stop in r64:
+            assert got[-1] == stop
+            assert len(got) == list(r64).index(stop) + 1
+
+
+def test_lookup_validation(server):
+    with pytest.raises(ModelRuntimeError, match="greedy"):
+        Seq2SeqBatcher(server, slots=2, capacity=16, lookup=True,
+                       temperature=0.5)
+    with pytest.raises(ModelRuntimeError, match="lookup_ngram"):
+        Seq2SeqBatcher(server, slots=2, capacity=16, lookup=True,
+                       lookup_ngram=0)
+    b = Seq2SeqBatcher(server, slots=2, capacity=16, lookup=True,
+                       spec_k=4)
+    with pytest.raises(ModelRuntimeError, match="spec_k"):
+        b.submit(np.zeros(4, np.float32), 14)  # 14 + 4 > 16
+    with pytest.raises(ModelRuntimeError, match="overrides"):
+        b.submit(np.zeros(4, np.float32), 4, temperature=0.3)
