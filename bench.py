@@ -927,6 +927,71 @@ def bench_speculative_lookup(prompt_len=64, n_new=128, ks=(4, 8, 16),
     return n_new / t_plain, per_k
 
 
+def bench_lookup_batched(prompt_len=48, n_new=64, spec_k=8, slots=4,
+                         reps=3):
+    """Prompt-lookup speculation in the CONTINUOUS BATCHER: 4 cyclic-
+    task prompts served with lookup=True vs the same batcher decoding
+    one token per dispatch — the dispatch-amortization a draft-free
+    verify round buys at serving time (each accepted token skips one
+    host round trip, the measured per-dispatch floor of
+    continuous_batching_steady).
+
+    Uses the committed trained target (benchmarks/spec_pair) on its
+    permutation-cycle regime so acceptance is the repetitive-text
+    case, matching the solo speculative_lookup entry.
+
+    Returns (plain_tok_s, lookup_tok_s, plain_stats, lookup_stats)."""
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.io import import_params_npz
+    from exprgrad_tpu.models import (
+        ContinuousBatcher, FlashLMServer, flash_transformer,
+    )
+
+    vocab, max_seq = 256, 256
+    target_model = eg_compile(
+        flash_transformer(vocab=vocab, dim=256, heads=4, hidden=1024,
+                          blocks=2, max_seq=max_seq, eta=0.01),
+        seed=0, precision="default",
+    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    import_params_npz(
+        target_model, os.path.join(here, "benchmarks/spec_pair/target.npz")
+    )
+    server = FlashLMServer(target_model)
+
+    perm = np.random.default_rng(7).permutation(vocab)
+    def cyc(start):
+        t = np.empty(prompt_len, np.int64)
+        t[0] = start
+        for i in range(1, prompt_len):
+            t[i] = perm[t[i - 1]]
+        return t.astype(np.float32)
+    prompts = [cyc(s) for s in (26, 100, 7, 55)]
+    capacity = prompt_len + n_new + spec_k
+
+    def drive(kw):
+        b = ContinuousBatcher(server, slots=slots, capacity=capacity,
+                              **kw)
+        rids = [b.submit(p, n_new) for p in prompts]
+        done = b.run()
+        return sum(len(done[r]) for r in rids), b.stats
+
+    def timed(kw):
+        drive(kw)  # compile + warmup
+        best, stats = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            toks, stats = drive(kw)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best = dt
+        return toks / best, stats
+
+    plain_tok_s, plain_stats = timed({})
+    lk_tok_s, lk_stats = timed(dict(lookup=True, spec_k=spec_k))
+    return plain_tok_s, lk_tok_s, plain_stats, lk_stats
+
+
 def bench_seq2seq_serving(vocab=512, dim=256, heads=4, hidden=512,
                           batch=8, src_len=64, n_new=64, reps=3,
                           measure_greedy=None):
@@ -1596,6 +1661,35 @@ def main() -> None:
              f"steps for 128 tokens, {lk_tok / pl_tok:.2f}x)")
     except Exception as err:
         details["speculative_lookup_error"] = str(err)
+
+    _flush_details()
+    _log("bench: prompt-lookup continuous batching ...")
+    try:
+        pb_tok, lb_tok, pb_st, lb_st = bench_lookup_batched(
+            **(dict(prompt_len=24, n_new=16, spec_k=4, slots=2, reps=1)
+               if DRY else {}))
+        details["speculative_lookup_batched"] = {
+            "config": "trained target (benchmarks/spec_pair), 4 cyclic "
+                      "prompts, slots4; ContinuousBatcher lookup=True "
+                      "spec_k=8 vs the same batcher one-token-per-"
+                      "dispatch",
+            "plain_tokens_per_s": round(pb_tok, 1),
+            "lookup_tokens_per_s": round(lb_tok, 1),
+            "speedup": round(lb_tok / pb_tok, 2),
+            "plain_dispatches": pb_st["dispatches"],
+            "lookup_dispatches": lb_st["dispatches"],
+            "tokens_per_round": round(
+                lb_st["spec_emitted"] / max(1, lb_st["spec_rounds"]), 2),
+            "impl": "host-side ngram proposals into one spec_k+1-wide "
+                    "verify dispatch per round; exact greedy streams "
+                    "(models/batcher.py lookup=)",
+        }
+        _log(f"bench: lookup batching {lb_tok:.0f} vs plain "
+             f"{pb_tok:.0f} tokens/s ({lb_tok / pb_tok:.2f}x, "
+             f"{lb_st['dispatches']} vs {pb_st['dispatches']} "
+             f"dispatches)")
+    except Exception as err:
+        details["speculative_lookup_batched_error"] = str(err)
 
     _flush_details()
     _log("bench: speculative decoding (trained draft) ...")
