@@ -6,7 +6,7 @@ default 128x128 blocks.  This sweeps block_q x block_k over the shape
 ``flash_block_sweep`` into BENCH_DETAILS.json — the measured basis for
 either new defaults or an honest policy crossover note.
 
-Run: ``PYTHONPATH=. timeout 3600 python scripts/flash_sweep.py``
+Run: ``python scripts/flash_sweep.py``
 
 ``EG_DRY=1`` executes the whole body on CPU (pinned before backend init)
 with shrunk shapes; artifacts go to /tmp, not BENCH_DETAILS.json.
@@ -17,6 +17,17 @@ import os
 import signal
 import sys
 import time
+
+# run as `python scripts/<name>.py` from anywhere: put the repo
+# root on sys.path WITHOUT touching PYTHONPATH — prefixing
+# PYTHONPATH=. REPLACED /root/.axon_site, so the axon TPU plugin
+# (registered by that dir's sitecustomize.py) never loaded and
+# every chip attempt died at backend init while the tunnel was
+# actually healthy (r5 review finding; the driver's bare
+# `python bench.py` succeeded in ALL FOUR rounds)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 
 DRY = os.environ.get("EG_DRY") == "1"
 

@@ -9,7 +9,7 @@ and writes the fitted constants to
 a human-readable table into ``BENCH_DETAILS.json`` under
 ``pallas_vs_xla_table`` — the measured basis for schedule_mode="auto".
 
-Run on TPU hardware: ``PYTHONPATH=. python scripts/pallas_calibrate.py``
+Run on TPU hardware: ``python scripts/pallas_calibrate.py``
 (one TPU client at a time; see CLAUDE.md).  Timing uses chained
 data-dependent dispatches with a device->host fence to amortize the
 tunnel's ~25ms round trip.
@@ -23,6 +23,17 @@ import os
 import signal
 import sys
 import time
+
+# run as `python scripts/<name>.py` from anywhere: put the repo
+# root on sys.path WITHOUT touching PYTHONPATH — prefixing
+# PYTHONPATH=. REPLACED /root/.axon_site, so the axon TPU plugin
+# (registered by that dir's sitecustomize.py) never loaded and
+# every chip attempt died at backend init while the tunnel was
+# actually healthy (r5 review finding; the driver's bare
+# `python bench.py` succeeded in ALL FOUR rounds)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 
 DRY = os.environ.get("EG_DRY") == "1"
 

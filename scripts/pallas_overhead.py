@@ -18,7 +18,7 @@ throughput was never split.  This experiment answers it:
 Writes everything into BENCH_DETAILS.json under
 ``pallas_overhead_experiment`` incrementally (tunnel windows are short).
 
-Run: ``PYTHONPATH=. timeout 3600 python scripts/pallas_overhead.py``
+Run: ``python scripts/pallas_overhead.py``
 
 ``EG_DRY=1`` executes the whole body on CPU (pinned before backend init)
 with shrunk shapes; artifacts go to /tmp, not BENCH_DETAILS.json.
@@ -29,6 +29,17 @@ import os
 import signal
 import sys
 import time
+
+# run as `python scripts/<name>.py` from anywhere: put the repo
+# root on sys.path WITHOUT touching PYTHONPATH — prefixing
+# PYTHONPATH=. REPLACED /root/.axon_site, so the axon TPU plugin
+# (registered by that dir's sitecustomize.py) never loaded and
+# every chip attempt died at backend init while the tunnel was
+# actually healthy (r5 review finding; the driver's bare
+# `python bench.py` succeeded in ALL FOUR rounds)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 
 DRY = os.environ.get("EG_DRY") == "1"
 

@@ -6,7 +6,7 @@ flash-attention forward+backward vs the plain-XLA VJP oracle (causal and
 not), and the fused matmul+epilogue.  Exits non-zero on any mismatch or
 on watchdog timeout (the tunnel can wedge).
 
-Usage:  PYTHONPATH=. python scripts/tpu_validate.py
+Usage:  python scripts/tpu_validate.py
 
 ``EG_DRY=1`` runs the ENTIRE script body on CPU (pinned before backend
 init so a tunnel-recovery window is never stolen): interpret-mode
@@ -21,6 +21,17 @@ import os
 import signal
 import sys
 import time
+
+# run as `python scripts/<name>.py` from anywhere: put the repo
+# root on sys.path WITHOUT touching PYTHONPATH — prefixing
+# PYTHONPATH=. REPLACED /root/.axon_site, so the axon TPU plugin
+# (registered by that dir's sitecustomize.py) never loaded and
+# every chip attempt died at backend init while the tunnel was
+# actually healthy (r5 review finding; the driver's bare
+# `python bench.py` succeeded in ALL FOUR rounds)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 
 DRY = os.environ.get("EG_DRY") == "1"
 
