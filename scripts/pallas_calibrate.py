@@ -216,19 +216,24 @@ def main() -> None:
     from exprgrad_tpu import Fun, compile, input as eg_input, iters, exp
 
     def softmax_model(mode):
+        # row tile 32 (the bench_softmax_fused schedule): at 4096^2 a
+        # 256-row tile blows the rowchain planner's VMEM budget and the
+        # user tile is respected over shrinking, so the fusion DECLINES
+        # to 3 map/reduce kernels — the first on-chip run failed the
+        # rowchain assert exactly this way (the 512^2 dry run hid it)
         inp = eg_input("inp")
         y, x = iters("y", "x")
         mx = Fun("mx")
         mx.maximize[y] = inp[y, x]
-        mx.schedule(tile={"y": 256})
+        mx.schedule(tile={"y": 32})
         y, x = iters("y", "x")
         sums = Fun("sums")
         sums[y] = exp(inp[y, x] - mx[y])
-        sums.schedule(tile={"y": 256})
+        sums.schedule(tile={"y": 32})
         y, x = iters("y", "x")
         out = Fun("out")
         out[y, x] = exp(inp[y, x] - mx[y]) / sums[y]
-        out.schedule(tile={"y": 256})
+        out.schedule(tile={"y": 32})
         return compile(out.target("out"), backend="jax",
                        schedule_mode=mode, precision="default")
 
@@ -298,6 +303,9 @@ def main() -> None:
             _ = float(np.asarray(out).ravel()[0])
             best = min(best, (time.perf_counter() - t0) / 4)
         times[mode] = best
+        if mode == "force":
+            ex = next(iter(model._executors.values()))
+            assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
         print(f"rowsum 4096x4096 mode={mode}: {best * 1e3:.2f} ms",
               flush=True)
     bytes_moved = v.nbytes  # one read dominates
