@@ -213,112 +213,77 @@ def main() -> None:
     flush()
 
     # --- map/reduce family through the compiler -------------------------
-    from exprgrad_tpu import Fun, compile, input as eg_input, iters, exp
+    # Timed through the EXECUTOR with device-resident operands and a
+    # scalar fence (bench.py's proven harnesses): the first on-chip run
+    # timed model.call, whose numpy conversion transfers the full 67MB
+    # input AND output over the tunnel every call — the measured
+    # "bandwidth" (0.06 GB/s) was the link, not the kernel.
+    import bench as _bench
 
-    def softmax_model(mode):
-        # row tile 32 (the bench_softmax_fused schedule): at 4096^2 a
-        # 256-row tile blows the rowchain planner's VMEM budget and the
-        # user tile is respected over shrinking, so the fusion DECLINES
-        # to 3 map/reduce kernels — the first on-chip run failed the
-        # rowchain assert exactly this way (the 512^2 dry run hid it)
-        inp = eg_input("inp")
-        y, x = iters("y", "x")
-        mx = Fun("mx")
-        mx.maximize[y] = inp[y, x]
-        mx.schedule(tile={"y": 32})
-        y, x = iters("y", "x")
-        sums = Fun("sums")
-        sums[y] = exp(inp[y, x] - mx[y])
-        sums.schedule(tile={"y": 32})
-        y, x = iters("y", "x")
-        out = Fun("out")
-        out[y, x] = exp(inp[y, x] - mx[y]) / sums[y]
-        out.schedule(tile={"y": 32})
-        return compile(out.target("out"), backend="jax",
-                       schedule_mode=mode, precision="default")
-
-    shp = 512 if DRY else 4096
-    v = rng.normal(size=(shp, shp)).astype(np.float32)
-    # under force the 3 scheduled kernels now fuse into ONE row-chain
-    # kernel (PallasRowChain) — this measures pallas_rowchain_gbps; the
-    # ignore run gives xla_elementwise_gbps (per-kernel XLA lowering)
-    times = {}
-    for mode in ("ignore", "force"):
-        model = softmax_model(mode)
-        model.call("out", {"inp": v})  # compile + stats
-        if mode == "force":
-            ex = next(iter(model._executors.values()))
-            assert ex.stats.get("pallas-rowchain") == 1, ex.stats
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(4):
-                out = model.call("out", {"inp": v})
-            _ = float(np.asarray(out).ravel()[0])
-            best = min(best, (time.perf_counter() - t0) / 4)
-        times[mode] = best
-        print(f"softmax 4096x4096 mode={mode}: {best * 1e3:.2f} ms",
-              flush=True)
-    xla_bytes = v.nbytes * 4  # 3 kernels: ~2 reads + out + write
-    fused_bytes = v.nbytes * 2  # one read + one write
+    sshp = 512 if DRY else 4096
+    f_gbps, x_gbps, _samples = _bench.bench_softmax_fused(
+        r=sshp, c=sshp, chain=4, reps=3)
     table.append(
         {
             "kernel": "softmax 4096x4096 (3 kernels vs fused row chain)",
-            "xla_ms": times["ignore"] * 1e3,
-            "fused_ms": times["force"] * 1e3,
-            "xla_gbps": xla_bytes / times["ignore"] / 1e9,
-            "fused_gbps": fused_bytes / times["force"] / 1e9,
-            "fused_speedup": times["ignore"] / times["force"],
+            "xla_gbps": x_gbps,
+            "fused_gbps": f_gbps,
+            "fused_speedup": f_gbps / x_gbps,
         }
     )
-    constants["xla_elementwise_gbps"] = float(
-        xla_bytes / times["ignore"] / 1e9
-    )
-    constants["pallas_rowchain_gbps"] = float(
-        fused_bytes / times["force"] / 1e9
-    )
+    constants["xla_elementwise_gbps"] = float(x_gbps)
+    constants["pallas_rowchain_gbps"] = float(f_gbps)
     print(table[-1], flush=True)
     flush()
 
-    # single (non-chaining) scheduled map/reduce kernel: a row reduction
-    # whose output is the target — nothing to fuse with
-    def rowsum_model(mode):
-        inp = eg_input("inp")
-        y, x = iters("y", "x")
-        out = Fun("out")
-        out[y] = exp(inp[y, x] * 0.25)
-        out.schedule(tile={"y": 256})
-        return compile(out.target("out"), backend="jax",
-                       schedule_mode=mode, precision="default")
+    # single (non-chaining) scheduled map/reduce kernel: a row map
+    # whose output is the target — nothing to fuse with.  Executor-
+    # direct, chained via a tiny data-dependent correction (the
+    # bench_scatter_add pattern); bytes = the one input read.
+    from exprgrad_tpu import Fun, input as eg_input, iters, exp
+    from exprgrad_tpu import compile as eg_compile
+    from exprgrad_tpu.backend.executor import JaxExecutor
+    from exprgrad_tpu.passes import infer_shapes
 
-    times = {}
-    for mode in ("ignore", "force"):
-        model = rowsum_model(mode)
-        model.call("out", {"inp": v})
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(4):
-                out = model.call("out", {"inp": v})
-            _ = float(np.asarray(out).ravel()[0])
-            best = min(best, (time.perf_counter() - t0) / 4)
-        times[mode] = best
-        if mode == "force":
-            ex = next(iter(model._executors.values()))
-            assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
-        print(f"rowsum 4096x4096 mode={mode}: {best * 1e3:.2f} ms",
-              flush=True)
-    bytes_moved = v.nbytes  # one read dominates
+    shp = 512 if DRY else 4096
+    y, x_ = iters("y", "x")
+    out = Fun("out")
+    out[y] = exp(eg_input("inp")[y, x_] * 0.25)
+    out.schedule(tile={"y": 256})
+    rmodel = eg_compile(out.target("out"), schedule_mode="force",
+                        precision="default")
+    rprog = rmodel.program
+    in_id = rprog.inputs["inp"]
+    out_id = rprog.targets["out"].output
+    rshapes = infer_shapes(rprog, "out", [(in_id, [shp, shp])])
+    rex = JaxExecutor(rprog, "out", rshapes, precision="default",
+                      schedule_mode="force")
+    vj = jnp.asarray(
+        rng.normal(size=(shp, shp)).astype(np.float32))
+
+    def rstep(t):
+        return rex._fn({in_id: t}, 0, 0)[out_id]
+
+    _ = float(jnp.sum(rstep(vj)))  # compile + warm; asserts routing
+    assert rex.stats.get("pallas-mapreduce") == 1, rex.stats
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cur = vj
+        for _ in range(4):
+            cur = cur + rstep(cur)[:, None] * 1e-30
+        _ = float(jnp.sum(cur[:1, :1]))
+        best = min(best, (time.perf_counter() - t0) / 4)
+    bytes_moved = vj.nbytes  # one read dominates
     table.append(
         {
-            "kernel": "exp-rowsum 4096x4096 (single scheduled kernel)",
-            "xla_ms": times["ignore"] * 1e3,
-            "pallas_ms": times["force"] * 1e3,
-            "pallas_gbps": bytes_moved / times["force"] / 1e9,
+            "kernel": "exp-rowmap 4096x4096 (single scheduled kernel)",
+            "pallas_ms": best * 1e3,
+            "pallas_gbps": bytes_moved / best / 1e9,
         }
     )
     constants["pallas_elementwise_gbps"] = float(
-        bytes_moved / times["force"] / 1e9
+        bytes_moved / best / 1e9
     )
     print("constants:", constants, flush=True)
     flush()
