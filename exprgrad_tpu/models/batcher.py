@@ -98,6 +98,18 @@ def _check_stop_seq(stop_seq, vocab):
     return seq
 
 
+def _greedy_accept(jnp, logits, props, pick_k):
+    """Greedy verify: the target's argmax over the ``pick_k + 1``
+    verified positions, plus how many leading proposals it agrees with
+    (cumprod of positional matches) — ONE definition behind the draft
+    round's greedy branch and both batchers' lookup rounds."""
+    pr = props.astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    match = pr == greedy[:, :pick_k]
+    accept = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    return greedy, accept
+
+
 def _lookup_propose(hist: np.ndarray, k: int, ngram: int) -> np.ndarray:
     """Prompt-lookup proposals over an int64 token history: the ``k``
     tokens that followed the most recent earlier occurrence of the last
@@ -107,8 +119,9 @@ def _lookup_propose(hist: np.ndarray, k: int, ngram: int) -> np.ndarray:
     solo variant's ``found=False`` branch."""
     pos = hist.size
     last = hist[-1]
-    # windows may start at 0..pos-ngram-1 (must END strictly before the
-    # query ngram begins) — mirror of serve.py's starts mask
+    # windows may start at 0..pos-ngram-1: they must end strictly before
+    # the query ngram DOES (only the self-match is excluded — overlap
+    # with the query is allowed), mirroring serve.py's starts mask
     if pos - 1 < ngram:
         return np.full(k, last, np.int64)
     from numpy.lib.stride_tricks import sliding_window_view
@@ -327,8 +340,8 @@ class ContinuousBatcher:
                 raise ModelRuntimeError(
                     f"draft vocab {draft.vocab} != target vocab "
                     f"{server.vocab}")
-            if spec_k < 1:
-                raise ModelRuntimeError(f"spec_k must be >= 1 (got {spec_k})")
+        if spec_k < 1:  # stored unconditionally: validate unconditionally
+            raise ModelRuntimeError(f"spec_k must be >= 1 (got {spec_k})")
         if lookup:
             # prompt-lookup speculative batching (draft-FREE): per-slot
             # proposals come from a host-side ngram match over the
@@ -350,9 +363,6 @@ class ContinuousBatcher:
                 raise ModelRuntimeError(
                     "lookup=True and decode_chunk are mutually exclusive "
                     "(the verify round already amortizes dispatches)")
-            if spec_k < 1:
-                raise ModelRuntimeError(
-                    f"spec_k must be >= 1 (got {spec_k})")
             if lookup_ngram < 1:
                 raise ModelRuntimeError(
                     f"lookup_ngram must be >= 1 (got {lookup_ngram})")
@@ -761,13 +771,11 @@ class ContinuousBatcher:
                         x, tcaches, 0, key_pos=key_pos, q_pos=qp,
                         row_starts=pos,
                     )
-                pr = props.astype(jnp.int32)
                 if not sampled:
-                    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    match = pr == greedy[:, :pick_k]
-                    accept = jnp.sum(jnp.cumprod(
-                        match.astype(jnp.int32), axis=1), axis=1)
+                    greedy, accept = _greedy_accept(
+                        jnp, logits, props, pick_k)
                     return greedy, accept, tcaches, dcaches
+                pr = props.astype(jnp.int32)
 
                 # exact rejection scheme (the solo _spec.py math, per
                 # row): accept proposal i while u_i < p_t(d_i)/p_d(d_i);
@@ -868,11 +876,8 @@ class ContinuousBatcher:
                         x, tcaches, 0, key_pos=key_pos, q_pos=qp,
                         row_starts=pos,
                     )
-                pr = props.astype(jnp.int32)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                match = pr == greedy[:, :pick_k]
-                accept = jnp.sum(jnp.cumprod(
-                    match.astype(jnp.int32), axis=1), axis=1)
+                greedy, accept = _greedy_accept(jnp, logits, props,
+                                                pick_k)
                 return greedy, accept, tcaches
 
             return run
@@ -1904,12 +1909,11 @@ class Seq2SeqBatcher:
                 raise ModelRuntimeError(
                     "lookup speculation is exact-greedy only (no "
                     "proposal distribution for a rejection scheme)")
-            if spec_k < 1:
-                raise ModelRuntimeError(
-                    f"spec_k must be >= 1 (got {spec_k})")
             if lookup_ngram < 1:
                 raise ModelRuntimeError(
                     f"lookup_ngram must be >= 1 (got {lookup_ngram})")
+        if spec_k < 1:  # stored unconditionally: validate unconditionally
+            raise ModelRuntimeError(f"spec_k must be >= 1 (got {spec_k})")
         self.lookup = bool(lookup)
         self.spec_k = int(spec_k)
         self.lookup_ngram = int(lookup_ngram)
@@ -2068,11 +2072,8 @@ class Seq2SeqBatcher:
                     seq, enc, caches, q_pos=qp, key_pos=key_pos,
                     row_starts=pos,
                 )
-                pr = props.astype(jnp.int32)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                match = pr == greedy[:, :pick_k]
-                accept = jnp.sum(jnp.cumprod(
-                    match.astype(jnp.int32), axis=1), axis=1)
+                greedy, accept = _greedy_accept(jnp, logits, props,
+                                                pick_k)
                 return greedy, accept, caches
 
             return run
@@ -2154,6 +2155,22 @@ class Seq2SeqBatcher:
             return True
         return len(req.out) >= req.max_new
 
+    def _advance(self, slot, tokens, finished) -> int:
+        """Advance a slot through emitted tokens (pos/last bookkeeping,
+        finish on budget/stop); returns how many were applied — the
+        seq2seq mirror of ContinuousBatcher._apply_tokens, shared by
+        the plain and lookup decode paths."""
+        applied = 0
+        for tok in tokens:
+            tok = int(tok)
+            self.pos[slot] += 1
+            self.last[slot] = float(tok)
+            applied += 1
+            if self._emit(slot, tok):
+                finished.append(self._finish(slot))
+                break
+        return applied
+
     def _finish(self, slot):
         import time
 
@@ -2214,14 +2231,8 @@ class Seq2SeqBatcher:
                     continue
                 take = int(accept[slot]) + 1
                 self._steps += take
-                for tok in greedy[slot, :take]:
-                    self.pos[slot] += 1
-                    tok = int(tok)
-                    self.last[slot] = float(tok)
-                    self._spec_emitted += 1
-                    if self._emit(slot, tok):
-                        finished.append(self._finish(slot))
-                        break
+                self._spec_emitted += self._advance(
+                    slot, greedy[slot, :take], finished)
             return finished
 
         if self.active.any():
@@ -2238,11 +2249,7 @@ class Seq2SeqBatcher:
             for slot in range(self.slots):
                 if not self.active[slot]:
                     continue
-                self.pos[slot] += 1
-                tok = int(nxt[slot])
-                self.last[slot] = float(tok)
-                if self._emit(slot, tok):
-                    finished.append(self._finish(slot))
+                self._advance(slot, [int(nxt[slot])], finished)
         return finished
 
     def run(self) -> dict:
