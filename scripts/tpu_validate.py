@@ -82,11 +82,22 @@ def main() -> None:
         _ = [float(jnp.sum(x)) for x in got]  # fence (tunnel-safe)
         print(f"attn bwd causal={causal}: {time.time()-t0:.1f}s", flush=True)
         want = xla_attention_vjp(q, k, v, g, causal=causal)
-        for name, a, bb in zip("dq dk dv".split(), got, want):
-            a, bb = np.asarray(a), np.asarray(bb)
-            rel = np.max(np.abs(a - bb)) / (np.max(np.abs(bb)) + 1e-9)
-            print(f"  {name}: max rel err {rel:.2e}", flush=True)
-            assert rel < 2e-4, (causal, name, rel)
+        # noise floor: the SAME oracle at HIGHEST matmul precision.  On
+        # chip, default-precision f32 einsums ride the MXU as bf16
+        # passes, so two differently-ordered implementations disagree
+        # at the bf16-rounding level (~1e-3 at s=1024 d=128) — measure
+        # that floor rather than hard-coding the CPU-exact 2e-4 that
+        # only interpret mode (true f32 everywhere) can meet.
+        with jax.default_matmul_precision("highest"):
+            exact = xla_attention_vjp(q, k, v, g, causal=causal)
+        for name, a, bb, ee in zip("dq dk dv".split(), got, want, exact):
+            a, bb, ee = np.asarray(a), np.asarray(bb), np.asarray(ee)
+            scale = np.max(np.abs(ee)) + 1e-9
+            rel = np.max(np.abs(a - ee)) / scale
+            floor = np.max(np.abs(bb - ee)) / scale
+            print(f"  {name}: max rel err {rel:.2e} "
+                  f"(XLA-default floor {floor:.2e})", flush=True)
+            assert rel < max(2e-4, 4.0 * floor), (causal, name, rel, floor)
     print("ATTENTION BACKWARD OK", flush=True)
 
     # GQA on-chip
@@ -116,11 +127,16 @@ def main() -> None:
     _ = [float(jnp.sum(x)) for x in got]
     print(f"window={W} bwd: {time.time()-t0:.1f}s", flush=True)
     want = xla_attention_vjp(q, k, v, g, causal=True, window=W)
-    for name, a, bb in zip("dq dk dv".split(), got, want):
-        a, bb = np.asarray(a), np.asarray(bb)
-        rel = np.max(np.abs(a - bb)) / (np.max(np.abs(bb)) + 1e-9)
-        print(f"  {name}: max rel err {rel:.2e}", flush=True)
-        assert rel < 2e-4, (name, rel)
+    with jax.default_matmul_precision("highest"):  # same floor as above
+        exact = xla_attention_vjp(q, k, v, g, causal=True, window=W)
+    for name, a, bb, ee in zip("dq dk dv".split(), got, want, exact):
+        a, bb, ee = np.asarray(a), np.asarray(bb), np.asarray(ee)
+        scale = np.max(np.abs(ee)) + 1e-9
+        rel = np.max(np.abs(a - ee)) / scale
+        floor = np.max(np.abs(bb - ee)) / scale
+        print(f"  {name}: max rel err {rel:.2e} "
+              f"(XLA-default floor {floor:.2e})", flush=True)
+        assert rel < max(2e-4, 4.0 * floor), (name, rel, floor)
     print("WINDOW ATTENTION OK", flush=True)
 
     # fused matmul epilogue
