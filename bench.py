@@ -102,10 +102,16 @@ def bench_matmul_scheduled(n: int = 4096, chain: int = 32, reps: int = 3):
     size through the compiled executor (VERDICT r3 #1's done criterion:
     scheduled within 2x of einsum, or the measured gap on record).
 
-    chain=32 keeps the measurement compute-bound: at chain=4 a ~0.94ms
-    kernel rode a ~22ms fetch and the ratio measured the tunnel, not the
-    kernel (VERDICT r4 weak #2) — einsum must read >=100 TFLOP/s on this
-    harness for the ratio to mean anything.
+    Methodology (r5): the chain is a lax.fori_loop INSIDE one jit and
+    the sample is the long-minus-short difference quotient.  Chaining
+    separate dispatches (the r4 harness) cannot resolve the kernel body
+    here: the overhead experiment measured ~2.6 ms per chained dispatch
+    through this tunnel, so at 4096^3 einsum read 39 TFLOP/s however
+    long the chain (VERDICT r4 weak #2).  In-jit chaining pays dispatch
+    + RTT once per call, and the (short+chain)-vs-short difference
+    cancels them exactly — both paths resolve their true body rate.
+    Values grow ~2x per unscaled matmul power-step, so keep
+    short+chain <= ~60 for f32 range.
 
     Returns (pallas_gflops, einsum_gflops, pallas_samples)."""
     import jax
@@ -140,16 +146,24 @@ def bench_matmul_scheduled(n: int = 4096, chain: int = 32, reps: int = 3):
         return lambda lhs: ex._fn({a_id: lhs, b_id: b}, 0, 0)[out_id], ex
 
     def rate(step):
-        _fetch(step(a))  # compile + warmup
+        def chained(lhs, iters_):
+            return jax.lax.fori_loop(0, iters_,
+                                     lambda i, cur: step(cur), lhs)
+
+        short = max(1, chain // 8)
+        f_short = jax.jit(lambda lhs: chained(lhs, short))
+        f_long = jax.jit(lambda lhs: chained(lhs, short + chain))
+        _fetch(f_short(a))  # compile + warm (both lengths)
+        _fetch(f_long(a))
         samples = []
         for _ in range(reps):
-            t = time.perf_counter()
-            cur = a
-            for _ in range(chain):
-                cur = step(cur)
-            _fetch(cur)
-            samples.append(2 * n**3 / ((time.perf_counter() - t) / chain)
-                           / 1e9)
+            t0 = time.perf_counter()
+            _fetch(f_short(a))
+            t1 = time.perf_counter()
+            _fetch(f_long(a))
+            t2 = time.perf_counter()
+            body = max((t2 - t1) - (t1 - t0), 1e-6)  # clamp: DRY jitter
+            samples.append(2 * n**3 * chain / body / 1e9)
         return samples
 
     step_pl, ex_pl = build(True)

@@ -58,6 +58,21 @@ def main() -> None:
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     signal.alarm(4400)  # ~20 on-chip compiles at tunnel-variable latency
+
+    def mm_check(got, exact, xla_ref, what, tol=2e-4, mult=4.0):
+        """Matmul-family closeness with an on-chip noise floor: DEFAULT-
+        precision f32 dots ride the MXU as bf16 passes (CLAUDE.md), so a
+        Pallas kernel that matches XLA's own quality still sits ~1e-3
+        from an exact-f32 numpy oracle.  Gate against max(tol, mult x
+        the XLA-default-vs-exact floor); on CPU (EG_DRY) default ==
+        exact, so the floor collapses and the tight tol applies."""
+        got, exact = np.asarray(got), np.asarray(exact)
+        scale = np.max(np.abs(exact)) + 1e-9
+        rel = np.max(np.abs(got - exact)) / scale
+        floor = np.max(np.abs(np.asarray(xla_ref) - exact)) / scale
+        print(f"  {what}: rel {rel:.2e} (XLA-default floor {floor:.2e})",
+              flush=True)
+        assert rel < max(tol, mult * floor), (what, rel, floor)
     # interpret=None resolves to interpret-mode off-TPU; on chip the
     # explicit False keeps "accidentally interpreted" impossible
     INTERP = None if DRY else False
@@ -161,11 +176,13 @@ def main() -> None:
     out = np.asarray(model.call("d", args))
     print(f"fused matmul: {time.time()-t0:.1f}s", flush=True)
     want = np.maximum(args["a"] @ args["b"] + args["bias"], 0.0)
-    rel = np.max(np.abs(out - want)) / np.max(np.abs(want))
+    xla_ref = jnp.maximum(
+        jnp.dot(jnp.asarray(args["a"]), jnp.asarray(args["b"]))
+        + jnp.asarray(args["bias"]), 0.0)
     stats = model.lowering_stats("d")
-    print("stats:", stats, "rel err:", rel, flush=True)
+    print("stats:", stats, flush=True)
     assert stats.get("pallas-fused") == 1, stats
-    assert rel < 1e-4, rel
+    mm_check(out, want, xla_ref, "fused epilogue")
     print("FUSED EPILOGUE OK", flush=True)
 
     # fused CHAIN: matmul + bias writer + raw leaky-relu + residual in ONE
@@ -201,11 +218,14 @@ def main() -> None:
     print(f"fused chain: {time.time()-t0:.1f}s", flush=True)
     hmat = cargs["a2"] @ cargs["b2"] + cargs["bias2"]
     want = np.where(hmat >= 0, hmat, 0.1 * hmat) + cargs["res2"]
-    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    hdev = jnp.dot(jnp.asarray(cargs["a2"]), jnp.asarray(cargs["b2"])) \
+        + jnp.asarray(cargs["bias2"])
+    xla_ref = jnp.where(hdev >= 0, hdev, 0.1 * hdev) \
+        + jnp.asarray(cargs["res2"])
     cstats = chain_model.lowering_stats("ee")
-    print("chain stats:", cstats, "rel err:", rel, flush=True)
+    print("chain stats:", cstats, flush=True)
     assert cstats.get("pallas-fused") == 1, cstats
-    assert rel < 1e-4, rel
+    mm_check(got, want, xla_ref, "fused chain")
     print("FUSED CHAIN OK", flush=True)
 
     # windowed/strided Pallas family on-chip: scheduled maxpool (strided
@@ -269,7 +289,9 @@ def main() -> None:
     t0 = time.time()
     got = np.asarray(rm.call("rc", {"ra": rav, "rb": rbv}))
     print(f"masked ragged matmul: {time.time()-t0:.1f}s", flush=True)
-    np.testing.assert_allclose(got, rav @ rbv, rtol=1e-4, atol=1e-4)
+    mm_check(got, rav @ rbv,
+             jnp.dot(jnp.asarray(rav), jnp.asarray(rbv)),
+             "masked ragged matmul", tol=2e-4)
     assert rm.lowering_stats("rc").get("pallas") == 1
 
     y_, x_ = _iters("y", "x")
