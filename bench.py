@@ -39,6 +39,41 @@ def _fetch(x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+def _chain_timer(make_next, x0, chain, short=None):
+    """Build a ``timed() -> seconds-per-iteration`` closure that chains
+    ``make_next`` INSIDE one jit (lax.fori_loop) and reports the
+    long-minus-short difference quotient.
+
+    Chained *separate* dispatches cannot resolve kernel bodies through
+    this tunnel: the overhead experiment measured ~2.6 ms per chained
+    dispatch (BENCH_DETAILS pallas_overhead_experiment), so e.g. einsum
+    at 4096^3 read 39 TFLOP/s regardless of chain length.  One jit pays
+    dispatch + RTT once per call, and the (short+chain)-vs-short
+    difference cancels them exactly, so both sides of every ratio
+    resolve their true body rate."""
+    import jax
+
+    short = short or max(1, chain // 8)
+
+    def chained(x, iters_):
+        return jax.lax.fori_loop(0, iters_, lambda i, c: make_next(c), x)
+
+    f_s = jax.jit(lambda x: chained(x, short))
+    f_l = jax.jit(lambda x: chained(x, short + chain))
+    _fetch(f_s(x0))  # compile + warm both lengths
+    _fetch(f_l(x0))
+
+    def timed():
+        t0 = time.perf_counter()
+        _fetch(f_s(x0))
+        t1 = time.perf_counter()
+        _fetch(f_l(x0))
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-7) / chain
+
+    return timed
+
+
 def _spread(samples: list) -> dict:
     """min/median/max summary for repeated measurements — the r->r drift
     classifier (VERDICT r3 #9: headline entries carry spread so tunnel
@@ -146,25 +181,8 @@ def bench_matmul_scheduled(n: int = 4096, chain: int = 32, reps: int = 3):
         return lambda lhs: ex._fn({a_id: lhs, b_id: b}, 0, 0)[out_id], ex
 
     def rate(step):
-        def chained(lhs, iters_):
-            return jax.lax.fori_loop(0, iters_,
-                                     lambda i, cur: step(cur), lhs)
-
-        short = max(1, chain // 8)
-        f_short = jax.jit(lambda lhs: chained(lhs, short))
-        f_long = jax.jit(lambda lhs: chained(lhs, short + chain))
-        _fetch(f_short(a))  # compile + warm (both lengths)
-        _fetch(f_long(a))
-        samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _fetch(f_short(a))
-            t1 = time.perf_counter()
-            _fetch(f_long(a))
-            t2 = time.perf_counter()
-            body = max((t2 - t1) - (t1 - t0), 1e-6)  # clamp: DRY jitter
-            samples.append(2 * n**3 * chain / body / 1e9)
-        return samples
+        timed = _chain_timer(step, a, chain)
+        return [2 * n**3 / timed() / 1e9 for _ in range(reps)]
 
     step_pl, ex_pl = build(True)
     pl_samples = rate(step_pl)
@@ -217,22 +235,11 @@ def bench_scatter_add(n: int = 16384, v: int = 2048, d: int = 512,
                          schedule_mode="force" if schedule else "ignore")
         return lambda gv: ex._fn({t_id: toks, g_id: gv}, 0, 0)[out_id], ex
 
-    @jax.jit
-    def _chain_next(gv, out):
-        # data-dependent perturbation keeps the dispatch chain honest
-        return gv + out[:1, :1] * 1e-30
-
     def rate(step):
-        _fetch(step(vals))  # compile + warmup
-        samples = []
-        for _ in range(reps):
-            t = time.perf_counter()
-            cur = vals
-            for _ in range(chain):
-                cur = _chain_next(cur, step(cur))
-            _fetch(cur)
-            samples.append((time.perf_counter() - t) / chain * 1e3)
-        return samples
+        # data-dependent perturbation keeps the in-jit chain honest
+        timed = _chain_timer(
+            lambda cur: cur + step(cur)[:1, :1] * 1e-30, vals, chain)
+        return [timed() * 1e3 for _ in range(reps)]
 
     step_pl, ex_pl = build(True)
     pl_samples = rate(step_pl)
@@ -290,17 +297,9 @@ def bench_softmax_fused(r: int = 8192, c: int = 8192, chain: int = 8,
     bytes_per = 2 * r * c * 4  # ideal: one f32 read + one f32 write
 
     def rate(step):
-        _fetch(step(v))  # compile + warmup
-        samples = []
-        for _ in range(reps):
-            t = time.perf_counter()
-            cur = v
-            for _ in range(chain):
-                cur = step(cur)  # data-dependent: softmax of softmax
-            _fetch(cur)
-            samples.append(
-                bytes_per / ((time.perf_counter() - t) / chain) / 1e9
-            )
+        # data-dependent: softmax of softmax
+        timed = _chain_timer(step, v, chain)
+        samples = [bytes_per / timed() / 1e9 for _ in range(reps)]
         return samples
 
     step_f, ex_f = build(True)
@@ -479,29 +478,17 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
 
     flash = functools.partial(flash_attention, causal=causal)
 
-    def prep(fn):
-        def chained(q, k, v):
-            cur = q
-            for _ in range(chain):
-                cur = fn(cur, k, v)
-            return cur
-
-        jitted = jax.jit(chained)
-        _fetch(jitted(q, k, v))  # compile + warmup
-        return jitted
-
-    def timed(jitted):
-        t = time.perf_counter()
-        _fetch(jitted(q, k, v))
-        return (time.perf_counter() - t) / chain
-
     flops = 4 * b * h * s * s * d * (0.5 if causal else 1.0)
-    # interleaved reps: drift hits both impls equally
-    jf, jx = prep(flash), prep(xla_attn)
+    # in-jit fori chains + difference quotient (_chain_timer): the
+    # ~2.6ms dispatch floor previously rode inside BOTH rates and
+    # biased the ratio toward 1.0; interleaved reps: drift hits both
+    # impls equally
+    tf = _chain_timer(lambda cur: flash(cur, k, v), q, chain)
+    tx = _chain_timer(lambda cur: xla_attn(cur, k, v), q, chain)
     fl, xl = [], []
     for _ in range(3):
-        fl.append(timed(jf))
-        xl.append(timed(jx))
+        fl.append(tf())
+        xl.append(tx())
     spread = {
         "flash_gflops": _spread([flops / t / 1e9 for t in fl]),
         "xla_gflops": _spread([flops / t / 1e9 for t in xl]),
@@ -1081,20 +1068,11 @@ def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
     q, k, v = mk(), mk(), mk()
 
     def timed(fn):
-        def chained(q, k, v):
-            cur = q
-            for _ in range(chain):
-                cur = fn(cur, k, v)
-            return cur
-
-        jitted = jax.jit(chained)
-        _fetch(jitted(q, k, v))
-        best = float("inf")
-        for _ in range(2):
-            t = time.perf_counter()
-            _fetch(jitted(q, k, v))
-            best = min(best, time.perf_counter() - t)
-        return best / chain
+        # in-jit fori chain + difference quotient: the dispatch floor
+        # inflated t_win relatively more (its body is ~4x smaller), so
+        # it understated the windowed speedup (VERDICT r4 weak #9)
+        t = _chain_timer(lambda cur: fn(cur, k, v), q, chain)
+        return min(t() for _ in range(2))
 
     t_win = timed(functools.partial(flash_attention, causal=True,
                                     window=window))
