@@ -44,27 +44,40 @@ def _bail(_sig, _frm):
 
 
 def _time_chain(fn, x, iters=None):
-    """Median-of-3 time for ``iters`` chained data-dependent applications."""
+    """Best-of-3 per-iteration BODY seconds for ``fn``: a lax.fori_loop
+    chain inside one jit, timed as the (short+iters)-vs-short difference
+    quotient.  The r5 overhead experiment measured ~2.6 ms per chained
+    *dispatch* through this tunnel, so the previous harness (one jit of
+    8 unrolled steps, divided by 8) still carried ~3 ms/iter of RTT +
+    dispatch — every constant it produced was the tunnel, not the
+    kernel.  Routing decides kernels that run INSIDE one compiled
+    program, so body rates are the constants policy.py needs.  Size
+    ``iters`` so iters x body >> ms-scale RTT jitter."""
+    import jax
     import jax.numpy as jnp
 
-    if iters is None:
-        iters = 2 if DRY else 8
+    if DRY:
+        iters = 2
+    elif iters is None:
+        iters = 16
+    short = max(1, iters // 8)
 
-    def chain(x):
-        for _ in range(iters):
-            x = fn(x)
-        return x
+    def chain(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: fn(c), x)
 
-    import jax
-
-    chained = jax.jit(chain)
-    _ = float(jnp.sum(chained(x)))  # compile + warm
+    f_s = jax.jit(lambda x: chain(x, short))
+    f_l = jax.jit(lambda x: chain(x, short + iters))
+    _ = float(jnp.sum(f_s(x)))  # compile + warm both lengths
+    _ = float(jnp.sum(f_l(x)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(jnp.sum(chained(x)))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        _ = float(jnp.sum(f_s(x)))
+        t1 = time.perf_counter()
+        _ = float(jnp.sum(f_l(x)))
+        t2 = time.perf_counter()
+        best = min(best, max((t2 - t1) - (t1 - t0), 1e-7) / iters)
+    return best
 
 
 def main() -> None:
@@ -123,19 +136,22 @@ def main() -> None:
     for size in (128, 256) if DRY else (1024, 2048, 4096):
         a = jnp.asarray(rng.normal(size=(size, size)).astype(np.float32))
         flops = 2.0 * size**3
+        # iters x body must dwarf ms-scale RTT jitter: bodies are
+        # ~15us / ~120us / ~1ms at the three sizes
+        its = {1024: 256, 2048: 64, 4096: 16}.get(size, 16)
 
         t_xla = _time_chain(
             lambda x: jnp.dot(
                 x, x, preferred_element_type=jnp.float32
             ),
-            a,
+            a, iters=its,
         )
         blk = min(512, size)
         t_pl = _time_chain(
             lambda x: pallas_matmul(
                 x, x, block_m=blk, block_n=blk, block_k=blk
             ),
-            a,
+            a, iters=its,
         )
         row = {
             "kernel": f"matmul {size}^3 f32",
@@ -156,10 +172,11 @@ def main() -> None:
     tiny = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
     t_tiny_pl = _time_chain(
         lambda x: pallas_matmul(x, x, block_m=256, block_n=256, block_k=256),
-        tiny,
+        tiny, iters=256,
     )
     t_tiny_xla = _time_chain(
-        lambda x: jnp.dot(x, x, preferred_element_type=jnp.float32), tiny
+        lambda x: jnp.dot(x, x, preferred_element_type=jnp.float32), tiny,
+        iters=256,
     )
     launch_us = max(0.0, (t_tiny_pl - t_tiny_xla) * 1e6)
     table.append(
@@ -198,9 +215,9 @@ def main() -> None:
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
     t_fl = _time_chain(
-        lambda x: flash_attention(x, qa, qa, causal=True), qa
+        lambda x: flash_attention(x, qa, qa, causal=True), qa, iters=16
     )
-    t_xa = _time_chain(xla_attn, qa)
+    t_xa = _time_chain(xla_attn, qa, iters=16)
     fl_flops = 4.0 * ab * ah * asq * asq * ad * 0.5  # causal
     constants["flash_attention_tflops"] = float(fl_flops / t_fl / 1e12)
     constants["xla_attention_tflops"] = float(fl_flops / t_xa / 1e12)
@@ -222,7 +239,7 @@ def main() -> None:
 
     sshp = 512 if DRY else 4096
     f_gbps, x_gbps, _samples = _bench.bench_softmax_fused(
-        r=sshp, c=sshp, chain=4, reps=3)
+        r=sshp, c=sshp, chain=2 if DRY else 32, reps=3)
     table.append(
         {
             "kernel": "softmax 4096x4096 (3 kernels vs fused row chain)",
@@ -266,14 +283,10 @@ def main() -> None:
 
     _ = float(jnp.sum(rstep(vj)))  # compile + warm; asserts routing
     assert rex.stats.get("pallas-mapreduce") == 1, rex.stats
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cur = vj
-        for _ in range(4):
-            cur = cur + rstep(cur)[:, None] * 1e-30
-        _ = float(jnp.sum(cur[:1, :1]))
-        best = min(best, (time.perf_counter() - t0) / 4)
+    timed = _bench._chain_timer(
+        lambda cur: cur + rstep(cur)[:, None] * 1e-30, vj,
+        2 if DRY else 32)
+    best = min(timed() for _ in range(3))
     bytes_moved = vj.nbytes  # one read dominates
     table.append(
         {
