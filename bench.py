@@ -52,22 +52,23 @@ def _chain_timer(make_next, x0, chain, short=None):
     difference cancels them exactly, so both sides of every ratio
     resolve their true body rate."""
     import jax
+    import jax.numpy as jnp
 
     short = short or max(1, chain // 8)
-
-    def chained(x, iters_):
-        return jax.lax.fori_loop(0, iters_, lambda i, c: make_next(c), x)
-
-    f_s = jax.jit(lambda x: chained(x, short))
-    f_l = jax.jit(lambda x: chained(x, short + chain))
-    _fetch(f_s(x0))  # compile + warm both lengths
-    _fetch(f_l(x0))
+    # dynamic trip count: ONE compile serves both lengths (tunnel
+    # compiles are 25s-5min; the sweep scripts time dozens of configs)
+    f = jax.jit(lambda x, n: jax.lax.fori_loop(
+        0, n, lambda i, c: make_next(c), x))
+    n_s = jnp.asarray(short, jnp.int32)
+    n_l = jnp.asarray(short + chain, jnp.int32)
+    _fetch(f(x0, n_s))  # compile + warm
+    _fetch(f(x0, n_l))
 
     def timed():
         t0 = time.perf_counter()
-        _fetch(f_s(x0))
+        _fetch(f(x0, n_s))
         t1 = time.perf_counter()
-        _fetch(f_l(x0))
+        _fetch(f(x0, n_l))
         t2 = time.perf_counter()
         return max((t2 - t1) - (t1 - t0), 1e-7) / chain
 

@@ -84,6 +84,7 @@ def main() -> None:
     # whatever completed.
     signal.alarm(5100)
 
+    import bench as _bench
     from exprgrad_tpu.ops.attention import flash_attention
 
     b, h, s, d = (1, 2, 256, 128) if DRY else (8, 4, 2048, 128)
@@ -97,37 +98,40 @@ def main() -> None:
     flops = 4 * b * h * s * s * d * 0.5  # causal
     chain = 2 if DRY else 10
 
-    def time_fwd(fn):
-        def chained(q, k, v):
-            cur = q
-            for _ in range(chain):
-                cur = fn(cur, k, v)
-            return cur
-
-        jitted = jax.jit(chained)
-        _ = float(jnp.sum(jitted(q, k, v)))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(jitted(q, k, v)))
-            best = min(best, time.perf_counter() - t0)
-        return best / chain
+    # All timers are in-jit chains resolved by a long-minus-short
+    # difference quotient (bench._chain_timer): dividing one dispatch
+    # by the chain length (the r4 harness) left ~2.4 ms/config of RTT +
+    # dispatch riding inside every rate — ratios were compressed toward
+    # 1.0 and the crossover table measured the tunnel, not the kernels.
+    def time_fwd(fn, ops=None):
+        qq, kk, vv = ops or (q, k, v)
+        t = _bench._chain_timer(lambda cur: fn(cur, kk, vv), qq, chain)
+        return min(t() for _ in range(3))
 
     def time_bwd(fn):
-        def loss(q, k, v):
-            cur = q
-            for _ in range(3):
-                cur = fn(cur, k, v)
-            return jnp.sum(cur * g)
+        # scan, not fori: reverse-mode AD needs a static trip count
+        def make(n):
+            def loss(q_, k_, v_):
+                def step(cur, _):
+                    return fn(cur, k_, v_), None
+                cur, _ = jax.lax.scan(step, q_, None, length=n)
+                return jnp.sum(cur * g)
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-        grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-        _ = float(jnp.sum(grad(q, k, v)[0]))
+        n_l = 2 if DRY else 4
+        g_s, g_l = make(1), make(n_l)
+        _ = float(jnp.sum(g_s(q, k, v)[0]))  # compile + warm
+        _ = float(jnp.sum(g_l(q, k, v)[0]))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = float(jnp.sum(grad(q, k, v)[0]))
-            best = min(best, time.perf_counter() - t0)
-        return best / 3  # per fwd+bwd pass of the 3-chain
+            _ = float(jnp.sum(g_s(q, k, v)[0]))
+            t1 = time.perf_counter()
+            _ = float(jnp.sum(g_l(q, k, v)[0]))
+            t2 = time.perf_counter()
+            best = min(best,
+                       max((t2 - t1) - (t1 - t0), 1e-7) / (n_l - 1))
+        return best  # per fwd+bwd pass
 
     def xla_attn(q, k, v):
         s_ = jnp.einsum(
@@ -182,24 +186,12 @@ def main() -> None:
             return flash_attention(q_, k_, v_, causal=causal,
                                    block_q=bq, block_k=bk)
 
-        def chained16(q_, k_, v_):
-            cur = q_
-            for _ in range(chain):
-                cur = fn16(cur, k_, v_)
-            return cur
-
-        jitted = jax.jit(chained16)
-        _ = float(jnp.sum(jitted(q16, k16, v16).astype(jnp.float32)))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(jitted(q16, k16, v16).astype(jnp.float32)))
-            best = min(best, time.perf_counter() - t0)
+        best = time_fwd(fn16, ops=(q16, k16, v16))
         RESULTS["flash_bf16_gflops"] = {
-            best_key: round(flops / (best / chain) / 1e9, 1)
+            best_key: round(flops / best / 1e9, 1)
         }
         print(f"flash bf16 {best_key}: "
-              f"{flops / (best / chain) / 1e9:.0f} GFLOP/s", flush=True)
+              f"{flops / best / 1e9:.0f} GFLOP/s", flush=True)
     except Exception as err:
         RESULTS["flash_bf16_gflops"] = f"error: {err}"[:160]
     flush()
@@ -240,21 +232,7 @@ def main() -> None:
     def time_cfg(window, bq, bk):
         fn = functools.partial(flash_attention, causal=True, window=window,
                                block_q=bq, block_k=bk)
-
-        def chained(q_, k_, v_):
-            cur = q_
-            for _ in range(chain):
-                cur = fn(cur, k_, v_)
-            return cur
-
-        jitted = jax.jit(chained)
-        _ = float(jnp.sum(jitted(qw, kw, vw)))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(jitted(qw, kw, vw)))
-            best = min(best, time.perf_counter() - t0)
-        return best / chain
+        return time_fwd(fn, ops=(qw, kw, vw))
 
     win_sweep = {}
     causal_ts = {}

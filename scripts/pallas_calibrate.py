@@ -62,19 +62,19 @@ def _time_chain(fn, x, iters=None):
         iters = 16
     short = max(1, iters // 8)
 
-    def chain(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, c: fn(c), x)
-
-    f_s = jax.jit(lambda x: chain(x, short))
-    f_l = jax.jit(lambda x: chain(x, short + iters))
-    _ = float(jnp.sum(f_s(x)))  # compile + warm both lengths
-    _ = float(jnp.sum(f_l(x)))
+    # dynamic trip count: ONE compile serves both lengths
+    f = jax.jit(lambda x, n: jax.lax.fori_loop(
+        0, n, lambda i, c: fn(c), x))
+    n_s = jnp.asarray(short, jnp.int32)
+    n_l = jnp.asarray(short + iters, jnp.int32)
+    _ = float(jnp.sum(f(x, n_s)))  # compile + warm
+    _ = float(jnp.sum(f(x, n_l)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(jnp.sum(f_s(x)))
+        _ = float(jnp.sum(f(x, n_s)))
         t1 = time.perf_counter()
-        _ = float(jnp.sum(f_l(x)))
+        _ = float(jnp.sum(f(x, n_l)))
         t2 = time.perf_counter()
         best = min(best, max((t2 - t1) - (t1 - t0), 1e-7) / iters)
     return best
