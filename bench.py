@@ -116,16 +116,15 @@ def bench_matmul(n: int = 8192, dtype: str = "float32",
     def step(lhs):
         return executor._fn({a_id: lhs, b_id: b}, 0, 0)[out_id]
 
-    _fetch(step(a))  # compile + warmup
+    # in-jit fori chain + difference quotient (_chain_timer): 30
+    # chained *dispatches* each paid ~2.6ms of tunnel floor on top of a
+    # ~7ms body at 8192^3 — the r4 headline (164 TFLOP/s) understated
+    # the kernel body by that additive
+    timed = _chain_timer(step, a, chain)
     rates = []
     elapsed = []
     for _ in range(3):
-        t = time.perf_counter()
-        cur = a
-        for _ in range(chain):
-            cur = step(cur)  # data-dependent chain, no host sync
-        _fetch(cur)
-        dt = (time.perf_counter() - t) / chain
+        dt = timed()
         elapsed.append(dt)
         rates.append(2 * n**3 / dt / 1e9)
     rates_sorted = sorted(rates)
@@ -1171,17 +1170,23 @@ def bench_transformer_step(vocab=2048, dim=512, heads=4, hidden=2048,
         )
         return {tid: out[tid] for tid in state if tid in out}
 
-    jitted = jax.jit(step)
-    state = jitted(state, 1)  # compile + warmup
     import jax.numpy as jnp
 
-    _fetch(next(iter(state.values())))
-    t = time.perf_counter()
-    cur = state
-    for i in range(chain):
-        cur = jitted(cur, 2 + i)
-    _fetch(next(iter(cur.values())))
-    per_step = (time.perf_counter() - t) / chain
+    # in-jit fori chain + difference quotient (see _chain_timer): the
+    # epoch rides as the loop index, so every step stays step-exact
+    f = jax.jit(lambda st, n: jax.lax.fori_loop(
+        0, n, lambda i, cur: step(cur, 2 + i), st))
+    n_s = jnp.asarray(1, jnp.int32)
+    n_l = jnp.asarray(1 + chain, jnp.int32)
+    fence = lambda st: _fetch(next(iter(st.values())))
+    fence(f(state, n_s))  # compile + warm
+    fence(f(state, n_l))
+    t0 = time.perf_counter()
+    fence(f(state, n_s))
+    t1 = time.perf_counter()
+    fence(f(state, n_l))
+    t2 = time.perf_counter()
+    per_step = max((t2 - t1) - (t1 - t0), 1e-7) / chain
     tokens_per_s = batch * seq / per_step
     # attribution: which attention impl actually traced (VERDICT r2 #3 —
     # a tokens/s number must not silently mean XLA attention)
