@@ -106,7 +106,8 @@ def main() -> None:
     def time_fwd(fn, ops=None):
         qq, kk, vv = ops or (q, k, v)
         t = _bench._chain_timer(lambda cur: fn(cur, kk, vv), qq, chain)
-        return min(t() for _ in range(3))
+        ts = sorted(t() for _ in range(3))
+        return ts[1]  # median: min-of-diffs is biased fast
 
     def time_bwd(fn):
         # scan, not fori: reverse-mode AD needs a static trip count
@@ -122,16 +123,16 @@ def main() -> None:
         g_s, g_l = make(1), make(n_l)
         _ = float(jnp.sum(g_s(q, k, v)[0]))  # compile + warm
         _ = float(jnp.sum(g_l(q, k, v)[0]))
-        best = float("inf")
+        diffs = []
         for _ in range(3):
             t0 = time.perf_counter()
             _ = float(jnp.sum(g_s(q, k, v)[0]))
             t1 = time.perf_counter()
             _ = float(jnp.sum(g_l(q, k, v)[0]))
             t2 = time.perf_counter()
-            best = min(best,
-                       max((t2 - t1) - (t1 - t0), 1e-7) / (n_l - 1))
-        return best  # per fwd+bwd pass
+            diffs.append(
+                max((t2 - t1) - (t1 - t0), 1e-7) / (n_l - 1))
+        return sorted(diffs)[1]  # median per fwd+bwd pass
 
     def xla_attn(q, k, v):
         s_ = jnp.einsum(

@@ -69,15 +69,19 @@ def _time_chain(fn, x, iters=None):
     n_l = jnp.asarray(short + iters, jnp.int32)
     _ = float(jnp.sum(f(x, n_s)))  # compile + warm
     _ = float(jnp.sum(f(x, n_l)))
-    best = float("inf")
-    for _ in range(3):
+    diffs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         _ = float(jnp.sum(f(x, n_s)))
         t1 = time.perf_counter()
         _ = float(jnp.sum(f(x, n_l)))
         t2 = time.perf_counter()
-        best = min(best, max((t2 - t1) - (t1 - t0), 1e-7) / iters)
-    return best
+        diffs.append(max((t2 - t1) - (t1 - t0), 1e-7) / iters)
+    # MEDIAN, not min: the difference of two fetches carries ~±3ms of
+    # symmetric tunnel jitter, and min-of-diffs is biased fast — the
+    # first body-rate run read 722 TFLOP/s at 1024^3 (3.7x the v5e
+    # roofline) off exactly that bias
+    return sorted(diffs)[len(diffs) // 2]
 
 
 def main() -> None:
@@ -136,9 +140,9 @@ def main() -> None:
     for size in (128, 256) if DRY else (1024, 2048, 4096):
         a = jnp.asarray(rng.normal(size=(size, size)).astype(np.float32))
         flops = 2.0 * size**3
-        # iters x body must dwarf ms-scale RTT jitter: bodies are
-        # ~15us / ~120us / ~1ms at the three sizes
-        its = {1024: 256, 2048: 64, 4096: 16}.get(size, 16)
+        # iters x body must DWARF the ~±3ms fetch jitter (target
+        # >=30ms of signal): bodies are ~15us / ~120us / ~1ms
+        its = {1024: 2048, 2048: 256, 4096: 32}.get(size, 32)
 
         t_xla = _time_chain(
             lambda x: jnp.dot(
@@ -162,21 +166,24 @@ def main() -> None:
         mm_rates["pallas"].append(row["pallas_tflops"])
         table.append(row)
         print(row, flush=True)
-        constants["xla_matmul_tflops"] = float(np.median(mm_rates["xla"]))
-        constants["pallas_matmul_tflops"] = float(
-            np.median(mm_rates["pallas"])
-        )
+        # constants from the LARGEST measured size: routing matters for
+        # big kernels (small ones are decided by pallas_launch_us), and
+        # small-shape rows carry the most jitter
+        constants["xla_matmul_tflops"] = float(mm_rates["xla"][-1])
+        constants["pallas_matmul_tflops"] = float(mm_rates["pallas"][-1])
         flush()
 
     # --- launch overhead: tiny pallas kernel vs tiny XLA op -------------
     tiny = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    # tiny bodies are ~2us: iters=4096 puts the launch-delta signal
+    # (~4096 x launch_us) far above fetch jitter
     t_tiny_pl = _time_chain(
         lambda x: pallas_matmul(x, x, block_m=256, block_n=256, block_k=256),
-        tiny, iters=256,
+        tiny, iters=4096,
     )
     t_tiny_xla = _time_chain(
         lambda x: jnp.dot(x, x, preferred_element_type=jnp.float32), tiny,
-        iters=256,
+        iters=4096,
     )
     launch_us = max(0.0, (t_tiny_pl - t_tiny_xla) * 1e6)
     table.append(
@@ -215,9 +222,9 @@ def main() -> None:
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
     t_fl = _time_chain(
-        lambda x: flash_attention(x, qa, qa, causal=True), qa, iters=16
+        lambda x: flash_attention(x, qa, qa, causal=True), qa, iters=64
     )
-    t_xa = _time_chain(xla_attn, qa, iters=16)
+    t_xa = _time_chain(xla_attn, qa, iters=64)
     fl_flops = 4.0 * ab * ah * asq * asq * ad * 0.5  # causal
     constants["flash_attention_tflops"] = float(fl_flops / t_fl / 1e12)
     constants["xla_attention_tflops"] = float(fl_flops / t_xa / 1e12)
@@ -239,7 +246,7 @@ def main() -> None:
 
     sshp = 512 if DRY else 4096
     f_gbps, x_gbps, _samples = _bench.bench_softmax_fused(
-        r=sshp, c=sshp, chain=2 if DRY else 32, reps=3)
+        r=sshp, c=sshp, chain=2 if DRY else 96, reps=5)
     table.append(
         {
             "kernel": "softmax 4096x4096 (3 kernels vs fused row chain)",
@@ -285,8 +292,9 @@ def main() -> None:
     assert rex.stats.get("pallas-mapreduce") == 1, rex.stats
     timed = _bench._chain_timer(
         lambda cur: cur + rstep(cur)[:, None] * 1e-30, vj,
-        2 if DRY else 32)
-    best = min(timed() for _ in range(3))
+        2 if DRY else 256)
+    ts = sorted(timed() for _ in range(5))
+    best = ts[len(ts) // 2]
     bytes_moved = vj.nbytes  # one read dominates
     table.append(
         {
