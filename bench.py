@@ -39,7 +39,7 @@ def _fetch(x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def _chain_timer(make_next, x0, chain, short=None):
+def _chain_timer(make_next, x0, chain, short=None, min_signal_s=0.03):
     """Build a ``timed() -> seconds-per-iteration`` closure that chains
     ``make_next`` INSIDE one jit (lax.fori_loop) and reports the
     long-minus-short difference quotient.
@@ -72,6 +72,17 @@ def _chain_timer(make_next, x0, chain, short=None):
         t2 = time.perf_counter()
         return max((t2 - t1) - (t1 - t0), 1e-7) / chain
 
+    # auto-scale: fast bodies (big-block kernels) can leave the
+    # long-minus-short signal under the ~±3ms fetch jitter, where the
+    # quotient reads pure noise (a 100 TFLOP/s attention config rode a
+    # 1.7ms signal).  The trip count is dynamic, so growing the chain
+    # costs no recompile; a garbage-low pilot just lands on the cap,
+    # which only costs ~min_signal of extra device time per rep.
+    pilot = timed()
+    if pilot * chain < min_signal_s:
+        chain = min(65536, int(min_signal_s / max(pilot, 1e-6)) + 1)
+        n_l = jnp.asarray(short + chain, jnp.int32)
+        _fetch(f(x0, n_l))  # warm the new length
     return timed
 
 

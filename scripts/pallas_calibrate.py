@@ -44,44 +44,28 @@ def _bail(_sig, _frm):
 
 
 def _time_chain(fn, x, iters=None):
-    """Best-of-3 per-iteration BODY seconds for ``fn``: a lax.fori_loop
-    chain inside one jit, timed as the (short+iters)-vs-short difference
-    quotient.  The r5 overhead experiment measured ~2.6 ms per chained
-    *dispatch* through this tunnel, so the previous harness (one jit of
-    8 unrolled steps, divided by 8) still carried ~3 ms/iter of RTT +
-    dispatch — every constant it produced was the tunnel, not the
-    kernel.  Routing decides kernels that run INSIDE one compiled
-    program, so body rates are the constants policy.py needs.  Size
-    ``iters`` so iters x body >> ms-scale RTT jitter."""
-    import jax
-    import jax.numpy as jnp
+    """Median-of-5 per-iteration BODY seconds for ``fn`` via
+    bench._chain_timer: a lax.fori_loop chain inside one jit, timed as
+    the long-vs-short difference quotient with jitter-driven chain
+    auto-scaling.  The r5 overhead experiment measured ~2.6 ms per
+    chained *dispatch* through this tunnel, so the original harness
+    (one jit of 8 unrolled steps, divided by 8) still carried ~3
+    ms/iter of RTT + dispatch — every constant it produced was the
+    tunnel, not the kernel.  Routing decides kernels that run INSIDE
+    one compiled program, so body rates are the constants policy.py
+    needs.  MEDIAN, not min: the difference of two fetches carries
+    ~±3ms of symmetric jitter, and min-of-diffs is biased fast (the
+    first body-rate run read 722 TFLOP/s at 1024^3 — 3.7x the v5e
+    roofline — off exactly that bias)."""
+    import bench as _bench
 
     if DRY:
         iters = 2
     elif iters is None:
         iters = 16
-    short = max(1, iters // 8)
-
-    # dynamic trip count: ONE compile serves both lengths
-    f = jax.jit(lambda x, n: jax.lax.fori_loop(
-        0, n, lambda i, c: fn(c), x))
-    n_s = jnp.asarray(short, jnp.int32)
-    n_l = jnp.asarray(short + iters, jnp.int32)
-    _ = float(jnp.sum(f(x, n_s)))  # compile + warm
-    _ = float(jnp.sum(f(x, n_l)))
-    diffs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _ = float(jnp.sum(f(x, n_s)))
-        t1 = time.perf_counter()
-        _ = float(jnp.sum(f(x, n_l)))
-        t2 = time.perf_counter()
-        diffs.append(max((t2 - t1) - (t1 - t0), 1e-7) / iters)
-    # MEDIAN, not min: the difference of two fetches carries ~±3ms of
-    # symmetric tunnel jitter, and min-of-diffs is biased fast — the
-    # first body-rate run read 722 TFLOP/s at 1024^3 (3.7x the v5e
-    # roofline) off exactly that bias
-    return sorted(diffs)[len(diffs) // 2]
+    timed = _bench._chain_timer(fn, x, iters)
+    diffs = sorted(timed() for _ in range(5))
+    return diffs[len(diffs) // 2]
 
 
 def main() -> None:
