@@ -123,16 +123,26 @@ def main() -> None:
         g_s, g_l = make(1), make(n_l)
         _ = float(jnp.sum(g_s(q, k, v)[0]))  # compile + warm
         _ = float(jnp.sum(g_l(q, k, v)[0]))
-        diffs = []
-        for _ in range(3):
+
+        def diff(gl, passes):
             t0 = time.perf_counter()
             _ = float(jnp.sum(g_s(q, k, v)[0]))
             t1 = time.perf_counter()
-            _ = float(jnp.sum(g_l(q, k, v)[0]))
+            _ = float(jnp.sum(gl(q, k, v)[0]))
             t2 = time.perf_counter()
-            diffs.append(
-                max((t2 - t1) - (t1 - t0), 1e-7) / (n_l - 1))
-        return sorted(diffs)[1]  # median per fwd+bwd pass
+            return max((t2 - t1) - (t1 - t0), 1e-7) / passes
+
+        # auto-scale fast configs above the ~±3ms fetch jitter; scan
+        # length is static (one extra compile), and reverse-mode AD
+        # saves ~64MB of residuals per pass at the bench shape, so cap
+        # the chain where the signal clears jitter, not higher
+        pilot = diff(g_l, n_l - 1)
+        if not DRY and pilot * (n_l - 1) < 0.03:
+            n_l = 1 + min(31, int(0.03 / max(pilot, 1e-6)) + 1)
+            g_l = make(n_l)
+            _ = float(jnp.sum(g_l(q, k, v)[0]))
+        diffs = sorted(diff(g_l, n_l - 1) for _ in range(3))
+        return diffs[1]  # median per fwd+bwd pass
 
     def xla_attn(q, k, v):
         s_ = jnp.einsum(
