@@ -536,8 +536,8 @@ def flash_attention(
     v: jax.Array,
     sm_scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
 ) -> jax.Array:
@@ -570,12 +570,35 @@ def _kv_group(q, k, v) -> int:
     return h // hkv
 
 
+def _pick_block(s: int, target: int) -> int:
+    """Largest sweep-ranked candidate <= ``target`` that divides ``s``;
+    falls back to the legacy min(128, s) so non-dividing sequence
+    lengths fail with exactly the old fixed-default error."""
+    for cand in (target, 256, 128):
+        c = min(cand, s)
+        if s % c == 0:
+            return c
+    return min(128, s)
+
+
 def _resolve(q, k, v, sm_scale, block_q, block_k, interpret, causal=True,
              window=None):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
+    if block_q is None or block_k is None:
+        # measured defaults — r5 on-chip block sweep (BENCH_DETAILS
+        # flash_block_sweep): the dense/causal path is fastest at
+        # 256x512 (>=2x the old fixed 128x128 at b8 h4 s2048 d128,
+        # where 128x128 measured 13.4 vs XLA's 16.8 TFLOP/s body rate);
+        # windowed kernels keep 128x128 — band granularity beats tile
+        # size there (95% of the banding tile bound attained)
+        tq, tk = (128, 128) if window is not None else (256, 512)
+        if block_q is None:
+            block_q = _pick_block(sq, tq)
+        if block_k is None:
+            block_k = _pick_block(skv, tk)
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
     if sq % block_q or skv % block_k:
@@ -767,7 +790,7 @@ def _forward(q, k, v, sm_scale, causal, block_q, block_k, interpret,
 
 
 def flash_attention_forward(q, k, v, sm_scale=None, causal=False,
-                            block_q=128, block_k=128, interpret=None,
+                            block_q=None, block_k=None, interpret=None,
                             offsets=None, window=None):
     """Forward-only entry returning ``(out, lse)`` with optional global
     sequence offsets — the building block for sequence-parallel attention
@@ -1064,7 +1087,7 @@ def _backward(q, k, v, out, lse, g, sm_scale, causal, block_q, block_k,
 
 
 def flash_attention_backward(q, k, v, out, lse, g, sm_scale=None,
-                             causal=False, block_q=128, block_k=128,
+                             causal=False, block_q=None, block_k=None,
                              interpret=None, offsets=None, window=None):
     """Public backward entry: gradients from saved ``(out, lse)`` with
     optional global offsets (the ring-attention partial building block)."""

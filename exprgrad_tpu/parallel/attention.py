@@ -234,8 +234,8 @@ def sequence_parallel_attention(
     sm_scale: Optional[float] = None,
     causal: bool = False,
     impl: str = "ring",
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
     window: Optional[int] = None,
 ) -> jax.Array:

@@ -171,6 +171,26 @@ def test_flash_attention_fwd_bwd_full_compile():
     full_compile_fn(g, q, q, q)
 
 
+def test_flash_attention_bench_shape_default_blocks_full_compile():
+    """The r5 auto block default (dense causal -> 256x512) through the
+    FULL XLA:TPU + Mosaic pipeline at the bench sequence length — the
+    config the on-chip block sweep ranked fastest (BENCH_DETAILS
+    flash_block_sweep); fwd + both bwd kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from exprgrad_tpu.ops.attention import flash_attention
+
+    q = jnp.zeros((2, 4, 2048, 128), jnp.float32)
+
+    def fwd(q, k, v):
+        out = flash_attention(q, k, v, causal=True)
+        return jnp.sum(out * out)
+
+    g = jax.grad(fwd, argnums=(0, 1, 2))
+    full_compile_fn(g, q, q, q)
+
+
 @pytest.mark.parametrize("head_mode", ["batched", "unroll"])
 def test_paged_decode_attention_full_compile(head_mode):
     import jax.numpy as jnp
