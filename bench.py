@@ -39,10 +39,18 @@ def _fetch(x) -> float:
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def _chain_timer(make_next, x0, chain, short=None, min_signal_s=0.03):
+def _chain_timer(make_next, x0, chain, short=None, min_signal_s=0.03,
+                 operands=()):
     """Build a ``timed() -> seconds-per-iteration`` closure that chains
     ``make_next`` INSIDE one jit (lax.fori_loop) and reports the
     long-minus-short difference quotient.
+
+    ``operands``: device arrays the step needs beyond the loop carry.
+    Pass them HERE, not via closure — jit embeds closed-over arrays as
+    HLO literals and this tunnel ships the serialized module to a
+    remote compile endpoint: a closed-over 256MB matmul operand 413'd
+    it outright, and 134MB attention closures shipped for minutes per
+    config.  ``make_next`` is called as ``make_next(cur, *operands)``.
 
     Chained *separate* dispatches cannot resolve kernel bodies through
     this tunnel: the overhead experiment measured ~2.6 ms per chained
@@ -57,18 +65,18 @@ def _chain_timer(make_next, x0, chain, short=None, min_signal_s=0.03):
     short = short or max(1, chain // 8)
     # dynamic trip count: ONE compile serves both lengths (tunnel
     # compiles are 25s-5min; the sweep scripts time dozens of configs)
-    f = jax.jit(lambda x, n: jax.lax.fori_loop(
-        0, n, lambda i, c: make_next(c), x))
+    f = jax.jit(lambda x, n, *ops: jax.lax.fori_loop(
+        0, n, lambda i, c: make_next(c, *ops), x))
     n_s = jnp.asarray(short, jnp.int32)
     n_l = jnp.asarray(short + chain, jnp.int32)
-    _fetch(f(x0, n_s))  # compile + warm
-    _fetch(f(x0, n_l))
+    _fetch(f(x0, n_s, *operands))  # compile + warm
+    _fetch(f(x0, n_l, *operands))
 
     def timed():
         t0 = time.perf_counter()
-        _fetch(f(x0, n_s))
+        _fetch(f(x0, n_s, *operands))
         t1 = time.perf_counter()
-        _fetch(f(x0, n_l))
+        _fetch(f(x0, n_l, *operands))
         t2 = time.perf_counter()
         return max((t2 - t1) - (t1 - t0), 1e-7) / chain
 
@@ -82,7 +90,7 @@ def _chain_timer(make_next, x0, chain, short=None, min_signal_s=0.03):
     if pilot * chain < min_signal_s:
         chain = min(65536, int(min_signal_s / max(pilot, 1e-6)) + 1)
         n_l = jnp.asarray(short + chain, jnp.int32)
-        _fetch(f(x0, n_l))  # warm the new length
+        _fetch(f(x0, n_l, *operands))  # warm the new length
     return timed
 
 
@@ -124,14 +132,15 @@ def bench_matmul(n: int = 8192, dtype: str = "float32",
     a = jax.device_put((rng.normal(size=(n, n)) * scale).astype(dtype))
     b = jax.device_put((rng.normal(size=(n, n)) * scale).astype(dtype))
 
-    def step(lhs):
-        return executor._fn({a_id: lhs, b_id: b}, 0, 0)[out_id]
+    def step(lhs, rhs):
+        return executor._fn({a_id: lhs, b_id: rhs}, 0, 0)[out_id]
 
     # in-jit fori chain + difference quotient (_chain_timer): 30
     # chained *dispatches* each paid ~2.6ms of tunnel floor on top of a
     # ~7ms body at 8192^3 — the r4 headline (164 TFLOP/s) understated
-    # the kernel body by that additive
-    timed = _chain_timer(step, a, chain)
+    # the kernel body by that additive.  b rides as an operand: closed
+    # over, its 256MB literal 413'd the remote compile endpoint
+    timed = _chain_timer(step, a, chain, operands=(b,))
     rates = []
     elapsed = []
     for _ in range(3):
@@ -189,10 +198,11 @@ def bench_matmul_scheduled(n: int = 4096, chain: int = 32, reps: int = 3):
                               [(a_id, [n, n]), (b_id, [n, n])])
         ex = JaxExecutor(program, "c", shapes, precision="default",
                          schedule_mode="force" if schedule else "ignore")
-        return lambda lhs: ex._fn({a_id: lhs, b_id: b}, 0, 0)[out_id], ex
+        return (lambda lhs, rhs: ex._fn({a_id: lhs, b_id: rhs}, 0, 0)
+                [out_id]), ex
 
     def rate(step):
-        timed = _chain_timer(step, a, chain)
+        timed = _chain_timer(step, a, chain, operands=(b,))
         return [2 * n**3 / timed() / 1e9 for _ in range(reps)]
 
     step_pl, ex_pl = build(True)
@@ -494,8 +504,10 @@ def bench_attention(b=8, h=4, s=2048, d=128, causal=True, chain=10):
     # ~2.6ms dispatch floor previously rode inside BOTH rates and
     # biased the ratio toward 1.0; interleaved reps: drift hits both
     # impls equally
-    tf = _chain_timer(lambda cur: flash(cur, k, v), q, chain)
-    tx = _chain_timer(lambda cur: xla_attn(cur, k, v), q, chain)
+    tf = _chain_timer(lambda cur, kk, vv: flash(cur, kk, vv), q, chain,
+                      operands=(k, v))
+    tx = _chain_timer(lambda cur, kk, vv: xla_attn(cur, kk, vv), q, chain,
+                      operands=(k, v))
     fl, xl = [], []
     for _ in range(3):
         fl.append(tf())
@@ -1085,7 +1097,8 @@ def bench_window_attention(b=8, h=4, s=4096, d=128, window=512, chain=10):
         # in-jit fori chain + difference quotient: the dispatch floor
         # inflated t_win relatively more (its body is ~4x smaller), so
         # it understated the windowed speedup (VERDICT r4 weak #9)
-        t = _chain_timer(lambda cur: fn(cur, k, v), q, chain)
+        t = _chain_timer(lambda cur, kk, vv: fn(cur, kk, vv), q, chain,
+                         operands=(k, v))
         ts = sorted(t() for _ in range(3))
         return ts[1]  # median: min-of-diffs is biased fast
 
@@ -1179,27 +1192,29 @@ def bench_transformer_step(vocab=2048, dim=512, heads=4, hidden=2048,
         for tid, v in {**model.params, **model.caches}.items()
     }
 
-    def step(state, epoch):
+    def step(state, epoch, tk, lb):
         out = executor.run_fn(
-            {**state, tok_id: toks, lab_id: labels}, epoch, 0
+            {**state, tok_id: tk, lab_id: lb}, epoch, 0
         )
         return {tid: out[tid] for tid in state if tid in out}
 
     import jax.numpy as jnp
 
     # in-jit fori chain + difference quotient (see _chain_timer): the
-    # epoch rides as the loop index, so every step stays step-exact
-    f = jax.jit(lambda st, n: jax.lax.fori_loop(
-        0, n, lambda i, cur: step(cur, 2 + i), st))
+    # epoch rides as the loop index, so every step stays step-exact;
+    # toks/labels ride as arguments (closed over, jit would embed them
+    # as HLO literals shipped on every remote compile)
+    f = jax.jit(lambda st, n, tk, lb: jax.lax.fori_loop(
+        0, n, lambda i, cur: step(cur, 2 + i, tk, lb), st))
     n_s = jnp.asarray(1, jnp.int32)
     n_l = jnp.asarray(1 + chain, jnp.int32)
     fence = lambda st: _fetch(next(iter(st.values())))
-    fence(f(state, n_s))  # compile + warm
-    fence(f(state, n_l))
+    fence(f(state, n_s, toks, labels))  # compile + warm
+    fence(f(state, n_l, toks, labels))
     t0 = time.perf_counter()
-    fence(f(state, n_s))
+    fence(f(state, n_s, toks, labels))
     t1 = time.perf_counter()
-    fence(f(state, n_l))
+    fence(f(state, n_l, toks, labels))
     t2 = time.perf_counter()
     per_step = max((t2 - t1) - (t1 - t0), 1e-7) / chain
     tokens_per_s = batch * seq / per_step

@@ -105,7 +105,12 @@ def main() -> None:
     # 1.0 and the crossover table measured the tunnel, not the kernels.
     def time_fwd(fn, ops=None):
         qq, kk, vv = ops or (q, k, v)
-        t = _bench._chain_timer(lambda cur: fn(cur, kk, vv), qq, chain)
+        # kk/vv as operands: closed over, jit embeds them as HLO
+        # literals shipped on every remote compile (134MB per windowed
+        # config in the first sweep run)
+        t = _bench._chain_timer(
+            lambda cur, k2, v2: fn(cur, k2, v2), qq, chain,
+            operands=(kk, vv))
         ts = sorted(t() for _ in range(3))
         return ts[1]  # median: min-of-diffs is biased fast
 

@@ -43,7 +43,7 @@ def _bail(_sig, _frm):
     sys.exit(1)
 
 
-def _time_chain(fn, x, iters=None):
+def _time_chain(fn, x, iters=None, operands=()):
     """Median-of-5 per-iteration BODY seconds for ``fn`` via
     bench._chain_timer: a lax.fori_loop chain inside one jit, timed as
     the long-vs-short difference quotient with jitter-driven chain
@@ -63,7 +63,7 @@ def _time_chain(fn, x, iters=None):
         iters = 2
     elif iters is None:
         iters = 16
-    timed = _bench._chain_timer(fn, x, iters)
+    timed = _bench._chain_timer(fn, x, iters, operands=operands)
     diffs = sorted(timed() for _ in range(5))
     return diffs[len(diffs) // 2]
 
@@ -193,7 +193,7 @@ def main() -> None:
         rng.normal(size=(ab, ah, asq, ad)).astype(np.float32) * 0.1
     )
 
-    def xla_attn(q):
+    def xla_attn(q, qa):
         s_ = jnp.einsum("bhqd,bhkd->bhqk", q, qa,
                         preferred_element_type=jnp.float32) * (ad ** -0.5)
         import jax.lax as lax
@@ -206,9 +206,10 @@ def main() -> None:
                           preferred_element_type=jnp.float32).astype(q.dtype)
 
     t_fl = _time_chain(
-        lambda x: flash_attention(x, qa, qa, causal=True), qa, iters=64
+        lambda x, kv: flash_attention(x, kv, kv, causal=True), qa,
+        iters=64, operands=(qa,),
     )
-    t_xa = _time_chain(xla_attn, qa, iters=64)
+    t_xa = _time_chain(xla_attn, qa, iters=64, operands=(qa,))
     fl_flops = 4.0 * ab * ah * asq * asq * ad * 0.5  # causal
     constants["flash_attention_tflops"] = float(fl_flops / t_fl / 1e12)
     constants["xla_attention_tflops"] = float(fl_flops / t_xa / 1e12)
