@@ -67,7 +67,12 @@ _NEG_INF = -1e30
 # until the sweep measures "batched" faster on the real chip (this
 # platform's history: lowering-clean kernels have been rejected or slow
 # on the live chip — defaults follow measurements, not compiles).
-DEFAULT_HEAD_MODE = "unroll"
+# r5 on-chip sweep (BENCH_DETAILS paged_decode_sweep, loop-carried-pool
+# harness): "batched" beats "unroll" at every h_block (1.341 vs 1.553 ms
+# best-vs-best at the bench shape); both modes pass the deviceless full
+# v5e pipeline at that shape.  The gather path remains the serving
+# default — the kernel is still 0.42x gather there (docs/serving.md).
+DEFAULT_HEAD_MODE = "batched"
 
 
 def _kernel(tbl_ref, q_ref, qp_ref, k_ref, v_ref, kp_ref, o_ref,
