@@ -229,12 +229,17 @@ def main() -> None:
     # "bandwidth" (0.06 GB/s) was the link, not the kernel.
     import bench as _bench
 
-    sshp = 512 if DRY else 4096
+    # 8192^2 (268MB): BOTH sides HBM-bound.  At 4096^2 the in-jit fori
+    # carry (67MB) stays VMEM-resident for the pure-XLA body, which
+    # read 1421 GB/s — 1.7x the HBM roofline, i.e. a VMEM-fed rate the
+    # policy must NOT use for HBM-regime routing (custom calls always
+    # round-trip HBM).
+    sshp = 512 if DRY else 8192
     f_gbps, x_gbps, _samples = _bench.bench_softmax_fused(
-        r=sshp, c=sshp, chain=2 if DRY else 96, reps=5)
+        r=sshp, c=sshp, chain=2 if DRY else 48, reps=5)
     table.append(
         {
-            "kernel": "softmax 4096x4096 (3 kernels vs fused row chain)",
+            "kernel": "softmax 8192x8192 (3 kernels vs fused row chain)",
             "xla_gbps": x_gbps,
             "fused_gbps": f_gbps,
             "fused_speedup": f_gbps / x_gbps,
@@ -254,7 +259,7 @@ def main() -> None:
     from exprgrad_tpu.backend.executor import JaxExecutor
     from exprgrad_tpu.passes import infer_shapes
 
-    shp = 512 if DRY else 4096
+    shp = 512 if DRY else 8192  # HBM-bound (see softmax note above)
     y, x_ = iters("y", "x")
     out = Fun("out")
     out[y] = exp(eg_input("inp")[y, x_] * 0.25)
@@ -283,7 +288,7 @@ def main() -> None:
     bytes_moved = vj.nbytes  # one read dominates
     table.append(
         {
-            "kernel": "exp-rowmap 4096x4096 (single scheduled kernel)",
+            "kernel": "exp-rowmap 8192x8192 (single scheduled kernel)",
             "pallas_ms": best * 1e3,
             "pallas_gbps": bytes_moved / best / 1e9,
         }
