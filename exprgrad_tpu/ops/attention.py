@@ -589,12 +589,13 @@ def _resolve(q, k, v, sm_scale, block_q, block_k, interpret, causal=True,
         sm_scale = 1.0 / float(np.sqrt(d))
     if block_q is None or block_k is None:
         # measured defaults — r5 on-chip block sweep (BENCH_DETAILS
-        # flash_block_sweep): the dense/causal path is fastest at
-        # 256x512 (>=2x the old fixed 128x128 at b8 h4 s2048 d128,
-        # where 128x128 measured 13.4 vs XLA's 16.8 TFLOP/s body rate);
-        # windowed kernels keep 128x128 — band granularity beats tile
-        # size there (95% of the banding tile bound attained)
-        tq, tk = (128, 128) if window is not None else (256, 512)
+        # flash_block_sweep, jitter-safe rerun): dense/causal fwd body
+        # rates at b8 h4 s2048 d128 were 13.3 TFLOP/s at the old fixed
+        # 128x128 vs 52.1 at 512x512 (XLA: 14.7 — flash is 3.5x XLA at
+        # the bench shape with these blocks; fwd+bwd 2.57ms vs XLA's
+        # 11.06ms); windowed kernels keep 128x128 — band granularity
+        # beats tile size there (95% of the banding tile bound)
+        tq, tk = (128, 128) if window is not None else (512, 512)
         if block_q is None:
             block_q = _pick_block(sq, tq)
         if block_k is None:
