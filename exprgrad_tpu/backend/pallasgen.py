@@ -56,6 +56,15 @@ _SUBLANE = {"float32": 8, "bfloat16": 16, "float64": 8}
 # kernels; retune in mosaic_check only.
 from ..ops.mosaic_check import VMEM_LIMIT_BYTES  # noqa: F401
 
+# Planner working-set budget for emitter kernels.  Must track the
+# Mosaic scoped-vmem cap the same pallas_calls ship
+# (mosaic_check.VMEM_LIMIT_BYTES, 100MB of the v5e's 128MB VMEM) with
+# headroom for Mosaic-internal scratch: the old hard-coded 14MB (a
+# 16MB-era constant) declined user-tiled kernels — the bench-shape
+# embedding scatter (~15MB working set) fell back to XLA under
+# schedule_mode=force while the raised Mosaic cap would run it fine.
+_PLANNER_BUDGET = int(VMEM_LIMIT_BYTES * 0.8)
+
 
 def _round_down(x: int, m: int) -> int:
     return max(m, (x // m) * m)
@@ -1725,7 +1734,7 @@ class PallasMapReduce:
                 total += out_elems * 4  # accumulator scratch
             return total
 
-        budget = 14 * 2**20
+        budget = _PLANNER_BUDGET
         # shrink loop: first grid the largest reduction candidate, then halve
         # untiled output axes (user tile sizes are respected: if they do not
         # fit, decline rather than silently changing the schedule)
@@ -2870,7 +2879,7 @@ def _plan_rowchain_blocks(members, member_kernels, escaping=()):
             total += out_elems * (item + 4)
         return total
 
-    budget = 14 * 2**20
+    budget = _PLANNER_BUDGET
     while block_bytes() > budget:
         # user tile sizes are respected (decline over silently changing
         # the schedule, same as the single-kernel planner)

@@ -317,6 +317,20 @@ class _BuildCtx:
             dims=[self.build_linear(d) for d in builder.dims],
             accumulate=builder.accumulate,
         )
+        # schedule names must bind: a tile/parallel key that matches no
+        # iterator of this kernel is a silent no-op otherwise (a test
+        # once tiled {"x": 256} on a kernel whose iterator was named d —
+        # the planner shrank d freely and the pinned-schedule bug it was
+        # written to catch went unexercised)
+        for what, names in (("tile", self.schedule.tile),
+                            ("parallel", self.schedule.parallel),
+                            ("share_cache", self.schedule.share_cache)):
+            unknown = [nm for nm in names if nm not in self.iters]
+            if unknown:
+                raise ParserError(
+                    f"schedule {what} names {unknown} match no iterator "
+                    f"of this kernel (iterators: {sorted(self.iters)})"
+                )
         return kernel
 
 

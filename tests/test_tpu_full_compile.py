@@ -149,7 +149,11 @@ def test_onehot_scatter_bench_shape_full_compile():
     i, d = iters("i", "d")
     out[to_index(tok[i]), d] = v[i, d]
     out.with_shape([2048, 512])
-    out.schedule(tile={"i": 512, "x": 256})
+    # tile keys must NAME the iterators: an earlier revision wrote
+    # {"x": 256}, which silently left d untiled — the planner shrank d
+    # freely and this test passed while the bench (iterator really
+    # named x, so the 256 was pinned) declined on the VMEM budget
+    out.schedule(tile={"i": 512, "d": 256})
     ex = compile_tpu(out.target("demb"), "demb",
                      {"tokens": (16384,), "vals": (16384, 512)})
     assert ex.stats.get("pallas-mapreduce") == 1, ex.stats
