@@ -1283,13 +1283,23 @@ _DETAILS: dict = {}
 
 def _flush_details() -> None:
     """Write BENCH_DETAILS.json incrementally: a watchdog exit mid-sweep
-    must still leave every completed section's numbers on disk."""
+    must still leave every completed section's numbers on disk.
+
+    MERGE over the existing file — calibrate/flash_sweep/matmul_blocks
+    write their sections into the same artifact, and a blind overwrite
+    here destroyed a full sweep's results once."""
     import json as _json
 
     path = "/tmp/BENCH_DETAILS_DRY.json" if DRY else "BENCH_DETAILS.json"
     try:
+        with open(path) as f:
+            details = _json.load(f)
+    except (OSError, ValueError):
+        details = {}
+    details.update(_DETAILS)
+    try:
         with open(path, "w") as f:
-            _json.dump(_DETAILS, f, indent=2)
+            _json.dump(details, f, indent=2)
     except OSError:
         pass
 

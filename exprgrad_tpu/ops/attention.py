@@ -593,9 +593,15 @@ def _resolve(q, k, v, sm_scale, block_q, block_k, interpret, causal=True,
         # rates at b8 h4 s2048 d128 were 13.3 TFLOP/s at the old fixed
         # 128x128 vs 52.1 at 512x512 (XLA: 14.7 — flash is 3.5x XLA at
         # the bench shape with these blocks; fwd+bwd 2.57ms vs XLA's
-        # 11.06ms); windowed kernels keep 128x128 — band granularity
-        # beats tile size there (95% of the banding tile bound)
-        tq, tk = (128, 128) if window is not None else (512, 512)
+        # 11.06ms).  Windowed kernels: big tiles beat band granularity
+        # too when the window is wide (s4096 w512: 0.61ms at 512x512 vs
+        # 1.66ms at 128x128, 96% of the 512-tile banding bound); narrow
+        # windows keep 128x128 — a 512-wide kv tile would be mostly
+        # masked waste below w=256.
+        if window is not None:
+            tq, tk = (512, 512) if window >= 256 else (128, 128)
+        else:
+            tq, tk = (512, 512)
         if block_q is None:
             block_q = _pick_block(sq, tq)
         if block_k is None:
